@@ -1,38 +1,551 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry builds a FeathrProject over the driver's synthetic
+tables and runs one operator from SURVEY.md §2 through the real engine
+(feathr_spark). ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+
+Comparison hygiene (the driver hash-compares values column-sorted):
+  * every computed column is aliased identically on both sides;
+  * float outputs rounded to 4 decimals and cast DOUBLE on both sides;
+  * integer outputs cast BIGINT on both sides;
+  * timestamps emitted as epoch-millis BIGINT;
+  * collected lists sorted (deterministic order).
+
+Window semantics: (t − w, t] with *millisecond* granularity — both the
+engine (unix_millis ordering) and the oracles (epoch_ms) truncate to ms.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from feathr_spark import (  # noqa: E402
+    Aggregation,
+    DerivedFeature,
+    Feature,
+    FeatureAnchor,
+    FeatureQuery,
+    FeathrProject,
+    HdfsSource,
+    INPUT_CONTEXT,
+    ObservationSettings,
+    TimeWindowParameters,
+    TypedKey,
+    WindowAggTransform,
+)
+
+MS_90D = 90 * 86400 * 1000
+MS_30D = 30 * 86400 * 1000
+MS_7D = 7 * 86400 * 1000
+MS_365D = 365 * 86400 * 1000
+
+
+def _orders_src(sf_dir: str) -> HdfsSource:
+    return HdfsSource(name="orders", path=f"{sf_dir}/orders.parquet",
+                      time_window_parameters=TimeWindowParameters("o_orderdate"))
+
+
+def _fix_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong Spark reads
+    it as bigint nanos — convert to a real timestamp (floor to micros,
+    matching DuckDB's ns→ms truncation in the oracles)."""
+    from pyspark.sql.types import LongType
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def _events_src(sf_dir: str) -> HdfsSource:
+    # preprocessing hook (reference source.rs:286): DataFrame -> DataFrame
+    return HdfsSource(name="events", path=f"{sf_dir}/events.parquet",
+                      preprocessing=_fix_event_ts,
+                      time_window_parameters=TimeWindowParameters("ts"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fix_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _r4(c):
+    return F.round(c, 4).cast("double")
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    """Pin the session to UTC so calendar functions (dayofweek) and absolute
+    cutoffs agree with the DuckDB oracle regardless of host timezone; allow
+    reading nanosecond parquet timestamps (events.ts) as long."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression features on the observation (INPUT_CONTEXT), no join —
+    reference client.rs:341-371 re-expressed over `events`."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    anchor = FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_value_x2", transform="value * 2"),
+        Feature(name="f_is_click", transform="event_type = 'click'"),
+        Feature(name="f_day_of_week", transform="dayofweek(ts)"),
+        Feature(name="f_value_big", transform="cast_float(value) > 50"),
+    ])
+    p.register_anchor(anchor)
+    p.register_derived(DerivedFeature(
+        name="f_value_x4", transform="f_value_x2 * 2",
+        input_features=[anchor.features[0]]))
+    obs = _load_events(spark, sf_dir)
+    out = p.get_offline_features(obs, FeatureQuery(
+        ["f_value_x2", "f_is_click", "f_day_of_week", "f_value_big", "f_value_x4"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _r4(F.col("f_value_x2")).alias("f_value_x2"),
+        F.col("f_is_click").alias("f_is_click"),
+        F.col("f_day_of_week").cast("bigint").alias("f_day_of_week"),
+        F.col("f_value_big").alias("f_value_big"),
+        _r4(F.col("f_value_x4")).alias("f_value_x4"),
+    )
+
+
+def q_keyed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-windowed keyed anchor: dimension left-join (SURVEY §2.4)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="c_custkey", key_column_alias="o_custkey")
+    p.register_anchor(FeatureAnchor(
+        name="cust", source=HdfsSource(name="customer", path=f"{sf_dir}/customer.parquet"),
+        features=[
+            Feature(name="f_acctbal", transform="c_acctbal", key=[key]),
+            Feature(name="f_mktsegment", transform="c_mktsegment", key=[key]),
+            Feature(name="f_nation", transform="cast_long(c_nationkey)", key=[key]),
+        ]))
+    obs = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = p.get_offline_features(obs, FeatureQuery(["f_acctbal", "f_mktsegment", "f_nation"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        _r4(F.col("f_acctbal")).alias("f_acctbal"),
+        F.col("f_mktsegment").alias("f_mktsegment"),
+        F.col("f_nation").cast("bigint").alias("f_nation"),
+    )
+
+
+def _window_basic_project(spark, sf_dir):
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    src = _orders_src(sf_dir)
+    p.register_anchor(FeatureAnchor(name="w", source=src, features=[
+        Feature(name="f_avg_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.AVG, "90d"), key=[key]),
+        Feature(name="f_max_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.MAX, "90d"), key=[key]),
+        Feature(name="f_min_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.MIN, "90d"), key=[key]),
+        Feature(name="f_sum_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.SUM, "90d"), key=[key]),
+        Feature(name="f_cnt_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.COUNT, "90d"), key=[key]),
+    ]))
+    return p
+
+
+def q_window_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (t−90d, t] AVG/MAX/MIN/SUM/COUNT keyed by o_custkey,
+    observation = the source itself (reference E2E shape, client.rs:383-406)."""
+    _utc(spark)
+    p = _window_basic_project(spark, sf_dir)
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(
+        obs, FeatureQuery(["f_avg_90d", "f_max_90d", "f_min_90d", "f_sum_90d", "f_cnt_90d"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("f_avg_90d")).alias("f_avg_90d"),
+        _r4(F.col("f_max_90d")).alias("f_max_90d"),
+        _r4(F.col("f_min_90d")).alias("f_min_90d"),
+        _r4(F.col("f_sum_90d")).alias("f_sum_90d"),
+        F.col("f_cnt_90d").cast("bigint").alias("f_cnt_90d"),
+    )
+
+
+def q_window_latest_nop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATEST (max-ts value) and NOP (earliest value) over (t−7d, t] on the
+    tie-free `events` stream (model.rs:200-216 NOP/LATEST)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="user_id")
+    p.register_anchor(FeatureAnchor(name="w", source=_events_src(sf_dir), features=[
+        Feature(name="f_latest_7d",
+                transform=WindowAggTransform("value", Aggregation.LATEST, "7d"), key=[key]),
+        Feature(name="f_first_7d",
+                transform=WindowAggTransform("value", Aggregation.NOP, "7d"), key=[key]),
+    ]))
+    obs = ObservationSettings(timestamp_column="ts").with_event_ts(
+        _load_events(spark, sf_dir))
+    out = p.get_offline_features(obs, FeatureQuery(["f_latest_7d", "f_first_7d"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _r4(F.col("f_latest_7d")).alias("f_latest_7d"),
+        _r4(F.col("f_first_7d")).alias("f_first_7d"),
+    )
+
+
+def q_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION aggregation: collect all values in window into a sorted list
+    (model.rs UNION → collect)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(name="w", source=_orders_src(sf_dir), features=[
+        Feature(name="f_prio_30d",
+                transform=WindowAggTransform("o_orderpriority", Aggregation.UNION, "30d"),
+                key=[key]),
+    ]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(obs, FeatureQuery(["f_prio_30d"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("f_prio_30d").alias("f_prio_30d"),
+    )
+
+
+def q_window_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`filter` sub-clause applied pre-aggregation (model.rs:270)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="user_id")
+    p.register_anchor(FeatureAnchor(name="w", source=_events_src(sf_dir), features=[
+        Feature(name="f_purchase_sum_7d",
+                transform=WindowAggTransform("value", Aggregation.SUM, "7d",
+                                             filter="event_type = 'purchase'"),
+                key=[key]),
+        Feature(name="f_purchase_cnt_7d",
+                transform=WindowAggTransform("value", Aggregation.COUNT, "7d",
+                                             filter="event_type = 'purchase'"),
+                key=[key]),
+    ]))
+    obs = ObservationSettings(timestamp_column="ts").with_event_ts(
+        _load_events(spark, sf_dir))
+    out = p.get_offline_features(obs, FeatureQuery(["f_purchase_sum_7d", "f_purchase_cnt_7d"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _r4(F.col("f_purchase_sum_7d")).alias("f_purchase_sum_7d"),
+        F.col("f_purchase_cnt_7d").cast("bigint").alias("f_purchase_cnt_7d"),
+    )
+
+
+def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: passthrough + PIT window agg + derived feature DAG
+    (the reference's canonical E2E scenario shape, client.rs:310-502)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    pt = FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_totalprice", transform="o_totalprice"),
+        Feature(name="f_is_urgent", transform="o_orderpriority = '1-URGENT'"),
+    ])
+    w = FeatureAnchor(name="w", source=_orders_src(sf_dir), features=[
+        Feature(name="f_avg_90d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.AVG, "90d"), key=[key]),
+    ])
+    p.register_anchor(pt)
+    p.register_anchor(w)
+    p.register_derived(DerivedFeature(
+        name="f_price_ratio", transform="f_totalprice / f_avg_90d",
+        input_features=[pt.features[0], w.features[0]]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(
+        obs, FeatureQuery(["f_totalprice", "f_is_urgent", "f_avg_90d", "f_price_ratio"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("f_totalprice")).alias("f_totalprice"),
+        F.col("f_is_urgent").alias("f_is_urgent"),
+        _r4(F.col("f_avg_90d")).alias("f_avg_90d"),
+        _r4(F.col("f_price_ratio")).alias("f_price_ratio"),
+    )
+
+
+def q_multi_key_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite entity key (l_partkey, l_suppkey) PIT aggregation
+    (multi-key TypedKey support, model.rs:146-155)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    keys = [TypedKey(key_column="l_partkey"), TypedKey(key_column="l_suppkey")]
+    src = HdfsSource(name="lineitem", path=f"{sf_dir}/lineitem.parquet",
+                     time_window_parameters=TimeWindowParameters("l_shipdate"))
+    p.register_anchor(FeatureAnchor(name="w", source=src, features=[
+        Feature(name="f_qty_365d",
+                transform=WindowAggTransform("l_quantity", Aggregation.SUM, "365d"),
+                key=keys),
+        Feature(name="f_ship_cnt_365d",
+                transform=WindowAggTransform("l_quantity", Aggregation.COUNT, "365d"),
+                key=keys),
+    ]))
+    # observation = distinct (partkey, suppkey, shipdate) projection —
+    # lineitem has no unique row id in this synthetic dataset
+    obs_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select("l_partkey", "l_suppkey", "l_shipdate").distinct()
+    obs = ObservationSettings(timestamp_column="l_shipdate").with_event_ts(obs_df)
+    out = p.get_offline_features(obs, FeatureQuery(["f_qty_365d", "f_ship_cnt_365d"]))
+    return out.select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+        F.unix_millis(F.col("l_shipdate").cast("timestamp")).alias("ship_ms"),
+        _r4(F.col("f_qty_365d")).alias("f_qty_365d"),
+        F.col("f_ship_cnt_365d").cast("bigint").alias("f_ship_cnt_365d"),
+    )
+
+
+def q_group_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`group_by` + `limit` sub-clauses: per-observation top-2 order
+    priorities by 90-day spend (model.rs:266-272)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(name="w", source=_orders_src(sf_dir), features=[
+        Feature(name="f_top_prio",
+                transform=WindowAggTransform("o_totalprice", Aggregation.SUM, "90d",
+                                             group_by="o_orderpriority", limit=2),
+                key=[key]),
+    ]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(obs, FeatureQuery(["f_top_prio"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.expr(
+            "transform(f_top_prio, x -> struct(x.group as group, "
+            "cast(round(x.value, 4) as double) as value))"
+        ).alias("f_top_prio"),
+    )
+
+
+def q_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEMENTWISE_AVG over array<float> tensors, grouped by label
+    (model.rs:209). Scale path: posexplode → groupBy(label, pos) → avg →
+    reassemble ordered — distributes element-wise work instead of
+    collecting whole groups."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    per_pos = exploded.groupBy("label", "pos").agg(F.avg("v").alias("a"))
+    out = per_pos.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "a"))),
+            lambda s: F.round(s.a, 4).cast("double"),
+        ).alias("f_centroid"))
+    return out.select(F.col("label").cast("bigint").alias("label"), "f_centroid")
+
+
+CUTOFF = "1998-01-01 00:00:00"
+
+
+def q_materialize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialization snapshot at one cutoff: per-key window aggregates
+    with t = cutoff (materialization.rs:151-166; SURVEY §2.7)."""
+    _utc(spark)
+    p = _window_basic_project(spark, sf_dir)
+    snap = p.compute_snapshot(
+        spark, ["f_avg_90d", "f_sum_90d", "f_cnt_90d"],
+        datetime.strptime(CUTOFF, "%Y-%m-%d %H:%M:%S"))
+    return snap.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        _r4(F.col("f_avg_90d")).alias("f_avg_90d"),
+        _r4(F.col("f_sum_90d")).alias("f_sum_90d"),
+        F.col("f_cnt_90d").cast("bigint").alias("f_cnt_90d"),
+        F.col("feathr_cutoff").alias("feathr_cutoff"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_derived(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "passthrough_exprs": q_passthrough,
+        "keyed_join": q_keyed_join,
+        "window_agg_basic": q_window_agg_basic,
+        "window_latest_nop": q_window_latest_nop,
+        "window_union": q_window_union,
+        "window_filtered": q_window_filtered,
+        "derived_features": q_derived,
+        "multi_key_window": q_multi_key_window,
+        "group_by_limit": q_group_by_limit,
+        "elementwise_avg": q_elementwise_avg,
+        "materialize_snapshot": q_materialize_snapshot,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WINDOW_ORACLE = """
+SELECT o.o_orderkey AS o_orderkey,
+       CAST(ROUND(AVG(s.o_totalprice), 4) AS DOUBLE) AS f_avg_90d,
+       CAST(ROUND(MAX(s.o_totalprice), 4) AS DOUBLE) AS f_max_90d,
+       CAST(ROUND(MIN(s.o_totalprice), 4) AS DOUBLE) AS f_min_90d,
+       CAST(ROUND(SUM(s.o_totalprice), 4) AS DOUBLE) AS f_sum_90d,
+       CAST(COUNT(s.o_totalprice) AS BIGINT) AS f_cnt_90d
+FROM orders o
+JOIN orders s
+  ON s.o_custkey = o.o_custkey
+ AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
+ AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+GROUP BY o.o_orderkey
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "passthrough_exprs": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(ROUND(value * 2, 4) AS DOUBLE) AS f_value_x2,
+                   event_type = 'click' AS f_is_click,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS f_day_of_week,
+                   CAST(value AS FLOAT) > 50 AS f_value_big,
+                   CAST(ROUND(value * 2 * 2, 4) AS DOUBLE) AS f_value_x4
+            FROM events
+        """,
+        "keyed_join": """
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(o.o_custkey AS BIGINT) AS o_custkey,
+                   CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS f_acctbal,
+                   c.c_mktsegment AS f_mktsegment,
+                   CAST(c.c_nationkey AS BIGINT) AS f_nation
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "window_agg_basic": _WINDOW_ORACLE,
+        "window_latest_nop": """
+            SELECT o.event_id AS event_id,
+                   CAST(ROUND(arg_max(s.value, epoch_ms(s.ts)), 4) AS DOUBLE) AS f_latest_7d,
+                   CAST(ROUND(arg_min(s.value, epoch_ms(s.ts)), 4) AS DOUBLE) AS f_first_7d
+            FROM events o
+            JOIN events s
+              ON s.user_id = o.user_id
+             AND epoch_ms(s.ts) >  epoch_ms(o.ts) - 604800000
+             AND epoch_ms(s.ts) <= epoch_ms(o.ts)
+            GROUP BY o.event_id
+        """,
+        "window_union": """
+            SELECT o.o_orderkey AS o_orderkey,
+                   list_sort(list(s.o_orderpriority)) AS f_prio_30d
+            FROM orders o
+            JOIN orders s
+              ON s.o_custkey = o.o_custkey
+             AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 2592000000
+             AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+            GROUP BY o.o_orderkey
+        """,
+        "window_filtered": """
+            SELECT o.event_id AS event_id,
+                   CAST(ROUND(SUM(s.value) FILTER (s.event_type = 'purchase'), 4) AS DOUBLE)
+                       AS f_purchase_sum_7d,
+                   CAST(COUNT(s.value) FILTER (s.event_type = 'purchase') AS BIGINT)
+                       AS f_purchase_cnt_7d
+            FROM events o
+            JOIN events s
+              ON s.user_id = o.user_id
+             AND epoch_ms(s.ts) >  epoch_ms(o.ts) - 604800000
+             AND epoch_ms(s.ts) <= epoch_ms(o.ts)
+            GROUP BY o.event_id
+        """,
+        "derived_features": """
+            SELECT o.o_orderkey AS o_orderkey,
+                   CAST(ROUND(ANY_VALUE(o.o_totalprice), 4) AS DOUBLE) AS f_totalprice,
+                   ANY_VALUE(o.o_orderpriority = '1-URGENT') AS f_is_urgent,
+                   CAST(ROUND(AVG(s.o_totalprice), 4) AS DOUBLE) AS f_avg_90d,
+                   CAST(ROUND(ANY_VALUE(o.o_totalprice) / AVG(s.o_totalprice), 4) AS DOUBLE)
+                       AS f_price_ratio
+            FROM orders o
+            JOIN orders s
+              ON s.o_custkey = o.o_custkey
+             AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
+             AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+            GROUP BY o.o_orderkey
+        """,
+        "multi_key_window": """
+            WITH obs AS (
+                SELECT DISTINCT l_partkey, l_suppkey, l_shipdate FROM lineitem
+            )
+            SELECT CAST(o.l_partkey AS BIGINT) AS l_partkey,
+                   CAST(o.l_suppkey AS BIGINT) AS l_suppkey,
+                   epoch_ms(o.l_shipdate) AS ship_ms,
+                   CAST(ROUND(SUM(s.l_quantity), 4) AS DOUBLE) AS f_qty_365d,
+                   CAST(COUNT(s.l_quantity) AS BIGINT) AS f_ship_cnt_365d
+            FROM obs o
+            JOIN lineitem s
+              ON s.l_partkey = o.l_partkey AND s.l_suppkey = o.l_suppkey
+             AND epoch_ms(s.l_shipdate) >  epoch_ms(o.l_shipdate) - 31536000000
+             AND epoch_ms(s.l_shipdate) <= epoch_ms(o.l_shipdate)
+            GROUP BY o.l_partkey, o.l_suppkey, o.l_shipdate
+        """,
+        "group_by_limit": """
+            WITH per_group AS (
+                SELECT o.o_orderkey AS o_orderkey,
+                       s.o_orderpriority AS g,
+                       SUM(s.o_totalprice) AS gv
+                FROM orders o
+                JOIN orders s
+                  ON s.o_custkey = o.o_custkey
+                 AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
+                 AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+                GROUP BY o.o_orderkey, s.o_orderpriority
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                             ORDER BY gv DESC, g ASC) AS rn
+                FROM per_group
+            )
+            SELECT o_orderkey,
+                   list(struct_pack("group" := g,
+                                    value := CAST(ROUND(gv, 4) AS DOUBLE))
+                        ORDER BY g) AS f_top_prio
+            FROM ranked WHERE rn <= 2
+            GROUP BY o_orderkey
+        """,
+        "elementwise_avg": """
+            WITH flat AS (
+                SELECT label,
+                       generate_subscripts(embedding, 1) AS pos,
+                       unnest(embedding) AS v
+                FROM embeddings
+            ), per_pos AS (
+                SELECT label, pos, AVG(v) AS a FROM flat GROUP BY label, pos
+            )
+            SELECT CAST(label AS BIGINT) AS label,
+                   list(CAST(ROUND(a, 4) AS DOUBLE) ORDER BY pos) AS f_centroid
+            FROM per_pos GROUP BY label
+        """,
+        "materialize_snapshot": f"""
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(ROUND(AVG(o_totalprice) FILTER (
+                        epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '{CUTOFF}') - 7776000000
+                   ), 4) AS DOUBLE) AS f_avg_90d,
+                   CAST(ROUND(SUM(o_totalprice) FILTER (
+                        epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '{CUTOFF}') - 7776000000
+                   ), 4) AS DOUBLE) AS f_sum_90d,
+                   CAST(COUNT(o_totalprice) FILTER (
+                        epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '{CUTOFF}') - 7776000000
+                   ) AS BIGINT) AS f_cnt_90d,
+                   '{CUTOFF}' AS feathr_cutoff
+            FROM orders
+            WHERE epoch_ms(o_orderdate) <= epoch_ms(TIMESTAMP '{CUTOFF}')
+            GROUP BY o_custkey
+        """,
+    }

@@ -1,0 +1,126 @@
+"""Materialization settings and sinks.
+
+Re-expresses /root/reference/feathr-rs/src/materialization.rs: cutoff
+stepping (DAILY/HOURLY, backwards from end), sinks (Redis / Generic /
+CosmosDb / HDFS), multiple sinks per job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+
+DATETIME_FMT = "%Y-%m-%d %H:%M:%S"  # materialization.rs:6
+
+
+class Sink:
+    streaming: bool = False
+
+    def write(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+
+@dataclass
+class GenericSink(Sink):
+    """Any Spark-writable location (materialization.rs:57-91)."""
+    format: str = "parquet"
+    path: Optional[str] = None
+    mode: str = "overwrite"
+    options: Dict[str, str] = field(default_factory=dict)
+    streaming: bool = False
+    timeout_ms: Optional[int] = None
+
+    def write(self, df: DataFrame) -> None:
+        opts = {k.replace("__", "."): v for k, v in self.options.items()}
+        writer = df.write.format(self.format).options(**opts).mode(self.mode)
+        if self.path:
+            writer.save(self.path)
+        else:
+            writer.save()
+
+
+def HdfsSink(path: str, format: str = "parquet", **kw) -> GenericSink:
+    return GenericSink(format=format, path=path, **kw)
+
+
+def CosmosDbSink(endpoint: str, database: str, container: str, **kw) -> GenericSink:
+    """CosmosDB preset over the generic sink (reference
+    python/src/lib.rs:761-819). Requires the cosmos connector on the
+    classpath; the option plumbing is what we own."""
+    opts = {
+        "spark__cosmos__accountEndpoint": endpoint,
+        "spark__cosmos__database": database,
+        "spark__cosmos__container": container,
+    }
+    opts.update(kw.pop("options", {}))
+    return GenericSink(format="cosmos.oltp", options=opts, **kw)
+
+
+@dataclass
+class RedisSink(Sink):
+    """Online-store sink (materialization.rs:28-55). The redis client is an
+    optional plugin; core scope is the partition-parallel write plumbing."""
+    table_name: str = ""
+    streaming: bool = False
+    timeout_ms: Optional[int] = None
+    host: str = "localhost"
+    port: int = 6379
+
+    def write(self, df: DataFrame) -> None:
+        try:
+            import redis  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "redis-py not installed; RedisSink is an optional plugin") from e
+        table = self.table_name
+        host, port = self.host, self.port
+        key_cols = [c for c in df.columns if c.startswith("key_")] or [df.columns[0]]
+
+        def write_partition(rows):
+            import json
+            import redis as _redis
+            client = _redis.Redis(host=host, port=port)
+            pipe = client.pipeline()
+            for row in rows:
+                d = row.asDict()
+                key = ":".join(str(d[k]) for k in key_cols)
+                pipe.hset(f"{table}:{key}", mapping={
+                    k: json.dumps(v, default=str) for k, v in d.items()})
+            pipe.execute()
+
+        df.foreachPartition(write_partition)
+
+
+@dataclass(frozen=True)
+class BackfillTime:
+    start: datetime
+    end: datetime
+    step: str = "DAILY"  # DAILY | HOURLY (materialization.rs:22-25)
+
+    @property
+    def step_seconds(self) -> int:
+        return {"DAILY": 86400, "HOURLY": 3600}[self.step]
+
+    def cutoffs(self) -> List[datetime]:
+        """One cutoff per step, iterating backwards from ``end`` while the
+        cutoff stays after ``start`` (materialization.rs:200-231; the
+        reference test asserts 3 hourly jobs for a 3-hour range,
+        materialization.rs:234-289)."""
+        out = []
+        cur = self.end
+        step = timedelta(seconds=self.step_seconds)
+        while cur > self.start:
+            out.append(cur)
+            cur = cur - step
+        return out
+
+
+@dataclass
+class MaterializationSettings:
+    name: str
+    sinks: Sequence[Sink]
+    feature_names: Sequence[str]
+    backfill_time: Optional[BackfillTime] = None

@@ -1,0 +1,92 @@
+"""Aggregation-function mapping for window and snapshot aggregations.
+
+Covers every reference Aggregation variant
+(/root/reference/feathr-rs/src/model.rs:200-216) plus the COUNT extension.
+All constructions stay JVM-side (built-in functions / higher-order
+functions) — no Python UDFs in the hot path.
+
+``make_agg`` returns ``(aggregate, post)`` where ``aggregate`` is a pure
+aggregate expression (legal both in ``groupBy().agg`` and with
+``.over(window)``) and ``post`` is a scalar post-transform applied to the
+aggregated value (e.g. sorting a collected list) — needed because wrapping
+an aggregate in a scalar function before ``.over`` is not legal Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import Aggregation
+
+_ELEMENTWISE = {
+    Aggregation.ELEMENTWISE_AVG, Aggregation.ELEMENTWISE_MIN,
+    Aggregation.ELEMENTWISE_MAX, Aggregation.ELEMENTWISE_SUM,
+}
+
+
+def elementwise_reduce(lists: Column, agg: Aggregation) -> Column:
+    """Element-wise reduce an ``array<array<T>>`` column.
+
+    ELEMENTWISE_AVG/MIN/MAX/SUM over 1-d dense tensors (model.rs:209).
+    Uses ``aggregate``+``zip_with`` higher-order functions (whole-stage
+    codegen'd, no UDF). Empty input → null.
+    """
+    if agg in (Aggregation.ELEMENTWISE_SUM, Aggregation.ELEMENTWISE_AVG):
+        merge = lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b)
+    elif agg == Aggregation.ELEMENTWISE_MIN:
+        merge = lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b))
+    elif agg == Aggregation.ELEMENTWISE_MAX:
+        merge = lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b))
+    else:
+        raise ValueError(f"not an elementwise aggregation: {agg}")
+
+    n = F.size(lists)
+    head = F.element_at(lists, 1)
+    tail = F.slice(lists, 2, F.greatest(n - 1, F.lit(0)))
+    reduced = F.aggregate(tail, head, merge)
+    if agg == Aggregation.ELEMENTWISE_AVG:
+        reduced = F.transform(reduced, lambda x: x / n)
+    return F.when(n > 0, reduced)
+
+
+def make_agg(agg: Aggregation, value: Column, ts: Column
+             ) -> Tuple[Column, Callable[[Column], Column]]:
+    """(aggregate expression, scalar post-transform) for one frame/group.
+
+    ``value`` is null outside the aggregation's filter; all builtins here
+    ignore nulls, which implements the pre-aggregation ``filter`` clause
+    (model.rs:270) for free.
+    """
+    ident = lambda c: c
+    if agg == Aggregation.AVG:
+        return F.avg(value), ident
+    if agg == Aggregation.SUM:
+        return F.sum(value), ident
+    if agg == Aggregation.MIN:
+        return F.min(value), ident
+    if agg == Aggregation.MAX:
+        return F.max(value), ident
+    if agg == Aggregation.COUNT:
+        return F.count(value), ident
+    if agg == Aggregation.NOP:
+        # "no aggregation — pick value as-is": earliest value in scope.
+        return F.min_by(value, F.when(value.isNotNull(), ts)), ident
+    if agg == Aggregation.LATEST:
+        # value with max timestamp (model.rs:214)
+        return F.max_by(value, F.when(value.isNotNull(), ts)), ident
+    if agg == Aggregation.UNION:
+        # collect into one list; sorted for deterministic output
+        return F.collect_list(value), F.array_sort
+    if agg in _ELEMENTWISE:
+        return F.collect_list(value), (lambda c, a=agg: elementwise_reduce(c, a))
+    raise ValueError(f"unsupported aggregation: {agg}")
+
+
+def simple_agg(agg: Aggregation, value: Column, ts: Column) -> Column:
+    """Single-expression form for ``groupBy().agg`` contexts (scalar
+    wrappers over aggregates are legal there)."""
+    a, post = make_agg(agg, value, ts)
+    return post(a)

@@ -1,0 +1,166 @@
+"""Point-in-time sliding-window aggregation — the core Feathr operator.
+
+Semantics (reference /root/reference/feathr-rs/src/model.rs:254-293 as
+consumed by FeatureJoinJob): for each observation row with key *k* and
+event time *t*, aggregate ``def_expr`` over source rows with key *k* and
+source event time in ``(t − window, t]``, after applying ``filter``,
+optionally sub-grouped by ``group_by`` keeping at most ``limit`` groups.
+
+Two physical strategies, chosen per feature group:
+
+**union-window (default).** Tag source rows and observation rows, union
+them on (key, epoch_ms), and compute every aggregate with
+``Window.partitionBy(keys).orderBy(t).rangeBetween(-(w-1), 0)`` where the
+aggregated value is NULL on observation rows. One shuffle + one sort per
+(source, key-set) group — *no join, no row explosion* — and every window
+length / agg function over the same group shares that single
+shuffle+sort. This is the 100 TB-safe plan: cost is O(|obs|+|src|) state,
+skew handled by AQE; contrast with the naive interval join whose output is
+O(|obs| × rows-per-window).
+
+**interval-join (for group_by/limit).** Equi-join on keys with a range
+predicate, then two-level groupBy. Used only when the aggregation has a
+``group_by`` sub-clause, whose grouped top-k output is not expressible as
+a window aggregate. The join is a plain shuffled equi-join on the entity
+key; the range predicate is applied post-join (Catalyst pushes it into the
+join when profitable).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import feathr_expr
+from ..model import Aggregation, WindowAggTransform
+from .aggregations import make_agg, simple_agg
+
+_T = "__feathr_t"          # epoch millis ordering column
+_TAG = "__feathr_is_obs"   # 1 = observation row, NULL = source row
+_OID = "__feathr_obs_id"   # per-observation-row id (interval-join strategy)
+
+
+@dataclass(frozen=True)
+class WindowFeatureSpec:
+    out_name: str
+    transform: WindowAggTransform
+
+
+def _value_col(t: WindowAggTransform) -> Column:
+    v = feathr_expr(t.def_expr)
+    if t.filter:
+        v = F.when(feathr_expr(t.filter), v)
+    return v
+
+
+def point_in_time_aggregate(
+    obs: DataFrame,
+    source: DataFrame,
+    obs_keys: Sequence[str],
+    src_keys: Sequence[str],
+    obs_ts: str,
+    src_ts: str,
+    specs: Sequence[WindowFeatureSpec],
+) -> DataFrame:
+    """Attach one column per spec to ``obs``.
+
+    ``obs_keys``/``src_keys`` are positionally matched join columns.
+    ``obs_ts``/``src_ts`` are TimestampType column names.
+    """
+    simple = [s for s in specs if s.transform.group_by is None]
+    grouped = [s for s in specs if s.transform.group_by is not None]
+    out = obs
+    if simple:
+        out = _union_window(out, source, obs_keys, src_keys, obs_ts, src_ts, simple)
+    for s in grouped:
+        out = _interval_join_grouped(out, source, obs_keys, src_keys, obs_ts, src_ts, s)
+    return out
+
+
+def _union_window(
+    obs: DataFrame,
+    source: DataFrame,
+    obs_keys: Sequence[str],
+    src_keys: Sequence[str],
+    obs_ts: str,
+    src_ts: str,
+    specs: Sequence[WindowFeatureSpec],
+) -> DataFrame:
+    val_cols = [f"__feathr_v{i}" for i in range(len(specs))]
+
+    # Source side: only keys + ordering + value columns survive the union —
+    # column pruning reaches the parquet scan.
+    src_proj = source.select(
+        *[F.col(sk).alias(ok) for sk, ok in zip(src_keys, obs_keys)],
+        F.unix_millis(F.col(src_ts).cast("timestamp")).alias(_T),
+        *[_value_col(s.transform).alias(vc) for s, vc in zip(specs, val_cols)],
+    )
+    obs_tagged = obs.withColumn(_T, F.unix_millis(F.col(obs_ts).cast("timestamp"))).withColumn(_TAG, F.lit(1))
+    unioned = obs_tagged.unionByName(src_proj, allowMissingColumns=True)
+
+    ts_for_order = F.col(_T)
+    out_cols: List[Column] = []
+    for s, vc in zip(specs, val_cols):
+        wms = s.transform.window_ms
+        # (t − w, t] with millisecond granularity: rangeBetween is
+        # inclusive on both ends, so shift the lower bound by 1 ms.
+        frame = (
+            Window.partitionBy(*obs_keys)
+            .orderBy(_T)
+            .rangeBetween(-(wms - 1), Window.currentRow)
+        )
+        agg, post = make_agg(s.transform.agg_func, F.col(vc), ts_for_order)
+        out_cols.append(post(agg.over(frame)).alias(s.out_name))
+
+    result = unioned.select("*", *out_cols).where(F.col(_TAG) == 1)
+    return result.drop(_T, _TAG, *val_cols)
+
+
+def _interval_join_grouped(
+    obs: DataFrame,
+    source: DataFrame,
+    obs_keys: Sequence[str],
+    src_keys: Sequence[str],
+    obs_ts: str,
+    src_ts: str,
+    spec: WindowFeatureSpec,
+) -> DataFrame:
+    """group_by sub-clause (+ optional limit top-k): result per observation
+    row is a group→aggregate mapping, represented as an array of
+    ``struct<group, value>`` sorted by group for deterministic output."""
+    t = spec.transform
+    wms = t.window_ms
+
+    obs_id = obs.withColumn(_OID, F.monotonically_increasing_id())
+    left = obs_id.select(
+        _OID,
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(obs_keys)],
+        F.unix_millis(F.col(obs_ts).cast("timestamp")).alias("__ot"),
+    )
+    right = source.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(src_keys)],
+        F.unix_millis(F.col(src_ts).cast("timestamp")).alias("__st"),
+        _value_col(t).alias("__v"),
+        feathr_expr(t.group_by).alias("__g"),
+    )
+    cond = [left[f"__k{i}"] == right[f"__k{i}"] for i in range(len(obs_keys))]
+    joined = left.join(right, cond, "inner").where(
+        (F.col("__st") > F.col("__ot") - wms) & (F.col("__st") <= F.col("__ot"))
+    )
+    per_group = joined.groupBy(_OID, "__g").agg(
+        simple_agg(t.agg_func, F.col("__v"), F.col("__st")).alias("__gv")
+    )
+    if t.limit is not None:
+        rank_w = Window.partitionBy(_OID).orderBy(F.col("__gv").desc(), F.col("__g").asc())
+        per_group = per_group.withColumn("__rn", F.row_number().over(rank_w)) \
+            .where(F.col("__rn") <= t.limit).drop("__rn")
+    per_obs = per_group.groupBy(_OID).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__g").alias("group"),
+                                    F.col("__gv").alias("value")))
+        ).alias(spec.out_name)
+    )
+    return obs_id.join(per_obs, _OID, "left").drop(_OID)

@@ -1,0 +1,328 @@
+"""FeathrProject: feature registration + the query planner.
+
+The reference compiles feature definitions into HOCON/JSON configs and
+submits remote Spark jobs (/root/reference/feathr-rs/src/project.rs,
+job_client/mod.rs). This engine is in-process: definitions are dataclasses
+and ``get_offline_features`` plans and returns a *lazy* DataFrame — Catalyst
+is the physical layer, there is no process boundary until ``.write``.
+
+Planner responsibilities (SURVEY §4 — the only custom planning logic):
+  * group features by (source, key-alias list) so one anchor group costs one
+    source scan / one shuffle (scan+agg sharing, project.rs:374-437);
+  * passthrough features are ``withColumn`` — no join;
+  * non-windowed keyed anchors become left equi-joins (dimension semantics);
+  * windowed anchors go through the point-in-time operator;
+  * derived features are topologically ordered ``withColumn``s.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .feature import DerivedFeature, FeathrError, Feature, FeatureAnchor
+from .functions import feathr_expr, register_feathr_functions
+from .materialization import MaterializationSettings
+from .model import ExpressionTransform, UdfTransform, WindowAggTransform
+from .operators.point_in_time import WindowFeatureSpec, point_in_time_aggregate
+from .source import EVENT_TS_COL, ObservationSettings, Source
+
+
+@dataclass(frozen=True)
+class FeatureQuery:
+    """Requested features + the observation key columns to join them on
+    (reference feature_query.rs:7-10). ``key`` positionally overrides each
+    feature's own key aliases; None means use the aliases as-is."""
+    feature_list: Tuple[str, ...]
+    key: Optional[Tuple[str, ...]] = None
+
+    def __post_init__(self):
+        object.__setattr__(self, "feature_list", tuple(self.feature_list))
+        if self.key is not None:
+            object.__setattr__(self, "key", tuple(self.key))
+
+
+class FeathrProject:
+    """Container of sources, anchors and derived features
+    (reference project.rs:28-30, 361-372)."""
+
+    def __init__(self, name: str, spark: Optional[SparkSession] = None):
+        self.name = name
+        self.spark = spark
+        self.sources: Dict[str, Source] = {}
+        self.anchors: Dict[str, FeatureAnchor] = {}
+        self.derived: Dict[str, DerivedFeature] = {}
+        self.udfs: Dict[str, Callable] = {}
+        self._feature_index: Dict[str, Tuple[FeatureAnchor, Feature]] = {}
+
+    # ------------------------------------------------------------------
+    # registration
+    # ------------------------------------------------------------------
+    def register_source(self, source: Source) -> Source:
+        self.sources[source.name] = source
+        return source
+
+    def register_anchor(self, anchor: FeatureAnchor) -> FeatureAnchor:
+        if anchor.name in self.anchors:
+            raise FeathrError(f"duplicate anchor {anchor.name}")
+        self.anchors[anchor.name] = anchor
+        self.sources.setdefault(anchor.source.name, anchor.source)
+        for f in anchor.features:
+            if f.name in self._feature_index or f.name in self.derived:
+                raise FeathrError(f"duplicate feature {f.name}")
+            self._feature_index[f.name] = (anchor, f)
+        return anchor
+
+    def register_derived(self, d: DerivedFeature) -> DerivedFeature:
+        if d.name in self.derived or d.name in self._feature_index:
+            raise FeathrError(f"duplicate feature {d.name}")
+        for inp in d.input_features:
+            if inp.name not in self._feature_index and inp.name not in self.derived:
+                raise FeathrError(f"derived {d.name}: unknown input {inp.name}")
+        self.derived[d.name] = d
+        return d
+
+    def register_udf(self, name: str, fn: Callable) -> None:
+        self.udfs[name] = fn
+
+    # ------------------------------------------------------------------
+    # planning
+    # ------------------------------------------------------------------
+    def _resolve(self, names: Sequence[str]) -> Tuple[List[Tuple[FeatureAnchor, Feature]], List[DerivedFeature]]:
+        """Expand requested names (+ transitive derived inputs) into anchor
+        features and topologically-ordered derived features."""
+        anchor_feats: Dict[str, Tuple[FeatureAnchor, Feature]] = {}
+        derived_order: List[DerivedFeature] = []
+        visiting: set = set()
+        done: set = set()
+
+        def visit(n: str):
+            if n in done:
+                return
+            if n in visiting:
+                raise FeathrError(f"cycle in derived features at {n}")
+            visiting.add(n)
+            if n in self.derived:
+                d = self.derived[n]
+                for inp in d.input_names:
+                    visit(inp)
+                derived_order.append(d)
+            elif n in self._feature_index:
+                anchor_feats[n] = self._feature_index[n]
+            else:
+                raise FeathrError(f"unknown feature {n}")
+            visiting.discard(n)
+            done.add(n)
+
+        for n in names:
+            visit(n)
+        return list(anchor_feats.values()), derived_order
+
+    def get_offline_features(
+        self,
+        observation: Union[DataFrame, ObservationSettings],
+        feature_query: Union[FeatureQuery, Sequence[FeatureQuery]],
+        observation_settings: Optional[ObservationSettings] = None,
+        spark: Optional[SparkSession] = None,
+    ) -> DataFrame:
+        """Point-in-time-correct LEFT feature join onto the observation
+        frame (reference project.rs:248-278). Returns a lazy DataFrame."""
+        spark = spark or self.spark
+        if isinstance(observation, ObservationSettings):
+            observation_settings = observation
+            obs_df = observation.load(spark)
+        else:
+            obs_df = observation
+        if observation_settings is not None:
+            obs_df = observation_settings.with_event_ts(obs_df)
+        if spark is None:
+            spark = obs_df.sparkSession
+        register_feathr_functions(spark)
+
+        queries = [feature_query] if isinstance(feature_query, FeatureQuery) else list(feature_query)
+        out = obs_df
+        for q in queries:
+            out = self._apply_query(spark, out, q)
+        return out.drop(EVENT_TS_COL)
+
+    def _apply_query(self, spark: SparkSession, obs: DataFrame, q: FeatureQuery) -> DataFrame:
+        anchor_feats, derived_order = self._resolve(q.feature_list)
+
+        def obs_keys_for(f: Feature) -> List[str]:
+            aliases = list(f.key_aliases)
+            if q.key is not None:
+                if len(q.key) != len(aliases):
+                    raise FeathrError(
+                        f"{f.name}: query key arity {len(q.key)} != feature key arity {len(aliases)}")
+                return list(q.key)
+            return aliases
+
+        # ---- passthrough (INPUT_CONTEXT) features: plain column exprs ----
+        out = obs
+        for anchor, f in anchor_feats:
+            if not anchor.is_passthrough:
+                continue
+            out = self._attach_expression(out, f)
+
+        # ---- group keyed features by (source, key columns, windowed?) ----
+        joins: Dict[Tuple, List[Tuple[FeatureAnchor, Feature]]] = {}
+        windows: Dict[Tuple, List[Tuple[FeatureAnchor, Feature]]] = {}
+        for anchor, f in anchor_feats:
+            if anchor.is_passthrough:
+                continue
+            gkey = (anchor.source.name,
+                    tuple(k.key_column for k in f.key),
+                    tuple(obs_keys_for(f)))
+            (windows if f.is_windowed else joins).setdefault(gkey, []).append((anchor, f))
+
+        for (src_name, src_keys, obs_keys), feats in joins.items():
+            out = self._attach_keyed_join(spark, out, src_keys, obs_keys, feats)
+
+        for (src_name, src_keys, obs_keys), feats in windows.items():
+            out = self._attach_windowed(spark, out, src_keys, obs_keys, feats)
+
+        # ---- derived features: topo-ordered column expressions ----
+        for d in derived_order:
+            assert isinstance(d.transform, ExpressionTransform)
+            out = out.withColumn(d.name, feathr_expr(d.transform.sql_expr))
+        return out
+
+    def _attach_expression(self, df: DataFrame, f: Feature) -> DataFrame:
+        t = f.transform
+        if isinstance(t, ExpressionTransform):
+            return df.withColumn(f.name, feathr_expr(t.sql_expr))
+        if isinstance(t, UdfTransform):
+            fn = self.udfs.get(t.name)
+            if fn is None:
+                raise FeathrError(f"{f.name}: UDF {t.name} not registered")
+            return fn(df, f.name)
+        raise FeathrError(f"{f.name}: unsupported passthrough transform {t}")
+
+    def _attach_keyed_join(self, spark: SparkSession, obs: DataFrame,
+                           src_keys: Sequence[str], obs_keys: Sequence[str],
+                           feats: List[Tuple[FeatureAnchor, Feature]]) -> DataFrame:
+        """Non-windowed keyed anchor: dimension-table semantics — project the
+        source to (keys, feature exprs) and LEFT-join on the (aliased) keys.
+        One scan serves every feature of the group. Spark/AQE picks
+        broadcast vs shuffled join from size estimates."""
+        anchor = feats[0][0]
+        src_df = anchor.source.load(spark)
+        cols = [F.col(sk).alias(ok) for sk, ok in zip(src_keys, obs_keys)]
+        for _, f in feats:
+            assert isinstance(f.transform, ExpressionTransform)
+            cols.append(feathr_expr(f.transform.sql_expr).alias(f.name))
+        feature_df = src_df.select(*cols)
+        return obs.join(feature_df, on=list(obs_keys), how="left")
+
+    def _attach_windowed(self, spark: SparkSession, obs: DataFrame,
+                         src_keys: Sequence[str], obs_keys: Sequence[str],
+                         feats: List[Tuple[FeatureAnchor, Feature]]) -> DataFrame:
+        if EVENT_TS_COL not in obs.columns:
+            raise FeathrError(
+                "windowed features require observation timestamp settings "
+                "(ObservationSettings.timestamp_column)")
+        anchor = feats[0][0]
+        src_df = anchor.source.load(spark)
+        specs = [WindowFeatureSpec(out_name=f.name, transform=f.transform)
+                 for _, f in feats]
+        return point_in_time_aggregate(
+            obs, src_df,
+            obs_keys=list(obs_keys), src_keys=list(src_keys),
+            obs_ts=EVENT_TS_COL, src_ts=EVENT_TS_COL,
+            specs=specs,
+        )
+
+    # ------------------------------------------------------------------
+    # materialization (reference entry point B, project.rs:283-308)
+    # ------------------------------------------------------------------
+    def compute_snapshot(self, spark: SparkSession, feature_names: Sequence[str],
+                         cutoff: datetime) -> DataFrame:
+        """Latest-per-key feature values as of ``cutoff``: windowed features
+        aggregate over (cutoff − w, cutoff]; plain keyed features take the
+        LATEST row per key (or any row for non-time-aware sources)."""
+        register_feathr_functions(spark)
+        anchor_feats, derived_order = self._resolve(feature_names)
+
+        groups: Dict[Tuple, List[Tuple[FeatureAnchor, Feature]]] = {}
+        for anchor, f in anchor_feats:
+            if anchor.is_passthrough:
+                raise FeathrError(
+                    f"{f.name}: passthrough features cannot be materialized")
+            gkey = (anchor.source.name, tuple(k.key_column for k in f.key),
+                    tuple(k.alias for k in f.key))
+            groups.setdefault(gkey, []).append((anchor, f))
+
+        result: Optional[DataFrame] = None
+        join_keys: Optional[List[str]] = None
+        # naive cutoffs are interpreted as UTC (the engine pins timestamps
+        # to UTC instants; see also the tests' session timeZone=UTC)
+        from datetime import timezone
+        cutoff_utc = cutoff if cutoff.tzinfo else cutoff.replace(tzinfo=timezone.utc)
+        cutoff_ms = int(cutoff_utc.timestamp() * 1000)
+        for (src_name, src_keys, aliases), feats in groups.items():
+            anchor = feats[0][0]
+            src_df = anchor.source.load(spark)
+            time_aware = EVENT_TS_COL in src_df.columns
+            if time_aware:
+                src_df = src_df.where(F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp")) <= cutoff_ms)
+            aggs = []
+            from .operators.aggregations import simple_agg
+            from .model import Aggregation
+            for _, f in feats:
+                t = f.transform
+                if isinstance(t, WindowAggTransform):
+                    if not time_aware:
+                        raise FeathrError(f"{f.name}: windowed feature needs event time")
+                    v = F.when(
+                        F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp")) > cutoff_ms - t.window_ms,
+                        feathr_expr(t.def_expr))
+                    if t.filter:
+                        v = F.when(feathr_expr(t.filter), v)
+                    aggs.append(simple_agg(t.agg_func, v, F.col(EVENT_TS_COL)).alias(f.name))
+                else:
+                    assert isinstance(t, ExpressionTransform)
+                    v = feathr_expr(t.sql_expr)
+                    agg = Aggregation.LATEST if time_aware else Aggregation.NOP
+                    ts = F.col(EVENT_TS_COL) if time_aware else F.lit(0)
+                    aggs.append(simple_agg(agg, v, ts).alias(f.name))
+            snap = src_df.groupBy(
+                *[F.col(sk).alias(a) for sk, a in zip(src_keys, aliases)]
+            ).agg(*aggs)
+            if result is None:
+                result, join_keys = snap, list(aliases)
+            else:
+                if list(aliases) != join_keys:
+                    raise FeathrError(
+                        "materialized features must share key aliases "
+                        f"({join_keys} vs {list(aliases)})")
+                result = result.join(snap, on=join_keys, how="full_outer")
+
+        if result is None:
+            raise FeathrError("no features to materialize")
+        for d in derived_order:
+            result = result.withColumn(d.name, feathr_expr(d.transform.sql_expr))
+        return result.withColumn(
+            "feathr_cutoff", F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")))
+
+    def materialize_features(self, settings: MaterializationSettings,
+                             spark: Optional[SparkSession] = None) -> List[datetime]:
+        """One snapshot per backfill cutoff, iterating backwards from end
+        (materialization.rs:200-231), written to every sink
+        (job_client/mod.rs:701-723 — frame cached once, N writes)."""
+        spark = spark or self.spark
+        bt = settings.backfill_time
+        if bt is None:
+            raise FeathrError("materialization requires backfill_time")
+        written = []
+        for cutoff in bt.cutoffs():
+            df = self.compute_snapshot(spark, settings.feature_names, cutoff)
+            if len(settings.sinks) > 1:
+                df = df.cache()
+            for sink in settings.sinks:
+                sink.write(df)
+            written.append(cutoff)
+        return written

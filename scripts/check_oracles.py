@@ -1,0 +1,108 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
+on DuckDB at the given sf dir, then compares row count, column names, and
+order-insensitive values (columns sorted by name, rows sorted).
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 4)
+    if isinstance(v, list):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.items()))
+    if hasattr(v, "asDict"):  # pyspark Row (struct)
+        return tuple(sorted((k, norm_cell(x)) for k, x in v.asDict().items()))
+    import decimal
+    if isinstance(v, decimal.Decimal):
+        return round(float(v), 4)
+    return v
+
+
+def normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return out
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("oracle-check")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = sdf.columns
+        if name not in oracles:
+            print(f"{name:25s} rows={len(srows)} (rows-only check: no oracle)")
+            continue
+        orc = con.execute(oracles[name])
+        ocols = [d[0] for d in orc.description]
+        orows = orc.fetchall()
+        status = []
+        if len(srows) != len(orows):
+            status.append(f"ROWCOUNT spark={len(srows)} oracle={len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            status.append(f"SCHEMA spark={sorted(scols)} oracle={sorted(ocols)}")
+        if not status:
+            a = normalize([tuple(r) for r in srows], scols)
+            b = normalize(orows, ocols)
+            if a != b:
+                n_bad = sum(1 for x, y in zip(a, b) if x != y)
+                status.append(f"VALUES mismatch ({n_bad} differing rows)")
+                for x, y in list(zip(a, b))[:2000]:
+                    if x != y:
+                        status.append(f"  spark : {x}\n  oracle: {y}")
+                        break
+        if status:
+            failures.append(name)
+            print(f"{name:25s} FAIL  " + " | ".join(status[:3]))
+        else:
+            print(f"{name:25s} OK    rows={len(srows)}")
+    spark.stop()
+    if failures:
+        print("FAILED:", failures)
+        sys.exit(1)
+    print("all oracle checks passed")
+
+
+if __name__ == "__main__":
+    main()

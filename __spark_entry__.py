@@ -371,6 +371,138 @@ def q_materialize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extension queries (dedup / text / similarity / multimodal)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized-text md5 (SURVEY north-star;
+    one shuffle on the 32-char fingerprint, never the payload)."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_dedup(docs, "text", "doc_id")
+    return out.select("fingerprint",
+                      F.col("keep_id").cast("bigint").alias("keep_id"),
+                      F.col("n_dups").cast("bigint").alias("n_dups"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, punctuation ratio, quality score, md5 fingerprint —
+    all builtin-expression text analysis."""
+    _utc(spark)
+    from feathr_spark.operators.text import text_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text_stats(docs, "text")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_tokens", "n_tokens_bpe", "punct_ratio", "quality",
+                      "fingerprint")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/stopword heuristic."""
+    _utc(spark)
+    from feathr_spark.operators.text import lang_id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms x 32 bands,
+    exact-Jaccard verify >= 0.7). Banding keeps the self-join per-bucket."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=32,
+                             shingle_k=5, threshold=0.7)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram Jaccard near-dup pairs, MinHash-LSH candidated,
+    verified >= 0.5."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5,
+                               num_perm=64, bands=32)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, 4x16 banding, hamming <= 3).
+    xxhash64-based -> no portable SQL oracle; driver records rows-only."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import simhash_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors (ranked on
+    4-dp-rounded scores for cross-engine determinism)."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    out = cosine_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      "rank",
+                      F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                      "score")
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs >= 0.45 cosine (exact; thresholded on the
+    rounded score). The LSH-bucketed variant is the scale path (rows-only
+    ann_lsh_topk query)."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import cosine
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
+    out = pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                       F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+                       .cast("double").alias("cosine"))
+    return out.where(F.col("cosine") >= 0.45)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: LSH-bucketed top-k (approximate -> rows-only check)."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return lsh_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: IVF centroid routing (approximate -> rows-only)."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries_df, "embedding", "vec_id", k=5,
+                    n_centroids=16, n_probe=4)
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas decode
+    (deterministic fake codec) -> typed metadata + feature vector.
+    Arrow-batched, partition-local; rows-only check (not SQL-expressible)."""
+    _utc(spark)
+    from feathr_spark.operators.multimodal import decode_images
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binaries = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = decode_images(binaries, "payload")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("meta.width").alias("width"),
+                      F.col("meta.height").alias("height"),
+                      F.size("features").alias("feat_dim"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -393,6 +525,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_by_limit": q_group_by_limit,
         "elementwise_avg": q_elementwise_avg,
         "materialize_snapshot": q_materialize_snapshot,
+        # LLM-data-pipeline extensions
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "embedding_cosine_pairs": q_embedding_cosine_pairs,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_decode": q_multimodal_decode,
     }
 
 
@@ -409,6 +553,145 @@ JOIN orders s
  AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
  AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
 GROUP BY o.o_orderkey
+"""
+
+
+
+
+def _lang_sql_parts():
+    """Build the DuckDB SQL for the lang-id / quality heuristics from the
+    same marker lists the engine uses (feathr_spark.operators.text) — the
+    oracle stays in lockstep with the implementation by construction."""
+    from feathr_spark.operators.text import LANG_MARKERS
+
+    def subcount(expr, pat):
+        pat_sql = pat.replace("'", "''")
+        return (f"((length({expr}) - length(replace({expr}, '{pat_sql}', '')))"
+                f" / {len(pat)})")
+
+    padded = "(' ' || lower(text) || ' ')"
+    scores = {}
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = " + ".join(subcount(padded, m) for m in markers)
+        scores[lang] = f"(({hits}) / greatest(length(text), 1))"
+    best = "greatest(" + ", ".join(scores[l] for l in sorted(scores)) + ")"
+    case = "CASE "
+    for lang in sorted(scores):
+        case += f"WHEN {scores[lang]} >= __best AND __best > 0 THEN '{lang}' "
+    case += "ELSE 'und' END"
+    en_hits = " + ".join(subcount(padded, m)
+                         for m in LANG_MARKERS["en"])
+    return scores, best, case, en_hits
+
+
+def _text_oracles() -> dict[str, str]:
+    _, best, lang_case, en_hits = _lang_sql_parts()
+    n_tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+             "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    punct = ("CASE WHEN length(text) > 0 THEN "
+             "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0 / length(text) "
+             "ELSE 0.0 END")
+    quality = (f"(least(({n_tok}) / 20.0, 1.0) * 0.4 "
+               f"+ (1.0 - least(({punct}) * 4, 1.0)) * 0.3 "
+               f"+ least(({en_hits}) / greatest(({n_tok}), 1) * 5, 1.0) * 0.3)")
+    norm = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+    return {
+        "dedup_exact": f"""
+            SELECT md5({norm}) AS fingerprint,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({n_tok} AS BIGINT) AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                        + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+                        AS BIGINT) AS n_tokens_bpe,
+                   CAST(ROUND({punct}, 4) AS DOUBLE) AS punct_ratio,
+                   CAST(ROUND({quality}, 4) AS DOUBLE) AS quality,
+                   md5({norm}) AS fingerprint
+            FROM documents
+        """,
+        "lang_id": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {lang_case.replace('__best', f'({best})')} AS lang_pred
+            FROM documents
+        """,
+    }
+
+
+_JACCARD_CHAR_SQL = """
+WITH norm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(t) - 3, 2)),
+                                 i -> substr(t, CAST(i AS INT), 5))) AS s
+    FROM norm
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS DOUBLE) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+"""
+
+_JACCARD_NGRAM_SQL = """
+WITH norm AS (
+    SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM norm
+), cnt AS (
+    SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       CAST(ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS DOUBLE) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+"""
+
+_ANN_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+    SELECT * FROM e WHERE vec_id < 20
+), scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           CAST(ROUND(list_cosine_similarity(q.v, e.v), 4) AS DOUBLE) AS score
+    FROM q JOIN e ON e.vec_id != q.vec_id
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score
+FROM ranked WHERE rank <= 5
+"""
+
+_EMB_PAIRS_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(ROUND(list_cosine_similarity(a.v, b.v), 4) AS DOUBLE) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
 """
 
 
@@ -532,6 +815,11 @@ def oracle_sql() -> dict[str, str]:
                    list(CAST(ROUND(a, 4) AS DOUBLE) ORDER BY pos) AS f_centroid
             FROM per_pos GROUP BY label
         """,
+        "minhash_pairs": _JACCARD_CHAR_SQL,
+        "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
+        "ann_topk": _ANN_SQL,
+        "embedding_cosine_pairs": _EMB_PAIRS_SQL,
+        **_text_oracles(),
         "materialize_snapshot": f"""
             SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
                    CAST(ROUND(AVG(o_totalprice) FILTER (

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set,
+compute dot products with builtin higher-order functions (JVM-side), and
+take per-query top-k with a rank window. Scale path: LSH bucketing
+(random-hyperplane signs) and IVF (centroid routing) limit each query to
+a fraction of the corpus; both are pure DataFrame pipelines with
+deterministic seeded projections.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def _planes(n_planes: int, dim: int) -> List[List[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (LCG-based — no RNG
+    state, reproducible everywhere)."""
+    out = []
+    state = 0x853C49E6748FEA9B
+    for _ in range(n_planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            v.append((state / float(1 << 63)) * 2.0 - 1.0)
+        out.append(v)
+    return out
+
+
+def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Random-hyperplane signature: bit i = sign(vec · plane_i). Returns a
+    bigint bucket id. Planes are fixed literals — evaluated JVM-side."""
+    planes = _planes(n_planes, dim)
+    bucket = F.lit(0).cast("bigint")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bit = F.when(dot(vec, plane) >= 0,
+                     F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force cosine top-k: per query row, the k nearest corpus rows.
+
+    The query side is broadcast (small); the corpus is scanned once fully
+    partition-parallel — no shuffle until the final per-query top-k, which
+    moves only k rows per (query, partition) after a partial rank prune.
+    Output: (query_id, rank, neighbor_id, score), rank 1-based.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+    joined = c.join(F.broadcast(q), on=None, how="cross")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    # rank on 4-dp-rounded scores: makes the top-k reproducible across
+    # engines/summation orders (ulp differences cannot flip ranks)
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "neighbor_id", F.col("__score").alias("score")))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket
+    (plus exact rescoring within it). ~2^-planes of the corpus per query.
+    Recall depends on bucket granularity; intended as the scale path where
+    brute force is infeasible."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv")) \
+        .withColumn("__bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qv")) \
+        .withColumn("__bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
+    joined = c.join(F.broadcast(q), on="__bucket") \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select("query_id", "neighbor_id",
+                           cosine(F.col("__qv"), F.col("__cv")).alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "neighbor_id",
+                    F.round("__score", 4).cast("double").alias("score")))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style ANN: centroids = elementwise mean per LSH coarse bucket
+    (one distributed pass, deterministic); corpus rows are assigned to their
+    nearest centroid; each query probes its `n_probe` nearest centroids and
+    rescores only those inverted lists. All joins broadcast the tiny
+    centroid table; the corpus shuffles once on centroid id."""
+    planes = max(1, int(math.log2(n_centroids)))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+    coarse = c.withColumn("__cb", lsh_bucket(F.col("__cv"), planes))
+    # centroid = elementwise mean of its coarse bucket (posexplode → avg)
+    cent = (coarse.select("__cb", F.posexplode("__cv").alias("pos", "v"))
+            .groupBy("__cb", "pos").agg(F.avg("v").alias("m"))
+            .groupBy("__cb").agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s.m).alias("__centroid")))
+    assigned = coarse.join(F.broadcast(cent), on="__cb") \
+        .select("neighbor_id", "__cv", F.col("__cb").alias("__list"))
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+    qc = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "__qv", "__cb",
+        cosine(F.col("__qv"), F.col("__centroid")).alias("__cs"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("__cs").desc(), F.col("__cb").asc())
+    probes = qc.withColumn("__r", F.row_number().over(wq)) \
+        .where(F.col("__r") <= n_probe).select("query_id", "__qv",
+                                               F.col("__cb").alias("__list"))
+
+    joined = assigned.join(F.broadcast(probes), on="__list") \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select("query_id", "neighbor_id",
+                           cosine(F.col("__qv"), F.col("__cv")).alias("__score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "neighbor_id",
+                    F.round("__score", 4).cast("double").alias("score")))

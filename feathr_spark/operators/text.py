@@ -1,0 +1,145 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in Spark SQL expressions (JVM-side, codegen'd) —
+no Python UDFs — so they scale linearly with partitions: language ID
+(stopword-hit heuristic), quality scoring (length/punct/stopword ratios),
+token counting (whitespace + BPE-ish regex), and document fingerprinting
+(md5 exact + rolling word-shingle min-hash).
+
+These extend the reference surface (Azure/Feathr has no text operators);
+they are first-class engine operators per the project north star.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker lists. Deliberately small and fixed:
+# the heuristic must be reproducible in plain SQL on any engine.
+LANG_MARKERS: Dict[str, List[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " und ", " die ", " ist ", " das "],
+    "fr": [" le ", " la ", " et ", " est ", " les "],
+    "es": [" el ", " de la ", " que ", " y ", " es "],
+}
+
+
+def substring_count(col: Column, pat: str) -> Column:
+    """Occurrences of a literal substring — portable SQL idiom
+    (length difference / pattern length), no regex."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))).cast("bigint")
+
+
+def word_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: words + punctuation marks counted separately
+    (regexp-based, still JVM-side)."""
+    words = F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]+"), F.lit(0)))
+    puncts = F.size(F.regexp_extract_all(col, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    return (words + puncts).cast("bigint")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("bigint")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    n = F.length(col)
+    p = F.size(F.regexp_extract_all(col, F.lit(r"[^\sA-Za-z0-9]"), F.lit(0)))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: Column, lang: str = "en") -> Column:
+    """Total occurrences of the language's marker stopwords (padded match)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    total = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        total = total + substring_count(padded, m)
+    return total
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards moderate length,
+    low punctuation density, and presence of English stopwords. Fixed
+    weights; deterministic; portable to plain SQL."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 4, F.lit(1.0))
+    stop_score = F.least(stopword_hits(col, "en") / F.greatest(n_tok, F.lit(1)) * 5,
+                         F.lit(1.0))
+    return (len_score * 0.4 + punct_score * 0.3 + stop_score * 0.3)
+
+
+def lang_scores(col: Column) -> Dict[str, Column]:
+    """Per-language marker-hit rate (hits per character)."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    n = F.greatest(F.length(col), F.lit(1))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        total = F.lit(0.0)
+        for m in markers:
+            total = total + substring_count(padded, m)
+        out[lang] = total / n
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Predicted language = arg-max marker-hit rate; ties break by language
+    code ascending; all-zero → 'und' (undetermined)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # tie-break: first in alphabetical order wins
+    best = scores[langs[0]]
+    for lang in langs[1:]:
+        best = F.greatest(best, scores[lang])
+    result = F.lit("und")
+    # reverse order so earlier languages overwrite later on equality
+    for lang in reversed(langs):
+        result = F.when((scores[lang] >= best) & (best > 0), F.lit(lang)) \
+            .otherwise(result)
+    return result
+
+
+def md5_fingerprint(col: Column, normalize: bool = True) -> Column:
+    """Exact-duplicate fingerprint: md5 of whitespace-normalized lowercase
+    text. md5 is portable across engines (same hex output everywhere)."""
+    c = col
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.md5(c)
+
+
+def shingle_minhash_fingerprint(col: Column, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint: min xxhash64 over word k-shingles
+    (near-dup-stable: insensitive to word order beyond k-grams)."""
+    tokens = F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+    n = F.size(tokens)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+    )
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full stats column set (one projection, one scan)."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        char_count(c).alias("n_chars_computed"),
+        token_count(c).alias("n_tokens"),
+        word_token_count(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 4).cast("double").alias("punct_ratio"),
+        F.round(quality_score(c), 4).cast("double").alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        md5_fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,99 @@
+"""Unit tests for the LLM-data-pipeline extension operators."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def test_exact_dedup(spark):
+    from feathr_spark.operators.dedup import exact_dedup
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="hello  world"),
+        Row(doc_id=2, text="Hello world "),   # same after normalization
+        Row(doc_id=3, text="different doc"),
+    ])
+    out = {r.keep_id: r.n_dups for r in exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_near_dups_not_distinct(spark):
+    from feathr_spark.operators.dedup import minhash_lsh_pairs
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base.replace("lazy", "sleepy")),  # near dup
+        Row(doc_id=3, text="completely unrelated content about spark window aggregation plans"),
+    ])
+    pairs = minhash_lsh_pairs(df, num_perm=64, bands=32, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert 0.5 <= pairs[0].jaccard < 1.0
+
+
+def test_simhash_hamming(spark):
+    from feathr_spark.operators.dedup import simhash_pairs
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " phi"),   # tiny edit
+        Row(doc_id=3, text="unrelated words entirely different vocabulary set here now"),
+    ])
+    pairs = simhash_pairs(df, max_hamming=10)
+    got = [(p.id_a, p.id_b) for p in pairs.collect()]
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_cosine_topk_exact(spark):
+    from feathr_spark.operators.similarity import cosine_topk
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = cosine_topk(df, df.where("vec_id = 0"), k=2).collect()
+    assert [(r.rank, r.neighbor_id) for r in out] == [(1, 1), (2, 2)]
+
+
+def test_text_stats_values(spark):
+    from feathr_spark.operators.text import text_stats
+    df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! This is the test.")])
+    r = text_stats(df).collect()[0]
+    assert r.n_tokens == 6
+    assert r.fingerprint == __import__("hashlib").md5(
+        b"hello, world! this is the test.").hexdigest()
+    assert 0.0 <= r.quality <= 1.0
+    assert r.punct_ratio > 0
+
+
+def test_lang_id_english_vs_german(spark):
+    from feathr_spark.operators.text import lang_id
+    df = spark.createDataFrame([
+        Row(id=1, text="the cat and the dog of the house is to go"),
+        Row(id=2, text="der hund und die katze ist das beste der welt"),
+        Row(id=3, text="zzz qqq xxx"),
+    ])
+    got = {r.id: r.p for r in df.select("id", lang_id(F.col("text")).alias("p")).collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    from feathr_spark.operators.multimodal import decode_images, sample_frames
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"some image bytes")])
+    out = decode_images(df).collect()[0]
+    assert out.meta.width > 0 and out.meta.channels == 3
+    assert len(out.features) == 16
+    assert all(0.0 <= x <= 1.0 for x in out.features)
+    # frame sampling expands rows deterministically
+    vids = spark.createDataFrame([Row(vid=1, n_frames=90)])
+    frames = sample_frames(vids, every=30).collect()
+    assert [f.frame_idx for f in frames] == [0, 30, 60]
+
+
+def test_unavailable_decoder_raises(spark):
+    from feathr_spark.operators.multimodal import decode_images, unavailable_decoder
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
+    with pytest.raises(Exception):
+        decode_images(df, decoder=unavailable_decoder).collect()

@@ -89,21 +89,36 @@ def _union_window(
     src_ts: str,
     specs: Sequence[WindowFeatureSpec],
 ) -> DataFrame:
-    val_cols = [f"__feathr_v{i}" for i in range(len(specs))]
+    # Deduplicate identical (def_expr, filter) value expressions: N aggs over
+    # the same input shuffle ONE value column, not N (shuffle bytes scale
+    # with width; e.g. avg/max/min/sum/count of one expr share a column).
+    expr_index: dict = {}
+    spec_val: List[str] = []
+    for s in specs:
+        key = (s.transform.def_expr, s.transform.filter)
+        if key not in expr_index:
+            expr_index[key] = f"__feathr_v{len(expr_index)}"
+        spec_val.append(expr_index[key])
+    val_cols = list(expr_index.values())
 
     # Source side: only keys + ordering + value columns survive the union —
     # column pruning reaches the parquet scan.
+    uniq_specs = {vc: key for key, vc in expr_index.items()}
     src_proj = source.select(
         *[F.col(sk).alias(ok) for sk, ok in zip(src_keys, obs_keys)],
         F.unix_millis(F.col(src_ts).cast("timestamp")).alias(_T),
-        *[_value_col(s.transform).alias(vc) for s, vc in zip(specs, val_cols)],
+        *[
+            _value_col(WindowAggTransform(def_expr=de, agg_func=Aggregation.NOP,
+                                          window="1d", filter=flt)).alias(vc)
+            for vc, (de, flt) in uniq_specs.items()
+        ],
     )
     obs_tagged = obs.withColumn(_T, F.unix_millis(F.col(obs_ts).cast("timestamp"))).withColumn(_TAG, F.lit(1))
     unioned = obs_tagged.unionByName(src_proj, allowMissingColumns=True)
 
     ts_for_order = F.col(_T)
     out_cols: List[Column] = []
-    for s, vc in zip(specs, val_cols):
+    for s, vc in zip(specs, spec_val):
         wms = s.transform.window_ms
         # (t − w, t] with millisecond granularity: rangeBetween is
         # inclusive on both ends, so shift the lower bound by 1 ms.

@@ -128,9 +128,19 @@ class FeathrProject:
         feature_query: Union[FeatureQuery, Sequence[FeatureQuery]],
         observation_settings: Optional[ObservationSettings] = None,
         spark: Optional[SparkSession] = None,
+        time_prune: bool = False,
     ) -> DataFrame:
         """Point-in-time-correct LEFT feature join onto the observation
-        frame (reference project.rs:248-278). Returns a lazy DataFrame."""
+        frame (reference project.rs:248-278). Returns a lazy DataFrame.
+
+        ``time_prune=True`` eagerly computes the observation's event-time
+        bounds (one tiny aggregate job) and restricts every windowed
+        source scan to ``[min_obs_ts − max_window, max_obs_ts]`` — at
+        scale this reaches parquet row-group/partition pruning (SURVEY §4
+        'partition pruning by time'). Leave False when observation ≈
+        source (self-join shape) where it prunes nothing.
+        """
+        self._time_prune = time_prune
         spark = spark or self.spark
         if isinstance(observation, ObservationSettings):
             observation_settings = observation
@@ -229,6 +239,16 @@ class FeathrProject:
         src_df = anchor.source.load(spark)
         specs = [WindowFeatureSpec(out_name=f.name, transform=f.transform)
                  for _, f in feats]
+        if getattr(self, "_time_prune", False):
+            bounds = obs.select(
+                F.unix_millis(F.min(EVENT_TS_COL).cast("timestamp")).alias("lo"),
+                F.unix_millis(F.max(EVENT_TS_COL).cast("timestamp")).alias("hi"),
+            ).first()
+            if bounds and bounds.lo is not None:
+                max_w = max(f.transform.window_ms for _, f in feats)
+                src_ms = F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp"))
+                src_df = src_df.where(
+                    (src_ms > bounds.lo - max_w) & (src_ms <= bounds.hi))
         return point_in_time_aggregate(
             obs, src_df,
             obs_keys=list(obs_keys), src_keys=list(src_keys),

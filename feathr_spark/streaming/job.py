@@ -1,0 +1,109 @@
+"""Streaming feature computation (reference SURVEY §2.8).
+
+The reference's streaming surface is thin: a Kafka+Avro source
+(source.rs:563-650) and sinks flagged ``streaming: true`` with a
+``timeoutMs`` that bounds the run (materialization.rs:31-55) — the job is
+a Structured Streaming query killed after the timeout. It has no
+watermark/window DSL; windowed aggregation features on streams are our
+documented extension mapped to ``withWatermark`` + ``F.window`` tumbling
+windows (late data handled by the watermark).
+
+Everything here takes/returns streaming DataFrames, so it works with any
+``readStream`` source (Kafka, files, rate, memory) — the engine does not
+care which connector produced the stream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..feature import Feature, FeatureAnchor
+from ..functions import feathr_expr
+from ..model import ExpressionTransform, WindowAggTransform, format_duration
+from ..operators.aggregations import simple_agg
+
+
+def stream_expression_features(stream_df: DataFrame,
+                               features: Sequence[Feature]) -> DataFrame:
+    """Row-level expression features on a stream — identical semantics to
+    batch passthrough features (stateless, fully pipelined)."""
+    out = stream_df
+    for f in features:
+        t = f.transform
+        if not isinstance(t, ExpressionTransform):
+            raise ValueError(f"{f.name}: streaming expression features only")
+        out = out.withColumn(f.name, feathr_expr(t.sql_expr))
+    return out
+
+
+def stream_window_agg(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    features: Sequence[Feature],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed aggregation features on a stream.
+
+    Each feature's ``window`` becomes a tumbling event-time window
+    (``F.window``); ``withWatermark`` bounds state and drops late data.
+    All features must share one window length (one groupBy per call —
+    call repeatedly for mixed windows; state is per (key, window)).
+    Output: keys + window_start/window_end + one column per feature.
+    """
+    if not features:
+        raise ValueError("no features")
+    wms = {f.transform.window_ms for f in features}
+    if len(wms) != 1:
+        raise ValueError("streaming window group must share one window length")
+    dur = f"{wms.pop()} milliseconds"  # Spark accepts exact-ms durations
+
+    wm = stream_df.withWatermark(ts_col, watermark)
+    aggs = []
+    for f in features:
+        t = f.transform
+        assert isinstance(t, WindowAggTransform)
+        v = feathr_expr(t.def_expr)
+        if t.filter:
+            v = F.when(feathr_expr(t.filter), v)
+        aggs.append(simple_agg(t.agg_func, v, F.col(ts_col)).alias(f.name))
+    grouped = wm.groupBy(F.window(F.col(ts_col), dur).alias("__w"), *keys) \
+        .agg(*aggs)
+    return grouped.select(
+        *keys,
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *[f.name for f in features],
+    )
+
+
+def run_streaming_query(
+    df: DataFrame,
+    format: str = "memory",
+    query_name: str = "feathr_stream",
+    output_mode: str = "append",
+    timeout_ms: Optional[int] = None,
+    checkpoint: Optional[str] = None,
+    trigger_interval: Optional[str] = None,
+    **options,
+) -> StreamingQuery:
+    """Start the query; when ``timeout_ms`` is set, block until the timeout
+    then stop — the reference's ``streaming: true`` + ``timeoutMs`` sink
+    semantics (materialization.rs:48-55)."""
+    writer = df.writeStream.format(format).outputMode(output_mode) \
+        .queryName(query_name)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
+    if options:
+        writer = writer.options(**options)
+    q = writer.start()
+    if timeout_ms is not None:
+        q.processAllAvailable() if timeout_ms == 0 else q.awaitTermination(timeout_ms / 1000)
+        q.stop()
+    return q

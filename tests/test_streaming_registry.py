@@ -1,0 +1,159 @@
+"""Streaming feature job + registry/catalog tests."""
+
+import datetime as dt
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feathr_spark import (
+    Aggregation, DataFrameSource, DerivedFeature, Feature, FeatureAnchor,
+    FeathrProject, INPUT_CONTEXT, TypedKey, WindowAggTransform,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_stream_expression_features(spark, tmp_path):
+    from feathr_spark.streaming.job import (
+        run_streaming_query, stream_expression_features)
+    src_dir = str(tmp_path / "stream_in")
+    df = spark.createDataFrame(
+        [Row(k=1, v=10.0), Row(k=2, v=20.0)])
+    df.write.parquet(src_dir)
+
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    feats = [Feature(name="f_v2", transform="v * 2"),
+             Feature(name="f_big", transform="v > 15")]
+    out = stream_expression_features(stream, feats)
+    assert out.isStreaming
+    q = run_streaming_query(out, format="memory", query_name="t_expr",
+                            timeout_ms=0)
+    rows = {r.k: r for r in spark.sql("select * from t_expr").collect()}
+    assert rows[1].f_v2 == 20.0 and rows[1].f_big is False
+    assert rows[2].f_v2 == 40.0 and rows[2].f_big is True
+
+
+def test_stream_window_agg(spark, tmp_path):
+    from feathr_spark.streaming.job import run_streaming_query, stream_window_agg
+    src_dir = str(tmp_path / "stream_agg_in")
+    df = spark.createDataFrame([
+        Row(k=1, t=ts("2024-01-01 00:00:10"), v=1.0),
+        Row(k=1, t=ts("2024-01-01 00:00:50"), v=3.0),
+        Row(k=1, t=ts("2024-01-01 00:01:10"), v=5.0),
+    ])
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    key = TypedKey(key_column="k")
+    feats = [Feature(name="f_sum_1m",
+                     transform=WindowAggTransform("v", Aggregation.SUM, "1m"),
+                     key=[key])]
+    out = stream_window_agg(stream, ["k"], "t", feats, watermark="10 minutes")
+    q = run_streaming_query(out, format="memory", query_name="t_agg",
+                            output_mode="complete", timeout_ms=0)
+    rows = sorted(spark.sql("select * from t_agg").collect(),
+                  key=lambda r: r.window_start)
+    assert [r.f_sum_1m for r in rows] == [4.0, 5.0]
+
+
+def test_registry_graph_and_lineage():
+    from feathr_spark.registry.catalog import (
+        EdgeType, EntityType, Registry, RegistryError)
+    reg = Registry()
+    p = FeathrProject("proj")
+    src = DataFrameSource(name="orders_src", df=None)
+    key = TypedKey(key_column="k")
+    anchor = FeatureAnchor(name="a1", source=src, features=[
+        Feature(name="f_a", transform="x + 1", key=[key]),
+        Feature(name="f_b", transform="x * 2", key=[key]),
+    ])
+    p.register_anchor(anchor)
+    p.register_derived(DerivedFeature(
+        name="f_c", transform="f_a + f_b",
+        input_features=[anchor.features[0], anchor.features[1]]))
+
+    ids = reg.register_project(p)
+    # lineage: upstream of derived feature = its inputs (+ their source)
+    up = reg.lineage(ids["f_c"], "upstream")
+    names = {e.qualified_name for e in up}
+    assert "proj__f_a" in names and "proj__f_b" in names
+    assert "proj__orders_src" in names  # transitive via Consumes
+    # downstream of source reaches the derived feature
+    down = reg.lineage(ids["orders_src"], "downstream")
+    assert "proj__f_c" in {e.qualified_name for e in down}
+    # validity matrix rejects nonsense edges
+    with pytest.raises(RegistryError):
+        reg.add_edge(ids["orders_src"], EdgeType.Contains, ids["f_a"])
+    # search
+    assert any(e.entity_type == EntityType.AnchorFeature
+               for e in reg.search("f_a"))
+
+
+def test_registry_versioning():
+    from feathr_spark.registry.catalog import EntityType, Registry
+    reg = Registry()
+    reg.create_entity("proj__f", EntityType.AnchorFeature, {"v": "one"})
+    reg.create_entity("proj__f", EntityType.AnchorFeature, {"v": "two"})
+    assert reg.get_entity("proj__f").attributes["v"] == "two"
+    assert reg.get_entity("proj__f:latest").attributes["v"] == "two"
+    assert reg.get_entity("proj__f:1").attributes["v"] == "one"
+
+
+def test_materialization_backfill(spark, tmp_path):
+    from feathr_spark.materialization import (
+        BackfillTime, GenericSink, MaterializationSettings)
+    from feathr_spark.source import TimeWindowParameters
+    rows = [
+        Row(k=1, t=ts("2024-01-01 06:00:00"), v=10.0),
+        Row(k=1, t=ts("2024-01-02 06:00:00"), v=20.0),
+        Row(k=2, t=ts("2024-01-02 07:00:00"), v=5.0),
+    ]
+    df = spark.createDataFrame(rows)
+    p = FeathrProject("m", spark)
+    key = TypedKey(key_column="k")
+    src = DataFrameSource(name="src", df=df,
+                          time_window_parameters=TimeWindowParameters("t"))
+    p.register_anchor(FeatureAnchor(name="agg", source=src, features=[
+        Feature(name="f_sum_1d",
+                transform=WindowAggTransform("v", Aggregation.SUM, "1d"),
+                key=[key]),
+    ]))
+    out_dir = str(tmp_path / "snap")
+    bt = BackfillTime(start=ts("2024-01-01 12:00:00"),
+                      end=ts("2024-01-03 12:00:00"), step="DAILY")
+    assert len(bt.cutoffs()) == 2  # backwards from end while > start
+    sink = GenericSink(format="parquet", path=out_dir, mode="append")
+    written = p.materialize_features(MaterializationSettings(
+        name="job", sinks=[sink], feature_names=["f_sum_1d"],
+        backfill_time=bt))
+    assert len(written) == 2
+    got = spark.read.parquet(out_dir)
+    rows_by = {(r.k, r.feathr_cutoff): r.f_sum_1d for r in got.collect()}
+    # cutoff 01-02 12:00: window (01-01 12:00, 01-02 12:00]
+    assert rows_by[(1, "2024-01-02 12:00:00")] == 20.0
+    assert rows_by[(2, "2024-01-02 12:00:00")] == 5.0
+    # cutoff 01-03 12:00: window (01-02 12:00, 01-03 12:00] — empty for both
+    assert rows_by[(1, "2024-01-03 12:00:00")] is None
+    assert rows_by[(2, "2024-01-03 12:00:00")] is None
+
+
+def test_key_alias_reuse(spark):
+    """with_key: one feature joined under two different observation key
+    columns (viewer/viewee pattern, reference feature.rs:224-241)."""
+    dims = spark.createDataFrame([Row(uid=1, score=0.9), Row(uid=2, score=0.5)])
+    obs = spark.createDataFrame([Row(viewer=1, viewee=2)])
+    p = FeathrProject("t", spark)
+    key = TypedKey(key_column="uid")
+    anchor = FeatureAnchor(
+        name="u", source=DataFrameSource(name="users", df=dims),
+        features=[Feature(name="f_score", transform="score", key=[key])])
+    p.register_anchor(anchor)
+    from feathr_spark import FeatureQuery
+    out = p.get_offline_features(
+        obs, [FeatureQuery(["f_score"], key=["viewer"]),
+              ])
+    r = out.collect()[0]
+    assert r.f_score == 0.9

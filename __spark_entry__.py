@@ -608,8 +608,8 @@ def _text_oracles() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+'))
                         + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
                         AS BIGINT) AS n_tokens_bpe,
-                   CAST(ROUND({punct}, 4) AS DOUBLE) AS punct_ratio,
-                   CAST(ROUND({quality}, 4) AS DOUBLE) AS quality,
+                   CAST(ROUND(({punct}) + 1e-9, 4) AS DOUBLE) AS punct_ratio,
+                   CAST(ROUND(({quality}) + 1e-9, 4) AS DOUBLE) AS quality,
                    md5({norm}) AS fingerprint
             FROM documents
         """,

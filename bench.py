@@ -32,6 +32,10 @@ HEADLINE = [
     "group_by_limit",
     "elementwise_avg",
     "materialize_snapshot",
+    "dedup_exact",
+    "minhash_pairs",
+    "text_stats",
+    "ann_topk",
 ]
 
 

@@ -76,10 +76,16 @@ class Feature:
 @dataclass(frozen=True)
 class FeatureAnchor:
     """Anchor group (reference project.rs:600-656): named set of features
-    computed from one source, sharing key columns."""
+    computed from one source, sharing key columns.
+
+    ``broadcast_hint`` marks the source as small enough to broadcast in
+    keyed joins (engine extension — the reference delegates physical join
+    choice entirely to Spark; AQE still decides when the hint is absent).
+    """
     name: str
     source: Source
     features: Tuple[Feature, ...] = ()
+    broadcast_hint: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "features", tuple(self.features))

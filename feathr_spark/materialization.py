@@ -25,15 +25,26 @@ class Sink:
 
 @dataclass
 class GenericSink(Sink):
-    """Any Spark-writable location (materialization.rs:57-91)."""
+    """Any Spark-writable location (materialization.rs:57-91).
+
+    ``num_parts`` mirrors the reference's ``--num-parts`` /
+    ``spark_result_output_parts`` output-partition control
+    (job_client/mod.rs:289-292): coalesce when shrinking (no shuffle),
+    repartition when growing.
+    """
     format: str = "parquet"
     path: Optional[str] = None
     mode: str = "overwrite"
     options: Dict[str, str] = field(default_factory=dict)
     streaming: bool = False
     timeout_ms: Optional[int] = None
+    num_parts: Optional[int] = None
 
     def write(self, df: DataFrame) -> None:
+        if self.num_parts is not None:
+            cur = df.rdd.getNumPartitions()
+            df = (df.coalesce(self.num_parts) if self.num_parts < cur
+                  else df.repartition(self.num_parts))
         opts = {k.replace("__", "."): v for k, v in self.options.items()}
         writer = df.write.format(self.format).options(**opts).mode(self.mode)
         if self.path:

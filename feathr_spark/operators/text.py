@@ -138,8 +138,10 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         char_count(c).alias("n_chars_computed"),
         token_count(c).alias("n_tokens"),
         word_token_count(c).alias("n_tokens_bpe"),
-        F.round(punct_ratio(c), 4).cast("double").alias("punct_ratio"),
-        F.round(quality_score(c), 4).cast("double").alias("quality"),
+        # +1e-9 nudges exact half-way values (e.g. 0.83125) off the rounding
+        # boundary so Spark and SQL oracles agree at 4dp.
+        F.round(punct_ratio(c) + F.lit(1e-9), 4).cast("double").alias("punct_ratio"),
+        F.round(quality_score(c) + F.lit(1e-9), 4).cast("double").alias("quality"),
         lang_id(c).alias("lang_pred"),
         md5_fingerprint(c).alias("fingerprint"),
     )

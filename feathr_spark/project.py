@@ -226,6 +226,8 @@ class FeathrProject:
             assert isinstance(f.transform, ExpressionTransform)
             cols.append(feathr_expr(f.transform.sql_expr).alias(f.name))
         feature_df = src_df.select(*cols)
+        if anchor.broadcast_hint:
+            feature_df = F.broadcast(feature_df)
         return obs.join(feature_df, on=list(obs_keys), how="left")
 
     def _attach_windowed(self, spark: SparkSession, obs: DataFrame,

@@ -1,0 +1,80 @@
+"""Source descriptors and sink behaviors."""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feathr_spark import (
+    Feature, FeatureAnchor, FeatureQuery, FeathrProject, GenericSource,
+    HdfsSource, JdbcSource, ObservationSettings, TypedKey,
+)
+from feathr_spark.materialization import GenericSink
+
+
+@pytest.fixture()
+def csv_path(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("csv") / "data.csv")
+    with open(d, "w") as f:
+        f.write("id,name,score\n1,alice,0.9\n2,bob,0.5\n")
+    return d
+
+
+def test_hdfs_source_csv_inference(spark, csv_path):
+    src = HdfsSource(name="csv", path=csv_path)
+    df = src.load(spark)
+    assert df.count() == 2
+    assert {r.name for r in df.collect()} == {"alice", "bob"}
+    assert dict(df.dtypes)["score"] == "double"  # inferSchema on
+
+
+def test_generic_source_with_escaped_options(spark, csv_path):
+    src = GenericSource(name="g", format="csv", path=csv_path,
+                        options={"header": "true", "sep": ","})
+    df = src.read(spark)
+    assert df.count() == 2
+
+
+def test_observation_settings_load(spark, tmp_path):
+    p = str(tmp_path / "obs.parquet")
+    import datetime as dt
+    spark.createDataFrame([
+        Row(id=1, t="2024-01-05 00:00:00")]).write.parquet(p)
+    obs = ObservationSettings(observation_path=p, timestamp_column="t",
+                              timestamp_format="yyyy-MM-dd HH:mm:ss")
+    df = obs.with_event_ts(obs.load(spark))
+    from feathr_spark.source import EVENT_TS_COL
+    r = df.collect()[0]
+    assert r[EVENT_TS_COL] == dt.datetime(2024, 1, 5)
+
+
+def test_jdbc_source_validation(spark):
+    with pytest.raises(ValueError):
+        JdbcSource(name="db", url="jdbc:x", dbtable="t", query="q").read(spark)
+    with pytest.raises(ValueError):
+        JdbcSource(name="db", url="jdbc:x").read(spark)
+
+
+def test_generic_sink_num_parts(spark, tmp_path):
+    out = str(tmp_path / "out")
+    df = spark.range(1000).repartition(8)
+    GenericSink(format="parquet", path=out, num_parts=1).write(df)
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 1
+
+
+def test_broadcast_hint_plan(spark):
+    dims = spark.createDataFrame([Row(kk=1, seg="GOLD")])
+    obs = spark.createDataFrame([Row(k=1)])
+    from feathr_spark import DataFrameSource
+    p = FeathrProject("t", spark)
+    key = TypedKey(key_column="kk", key_column_alias="k")
+    p.register_anchor(FeatureAnchor(
+        name="dim", source=DataFrameSource(name="d", df=dims),
+        features=[Feature(name="f_seg", transform="seg", key=[key])],
+        broadcast_hint=True))
+    out = p.get_offline_features(obs, FeatureQuery(["f_seg"]))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    assert out.collect()[0].f_seg == "GOLD"

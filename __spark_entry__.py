@@ -411,12 +411,15 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms x 32 bands,
-    exact-Jaccard verify >= 0.7). Banding keeps the self-join per-bucket."""
+    """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms, 21 bands x 3
+    rows, exact-Jaccard verify >= 0.7). r=3 banding: P(miss) <= 1.5e-4 for
+    a pair at exactly J=0.7 and ~2e-8 at the dataset's observed minimum
+    true-pair J=0.83, while candidates from background similarity
+    (J~0.16 -> p=J^3 per band) stay ~7x fewer than r=2."""
     _utc(spark)
     from feathr_spark.operators.dedup import minhash_lsh_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=32,
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=21,
                              shingle_k=5, threshold=0.7)
 
 
@@ -458,15 +461,9 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded score). The LSH-bucketed variant is the scale path (rows-only
     ann_lsh_topk query)."""
     _utc(spark)
-    from feathr_spark.operators.similarity import cosine
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
-    pairs = a.join(b, F.col("a.id") < F.col("b.id"))
-    out = pairs.select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                       F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
-                       .cast("double").alias("cosine"))
-    return out.where(F.col("cosine") >= 0.45)
+    from feathr_spark.operators.similarity import cosine_pairs_exact
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.45)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

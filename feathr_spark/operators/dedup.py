@@ -37,6 +37,17 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id before expensive per-row work.
+
+    A single-file parquet source arrives as ONE input partition locally,
+    serializing shingling/hashing onto one task; the exchange moves only the
+    raw rows and makes everything downstream partition-parallel. At cluster
+    scale the input is already multi-file parallel and this stays a cheap
+    balanced exchange (skew-free: ids are unique)."""
+    return df.repartition(F.col(id_col))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via hash-groupBy on normalized text: one representative
@@ -49,10 +60,11 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count("*").cast("bigint").alias("n_dups")))
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles of normalized text (builtin
-    transform/sequence — no UDF)."""
-    norm = normalize_text(col)
+def _char_shingles_from_norm(norm: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles over an ALREADY-MATERIALIZED normalized
+    column. ``norm`` must be a plain attribute (not an expression): Catalyst
+    inlines expression arguments into the per-element lambda, turning one
+    normalization per row into one per shingle."""
     n = F.length(norm)
     return F.when(n < k, F.array(norm)).otherwise(
         F.array_distinct(F.transform(
@@ -61,15 +73,49 @@ def char_shingles(col: Column, k: int = 5) -> Column:
         )))
 
 
-def word_ngrams(col: Column, n: int = 3) -> Column:
-    """Distinct word n-grams of normalized text."""
-    tokens = F.split(normalize_text(col), " ")
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Distinct character k-shingles of normalized text (builtin
+    transform/sequence — no UDF). Row-local form; bulk pipelines should
+    materialize ``normalize_text`` in a projection first (see
+    ``_shingled_frame``) so the normalization isn't re-evaluated per
+    shingle element."""
+    return _char_shingles_from_norm(normalize_text(col), k)
+
+
+def _word_ngrams_from_tokens(tokens: Column, n: int = 3) -> Column:
+    """Distinct word n-grams over an already-materialized token array."""
     cnt = F.size(tokens)
     return F.when(cnt < n, F.array(F.concat_ws(" ", tokens))).otherwise(
         F.array_distinct(F.transform(
             F.sequence(F.lit(1), cnt - n + 1),
             lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
         )))
+
+
+def word_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of normalized text (row-local form — see
+    ``char_shingles`` note on materialization)."""
+    return _word_ngrams_from_tokens(F.split(normalize_text(col), " "), n)
+
+
+def _shingled_frame(df: DataFrame, text_col: str, id_col: str,
+                    kind: str, k: int) -> DataFrame:
+    """(__id, __sh) with the normalized text materialized in its own
+    projection. Two-step select matters: normalization is a regex chain, and
+    if it's inlined into the shingle lambda Catalyst evaluates it once per
+    ELEMENT (and the explode-inferred filter re-evaluates the whole array
+    expression pre-shuffle). CollapseProject keeps the split because the
+    alias is non-cheap and multiply-referenced."""
+    pre = _spread(df, id_col)
+    if kind == "char":
+        normed = pre.select(F.col(id_col).alias("__id"),
+                            normalize_text(F.col(text_col)).alias("__norm"))
+        return normed.select(
+            "__id", _char_shingles_from_norm(F.col("__norm"), k).alias("__sh"))
+    normed = pre.select(F.col(id_col).alias("__id"),
+                        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"))
+    return normed.select(
+        "__id", _word_ngrams_from_tokens(F.col("__toks"), k).alias("__sh"))
 
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
@@ -91,6 +137,100 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _jaccard_lsh_pairs(
+    shingled: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold: float,
+    verify: bool,
+    prefilter_margin: float = 0.2,
+) -> DataFrame:
+    """Shared MinHash-LSH near-dup pipeline over ``shingled(__id, __sh)``.
+
+    Stages (each one a narrow/standard shuffle, no payload in wide joins):
+
+    1. **Signatures** — explode shingles → ``groupBy(__id)`` with
+       ``num_perm`` min-aggregates. Map-side partial aggregation means the
+       shuffle carries ≤ num_perm longs per doc per map task; each agg is a
+       small codegen'd expression (vs. num_perm whole-array passes per row).
+    2. **Banding** — ``posexplode`` of per-band bucket hashes; self-join on
+       (band, bucket) emitting only id pairs; ``dropDuplicates`` on the
+       16-byte pairs *before* anything wide is attached.
+    3. **Signature prefilter** — join the (tiny: num_perm longs/doc)
+       signature table back and estimate Jaccard as the fraction of equal
+       signature components; discard pairs estimated below
+       ``threshold − prefilter_margin``. With num_perm=64 the estimator's
+       σ ≈ 0.06, so a 0.2 margin is >3σ — false negatives are negligible
+       while (crucially) candidate pairs from band collisions between
+       genuinely dissimilar docs never reach exact verification. This is
+       what keeps low rows-per-band (chosen for recall) from degenerating
+       into all-pairs verification.
+    4. **Exact verify** — survivors only: join the per-doc *hashed* shingle
+       set (array<long>, cheaper to intersect than strings; xxhash64
+       collisions are ~n²/2⁶⁴) and compute exact Jaccard ≥ threshold.
+
+    AQE picks broadcast for the signature/shingle-set joins when the doc
+    table is small; at scale they are plain equi-joins on the id.
+    """
+    rows_per_band = num_perm // bands
+    params = _perm_params(num_perm)
+
+    # explode_outer, not explode: plain explode infers a `size(__sh)>0 AND
+    # isnotnull(__sh)` filter that predicate-pushdown drags below the
+    # repartition exchange, re-evaluating the whole shingle expression
+    # (twice) on the unparallelized input. The post-Generate isNotNull is
+    # equivalent (shingle arrays are never empty) and cannot be pushed down.
+    tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
+        .where(F.col("__s").isNotNull()) \
+        .select("__id", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
+    sig = tok.groupBy("__id").agg(*[
+        F.min(F.pmod(F.col("__h") * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
+        for j, (a, b) in enumerate(params)
+    ]).persist()
+
+    band_hashes = [
+        F.xxhash64(F.concat_ws(",", *[
+            F.col(f"__s{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
+
+    left, right = banded.alias("l"), banded.alias("r")
+    cand = (left.join(right,
+                      (F.col("l.__band") == F.col("r.__band")) &
+                      (F.col("l.__bucket") == F.col("r.__bucket")) &
+                      (F.col("l.__id") < F.col("r.__id")))
+            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    if not verify:
+        return cand
+
+    sig_arr = sig.select(
+        "__id", F.array(*[F.col(f"__s{j}") for j in range(num_perm)]).alias("__sig"))
+    est = F.aggregate(
+        F.zip_with(F.col("a.__sig"), F.col("b.__sig"),
+                   lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x) / F.lit(num_perm)
+    prefiltered = (cand
+                   .join(sig_arr.alias("a"), F.col("id_a") == F.col("a.__id"))
+                   .join(sig_arr.alias("b"), F.col("id_b") == F.col("b.__id"))
+                   .where(est >= threshold - prefilter_margin)
+                   .select("id_a", "id_b"))
+
+    hset = shingled.select(
+        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"))
+    return (prefiltered
+            .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
+            .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
+            .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -101,45 +241,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     verify: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding.
+    """Near-duplicate pairs via MinHash banding over char k-shingles.
 
-    shingle → minhash → band → bucket-join: each doc emits `bands` rows
-    keyed by (band_id, xxhash64(band rows)); a self-join per bucket yields
-    candidates; optional exact-Jaccard verification on the shingle sets
-    filters to ``threshold``. Output: (id_a, id_b, jaccard), id_a < id_b.
+    Output: (id_a, id_b, jaccard), id_a < id_b. Low rows-per-band keeps
+    recall ≈ 1 at the threshold; the signature prefilter inside
+    ``_jaccard_lsh_pairs`` keeps the resulting false-candidate flood away
+    from exact verification.
     """
-    rows_per_band = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        char_shingles(F.col(text_col), shingle_k).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
-
-    banded = base.select(
-        "__id", "__sh",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1,
-                                         rows_per_band), lambda x: x.cast("string")))),
-        )).alias("__band", "__bucket"),
-    )
-
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (left.join(right,
-                      (F.col("l.__band") == F.col("r.__band")) &
-                      (F.col("l.__bucket") == F.col("r.__bucket")) &
-                      (F.col("l.__id") < F.col("r.__id")))
-            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                    F.col("l.__sh").alias("sh_a"), F.col("r.__sh").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-
-    if not verify:
-        return cand.select("id_a", "id_b")
-    return (cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b",
-                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k)
+    return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -148,32 +258,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         num_perm: int = 64, bands: int = 32) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs, LSH-candidated (lower thresholds
     need more bands: bands=32 → rows_per_band=2 catches J≈0.5 pairs)."""
-    rows_per_band = num_perm // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        word_ngrams(F.col(text_col), n).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_perm))
-    banded = base.select(
-        "__id", "__sh",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.xxhash64(F.concat_ws(
-                ",", F.transform(F.slice(F.col("__sig"), b * rows_per_band + 1,
-                                         rows_per_band), lambda x: x.cast("string")))),
-        )).alias("__band", "__bucket"),
-    )
-    left, right = banded.alias("l"), banded.alias("r")
-    cand = (left.join(right,
-                      (F.col("l.__band") == F.col("r.__band")) &
-                      (F.col("l.__bucket") == F.col("r.__bucket")) &
-                      (F.col("l.__id") < F.col("r.__id")))
-            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                    F.col("l.__sh").alias("sh_a"), F.col("r.__sh").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b",
-                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+    shingled = _shingled_frame(df, text_col, id_col, "word", n)
+    return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify=True)
 
 
 def simhash64(col: Column, k: int = 3, n_bits: int = 64) -> Column:
@@ -203,14 +289,43 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Bulk 64-bit SimHash: explode word k-shingles → ``groupBy(id)`` with
+    64 per-bit vote sums → compose the signature. Same result as
+    ``simhash64`` but each aggregate is a tiny codegen'd expression with
+    map-side partial aggregation (the row-local form builds 64 whole-array
+    ``aggregate`` calls per row — quadratically worse and codegen-hostile).
+    Returns (``__id``, ``__sim``)."""
+    shingled = _shingled_frame(df, text_col, id_col, "word", k)
+    tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
+        .where(F.col("__s").isNotNull()) \
+        .select("__id", F.xxhash64("__s").alias("__h"))
+
+    def mask(i: int) -> int:
+        m = 1 << i
+        return m - (1 << 64) if m >= 1 << 63 else m
+
+    votes = tok.groupBy("__id").agg(*[
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(mask(i))) != 0, 1)
+              .otherwise(-1)).alias(f"__v{i}")
+        for i in range(64)
+    ])
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__v{i}") > 0, F.lit(mask(i)).cast("bigint"))
+            .otherwise(F.lit(0).cast("bigint")))
+    return votes.select("__id", sim.alias("__sim"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
     hamming ≤ 3 of 64 bits shares at least one exact 16-bit band by
     pigeonhole when the 3 differing bits fall in ≤3 bands), then exact
     hamming verification."""
-    sig = df.select(F.col(id_col).alias("__id"),
-                    simhash64(F.col(text_col)).alias("__sim"))
+    sig = simhash_signatures(df, text_col, id_col).persist()
     banded = sig.select(
         "__id", "__sim",
         F.posexplode(F.array(*[
@@ -236,17 +351,27 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     """Embedding near-dup pairs: random-hyperplane LSH bucket (sign bits of
     deterministic pseudo-random projections) → in-bucket cosine verify.
     For very high thresholds one 16-bit bucket has high recall; increase
-    `planes` tables for lower thresholds."""
-    from .similarity import cosine, lsh_bucket
-    v = df.select(F.col(id_col).alias("__id"),
-                  F.col(vec_col).cast("array<double>").alias("__v"))
-    dim = None  # resolved lazily inside lsh_bucket via expression
-    bucketed = v.withColumn("__bucket", lsh_bucket(F.col("__v"), planes))
-    left, right = bucketed.alias("l"), bucketed.alias("r")
+    `planes` tables for lower thresholds.
+
+    The L2-normalized vector + bucket table is computed once and persisted
+    (bucket signs are scale-invariant, so normalizing first is free), the
+    bucket self-join emits id pairs only, and verification is a single dot
+    product per pair on the normalized vectors.
+    """
+    from .similarity import dot, l2_norm, lsh_bucket
+    v = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
+    norm = F.greatest(l2_norm(F.col("__v")), F.lit(1e-12))
+    nv = v.select(
+        "__id",
+        F.transform("__v", lambda x: x / norm).alias("__nv"),
+    ).withColumn("__bucket", lsh_bucket(F.col("__nv"), planes)).persist()
+
+    left, right = nv.alias("l"), nv.alias("r")
     cand = (left.join(right, (F.col("l.__bucket") == F.col("r.__bucket")) &
                       (F.col("l.__id") < F.col("r.__id")))
             .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                    F.col("l.__v").alias("va"), F.col("r.__v").alias("vb")))
-    return (cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
-            .where(F.col("cosine") >= threshold)
+                    dot(F.col("l.__nv"), F.col("r.__nv")).alias("cosine")))
+    return (cand.where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).cast("double").alias("cosine")))

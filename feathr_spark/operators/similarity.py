@@ -31,6 +31,26 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def dot_static(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled for a known dimension: a flat chain of
+    GetArrayItem multiply-adds that stays inside whole-stage codegen,
+    ~2 orders of magnitude faster per pair than the interpreted
+    higher-order-function fold. Left-associated from 0.0 — bit-identical
+    results to ``dot`` (which folds ((0.0+x0)+x1)+…)."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
+def l2_norm_static(a: Column, dim: int) -> Column:
+    """Unrolled L2 norm; same association as ``l2_norm``."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * a.getItem(i)
+    return F.sqrt(acc)
+
+
 def _planes(n_planes: int, dim: int) -> List[List[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (LCG-based — no RNG
     state, reproducible everywhere)."""
@@ -56,6 +76,54 @@ def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
                      F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.45,
+    round_dp: int = 4,
+    dim: Optional[int] = None,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (the small-corpus baseline; the
+    LSH/IVF paths are the 100 TB story — all-pairs is O(n²) by definition).
+
+    Physical shape: per-row L2 norms are computed once, the right side is
+    broadcast, and the left side is hash-repartitioned so the nested-loop
+    product is partition-parallel instead of a single task. The per-pair
+    work is one dot product + one divide, unrolled via ``dot_static`` when
+    the dimension is known (probed from one row when ``dim`` is None) so it
+    stays in whole-stage codegen. The float formula and association are
+    identical to ``cosine()``, so rounded scores match SQL oracles
+    bit-for-bit.
+    """
+    v = df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).cast("array<double>").alias("__v"))
+    if dim is None:
+        probe = v.select(F.size("__v").alias("d")).first()
+        dim = probe.d if probe is not None else 0
+    _dot = (lambda a, b: dot_static(a, b, dim)) if dim and dim > 0 else dot
+    _nrm = (lambda a: l2_norm_static(a, dim)) if dim and dim > 0 else l2_norm
+    withn = v.select("__id", "__v", _nrm(F.col("__v")).alias("__n"))
+    left = withn.repartition(F.col("__id")).alias("a")
+    right = F.broadcast(withn).alias("b")
+    # Join condition carries ONLY the cheap id ordering. Scoring happens in
+    # the projection above, and the persist() seals the plan so the
+    # threshold filter cannot be predicate-pushed back into the
+    # nested-loop join condition — otherwise Catalyst inlines the whole
+    # dot-product expression there and evaluates it for all n² id
+    # combinations instead of the n²/2 surviving pairs (and then again in
+    # the project). Cache size is one (id,id,double) row per pair.
+    pairs = left.join(right, F.col("a.__id") < F.col("b.__id"))
+    denom = F.col("a.__n") * F.col("b.__n")
+    score = F.when(denom > 0, _dot(F.col("a.__v"), F.col("b.__v")) / denom) \
+        .otherwise(F.lit(0.0))
+    scored = pairs.select(F.col("a.__id").alias("id_a"),
+                          F.col("b.__id").alias("id_b"),
+                          F.round(score, round_dp).cast("double").alias("cosine")
+                          ).persist()
+    return scored.where(F.col("cosine") >= threshold)
 
 
 def cosine_topk(

@@ -351,7 +351,83 @@ def q_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("label").cast("bigint").alias("label"), "f_centroid")
 
 
+def q_multi_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple FeatureQuery objects in ONE join job, each with its own key
+    semantics (reference project.rs:248-263, client.rs:450-465): query 1
+    joins customer dimension features via key alias, query 2 attaches a
+    30-day point-in-time spend aggregate — sequential joins onto the same
+    observation frame."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    ckey = TypedKey(key_column="c_custkey", key_column_alias="o_custkey")
+    p.register_anchor(FeatureAnchor(
+        name="cust", source=HdfsSource(name="customer", path=f"{sf_dir}/customer.parquet"),
+        features=[
+            Feature(name="f_acctbal_mq", transform="c_acctbal", key=[ckey]),
+            Feature(name="f_mkt_mq", transform="c_mktsegment", key=[ckey]),
+        ]))
+    wkey = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(name="w", source=_orders_src(sf_dir), features=[
+        Feature(name="f_spend_30d",
+                transform=WindowAggTransform("o_totalprice", Aggregation.SUM, "30d"),
+                key=[wkey]),
+    ]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(
+        obs, [FeatureQuery(["f_acctbal_mq", "f_mkt_mq"]), FeatureQuery(["f_spend_30d"])])
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("f_acctbal_mq")).alias("f_acctbal_mq"),
+        F.col("f_mkt_mq").alias("f_mkt_mq"),
+        _r4(F.col("f_spend_30d")).alias("f_spend_30d"),
+    )
+
+
+def q_udf_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-UDF feature transform (Transformation::Udf, model.rs:274-277)
+    alongside the per-source preprocessing hook (source.rs:286) already
+    exercised by the events source."""
+    _utc(spark)
+    from feathr_spark.model import UdfTransform
+    p = FeathrProject("q", spark)
+    p.register_udf("boost", lambda df, out: df.withColumn(
+        out, F.col("value") * 10 + 1))
+    p.register_anchor(FeatureAnchor(name="u", source=INPUT_CONTEXT, features=[
+        Feature(name="f_boost", transform=UdfTransform("boost")),
+        Feature(name="f_val", transform="value"),
+    ]))
+    obs = _load_events(spark, sf_dir)
+    out = p.get_offline_features(obs, FeatureQuery(["f_boost", "f_val"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        _r4(F.col("f_boost")).alias("f_boost"),
+        _r4(F.col("f_val")).alias("f_val"),
+    )
+
+
 CUTOFF = "1998-01-01 00:00:00"
+BACKFILL_START = "1997-12-30 00:00:00"
+BACKFILL_END = "1998-01-01 00:00:00"
+
+
+def q_materialize_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill materialization: one snapshot per DAILY cutoff iterating
+    backwards from end (materialization.rs:200-231), unioned with the
+    cutoff tag."""
+    _utc(spark)
+    from feathr_spark.materialization import BackfillTime
+    p = _window_basic_project(spark, sf_dir)
+    bt = BackfillTime(start=datetime.strptime(BACKFILL_START, "%Y-%m-%d %H:%M:%S"),
+                      end=datetime.strptime(BACKFILL_END, "%Y-%m-%d %H:%M:%S"),
+                      step="DAILY")
+    snap = p.compute_backfill(spark, ["f_avg_90d", "f_cnt_90d"], bt)
+    return snap.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        _r4(F.col("f_avg_90d")).alias("f_avg_90d"),
+        F.col("f_cnt_90d").cast("bigint").alias("f_cnt_90d"),
+        F.col("feathr_cutoff").alias("feathr_cutoff"),
+    )
 
 
 def q_materialize_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,6 +596,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_features": q_derived,
         "multi_key_window": q_multi_key_window,
         "group_by_limit": q_group_by_limit,
+        "multi_query_join": q_multi_query_join,
+        "udf_passthrough": q_udf_passthrough,
+        "materialize_backfill": q_materialize_backfill,
         "elementwise_avg": q_elementwise_avg,
         "materialize_snapshot": q_materialize_snapshot,
         # LLM-data-pipeline extensions
@@ -692,6 +771,23 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
 """
 
 
+def _snapshot_sql(cutoff: str) -> str:
+    """Per-cutoff backfill snapshot oracle (avg/cnt over (cutoff-90d, cutoff])."""
+    return f"""
+        SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(ROUND(AVG(o_totalprice) FILTER (
+                    epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '{cutoff}') - 7776000000
+               ), 4) AS DOUBLE) AS f_avg_90d,
+               CAST(COUNT(o_totalprice) FILTER (
+                    epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '{cutoff}') - 7776000000
+               ) AS BIGINT) AS f_cnt_90d,
+               '{cutoff}' AS feathr_cutoff
+        FROM orders
+        WHERE epoch_ms(o_orderdate) <= epoch_ms(TIMESTAMP '{cutoff}')
+        GROUP BY o_custkey
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "passthrough_exprs": """
@@ -817,6 +913,33 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         **_text_oracles(),
+        "multi_query_join": """
+            WITH w AS (
+                SELECT o.o_orderkey AS k, SUM(s.o_totalprice) AS spend
+                FROM orders o
+                JOIN orders s
+                  ON s.o_custkey = o.o_custkey
+                 AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 2592000000
+                 AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+                GROUP BY o.o_orderkey
+            )
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(ROUND(c.c_acctbal, 4) AS DOUBLE) AS f_acctbal_mq,
+                   c.c_mktsegment AS f_mkt_mq,
+                   CAST(ROUND(w.spend, 4) AS DOUBLE) AS f_spend_30d
+            FROM orders o
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            LEFT JOIN w ON w.k = o.o_orderkey
+        """,
+        "udf_passthrough": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(ROUND(value * 10 + 1, 4) AS DOUBLE) AS f_boost,
+                   CAST(ROUND(value, 4) AS DOUBLE) AS f_val
+            FROM events
+        """,
+        "materialize_backfill": " UNION ALL ".join(
+            _snapshot_sql(c) for c in ("1998-01-01 00:00:00",
+                                       "1997-12-31 00:00:00")),
         "materialize_snapshot": f"""
             SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
                    CAST(ROUND(AVG(o_totalprice) FILTER (

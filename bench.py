@@ -36,6 +36,8 @@ HEADLINE = [
     "minhash_pairs",
     "text_stats",
     "ann_topk",
+    "multi_query_join",
+    "materialize_backfill",
 ]
 
 

@@ -330,6 +330,22 @@ class FeathrProject:
         return result.withColumn(
             "feathr_cutoff", F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")))
 
+    def compute_backfill(self, spark: SparkSession, feature_names: Sequence[str],
+                         backfill_time) -> DataFrame:
+        """All backfill snapshots as one DataFrame (one partition-set per
+        cutoff, unioned; ``feathr_cutoff`` distinguishes them). Same cutoff
+        stepping as ``materialize_features`` (materialization.rs:200-231)
+        without the sink writes — useful for validation and for sinks that
+        ingest the whole backfill in one write."""
+        dfs = [self.compute_snapshot(spark, feature_names, cutoff)
+               for cutoff in backfill_time.cutoffs()]
+        if not dfs:
+            raise FeathrError("backfill range produced no cutoffs")
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
     def materialize_features(self, settings: MaterializationSettings,
                              spark: Optional[SparkSession] = None) -> List[datetime]:
         """One snapshot per backfill cutoff, iterating backwards from end

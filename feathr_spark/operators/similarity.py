@@ -31,24 +31,11 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def dot_static(a: Column, b: Column, dim: int) -> Column:
-    """Dot product unrolled for a known dimension: a flat chain of
-    GetArrayItem multiply-adds that stays inside whole-stage codegen,
-    ~2 orders of magnitude faster per pair than the interpreted
-    higher-order-function fold. Left-associated from 0.0 — bit-identical
-    results to ``dot`` (which folds ((0.0+x0)+x1)+…)."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i) * b.getItem(i)
-    return acc
-
-
-def l2_norm_static(a: Column, dim: int) -> Column:
-    """Unrolled L2 norm; same association as ``l2_norm``."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i) * a.getItem(i)
-    return F.sqrt(acc)
+# NOTE (measured, sf0.1, Spark 4.1): statically unrolling dot/norm into
+# 64-term GetArrayItem chains is ~3-5x SLOWER than the higher-order-function
+# fold — the giant expression falls out of whole-stage codegen into
+# interpreted evaluation, while zip_with/aggregate lambdas are evaluated
+# efficiently. Keep vector math in HOFs.
 
 
 def _planes(n_planes: int, dim: int) -> List[List[float]]:
@@ -84,7 +71,6 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     threshold: float = 0.45,
     round_dp: int = 4,
-    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold (the small-corpus baseline; the
     LSH/IVF paths are the 100 TB story — all-pairs is O(n²) by definition).
@@ -92,20 +78,13 @@ def cosine_pairs_exact(
     Physical shape: per-row L2 norms are computed once, the right side is
     broadcast, and the left side is hash-repartitioned so the nested-loop
     product is partition-parallel instead of a single task. The per-pair
-    work is one dot product + one divide, unrolled via ``dot_static`` when
-    the dimension is known (probed from one row when ``dim`` is None) so it
-    stays in whole-stage codegen. The float formula and association are
-    identical to ``cosine()``, so rounded scores match SQL oracles
-    bit-for-bit.
+    work is one dot product + one divide. The float formula and
+    association are identical to ``cosine()``, so rounded scores match SQL
+    oracles bit-for-bit.
     """
     v = df.select(F.col(id_col).alias("__id"),
                   F.col(vec_col).cast("array<double>").alias("__v"))
-    if dim is None:
-        probe = v.select(F.size("__v").alias("d")).first()
-        dim = probe.d if probe is not None else 0
-    _dot = (lambda a, b: dot_static(a, b, dim)) if dim and dim > 0 else dot
-    _nrm = (lambda a: l2_norm_static(a, dim)) if dim and dim > 0 else l2_norm
-    withn = v.select("__id", "__v", _nrm(F.col("__v")).alias("__n"))
+    withn = v.select("__id", "__v", l2_norm(F.col("__v")).alias("__n"))
     left = withn.repartition(F.col("__id")).alias("a")
     right = F.broadcast(withn).alias("b")
     # Join condition carries ONLY the cheap id ordering. Scoring happens in
@@ -117,7 +96,7 @@ def cosine_pairs_exact(
     # the project). Cache size is one (id,id,double) row per pair.
     pairs = left.join(right, F.col("a.__id") < F.col("b.__id"))
     denom = F.col("a.__n") * F.col("b.__n")
-    score = F.when(denom > 0, _dot(F.col("a.__v"), F.col("b.__v")) / denom) \
+    score = F.when(denom > 0, dot(F.col("a.__v"), F.col("b.__v")) / denom) \
         .otherwise(F.lit(0.0))
     scored = pairs.select(F.col("a.__id").alias("id_a"),
                           F.col("b.__id").alias("id_b"),
@@ -136,16 +115,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force cosine top-k: per query row, the k nearest corpus rows.
 
-    The query side is broadcast (small); the corpus is scanned once fully
-    partition-parallel — no shuffle until the final per-query top-k, which
-    moves only k rows per (query, partition) after a partial rank prune.
+    The query side is broadcast (small); the corpus side is repartitioned
+    (a single-file local read is otherwise ONE task) and scanned once fully
+    partition-parallel — no wide shuffle until the final per-query top-k.
     Output: (query_id, rank, neighbor_id, score), rank 1-based.
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("__qv"))
-    joined = c.join(F.broadcast(q), on=None, how="cross")
+    joined = c.repartition(F.col("neighbor_id")).join(
+        F.broadcast(q), on=None, how="cross")
     if exclude_self:
         joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
     # rank on 4-dp-rounded scores: makes the top-k reproducible across

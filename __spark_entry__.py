@@ -351,6 +351,30 @@ def q_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("label").cast("bigint").alias("label"), "f_centroid")
 
 
+def q_window_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEMENTWISE_AVG over array-valued features through the engine's
+    point-in-time window path (model.rs:209): per observation row, the
+    element-wise mean of array(value, value*2) over (t-7d, t] keyed by
+    user_id."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="user_id")
+    p.register_anchor(FeatureAnchor(name="w", source=_events_src(sf_dir), features=[
+        Feature(name="f_vec_avg_7d",
+                transform=WindowAggTransform("array(value, value * 2)",
+                                             Aggregation.ELEMENTWISE_AVG, "7d"),
+                key=[key]),
+    ]))
+    obs = ObservationSettings(timestamp_column="ts").with_event_ts(
+        _load_events(spark, sf_dir))
+    out = p.get_offline_features(obs, FeatureQuery(["f_vec_avg_7d"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.expr("transform(f_vec_avg_7d, x -> cast(round(x + 1e-9, 4) as double))")
+        .alias("f_vec_avg_7d"),
+    )
+
+
 def q_multi_query_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiple FeatureQuery objects in ONE join job, each with its own key
     semantics (reference project.rs:248-263, client.rs:450-465): query 1
@@ -596,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "derived_features": q_derived,
         "multi_key_window": q_multi_key_window,
         "group_by_limit": q_group_by_limit,
+        "window_elementwise": q_window_elementwise,
         "multi_query_join": q_multi_query_join,
         "udf_passthrough": q_udf_passthrough,
         "materialize_backfill": q_materialize_backfill,
@@ -913,6 +938,17 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         **_text_oracles(),
+        "window_elementwise": """
+            SELECT o.event_id AS event_id,
+                   [CAST(ROUND(AVG(s.value) + 1e-9, 4) AS DOUBLE),
+                    CAST(ROUND(AVG(s.value * 2) + 1e-9, 4) AS DOUBLE)] AS f_vec_avg_7d
+            FROM events o
+            JOIN events s
+              ON s.user_id = o.user_id
+             AND epoch_ms(s.ts) >  epoch_ms(o.ts) - 604800000
+             AND epoch_ms(s.ts) <= epoch_ms(o.ts)
+            GROUP BY o.event_id
+        """,
         "multi_query_join": """
             WITH w AS (
                 SELECT o.o_orderkey AS k, SUM(s.o_totalprice) AS spend

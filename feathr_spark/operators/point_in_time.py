@@ -64,17 +64,37 @@ def point_in_time_aggregate(
     obs_ts: str,
     src_ts: str,
     specs: Sequence[WindowFeatureSpec],
+    strategy: str = "union_window",
 ) -> DataFrame:
     """Attach one column per spec to ``obs``.
 
     ``obs_keys``/``src_keys`` are positionally matched join columns.
     ``obs_ts``/``src_ts`` are TimestampType column names.
+
+    ``strategy`` selects the physical plan for simple (non-group_by) specs:
+
+    * ``"union_window"`` (default) — one shuffle+sort, no row explosion;
+      the right choice almost always. Its one weakness is a pathologically
+      hot entity key: window functions need a key's full history in one
+      task and AQE cannot split it.
+    * ``"interval_join"`` — shuffled equi-join on the key + range predicate
+      + groupBy(observation id). Output is O(|obs| × rows-per-window), but
+      AQE's skew-join splitting applies, so a single mega-key spreads over
+      many tasks. Pick this when key skew dominates.
+
+    Both strategies compute identical results (property-tested).
     """
     simple = [s for s in specs if s.transform.group_by is None]
     grouped = [s for s in specs if s.transform.group_by is not None]
     out = obs
     if simple:
-        out = _union_window(out, source, obs_keys, src_keys, obs_ts, src_ts, simple)
+        if strategy == "interval_join":
+            out = _interval_join_simple(out, source, obs_keys, src_keys,
+                                        obs_ts, src_ts, simple)
+        elif strategy == "union_window":
+            out = _union_window(out, source, obs_keys, src_keys, obs_ts, src_ts, simple)
+        else:
+            raise ValueError(f"unknown point-in-time strategy: {strategy}")
     for s in grouped:
         out = _interval_join_grouped(out, source, obs_keys, src_keys, obs_ts, src_ts, s)
     return out
@@ -132,6 +152,49 @@ def _union_window(
 
     result = unioned.select("*", *out_cols).where(F.col(_TAG) == 1)
     return result.drop(_T, _TAG, *val_cols)
+
+
+def _interval_join_simple(
+    obs: DataFrame,
+    source: DataFrame,
+    obs_keys: Sequence[str],
+    src_keys: Sequence[str],
+    obs_ts: str,
+    src_ts: str,
+    specs: Sequence[WindowFeatureSpec],
+) -> DataFrame:
+    """Skew-tolerant strategy: equi-join on keys, range predicate, one
+    groupBy(observation id) computing every spec's aggregate. AQE can split
+    a skewed key's join output across tasks (unlike a window partition).
+    LEFT join keeps observation rows with an empty window (aggregates
+    null/0 as in the window strategy)."""
+    max_w = max(s.transform.window_ms for s in specs)
+    obs_id = obs.withColumn(_OID, F.monotonically_increasing_id())
+    left = obs_id.select(
+        _OID,
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(obs_keys)],
+        F.unix_millis(F.col(obs_ts).cast("timestamp")).alias("__ot"),
+    )
+    right = source.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(src_keys)],
+        F.unix_millis(F.col(src_ts).cast("timestamp")).alias("__st"),
+        *[_value_col(s.transform).alias(f"__v{i}") for i, s in enumerate(specs)],
+    )
+    cond = [left[f"__k{i}"] == right[f"__k{i}"] for i in range(len(obs_keys))]
+    # range predicate INSIDE the left-join condition: observation rows whose
+    # matches all fall outside the window survive with nulls (count 0),
+    # exactly like an empty window frame.
+    cond.append((right["__st"] > left["__ot"] - max_w) & (right["__st"] <= left["__ot"]))
+    joined = left.join(right, cond, "left")
+    aggs = []
+    for i, s in enumerate(specs):
+        wms = s.transform.window_ms
+        v = F.col(f"__v{i}")
+        if wms != max_w:  # narrower windows mask values outside their range
+            v = F.when(F.col("__st") > F.col("__ot") - wms, v)
+        aggs.append(simple_agg(s.transform.agg_func, v, F.col("__st")).alias(s.out_name))
+    per_obs = joined.groupBy(_OID).agg(*aggs)
+    return obs_id.join(per_obs, _OID, "left").drop(_OID)
 
 
 def _interval_join_grouped(

@@ -129,6 +129,7 @@ class FeathrProject:
         observation_settings: Optional[ObservationSettings] = None,
         spark: Optional[SparkSession] = None,
         time_prune: bool = False,
+        pit_strategy: str = "union_window",
     ) -> DataFrame:
         """Point-in-time-correct LEFT feature join onto the observation
         frame (reference project.rs:248-278). Returns a lazy DataFrame.
@@ -139,8 +140,14 @@ class FeathrProject:
         scale this reaches parquet row-group/partition pruning (SURVEY §4
         'partition pruning by time'). Leave False when observation ≈
         source (self-join shape) where it prunes nothing.
+
+        ``pit_strategy`` selects the windowed-feature physical plan:
+        ``"union_window"`` (default — one shuffle+sort, no row explosion)
+        or ``"interval_join"`` (AQE-skew-splittable; pick when one entity
+        key dominates the source). See operators.point_in_time.
         """
         self._time_prune = time_prune
+        self._pit_strategy = pit_strategy
         spark = spark or self.spark
         if isinstance(observation, ObservationSettings):
             observation_settings = observation
@@ -256,6 +263,7 @@ class FeathrProject:
             obs_keys=list(obs_keys), src_keys=list(src_keys),
             obs_ts=EVENT_TS_COL, src_ts=EVENT_TS_COL,
             specs=specs,
+            strategy=getattr(self, "_pit_strategy", "union_window"),
         )
 
     # ------------------------------------------------------------------

@@ -206,3 +206,44 @@ def test_elementwise(spark):
     r = {x.t: x for x in out.collect()}[ts("2024-01-03 00:00:00")]
     assert r.f_esum == [8.0, 10.0]
     assert r.f_eavg == [4.0, 5.0]
+
+
+def test_interval_join_strategy_matches_union_window(spark, tiny):
+    """Both point-in-time strategies (union-window vs AQE-skew-splittable
+    interval join) compute identical results on every agg kind, including
+    observation rows with an empty window."""
+    obs_extra = tiny.union(spark.createDataFrame(
+        # key 3 exists only in the observation: empty window everywhere
+        [Row(k=3, t=ts("2024-01-04 00:00:00"), v=1.0)]))
+
+    def run(strategy):
+        p = FeathrProject("t", spark)
+        key = TypedKey(key_column="k")
+        src = DataFrameSource(
+            name="src", df=tiny,
+            time_window_parameters=TimeWindowParameters(timestamp_column="t"))
+        p.register_anchor(FeatureAnchor(name="agg", source=src, features=[
+            Feature(name="f_sum", transform=WindowAggTransform("v", Aggregation.SUM, "2d"), key=[key]),
+            Feature(name="f_avg", transform=WindowAggTransform("v", Aggregation.AVG, "2d"), key=[key]),
+            Feature(name="f_cnt", transform=WindowAggTransform("v", Aggregation.COUNT, "2d"), key=[key]),
+            Feature(name="f_min", transform=WindowAggTransform("v", Aggregation.MIN, "5d"), key=[key]),
+            Feature(name="f_latest", transform=WindowAggTransform("v", Aggregation.LATEST, "2d"), key=[key]),
+            Feature(name="f_first", transform=WindowAggTransform("v", Aggregation.NOP, "5d"), key=[key]),
+            Feature(name="f_union", transform=WindowAggTransform("v", Aggregation.UNION, "5d"), key=[key]),
+            Feature(name="f_filt", transform=WindowAggTransform(
+                "v", Aggregation.SUM, "5d", filter="v > 15"), key=[key]),
+        ]))
+        obs = ObservationSettings(timestamp_column="t")
+        out = p.get_offline_features(
+            obs.with_event_ts(obs_extra),
+            FeatureQuery(["f_sum", "f_avg", "f_cnt", "f_min", "f_latest",
+                          "f_first", "f_union", "f_filt"]),
+            pit_strategy=strategy)
+        return sorted([tuple(r) for r in out.collect()], key=repr)
+
+    uw = run("union_window")
+    ij = run("interval_join")
+    assert uw == ij
+    # sanity: the empty-window key has null sum but count 0
+    k3 = [r for r in uw if r[0] == 3][0]
+    assert k3[3] is None and k3[5] == 0

@@ -126,9 +126,18 @@ class FeatureAnchor:
 
 
 @dataclass(frozen=True)
+class FeatureRef:
+    """By-name reference to a feature (resolved at query time); lets
+    ``DerivedFeature(input_features=["f_a", "f_b"])`` take plain names."""
+    name: str
+    key: Tuple[TypedKey, ...] = ()
+
+
+@dataclass(frozen=True)
 class DerivedFeature:
     """Derived feature (reference feature.rs:319-328): expression over other
-    features (anchor or derived), forming a DAG."""
+    features (anchor or derived), forming a DAG. ``input_features`` accepts
+    Feature/DerivedFeature objects or plain feature-name strings."""
     name: str
     transform: Union[str, Transformation] = ""
     input_features: Tuple[Feature, ...] = ()
@@ -137,7 +146,9 @@ class DerivedFeature:
 
     def __post_init__(self):
         object.__setattr__(self, "transform", as_transformation(self.transform))
-        object.__setattr__(self, "input_features", tuple(self.input_features))
+        object.__setattr__(self, "input_features", tuple(
+            FeatureRef(f) if isinstance(f, str) else f
+            for f in self.input_features))
         if not self.key:
             keys: list = []
             seen = set()

@@ -157,3 +157,49 @@ def test_key_alias_reuse(spark):
               ])
     r = out.collect()[0]
     assert r.f_score == 0.9
+
+
+def test_registry_project_roundtrip(spark):
+    """Entry point C: save a full project to the registry, reconstruct it,
+    and get identical query results (reference project.rs:742-846)."""
+    import datetime as dt
+    from feathr_spark import (
+        Aggregation, Feature, FeatureAnchor, FeatureQuery, FeathrProject,
+        HdfsSource, INPUT_CONTEXT, ObservationSettings, TimeWindowParameters,
+        TypedKey, WindowAggTransform, DerivedFeature,
+    )
+    from feathr_spark.registry.catalog import Registry
+    from feathr_spark.registry.roundtrip import load_project, save_project
+
+    sf = "/root/testdata/sf0.001"
+    p = FeathrProject("rt", spark)
+    p.register_anchor(FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_total", transform="o_totalprice")]))
+    key = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(
+        name="w",
+        source=HdfsSource(name="orders", path=f"{sf}/orders.parquet",
+                          time_window_parameters=TimeWindowParameters("o_orderdate")),
+        features=[Feature(name="f_avg_90d", transform=WindowAggTransform(
+            "o_totalprice", Aggregation.AVG, "90d"), key=[key])]))
+    p.register_derived(DerivedFeature(
+        name="f_ratio", transform="f_total / f_avg_90d",
+        input_features=["f_total", "f_avg_90d"]))
+
+    reg = Registry()
+    save_project(reg, p)
+    p2 = load_project(reg, "rt", spark)
+
+    assert set(p2.sources) == set(p.sources)
+    assert set(p2.anchors) == set(p.anchors)
+    assert set(p2.derived) == set(p.derived)
+
+    obs = ObservationSettings(observation_path=f"{sf}/orders.parquet",
+                              timestamp_column="o_orderdate")
+    q = FeatureQuery(["f_total", "f_avg_90d", "f_ratio"])
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    a = sorted(tuple(r) for r in p.get_offline_features(obs, q)
+               .select("o_orderkey", "f_ratio").collect())
+    b = sorted(tuple(r) for r in p2.get_offline_features(obs, q)
+               .select("o_orderkey", "f_ratio").collect())
+    assert a == b and len(a) > 0

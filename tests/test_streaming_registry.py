@@ -203,3 +203,41 @@ def test_registry_project_roundtrip(spark):
     b = sorted(tuple(r) for r in p2.get_offline_features(obs, q)
                .select("o_orderkey", "f_ratio").collect())
     assert a == b and len(a) > 0
+
+
+def test_stream_latest_features_stateful(spark, tmp_path):
+    """applyInPandasWithState per-key latest view: upserts only when a
+    newer event wins; late (older) rows are ignored."""
+    from feathr_spark.streaming.stateful import stream_latest_features
+    src_dir = tmp_path / "stateful_in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    df1 = spark.createDataFrame([
+        Row(k=1, t=ts("2024-01-01 00:00:10"), v=1.0),
+        Row(k=1, t=ts("2024-01-01 00:00:50"), v=3.0),
+        Row(k=2, t=ts("2024-01-01 00:00:20"), v=7.0),
+    ])
+    df1.write.parquet(str(src_dir / "b1.parquet"))
+    stream = spark.readStream.schema(df1.schema).parquet(str(src_dir) + "/*")
+    out = stream_latest_features(stream, ["k"], "t", ["v"])
+    q = (out.writeStream.format("memory").queryName("t_state")
+         .outputMode("update").option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        rows = {r.k: r for r in spark.sql("select * from t_state").collect()}
+        assert rows["1"].v == 3.0 and rows["2"].v == 7.0
+
+        # batch 2: newer row for k=1, LATE (older) row for k=2 -> ignored
+        spark.createDataFrame([
+            Row(k=1, t=ts("2024-01-01 00:02:00"), v=9.0),
+            Row(k=2, t=ts("2024-01-01 00:00:05"), v=0.5),
+        ]).write.parquet(str(src_dir / "b2.parquet"))
+        q.processAllAvailable()
+        allrows = spark.sql("select * from t_state").collect()
+        latest = {}
+        for r in sorted(allrows, key=lambda r: r.ts_ms):
+            latest[r.k] = r.v
+        assert latest["1"] == 9.0     # upserted
+        assert latest["2"] == 7.0     # late row ignored, no new emit
+    finally:
+        q.stop()

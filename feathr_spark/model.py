@@ -8,9 +8,9 @@ No Spark imports here — this module is pure metadata.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from enum import Enum
-from typing import Optional, Sequence, Union
+from typing import Optional, Union
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ member never join. Deterministic seeds throughout (reproducible runs).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F

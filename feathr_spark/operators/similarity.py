@@ -11,7 +11,7 @@ deterministic seeded projections.
 from __future__ import annotations
 
 import math
-from typing import List, Optional
+from typing import List
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F

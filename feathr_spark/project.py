@@ -17,7 +17,7 @@ Planner responsibilities (SURVEY §4 — the only custom planning logic):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime
 from typing import Callable, Dict, List, Optional, Sequence, Tuple, Union
 

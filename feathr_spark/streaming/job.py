@@ -21,9 +21,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..feature import Feature, FeatureAnchor
+from ..feature import Feature
 from ..functions import feathr_expr
-from ..model import ExpressionTransform, WindowAggTransform, format_duration
+from ..model import ExpressionTransform, WindowAggTransform
 from ..operators.aggregations import simple_agg
 
 

@@ -255,9 +255,26 @@ class FeathrProject:
             ).first()
             if bounds and bounds.lo is not None:
                 max_w = max(f.transform.window_ms for _, f in feats)
-                src_ms = F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp"))
-                src_df = src_df.where(
-                    (src_ms > bounds.lo - max_w) & (src_ms <= bounds.hi))
+                lo_ms, hi_ms = bounds.lo - max_w, bounds.hi
+                twp = anchor.source.time_window_parameters
+                raw_ts_type = dict(src_df.dtypes).get(
+                    twp.timestamp_column) if twp else None
+                if twp and twp.timestamp_column_format is None and \
+                        raw_ts_type in ("timestamp", "timestamp_ntz"):
+                    # Predicate on the RAW column with timestamp literals —
+                    # this form reaches parquet PushedFilters (row-group +
+                    # partition pruning); an expression like
+                    # unix_millis(cast(...)) does not.
+                    from datetime import datetime as _dt, timezone as _tz
+                    lo_lit = _dt.fromtimestamp(lo_ms / 1000, tz=_tz.utc).replace(tzinfo=None)
+                    hi_lit = _dt.fromtimestamp(hi_ms / 1000, tz=_tz.utc).replace(tzinfo=None)
+                    raw = F.col(twp.timestamp_column)
+                    lo_c = F.lit(lo_lit).cast(raw_ts_type)  # match ntz/ltz exactly
+                    hi_c = F.lit(hi_lit).cast(raw_ts_type)
+                    src_df = src_df.where((raw > lo_c) & (raw <= hi_c))
+                else:
+                    src_ms = F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp"))
+                    src_df = src_df.where((src_ms > lo_ms) & (src_ms <= hi_ms))
         return point_in_time_aggregate(
             obs, src_df,
             obs_keys=list(obs_keys), src_keys=list(src_keys),
@@ -265,6 +282,14 @@ class FeathrProject:
             specs=specs,
             strategy=getattr(self, "_pit_strategy", "union_window"),
         )
+
+    def save_offline_features(self, observation, feature_query, sink,
+                              **kwargs) -> None:
+        """Offline join-job output (reference project.rs:266-277): compute
+        the feature join and write it through a sink (any GenericSink —
+        format/path/mode/options; ``num_parts`` mirrors ``--num-parts``)."""
+        df = self.get_offline_features(observation, feature_query, **kwargs)
+        sink.write(df)
 
     # ------------------------------------------------------------------
     # materialization (reference entry point B, project.rs:283-308)

@@ -78,3 +78,54 @@ def test_broadcast_hint_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
     assert out.collect()[0].f_seg == "GOLD"
+
+
+def test_time_prune_reaches_parquet_pushdown(spark, tmp_path):
+    """time_prune=True puts a plain timestamp predicate on the raw source
+    column so it lands in the parquet scan's PushedFilters (row-group /
+    partition pruning at scale)."""
+    import datetime as dt
+    from feathr_spark import (
+        Aggregation, Feature, FeatureAnchor, FeatureQuery, FeathrProject,
+        HdfsSource, ObservationSettings, TimeWindowParameters, TypedKey,
+        WindowAggTransform,
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src_path = str(tmp_path / "src.parquet")
+    spark.createDataFrame([
+        Row(k=1, t=dt.datetime(2024, 1, d), v=float(d)) for d in range(1, 20)
+    ]).write.parquet(src_path)
+
+    p = FeathrProject("t", spark)
+    key = TypedKey(key_column="k")
+    p.register_anchor(FeatureAnchor(
+        name="w",
+        source=HdfsSource(name="s", path=src_path,
+                          time_window_parameters=TimeWindowParameters("t")),
+        features=[Feature(name="f_sum_2d", transform=WindowAggTransform(
+            "v", Aggregation.SUM, "2d"), key=[key])]))
+
+    obs = spark.createDataFrame([Row(k=1, t=dt.datetime(2024, 1, 10))])
+    out = p.get_offline_features(
+        ObservationSettings(timestamp_column="t").with_event_ts(obs),
+        FeatureQuery(["f_sum_2d"]), time_prune=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # values still correct: (jan08, jan10] -> 9+10
+    assert [r.f_sum_2d for r in out.collect()] == [19.0]
+    assert "PushedFilters: [IsNotNull(t), GreaterThan(t," in plan, plan[:2000]
+
+
+def test_save_offline_features(spark, tmp_path):
+    from feathr_spark import (Feature, FeatureAnchor, FeatureQuery,
+                              FeathrProject, INPUT_CONTEXT)
+    p = FeathrProject("t", spark)
+    p.register_anchor(FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_x2", transform="x * 2")]))
+    out_path = str(tmp_path / "out")
+    obs = spark.createDataFrame([Row(x=1), Row(x=2)])
+    p.save_offline_features(obs, FeatureQuery(["f_x2"]),
+                            GenericSink(path=out_path, num_parts=1))
+    back = spark.read.parquet(out_path)
+    assert sorted(r.f_x2 for r in back.collect()) == [2, 4]
+    import glob
+    assert len(glob.glob(out_path + "/part-*")) == 1

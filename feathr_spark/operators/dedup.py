@@ -182,9 +182,13 @@ def _jaccard_lsh_pairs(
     # equivalent (shingle arrays are never empty) and cannot be pushed down.
     tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
         .where(F.col("__s").isNotNull()) \
-        .select("__id", F.pmod(F.xxhash64("__s"), F.lit(_MERSENNE)).alias("__h"))
+        .select("__id", F.xxhash64("__s").alias("__h"))
+    # tok keeps the full 64-bit hash (the exact-verify sets below need
+    # negligible collision odds); the 31-bit base for the permutation
+    # family is taken inside the aggregate.
+    base = F.pmod(F.col("__h"), F.lit(_MERSENNE))
     sig = tok.groupBy("__id").agg(*[
-        F.min(F.pmod(F.col("__h") * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
+        F.min(F.pmod(base * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
         for j, (a, b) in enumerate(params)
     ]).persist()
 
@@ -220,8 +224,12 @@ def _jaccard_lsh_pairs(
                    .where(est >= threshold - prefilter_margin)
                    .select("id_a", "id_b"))
 
-    hset = shingled.select(
-        "__id", F.transform("__sh", lambda s: F.xxhash64(s)).alias("__hs"))
+    # Exact-verify sets from the SAME exploded/hashed tokens as the
+    # signatures: the groupBy(__id) shares its shuffle with the signature
+    # aggregation (ReusedExchange) instead of re-shingling the corpus text
+    # twice. xxhash64 sets intersect like the string sets (collision odds
+    # ~n²/2⁶⁴); shingles are distinct, so pmod-hashing preserves set sizes.
+    hset = tok.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
     return (prefiltered
             .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
             .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))

@@ -84,6 +84,8 @@ def _utc(spark: SparkSession) -> SparkSession:
     reading nanosecond parquet timestamps (events.ts) as long."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     return spark
 
 

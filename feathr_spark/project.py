@@ -283,6 +283,53 @@ class FeathrProject:
             strategy=getattr(self, "_pit_strategy", "union_window"),
         )
 
+    def to_feature_config(self) -> dict:
+        """Serialize definitions in the reference's feature-config shape
+        (IR #1, project.rs:321-325 / 374-437): ``sources``, ``anchors``
+        (group → key sqlExpr + features with type/def/aggregation), and
+        ``derivations``. Our engine never round-trips through this config —
+        it exists for interop/debugging parity with the reference."""
+        from .registry.roundtrip import source_to_dict
+
+        def transform_entry(f: Feature) -> dict:
+            t = f.transform
+            if isinstance(t, WindowAggTransform):
+                d = {"def": t.def_expr, "aggregation": t.agg_func.value,
+                     "window": t.window}
+                if t.filter:
+                    d["filter"] = t.filter
+                if t.group_by:
+                    d["groupBy"] = t.group_by
+                if t.limit is not None:
+                    d["limit"] = t.limit
+                return d
+            if isinstance(t, UdfTransform):
+                return {"udf": t.name}
+            assert isinstance(t, ExpressionTransform)
+            return {"def": {"sqlExpr": t.sql_expr}}
+
+        anchors = {}
+        for aname, anchor in self.anchors.items():
+            feats = {}
+            for f in anchor.features:
+                feats[f.name] = transform_entry(f)
+            key_cols = list(anchor.features[0].key_aliases)
+            anchors[aname] = {
+                "source": anchor.source.name,
+                "key": {"sqlExpr": key_cols},
+                "features": feats,
+            }
+        derivations = {
+            d.name: {"definition": {"sqlExpr": d.transform.sql_expr},
+                     "inputs": list(d.input_names),
+                     "key": [k.alias for k in d.key]}
+            for d in self.derived.values()
+        }
+        sources = {s.name: source_to_dict(s) for s in self.sources.values()
+                   if not s.is_input_context}
+        return {"anchors": anchors, "derivations": derivations,
+                "sources": sources}
+
     def save_offline_features(self, observation, feature_query, sink,
                               **kwargs) -> None:
         """Offline join-job output (reference project.rs:266-277): compute

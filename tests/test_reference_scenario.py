@@ -170,3 +170,37 @@ def test_multiple_queries_per_job(spark, taxi):
         [FeatureQuery(["f_dist"]), FeatureQuery(["f_cnt"])])
     r = {x.trip_id: x for x in out.collect()}
     assert r[3].f_dist == 2.0 and r[3].f_cnt == 3
+
+
+def test_feature_config_generation(spark, taxi):
+    """IR #1 parity (reference project.rs:374-437): anchors grouped with
+    key sqlExpr + feature defs, derivations with inputs, sources."""
+    p = FeathrProject("cfg", spark)
+    key = TypedKey(key_column="DOLocationID")
+    src = DataFrameSource(name="taxi", df=taxi,
+                          time_window_parameters=TimeWindowParameters(
+                              "lpep_dropoff_datetime", "yyyy-MM-dd HH:mm:ss"))
+    pt = FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_dist", transform="trip_distance")])
+    agg = FeatureAnchor(name="agg", source=src, features=[
+        Feature(name="f_fare_90d",
+                transform=WindowAggTransform("fare_amount", Aggregation.AVG,
+                                             "90d", filter="fare_amount > 0"),
+                key=[key])])
+    p.register_anchor(pt)
+    p.register_anchor(agg)
+    p.register_derived(DerivedFeature(
+        name="f_dist_x2", transform="f_dist * 2", input_features=["f_dist"]))
+
+    cfg = p.to_feature_config()
+    assert cfg["anchors"]["agg"]["source"] == "taxi"
+    assert cfg["anchors"]["agg"]["key"]["sqlExpr"] == ["DOLocationID"]
+    f = cfg["anchors"]["agg"]["features"]["f_fare_90d"]
+    assert f == {"def": "fare_amount", "aggregation": "AVG",
+                 "window": "90d", "filter": "fare_amount > 0"}
+    assert cfg["anchors"]["pt"]["features"]["f_dist"] == {
+        "def": {"sqlExpr": "trip_distance"}}
+    assert cfg["derivations"]["f_dist_x2"]["inputs"] == ["f_dist"]
+    assert cfg["sources"]["taxi"]["twp"]["timestamp_column"] == "lpep_dropoff_datetime"
+    import json
+    json.dumps(cfg)  # fully JSON-serializable

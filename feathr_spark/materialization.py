@@ -53,6 +53,29 @@ class GenericSink(Sink):
             writer.save()
 
 
+def sink_to_dict(sink: Sink) -> dict:
+    """Serialize a sink in the reference's OutputSink shape
+    (materialization.rs:28-98: RedisSink {table_name, streaming, timeoutMs},
+    GenericSink {location + streaming flags})."""
+    if isinstance(sink, RedisSink):
+        d: dict = {"name": "REDIS", "params": {"tableName": sink.table_name,
+                                               "host": sink.host,
+                                               "port": sink.port}}
+    elif isinstance(sink, GenericSink):
+        d = {"name": "HDFS", "params": {"format": sink.format,
+                                        "path": sink.path, "mode": sink.mode,
+                                        "options": dict(sink.options)}}
+        if sink.num_parts is not None:
+            d["params"]["numParts"] = sink.num_parts
+    else:
+        d = {"name": type(sink).__name__, "params": {}}
+    if sink.streaming:
+        d["params"]["streaming"] = True
+        if getattr(sink, "timeout_ms", None) is not None:
+            d["params"]["timeoutMs"] = sink.timeout_ms
+    return d
+
+
 def HdfsSink(path: str, format: str = "parquet", **kw) -> GenericSink:
     return GenericSink(format=format, path=path, **kw)
 

@@ -330,6 +330,59 @@ class FeathrProject:
         return {"anchors": anchors, "derivations": derivations,
                 "sources": sources}
 
+    def to_join_config(self, observation: ObservationSettings,
+                       feature_queries, output_path: str) -> dict:
+        """Serialize a join request in the reference's FeatureJoinConfig
+        shape (IR #2, project.rs:327-357 / observation.rs:50-97):
+        observationPath, settings.joinTimeSettings.timestampColumn
+        {def, format}, featureList [{featureList, key}], outputPath. Like
+        ``to_feature_config`` this is interop/debugging parity only — the
+        engine plans directly from the dataclasses."""
+        if isinstance(feature_queries, FeatureQuery):
+            feature_queries = [feature_queries]
+        settings: dict = {}
+        if observation.timestamp_column is not None:
+            ts = {"def": observation.timestamp_column}
+            if observation.timestamp_format is not None:
+                ts["format"] = observation.timestamp_format
+            settings["joinTimeSettings"] = {"timestampColumn": ts}
+        feature_list = []
+        for q in feature_queries:
+            key = q.key
+            if key is None:
+                anchor_feats, _ = self._resolve(q.feature_list)
+                key = tuple(anchor_feats[0][1].key_aliases) if anchor_feats \
+                    else ()
+            feature_list.append({"featureList": list(q.feature_list),
+                                 "key": list(key)})
+        return {"observationPath": observation.observation_path,
+                "settings": settings,
+                "featureList": feature_list,
+                "outputPath": output_path}
+
+    def to_materialization_configs(
+            self, settings: MaterializationSettings) -> List[dict]:
+        """One config per cutoff, newest first, in the reference's
+        feature-generation shape (materialization.rs:149-231: operational
+        {name, endTime 'yyyy-MM-dd HH:mm:ss', resolution, output sinks} +
+        feature name list; one submitted job per cutoff,
+        job_client/mod.rs:756-793)."""
+        from .materialization import sink_to_dict
+        cutoffs = (settings.backfill_time.cutoffs()
+                   if settings.backfill_time else [])
+        resolution = (settings.backfill_time.step
+                      if settings.backfill_time else "DAILY")
+        return [{
+            "operational": {
+                "name": settings.name,
+                "endTime": cutoff.strftime("%Y-%m-%d %H:%M:%S"),
+                "endTimeFormat": "yyyy-MM-dd HH:mm:ss",
+                "resolution": resolution,
+                "output": [sink_to_dict(s) for s in settings.sinks],
+            },
+            "features": list(settings.feature_names),
+        } for cutoff in cutoffs]
+
     def save_offline_features(self, observation, feature_query, sink,
                               **kwargs) -> None:
         """Offline join-job output (reference project.rs:266-277): compute

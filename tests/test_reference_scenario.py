@@ -204,3 +204,59 @@ def test_feature_config_generation(spark, taxi):
     assert cfg["sources"]["taxi"]["twp"]["timestamp_column"] == "lpep_dropoff_datetime"
     import json
     json.dumps(cfg)  # fully JSON-serializable
+
+
+def test_join_and_materialization_config_generation(spark, taxi):
+    """IR #2 parity (FeatureJoinConfig, project.rs:327-357) + per-cutoff
+    generation configs (materialization.rs:149-231: backwards from end,
+    'yyyy-MM-dd HH:mm:ss' endTime, sinks serialized per OutputSink)."""
+    import datetime as dt
+    import json
+
+    from feathr_spark.materialization import (BackfillTime, HdfsSink,
+                                              MaterializationSettings,
+                                              RedisSink)
+
+    p = FeathrProject("cfg2", spark)
+    key = TypedKey(key_column="DOLocationID")
+    src = DataFrameSource(name="taxi", df=taxi,
+                          time_window_parameters=TimeWindowParameters(
+                              "lpep_dropoff_datetime", "yyyy-MM-dd HH:mm:ss"))
+    p.register_anchor(FeatureAnchor(name="agg", source=src, features=[
+        Feature(name="f_fare_90d",
+                transform=WindowAggTransform("fare_amount", Aggregation.AVG,
+                                             "90d"), key=[key])]))
+
+    obs = ObservationSettings(observation_path="/data/obs.parquet",
+                              timestamp_column="lpep_dropoff_datetime",
+                              timestamp_format="yyyy-MM-dd HH:mm:ss")
+    jc = p.to_join_config(obs, FeatureQuery(["f_fare_90d"]), "/out/x")
+    assert jc["observationPath"] == "/data/obs.parquet"
+    assert jc["settings"]["joinTimeSettings"]["timestampColumn"] == {
+        "def": "lpep_dropoff_datetime", "format": "yyyy-MM-dd HH:mm:ss"}
+    # key defaulted from the feature's own key aliases
+    assert jc["featureList"] == [{"featureList": ["f_fare_90d"],
+                                  "key": ["DOLocationID"]}]
+    assert jc["outputPath"] == "/out/x"
+    json.dumps(jc)
+
+    ms = MaterializationSettings(
+        name="m1",
+        sinks=[HdfsSink("/out/m", num_parts=1),
+               RedisSink(table_name="t", streaming=True, timeout_ms=1000)],
+        feature_names=["f_fare_90d"],
+        backfill_time=BackfillTime(start=dt.datetime(2022, 1, 1, 0),
+                                   end=dt.datetime(2022, 1, 1, 3),
+                                   step="HOURLY"))
+    cfgs = p.to_materialization_configs(ms)
+    assert [c["operational"]["endTime"] for c in cfgs] == [
+        "2022-01-01 03:00:00", "2022-01-01 02:00:00", "2022-01-01 01:00:00"]
+    op = cfgs[0]["operational"]
+    assert op["resolution"] == "HOURLY"
+    assert op["output"][0]["name"] == "HDFS"
+    assert op["output"][0]["params"]["numParts"] == 1
+    assert op["output"][1] == {"name": "REDIS", "params": {
+        "tableName": "t", "host": "localhost", "port": 6379,
+        "streaming": True, "timeoutMs": 1000}}
+    assert cfgs[0]["features"] == ["f_fare_90d"]
+    json.dumps(cfgs)

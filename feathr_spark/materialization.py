@@ -39,6 +39,13 @@ class GenericSink(Sink):
     streaming: bool = False
     timeout_ms: Optional[int] = None
     num_parts: Optional[int] = None
+    # catalog-table output (required for bucketing: Spark persists bucket
+    # metadata only through the catalog, not plain files)
+    table: Optional[str] = None
+    bucket_by: Optional[Sequence[str]] = None
+    num_buckets: int = 32
+    sort_by: Optional[Sequence[str]] = None
+    partition_by: Optional[Sequence[str]] = None
 
     def write(self, df: DataFrame) -> None:
         if self.num_parts is not None:
@@ -47,7 +54,25 @@ class GenericSink(Sink):
                   else df.repartition(self.num_parts))
         opts = {k.replace("__", "."): v for k, v in self.options.items()}
         writer = df.write.format(self.format).options(**opts).mode(self.mode)
-        if self.path:
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        if self.bucket_by:
+            # Hash-bucketed (and optionally sorted) feature table: a later
+            # equi-join on the bucket keys against a table bucketed the same
+            # way needs NO shuffle on either side (and no sort when sorted) —
+            # the co-located-join path for repeatedly-joined feature
+            # snapshots at 100 TB. Scan parallelism = num_buckets, so size
+            # it to the cluster, not to the test.
+            if not self.table:
+                raise ValueError("bucket_by requires a catalog `table` name")
+            writer = writer.bucketBy(self.num_buckets, *self.bucket_by)
+            if self.sort_by:
+                writer = writer.sortBy(*self.sort_by)
+        if self.table:
+            if self.path:
+                writer = writer.option("path", self.path)  # external table
+            writer.saveAsTable(self.table)
+        elif self.path:
             writer.save(self.path)
         else:
             writer.save()
@@ -67,6 +92,11 @@ def sink_to_dict(sink: Sink) -> dict:
                                         "options": dict(sink.options)}}
         if sink.num_parts is not None:
             d["params"]["numParts"] = sink.num_parts
+        if sink.table:
+            d["params"]["table"] = sink.table
+        if sink.bucket_by:
+            d["params"]["bucketBy"] = list(sink.bucket_by)
+            d["params"]["numBuckets"] = sink.num_buckets
     else:
         d = {"name": type(sink).__name__, "params": {}}
     if sink.streaming:

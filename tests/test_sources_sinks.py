@@ -129,3 +129,35 @@ def test_save_offline_features(spark, tmp_path):
     assert sorted(r.f_x2 for r in back.collect()) == [2, 4]
     import glob
     assert len(glob.glob(out_path + "/part-*")) == 1
+
+
+def test_bucketed_sink_enables_shuffle_free_join(spark, tmp_path):
+    """GenericSink(bucket_by=...) persists a hash-bucketed, sorted feature
+    table; an equi-join between two tables bucketed the same way plans as a
+    SortMergeJoin with NO Exchange on either side — the co-located-join
+    path for feature snapshots that are re-joined every training run."""
+    from feathr_spark.materialization import GenericSink
+
+    feat = spark.createDataFrame(
+        [Row(k=i, f=float(i) * 2) for i in range(100)])
+    obs = spark.createDataFrame(
+        [Row(k=i % 100, y=i) for i in range(300)])
+    GenericSink(table="t_feat", path=str(tmp_path / "feat"),
+                bucket_by=["k"], sort_by=["k"], num_buckets=4).write(feat)
+    GenericSink(table="t_obs", path=str(tmp_path / "obs"),
+                bucket_by=["k"], sort_by=["k"], num_buckets=4).write(obs)
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_obs").join(spark.table("t_feat"), on="k")
+        assert joined.count() == 300
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan[:2000]
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_feat")
+        spark.sql("DROP TABLE IF EXISTS t_obs")

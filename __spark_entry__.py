@@ -512,6 +512,31 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                        lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bounded overlapping chunking (64-token chunks, stride 48) —
+    narrow per-row fan-out, zero shuffles."""
+    _utc(spark)
+    from feathr_spark.operators.text import chunk_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=64, stride=48)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "chunk_index", "chunk_text", "n_tokens")
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components (min-reachable-id
+    labels) over the MinHash-LSH verified near-dup pairs."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import (duplicate_components,
+                                              minhash_lsh_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=21,
+                              shingle_k=5, threshold=0.7)
+    out = duplicate_components(pairs)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("component_id").cast("bigint").alias("component_id"))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms, 21 bands x 3
     rows, exact-Jaccard verify >= 0.7). r=3 banding: P(miss) <= 1.5e-4 for
@@ -630,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_snapshot": q_materialize_snapshot,
         # LLM-data-pipeline extensions
         "dedup_exact": q_dedup_exact,
+        "doc_chunks": q_doc_chunks,
+        "dedup_components": q_dedup_components,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
@@ -744,6 +771,45 @@ SELECT ia AS id_a, ib AS id_b,
        CAST(ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
+"""
+
+# 64-token chunks, stride 48, mirroring chunk_documents: whitespace-split
+# with empty tokens dropped; one empty chunk for an empty document; the
+# last chunk may be short. range() excludes the stop, so stop=greatest(n,1)
+# matches Spark's sequence(0, greatest(n-1,0), stride) start set.
+_DOC_CHUNKS_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+    FROM documents
+), st AS (
+    SELECT doc_id, w, len(w) AS n,
+           unnest(range(0, greatest(len(w), 1), 48)) AS start
+    FROM toks
+)
+SELECT doc_id,
+       CAST(start / 48 AS BIGINT) AS chunk_index,
+       array_to_string(w[start + 1 : start + 64], ' ') AS chunk_text,
+       CAST(least(n - start, 64) AS BIGINT) AS n_tokens
+FROM st
+"""
+
+# Connected components over the exact-Jaccard >= 0.7 pair set (identical to
+# the minhash_pairs oracle edge set): transitive closure via recursive CTE,
+# component id = min reachable doc id.
+_COMPONENTS_SQL = """
+WITH RECURSIVE edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ({jaccard})
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM ({jaccard})
+), reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+)
+SELECT CAST(id AS BIGINT) AS doc_id,
+       CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY id
 """
 
 _JACCARD_NGRAM_SQL = """
@@ -936,6 +1002,8 @@ def oracle_sql() -> dict[str, str]:
             FROM per_pos GROUP BY label
         """,
         "minhash_pairs": _JACCARD_CHAR_SQL,
+        "doc_chunks": _DOC_CHUNKS_SQL,
+        "dedup_components": _COMPONENTS_SQL.format(jaccard=_JACCARD_CHAR_SQL),
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,

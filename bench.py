@@ -34,6 +34,7 @@ HEADLINE = [
     "materialize_snapshot",
     "dedup_exact",
     "minhash_pairs",
+    "doc_chunks",
     "text_stats",
     "ann_topk",
     "multi_query_join",

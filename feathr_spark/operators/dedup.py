@@ -398,3 +398,52 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                     dot(F.col("l.__nv"), F.col("r.__nv")).alias("cosine")))
     return (cand.where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).cast("double").alias("cosine")))
+
+
+def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: assign every document the
+    minimum doc id reachable through duplicate edges (the canonical
+    "keep one representative per duplicate cluster" step after any of the
+    pair generators above).
+
+    Iterative min-label propagation: each round every node takes
+    ``min(own label, neighbours' labels)``; converged when no label
+    changes. Rounds needed = graph diameter — near-dup components are
+    threshold cliques (diameter 1-2), so 2-3 fully-distributed rounds in
+    practice; each round is one shuffled join + groupBy on the (id, label)
+    pair table, never materializing anything per-component. The driver
+    only sees the per-round changed-count (scalar), and `persist` +
+    staircase unpersist keeps lineage from growing across rounds. For
+    adversarial long-chain graphs switch to large-star/small-star
+    (O(log n) rounds); duplicate clusters never look like that.
+
+    Output: (doc_id, component_id) for every id present in ``pairs``.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .union(pairs.select(F.col(id_b).alias("src"),
+                                 F.col(id_a).alias("dst")))
+             .distinct().persist())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).persist())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels, edges.src == labels.id)
+                   .groupBy("dst").agg(F.min("label").alias("__nbr")))
+        new_labels = (labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+                      .select(F.col("id"),
+                              F.least(F.col("label"),
+                                      F.coalesce(F.col("__nbr"),
+                                                 F.col("label")))
+                              .alias("label"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.label") < F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("id").alias("doc_id"),
+                        F.col("label").alias("component_id"))
+    edges.unpersist()
+    return out

@@ -145,3 +145,35 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         md5_fingerprint(c).alias("fingerprint"),
     )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Token-bounded overlapping chunks — the standard pre-tokenization
+    split for LLM training corpora. Whitespace tokens; chunk *i* covers
+    tokens ``[i*stride, i*stride + chunk_tokens)``; the last chunk may be
+    short; an empty document yields one empty chunk (chunk_index 0).
+
+    Pure builtin expressions (split → sequence of starts → posexplode →
+    slice): per-row narrow work, no shuffle at all — the one pipeline
+    stage fans each document out to its chunks in place, so it scales
+    with the scan. Output: (id, chunk_index, chunk_text, n_tokens).
+    """
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (base
+            .select(id_col, "__toks", n.alias("__n"),
+                    F.posexplode(starts).alias("chunk_index", "__start"))
+            .select(
+                F.col(id_col),
+                F.col("chunk_index").cast("bigint").alias("chunk_index"),
+                F.concat_ws(" ", F.slice(F.col("__toks"),
+                                         F.col("__start") + 1,
+                                         chunk_tokens)).alias("chunk_text"),
+                F.least(F.col("__n") - F.col("__start"),
+                        F.lit(chunk_tokens)).cast("bigint").alias("n_tokens"),
+            ))

@@ -97,3 +97,37 @@ def test_unavailable_decoder_raises(spark):
     df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])
     with pytest.raises(Exception):
         decode_images(df, decoder=unavailable_decoder).collect()
+
+
+def test_chunk_documents_values(spark):
+    from feathr_spark.operators.text import chunk_documents
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b c d e f g"),   # 7 tokens
+        Row(doc_id=2, text="  x   y  "),        # messy whitespace, 2 tokens
+        Row(doc_id=3, text=""),                 # empty -> one empty chunk
+    ])
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=3, stride=2)
+    rows = {(r.doc_id, r.chunk_index): (r.chunk_text, r.n_tokens)
+            for r in out.collect()}
+    assert rows[(1, 0)] == ("a b c", 3)
+    assert rows[(1, 1)] == ("c d e", 3)
+    assert rows[(1, 2)] == ("e f g", 3)
+    assert rows[(1, 3)] == ("g", 1)             # short final chunk
+    assert rows[(2, 0)] == ("x y", 2)
+    assert rows[(3, 0)] == ("", 0)
+    assert len(rows) == 6
+
+
+def test_duplicate_components_labels(spark):
+    from feathr_spark.operators.dedup import duplicate_components
+    # two components: {1,2,3} via chain 1-2, 2-3; {7,9} -- and a chain
+    # long enough (4 hops: 10..14) to need >1 propagation round
+    pairs = spark.createDataFrame([
+        Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=9),
+        Row(id_a=10, id_b=11), Row(id_a=11, id_b=12),
+        Row(id_a=12, id_b=13), Row(id_a=13, id_b=14),
+    ])
+    out = {r.doc_id: r.component_id
+           for r in duplicate_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}

@@ -537,6 +537,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("component_id").cast("bigint").alias("component_id"))
 
 
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (cap 15 docs/source, deterministic md5
+    order) — domain rebalancing for a training mix."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import quota_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quota_sample(docs, "source", cap=15, id_col="doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source")
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable 80/10/10 train/val/test assignment from md5 hex buckets —
+    zero-shuffle, reproducible across engines and re-runs."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import hash_split
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     id_col="doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "split")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms, 21 bands x 3
     rows, exact-Jaccard verify >= 0.7). r=3 banding: P(miss) <= 1.5e-4 for
@@ -657,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_chunks": q_doc_chunks,
         "dedup_components": q_dedup_components,
+        "quota_sample": q_quota_sample,
+        "hash_split": q_hash_split,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
@@ -772,6 +796,16 @@ SELECT ia AS id_a, ib AS id_b,
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.7
 """
+
+def _hash_split_oracle() -> str:
+    from feathr_spark.operators.sampling import split_thresholds_sql
+    case = split_thresholds_sql({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+        SELECT doc_id, {case} AS split
+        FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS __sk
+              FROM documents)
+    """
+
 
 # 64-token chunks, stride 48, mirroring chunk_documents: whitespace-split
 # with empty tokens dropped; one empty chunk for an empty document; the
@@ -1004,6 +1038,17 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _JACCARD_CHAR_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "dedup_components": _COMPONENTS_SQL.format(jaccard=_JACCARD_CHAR_SQL),
+        "quota_sample": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rk
+                FROM documents)
+            WHERE rk <= 15
+        """,
+        "hash_split": _hash_split_oracle(),
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,

@@ -131,3 +131,29 @@ def test_duplicate_components_labels(spark):
            for r in duplicate_components(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7,
                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_quota_sample_and_hash_split(spark):
+    from feathr_spark.operators.sampling import hash_split, quota_sample
+    docs = spark.createDataFrame([
+        Row(doc_id=i, source=f"s{i % 3}") for i in range(60)
+    ])
+    samp = quota_sample(docs, "source", cap=5, id_col="doc_id")
+    per = {r.source: r.cnt for r in
+           samp.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: same input -> identical sample
+    again = quota_sample(docs, "source", cap=5, id_col="doc_id")
+    assert sorted(r.doc_id for r in samp.collect()) == \
+        sorted(r.doc_id for r in again.collect())
+
+    split = hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       id_col="doc_id")
+    labels = {r.doc_id: r.split for r in split.collect()}
+    assert set(labels.values()) <= {"train", "val", "test"}
+    # majority lands in train; assignment is per-id stable
+    assert sum(1 for v in labels.values() if v == "train") >= 40
+    relabeled = {r.doc_id: r.split for r in hash_split(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+        id_col="doc_id").collect()}
+    assert relabeled == labels

@@ -35,6 +35,8 @@ HEADLINE = [
     "dedup_exact",
     "minhash_pairs",
     "doc_chunks",
+    "quota_sample",
+    "hash_split",
     "text_stats",
     "ann_topk",
     "multi_query_join",

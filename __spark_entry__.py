@@ -218,9 +218,11 @@ def q_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
         spark.read.parquet(f"{sf_dir}/orders.parquet"))
     out = p.get_offline_features(obs, FeatureQuery(["f_prio_30d"]))
+    # serialize the sorted list as a '|'-joined string: the driver's hasher
+    # can't digest list cells, and string-joined output is engine-portable
     return out.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-        F.col("f_prio_30d").alias("f_prio_30d"),
+        F.array_join(F.col("f_prio_30d"), "|").alias("f_prio_30d"),
     )
 
 
@@ -327,11 +329,13 @@ def q_group_by_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
         spark.read.parquet(f"{sf_dir}/orders.parquet"))
     out = p.get_offline_features(obs, FeatureQuery(["f_top_prio"]))
+    # serialize array<struct> as 'group:value|...' — DECIMAL(28,4) string
+    # casts format identically in Spark and DuckDB (fixed scale, no exponent)
     return out.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.expr(
-            "transform(f_top_prio, x -> struct(x.group as group, "
-            "cast(round(x.value, 4) as double) as value))"
+            "array_join(transform(f_top_prio, x -> concat(x.group, ':', "
+            "cast(cast(round(x.value, 4) as decimal(28,4)) as string))), '|')"
         ).alias("f_top_prio"),
     )
 
@@ -346,9 +350,13 @@ def q_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
     per_pos = exploded.groupBy("label", "pos").agg(F.avg("v").alias("a"))
     out = per_pos.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "a"))),
-            lambda s: F.round(s.a, 4).cast("double"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "a"))),
+                lambda s: F.round(s.a + F.lit(1e-9), 4)
+                           .cast("decimal(28,4)").cast("string"),
+            ),
+            ",",
         ).alias("f_centroid"))
     return out.select(F.col("label").cast("bigint").alias("label"), "f_centroid")
 
@@ -372,7 +380,8 @@ def q_window_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = p.get_offline_features(obs, FeatureQuery(["f_vec_avg_7d"]))
     return out.select(
         F.col("event_id").cast("bigint").alias("event_id"),
-        F.expr("transform(f_vec_avg_7d, x -> cast(round(x + 1e-9, 4) as double))")
+        F.expr("array_join(transform(f_vec_avg_7d, x -> "
+               "cast(cast(round(x + 1e-9, 4) as decimal(28,4)) as string)), ',')")
         .alias("f_vec_avg_7d"),
     )
 
@@ -948,7 +957,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_union": """
             SELECT o.o_orderkey AS o_orderkey,
-                   list_sort(list(s.o_orderpriority)) AS f_prio_30d
+                   array_to_string(list_sort(list(s.o_orderpriority)), '|') AS f_prio_30d
             FROM orders o
             JOIN orders s
               ON s.o_custkey = o.o_custkey
@@ -1016,9 +1025,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM per_group
             )
             SELECT o_orderkey,
-                   list(struct_pack("group" := g,
-                                    value := CAST(ROUND(gv, 4) AS DOUBLE))
-                        ORDER BY g) AS f_top_prio
+                   array_to_string(
+                       list(g || ':' ||
+                            CAST(CAST(ROUND(gv, 4) AS DECIMAL(28,4)) AS VARCHAR)
+                            ORDER BY g), '|') AS f_top_prio
             FROM ranked WHERE rn <= 2
             GROUP BY o_orderkey
         """,
@@ -1032,7 +1042,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT label, pos, AVG(v) AS a FROM flat GROUP BY label, pos
             )
             SELECT CAST(label AS BIGINT) AS label,
-                   list(CAST(ROUND(a, 4) AS DOUBLE) ORDER BY pos) AS f_centroid
+                   array_to_string(
+                       list(CAST(CAST(ROUND(a + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)
+                            ORDER BY pos), ',') AS f_centroid
             FROM per_pos GROUP BY label
         """,
         "minhash_pairs": _JACCARD_CHAR_SQL,
@@ -1055,8 +1067,10 @@ def oracle_sql() -> dict[str, str]:
         **_text_oracles(),
         "window_elementwise": """
             SELECT o.event_id AS event_id,
-                   [CAST(ROUND(AVG(s.value) + 1e-9, 4) AS DOUBLE),
-                    CAST(ROUND(AVG(s.value * 2) + 1e-9, 4) AS DOUBLE)] AS f_vec_avg_7d
+                   array_to_string(
+                       [CAST(CAST(ROUND(AVG(s.value) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR),
+                        CAST(CAST(ROUND(AVG(s.value * 2) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)],
+                       ',') AS f_vec_avg_7d
             FROM events o
             JOIN events s
               ON s.user_id = o.user_id

@@ -592,8 +592,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, 4x16 banding, hamming <= 3).
-    xxhash64-based -> no portable SQL oracle; driver records rows-only."""
+    """SimHash near-dup pairs (60-bit portable-md5 base, 4x15 banding,
+    hamming <= 3) — fully deterministic, mirrored bit-for-bit by the DuckDB
+    oracle (same md5-prefix hash, votes, banding, hamming verify)."""
     _utc(spark)
     from feathr_spark.operators.dedup import simhash_pairs
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -625,37 +626,84 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: LSH-bucketed top-k (approximate -> rows-only check)."""
+    """Scale-path ANN: multi-table LSH top-k (12 tables x 4 planes;
+    approximate -> rows-only check; recall gated by ann_lsh_recall)."""
     _utc(spark)
     from feathr_spark.operators.similarity import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 20)
-    return lsh_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4)
+    return lsh_topk(emb, queries_df, "embedding", "vec_id", k=5, n_planes=4,
+                    n_tables=12)
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: IVF centroid routing (approximate -> rows-only)."""
+    """Scale-path ANN: IVF centroid routing (approximate -> rows-only;
+    recall gated by ann_ivf_recall)."""
     _utc(spark)
     from feathr_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 20)
     return ivf_topk(emb, queries_df, "embedding", "vec_id", k=5,
-                    n_centroids=16, n_probe=4)
+                    n_centroids=16, n_probe=8)
+
+
+LSH_RECALL_FLOOR = 0.75   # measured 0.87 (sf0.001) / 0.81 (sf0.01)
+IVF_RECALL_FLOOR = 0.60   # measured 0.70 (sf0.001) / 0.66 (sf0.01)
+
+
+def _recall_gate(spark: SparkSession, sf_dir: str, approx: DataFrame,
+                 metric: str, floor: float) -> DataFrame:
+    """recall@5 of an approximate top-k vs the exact brute-force result,
+    asserted against a stated floor. Both sides are deterministic, so the
+    boolean is stable; the oracle is the constant expectation row — a red
+    CORRECTNESS entry means recall dropped below the floor."""
+    from feathr_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries_df, "embedding", "vec_id", k=5) \
+        .select("query_id", "neighbor_id")
+    hits = approx.select("query_id", "neighbor_id") \
+        .join(exact, ["query_id", "neighbor_id"]) \
+        .agg(F.count("*").alias("__h"))
+    total = exact.agg(F.count("*").alias("__t"))
+    return hits.crossJoin(total).select(
+        F.lit(metric).alias("metric"),
+        F.lit(floor).cast("double").alias("floor"),
+        (F.col("__h") / F.col("__t") >= F.lit(floor)).alias("passes"))
+
+
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate: multi-table LSH top-5 must retrieve >= 75% of the exact
+    cosine top-5 set (quantified-accuracy contract for the approximate
+    path)."""
+    _utc(spark)
+    return _recall_gate(spark, sf_dir, q_ann_lsh_topk(spark, sf_dir),
+                        "lsh_recall_at_5", LSH_RECALL_FLOOR)
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate: IVF(16 lists, 8 probes) top-5 must retrieve >= 60% of
+    the exact cosine top-5 set."""
+    _utc(spark)
+    return _recall_gate(spark, sf_dir, q_ann_ivf_topk(spark, sf_dir),
+                        "ivf_recall_at_5", IVF_RECALL_FLOOR)
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInPandas decode
-    (deterministic fake codec) -> typed metadata + feature vector.
-    Arrow-batched, partition-local; rows-only check (not SQL-expressible)."""
+    (deterministic md5-based fake codec) -> typed metadata + feature
+    vector. Arrow-batched, partition-local; the decoder derives metadata
+    from a portable md5-prefix hash, so DuckDB reproduces width/height/
+    feat_dim exactly (full hash-level oracle for the plumbing)."""
     _utc(spark)
     from feathr_spark.operators.multimodal import decode_images
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     binaries = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
     out = decode_images(binaries, "payload")
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
-                      F.col("meta.width").alias("width"),
-                      F.col("meta.height").alias("height"),
-                      F.size("features").alias("feat_dim"))
+                      F.col("meta.width").cast("bigint").alias("width"),
+                      F.col("meta.height").cast("bigint").alias("height"),
+                      F.size("features").cast("bigint").alias("feat_dim"))
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "multimodal_decode": q_multimodal_decode,
     }
 
@@ -875,6 +925,55 @@ SELECT ia AS id_a, ib AS id_b,
        CAST(ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+"""
+
+# SimHash mirror: identical normalization / word-3-gram / portable 60-bit
+# md5-prefix hash / per-bit votes / 4x15 banding / hamming verify as
+# feathr_spark.operators.dedup.simhash_pairs.
+_SIMHASH_SQL = """
+WITH norm AS (
+    SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(range(1, greatest(len(w) - 1, 2)),
+                                 i -> array_to_string(w[i:i+2], ' '))) AS s
+    FROM norm
+), h AS (
+    SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS hv FROM sh
+), v AS (
+    SELECT doc_id, bit,
+           SUM(CASE WHEN (hv >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+    FROM h, (SELECT unnest(range(60)) AS bit)
+    GROUP BY doc_id, bit
+), sig AS (
+    SELECT doc_id,
+           SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS sim
+    FROM v GROUP BY doc_id
+), banded AS (
+    SELECT doc_id, sim, band, (sim >> (band * 15)) & 32767 AS bucket
+    FROM sig, (SELECT unnest(range(4)) AS band)
+), cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           l.sim AS sim_a, r.sim AS sim_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+"""
+
+# Fake-codec mirror: width/height derive from the same 60-bit md5 prefix of
+# the utf-8 payload bytes as fake_image_decoder; feat_dim is the fixed
+# 16-dim feature vector length.
+_MULTIMODAL_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16 + h % 1024 AS BIGINT) AS width,
+       CAST(16 + (h // 1024) % 1024 AS BIGINT) AS height,
+       CAST(16 AS BIGINT) AS feat_dim
+FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents)
 """
 
 _ANN_SQL = """
@@ -1062,8 +1161,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split": _hash_split_oracle(),
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
+        "simhash_pairs": _SIMHASH_SQL,
+        "multimodal_decode": _MULTIMODAL_SQL,
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
+        "ann_lsh_recall": f"""
+            SELECT 'lsh_recall_at_5' AS metric,
+                   CAST({LSH_RECALL_FLOOR} AS DOUBLE) AS floor,
+                   true AS passes
+        """,
+        "ann_ivf_recall": f"""
+            SELECT 'ivf_recall_at_5' AS metric,
+                   CAST({IVF_RECALL_FLOOR} AS DOUBLE) AS floor,
+                   true AS passes
+        """,
         **_text_oracles(),
         "window_elementwise": """
             SELECT o.event_id AS event_id,

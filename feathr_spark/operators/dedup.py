@@ -37,6 +37,16 @@ def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
+def portable_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit hash: the first 15 hex chars of md5 as a
+    non-negative bigint. Identical in Spark (``conv(substr(md5(x),1,15),
+    16,10)``) and DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``) —
+    the base hash for pipelines that need an independent SQL oracle
+    (SimHash, fake multimodal codec). 60 bits keeps the value inside a
+    signed int64 with no sign-bit special cases."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Hash-repartition on the id before expensive per-row work.
 
@@ -285,13 +295,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify=True)
 
 
-def simhash64(col: Column, k: int = 3, n_bits: int = 64) -> Column:
-    """64-bit SimHash over word k-shingles: bit i of the result is the sign
-    of the vote sum over shingle-hash bit i. Bit loop is unrolled in Python
-    (Spark disallows nested higher-order lambdas); each vote is a builtin
-    ``aggregate`` over the shared shingle-hash array."""
+SIMHASH_BITS = 60  # 60-bit signature: portable_hash64 range, 4 bands x 15
+
+
+def simhash64(col: Column, k: int = 3, n_bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over word k-shingles: bit i of the result is the sign of the
+    vote sum over shingle-hash bit i. 60-bit by default (portable_hash64
+    base — the whole pipeline is reproducible in any md5-capable engine,
+    which is what gives simhash_pairs an independent SQL oracle). Bit loop
+    is unrolled in Python (Spark disallows nested higher-order lambdas);
+    each vote is a builtin ``aggregate`` over the shared shingle-hash
+    array."""
     hashes = word_ngrams(col, k)
-    hvals = F.transform(hashes, lambda s: F.xxhash64(s))
+    hvals = F.transform(hashes, lambda s: portable_hash64(s))
 
     def vote_fn(mask: int):
         return lambda acc, h: acc + F.when(
@@ -300,8 +316,6 @@ def simhash64(col: Column, k: int = 3, n_bits: int = 64) -> Column:
     out = F.lit(0).cast("bigint")
     for i in range(n_bits):
         mask = 1 << i
-        if mask >= 1 << 63:  # sign bit: wrap to two's-complement int64
-            mask -= 1 << 64
         vote = F.aggregate(hvals, F.lit(0).cast("bigint"), vote_fn(mask))
         out = out.bitwiseOR(F.when(vote > 0, F.lit(mask).cast("bigint"))
                             .otherwise(F.lit(0).cast("bigint")))
@@ -314,45 +328,42 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Bulk 64-bit SimHash: explode word k-shingles → ``groupBy(id)`` with
-    64 per-bit vote sums → compose the signature. Same result as
-    ``simhash64`` but each aggregate is a tiny codegen'd expression with
-    map-side partial aggregation (the row-local form builds 64 whole-array
+    """Bulk SimHash: explode word k-shingles → ``groupBy(id)`` with
+    ``SIMHASH_BITS`` per-bit vote sums → compose the signature. Same result
+    as ``simhash64`` but each aggregate is a tiny codegen'd expression with
+    map-side partial aggregation (the row-local form builds 60 whole-array
     ``aggregate`` calls per row — quadratically worse and codegen-hostile).
-    Returns (``__id``, ``__sim``)."""
+    Base hash is ``portable_hash64`` so the whole pipeline has an
+    independent DuckDB oracle. Returns (``__id``, ``__sim``)."""
     shingled = _shingled_frame(df, text_col, id_col, "word", k)
     tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
         .where(F.col("__s").isNotNull()) \
-        .select("__id", F.xxhash64("__s").alias("__h"))
-
-    def mask(i: int) -> int:
-        m = 1 << i
-        return m - (1 << 64) if m >= 1 << 63 else m
+        .select("__id", portable_hash64(F.col("__s")).alias("__h"))
 
     votes = tok.groupBy("__id").agg(*[
-        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(mask(i))) != 0, 1)
+        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, 1)
               .otherwise(-1)).alias(f"__v{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ])
     sim = F.lit(0).cast("bigint")
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         sim = sim.bitwiseOR(
-            F.when(F.col(f"__v{i}") > 0, F.lit(mask(i)).cast("bigint"))
+            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("bigint"))
             .otherwise(F.lit(0).cast("bigint")))
     return votes.select("__id", sim.alias("__sim"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: 4×16-bit band bucketing (any pair within
-    hamming ≤ 3 of 64 bits shares at least one exact 16-bit band by
+    """SimHash near-dup pairs: 4×15-bit band bucketing (any pair within
+    hamming ≤ 3 of 60 bits shares at least one exact 15-bit band by
     pigeonhole when the 3 differing bits fall in ≤3 bands), then exact
     hamming verification."""
     sig = simhash_signatures(df, text_col, id_col).persist()
     banded = sig.select(
         "__id", "__sim",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("__sim"), b * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("__sim"), b * 15).bitwiseAND(F.lit(0x7FFF))
             for b in range(4)
         ])).alias("__band", "__bucket"))
     left, right = banded.alias("l"), banded.alias("r")

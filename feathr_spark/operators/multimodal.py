@@ -51,21 +51,22 @@ VIDEO_META = StructType([
 
 def fake_image_decoder(payload: bytes) -> dict:
     """Deterministic stand-in for an image codec: derives metadata and a
-    16-dim feature vector from the bytes themselves. Real deployments pass
-    e.g. a PIL-based decoder with the same signature."""
+    16-dim feature vector from a 60-bit md5 prefix of the bytes — the same
+    ``portable_hash64`` scheme as dedup, so an independent SQL engine can
+    reproduce every derived value (``('0x'||substr(md5(x),1,15))::BIGINT``
+    in DuckDB). Real deployments pass e.g. a PIL-based decoder with the
+    same signature."""
     if payload is None:
         return {"width": None, "height": None, "channels": None,
                 "format": None, "features": None}
-    n = len(payload)
-    h = 0
-    for b in payload[:64]:
-        h = (h * 131 + b) % (1 << 31)
+    import hashlib
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
     return {
         "width": 16 + h % 1024,
         "height": 16 + (h // 1024) % 1024,
         "channels": 3,
         "format": "fake",
-        "features": [float((h >> i) & 0xFF) / 255.0 for i in range(16)],
+        "features": [float((h >> (i * 2)) & 0xFF) / 255.0 for i in range(16)],
     }
 
 

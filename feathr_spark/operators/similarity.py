@@ -38,11 +38,12 @@ def cosine(a: Column, b: Column) -> Column:
 # efficiently. Keep vector math in HOFs.
 
 
-def _planes(n_planes: int, dim: int) -> List[List[float]]:
+def _planes(n_planes: int, dim: int, seed: int = 0) -> List[List[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (LCG-based — no RNG
-    state, reproducible everywhere)."""
+    state, reproducible everywhere). ``seed`` derives independent plane
+    families for multi-table LSH."""
     out = []
-    state = 0x853C49E6748FEA9B
+    state = (0x853C49E6748FEA9B + 0x9E3779B97F4A7C15 * seed) % (1 << 63)
     for _ in range(n_planes):
         v = []
         for _ in range(dim):
@@ -52,10 +53,11 @@ def _planes(n_planes: int, dim: int) -> List[List[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64) -> Column:
+def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64,
+               seed: int = 0) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i). Returns a
     bigint bucket id. Planes are fixed literals — evaluated JVM-side."""
-    planes = _planes(n_planes, dim)
+    planes = _planes(n_planes, dim, seed)
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(x) for x in p])
@@ -149,19 +151,30 @@ def lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket
-    (plus exact rescoring within it). ~2^-planes of the corpus per query.
-    Recall depends on bucket granularity; intended as the scale path where
-    brute force is infeasible."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket(s)
+    (plus exact rescoring within them). One table scans ~2^-planes of the
+    corpus per query; ``n_tables`` independent plane families (standard
+    multi-table LSH) union their buckets before rescoring, trading scan
+    fraction (~L/2^planes) for recall — the knob that makes hyperplane LSH
+    usable on weakly-clustered embeddings. Candidate dedup happens on the
+    (query_id, neighbor_id) pair before any scoring."""
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
-                      F.col(vec_col).cast("array<double>").alias("__cv")) \
-        .withColumn("__bucket", lsh_bucket(F.col("__cv"), n_planes, dim))
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"),
-                       F.col(vec_col).cast("array<double>").alias("__qv")) \
-        .withColumn("__bucket", lsh_bucket(F.col("__qv"), n_planes, dim))
-    joined = c.join(F.broadcast(q), on="__bucket") \
-        .where(F.col("query_id") != F.col("neighbor_id"))
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+    # one (table, bucket) row per input row per table; join key carries the
+    # table id so buckets from different plane families never collide
+    c_b = c.select("neighbor_id", "__cv", F.posexplode(F.array(*[
+        lsh_bucket(F.col("__cv"), n_planes, dim, seed=t) for t in range(n_tables)
+    ])).alias("__table", "__bucket"))
+    q_b = q.select("query_id", "__qv", F.posexplode(F.array(*[
+        lsh_bucket(F.col("__qv"), n_planes, dim, seed=t) for t in range(n_tables)
+    ])).alias("__table", "__bucket"))
+    joined = c_b.join(F.broadcast(q_b), on=["__table", "__bucket"]) \
+        .where(F.col("query_id") != F.col("neighbor_id")) \
+        .dropDuplicates(["query_id", "neighbor_id"])
     scored = joined.select("query_id", "neighbor_id",
                            cosine(F.col("__qv"), F.col("__cv")).alias("__score"))
     w = Window.partitionBy("query_id").orderBy(

@@ -30,18 +30,24 @@ def test_minhash_finds_near_dups_not_distinct(spark):
 
 
 def test_simhash_hamming(spark):
-    from feathr_spark.operators.dedup import simhash_pairs
+    from feathr_spark.operators.dedup import simhash_pairs, simhash_signatures
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lambda mu nu xi omicron pi rho sigma tau upsilon")
     df = spark.createDataFrame([
         Row(doc_id=1, text=base),
-        Row(doc_id=2, text=base + " phi"),   # tiny edit
+        # appending " the" measures hamming 3 under the portable md5 hash —
+        # inside the 4x15-band pigeonhole guarantee (any pair with hamming
+        # <= 3 of 60 bits shares at least one exact band)
+        Row(doc_id=2, text=base + " the"),
         Row(doc_id=3, text="unrelated words entirely different vocabulary set here now"),
     ])
-    pairs = simhash_pairs(df, max_hamming=10)
-    got = [(p.id_a, p.id_b) for p in pairs.collect()]
-    assert (1, 2) in got
-    assert (1, 3) not in got and (2, 3) not in got
+    pairs = {(p.id_a, p.id_b): p.hamming
+             for p in simhash_pairs(df, max_hamming=3).collect()}
+    assert (1, 2) in pairs and 1 <= pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    # signatures discriminate: near-dup distance far below unrelated
+    sig = {r["__id"]: r["__sim"] for r in simhash_signatures(df).collect()}
+    assert bin(sig[1] ^ sig[2]).count("1") < bin(sig[1] ^ sig[3]).count("1")
 
 
 def test_cosine_topk_exact(spark):

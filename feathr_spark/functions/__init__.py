@@ -60,17 +60,39 @@ def feathr_expr(expr: str):
 
 
 def rewrite_feathr_expr(expr: str) -> str:
-    """Fallback textual rewrite of Feathr helpers into ANSI casts.
+    """Textual rewrite of Feathr helpers into ANSI casts.
 
-    Used for oracle SQL generation and for engines where SQL UDF DDL is
-    unavailable. Handles non-nested parenthesized calls.
-    """
-    out = expr
-    for name, template in _SHIMS.items():
-        pattern = re.compile(rf"\b{name}\s*\(([^()]*)\)")
-        while True:
-            new = pattern.sub(lambda m: template.format(m.group(1)), out)
-            if new == out:
-                break
-            out = new
-    return out
+    Used for every planner-built expression (and oracle SQL generation).
+    Handles arbitrarily nested calls — ``cast_float(coalesce(a, b))``,
+    ``cast_int(cast_float(x))`` — via a balanced-paren scan that skips
+    parens inside single-quoted string literals. Raises on an unclosed
+    call rather than silently falling through to the string-typed SQL-UDF
+    shim (which would round-trip numerics through STRING)."""
+    call_re = re.compile(rf"\b({'|'.join(_SHIMS)})\s*\(")
+
+    def rewrite(s: str) -> str:
+        m = call_re.search(s)
+        if m is None:
+            return s
+        name, open_p = m.group(1), m.end() - 1
+        depth, j, in_str = 0, open_p, False
+        while j < len(s):
+            c = s[j]
+            if in_str:
+                in_str = c != "'"
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError(f"unbalanced parentheses in {name}(...): {s!r}")
+        inner = rewrite(s[open_p + 1:j])
+        return (s[:m.start()] + _SHIMS[name].format(inner)
+                + rewrite(s[j + 1:]))
+
+    return rewrite(expr)

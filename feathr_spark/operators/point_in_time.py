@@ -40,7 +40,6 @@ from .aggregations import make_agg, simple_agg
 
 _T = "__feathr_t"          # epoch millis ordering column
 _TAG = "__feathr_is_obs"   # 1 = observation row, NULL = source row
-_OID = "__feathr_obs_id"   # per-observation-row id (interval-join strategy)
 
 
 @dataclass(frozen=True)
@@ -78,11 +77,17 @@ def point_in_time_aggregate(
       hot entity key: window functions need a key's full history in one
       task and AQE cannot split it.
     * ``"interval_join"`` — shuffled equi-join on the key + range predicate
-      + groupBy(observation id). Output is O(|obs| × rows-per-window), but
-      AQE's skew-join splitting applies, so a single mega-key spreads over
-      many tasks. Pick this when key skew dominates.
+      + groupBy(distinct key/timestamp combo). Output is O(|obs| ×
+      rows-per-window), but AQE's skew-join splitting applies, so a single
+      mega-key spreads over many tasks. Pick this when key skew dominates.
 
-    Both strategies compute identical results (property-tested).
+    Both strategies compute identical results (property-tested, including
+    null keys/timestamps).
+
+    NULL semantics (both strategies, matching SQL join semantics as the
+    reference's Spark join does): source rows with a NULL entity key or
+    NULL timestamp never contribute to any window; observation rows with a
+    NULL key or timestamp get empty-window aggregates (NULL, COUNT 0).
     """
     simple = [s for s in specs if s.transform.group_by is None]
     grouped = [s for s in specs if s.transform.group_by is not None]
@@ -133,6 +138,14 @@ def _union_window(
             for vc, (de, flt) in uniq_specs.items()
         ],
     )
+    # NULL-key/NULL-ts source rows never contribute (SQL join semantics —
+    # Window.partitionBy would otherwise group NULL keys together and
+    # aggregate them, diverging from the interval-join strategy and the
+    # reference's join behavior).
+    null_free = F.col(_T).isNotNull()
+    for k in obs_keys:
+        null_free = null_free & F.col(k).isNotNull()
+    src_proj = src_proj.where(null_free)
     obs_tagged = obs.withColumn(_T, F.unix_millis(F.col(obs_ts).cast("timestamp"))).withColumn(_TAG, F.lit(1))
     unioned = obs_tagged.unionByName(src_proj, allowMissingColumns=True)
 
@@ -164,26 +177,33 @@ def _interval_join_simple(
     specs: Sequence[WindowFeatureSpec],
 ) -> DataFrame:
     """Skew-tolerant strategy: equi-join on keys, range predicate, one
-    groupBy(observation id) computing every spec's aggregate. AQE can split
-    a skewed key's join output across tasks (unlike a window partition).
-    LEFT join keeps observation rows with an empty window (aggregates
-    null/0 as in the window strategy)."""
+    groupBy per distinct (key-tuple, timestamp) computing every spec's
+    aggregate, then a deterministic attach join back onto the observation
+    frame. AQE can split a skewed key's join output across tasks (unlike a
+    window partition). LEFT join keeps combos with an empty window
+    (aggregates null/0 as in the window strategy).
+
+    The aggregate is a pure function of (keys, event time), so it is
+    computed once per DISTINCT combo — never per observation row (repeated
+    observations are free) — and the attach join needs no synthetic row id
+    (``monotonically_increasing_id`` is order-dependent and can disagree
+    between two evaluations of the same plan when lineage contains a
+    shuffle, silently mis-attaching features)."""
     max_w = max(s.transform.window_ms for s in specs)
-    obs_id = obs.withColumn(_OID, F.monotonically_increasing_id())
-    left = obs_id.select(
-        _OID,
-        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(obs_keys)],
+    kcols = [f"__k{i}" for i in range(len(obs_keys))]
+    left = obs.select(
+        *[F.col(k).alias(a) for k, a in zip(obs_keys, kcols)],
         F.unix_millis(F.col(obs_ts).cast("timestamp")).alias("__ot"),
-    )
+    ).distinct()
     right = source.select(
-        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(src_keys)],
+        *[F.col(k).alias(a) for k, a in zip(src_keys, kcols)],
         F.unix_millis(F.col(src_ts).cast("timestamp")).alias("__st"),
         *[_value_col(s.transform).alias(f"__v{i}") for i, s in enumerate(specs)],
     )
-    cond = [left[f"__k{i}"] == right[f"__k{i}"] for i in range(len(obs_keys))]
-    # range predicate INSIDE the left-join condition: observation rows whose
-    # matches all fall outside the window survive with nulls (count 0),
-    # exactly like an empty window frame.
+    cond = [left[a] == right[a] for a in kcols]
+    # range predicate INSIDE the left-join condition: combos whose matches
+    # all fall outside the window survive with nulls (count 0), exactly
+    # like an empty window frame.
     cond.append((right["__st"] > left["__ot"] - max_w) & (right["__st"] <= left["__ot"]))
     joined = left.join(right, cond, "left")
     aggs = []
@@ -193,8 +213,15 @@ def _interval_join_simple(
         if wms != max_w:  # narrower windows mask values outside their range
             v = F.when(F.col("__st") > F.col("__ot") - wms, v)
         aggs.append(simple_agg(s.transform.agg_func, v, F.col("__st")).alias(s.out_name))
-    per_obs = joined.groupBy(_OID).agg(*aggs)
-    return obs_id.join(per_obs, _OID, "left").drop(_OID)
+    per_combo = joined.groupBy(*[left[a] for a in kcols], left["__ot"]).agg(*aggs)
+    # null-SAFE attach: a NULL-key/NULL-ts observation row still matches its
+    # distinct combo row, whose source join found nothing (NULL condition),
+    # i.e. it receives empty-window aggregates (COUNT 0) exactly like the
+    # union-window strategy — not a missing match.
+    attach = [obs[k].eqNullSafe(per_combo[a]) for k, a in zip(obs_keys, kcols)]
+    attach.append(F.unix_millis(F.col(obs_ts).cast("timestamp"))
+                  .eqNullSafe(per_combo["__ot"]))
+    return obs.join(per_combo, attach, "left").drop(*kcols, "__ot")
 
 
 def _interval_join_grouped(
@@ -208,37 +235,42 @@ def _interval_join_grouped(
 ) -> DataFrame:
     """group_by sub-clause (+ optional limit top-k): result per observation
     row is a group→aggregate mapping, represented as an array of
-    ``struct<group, value>`` sorted by group for deterministic output."""
+    ``struct<group, value>`` sorted by group for deterministic output.
+    Same deterministic distinct-(keys, ts) frame as the simple interval
+    join — no synthetic row ids."""
     t = spec.transform
     wms = t.window_ms
 
-    obs_id = obs.withColumn(_OID, F.monotonically_increasing_id())
-    left = obs_id.select(
-        _OID,
-        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(obs_keys)],
+    kcols = [f"__k{i}" for i in range(len(obs_keys))]
+    left = obs.select(
+        *[F.col(k).alias(a) for k, a in zip(obs_keys, kcols)],
         F.unix_millis(F.col(obs_ts).cast("timestamp")).alias("__ot"),
-    )
+    ).distinct()
     right = source.select(
-        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(src_keys)],
+        *[F.col(k).alias(a) for k, a in zip(src_keys, kcols)],
         F.unix_millis(F.col(src_ts).cast("timestamp")).alias("__st"),
         _value_col(t).alias("__v"),
         feathr_expr(t.group_by).alias("__g"),
     )
-    cond = [left[f"__k{i}"] == right[f"__k{i}"] for i in range(len(obs_keys))]
+    cond = [left[a] == right[a] for a in kcols]
     joined = left.join(right, cond, "inner").where(
         (F.col("__st") > F.col("__ot") - wms) & (F.col("__st") <= F.col("__ot"))
     )
-    per_group = joined.groupBy(_OID, "__g").agg(
+    combo = [left[a] for a in kcols] + [left["__ot"]]
+    per_group = joined.groupBy(*combo, "__g").agg(
         simple_agg(t.agg_func, F.col("__v"), F.col("__st")).alias("__gv")
     )
     if t.limit is not None:
-        rank_w = Window.partitionBy(_OID).orderBy(F.col("__gv").desc(), F.col("__g").asc())
+        rank_w = Window.partitionBy(*kcols, "__ot").orderBy(
+            F.col("__gv").desc(), F.col("__g").asc())
         per_group = per_group.withColumn("__rn", F.row_number().over(rank_w)) \
             .where(F.col("__rn") <= t.limit).drop("__rn")
-    per_obs = per_group.groupBy(_OID).agg(
+    per_combo = per_group.groupBy(*kcols, "__ot").agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("__g").alias("group"),
                                     F.col("__gv").alias("value")))
         ).alias(spec.out_name)
     )
-    return obs_id.join(per_obs, _OID, "left").drop(_OID)
+    attach = [obs[k] == per_combo[a] for k, a in zip(obs_keys, kcols)]
+    attach.append(F.unix_millis(F.col(obs_ts).cast("timestamp")) == per_combo["__ot"])
+    return obs.join(per_combo, attach, "left").drop(*kcols, "__ot")

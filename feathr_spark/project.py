@@ -259,15 +259,28 @@ class FeathrProject:
                 twp = anchor.source.time_window_parameters
                 raw_ts_type = dict(src_df.dtypes).get(
                     twp.timestamp_column) if twp else None
+                # Naive-datetime literals (and ntz casts) are interpreted in
+                # the SESSION timezone — build the wall-clock literal there,
+                # not in UTC, or a non-UTC session shifts the pushed-down
+                # bound by the tz offset and silently prunes in-window rows.
+                sess_tz = None
+                try:
+                    from zoneinfo import ZoneInfo
+                    tz_name = src_df.sparkSession.conf.get(
+                        "spark.sql.session.timeZone")
+                    sess_tz = ZoneInfo(tz_name)
+                except Exception:
+                    pass  # unparseable tz (e.g. GMT+08:00) → no pushdown form
                 if twp and twp.timestamp_column_format is None and \
-                        raw_ts_type in ("timestamp", "timestamp_ntz"):
+                        raw_ts_type in ("timestamp", "timestamp_ntz") and \
+                        sess_tz is not None:
                     # Predicate on the RAW column with timestamp literals —
                     # this form reaches parquet PushedFilters (row-group +
                     # partition pruning); an expression like
                     # unix_millis(cast(...)) does not.
-                    from datetime import datetime as _dt, timezone as _tz
-                    lo_lit = _dt.fromtimestamp(lo_ms / 1000, tz=_tz.utc).replace(tzinfo=None)
-                    hi_lit = _dt.fromtimestamp(hi_ms / 1000, tz=_tz.utc).replace(tzinfo=None)
+                    from datetime import datetime as _dt
+                    lo_lit = _dt.fromtimestamp(lo_ms / 1000, tz=sess_tz).replace(tzinfo=None)
+                    hi_lit = _dt.fromtimestamp(hi_ms / 1000, tz=sess_tz).replace(tzinfo=None)
                     raw = F.col(twp.timestamp_column)
                     lo_c = F.lit(lo_lit).cast(raw_ts_type)  # match ntz/ltz exactly
                     hi_c = F.lit(hi_lit).cast(raw_ts_type)

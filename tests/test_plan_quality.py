@@ -21,7 +21,6 @@ BROADCAST_LOOP_OK = {
     "ann_topk",          # corpus × broadcast(query set)
     "ann_lsh_topk",      # bucket-joined, query side broadcast
     "ann_ivf_topk",      # probed inverted lists × broadcast(queries)
-    "embedding_cosine_pairs",  # in-bucket pairs, `<` on ids after bucket equi-join
     "ann_lsh_recall",    # embeds ann_topk's exact scoring + 1-row×1-row crossJoin
     "ann_ivf_recall",    # same
 }

@@ -55,6 +55,38 @@ def _value_col(t: WindowAggTransform) -> Column:
     return v
 
 
+def choose_pit_strategy(
+    source: DataFrame,
+    src_keys: Sequence[str],
+    sample_rows: int = 100_000,
+    hot_share: float = 0.2,
+) -> str:
+    """Pick the physical PIT strategy from a sampled key-skew statistic.
+
+    A window function needs an entity key's entire history in ONE task —
+    a pathologically hot key (bot account, null-like sentinel id) pins a
+    partition no matter how many executors exist, and AQE cannot split a
+    window partition. The interval join, by contrast, is a shuffled
+    equi-join whose skewed key AQE splits across tasks. So: sample up to
+    ``sample_rows`` source rows (key columns only — pruned scan), and if
+    the most frequent key tuple holds ≥ ``hot_share`` of the sample,
+    return ``"interval_join"``; else ``"union_window"``.
+
+    Cost: one small aggregate job at plan time over a column-pruned
+    sampled scan (LocalLimit short-circuits the read). The sample is
+    per-partition-prefix rather than uniform — fine for a coarse
+    one-key-dominates signal; borderline skew just below the threshold
+    still runs union_window correctly.
+    """
+    sample = source.select(*src_keys).limit(sample_rows)
+    top = (sample.groupBy(*src_keys).count()
+           .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
+           .first())
+    if not top or not top.n:
+        return "union_window"
+    return "interval_join" if top.mx / top.n >= hot_share else "union_window"
+
+
 def point_in_time_aggregate(
     obs: DataFrame,
     source: DataFrame,
@@ -63,7 +95,7 @@ def point_in_time_aggregate(
     obs_ts: str,
     src_ts: str,
     specs: Sequence[WindowFeatureSpec],
-    strategy: str = "union_window",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Attach one column per spec to ``obs``.
 
@@ -72,7 +104,10 @@ def point_in_time_aggregate(
 
     ``strategy`` selects the physical plan for simple (non-group_by) specs:
 
-    * ``"union_window"`` (default) — one shuffle+sort, no row explosion;
+    * ``"auto"`` (default) — :func:`choose_pit_strategy` samples the
+      source's key distribution and picks ``interval_join`` when one key
+      tuple dominates (≥20% of the sample), else ``union_window``.
+    * ``"union_window"`` — one shuffle+sort, no row explosion;
       the right choice almost always. Its one weakness is a pathologically
       hot entity key: window functions need a key's full history in one
       task and AQE cannot split it.
@@ -93,6 +128,8 @@ def point_in_time_aggregate(
     grouped = [s for s in specs if s.transform.group_by is not None]
     out = obs
     if simple:
+        if strategy == "auto":
+            strategy = choose_pit_strategy(source, src_keys)
         if strategy == "interval_join":
             out = _interval_join_simple(out, source, obs_keys, src_keys,
                                         obs_ts, src_ts, simple)

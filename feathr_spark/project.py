@@ -129,7 +129,7 @@ class FeathrProject:
         observation_settings: Optional[ObservationSettings] = None,
         spark: Optional[SparkSession] = None,
         time_prune: bool = False,
-        pit_strategy: str = "union_window",
+        pit_strategy: str = "auto",
     ) -> DataFrame:
         """Point-in-time-correct LEFT feature join onto the observation
         frame (reference project.rs:248-278). Returns a lazy DataFrame.
@@ -142,8 +142,10 @@ class FeathrProject:
         source (self-join shape) where it prunes nothing.
 
         ``pit_strategy`` selects the windowed-feature physical plan:
-        ``"union_window"`` (default — one shuffle+sort, no row explosion)
-        or ``"interval_join"`` (AQE-skew-splittable; pick when one entity
+        ``"auto"`` (default — samples the source key distribution and
+        switches to the skew-tolerant plan when one key dominates),
+        ``"union_window"`` (one shuffle+sort, no row explosion) or
+        ``"interval_join"`` (AQE-skew-splittable; pick when one entity
         key dominates the source). See operators.point_in_time.
         """
         self._time_prune = time_prune
@@ -293,7 +295,7 @@ class FeathrProject:
             obs_keys=list(obs_keys), src_keys=list(src_keys),
             obs_ts=EVENT_TS_COL, src_ts=EVENT_TS_COL,
             specs=specs,
-            strategy=getattr(self, "_pit_strategy", "union_window"),
+            strategy=getattr(self, "_pit_strategy", "auto"),
         )
 
     def to_feature_config(self) -> dict:

@@ -265,6 +265,39 @@ def test_interval_join_strategy_matches_union_window(spark, tiny):
     assert k3[3] is None and k3[5] == 0
 
 
+def test_auto_strategy_switches_on_hot_key(spark):
+    """choose_pit_strategy picks the AQE-skew-splittable interval join
+    when one entity key dominates the source, union_window on a uniform
+    key distribution — and the auto-selected plan computes the same
+    values either way (strategy equality is proven separately)."""
+    from feathr_spark.operators.point_in_time import choose_pit_strategy
+    hot = spark.createDataFrame(
+        [Row(k=1 if i % 10 else 2, t=ts("2024-01-01 00:00:00")
+             + dt.timedelta(hours=i), v=float(i)) for i in range(400)])
+    uniform = spark.createDataFrame(
+        [Row(k=i % 40, t=ts("2024-01-01 00:00:00")
+             + dt.timedelta(hours=i), v=float(i)) for i in range(400)])
+    assert choose_pit_strategy(hot, ["k"]) == "interval_join"
+    assert choose_pit_strategy(uniform, ["k"]) == "union_window"
+
+    # the auto default end-to-end on the hot frame matches the explicit
+    # union_window answer
+    def run(strategy):
+        p = FeathrProject("t", spark)
+        src = DataFrameSource(name="src", df=hot, time_window_parameters=
+                              TimeWindowParameters(timestamp_column="t"))
+        p.register_anchor(FeatureAnchor(name="a", source=src, features=[
+            Feature(name="f_sum", transform=WindowAggTransform(
+                "v", Aggregation.SUM, "2d"), key=[TypedKey(key_column="k")]),
+        ]))
+        return sorted([tuple(r) for r in p.get_offline_features(
+            ObservationSettings(timestamp_column="t").with_event_ts(hot),
+            FeatureQuery(["f_sum"]), pit_strategy=strategy).collect()],
+            key=repr)
+
+    assert run("auto") == run("union_window")
+
+
 def test_strategies_agree_on_null_keys_and_ts(spark, tiny):
     """NULL entity keys / NULL timestamps: source rows with NULLs never
     contribute to any window (SQL join semantics), and NULL-key/-ts

@@ -26,6 +26,9 @@ from .model import (
     WindowAggTransform,
     parse_duration_ms,
 )
+from .configio import (
+    JoinRequest, from_feature_config, from_join_config, from_lineage,
+)
 from .project import FeathrProject, FeatureQuery
 from .source import (
     INPUT_CONTEXT,
@@ -47,7 +50,8 @@ __all__ = [
     "FeatureAnchor", "FeatureQuery", "FeathrProject", "FeatureType",
     "GenericSink", "GenericSource", "HdfsSink", "HdfsSource",
     "INPUT_CONTEXT", "InputContext", "JdbcSource", "KafkaSource",
-    "MaterializationSettings", "ObservationSettings", "RedisSink",
-    "TimeWindowParameters", "TypedKey", "UdfTransform", "ValueType",
-    "WindowAggTransform", "parse_duration_ms",
+    "JoinRequest", "MaterializationSettings", "ObservationSettings",
+    "RedisSink", "TimeWindowParameters", "TypedKey", "UdfTransform",
+    "ValueType", "WindowAggTransform", "from_feature_config",
+    "from_join_config", "from_lineage", "parse_duration_ms",
 ]

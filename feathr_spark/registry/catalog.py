@@ -16,6 +16,7 @@ This is a metadata concern, not a dataflow concern — no Spark imports.
 from __future__ import annotations
 
 import json
+import re
 import sqlite3
 import uuid
 from collections import deque
@@ -216,17 +217,69 @@ class Registry:
         return [by_id[i] for i in order if i in by_id]
 
     # -- search -------------------------------------------------------
-    def search(self, query: str, entity_type: Optional[EntityType] = None
-               ) -> List[Entity]:
-        """Case-insensitive substring search over qualified names and
-        attributes (stand-in for the reference's Tantivy FTS index)."""
-        q = query.lower()
-        out = []
+    #
+    # Tokenized, prefix-capable, field-weighted search approximating the
+    # reference's Tantivy FTS (registry/sql-provider/src/fts.rs:59-265):
+    # the name field is indexed separately from the attribute body and
+    # scores higher, query terms AND together, and each term matches a
+    # token exactly or as a prefix (Tantivy's en_stem tokenizer reduces
+    # inflections; prefix matching covers the same "feature" ~ "features"
+    # ground without a stemmer dependency).
+
+    @staticmethod
+    def _tokenize(text: str) -> List[str]:
+        """Lowercased tokens split on non-alphanumerics AND camelCase
+        boundaries, so `nycTaxiBatchSource` is findable by `taxi`."""
+        parts = re.split(r"[^0-9A-Za-z]+", text)
+        out: List[str] = []
+        for p in parts:
+            if not p:
+                continue
+            out.extend(m.group(0).lower() for m in
+                       re.finditer(r"[0-9]+|[A-Z]+(?![a-z])|[A-Z]?[a-z]+", p))
+        return out
+
+    def _search_doc(self, e: Entity) -> Tuple[set, set]:
+        """(name tokens, body tokens) for one entity."""
+        name_toks = set(self._tokenize(e.qualified_name))
+        if isinstance(e.attributes.get("name"), str):
+            name_toks |= set(self._tokenize(e.attributes["name"]))
+        body_toks = set(self._tokenize(json.dumps(e.attributes)))
+        return name_toks, body_toks
+
+    def search(self, query: str, entity_type: Optional[EntityType] = None,
+               limit: Optional[int] = None) -> List[Entity]:
+        """Multi-token AND search: every query term must hit some token
+        (exact or prefix) of the entity's name or attributes. Name-field
+        hits outrank body-only hits (fts.rs name_score boost); ties break
+        on qualified name then newest version."""
+        terms = self._tokenize(query)
+        if not terms:
+            return []
+        scored: List[Tuple[float, Entity]] = []
         for e in self._all_entities():
-            hay = (e.qualified_name + " " + json.dumps(e.attributes)).lower()
-            if q in hay and (entity_type is None or e.entity_type == entity_type):
-                out.append(e)
-        return sorted(out, key=lambda e: (e.qualified_name, -e.version))
+            if entity_type is not None and e.entity_type != entity_type:
+                continue
+            name_toks, body_toks = self._search_doc(e)
+            score = 0.0
+            for t in terms:
+                if t in name_toks:
+                    score += 3.0       # exact name token
+                elif any(tok.startswith(t) for tok in name_toks):
+                    score += 2.0       # name prefix
+                elif t in body_toks:
+                    score += 1.0       # exact body token
+                elif any(tok.startswith(t) for tok in body_toks):
+                    score += 0.5       # body prefix
+                else:
+                    score = 0.0
+                    break              # AND semantics: every term must hit
+            if score > 0:
+                scored.append((score, e))
+        scored.sort(key=lambda se: (-se[0], se[1].qualified_name,
+                                    -se[1].version))
+        out = [e for _, e in scored]
+        return out[:limit] if limit else out
 
     # -- project round-trip (reference project.rs:742-846) -------------
     def register_project(self, project) -> Dict[str, str]:

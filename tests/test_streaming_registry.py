@@ -92,6 +92,39 @@ def test_registry_graph_and_lineage():
                for e in reg.search("f_a"))
 
 
+def test_registry_fts_search():
+    """Tokenized/prefix/field-weighted search (reference fts.rs behavior):
+    camelCase splitting, multi-token AND, prefix match, name-over-body
+    ranking."""
+    from feathr_spark.registry.catalog import EntityType, Registry
+    reg = Registry()
+    reg.create_entity("proj__nycTaxiBatchSource", EntityType.Source,
+                      {"name": "nycTaxiBatchSource", "path": "abfs://x"})
+    reg.create_entity("proj__request_features", EntityType.Anchor,
+                      {"name": "request_features"})
+    reg.create_entity("proj__f_location_avg_fare", EntityType.AnchorFeature,
+                      {"name": "f_location_avg_fare",
+                       "transformation": {"def_expr": "cast_float(fare_amount)",
+                                          "agg_func": "AVG"}})
+    # camelCase split: `taxi` finds the source
+    assert [e.qualified_name for e in reg.search("taxi")] == \
+        ["proj__nycTaxiBatchSource"]
+    # multi-token AND: both terms must hit the same entity
+    assert [e.qualified_name for e in reg.search("avg fare")] == \
+        ["proj__f_location_avg_fare"]
+    assert reg.search("avg nonexistent") == []
+    # prefix match: `loc` hits location
+    assert any(e.qualified_name == "proj__f_location_avg_fare"
+               for e in reg.search("loc"))
+    # body tokens searchable, but name hits rank first for the same term
+    hits = reg.search("fare")
+    assert hits[0].qualified_name == "proj__f_location_avg_fare"
+    # entity-type filter still applies
+    assert reg.search("taxi", entity_type=EntityType.Anchor) == []
+    # empty/no-token query returns nothing rather than everything
+    assert reg.search("  ") == []
+
+
 def test_registry_versioning():
     from feathr_spark.registry.catalog import EntityType, Registry
     reg = Registry()

@@ -135,9 +135,20 @@ def cosine_topk(
     scored = joined.select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
+    # Two-stage top-k. A single rank window would shuffle EVERY scored row
+    # onto n_query partitions — with a small query set that is a handful of
+    # hot partitions holding the whole corpus. Stage 1 ranks within
+    # (input-partition, query) — the partition id spreads the shuffle
+    # uniformly — keeping at most k rows per (partition, query); stage 2
+    # ranks the ≤ k·n_partitions·n_query survivors, which is tiny.
+    local_w = Window.partitionBy("__pid", "query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    local = (scored.withColumn("__pid", F.spark_partition_id())
+             .withColumn("__lr", F.row_number().over(local_w))
+             .where(F.col("__lr") <= k).drop("__pid", "__lr"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
+    return (local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("bigint").alias("rank"),
                     "neighbor_id", F.col("__score").alias("score")))

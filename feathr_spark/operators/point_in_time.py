@@ -76,15 +76,31 @@ def choose_pit_strategy(
     sampled scan (LocalLimit short-circuits the read). The sample is
     per-partition-prefix rather than uniform — fine for a coarse
     one-key-dominates signal; borderline skew just below the threshold
-    still runs union_window correctly.
+    still runs union_window correctly. Decisions are memoized on the
+    source plan's semantic hash, so re-planning over the same source
+    (multiple anchors, repeated jobs in one session) samples once.
     """
+    try:
+        cache_key = (source.semanticHash(), tuple(src_keys), hot_share)
+        if cache_key in _STRATEGY_CACHE:
+            return _STRATEGY_CACHE[cache_key]
+    except Exception:
+        cache_key = None
     sample = source.select(*src_keys).limit(sample_rows)
     top = (sample.groupBy(*src_keys).count()
            .agg(F.max("count").alias("mx"), F.sum("count").alias("n"))
            .first())
-    if not top or not top.n:
-        return "union_window"
-    return "interval_join" if top.mx / top.n >= hot_share else "union_window"
+    decision = "union_window"
+    if top and top.n and top.mx / top.n >= hot_share:
+        decision = "interval_join"
+    if cache_key is not None:
+        if len(_STRATEGY_CACHE) > 256:
+            _STRATEGY_CACHE.clear()
+        _STRATEGY_CACHE[cache_key] = decision
+    return decision
+
+
+_STRATEGY_CACHE: dict = {}
 
 
 def point_in_time_aggregate(

@@ -46,21 +46,29 @@ def stream_window_agg(
     ts_col: str,
     features: Sequence[Feature],
     watermark: str = "10 minutes",
+    slide: Optional[str] = None,
 ) -> DataFrame:
     """Windowed aggregation features on a stream.
 
-    Each feature's ``window`` becomes a tumbling event-time window
-    (``F.window``); ``withWatermark`` bounds state and drops late data.
+    Each feature's ``window`` becomes an event-time window (``F.window``):
+    tumbling by default, sliding when ``slide`` (a HOCON duration like
+    ``"30s"``) is given — an event then lands in window/slide overlapping
+    windows, the streaming analogue of the batch PIT frame evaluated at
+    slide granularity. ``withWatermark`` bounds state and drops data later
+    than the watermark (state for closed windows is evicted, so a
+    too-late row cannot resurrect them).
     All features must share one window length (one groupBy per call —
     call repeatedly for mixed windows; state is per (key, window)).
     Output: keys + window_start/window_end + one column per feature.
     """
+    from ..model import parse_duration_ms
     if not features:
         raise ValueError("no features")
     wms = {f.transform.window_ms for f in features}
     if len(wms) != 1:
         raise ValueError("streaming window group must share one window length")
     dur = f"{wms.pop()} milliseconds"  # Spark accepts exact-ms durations
+    slide_dur = f"{parse_duration_ms(slide)} milliseconds" if slide else None
 
     wm = stream_df.withWatermark(ts_col, watermark)
     aggs = []
@@ -71,8 +79,9 @@ def stream_window_agg(
         if t.filter:
             v = F.when(feathr_expr(t.filter), v)
         aggs.append(simple_agg(t.agg_func, v, F.col(ts_col)).alias(f.name))
-    grouped = wm.groupBy(F.window(F.col(ts_col), dur).alias("__w"), *keys) \
-        .agg(*aggs)
+    win = (F.window(F.col(ts_col), dur, slide_dur) if slide_dur
+           else F.window(F.col(ts_col), dur))
+    grouped = wm.groupBy(win.alias("__w"), *keys).agg(*aggs)
     return grouped.select(
         *keys,
         F.col("__w.start").alias("window_start"),

@@ -59,6 +59,81 @@ def test_stream_window_agg(spark, tmp_path):
     assert [r.f_sum_1m for r in rows] == [4.0, 5.0]
 
 
+def test_stream_sliding_window(spark, tmp_path):
+    """slide= makes an event contribute to every overlapping window."""
+    from feathr_spark.streaming.job import run_streaming_query, stream_window_agg
+    src_dir = str(tmp_path / "stream_slide_in")
+    df = spark.createDataFrame([
+        Row(k=1, t=ts("2024-01-01 00:00:50"), v=3.0),
+    ])
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    feats = [Feature(name="f_sum_1m",
+                     transform=WindowAggTransform("v", Aggregation.SUM, "1m"),
+                     key=[TypedKey(key_column="k")])]
+    out = stream_window_agg(stream, ["k"], "t", feats, slide="30s")
+    run_streaming_query(out, format="memory", query_name="t_slide",
+                        output_mode="complete", timeout_ms=0)
+    starts = sorted(r.window_start.strftime("%H:%M:%S")
+                    for r in spark.sql("select * from t_slide").collect())
+    assert starts == ["00:00:00", "00:00:30"]
+
+
+def test_stream_watermark_drops_late_data(spark, tmp_path):
+    """A row older than the watermark arriving in a later micro-batch
+    cannot resurrect its (already finalized) window."""
+    from feathr_spark.streaming.job import run_streaming_query, stream_window_agg
+    src_dir = tmp_path / "stream_late_in"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema_df = spark.createDataFrame(
+        [Row(k=1, t=ts("2024-01-01 00:00:10"), v=1.0)])
+
+    def build():
+        stream = spark.readStream.schema(schema_df.schema) \
+            .parquet(str(src_dir / "*"))
+        feats = [Feature(name="f_sum_1m",
+                         transform=WindowAggTransform("v", Aggregation.SUM, "1m"),
+                         key=[TypedKey(key_column="k")])]
+        return stream_window_agg(stream, ["k"], "t", feats,
+                                 watermark="10 minutes")
+
+    captured = []
+
+    def run_once(tag):
+        # memory sink cannot recover from a checkpoint; foreachBatch can,
+        # and the watermark is restored from the checkpoint on restart
+        def sink(batch_df, _bid):
+            captured.extend((tag, r.window_start.strftime("%H:%M"), r.f_sum_1m)
+                            for r in batch_df.collect())
+        q = build().writeStream.foreachBatch(sink).outputMode("update") \
+            .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+
+    # run 1: an early window + an event far enough ahead to advance the
+    # watermark (10 min delay) past the early window's end
+    schema_df.union(spark.createDataFrame(
+        [Row(k=1, t=ts("2024-01-01 01:00:00"), v=7.0)])) \
+        .coalesce(1).write.parquet(str(src_dir / "b1"))
+    run_once("r1")
+    r1 = {w: v for tag, w, v in captured if tag == "r1"}
+    assert r1["00:00"] == 1.0 and r1["01:00"] == 7.0
+
+    # run 2 (same checkpoint, watermark = 00:50): one too-late row
+    # (00:00:30) + one on-time row (01:00:30)
+    spark.createDataFrame([
+        Row(k=1, t=ts("2024-01-01 00:00:30"), v=100.0),
+        Row(k=1, t=ts("2024-01-01 01:00:30"), v=2.0),
+    ]).coalesce(1).write.parquet(str(src_dir / "b2"))
+    run_once("r2")
+    r2 = {w: v for tag, w, v in captured if tag == "r2"}
+    # the late 100.0 never reached the finalized 00:00 window...
+    assert "00:00" not in r2
+    # ...while the on-time row updated its window (7 -> 9)
+    assert r2["01:00"] == 9.0
+
+
 def test_registry_graph_and_lineage():
     from feathr_spark.registry.catalog import (
         EdgeType, EntityType, Registry, RegistryError)

@@ -568,6 +568,47 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"), "split")
 
 
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: deterministic synthetic PII (email, IPv4, phone) is
+    appended per row, then redacted with the engine-portable patterns —
+    the oracle applies the identical RE2-subset regexes, so the hash
+    check proves replacement semantics, not just plumbing."""
+    _utc(spark)
+    from feathr_spark.operators.text import redact_pii
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256), F.lit(".7"),
+            F.lit(" tel +1 (555) 000-01"), F.format_string("%02d", F.col("doc_id") % 100),
+        ).alias("text"))
+    return with_pii.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                           redact_pii(F.col("text")).alias("redacted"))
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency table: top-20 word bigrams by occurrence."""
+    _utc(spark)
+    from feathr_spark.operators.text import top_ngrams
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, "text", n=2, k=20)
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination statistic: word-3-gram containment of
+    corpus A docs (sources src0-src9) inside corpus B docs (src10-src19),
+    pairs >= 0.5."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import cross_corpus_containment
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    a = docs.where(src_num < 10)
+    b = docs.where(src_num >= 10)
+    return cross_corpus_containment(a, b, "text", "doc_id", n=3, threshold=0.5)
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (char 5-shingles, 64 perms, 21 bands x 3
     rows, exact-Jaccard verify >= 0.7). r=3 banding: P(miss) <= 1.5e-4 for
@@ -745,6 +786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
+        "pii_redact": q_pii_redact,
+        "top_ngrams": q_top_ngrams,
+        "contamination_check": q_contamination_check,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -981,6 +1025,70 @@ FROM (SELECT doc_id, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
       FROM documents)
 """
 
+# PII redaction mirror: identical pattern order and replacements; DuckDB
+# needs the 'g' flag for replace-all (Spark's regexp_replace is global).
+_PII_SQL = r"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             text || ' contact user' || doc_id || '@example.com'
+                  || ' from 10.0.' || (doc_id % 256) || '.7'
+                  || ' tel +1 (555) 000-01' || format('{:02d}', doc_id % 100),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\+?\d[\d()\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+_TOP_NGRAMS_SQL = """
+WITH toks AS (
+    SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), grams AS (
+    SELECT unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, len(w)),
+                                      i -> array_to_string(w[i:i+1], ' '))
+                  END) AS ngram
+    FROM toks
+), cnt AS (
+    SELECT ngram, COUNT(*) AS n_occurrences FROM grams GROUP BY ngram
+), ranked AS (
+    SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+    FROM cnt
+)
+SELECT CAST(rank AS BIGINT) AS rank, ngram,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences
+FROM ranked WHERE rank <= 20
+"""
+
+# Word-3-gram DISTINCT sets per doc (same convention as the Jaccard
+# oracles), containment of corpus-A grams inside corpus-B docs.
+_CONTAMINATION_SQL = """
+WITH norm AS (
+    SELECT doc_id, CAST(substr(source, 4) AS INT) AS sn,
+           string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, sn,
+           unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                  ELSE list_transform(range(1, greatest(len(w) - 1, 2)),
+                                      i -> array_to_string(w[i:i+2], ' '))
+                  END) AS s
+    FROM norm
+), a AS (SELECT doc_id, s FROM sh WHERE sn < 10),
+   b AS (SELECT doc_id, s FROM sh WHERE sn >= 10),
+   na AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id),
+   inter AS (
+    SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i
+    FROM a JOIN b ON a.s = b.s GROUP BY 1, 2
+)
+SELECT CAST(ia AS BIGINT) AS id_a, CAST(ib AS BIGINT) AS id_b,
+       CAST(ROUND(i * 1.0 / na.n, 4) AS DOUBLE) AS containment
+FROM inter JOIN na ON na.doc_id = ia
+WHERE i * 1.0 / na.n >= 0.5
+"""
+
 _ANN_SQL = """
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1166,6 +1274,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split": _hash_split_oracle(),
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
+        "pii_redact": _PII_SQL,
+        "top_ngrams": _TOP_NGRAMS_SQL,
+        "contamination_check": _CONTAMINATION_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,
         "ann_topk": _ANN_SQL,

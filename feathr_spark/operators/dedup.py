@@ -426,6 +426,45 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
             .select("id_a", "id_b", F.round("cosine", 4).cast("double").alias("cosine")))
 
 
+def cross_corpus_containment(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-corpus contamination check: for each (a, b) document pair,
+    the fraction of *a*'s distinct word n-grams that also occur in *b*
+    (containment, the standard benchmark-decontamination statistic —
+    asymmetric on purpose: a small eval doc fully contained in a large
+    training doc scores 1.0 regardless of the training doc's length).
+
+    Plan shape: both sides shingle narrowly, the inner join runs on the
+    n-gram STRING hash only (ids ride along, payloads never join), and
+    the per-pair intersection count + a's gram count give the score. At
+    100 TB the join key distribution is the corpus vocabulary — long-tail
+    and skew-light after stopword-heavy grams are diluted by n ≥ 3.
+    Output: (id_a, id_b, containment), containment ≥ threshold.
+    """
+    sh_a = _shingled_frame(df_a, text_col, id_col, "word", n) \
+        .select(F.col("__id").alias("__ida"), F.explode_outer("__sh").alias("__s")) \
+        .where(F.col("__s").isNotNull()) \
+        .select("__ida", F.xxhash64("__s").alias("__h"))
+    sh_b = _shingled_frame(df_b, text_col, id_col, "word", n) \
+        .select(F.col("__id").alias("__idb"), F.explode_outer("__sh").alias("__s")) \
+        .where(F.col("__s").isNotNull()) \
+        .select("__idb", F.xxhash64("__s").alias("__h"))
+    n_a = sh_a.groupBy("__ida").agg(F.count("*").alias("__na"))
+    inter = (sh_a.join(sh_b, "__h")
+             .groupBy("__ida", "__idb").agg(F.count("*").alias("__i")))
+    return (inter.join(n_a, "__ida")
+            .withColumn("containment", F.col("__i") / F.col("__na"))
+            .where(F.col("containment") >= threshold)
+            .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"),
+                    F.round("containment", 4).cast("double").alias("containment")))
+
+
 def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: assign every document the

@@ -147,6 +147,59 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns deliberately restricted to the regex subset shared by Java
+# regex (Spark) and RE2 (DuckDB/Go) so redaction is oracle-checkable and
+# engine-portable. Order matters: emails before phone-ish digit runs.
+PII_PATTERNS: List[tuple] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d()\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column, kinds: List[str] = None) -> Column:
+    """Replace common PII spans (emails, IPv4 addresses, phone-like digit
+    runs) with typed placeholders — the standard scrub step before a
+    corpus ships to training. Chained builtin ``regexp_replace`` (JVM,
+    replace-all), zero shuffles, linear in the scan."""
+    out = col
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is None or name in kinds:
+            out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams by occurrence count (every
+    occurrence counts, not per-document sets) — frequency tables for
+    boilerplate detection and tokenizer sanity checks.
+
+    One narrow explode + one count shuffle on the n-gram string + a tiny
+    global top-k (rank over the aggregated counts, which are one row per
+    distinct gram — the all-to-one stage sees only the distinct-gram
+    table, and ties break lexicographically for determinism).
+    Documents shorter than ``n`` words contribute their whole text as a
+    single gram (the same convention as the n-gram shingle sets).
+    """
+    from pyspark.sql import Window
+    tokens = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                     r"\s+", " "))), " ")
+    base = df.select(tokens.alias("__toks"))
+    cnt = F.size(F.col("__toks"))
+    grams = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("__toks")))) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
+    counted = (base.select(F.explode(grams).alias("ngram"))
+               .groupBy("ngram").agg(F.count("*").alias("n_occurrences")))
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
+    return (counted.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("rank").cast("bigint").alias("rank"), "ngram",
+                    F.col("n_occurrences").cast("bigint").alias("n_occurrences")))
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 64,
                     stride: int = 48) -> DataFrame:

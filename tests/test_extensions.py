@@ -105,6 +105,45 @@ def test_unavailable_decoder_raises(spark):
         decode_images(df, decoder=unavailable_decoder).collect()
 
 
+def test_redact_pii_values(spark):
+    from feathr_spark.operators.text import redact_pii
+    df = spark.createDataFrame([Row(
+        s="mail a.b+c@ex-ample.org, ip 192.168.0.1, call +1 (555) 123-4567 now")])
+    out = df.select(redact_pii(F.col("s")).alias("r")).first().r
+    assert out == "mail <EMAIL>, ip <IP>, call <PHONE> now"
+    # kinds filter: only email redacted
+    out2 = df.select(redact_pii(F.col("s"), kinds=["email"]).alias("r")).first().r
+    assert "<EMAIL>" in out2 and "192.168.0.1" in out2
+
+
+def test_top_ngrams_values(spark):
+    from feathr_spark.operators.text import top_ngrams
+    df = spark.createDataFrame([
+        Row(text="a b a b a"),   # bigrams: "a b" x2, "b a" x2
+        Row(text="a b"),         # "a b" x1
+        Row(text="z"),           # short doc -> whole text as one gram
+    ])
+    rows = top_ngrams(df, "text", n=2, k=10).collect()
+    got = {r.ngram: (r.rank, r.n_occurrences) for r in rows}
+    assert got["a b"] == (1, 3)
+    assert got["b a"] == (2, 2)
+    assert got["z"] == (3, 1)
+
+
+def test_cross_corpus_containment(spark):
+    from feathr_spark.operators.dedup import cross_corpus_containment
+    a = spark.createDataFrame([
+        Row(doc_id=1, text="one two three four five"),   # 3 grams, all in b
+        Row(doc_id=2, text="alpha beta gamma delta"),    # 2 grams, none in b
+    ])
+    b = spark.createDataFrame([
+        Row(doc_id=10, text="zero one two three four five six"),
+    ])
+    out = {(r.id_a, r.id_b): r.containment
+           for r in cross_corpus_containment(a, b, n=3, threshold=0.5).collect()}
+    assert out == {(1, 10): 1.0}
+
+
 def test_chunk_documents_values(spark):
     from feathr_spark.operators.text import chunk_documents
     docs = spark.createDataFrame([

@@ -63,11 +63,15 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on the smallest sf (not timed)
-    try:
-        qs["derived_features"](spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass
+    # JVM/codegen warmup on the smallest sf (not timed): run one light query
+    # plus the codegen-heavy pipelines (minhash's 64 aggregates, ANN's
+    # vector HOFs) so the timed sf0.1 runs measure data processing, not
+    # Janino compilation of identical generated classes.
+    for warm in ("derived_features", "minhash_pairs", "ann_topk"):
+        try:
+            qs[warm](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings = {}
     for name in HEADLINE:

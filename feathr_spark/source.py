@@ -161,14 +161,35 @@ class JdbcSource(Source):
 class GenericSource(Source):
     """Any Spark connector: format + mode + options (reference
     source.rs:652-743). Option keys may escape dots as ``__``
-    (source.rs:686-694)."""
+    (source.rs:686-694); ``${VAR}`` placeholders in option keys or values
+    resolve from the environment at read time (the reference's secret
+    scheme, source.rs:317-330 — secrets stay out of configs/registry and
+    are injected where the job runs)."""
     format: str = "parquet"
     path: Optional[str] = None
     mode: Optional[str] = None
     options: Dict[str, str] = field(default_factory=dict)
 
+    def secret_keys(self) -> list:
+        """Env-var names referenced by ``${...}`` placeholders
+        (source.rs get_secret_keys parity)."""
+        import re
+        found = []
+        for k, v in self.options.items():
+            found += re.findall(r"\$\{([^}]+)\}", k) + \
+                re.findall(r"\$\{([^}]+)\}", str(v))
+        return found
+
     def read(self, spark: SparkSession) -> DataFrame:
-        opts = {k.replace("__", "."): v for k, v in self.options.items()}
+        import os
+        import re
+
+        def resolve(s: str) -> str:
+            return re.sub(r"\$\{([^}]+)\}",
+                          lambda m: os.environ[m.group(1)], s)
+
+        opts = {resolve(k.replace("__", ".")): resolve(str(v))
+                for k, v in self.options.items()}
         reader = spark.read.format(self.format).options(**opts)
         return reader.load(self.path) if self.path else reader.load()
 

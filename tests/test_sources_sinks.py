@@ -36,6 +36,19 @@ def test_generic_source_with_escaped_options(spark, csv_path):
     assert df.count() == 2
 
 
+def test_generic_source_secret_interpolation(spark, csv_path, monkeypatch):
+    """${VAR} placeholders in option values resolve from env at read time
+    (reference source.rs secret scheme); secret_keys() lists them."""
+    src = GenericSource(name="g", format="csv", path=csv_path,
+                        options={"header": "${G_HEADER}", "sep": ","})
+    assert src.secret_keys() == ["G_HEADER"]
+    monkeypatch.setenv("G_HEADER", "true")
+    assert src.read(spark).count() == 2
+    monkeypatch.delenv("G_HEADER")
+    with pytest.raises(KeyError):
+        src.read(spark)
+
+
 def test_observation_settings_load(spark, tmp_path):
     p = str(tmp_path / "obs.parquet")
     import datetime as dt

@@ -362,27 +362,43 @@ def q_elementwise_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_elementwise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ELEMENTWISE_AVG over array-valued features through the engine's
-    point-in-time window path (model.rs:209): per observation row, the
-    element-wise mean of array(value, value*2) over (t-7d, t] keyed by
-    user_id."""
+    """All four ELEMENTWISE_* aggregations over array-valued features
+    through the engine's point-in-time window path (model.rs:209-212):
+    per observation row, the element-wise avg/sum/min/max of
+    array(value, value*2) over (t-7d, t] keyed by user_id."""
     _utc(spark)
     p = FeathrProject("q", spark)
     key = TypedKey(key_column="user_id")
+    vec = "array(value, value * 2)"
     p.register_anchor(FeatureAnchor(name="w", source=_events_src(sf_dir), features=[
         Feature(name="f_vec_avg_7d",
-                transform=WindowAggTransform("array(value, value * 2)",
-                                             Aggregation.ELEMENTWISE_AVG, "7d"),
+                transform=WindowAggTransform(vec, Aggregation.ELEMENTWISE_AVG, "7d"),
+                key=[key]),
+        Feature(name="f_vec_sum_7d",
+                transform=WindowAggTransform(vec, Aggregation.ELEMENTWISE_SUM, "7d"),
+                key=[key]),
+        Feature(name="f_vec_min_7d",
+                transform=WindowAggTransform(vec, Aggregation.ELEMENTWISE_MIN, "7d"),
+                key=[key]),
+        Feature(name="f_vec_max_7d",
+                transform=WindowAggTransform(vec, Aggregation.ELEMENTWISE_MAX, "7d"),
                 key=[key]),
     ]))
     obs = ObservationSettings(timestamp_column="ts").with_event_ts(
         _load_events(spark, sf_dir))
-    out = p.get_offline_features(obs, FeatureQuery(["f_vec_avg_7d"]))
+    out = p.get_offline_features(obs, FeatureQuery(
+        ["f_vec_avg_7d", "f_vec_sum_7d", "f_vec_min_7d", "f_vec_max_7d"]))
+
+    def ser(c):
+        return F.expr(f"array_join(transform({c}, x -> "
+                      "cast(cast(round(x + 1e-9, 4) as decimal(28,4)) as string)), ',')")
+
     return out.select(
         F.col("event_id").cast("bigint").alias("event_id"),
-        F.expr("array_join(transform(f_vec_avg_7d, x -> "
-               "cast(cast(round(x + 1e-9, 4) as decimal(28,4)) as string)), ',')")
-        .alias("f_vec_avg_7d"),
+        ser("f_vec_avg_7d").alias("f_vec_avg_7d"),
+        ser("f_vec_sum_7d").alias("f_vec_sum_7d"),
+        ser("f_vec_min_7d").alias("f_vec_min_7d"),
+        ser("f_vec_max_7d").alias("f_vec_max_7d"),
     )
 
 
@@ -1297,7 +1313,19 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(
                        [CAST(CAST(ROUND(AVG(s.value) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR),
                         CAST(CAST(ROUND(AVG(s.value * 2) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)],
-                       ',') AS f_vec_avg_7d
+                       ',') AS f_vec_avg_7d,
+                   array_to_string(
+                       [CAST(CAST(ROUND(SUM(s.value) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR),
+                        CAST(CAST(ROUND(SUM(s.value * 2) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)],
+                       ',') AS f_vec_sum_7d,
+                   array_to_string(
+                       [CAST(CAST(ROUND(MIN(s.value) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR),
+                        CAST(CAST(ROUND(MIN(s.value * 2) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)],
+                       ',') AS f_vec_min_7d,
+                   array_to_string(
+                       [CAST(CAST(ROUND(MAX(s.value) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR),
+                        CAST(CAST(ROUND(MAX(s.value * 2) + 1e-9, 4) AS DECIMAL(28,4)) AS VARCHAR)],
+                       ',') AS f_vec_max_7d
             FROM events o
             JOIN events s
               ON s.user_id = o.user_id

@@ -205,8 +205,9 @@ def q_window_latest_nop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION aggregation: collect all values in window into a sorted list
-    (model.rs UNION → collect)."""
+    """UNION aggregation (collect all values in window into a sorted list,
+    model.rs UNION → collect) + the COUNT_DISTINCT extension over the
+    same window in the same pass."""
     _utc(spark)
     p = FeathrProject("q", spark)
     key = TypedKey(key_column="o_custkey")
@@ -214,15 +215,20 @@ def q_window_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         Feature(name="f_prio_30d",
                 transform=WindowAggTransform("o_orderpriority", Aggregation.UNION, "30d"),
                 key=[key]),
+        Feature(name="f_prio_n_30d",
+                transform=WindowAggTransform("o_orderpriority",
+                                             Aggregation.COUNT_DISTINCT, "30d"),
+                key=[key]),
     ]))
     obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
         spark.read.parquet(f"{sf_dir}/orders.parquet"))
-    out = p.get_offline_features(obs, FeatureQuery(["f_prio_30d"]))
+    out = p.get_offline_features(obs, FeatureQuery(["f_prio_30d", "f_prio_n_30d"]))
     # serialize the sorted list as a '|'-joined string: the driver's hasher
     # can't digest list cells, and string-joined output is engine-portable
     return out.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.array_join(F.col("f_prio_30d"), "|").alias("f_prio_30d"),
+        F.col("f_prio_n_30d").cast("bigint").alias("f_prio_n_30d"),
     )
 
 
@@ -1185,7 +1191,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "window_union": """
             SELECT o.o_orderkey AS o_orderkey,
-                   array_to_string(list_sort(list(s.o_orderpriority)), '|') AS f_prio_30d
+                   array_to_string(list_sort(list(s.o_orderpriority)), '|') AS f_prio_30d,
+                   CAST(COUNT(DISTINCT s.o_orderpriority) AS BIGINT) AS f_prio_n_30d
             FROM orders o
             JOIN orders s
               ON s.o_custkey = o.o_custkey

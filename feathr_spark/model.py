@@ -263,6 +263,7 @@ class Aggregation(str, Enum):
     MIN = "MIN"
     SUM = "SUM"
     COUNT = "COUNT"      # engine extension (not in reference enum)
+    COUNT_DISTINCT = "COUNT_DISTINCT"  # engine extension: distinct values in window
     UNION = "UNION"      # collect all values into one list
     ELEMENTWISE_AVG = "ELEMENTWISE_AVG"
     ELEMENTWISE_MIN = "ELEMENTWISE_MIN"

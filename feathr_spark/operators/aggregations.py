@@ -71,6 +71,12 @@ def make_agg(agg: Aggregation, value: Column, ts: Column
         return F.max(value), ident
     if agg == Aggregation.COUNT:
         return F.count(value), ident
+    if agg == Aggregation.COUNT_DISTINCT:
+        # collect_set + size is window-frame-legal (COUNT(DISTINCT) isn't
+        # allowed over a range frame); state is one entry per distinct
+        # value, the same as any exact distinct count. For cardinality at
+        # 100 TB scale prefer an approx sketch upstream.
+        return F.collect_set(value), F.size
     if agg == Aggregation.NOP:
         # "no aggregation — pick value as-is": earliest value in scope.
         return F.min_by(value, F.when(value.isNotNull(), ts)), ident

@@ -248,12 +248,14 @@ def test_interval_join_strategy_matches_union_window(spark, tiny):
             Feature(name="f_union", transform=WindowAggTransform("v", Aggregation.UNION, "5d"), key=[key]),
             Feature(name="f_filt", transform=WindowAggTransform(
                 "v", Aggregation.SUM, "5d", filter="v > 15"), key=[key]),
+            Feature(name="f_ndist", transform=WindowAggTransform(
+                "v", Aggregation.COUNT_DISTINCT, "5d"), key=[key]),
         ]))
         obs = ObservationSettings(timestamp_column="t")
         out = p.get_offline_features(
             obs.with_event_ts(obs_extra),
             FeatureQuery(["f_sum", "f_avg", "f_cnt", "f_min", "f_latest",
-                          "f_first", "f_union", "f_filt"]),
+                          "f_first", "f_union", "f_filt", "f_ndist"]),
             pit_strategy=strategy)
         return sorted([tuple(r) for r in out.collect()], key=repr)
 

@@ -70,17 +70,24 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count("*").cast("bigint").alias("n_dups")))
 
 
-def _char_shingles_from_norm(norm: Column, k: int = 5) -> Column:
-    """Distinct character k-shingles over an ALREADY-MATERIALIZED normalized
+def _char_shingles_from_norm(norm: Column, k: int = 5,
+                             distinct: bool = True) -> Column:
+    """Character k-shingles over an ALREADY-MATERIALIZED normalized
     column. ``norm`` must be a plain attribute (not an expression): Catalyst
     inlines expression arguments into the per-element lambda, turning one
-    normalization per row into one per shingle."""
+    normalization per row into one per shingle.
+
+    ``distinct=False`` skips the per-row ``array_distinct`` pass —
+    correct whenever the consumer is duplicate-invariant (MinHash minima
+    don't change under repetition; ``array_intersect``/``array_union``
+    have set semantics; a downstream ``collect_set`` dedupes inside the
+    aggregation shuffle it already pays for)."""
     n = F.length(norm)
-    return F.when(n < k, F.array(norm)).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: norm.substr(i, F.lit(k)),
-        )))
+    sh = F.transform(F.sequence(F.lit(1), n - k + 1),
+                     lambda i: norm.substr(i, F.lit(k)))
+    if distinct:
+        sh = F.array_distinct(sh)
+    return F.when(n < k, F.array(norm)).otherwise(sh)
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
@@ -92,14 +99,16 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return _char_shingles_from_norm(normalize_text(col), k)
 
 
-def _word_ngrams_from_tokens(tokens: Column, n: int = 3) -> Column:
-    """Distinct word n-grams over an already-materialized token array."""
+def _word_ngrams_from_tokens(tokens: Column, n: int = 3,
+                             distinct: bool = True) -> Column:
+    """Word n-grams over an already-materialized token array (``distinct``
+    as in :func:`_char_shingles_from_norm`)."""
     cnt = F.size(tokens)
-    return F.when(cnt < n, F.array(F.concat_ws(" ", tokens))).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
-        )))
+    grams = F.transform(F.sequence(F.lit(1), cnt - n + 1),
+                        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(cnt < n, F.array(F.concat_ws(" ", tokens))).otherwise(grams)
 
 
 def word_ngrams(col: Column, n: int = 3) -> Column:
@@ -109,7 +118,7 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
 
 
 def _shingled_frame(df: DataFrame, text_col: str, id_col: str,
-                    kind: str, k: int) -> DataFrame:
+                    kind: str, k: int, distinct: bool = True) -> DataFrame:
     """(__id, __sh) with the normalized text materialized in its own
     projection. Two-step select matters: normalization is a regex chain, and
     if it's inlined into the shingle lambda Catalyst evaluates it once per
@@ -121,11 +130,13 @@ def _shingled_frame(df: DataFrame, text_col: str, id_col: str,
         normed = pre.select(F.col(id_col).alias("__id"),
                             normalize_text(F.col(text_col)).alias("__norm"))
         return normed.select(
-            "__id", _char_shingles_from_norm(F.col("__norm"), k).alias("__sh"))
+            "__id",
+            _char_shingles_from_norm(F.col("__norm"), k, distinct).alias("__sh"))
     normed = pre.select(F.col(id_col).alias("__id"),
                         F.split(normalize_text(F.col(text_col)), " ").alias("__toks"))
     return normed.select(
-        "__id", _word_ngrams_from_tokens(F.col("__toks"), k).alias("__sh"))
+        "__id",
+        _word_ngrams_from_tokens(F.col("__toks"), k, distinct).alias("__sh"))
 
 
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
@@ -257,7 +268,7 @@ def _jaccard_lsh_pairs(
     # aggregation (ReusedExchange) instead of re-shingling the corpus text
     # twice. xxhash64 sets intersect like the string sets (collision odds
     # ~n²/2⁶⁴); shingles are distinct, so pmod-hashing preserves set sizes.
-    hset = tok.groupBy("__id").agg(F.collect_list("__h").alias("__hs"))
+    hset = tok.groupBy("__id").agg(F.collect_set("__h").alias("__hs"))
     return (prefiltered
             .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
             .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
@@ -286,7 +297,8 @@ def minhash_lsh_pairs(
     ``_jaccard_lsh_pairs`` keep the resulting false-candidate flood away
     from exact verification.
     """
-    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k)
+    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
+                               distinct=False)
     return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify,
                               min_band_collisions=min_band_collisions)
 
@@ -297,7 +309,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         num_perm: int = 64, bands: int = 32) -> DataFrame:
     """Word n-gram Jaccard near-dup pairs, LSH-candidated (lower thresholds
     need more bands: bands=32 → rows_per_band=2 catches J≈0.5 pairs)."""
-    shingled = _shingled_frame(df, text_col, id_col, "word", n)
+    shingled = _shingled_frame(df, text_col, id_col, "word", n, distinct=False)
     return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify=True)
 
 

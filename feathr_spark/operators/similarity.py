@@ -67,6 +67,31 @@ def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64,
     return bucket
 
 
+def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k without hot partitions. A single rank window over
+    ``partitionBy(query_id)`` shuffles EVERY scored row onto n_query
+    partitions — with a small query set that is a handful of hot
+    partitions holding all candidates. Stage 1 ranks within
+    (input-partition, query) — the partition id spreads the shuffle
+    uniformly — keeping at most k rows per (partition, query); stage 2
+    ranks the ≤ k·n_partitions·n_query survivors, which is tiny.
+
+    Input: (query_id, neighbor_id, __score). Output: (query_id, rank,
+    neighbor_id, score) with rank 1-based, ties broken by neighbor_id.
+    """
+    local_w = Window.partitionBy("__pid", "query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    local = (scored.withColumn("__pid", F.spark_partition_id())
+             .withColumn("__lr", F.row_number().over(local_w))
+             .where(F.col("__lr") <= k).drop("__pid", "__lr"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("neighbor_id").asc())
+    return (local.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
+                    "neighbor_id", F.col("__score").alias("score")))
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -135,23 +160,7 @@ def cosine_topk(
     scored = joined.select(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
-    # Two-stage top-k. A single rank window would shuffle EVERY scored row
-    # onto n_query partitions — with a small query set that is a handful of
-    # hot partitions holding the whole corpus. Stage 1 ranks within
-    # (input-partition, query) — the partition id spreads the shuffle
-    # uniformly — keeping at most k rows per (partition, query); stage 2
-    # ranks the ≤ k·n_partitions·n_query survivors, which is tiny.
-    local_w = Window.partitionBy("__pid", "query_id").orderBy(
-        F.col("__score").desc(), F.col("neighbor_id").asc())
-    local = (scored.withColumn("__pid", F.spark_partition_id())
-             .withColumn("__lr", F.row_number().over(local_w))
-             .where(F.col("__lr") <= k).drop("__pid", "__lr"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("neighbor_id").asc())
-    return (local.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
-                    "neighbor_id", F.col("__score").alias("score")))
+    return _two_stage_topk(scored, k)
 
 
 def lsh_topk(
@@ -186,15 +195,10 @@ def lsh_topk(
     joined = c_b.join(F.broadcast(q_b), on=["__table", "__bucket"]) \
         .where(F.col("query_id") != F.col("neighbor_id")) \
         .dropDuplicates(["query_id", "neighbor_id"])
-    scored = joined.select("query_id", "neighbor_id",
-                           cosine(F.col("__qv"), F.col("__cv")).alias("__score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
-                    "neighbor_id",
-                    F.round("__score", 4).cast("double").alias("score")))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
+    return _two_stage_topk(scored, k)
 
 
 def ivf_topk(
@@ -236,12 +240,7 @@ def ivf_topk(
 
     joined = assigned.join(F.broadcast(probes), on="__list") \
         .where(F.col("query_id") != F.col("neighbor_id"))
-    scored = joined.select("query_id", "neighbor_id",
-                           cosine(F.col("__qv"), F.col("__cv")).alias("__score"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", F.col("rank").cast("bigint").alias("rank"),
-                    "neighbor_id",
-                    F.round("__score", 4).cast("double").alias("score")))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
+    return _two_stage_topk(scored, k)

@@ -175,12 +175,16 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
     occurrence counts, not per-document sets) — frequency tables for
     boilerplate detection and tokenizer sanity checks.
 
-    One narrow explode + one count shuffle on the n-gram string + a tiny
-    global top-k (rank over the aggregated counts, which are one row per
-    distinct gram — the all-to-one stage sees only the distinct-gram
-    table, and ties break lexicographically for determinism).
-    Documents shorter than ``n`` words contribute their whole text as a
-    single gram (the same convention as the n-gram shingle sets).
+    One narrow explode + one count shuffle on the n-gram string + a
+    scale-safe global top-k: ``orderBy().limit(k)`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps only its local top-k and
+    the driver merges k·P candidate rows, never sorting the full
+    distinct-gram table (the corpus vocabulary — billions of rows at
+    100 TB) on one task. Rank is derived afterwards with a window over
+    the already-bounded k-row frame; ties break lexicographically for
+    determinism. Documents shorter than ``n`` words contribute their
+    whole text as a single gram (the same convention as the n-gram
+    shingle sets).
     """
     from pyspark.sql import Window
     tokens = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
@@ -193,9 +197,12 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
             lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
     counted = (base.select(F.explode(grams).alias("ngram"))
                .groupBy("ngram").agg(F.count("*").alias("n_occurrences")))
-    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram").asc())
-    return (counted.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    order = [F.col("n_occurrences").desc(), F.col("ngram").asc()]
+    top = counted.orderBy(*order).limit(k)
+    # The unpartitioned window below only ever sees the k surviving rows —
+    # bounded by the TakeOrderedAndProject above, not a scale concern.
+    w = Window.orderBy(*order)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("rank").cast("bigint").alias("rank"), "ngram",
                     F.col("n_occurrences").cast("bigint").alias("n_occurrences")))
 

@@ -83,3 +83,38 @@ def test_whole_stage_codegen_present(spark, plans):
 
 def test_keyed_join_broadcasts_small_dimension(plans):
     assert "BroadcastHashJoin" in plans["keyed_join"]
+
+
+def _unpartitioned_windows(plan: str):
+    """Window lines with no partition spec. Spark prints
+    ``Window [funcs], [partitionCols], [orderCols]`` — three top-level
+    bracket groups — when partitioned, and only two when not."""
+    out = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-*(0123456789)")
+        if not stripped.startswith("Window ["):
+            continue
+        depth, groups = 0, 0
+        for ch in stripped:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            out.append(stripped[:120])
+    return out
+
+
+def test_no_unbounded_global_window_sort(plans):
+    """An unpartitioned Window.orderBy moves ALL rows to one task — the
+    single-partition sort anti-pattern (caught in round 2's top_ngrams).
+    Any unpartitioned window must sit above a TakeOrderedAndProject (its
+    input is then bounded to the global top-k, not the full table)."""
+    offenders = {}
+    for name, plan in plans.items():
+        bad = _unpartitioned_windows(plan)
+        if bad and "TakeOrderedAndProject" not in plan:
+            offenders[name] = bad
+    assert not offenders, f"unbounded global window sort in: {offenders}"

@@ -621,14 +621,17 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination statistic: word-3-gram containment of
     corpus A docs (sources src0-src9) inside corpus B docs (src10-src19),
-    pairs >= 0.5."""
+    pairs >= 0.5. max_df=100 is the hot-gram guard: grams in >100 docs on
+    either side leave the gram universe before the A×B join (bounds every
+    join group to max_df² output — the template-heavy-corpus scale risk)."""
     _utc(spark)
     from feathr_spark.operators.dedup import cross_corpus_containment
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     src_num = F.substring("source", 4, 10).cast("int")
     a = docs.where(src_num < 10)
     b = docs.where(src_num >= 10)
-    return cross_corpus_containment(a, b, "text", "doc_id", n=3, threshold=0.5)
+    return cross_corpus_containment(a, b, "text", "doc_id", n=3,
+                                    threshold=0.5, max_df=100)
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,8 +1101,15 @@ WITH norm AS (
                                       i -> array_to_string(w[i:i+2], ' '))
                   END) AS s
     FROM norm
-), a AS (SELECT doc_id, s FROM sh WHERE sn < 10),
-   b AS (SELECT doc_id, s FROM sh WHERE sn >= 10),
+), a0 AS (SELECT doc_id, s FROM sh WHERE sn < 10),
+   b0 AS (SELECT doc_id, s FROM sh WHERE sn >= 10),
+   banned AS (
+    SELECT s FROM (SELECT s, COUNT(*) AS c FROM a0 GROUP BY s) WHERE c > 100
+    UNION
+    SELECT s FROM (SELECT s, COUNT(*) AS c FROM b0 GROUP BY s) WHERE c > 100
+),
+   a AS (SELECT * FROM a0 WHERE s NOT IN (SELECT s FROM banned)),
+   b AS (SELECT * FROM b0 WHERE s NOT IN (SELECT s FROM banned)),
    na AS (SELECT doc_id, COUNT(*) AS n FROM a GROUP BY doc_id),
    inter AS (
     SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS i

@@ -445,6 +445,7 @@ def cross_corpus_containment(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int = None,
 ) -> DataFrame:
     """Cross-corpus contamination check: for each (a, b) document pair,
     the fraction of *a*'s distinct word n-grams that also occur in *b*
@@ -454,9 +455,22 @@ def cross_corpus_containment(
 
     Plan shape: both sides shingle narrowly, the inner join runs on the
     n-gram STRING hash only (ids ride along, payloads never join), and
-    the per-pair intersection count + a's gram count give the score. At
-    100 TB the join key distribution is the corpus vocabulary — long-tail
-    and skew-light after stopword-heavy grams are diluted by n ≥ 3.
+    the per-pair intersection count + a's gram count give the score.
+
+    ``max_df`` is the hot-gram guard for template-heavy corpora: the join
+    key distribution is the corpus vocabulary, and a boilerplate gram
+    ("terms of service …") present in most docs on both sides makes every
+    such document pair meet in ONE join group — per-gram output is
+    |A-docs| × |B-docs| for that gram, quadratic on exactly the most
+    common grams. With ``max_df`` set, grams whose document frequency on
+    EITHER side exceeds it are removed from the gram universe (both the
+    intersection and *a*'s denominator — a fully-contained doc still
+    scores 1.0), bounding every join group to ``max_df²`` output rows.
+    This is standard in decontamination pipelines: ubiquitous grams carry
+    no discriminative containment signal. The banned-gram list is tiny by
+    construction (≤ corpus_size / max_df entries), so the anti-joins
+    broadcast.
+
     Output: (id_a, id_b, containment), containment ≥ threshold.
     """
     sh_a = _shingled_frame(df_a, text_col, id_col, "word", n) \
@@ -467,6 +481,14 @@ def cross_corpus_containment(
         .select(F.col("__id").alias("__idb"), F.explode_outer("__sh").alias("__s")) \
         .where(F.col("__s").isNotNull()) \
         .select("__idb", F.xxhash64("__s").alias("__h"))
+    if max_df is not None:
+        banned = (sh_a.groupBy("__h").agg(F.count("*").alias("__df"))
+                  .where(F.col("__df") > max_df).select("__h")
+                  .union(sh_b.groupBy("__h").agg(F.count("*").alias("__df"))
+                         .where(F.col("__df") > max_df).select("__h"))
+                  .distinct())
+        sh_a = sh_a.join(F.broadcast(banned), "__h", "left_anti")
+        sh_b = sh_b.join(F.broadcast(banned), "__h", "left_anti")
     n_a = sh_a.groupBy("__ida").agg(F.count("*").alias("__na"))
     inter = (sh_a.join(sh_b, "__h")
              .groupBy("__ida", "__idb").agg(F.count("*").alias("__i")))

@@ -144,6 +144,33 @@ def test_cross_corpus_containment(spark):
     assert out == {(1, 10): 1.0}
 
 
+def test_cross_corpus_containment_hot_gram_cap(spark):
+    """max_df bounds the hot-gram join group: a boilerplate gram present in
+    every doc on both sides must not manufacture |A|x|B| pairs, while a
+    genuinely contained doc (distinctive grams, df=1) is still detected
+    with full containment even though its boilerplate grams were dropped
+    from the denominator."""
+    from feathr_spark.operators.dedup import cross_corpus_containment
+    boiler = "terms of service apply to all"
+    a = spark.createDataFrame(
+        [Row(doc_id=i, text=f"{boiler} unique{i} mark{i}") for i in range(8)]
+        + [Row(doc_id=99, text=f"{boiler} special needle payload here")])
+    b = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"{boiler} other{i} token{i}") for i in range(8)]
+        + [Row(doc_id=200, text=f"{boiler} special needle payload here today")])
+    # Without the cap every pair shares the boilerplate grams: quadratic
+    # pair output above the 0.3 threshold.
+    uncapped = cross_corpus_containment(a, b, n=3, threshold=0.3).count()
+    assert uncapped == 9 * 9
+    # With the cap (boilerplate df=9 > 5 on both sides) only the needle
+    # pair survives — and its containment is 1.0 because the denominator
+    # counts surviving grams only.
+    capped = {(r.id_a, r.id_b): r.containment
+              for r in cross_corpus_containment(
+                  a, b, n=3, threshold=0.3, max_df=5).collect()}
+    assert capped == {(99, 200): 1.0}
+
+
 def test_chunk_documents_values(spark):
     from feathr_spark.operators.text import chunk_documents
     docs = spark.createDataFrame([

@@ -324,6 +324,12 @@ def _interval_join_grouped(
                                     F.col("__gv").alias("value")))
         ).alias(spec.out_name)
     )
-    attach = [obs[k] == per_combo[a] for k, a in zip(obs_keys, kcols)]
-    attach.append(F.unix_millis(F.col(obs_ts).cast("timestamp")) == per_combo["__ot"])
+    # null-SAFE attach for consistency with _interval_join_simple: results
+    # coincide with plain == today (the inner source join keeps NULL combos
+    # out of per_combo entirely), but eqNullSafe keeps the two paths
+    # equivalent if the grouped path ever gains left-join/empty-window
+    # semantics.
+    attach = [obs[k].eqNullSafe(per_combo[a]) for k, a in zip(obs_keys, kcols)]
+    attach.append(F.unix_millis(F.col(obs_ts).cast("timestamp"))
+                  .eqNullSafe(per_combo["__ot"]))
     return obs.join(per_combo, attach, "left").drop(*kcols, "__ot")

@@ -147,6 +147,12 @@ class FeathrProject:
         ``"union_window"`` (one shuffle+sort, no row explosion) or
         ``"interval_join"`` (AQE-skew-splittable; pick when one entity
         key dominates the source). See operators.point_in_time.
+
+        Note: with ``pit_strategy="auto"`` and windowed features present,
+        planning runs one small eager Spark job (a column-pruned,
+        row-limited key-skew sample, memoized per source plan) before the
+        lazy result DataFrame is returned. Pass an explicit strategy to
+        keep planning fully lazy.
         """
         self._time_prune = time_prune
         self._pit_strategy = pit_strategy

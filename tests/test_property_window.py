@@ -93,3 +93,84 @@ def test_window_semantics_match_brute_force(spark, rows, window_hours):
         assert r.f_cnt == e["cnt"], (r, e)
         assert r.f_max == e["mx"], (r, e)
         assert sorted(r.f_union) == e["union"], (r, e)
+
+
+# ---------------------------------------------------------------------------
+# group_by sub-clause (the grouped interval-join path) with NULL keys and
+# NULL timestamps — the simple path's null semantics are property-tested
+# above; this pins the grouped path to the same contract: null-key/null-ts
+# source rows contribute to no window, null-key/null-ts observation rows
+# get an empty (NULL) grouped aggregate, and non-null rows are unaffected.
+# ---------------------------------------------------------------------------
+
+nullable_events = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=1, max_value=2)),  # key
+        st.one_of(st.none(), st.integers(min_value=0, max_value=48)), # hour
+        st.integers(min_value=1, max_value=20),                       # value
+        st.sampled_from(["g1", "g2"]),                                # group
+    ),
+    min_size=1, max_size=10,
+)
+
+
+def brute_force_grouped(rows, obs_rows, window_hours, limit):
+    """(key, t) -> sorted [(group, sum)] top-`limit` by (sum desc, group)."""
+    out = {}
+    wms = window_hours * 3600
+    for k, h in obs_rows:
+        if k is None or h is None:
+            out[(k, h)] = None
+            continue
+        t = h * 3600
+        per_g = {}
+        for (k2, h2, v, g) in rows:
+            if k2 is None or h2 is None or k2 != k:
+                continue
+            if t - wms < h2 * 3600 <= t:
+                per_g[g] = per_g.get(g, 0.0) + float(v)
+        if not per_g:
+            out[(k, h)] = None
+            continue
+        top = sorted(per_g.items(), key=lambda kv: (-kv[1], kv[0]))[:limit]
+        out[(k, h)] = sorted((g, v) for g, v in top)
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@given(rows=nullable_events, window_hours=st.sampled_from([5, 24]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_window_null_semantics_match_brute_force(spark, rows,
+                                                         window_hours):
+    from feathr_spark.operators.point_in_time import (
+        WindowFeatureSpec, point_in_time_aggregate)
+
+    def ts(h):
+        return None if h is None else BASE + dt.timedelta(hours=h)
+
+    src = spark.createDataFrame(
+        [Row(k=k, t=ts(h), v=float(v), g=g) for k, h, v, g in rows],
+        "k int, t timestamp, v double, g string")
+    # observations: every distinct (key, hour) incl. null combos, plus a
+    # guaranteed (null, null) probe row
+    obs_rows = sorted({(k, h) for k, h, _, _ in rows} | {(None, None)},
+                      key=repr)
+    obs = spark.createDataFrame(
+        [Row(k=k, t=ts(h)) for k, h in obs_rows], "k int, t timestamp")
+
+    spec = WindowFeatureSpec(
+        out_name="f_g",
+        transform=WindowAggTransform("v", Aggregation.SUM,
+                                     f"{window_hours}h", group_by="g",
+                                     limit=2))
+    out = point_in_time_aggregate(obs, src, ["k"], ["k"], "t", "t", [spec],
+                                  strategy="interval_join")
+    expected = brute_force_grouped(rows, obs_rows, window_hours, limit=2)
+    got = {}
+    for r in out.collect():
+        h = None if r.t is None else int((r.t - BASE).total_seconds() // 3600)
+        val = None if r.f_g is None else sorted(
+            (x["group"], x["value"]) for x in r.f_g)
+        got[(r.k, h)] = val
+    assert got == expected

@@ -59,30 +59,63 @@ def feathr_expr(expr: str):
     return F.expr(rewrite_feathr_expr(expr))
 
 
+def _skip_string(s: str, j: int) -> int:
+    """``s[j]`` opens a string literal: return the index just past its end.
+    Handles both Spark SQL escape styles — backslash (``'a\\'b'``) and
+    doubled quotes (``'a''b'``) — and both quote characters (Spark's
+    non-ANSI mode also accepts double-quoted string literals). An
+    unterminated literal consumes the rest of the string (Catalyst will
+    reject the expression with its own parse error)."""
+    q = s[j]
+    j += 1
+    while j < len(s):
+        c = s[j]
+        if c == "\\":
+            j += 2
+            continue
+        if c == q:
+            if j + 1 < len(s) and s[j + 1] == q:  # doubled-quote escape
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    return j
+
+
 def rewrite_feathr_expr(expr: str) -> str:
     """Textual rewrite of Feathr helpers into ANSI casts.
 
     Used for every planner-built expression (and oracle SQL generation).
     Handles arbitrarily nested calls — ``cast_float(coalesce(a, b))``,
-    ``cast_int(cast_float(x))`` — via a balanced-paren scan that skips
-    parens inside single-quoted string literals. Raises on an unclosed
-    call rather than silently falling through to the string-typed SQL-UDF
-    shim (which would round-trip numerics through STRING)."""
+    ``cast_int(cast_float(x))`` — via a string-literal-aware balanced-paren
+    scan: a shim name occurring *inside* a literal (``concat('see
+    cast_float(x)', y)``) is left untouched, and backslash-escaped or
+    doubled quotes inside literals don't derail the scan. Raises on an
+    unclosed call rather than silently falling through to the string-typed
+    SQL-UDF shim (which would round-trip numerics through STRING)."""
     call_re = re.compile(rf"\b({'|'.join(_SHIMS)})\s*\(")
 
     def rewrite(s: str) -> str:
-        m = call_re.search(s)
+        # find the first shim call whose start is OUTSIDE any string literal
+        m, j = None, 0
+        while j < len(s):
+            if s[j] in "'\"":
+                j = _skip_string(s, j)
+                continue
+            m = call_re.match(s, j)
+            if m is not None:
+                break
+            j += 1
         if m is None:
             return s
         name, open_p = m.group(1), m.end() - 1
-        depth, j, in_str = 0, open_p, False
+        depth, j = 0, open_p
         while j < len(s):
             c = s[j]
-            if in_str:
-                in_str = c != "'"
-            elif c == "'":
-                in_str = True
-            elif c == "(":
+            if c in "'\"":
+                j = _skip_string(s, j)
+                continue
+            if c == "(":
                 depth += 1
             elif c == ")":
                 depth -= 1

@@ -29,8 +29,15 @@ class GenericSink(Sink):
 
     ``num_parts`` mirrors the reference's ``--num-parts`` /
     ``spark_result_output_parts`` output-partition control
-    (job_client/mod.rs:289-292): coalesce when shrinking (no shuffle),
-    repartition when growing.
+    (job_client/mod.rs:289-292). With ``exact_parts=True`` (default) the
+    frame is round-robin ``repartition``-ed so EXACTLY that many files
+    are written — the only reliable contract: ``coalesce(n)`` is a no-op
+    whenever the final stage already has fewer than ``n`` partitions
+    (common with AQE-coalesced small outputs), and inspecting the actual
+    count via ``df.rdd`` would force an RDD conversion of the whole plan.
+    Set ``exact_parts=False`` to treat ``num_parts`` as an UPPER bound
+    instead: a shuffle-free ``coalesce`` that never splits (cheaper for
+    shrink-heavy jobs where "at most n files" is enough).
     """
     format: str = "parquet"
     path: Optional[str] = None
@@ -39,6 +46,7 @@ class GenericSink(Sink):
     streaming: bool = False
     timeout_ms: Optional[int] = None
     num_parts: Optional[int] = None
+    exact_parts: bool = True
     # catalog-table output (required for bucketing: Spark persists bucket
     # metadata only through the catalog, not plain files)
     table: Optional[str] = None
@@ -49,16 +57,8 @@ class GenericSink(Sink):
 
     def write(self, df: DataFrame) -> None:
         if self.num_parts is not None:
-            # coalesce() plans a shuffle-free shrink and is a no-op when the
-            # final stage already has <= num_parts partitions; checking the
-            # actual count via df.rdd would force an RDD conversion of the
-            # whole plan (and bypass AQE's final-stage view). Only a grow
-            # beyond the session's shuffle parallelism needs repartition.
-            shuffle_parts = int(df.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions", "200"))
-            df = (df.coalesce(self.num_parts)
-                  if self.num_parts <= shuffle_parts
-                  else df.repartition(self.num_parts))
+            df = (df.repartition(self.num_parts) if self.exact_parts
+                  else df.coalesce(self.num_parts))
         opts = {k.replace("__", "."): v for k, v in self.options.items()}
         writer = df.write.format(self.format).options(**opts).mode(self.mode)
         if self.partition_by:

@@ -60,6 +60,20 @@ def test_nested_cast_rewrite(spark):
     assert out.x == 3.0
     with pytest.raises(ValueError):
         rewrite_feathr_expr("cast_float(unclosed")
+    # a shim name INSIDE a string literal is not a call — left untouched
+    assert rewrite_feathr_expr("concat('see cast_float(x)', y)") == \
+        "concat('see cast_float(x)', y)"
+    assert rewrite_feathr_expr("concat('cast_float(a)', cast_float(b))") == \
+        "concat('cast_float(a)', CAST((b) AS FLOAT))"
+    # backslash-escaped and doubled quotes inside literals don't derail
+    # the scan (both are legal Spark SQL escape styles)
+    assert rewrite_feathr_expr(r"cast_string(concat(a, 'it\'s (ok)'))") == \
+        r"CAST((concat(a, 'it\'s (ok)')) AS STRING)"
+    assert rewrite_feathr_expr("cast_string(concat(a, 'it''s (ok)'))") == \
+        "CAST((concat(a, 'it''s (ok)')) AS STRING)"
+    # double-quoted literals too (Spark non-ANSI mode)
+    assert rewrite_feathr_expr('concat("cast_int(z)", cast_int(w))') == \
+        'concat("cast_int(z)", CAST((w) AS INT))'
 
 
 def test_passthrough_and_derived(spark, tiny):

@@ -420,8 +420,33 @@ class FeathrProject:
         """Latest-per-key feature values as of ``cutoff``: windowed features
         aggregate over (cutoff − w, cutoff]; plain keyed features take the
         LATEST row per key (or any row for non-time-aware sources)."""
+        return self._compute_snapshots(spark, feature_names, [cutoff])
+
+    def _compute_snapshots(self, spark: SparkSession,
+                           feature_names: Sequence[str],
+                           cutoffs: Sequence[datetime]) -> DataFrame:
+        """Snapshots for every cutoff in ONE pass per source group.
+
+        Each source row is fanned out to the cutoffs it can contribute to
+        with ``explode(filter(<literal cutoff array>, c -> ts <= c))`` — a
+        narrow per-row projection, NO join (a broadcast range join against
+        a cutoff table would plan a BroadcastNestedLoopJoin; the literal
+        array is evaluated inside the scan stage) — then ONE
+        ``groupBy(keys, cutoff)``. So an N-cutoff backfill costs one
+        source scan and one shuffle, not N of each; map-side partial
+        aggregation compresses the fan-out to |keys| × N rows before the
+        exchange. Per-cutoff window masks are ordinary aggregate-input
+        expressions referencing the exploded cutoff column.
+
+        A key keeps a (possibly all-NULL) row for every cutoff at or after
+        its first source row — identical to the per-cutoff formulation
+        (filter ``ts <= cutoff`` then aggregate), which is why stale keys
+        are not pruned by window reach here.
+        """
         register_feathr_functions(spark)
         anchor_feats, derived_order = self._resolve(feature_names)
+        if not cutoffs:
+            raise FeathrError("no cutoffs to materialize")
 
         groups: Dict[Tuple, List[Tuple[FeatureAnchor, Feature]]] = {}
         for anchor, f in anchor_feats:
@@ -432,29 +457,44 @@ class FeathrProject:
                     tuple(k.alias for k in f.key))
             groups.setdefault(gkey, []).append((anchor, f))
 
-        result: Optional[DataFrame] = None
-        join_keys: Optional[List[str]] = None
         # naive cutoffs are interpreted as UTC (the engine pins timestamps
         # to UTC instants; see also the tests' session timeZone=UTC)
         from datetime import timezone
-        cutoff_utc = cutoff if cutoff.tzinfo else cutoff.replace(tzinfo=timezone.utc)
-        cutoff_ms = int(cutoff_utc.timestamp() * 1000)
+        cut_items = []
+        for cutoff in cutoffs:
+            cutoff_utc = (cutoff if cutoff.tzinfo
+                          else cutoff.replace(tzinfo=timezone.utc))
+            cut_items.append((cutoff.strftime("%Y-%m-%d %H:%M:%S"),
+                              int(cutoff_utc.timestamp() * 1000)))
+        cut_array = F.array(*[
+            F.struct(F.lit(s).alias("cut_str"), F.lit(ms).alias("cut_ms"))
+            for s, ms in cut_items])
+
+        from .model import Aggregation
+        from .operators.aggregations import simple_agg
+        result: Optional[DataFrame] = None
+        join_keys: Optional[List[str]] = None
+        feature_order: List[str] = []
         for (src_name, src_keys, aliases), feats in groups.items():
             anchor = feats[0][0]
             src_df = anchor.source.load(spark)
             time_aware = EVENT_TS_COL in src_df.columns
             if time_aware:
-                src_df = src_df.where(F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp")) <= cutoff_ms)
+                ts_ms = F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp"))
+                fanned = src_df.withColumn(
+                    "__cut", F.explode(F.filter(
+                        cut_array, lambda c: ts_ms <= c["cut_ms"])))
+            else:
+                fanned = src_df.withColumn("__cut", F.explode(cut_array))
             aggs = []
-            from .operators.aggregations import simple_agg
-            from .model import Aggregation
             for _, f in feats:
                 t = f.transform
                 if isinstance(t, WindowAggTransform):
                     if not time_aware:
                         raise FeathrError(f"{f.name}: windowed feature needs event time")
                     v = F.when(
-                        F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp")) > cutoff_ms - t.window_ms,
+                        F.unix_millis(F.col(EVENT_TS_COL).cast("timestamp"))
+                        > F.col("__cut")["cut_ms"] - t.window_ms,
                         feathr_expr(t.def_expr))
                     if t.filter:
                         v = F.when(feathr_expr(t.filter), v)
@@ -465,8 +505,10 @@ class FeathrProject:
                     agg = Aggregation.LATEST if time_aware else Aggregation.NOP
                     ts = F.col(EVENT_TS_COL) if time_aware else F.lit(0)
                     aggs.append(simple_agg(agg, v, ts).alias(f.name))
-            snap = src_df.groupBy(
-                *[F.col(sk).alias(a) for sk, a in zip(src_keys, aliases)]
+                feature_order.append(f.name)
+            snap = fanned.groupBy(
+                *[F.col(sk).alias(a) for sk, a in zip(src_keys, aliases)],
+                F.col("__cut")["cut_str"].alias("feathr_cutoff"),
             ).agg(*aggs)
             if result is None:
                 result, join_keys = snap, list(aliases)
@@ -475,30 +517,34 @@ class FeathrProject:
                     raise FeathrError(
                         "materialized features must share key aliases "
                         f"({join_keys} vs {list(aliases)})")
-                result = result.join(snap, on=join_keys, how="full_outer")
+                result = result.join(snap, on=join_keys + ["feathr_cutoff"],
+                                     how="full_outer")
 
         if result is None:
             raise FeathrError("no features to materialize")
         for d in derived_order:
             result = result.withColumn(d.name, feathr_expr(d.transform.sql_expr))
-        return result.withColumn(
-            "feathr_cutoff", F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")))
+            feature_order.append(d.name)
+        # column order matches the historical per-cutoff shape:
+        # keys..., features..., feathr_cutoff last
+        return result.select(*join_keys, *feature_order, "feathr_cutoff")
 
     def compute_backfill(self, spark: SparkSession, feature_names: Sequence[str],
                          backfill_time) -> DataFrame:
-        """All backfill snapshots as one DataFrame (one partition-set per
-        cutoff, unioned; ``feathr_cutoff`` distinguishes them). Same cutoff
-        stepping as ``materialize_features`` (materialization.rs:200-231)
-        without the sink writes — useful for validation and for sinks that
-        ingest the whole backfill in one write."""
-        dfs = [self.compute_snapshot(spark, feature_names, cutoff)
-               for cutoff in backfill_time.cutoffs()]
-        if not dfs:
+        """All backfill snapshots as one DataFrame (``feathr_cutoff``
+        distinguishes them). Same cutoff stepping as
+        ``materialize_features`` (materialization.rs:200-231) without the
+        sink writes — useful for validation and for sinks that ingest the
+        whole backfill in one write.
+
+        Unlike the reference's one-job-per-cutoff submission loop, all
+        cutoffs run in a single pass: one source scan + one shuffle total
+        (see :meth:`_compute_snapshots`) — the difference between 365
+        scans and 1 for a year's daily backfill."""
+        cutoffs = backfill_time.cutoffs()
+        if not cutoffs:
             raise FeathrError("backfill range produced no cutoffs")
-        out = dfs[0]
-        for d in dfs[1:]:
-            out = out.unionByName(d)
-        return out
+        return self._compute_snapshots(spark, feature_names, cutoffs)
 
     def materialize_features(self, settings: MaterializationSettings,
                              spark: Optional[SparkSession] = None) -> List[datetime]:

@@ -248,6 +248,49 @@ def test_materialization_backfill(spark, tmp_path):
     assert rows_by[(2, "2024-01-03 12:00:00")] is None
 
 
+def test_backfill_single_pass_one_scan(spark, tmp_path):
+    """compute_backfill runs ALL cutoffs in one pass: the physical plan
+    reads the source exactly once for 3 cutoffs (the per-cutoff
+    formulation would scan 3 times), contains no join of any kind for a
+    single-group job, and fans rows out with a narrow explode."""
+    from feathr_spark.materialization import BackfillTime
+    from feathr_spark.source import HdfsSource, TimeWindowParameters
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame([
+        Row(k=1, t=ts("2024-01-01 06:00:00"), v=10.0),
+        Row(k=1, t=ts("2024-01-02 06:00:00"), v=20.0),
+        Row(k=2, t=ts("2024-01-03 13:00:00"), v=5.0),
+    ]).write.parquet(src_path)
+    p = FeathrProject("m", spark)
+    key = TypedKey(key_column="k")
+    src = HdfsSource(name="src", path=src_path,
+                     time_window_parameters=TimeWindowParameters("t"))
+    p.register_anchor(FeatureAnchor(name="agg", source=src, features=[
+        Feature(name="f_sum_1d",
+                transform=WindowAggTransform("v", Aggregation.SUM, "1d"),
+                key=[key]),
+        Feature(name="f_latest", transform="v", key=[key]),
+    ]))
+    bt = BackfillTime(start=ts("2024-01-01 12:00:00"),
+                      end=ts("2024-01-04 12:00:00"), step="DAILY")
+    assert len(bt.cutoffs()) == 3
+    out = p.compute_backfill(spark, ["f_sum_1d", "f_latest"], bt)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    # values: per-cutoff parity with the old unioned-snapshot shape
+    got = {(r.k, r.feathr_cutoff): (r.f_sum_1d, r.f_latest)
+           for r in out.collect()}
+    assert got[(1, "2024-01-02 12:00:00")] == (20.0, 20.0)
+    assert got[(1, "2024-01-03 12:00:00")] == (None, 20.0)   # stale key kept
+    assert got[(1, "2024-01-04 12:00:00")] == (None, 20.0)
+    assert got[(2, "2024-01-04 12:00:00")] == (5.0, 5.0)
+    # key 2's first event is after the 01-02 cutoff: no row for it there
+    assert (2, "2024-01-02 12:00:00") not in got
+    assert (2, "2024-01-03 12:00:00") not in got
+
+
 def test_key_alias_reuse(spark):
     """with_key: one feature joined under two different observation key
     columns (viewer/viewee pattern, reference feature.rs:224-241)."""

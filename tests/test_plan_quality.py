@@ -107,6 +107,76 @@ def _unpartitioned_windows(plan: str):
     return out
 
 
+# Shuffle-Exchange budget per driver query, snapshotted from the plans the
+# engine is SUPPOSED to produce (round 4). `\bExchange\b` matches shuffle
+# exchanges only ("Exchange hashpartitioning/rangepartitioning/
+# SinglePartition"), not BroadcastExchange (no word boundary inside
+# "BroadcastExchange"). Rationale: round 3 shipped a one-line change
+# (eqNullSafe attach keys) that silently added two Exchange+Sort pairs to
+# group_by_limit and regressed it 6.4x — a class of plan regression no
+# other guard catches. If a legitimate change raises a count, re-snapshot
+# it HERE with a comment saying what the new shuffle buys.
+EXCHANGE_BUDGET = {
+    "passthrough_exprs": 0,
+    "keyed_join": 0,
+    "window_agg_basic": 1,
+    "window_latest_nop": 1,
+    "window_union": 1,
+    "window_filtered": 1,
+    "derived_features": 1,
+    "multi_key_window": 2,
+    "group_by_limit": 4,
+    "window_elementwise": 1,
+    "multi_query_join": 1,
+    "udf_passthrough": 0,
+    "materialize_backfill": 1,
+    "elementwise_avg": 2,
+    "materialize_snapshot": 1,
+    "dedup_exact": 1,
+    "doc_chunks": 0,
+    "dedup_components": 0,   # iterative; lineage truncated by localCheckpoint
+    "quota_sample": 1,
+    "hash_split": 0,
+    "text_stats": 0,
+    "lang_id": 0,
+    "pii_redact": 0,
+    "top_ngrams": 1,
+    "contamination_check": 15,
+    "minhash_pairs": 24,
+    "ngram_jaccard_pairs": 13,
+    "simhash_pairs": 3,
+    "ann_topk": 3,
+    "embedding_cosine_pairs": 3,
+    "ann_lsh_topk": 3,
+    "ann_ivf_topk": 6,
+    "ann_lsh_recall": 13,
+    "ann_ivf_recall": 16,
+    "multimodal_decode": 0,
+}
+
+
+def test_exchange_count_within_budget(plans):
+    """Every query's shuffle-Exchange count must stay at or under its
+    snapshot — an extra Exchange means a new shuffle stage at 100 TB."""
+    import re
+    over = {}
+    for name, plan in plans.items():
+        n = len(re.findall(r"\bExchange\b", plan))
+        budget = EXCHANGE_BUDGET.get(name)
+        if budget is not None and n > budget:
+            over[name] = (n, budget)
+    assert not over, (
+        "shuffle Exchange count exceeds snapshot (actual, budget): "
+        f"{over} — an unintended shuffle crept into these plans"
+    )
+
+
+def test_exchange_budget_covers_all_queries(plans):
+    """New driver queries must declare an Exchange budget."""
+    missing = sorted(set(plans) - set(EXCHANGE_BUDGET))
+    assert not missing, f"add EXCHANGE_BUDGET entries for: {missing}"
+
+
 def test_no_unbounded_global_window_sort(plans):
     """An unpartitioned Window.orderBy moves ALL rows to one task — the
     single-partition sort anti-pattern (caught in round 2's top_ngrams).

@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is timed as a full materialization (collect-less: count() via
 ``df.write.format("noop")``-equivalent — we use count() which forces the
 whole plan) after a shared-session warmup of the JVM.
+
+Each query is run ``$SPARK_GRAFT_BENCH_REPS`` times (default 2) and the
+MINIMUM wall-clock is reported — single-shot timings on a shared box swing
+2-4x from GC/page-cache/compilation noise (observed: ann_topk 1.3s-5.3s
+across identical runs); min-of-N is the standard way to measure the code
+rather than the machine.
 """
 
 from __future__ import annotations
@@ -41,6 +47,13 @@ HEADLINE = [
     "ann_topk",
     "multi_query_join",
     "materialize_backfill",
+    # round-4 stretch: the ops that had scale fixes with no recorded trend
+    "simhash_pairs",
+    "embedding_cosine_pairs",
+    "contamination_check",
+    "top_ngrams",
+    "dedup_components",
+    "pii_redact",
 ]
 
 
@@ -63,28 +76,33 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on the smallest sf (not timed): run one light query
-    # plus the codegen-heavy pipelines (minhash's 64 aggregates, ANN's
-    # vector HOFs) so the timed sf0.1 runs measure data processing, not
-    # Janino compilation of identical generated classes.
-    for warm in ("derived_features", "minhash_pairs", "ann_topk"):
+    # JVM/codegen warmup on the smallest sf (not timed): run every headline
+    # query once at sf0.001 so the timed sf0.1 runs measure data processing,
+    # not Janino compilation of the generated classes (minhash's 64
+    # aggregates and the ANN vector HOFs each cost ~1s of compilation).
+    for warm in HEADLINE:
         try:
             qs[warm](spark, "/root/testdata/sf0.001").count()
         except Exception:
             pass
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep benching; report failure as null
-            sys.stderr.write(f"bench {name} failed: {e}\n")
-            timings[name] = None
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            try:
+                fn(spark, sf_dir).count()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            except Exception as e:  # keep benching; report failure as null
+                sys.stderr.write(f"bench {name} failed: {e}\n")
+                break
+        timings[name] = round(best, 3) if best is not None else None
 
     ok = {k: v for k, v in timings.items() if v is not None}
     print(json.dumps({

@@ -146,7 +146,11 @@ EXCHANGE_BUDGET = {
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,
-    "embedding_cosine_pairs": 3,
+    # r4: +2 — id-only candidate pairs re-attach their vectors via two
+    # equi-joins on id (AQE broadcasts them when small). Buys: the pair
+    # dedup exchange stops carrying two full embeddings replicated per
+    # LSH table (24x payload fan-out; measured 5x wall-clock at sf0.1).
+    "embedding_cosine_pairs": 5,
     "ann_lsh_topk": 3,
     "ann_ivf_topk": 6,
     "ann_lsh_recall": 13,

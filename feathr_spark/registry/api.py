@@ -224,6 +224,28 @@ class RegistryApi:
                 return f
         raise RegistryError(f"anchor feature not found: {id_or_name}")
 
+    def get_anchor_feature_versions(self, project_id_or_name: str,
+                                    anchor_id_or_name: str,
+                                    id_or_name: str) -> List[dict]:
+        base = self.get_anchor_feature(project_id_or_name, anchor_id_or_name,
+                                       id_or_name)["qualifiedName"]
+        vs = [e for e in self.registry._all_entities()
+              if e.qualified_name == base
+              and e.entity_type == EntityType.AnchorFeature]
+        return [_ent(e) for e in sorted(vs, key=lambda e: e.version)]
+
+    def get_anchor_feature_version(self, project_id_or_name: str,
+                                   anchor_id_or_name: str, id_or_name: str,
+                                   version: Optional[int] = None) -> dict:
+        vs = self.get_anchor_feature_versions(project_id_or_name,
+                                              anchor_id_or_name, id_or_name)
+        if version is None:
+            return vs[-1]
+        for v in vs:
+            if v["version"] == version:
+                return v
+        raise RegistryError(f"version {version} not found for {id_or_name}")
+
     def create_anchor_feature(self, project_id_or_name: str,
                               anchor_id_or_name: str,
                               definition: dict) -> dict:

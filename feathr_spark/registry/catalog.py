@@ -101,7 +101,10 @@ class Registry:
     """Entity-graph registry over sqlite (file or :memory:)."""
 
     def __init__(self, path: str = ":memory:"):
-        self.db = sqlite3.connect(path)
+        # check_same_thread=False lets the HTTP layer's worker threads use
+        # the connection; callers that share a Registry across threads must
+        # serialize access (RegistryHttpServer holds a dispatch lock).
+        self.db = sqlite3.connect(path, check_same_thread=False)
         # two-table layout per registry/scripts/sqlite.sql
         self.db.executescript("""
             CREATE TABLE IF NOT EXISTS entities(

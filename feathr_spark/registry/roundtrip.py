@@ -199,49 +199,75 @@ def load_project(registry: Registry, name: str, spark=None):
     """Rebuild a runnable FeathrProject from the registry graph
     (reference project.rs:742-846: walk BelongsTo/Contains edges from the
     project entity). UDF callables / DataFrame sources must be re-bound
-    by the caller after load."""
-    from ..project import FeathrProject
+    by the caller after load. Implemented over the same lineage payload
+    the API (and its HTTP layer) serves, so in-process and over-the-wire
+    reconstruction cannot drift."""
+    from .api import RegistryApi
 
     pe = registry.get_entity(name)
     if pe.entity_type != EntityType.Project:
         raise RegistryError(f"{name} is a {pe.entity_type.value}, not a Project")
-    by_id = {e.id: e for e in registry._all_entities()}
-    contained = [by_id[e.to_id] for e in registry.edges()
-                 if e.from_id == pe.id and e.edge_type == EdgeType.Contains
-                 and e.to_id in by_id]
+    payload = RegistryApi(registry).get_project_lineage(name)
+    return project_from_lineage(payload, spark)
 
-    project = FeathrProject(pe.qualified_name, spark)
+
+def project_from_lineage(payload, spark=None):
+    """Rebuild a runnable FeathrProject from an API lineage payload
+    (``{"guidEntityMap", "relations"}`` — the JSON shape
+    ``GET /api/v1/projects/{p}/lineage`` returns, mirroring the
+    reference's ``EntityLineage`` consumed in project.rs:742-846).
+    Entity attributes must carry the serialized definitions written by
+    :func:`save_project`."""
+    import json as _json
+
+    from ..project import FeathrProject
+
+    if isinstance(payload, str):
+        payload = _json.loads(payload)
+    ents: Dict[str, dict] = payload["guidEntityMap"]
+    contains: Dict[str, list] = {}
+    for r in payload["relations"]:
+        if r["relationshipType"] == EdgeType.Contains.value:
+            contains.setdefault(r["fromEntityId"], []).append(r["toEntityId"])
+
+    ws = next(e for e in ents.values()
+              if e["typeName"] == "feathr_workspace_v1")
+    project = FeathrProject(ws["qualifiedName"], spark)
+
     sources: Dict[str, Source] = {}
-    for e in contained:
-        if e.entity_type == EntityType.Source:
-            src = source_from_dict(e.attributes)
-            sources[src.name] = src
-            project.register_source(src)
+    for e in ents.values():
+        if e["typeName"] != "feathr_source_v1":
+            continue
+        src = source_from_dict(e["attributes"])
+        sources[src.name] = src
+        project.register_source(src)
 
-    anchor_entities = [e for e in contained if e.entity_type == EntityType.Anchor]
-    for ae in anchor_entities:
-        feats = [by_id[e.to_id] for e in registry.edges()
-                 if e.from_id == ae.id and e.edge_type == EdgeType.Contains
-                 and e.to_id in by_id]
-        src_name = ae.attributes.get("source")
+    for ae in ents.values():
+        if ae["typeName"] != "feathr_anchor_v1":
+            continue
+        feats = [ents[g] for g in contains.get(ae["guid"], ())
+                 if g in ents
+                 and ents[g]["typeName"] == "feathr_anchor_feature_v1"]
+        src_name = ae["attributes"].get("source")
         if src_name == INPUT_CONTEXT.name or src_name == "PASSTHROUGH":
             src = INPUT_CONTEXT
         else:
             src = sources[src_name]
         # strip the known project prefix by length — splitting on the first
         # "__" would land inside a project name that itself contains "__"
-        prefix = f"{pe.qualified_name}__"
-        anchor_name = (ae.qualified_name[len(prefix):]
-                       if ae.qualified_name.startswith(prefix)
-                       else ae.qualified_name)
+        prefix = f"{ws['qualifiedName']}__"
+        anchor_name = (ae["qualifiedName"][len(prefix):]
+                       if ae["qualifiedName"].startswith(prefix)
+                       else ae["qualifiedName"])
         project.register_anchor(FeatureAnchor(
             name=anchor_name, source=src,
-            features=[feature_from_dict(fe.attributes) for fe in feats],
-            broadcast_hint=bool(ae.attributes.get("broadcast_hint"))))
+            features=[feature_from_dict(fe["attributes"]) for fe in feats],
+            broadcast_hint=bool(ae["attributes"].get("broadcast_hint"))))
 
     # derived features in dependency order (inputs before dependents)
-    derived = {e.attributes["name"]: e.attributes for e in contained
-               if e.entity_type == EntityType.DerivedFeature}
+    derived = {e["attributes"]["name"]: e["attributes"]
+               for e in ents.values()
+               if e["typeName"] == "feathr_derived_feature_v1"}
     registered: set = set()
 
     def add(dname: str):

@@ -209,14 +209,11 @@ class KafkaSource(Source):
                   .options(**self.options))
         df = reader.load()
         if self.avro_schema_json:
-            try:
-                from pyspark.sql.avro.functions import from_avro
-            except ImportError as e:  # avro package not on classpath
-                raise NotImplementedError(
-                    "spark-avro not available in this environment") from e
-            df = df.select(from_avro(F.col("value"), self.avro_schema_json).alias("payload"),
-                           F.col("timestamp"))
-            df = df.select("payload.*", "timestamp")
+            # JVM from_avro when spark-avro is on the classpath, else the
+            # Arrow-batched pure-Python fallback for flat primitive records.
+            from .streaming.avro import decode_avro_payload
+            df = decode_avro_payload(df, self.avro_schema_json,
+                                     keep_cols=("timestamp",))
         return df
 
     def read(self, spark: SparkSession) -> DataFrame:

@@ -264,6 +264,10 @@ class Aggregation(str, Enum):
     SUM = "SUM"
     COUNT = "COUNT"      # engine extension (not in reference enum)
     COUNT_DISTINCT = "COUNT_DISTINCT"  # engine extension: distinct values in window
+    # engine extension: HLL++ distinct estimate (relative sd ~5%). Constant
+    # per-group state vs COUNT_DISTINCT's one-entry-per-distinct-value —
+    # the right choice for high-cardinality windows at 100 TB.
+    APPROX_COUNT_DISTINCT = "APPROX_COUNT_DISTINCT"
     UNION = "UNION"      # collect all values into one list
     ELEMENTWISE_AVG = "ELEMENTWISE_AVG"
     ELEMENTWISE_MIN = "ELEMENTWISE_MIN"

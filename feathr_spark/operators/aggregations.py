@@ -77,6 +77,13 @@ def make_agg(agg: Aggregation, value: Column, ts: Column
         # value, the same as any exact distinct count. For cardinality at
         # 100 TB scale prefer an approx sketch upstream.
         return F.collect_set(value), F.size
+    if agg == Aggregation.APPROX_COUNT_DISTINCT:
+        # HLL++ sketch (Spark default rsd = 0.05): fixed-size state per
+        # group/frame instead of COUNT_DISTINCT's per-distinct-value
+        # collect_set entry — the memory-safe variant for high-cardinality
+        # 100 TB windows. Ignores nulls, so the filter clause works as for
+        # every other aggregate here.
+        return F.approx_count_distinct(value), ident
     if agg == Aggregation.NOP:
         # "no aggregation — pick value as-is": earliest value in scope.
         return F.min_by(value, F.when(value.isNotNull(), ts)), ident

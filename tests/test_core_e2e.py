@@ -264,12 +264,15 @@ def test_interval_join_strategy_matches_union_window(spark, tiny):
                 "v", Aggregation.SUM, "5d", filter="v > 15"), key=[key]),
             Feature(name="f_ndist", transform=WindowAggTransform(
                 "v", Aggregation.COUNT_DISTINCT, "5d"), key=[key]),
+            Feature(name="f_adist", transform=WindowAggTransform(
+                "v", Aggregation.APPROX_COUNT_DISTINCT, "5d"), key=[key]),
         ]))
         obs = ObservationSettings(timestamp_column="t")
         out = p.get_offline_features(
             obs.with_event_ts(obs_extra),
             FeatureQuery(["f_sum", "f_avg", "f_cnt", "f_min", "f_latest",
-                          "f_first", "f_union", "f_filt", "f_ndist"]),
+                          "f_first", "f_union", "f_filt", "f_ndist",
+                          "f_adist"]),
             pit_strategy=strategy)
         return sorted([tuple(r) for r in out.collect()], key=repr)
 
@@ -361,3 +364,45 @@ def test_strategies_agree_on_null_keys_and_ts(spark, tiny):
     # day-2 observation must aggregate exactly days 1+2 (10+20), unpolluted
     day2 = [r for r in uw if r[0] == 1 and r[1] == ts("2024-01-02 00:00:00")][0]
     assert day2[3] == 30.0 and day2[4] == 2
+
+
+def test_approx_count_distinct_accuracy_and_state(spark):
+    """APPROX_COUNT_DISTINCT extension: the HLL++ estimate lands within
+    the documented error bound (default rsd 0.05 → assert 3 sigma = 15%)
+    of the exact windowed distinct count, and the plan carries NO
+    collect_set state — the exact variant keeps one entry per distinct
+    value per window, which is memory-prohibitive for high-cardinality
+    100 TB windows; the sketch is constant-size."""
+    rows = [Row(k=i % 3,
+                t=ts("2024-01-01 00:00:00") + dt.timedelta(minutes=i),
+                v=float((i * 7919) % 251))
+            for i in range(900)]
+    df = spark.createDataFrame(rows)
+
+    def run(agg):
+        p = FeathrProject("t", spark)
+        src = DataFrameSource(name="src", df=df, time_window_parameters=
+                              TimeWindowParameters(timestamp_column="t"))
+        p.register_anchor(FeatureAnchor(name="a", source=src, features=[
+            Feature(name="f_d", transform=WindowAggTransform(
+                "v", agg, "6h"), key=[TypedKey(key_column="k")]),
+        ]))
+        return p.get_offline_features(
+            ObservationSettings(timestamp_column="t").with_event_ts(df),
+            FeatureQuery(["f_d"]))
+
+    exact_df = run(Aggregation.COUNT_DISTINCT)
+    approx_df = run(Aggregation.APPROX_COUNT_DISTINCT)
+    exact = {(r.k, r.t): r.f_d for r in exact_df.collect()}
+    approx = {(r.k, r.t): r.f_d for r in approx_df.collect()}
+    assert set(exact) == set(approx) and len(exact) == 900
+    for key, n in exact.items():
+        est = approx[key]
+        assert abs(est - n) <= max(2, 0.15 * n), (key, n, est)
+    # max windowed cardinality is large enough that the bound is meaningful
+    assert max(exact.values()) >= 100
+
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "approx_count_distinct" in plan
+    assert "collect_set" not in plan, (
+        "approx variant must not keep per-distinct-value state")

@@ -30,12 +30,14 @@ class GenericSink(Sink):
     ``num_parts`` mirrors the reference's ``--num-parts`` /
     ``spark_result_output_parts`` output-partition control
     (job_client/mod.rs:289-292). With ``exact_parts=True`` (default) the
-    frame is round-robin ``repartition``-ed so EXACTLY that many files
-    are written — the only reliable contract: ``coalesce(n)`` is a no-op
-    whenever the final stage already has fewer than ``n`` partitions
-    (common with AQE-coalesced small outputs), and inspecting the actual
-    count via ``df.rdd`` would force an RDD conversion of the whole plan.
-    Set ``exact_parts=False`` to treat ``num_parts`` as an UPPER bound
+    frame is round-robin ``repartition``-ed so exactly ``n`` files are
+    written whenever the frame has at least ``n`` rows (empty partitions
+    emit no file) — the only reliable contract: ``coalesce(n)`` is a
+    no-op whenever the final stage already has fewer than ``n``
+    partitions (common with AQE-coalesced small outputs), and inspecting
+    the actual count via ``df.rdd`` would force an RDD conversion of the
+    whole plan. The exactness costs one full shuffle of the output; set
+    ``exact_parts=False`` to treat ``num_parts`` as an UPPER bound
     instead: a shuffle-free ``coalesce`` that never splits (cheaper for
     shrink-heavy jobs where "at most n files" is enough).
     """

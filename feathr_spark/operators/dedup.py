@@ -478,9 +478,12 @@ def cross_corpus_containment(
     intersection and *a*'s denominator — a fully-contained doc still
     scores 1.0), bounding every join group to ``max_df²`` output rows.
     This is standard in decontamination pipelines: ubiquitous grams carry
-    no discriminative containment signal. The banned-gram list is tiny by
-    construction (≤ corpus_size / max_df entries), so the anti-joins
-    broadcast.
+    no discriminative containment signal. The banned-gram frame is left
+    unhinted: its bound (total gram occurrences / max_df) is usually tiny
+    but can reach 1e8+ entries at extreme corpus scale with a low
+    ``max_df``, so AQE decides at runtime whether the anti-joins broadcast
+    (small list) or shuffle (huge list) instead of a forced broadcast that
+    could OOM the driver.
 
     Output: (id_a, id_b, containment), containment ≥ threshold.
     """
@@ -498,8 +501,8 @@ def cross_corpus_containment(
                   .union(sh_b.groupBy("__h").agg(F.count("*").alias("__df"))
                          .where(F.col("__df") > max_df).select("__h"))
                   .distinct())
-        sh_a = sh_a.join(F.broadcast(banned), "__h", "left_anti")
-        sh_b = sh_b.join(F.broadcast(banned), "__h", "left_anti")
+        sh_a = sh_a.join(banned, "__h", "left_anti")
+        sh_b = sh_b.join(banned, "__h", "left_anti")
     n_a = sh_a.groupBy("__ida").agg(F.count("*").alias("__na"))
     inter = (sh_a.join(sh_b, "__h")
              .groupBy("__ida", "__idb").agg(F.count("*").alias("__i")))

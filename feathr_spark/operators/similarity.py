@@ -78,6 +78,13 @@ def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
 
     Input: (query_id, neighbor_id, __score). Output: (query_id, rank,
     neighbor_id, score) with rank 1-based, ties broken by neighbor_id.
+
+    Ranking happens on ``__score`` AS PROVIDED — callers that round
+    scores for output (all three ANN entry points round to 4dp) must
+    round BEFORE ranking, so the rank order and the emitted scores agree
+    with each other and with a SQL oracle ranking the same rounded
+    values (round-before-rank convention; candidates closer than 5e-5
+    tie-break deterministically on neighbor_id instead of float noise).
     """
     local_w = Window.partitionBy("__pid", "query_id").orderBy(
         F.col("__score").desc(), F.col("neighbor_id").asc())

@@ -408,7 +408,10 @@ class FeathrProject:
                               **kwargs) -> None:
         """Offline join-job output (reference project.rs:266-277): compute
         the feature join and write it through a sink (any GenericSink —
-        format/path/mode/options; ``num_parts`` mirrors ``--num-parts``)."""
+        format/path/mode/options; ``num_parts`` mirrors ``--num-parts``,
+        with the sink's ``exact_parts`` flag choosing between the exact
+        ``repartition(n)`` contract and a shuffle-free ``coalesce`` upper
+        bound for shrink-heavy jobs)."""
         df = self.get_offline_features(observation, feature_query, **kwargs)
         sink.write(df)
 

@@ -618,6 +618,36 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", n=2, k=20)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-doc repetition signals: duplicate-word fraction
+    (narrow HOF projection) + most-frequent-bigram coverage (one shuffle
+    on the doc id)."""
+    _utc(spark)
+    from feathr_spark.operators.text import repetition_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = repetition_stats(docs, "text", "doc_id", n=2)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_words", "dup_word_frac", "top_gram",
+                      "top_gram_count", "top_gram_frac")
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) of the events stream + per-session
+    aggregates — one shuffle on user_id, session boundaries via lag +
+    running sum inside the sorted partition (no self-join)."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import session_stats
+    ev = _load_events(spark, sf_dir)
+    out = session_stats(ev, "user_id", "ts", "30m", value_col="value",
+                        order_cols=["event_id"])
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("session_seq").cast("bigint").alias("session_seq"),
+                      "n_events", "start_ms", "end_ms",
+                      F.round("duration_sec", 4).cast("double")
+                      .alias("duration_sec"),
+                      "sum_value")
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-decontamination statistic: word-3-gram containment of
     corpus A docs (sources src0-src9) inside corpus B docs (src10-src19),
@@ -813,6 +843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "pii_redact": q_pii_redact,
         "top_ngrams": q_top_ngrams,
+        "repetition_stats": q_repetition_stats,
+        "sessionize": q_sessionize,
         "contamination_check": q_contamination_check,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -999,6 +1031,70 @@ SELECT ia AS id_a, ib AS id_b,
        CAST(ROUND(i * 1.0 / (ca.n + cb.n - i), 4) AS DOUBLE) AS jaccard
 FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
 WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.5
+"""
+
+# Repetition mirror: same normalization/bigram conventions as the engine
+# (short docs contribute their whole text as one gram; count ties break
+# lexicographically ascending; fractions rounded at 4dp with the 1e-9
+# half-way nudge).
+_REPETITION_SQL = r"""
+WITH norm AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text,'\s+',' ','g'))),' ') AS w
+    FROM documents
+), words AS (
+    SELECT doc_id, len(w) AS n_words,
+           CAST(ROUND(1.0 - len(list_distinct(w))*1.0/len(w) + 1e-9, 4)
+                AS DOUBLE) AS dup_word_frac
+    FROM norm
+), grams AS (
+    SELECT doc_id,
+           unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w,' ')]
+                  ELSE list_transform(range(1, len(w)),
+                                      i -> array_to_string(w[i:i+1],' '))
+                  END) AS g
+    FROM norm
+), cnt AS (
+    SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2
+), top AS (
+    SELECT doc_id, g, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g ASC) AS rn
+    FROM cnt
+)
+SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words, dup_word_frac,
+       g AS top_gram, CAST(c AS BIGINT) AS top_gram_count,
+       CAST(ROUND(c*1.0/greatest(n_words - 1, 1) + 1e-9, 4) AS DOUBLE)
+           AS top_gram_frac
+FROM top JOIN words w USING (doc_id) WHERE rn = 1
+"""
+
+# Sessionization mirror: 30-min gap, ms-truncated event times (epoch_ms
+# floors the nanosecond parquet timestamps exactly like the engine's
+# ns->us->ms conversion), ties on (ms, event_id).
+_SESSIONIZE_SQL = r"""
+WITH s AS (
+    SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+           CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)
+), seq AS (
+    SELECT user_id, value, ms,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM s
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(ms) AS BIGINT) AS start_ms,
+       CAST(MAX(ms) AS BIGINT) AS end_ms,
+       CAST(ROUND((MAX(ms) - MIN(ms)) / 1000.0, 4) AS DOUBLE) AS duration_sec,
+       CAST(ROUND(SUM(value), 4) AS DOUBLE) AS sum_value
+FROM seq GROUP BY 1, 2
 """
 
 # SimHash mirror: identical normalization / word-3-gram / portable 60-bit
@@ -1309,6 +1405,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
         "pii_redact": _PII_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "sessionize": _SESSIONIZE_SQL,
         "contamination_check": _CONTAMINATION_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,

@@ -54,6 +54,9 @@ HEADLINE = [
     "top_ngrams",
     "dedup_components",
     "pii_redact",
+    # round-4 additions: new operators enter the headline set on arrival
+    "repetition_stats",
+    "sessionize",
 ]
 
 

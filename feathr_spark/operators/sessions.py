@@ -1,0 +1,75 @@
+"""Event sessionization — gap-based session assignment and per-session
+aggregates over an event stream table.
+
+Extends the reference surface (Azure/Feathr has no sessionization; its
+event-time machinery stops at windowed aggregation, source.rs:266-271) —
+sessions are the standard unit for behavioral features and for grouping
+interaction logs into training examples.
+
+Scale shape: ONE shuffle on the entity key (the window partition);
+everything else is narrow. Session boundaries are a per-key linear scan
+(lag + running sum inside the sorted partition — no self-join, no
+iteration), so the plan is a single Exchange + Sort + two Window
+operators regardless of event count. Skewed users produce large
+partitions; at 100 TB cap sessions per user upstream or bucket the event
+table by user so the sort is co-located.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..model import parse_duration_ms
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap: str = "30m",
+               order_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Assign a per-user 1-based ``session_seq`` to every event.
+
+    A new session starts at a user's first event and whenever the time
+    since the previous event exceeds ``gap`` (HOCON-style duration, bare
+    number = ms — reference utils.rs:62-94 semantics). ``order_cols``
+    breaks timestamp ties deterministically (default: the timestamp
+    only). NULL timestamps sort first and join the user's first session.
+    """
+    gap_ms = parse_duration_ms(gap)
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    order = [ts_ms.asc()] + [F.col(c).asc() for c in (order_cols or ())]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(ts_ms).over(w)
+    new_session = (prev.isNull() | (ts_ms - prev > gap_ms)).cast("bigint")
+    # running sum over the SAME window spec: reuses the one sort
+    seq = F.sum(new_session).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn("session_seq", seq)
+
+
+def session_stats(df: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", gap: str = "30m",
+                  value_col: Optional[str] = None,
+                  order_cols: Optional[Sequence[str]] = None) -> DataFrame:
+    """Per-session aggregates: event count, start/end epoch-ms, duration.
+
+    Output: (user, session_seq, n_events, start_ms, end_ms, duration_sec
+    [, sum_<value_col>]). The groupBy hash-partitions on
+    (user, session_seq) — a superset of the sessionize window's
+    partitioning, so partial aggregation compresses map-side and no row
+    leaves its session's partition unaggregated.
+    """
+    ts_ms = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    sess = sessionize(df, user_col, ts_col, gap, order_cols) \
+        .withColumn("__ms", ts_ms)
+    aggs = [
+        F.count("*").cast("bigint").alias("n_events"),
+        F.min("__ms").alias("start_ms"),
+        F.max("__ms").alias("end_ms"),
+        ((F.max("__ms") - F.min("__ms")) / 1000.0).alias("duration_sec"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).cast("double")
+                    .alias(f"sum_{value_col}"))
+    return sess.groupBy(user_col, "session_seq").agg(*aggs)

@@ -207,6 +207,64 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
                     F.col("n_occurrences").cast("bigint").alias("n_occurrences")))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", n: int = 2) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters):
+    the fraction of repeated words and the coverage of the single most
+    frequent word n-gram — boilerplate and degenerate-generation
+    detectors that length/punctuation stats miss.
+
+    Output per document: ``n_words``, ``dup_word_frac``
+    (1 − distinct/total words), ``top_gram`` (most frequent n-gram,
+    count ties broken lexicographically ascending), ``top_gram_count``,
+    ``top_gram_frac`` (its share of all n-gram occurrences). Documents
+    shorter than ``n`` words contribute their whole text as one gram
+    (the shared n-gram convention); fractions round to 4dp.
+
+    Scale shape: ``dup_word_frac`` is a narrow higher-order-function
+    projection (zero shuffle); the top-gram stats explode to
+    (doc, gram) rows and aggregate with ONE shuffle on the doc id —
+    per-doc mode via array HOFs would be O(distinct·total) per document,
+    quadratic on exactly the long documents that matter at 100 TB. The
+    final attach is a doc-id equi-join AQE resolves (broadcast when the
+    per-doc frame is small).
+    """
+    from pyspark.sql import Window
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                   r"\s+", " "))), " ")
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    cnt = F.size(F.col("__toks"))
+    # total gram occurrences per doc is a function of the word count
+    # (cnt − n + 1 sliding grams, 1 for short docs) — no need to sum the
+    # per-gram counts back up with a second window.
+    word_stats = base.select(
+        "__id", cnt.alias("n_words"),
+        F.greatest(cnt - n + 1, F.lit(1)).alias("__total"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(F.col("__toks"))) / cnt
+                + F.lit(1e-9), 4).cast("double").alias("dup_word_frac"))
+    grams = F.when(cnt < n, F.array(F.concat_ws(" ", F.col("__toks")))) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(1), cnt - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__toks"), i, n))))
+    gram_counts = (base.select("__id", F.explode(grams).alias("__g"))
+                   .groupBy("__id", "__g").agg(F.count("*").alias("__c")))
+    ranked = (gram_counts
+              .withColumn("__rn", F.row_number().over(
+                  Window.partitionBy("__id").orderBy(
+                      F.col("__c").desc(), F.col("__g").asc())))
+              .where(F.col("__rn") == 1))
+    top = ranked.select(
+        "__id", F.col("__g").alias("top_gram"),
+        F.col("__c").cast("bigint").alias("top_gram_count"))
+    return (word_stats.join(top, "__id")
+            .select(F.col("__id").alias(id_col),
+                    F.col("n_words").cast("bigint").alias("n_words"),
+                    "dup_word_frac", "top_gram", "top_gram_count",
+                    F.round(F.col("top_gram_count") / F.col("__total")
+                            + F.lit(1e-9), 4)
+                    .cast("double").alias("top_gram_frac")))
+
+
 def chunk_documents(df: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", chunk_tokens: int = 64,
                     stride: int = 48) -> DataFrame:

@@ -229,3 +229,71 @@ def test_quota_sample_and_hash_split(spark):
         docs, {"train": 0.8, "val": 0.1, "test": 0.1},
         id_col="doc_id").collect()}
     assert relabeled == labels
+
+
+def test_repetition_stats_values(spark):
+    from feathr_spark.operators.text import repetition_stats
+    df = spark.createDataFrame([
+        # words: [a b a b c] -> distinct 3/5, bigrams: "a b"x2, "b a", "b c"
+        Row(doc_id=1, text="a b a b c"),
+        Row(doc_id=2, text="x"),          # short doc: whole text = one gram
+        Row(doc_id=3, text="q w e r"),    # all unique: dup 0, every gram x1
+    ])
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = got[1]
+    assert r1.n_words == 5
+    assert r1.dup_word_frac == round(1 - 3 / 5 + 1e-9, 4)
+    assert (r1.top_gram, r1.top_gram_count) == ("a b", 2)
+    assert r1.top_gram_frac == 0.5          # 2 of 4 bigrams
+    r2 = got[2]
+    assert (r2.n_words, r2.dup_word_frac) == (1, 0.0)
+    assert (r2.top_gram, r2.top_gram_count, r2.top_gram_frac) == ("x", 1, 1.0)
+    r3 = got[3]
+    assert r3.dup_word_frac == 0.0
+    # tie on count=1 -> lexicographically first bigram
+    assert r3.top_gram == "e r"
+    assert r3.top_gram_frac == round(1 / 3 + 1e-9, 4)
+
+
+def test_sessionize_and_stats_values(spark):
+    import datetime as dt
+
+    from feathr_spark.operators.sessions import session_stats, sessionize
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+    df = spark.createDataFrame([
+        # user 1: events at 0, 10, 29 min (one session: every gap <= 30m),
+        # then 65 (gap 36m -> session 2), then 70
+        Row(user_id=1, event_id=1, ts=t(0), value=1.0),
+        Row(user_id=1, event_id=2, ts=t(10), value=2.0),
+        Row(user_id=1, event_id=3, ts=t(29), value=3.0),
+        Row(user_id=1, event_id=4, ts=t(65), value=4.0),
+        Row(user_id=1, event_id=5, ts=t(70), value=5.0),
+        # user 2: single event
+        Row(user_id=2, event_id=6, ts=t(7), value=9.0),
+    ])
+    sess = {r.event_id: r.session_seq for r in sessionize(
+        df, "user_id", "ts", "30m", order_cols=["event_id"]).collect()}
+    assert sess == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1}
+    # gap is strict: exactly 30m later continues the session
+    df_edge = spark.createDataFrame([
+        Row(user_id=1, event_id=1, ts=t(0), value=0.0),
+        Row(user_id=1, event_id=2, ts=t(30), value=0.0),
+    ])
+    edge = {r.event_id: r.session_seq for r in sessionize(
+        df_edge, gap="30m", order_cols=["event_id"]).collect()}
+    assert edge == {1: 1, 2: 1}
+
+    stats = {(r.user_id, r.session_seq): r for r in session_stats(
+        df, "user_id", "ts", "30m", value_col="value",
+        order_cols=["event_id"]).collect()}
+    s11 = stats[(1, 1)]
+    assert s11.n_events == 3 and s11.duration_sec == 29 * 60.0
+    assert s11.sum_value == 6.0
+    s12 = stats[(1, 2)]
+    assert s12.n_events == 2 and s12.duration_sec == 300.0
+    assert s12.sum_value == 9.0
+    assert stats[(2, 1)].n_events == 1
+    assert stats[(2, 1)].duration_sec == 0.0

@@ -141,6 +141,13 @@ EXCHANGE_BUDGET = {
     "lang_id": 0,
     "pii_redact": 0,
     "top_ngrams": 1,
+    # explode->groupBy(doc,gram) then the per-doc rank window re-partitions
+    # on doc alone; dup_word_frac attaches via an AQE-decided id join.
+    "repetition_stats": 2,
+    # ONE shuffle: the per-session groupBy(user, seq) reuses the
+    # sessionize window's hashpartitioning(user) (same-key rows are
+    # already co-located under the coarser key).
+    "sessionize": 1,
     "contamination_check": 15,
     "minhash_pairs": 24,
     "ngram_jaccard_pairs": 13,

@@ -520,48 +520,61 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
     "keep one representative per duplicate cluster" step after any of the
     pair generators above).
 
-    Iterative min-label propagation: each round every node takes
-    ``min(own label, neighbours' labels)``; converged when no label
-    changes. Rounds needed = graph diameter — near-dup components are
-    threshold cliques (diameter 1-2), so 2-3 fully-distributed rounds in
-    practice; each round is one shuffled join + groupBy on the (id, label)
-    pair table, never materializing anything per-component. The driver
-    only sees the per-round changed-count (scalar). Each round ends in an
-    eager ``localCheckpoint()``: unlike ``persist`` (which caches data but
-    keeps the full logical plan), checkpointing TRUNCATES lineage, so the
-    plan stays O(1) per round instead of compounding — without it the
-    final plan embeds every prior round (measured: thousands of Exchange
-    nodes after convergence) and Catalyst analysis time grows superlinearly
-    with iteration count. On a real cluster swap ``localCheckpoint`` for
-    reliable ``checkpoint`` if executor loss during the loop must be
-    survivable. For adversarial long-chain graphs switch to
-    large-star/small-star (O(log n) rounds); duplicate clusters never look
-    like that.
+    Iterative min-label propagation with self-loops: each round every
+    node takes ``min(label over neighbours ∪ self)``; converged when no
+    label changes. Rounds needed = graph diameter — near-dup components
+    are threshold cliques (diameter 1-2), so 1-2 fully-distributed rounds
+    in practice; the driver only sees the per-round changed-count
+    (scalar). Two plan economies vs the textbook formulation:
+
+    - **Round 1 is free**: with labels initialized to ids, the first
+      propagation is just ``min(src) grouped by dst`` over the self-loop
+      edge table — no label join at all. For clique-shaped duplicate
+      clusters this alone reaches the fixpoint, leaving one confirming
+      round.
+    - **One join per round, not two**: the self-loop row carries each
+      node's own label through the same ``groupBy(dst)`` that aggregates
+      the neighbours, so the round is join→groupBy instead of
+      join→groupBy→join-back (the old-vs-new attach), and the change
+      flag falls out of ``min(label) < old label`` inside the aggregate.
+
+    Each round ends in an eager ``localCheckpoint()``: unlike ``persist``
+    (which caches data but keeps the full logical plan), checkpointing
+    TRUNCATES lineage, so the plan stays O(1) per round instead of
+    compounding — without it the final plan embeds every prior round
+    (measured: thousands of Exchange nodes after convergence) and
+    Catalyst analysis time grows superlinearly with iteration count. On a
+    real cluster swap ``localCheckpoint`` for reliable ``checkpoint`` if
+    executor loss during the loop must be survivable. For adversarial
+    long-chain graphs switch to large-star/small-star (O(log n) rounds);
+    duplicate clusters never look like that.
 
     Output: (doc_id, component_id) for every id present in ``pairs``.
     """
-    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-             .union(pairs.select(F.col(id_b).alias("src"),
-                                 F.col(id_a).alias("dst")))
+    both = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+            .union(pairs.select(F.col(id_b).alias("src"),
+                                F.col(id_a).alias("dst"))))
+    # neighbours ∪ self: the self-loop keeps isolated-after-filter nodes
+    # alive and carries each node's current label into the aggregation
+    edges = (both.union(both.select(F.col("src").alias("src"),
+                                    F.col("src").alias("dst")))
              .distinct().persist())
-    labels = (edges.select(F.col("src").alias("id")).distinct()
-              .withColumn("label", F.col("id")).localCheckpoint())
+    # round 1 fused into initialization: labels ARE ids, so min-over-
+    # neighbourhood needs no join yet
+    labels = (edges.groupBy("dst").agg(F.min("src").alias("label"))
+              .select(F.col("dst").alias("id"), "label")
+              .localCheckpoint())
     for _ in range(max_iter):
-        nbr_min = (edges.join(labels, edges.src == labels.id)
-                   .groupBy("dst").agg(F.min("label").alias("__nbr")))
-        # __chg rides along in the checkpointed frame so the convergence
-        # test is a filter-count over cached partitions — no per-round
-        # join of new-vs-old labels (that join was a whole extra shuffle
-        # per iteration).
-        stepped = (labels.join(nbr_min, labels.id == nbr_min.dst, "left")
-                   .select(F.col("id"),
-                           F.least(F.col("label"),
-                                   F.coalesce(F.col("__nbr"),
-                                              F.col("label")))
-                           .alias("label"),
-                           (F.coalesce(F.col("__nbr"), F.col("label"))
-                            < F.col("label")).alias("__chg"))
-                   .localCheckpoint())  # eager: lineage cut + cached
+        prop = edges.join(labels, edges.src == labels.id)
+        stepped = (prop.groupBy("dst").agg(
+            F.min("label").alias("label"),
+            # the self-loop row is the only one with src == dst: its
+            # label is the node's current label
+            (F.min("label") <
+             F.min(F.when(F.col("src") == F.col("dst"), F.col("label"))))
+            .alias("__chg"))
+            .select(F.col("dst").alias("id"), "label", "__chg")
+            .localCheckpoint())  # eager: lineage cut + cached
         changed = stepped.where(F.col("__chg")).count()
         labels = stepped.select("id", "label")
         if changed == 0:

@@ -121,6 +121,49 @@ def q_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured passthrough features: JSON property extraction via
+    the expression DSL (the reference's Expression transformation is raw
+    Spark SQL — model.rs:248-253 — so get_json_object comes for free)."""
+    _utc(spark)
+    p = FeathrProject("qj", spark)
+    anchor = FeatureAnchor(name="pt", source=INPUT_CONTEXT, features=[
+        Feature(name="f_prop_k",
+                transform="cast(get_json_object(props, '$.k') as bigint)"),
+        Feature(name="f_has_k",
+                transform="get_json_object(props, '$.k') is not null"),
+    ])
+    p.register_anchor(anchor)
+    p.register_derived(DerivedFeature(
+        name="f_k_bucket", transform="f_prop_k % 10",
+        input_features=[anchor.features[0]]))
+    obs = _load_events(spark, sf_dir)
+    out = p.get_offline_features(
+        obs, FeatureQuery(["f_prop_k", "f_has_k", "f_k_bucket"]))
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.col("f_prop_k").cast("bigint").alias("f_prop_k"),
+        "f_has_k",
+        F.col("f_k_bucket").cast("bigint").alias("f_k_bucket"),
+    )
+
+
+def q_dedup_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH pairs → connected
+    components → drop every non-canonical member (the full "dedup my
+    corpus" call a training pipeline actually makes)."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import (
+        duplicate_components, minhash_lsh_pairs, resolve_duplicates,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=21,
+                              shingle_k=5, threshold=0.7)
+    comp = duplicate_components(pairs)
+    out = resolve_duplicates(docs, comp, id_col="doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
 def q_keyed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-windowed keyed anchor: dimension left-join (SURVEY §2.4)."""
     _utc(spark)
@@ -845,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "sessionize": q_sessionize,
+        "json_props": q_json_props,
+        "dedup_keep_one": q_dedup_keep_one,
         "contamination_check": q_contamination_check,
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1407,6 +1452,23 @@ def oracle_sql() -> dict[str, str]:
         "top_ngrams": _TOP_NGRAMS_SQL,
         "repetition_stats": _REPETITION_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "json_props": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS f_prop_k,
+                   json_extract_string(props, '$.k') IS NOT NULL AS f_has_k,
+                   CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+                        AS BIGINT) AS f_k_bucket
+            FROM events
+        """,
+        "dedup_keep_one": f"""
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+            FROM documents d
+            LEFT JOIN (SELECT doc_id
+                       FROM ({_COMPONENTS_SQL.format(jaccard=_JACCARD_CHAR_SQL)})
+                       WHERE doc_id <> component_id) x USING (doc_id)
+            WHERE x.doc_id IS NULL
+        """,
         "contamination_check": _CONTAMINATION_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,

@@ -513,6 +513,20 @@ def cross_corpus_containment(
                     F.round("containment", 4).cast("double").alias("containment")))
 
 
+def resolve_duplicates(df: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative per duplicate cluster: drop every row whose
+    id appears in ``components`` with ``component_id != doc_id`` (the
+    canonical min-id member survives; rows outside any cluster pass
+    through untouched). The anti-join runs on ids only — document
+    payloads never shuffle, and the non-canonical id list is tiny (one
+    row per dropped duplicate), so AQE broadcasts it."""
+    non_canonical = (components
+                     .where(F.col("doc_id") != F.col("component_id"))
+                     .select(F.col("doc_id").alias(id_col)))
+    return df.join(non_canonical, id_col, "left_anti")
+
+
 def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
     """Connected components over near-dup pairs: assign every document the

@@ -90,6 +90,46 @@ def stream_window_agg(
     )
 
 
+def stream_session_stats(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30m",
+    value_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming analogue of :func:`operators.sessions.session_stats`:
+    per-(user, session) aggregates over gap-based sessions, built on
+    Spark's native ``session_window`` (state merges adjacent events and
+    evicts sessions closed past the watermark — bounded state by
+    construction).
+
+    Convention note: ``session_window`` sessions are half-open
+    ``[start, last_event + gap)``, so an event arriving EXACTLY ``gap``
+    after the previous one starts a new session, where the batch
+    operator's strict ``diff > gap`` test keeps it — the one documented
+    divergence between the two.
+
+    Output: user + session_start/session_end + n_events [+ sum_<value>].
+    """
+    from ..model import parse_duration_ms
+    gap_dur = f"{parse_duration_ms(gap)} milliseconds"
+    wm = stream_df.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").cast("bigint").alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.round(F.sum(value_col), 4).cast("double")
+                    .alias(f"sum_{value_col}"))
+    grouped = wm.groupBy(
+        F.session_window(F.col(ts_col), gap_dur).alias("__s"),
+        F.col(user_col)).agg(*aggs)
+    return grouped.select(
+        user_col,
+        F.col("__s.start").alias("session_start"),
+        F.col("__s.end").alias("session_end"),
+        *[a for a in grouped.columns if a not in ("__s", user_col)],
+    )
+
+
 def run_streaming_query(
     df: DataFrame,
     format: str = "memory",

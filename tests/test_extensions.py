@@ -297,3 +297,18 @@ def test_sessionize_and_stats_values(spark):
     assert s12.sum_value == 9.0
     assert stats[(2, 1)].n_events == 1
     assert stats[(2, 1)].duration_sec == 0.0
+
+
+def test_resolve_duplicates_keeps_canonical(spark):
+    from feathr_spark.operators.dedup import (
+        duplicate_components, resolve_duplicates,
+    )
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"doc {i}") for i in range(1, 8)])
+    # clusters {1,2,3} and {5,6}; 4 and 7 untouched
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=5, id_b=6)])
+    comp = duplicate_components(pairs)
+    kept = sorted(r.doc_id for r in
+                  resolve_duplicates(docs, comp).collect())
+    assert kept == [1, 4, 5, 7]

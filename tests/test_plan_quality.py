@@ -148,6 +148,11 @@ EXCHANGE_BUDGET = {
     # sessionize window's hashpartitioning(user) (same-key rows are
     # already co-located under the coarser key).
     "sessionize": 1,
+    "json_props": 0,
+    # components come out of the loop's localCheckpoint (lineage
+    # truncated) and the non-canonical id list broadcasts into the
+    # anti-join — the doc payload never shuffles.
+    "dedup_keep_one": 0,
     "contamination_check": 15,
     "minhash_pairs": 24,
     "ngram_jaccard_pairs": 13,

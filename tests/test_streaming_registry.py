@@ -392,3 +392,34 @@ def test_stream_latest_features_stateful(spark, tmp_path):
         assert latest["2"] == 7.0     # late row ignored, no new emit
     finally:
         q.stop()
+
+
+def test_stream_session_window_stats(spark, tmp_path):
+    """Native session_window sessions on a stream match the batch
+    sessionize semantics (modulo the documented half-open boundary):
+    3 events within 30m gaps = one session; a 36m gap opens a new one."""
+    from feathr_spark.streaming.job import (
+        run_streaming_query, stream_session_stats,
+    )
+    src_dir = str(tmp_path / "stream_sess_in")
+    df = spark.createDataFrame([
+        Row(user_id=1, t=ts("2024-01-01 00:00:00"), v=1.0),
+        Row(user_id=1, t=ts("2024-01-01 00:10:00"), v=2.0),
+        Row(user_id=1, t=ts("2024-01-01 00:29:00"), v=3.0),
+        Row(user_id=1, t=ts("2024-01-01 01:05:00"), v=4.0),
+        Row(user_id=2, t=ts("2024-01-01 00:07:00"), v=9.0),
+    ])
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = stream_session_stats(stream, "user_id", "t", gap="30m",
+                               value_col="v")
+    run_streaming_query(out, format="memory", query_name="t_sess",
+                        output_mode="complete", timeout_ms=0)
+    rows = sorted(spark.sql("select * from t_sess").collect(),
+                  key=lambda r: (r.user_id, r.session_start))
+    assert [(r.user_id, r.n_events, r.sum_v) for r in rows] == [
+        (1, 3, 6.0), (1, 1, 4.0), (2, 1, 9.0)]
+    s1 = rows[0]
+    assert s1.session_start == ts("2024-01-01 00:00:00")
+    # session end = last event + gap (half-open)
+    assert s1.session_end == ts("2024-01-01 00:59:00")

@@ -565,9 +565,16 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
 
     Output: (doc_id, component_id) for every id present in ``pairs``.
     """
-    both = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-            .union(pairs.select(F.col(id_b).alias("src"),
-                                F.col(id_a).alias("dst"))))
+    # Persist the incoming pair frame BEFORE fanning it out: it appears in
+    # four union branches of the edge table (forward, reversed, and the
+    # self-loops of both), and Spark does not share common subplans across
+    # union branches — without this boundary an expensive upstream pipeline
+    # (e.g. the MinHash-LSH verify joins) executes four times when `edges`
+    # first materializes. The cache holds two longs per pair.
+    p = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+         .persist())
+    both = p.union(p.select(F.col("dst").alias("src"),
+                            F.col("src").alias("dst")))
     # neighbours ∪ self: the self-loop keeps isolated-after-filter nodes
     # alive and carries each node's current label into the aggregation
     edges = (both.union(both.select(F.col("src").alias("src"),
@@ -578,6 +585,7 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
     labels = (edges.groupBy("dst").agg(F.min("src").alias("label"))
               .select(F.col("dst").alias("id"), "label")
               .localCheckpoint())
+    p.unpersist()  # edges is materialized now; the pair cache is dead
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id)
         stepped = (prop.groupBy("dst").agg(

@@ -755,13 +755,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs >= 0.45 cosine via multi-table hyperplane
-    LSH (24 tables x 4 planes): bucket equi-join candidates + exact
-    in-pair verify — no all-pairs product anywhere in the plan, and the
-    oracle is still the EXACT all-pairs SQL (measured recall 1.0 at both
-    gate SFs, so the hash comparison stays green; a future recall drop
-    turns the row red). ``cosine_pairs_exact`` remains the explicit
-    small-corpus baseline operator."""
+    """Embedding near-dup pairs >= 0.45 cosine, cost-based strategy. At
+    threshold 0.45 a recall-preserving hyperplane-LSH config (4 planes x
+    24 tables) collides 79% of ALL pairs — the "approximate" plan verifies
+    more pairs than exact scoring, plus banding overhead (measured 5x
+    slower at sf0.1) — so ``strategy="auto"`` computes that collision
+    fraction from the parameters and routes to the exact partition-
+    parallel scorer; high-threshold configs route to the Arrow-batched
+    multi-table LSH path (recall-gated in tests). The oracle is the EXACT
+    all-pairs SQL either way."""
     _utc(spark)
     from feathr_spark.operators.dedup import embedding_cosine_pairs
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

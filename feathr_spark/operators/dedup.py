@@ -399,7 +399,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", threshold: float = 0.95,
-                           planes: int = 16, n_tables: int = 1) -> DataFrame:
+                           planes: int = 16, n_tables: int = 1,
+                           strategy: str = "auto") -> DataFrame:
     """Embedding near-dup pairs: random-hyperplane LSH bucket (sign bits of
     deterministic pseudo-random projections) → in-bucket cosine verify.
     For very high thresholds one 16-bit bucket has high recall; for lower
@@ -407,19 +408,43 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
     multi-table LSH) — scan cost grows ~linearly with tables while recall
     approaches 1 exponentially.
 
-    The L2-normalized vectors are computed once and persisted (bucket signs
-    are scale-invariant, so normalizing first is free); the per-table bucket
-    rows carry the id ONLY, so the (table, bucket) self-join, and the
-    pair-dedup shuffle behind it, move 16-byte id pairs — never vectors.
-    A pair colliding in all ``n_tables`` tables would otherwise replicate
-    two full embedding payloads ``n_tables`` times through the dedup
-    exchange (measured 5x wall-clock on 24 tables x 64 dims). The deduped
-    pairs then attach the normalized vectors with two equi-joins against
-    the persisted vector frame (broadcast when small, shuffle-on-id at
-    scale — either way each vector crosses the wire once), and
-    verification is a single dot product per unique pair.
+    ``strategy``: ``"lsh"``, ``"exact"``, or ``"auto"`` (default). Sign-LSH
+    only pays for itself when the banding actually prunes: two UNRELATED
+    vectors (cosine ≈ 0) agree on one sign bit w.p. 1/2, so they collide in
+    a ``planes``-bit table w.p. 2^-planes and in ≥1 of ``n_tables`` tables
+    w.p. f = 1 − (1 − 2^-planes)^n_tables. f IS the fraction of all n²/2
+    pairs that reach exact verification — at 4 planes × 24 tables f ≈ 0.79,
+    i.e. the "approximate" plan verifies more pairs than the exact plan
+    scores, plus banding/dedup overhead (measured 5× slower end-to-end).
+    ``auto`` therefore computes f from the parameters (no data scan) and
+    routes to :func:`~feathr_spark.operators.similarity.cosine_pairs_exact`
+    when f > 0.05; recall-lossy configs never silently run. The low-
+    threshold regime is exactly where hyperplane LSH cannot prune without
+    losing borderline pairs, so "exact, partition-parallel" is the honest
+    100 TB plan there (or raise the threshold / use more planes).
+
+    LSH path plan shape: the L2-normalized vectors are computed once and
+    persisted (bucket signs are scale-invariant, so normalizing first is
+    free); all ``n_tables`` bucket ids come from ONE Arrow-batched matmul
+    (:func:`~feathr_spark.operators.similarity.lsh_buckets_all` — the
+    tables × planes higher-order-function form evaluates interpreted and
+    measured ~7 s for 2 000 rows); the per-table bucket rows carry the id
+    ONLY, so the (table, bucket) self-join, and the pair-dedup shuffle
+    behind it, move 16-byte id pairs — never vectors. The deduped pairs
+    then attach the normalized vectors with two equi-joins against the
+    persisted vector frame (broadcast when small, shuffle-on-id at scale —
+    either way each vector crosses the wire once), and verification is a
+    single dot product per unique pair.
     """
-    from .similarity import dot, l2_norm, lsh_bucket
+    from .similarity import (cosine_pairs_exact, dot, l2_norm,
+                             lsh_buckets_all)
+    if strategy not in ("auto", "lsh", "exact"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy == "auto":
+        frac = 1.0 - (1.0 - 0.5 ** planes) ** n_tables
+        strategy = "exact" if frac > 0.05 else "lsh"
+    if strategy == "exact":
+        return cosine_pairs_exact(df, vec_col, id_col, threshold)
     v = _spread(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"))
@@ -428,9 +453,9 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
         "__id",
         F.transform("__v", lambda x: x / norm).alias("__nv"),
     ).persist()
-    buckets = nrm.select("__id", F.posexplode(F.array(*[
-        lsh_bucket(F.col("__nv"), planes, seed=t) for t in range(n_tables)
-    ])).alias("__table", "__bucket")).persist()
+    buckets = nrm.select("__id", F.posexplode(
+        lsh_buckets_all(F.col("__nv"), planes, n_tables)
+    ).alias("__table", "__bucket")).persist()
 
     left, right = buckets.alias("l"), buckets.alias("r")
     cand = (left.join(right, (F.col("l.__table") == F.col("r.__table")) &

@@ -13,6 +13,9 @@ from __future__ import annotations
 import math
 from typing import List
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -56,7 +59,15 @@ def _planes(n_planes: int, dim: int, seed: int = 0) -> List[List[float]]:
 def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64,
                seed: int = 0) -> Column:
     """Random-hyperplane signature: bit i = sign(vec · plane_i). Returns a
-    bigint bucket id. Planes are fixed literals — evaluated JVM-side."""
+    bigint bucket id. Planes are fixed literals — evaluated JVM-side.
+
+    Pure-expression form — fine for a handful of planes (IVF's coarse
+    bucket). For many planes × many tables use :func:`lsh_buckets_all`:
+    the stacked higher-order-function expression tree falls out of
+    whole-stage codegen and evaluates interpreted at ~10 µs per array
+    element (measured: 24 tables × 4 planes × 64 dims ≈ 7 s for 2 000
+    rows on 32 cores), while one Arrow-batched matmul does the same work
+    in milliseconds."""
     planes = _planes(n_planes, dim, seed)
     bucket = F.lit(0).cast("bigint")
     for i, p in enumerate(planes):
@@ -65,6 +76,46 @@ def lsh_bucket(vec: Column, n_planes: int = 16, dim: int = 64,
                      F.shiftleft(F.lit(1).cast("bigint"), i)).otherwise(F.lit(0).cast("bigint"))
         bucket = bucket.bitwiseOR(bit)
     return bucket
+
+
+def lsh_buckets_all(vec: Column, n_planes: int, n_tables: int,
+                    dim: int = 64) -> Column:
+    """Hyperplane buckets for ALL tables in one vectorized pass: returns
+    ``array<long>`` with element t = the table-t bucket of ``vec`` (same
+    plane families as ``lsh_bucket(..., seed=t)``).
+
+    One Arrow-batched pandas UDF does a single (batch × dim) @
+    (dim × tables·planes) matmul and packs sign bits per table — the
+    per-row cost is a few dozen fused flops instead of tables × planes
+    interpreted higher-order-function folds (~1000× measured at 24×4).
+    Bit semantics match ``lsh_bucket`` (bit i set iff dot ≥ 0); only the
+    float summation order differs, so a dot within one ulp of zero may
+    bucket differently — irrelevant for an approximate candidate
+    generator. Rows shorter than ``dim`` are zero-padded (the expression
+    form nulls the dot instead; both land in a deterministic bucket).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.array([_planes(n_planes, dim, seed=t) for t in range(n_tables)],
+                   dtype=np.float64).reshape(n_tables * n_planes, dim).T
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<bigint>")
+    def _buckets(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        x = np.zeros((len(col), dim), dtype=np.float64)
+        for i, v in enumerate(col.to_numpy()):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)[:dim]
+            x[i, :a.shape[0]] = np.nan_to_num(a)
+        signs = (x @ mat) >= 0.0                     # (n, tables*planes)
+        bits = signs.reshape(len(col), n_tables, n_planes).astype(np.int64)
+        buckets = (bits * weights).sum(axis=2)       # (n, tables)
+        return pd.Series(list(buckets))
+
+    return _buckets(vec)
 
 
 def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -192,13 +243,15 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("__qv"))
     # one (table, bucket) row per input row per table; join key carries the
-    # table id so buckets from different plane families never collide
-    c_b = c.select("neighbor_id", "__cv", F.posexplode(F.array(*[
-        lsh_bucket(F.col("__cv"), n_planes, dim, seed=t) for t in range(n_tables)
-    ])).alias("__table", "__bucket"))
-    q_b = q.select("query_id", "__qv", F.posexplode(F.array(*[
-        lsh_bucket(F.col("__qv"), n_planes, dim, seed=t) for t in range(n_tables)
-    ])).alias("__table", "__bucket"))
+    # table id so buckets from different plane families never collide. All
+    # tables' buckets come from ONE Arrow-batched matmul per side
+    # (lsh_buckets_all), not tables × planes interpreted HOF folds.
+    c_b = c.select("neighbor_id", "__cv", F.posexplode(
+        lsh_buckets_all(F.col("__cv"), n_planes, n_tables, dim)
+    ).alias("__table", "__bucket"))
+    q_b = q.select("query_id", "__qv", F.posexplode(
+        lsh_buckets_all(F.col("__qv"), n_planes, n_tables, dim)
+    ).alias("__table", "__bucket"))
     joined = c_b.join(F.broadcast(q_b), on=["__table", "__bucket"]) \
         .where(F.col("query_id") != F.col("neighbor_id")) \
         .dropDuplicates(["query_id", "neighbor_id"])

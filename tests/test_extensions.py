@@ -63,6 +63,62 @@ def test_cosine_topk_exact(spark):
     assert [(r.rank, r.neighbor_id) for r in out] == [(1, 1), (2, 2)]
 
 
+def test_lsh_buckets_all_matches_expression_form(spark):
+    """The Arrow-batched matmul buckets must agree with the per-table
+    expression form (same plane families; only float summation order
+    differs, which cannot flip a sign on these well-separated dots)."""
+    from feathr_spark.operators.similarity import lsh_bucket, lsh_buckets_all
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    n_planes, n_tables = 6, 4
+    both = emb.select(
+        "vec_id",
+        lsh_buckets_all(F.col("v"), n_planes, n_tables).alias("fast"),
+        F.array(*[lsh_bucket(F.col("v"), n_planes, seed=t)
+                  for t in range(n_tables)]).alias("slow"))
+    mismatches = both.where(F.col("fast") != F.col("slow")).count()
+    assert mismatches == 0
+
+
+def test_embedding_cosine_pairs_strategy_routing(spark):
+    """auto must route non-pruning configs (high table-collision fraction)
+    to the exact scorer and pruning configs to LSH; both must find a
+    planted near-identical pair."""
+    import numpy as np
+    from feathr_spark.operators.dedup import embedding_cosine_pairs
+    rng = np.random.RandomState(7)
+    base = rng.randn(64)
+    rows = [Row(vec_id=0, embedding=base.tolist()),
+            Row(vec_id=1, embedding=(base + 0.01 * rng.randn(64)).tolist())]
+    rows += [Row(vec_id=i, embedding=rng.randn(64).tolist())
+             for i in range(2, 40)]
+    df = spark.createDataFrame(rows)
+
+    # non-pruning config (4 planes x 24 tables -> 79% collision fraction):
+    # auto = exact; plan shows the broadcast loop, no Python stage
+    auto_plan = embedding_cosine_pairs(
+        df, threshold=0.9, planes=4, n_tables=24)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in auto_plan
+    assert "ArrowEvalPython" not in auto_plan
+
+    # pruning config (16 planes x 4 tables -> collision fraction 6e-5):
+    # auto = LSH; plan carries the Arrow-batched bucket stage
+    lsh_df = embedding_cosine_pairs(df, threshold=0.9, planes=16, n_tables=4)
+    lsh_plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in lsh_plan
+    assert "BroadcastNestedLoopJoin" not in lsh_plan
+
+    exact_pairs = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+        df, threshold=0.9, planes=4, n_tables=24).collect()}
+    lsh_pairs = {(r.id_a, r.id_b) for r in lsh_df.collect()}
+    assert (0, 1) in exact_pairs
+    assert (0, 1) in lsh_pairs
+
+    with pytest.raises(ValueError):
+        embedding_cosine_pairs(df, strategy="bogus")
+
+
 def test_text_stats_values(spark):
     from feathr_spark.operators.text import text_stats
     df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! This is the test.")])

@@ -23,6 +23,12 @@ BROADCAST_LOOP_OK = {
     "ann_ivf_topk",      # probed inverted lists × broadcast(queries)
     "ann_lsh_recall",    # embeds ann_topk's exact scoring + 1-row×1-row crossJoin
     "ann_ivf_recall",    # same
+    # cost-based auto strategy routes the low-threshold config to the
+    # exact scorer: left side hash-repartitioned, right side broadcast —
+    # the partition-parallel all-pairs loop (LSH at threshold 0.45 would
+    # collide 79% of all pairs and is strictly slower; see
+    # embedding_cosine_pairs docstring)
+    "embedding_cosine_pairs",
 }
 
 
@@ -158,11 +164,11 @@ EXCHANGE_BUDGET = {
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,
-    # r4: +2 — id-only candidate pairs re-attach their vectors via two
-    # equi-joins on id (AQE broadcasts them when small). Buys: the pair
-    # dedup exchange stops carrying two full embeddings replicated per
-    # LSH table (24x payload fan-out; measured 5x wall-clock at sf0.1).
-    "embedding_cosine_pairs": 5,
+    # r4: auto strategy -> exact partition-parallel scorer (one
+    # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
+    # config collides 79% of all pairs, so banding only added overhead
+    # (measured ~5x wall-clock at sf0.1 vs exact).
+    "embedding_cosine_pairs": 1,
     "ann_lsh_topk": 3,
     "ann_ivf_topk": 6,
     "ann_lsh_recall": 13,

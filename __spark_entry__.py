@@ -674,6 +674,23 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "top_gram_count", "top_gram_frac")
 
 
+def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (char 5-grams, window 4, portable
+    md5-prefix hash): the sketch itself is a ZERO-shuffle row-local
+    pipeline; this query folds each document's fingerprint set into
+    (count, xor, min, max) — one aggregation shuffle — so the oracle pins
+    every fingerprint value while the result stays one row per doc."""
+    _utc(spark)
+    from feathr_spark.operators.text import winnow_fingerprints
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    return (fps.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"))
+            .agg(F.count("*").cast("bigint").alias("n_fps"),
+                 F.bit_xor("fingerprint").cast("bigint").alias("fp_xor"),
+                 F.min("fingerprint").cast("bigint").alias("fp_min"),
+                 F.max("fingerprint").cast("bigint").alias("fp_max")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the events stream + per-session
     aggregates — one shuffle on user_id, session boundaries via lag +
@@ -889,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
+        "winnow_fps": q_winnow_fps,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "dedup_keep_one": q_dedup_keep_one,
@@ -1453,6 +1471,41 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _PII_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,
         "repetition_stats": _REPETITION_SQL,
+        # Winnowing mirror: identical normalization / char-5-gram /
+        # portable 60-bit md5-prefix hash / window-4 sliding min /
+        # per-doc distinct, folded to (count, xor, min, max) per doc.
+        "winnow_fps": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 5 THEN [t]
+                     ELSE list_transform(range(1, len(t) - 5 + 2),
+                                         i -> substr(t, i, 5)) END AS grams
+              FROM norm
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM g
+            ), wins AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) < 4 THEN [list_min(hs)]
+                     ELSE list_transform(range(1, len(hs) - 4 + 2),
+                                         j -> list_min(hs[j:j+3])) END AS mins
+              FROM h
+            ), fps AS (
+              SELECT DISTINCT doc_id, unnest(mins) AS fingerprint FROM wins
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_fps,
+                   CAST(bit_xor(fingerprint) AS BIGINT) AS fp_xor,
+                   CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
+                   CAST(MAX(fingerprint) AS BIGINT) AS fp_max
+            FROM fps GROUP BY doc_id
+        """,
         "sessionize": _SESSIONIZE_SQL,
         "json_props": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -57,6 +57,7 @@ HEADLINE = [
     # round-4 additions: new operators enter the headline set on arrival
     "repetition_stats",
     "sessionize",
+    "winnow_fps",
 ]
 
 

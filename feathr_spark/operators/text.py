@@ -130,6 +130,51 @@ def shingle_minhash_fingerprint(col: Column, k: int = 3) -> Column:
     return F.array_min(F.transform(shingles, lambda s: F.xxhash64(s)))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD
+    2003 — the MOSS algorithm): char ``k``-gram rolling hashes; every
+    window of ``w`` consecutive hashes contributes its MINIMUM; the
+    distinct minima are the document's fingerprint set.
+
+    The winnowing guarantee: any substring match of length ≥ k + w − 1
+    between two documents produces at least one SHARED fingerprint, while
+    the expected fingerprint density is only 2/(w+1) of positions — the
+    standard local-selection sketch for plagiarism/overlap detection
+    where MinHash's global sketch can't localize matches.
+
+    Plan shape: everything is row-local builtin expressions (substring
+    k-grams → portable 60-bit md5-prefix hash → sliding ``array_min`` →
+    ``array_distinct`` → explode); ZERO shuffles at any scale, and the
+    fingerprint stream feeds an id-keyed overlap join downstream. The
+    hash is the engine-portable md5 prefix so an independent SQL engine
+    reproduces every value bit-for-bit.
+
+    Degenerate inputs follow the shingle conventions: text shorter than
+    ``k`` hashes as one whole-string gram; fewer than ``w`` grams form
+    one window. Output: (``id_col``, fingerprint) distinct per document.
+    """
+    from .dedup import normalize_text, portable_hash64
+    norm = df.select(F.col(id_col).alias("__id"),
+                     normalize_text(F.col(text_col)).alias("__t"))
+    ln = F.length("__t")
+    grams = F.when(ln < k, F.array(F.col("__t"))).otherwise(
+        F.transform(F.sequence(F.lit(1), ln - k + 1),
+                    lambda i: F.col("__t").substr(i, F.lit(k))))
+    hashed = norm.select(
+        "__id",
+        F.transform(grams, lambda s: portable_hash64(s)).alias("__hs"))
+    n = F.size("__hs")
+    mins = F.when(n < w, F.array(F.array_min("__hs"))).otherwise(
+        F.transform(F.sequence(F.lit(1), n - w + 1),
+                    lambda j: F.array_min(F.slice(F.col("__hs"), j, w))))
+    return (hashed
+            .select("__id", F.explode(F.array_distinct(mins)).alias("fingerprint"))
+            .select(F.col("__id").alias(id_col),
+                    F.col("fingerprint").cast("bigint")))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats column set (one projection, one scan)."""
     c = F.col(text_col)

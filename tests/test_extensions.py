@@ -119,6 +119,31 @@ def test_embedding_cosine_pairs_strategy_routing(spark):
         embedding_cosine_pairs(df, strategy="bogus")
 
 
+def test_winnow_fingerprints_guarantee_and_edges(spark):
+    """Winnowing guarantee: a shared substring of length >= k+w-1 yields a
+    shared fingerprint; unrelated docs share none; degenerate short texts
+    produce exactly one fingerprint."""
+    from feathr_spark.operators.text import winnow_fingerprints
+    shared = "the quick brown fox jumped over the lazy dog repeatedly"
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="aaa " + shared + " bbb"),
+        Row(doc_id=2, text="zzzzzzz " + shared + " wwwwwwwww"),
+        Row(doc_id=3, text="unrelated entirely different content"),
+        Row(doc_id=4, text="hi"),       # shorter than k -> whole-string gram
+        Row(doc_id=5, text="abcdef"),   # 2 grams < w -> single window
+    ])
+    fps = winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]            # guarantee
+    assert not (by_doc[1] & by_doc[3])      # discrimination
+    assert len(by_doc[4]) == 1 and len(by_doc[5]) == 1
+    # density: far fewer fingerprints than positions (expected ~2/(w+1))
+    n_pos = len("aaa " + shared + " bbb") - 5 + 1
+    assert len(by_doc[1]) < n_pos / 2
+
+
 def test_text_stats_values(spark):
     from feathr_spark.operators.text import text_stats
     df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! This is the test.")])

@@ -150,6 +150,9 @@ EXCHANGE_BUDGET = {
     # explode->groupBy(doc,gram) then the per-doc rank window re-partitions
     # on doc alone; dup_word_frac attaches via an AQE-decided id join.
     "repetition_stats": 2,
+    # the sketch itself is zero-shuffle; the one Exchange is the per-doc
+    # (count, xor, min, max) fold the oracle compares against.
+    "winnow_fps": 1,
     # ONE shuffle: the per-session groupBy(user, seq) reuses the
     # sessionize window's hashpartitioning(user) (same-key rows are
     # already co-located under the coarser key).

@@ -691,6 +691,34 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("fingerprint").cast("bigint").alias("fp_max")))
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a 3-term query: row-local HOF term
+    frequencies (no corpus explode), one single-row stats aggregate
+    broadcast back, TakeOrderedAndProject top-k. Round-before-rank makes
+    the ranking engine-portable."""
+    _utc(spark)
+    from feathr_spark.operators.search import bm25_topk
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, ["window", "merge", "join"], k=10)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "rank", "score")
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF summary per term: the (doc, term) tf table folded to
+    order-independent per-term stats (df, total tf, min/max tf·idf) so the
+    oracle pins every cell without shipping |docs|×|vocab| rows."""
+    _utc(spark)
+    from feathr_spark.operators.search import tf_idf_table
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = tf_idf_table(docs, "text", "doc_id")
+    return (t.groupBy("term")
+            .agg(F.max("df").cast("bigint").alias("df"),
+                 F.sum("tf").cast("bigint").alias("total_tf"),
+                 F.min("tf_idf").cast("double").alias("min_tfidf"),
+                 F.max("tf_idf").cast("double").alias("max_tfidf")))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the events stream + per-session
     aggregates — one shuffle on user_id, session boundaries via lag +
@@ -907,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "winnow_fps": q_winnow_fps,
+        "bm25_topk": q_bm25_topk,
+        "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "dedup_keep_one": q_dedup_keep_one,
@@ -1505,6 +1535,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # BM25 mirror: identical tokenization, Lucene idf, k1=1.2 b=0.75,
+        # identical left-to-right score-term summation, round-before-rank.
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents
+            ), per AS (
+              SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                     CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf0,
+                     CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                     CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf2
+              FROM toks
+            ), stats AS (
+              SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                     SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                     SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                     SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+              FROM per
+            ), scored AS (
+              SELECT doc_id, CAST(ROUND(
+                  ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2
+                      / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+                + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2
+                      / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+                + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2
+                      / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4) AS DOUBLE) AS score
+              FROM per, stats
+            ), ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+                     score
+              FROM scored
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(rank AS BIGINT) AS rank, score
+            FROM ranked WHERE rank <= 10
+        """,
+        # TF-IDF mirror: smoothed scikit-learn idf ln((1+N)/(1+df)) + 1;
+        # per-term fold keeps every aggregate order-independent (df,
+        # integer tf sum, min/max of the per-cell rounded tf·idf).
+        "tfidf_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+            ), dfreq AS (
+              SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+            ), n AS (
+              SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+            ), cells AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                     CAST(ROUND(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 4) AS DOUBLE) AS tf_idf
+              FROM tf JOIN dfreq USING (term), n
+            )
+            SELECT term,
+                   CAST(MAX(df) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS total_tf,
+                   CAST(MIN(tf_idf) AS DOUBLE) AS min_tfidf,
+                   CAST(MAX(tf_idf) AS DOUBLE) AS max_tfidf
+            FROM cells GROUP BY term
         """,
         "sessionize": _SESSIONIZE_SQL,
         "json_props": """

@@ -58,6 +58,8 @@ HEADLINE = [
     "repetition_stats",
     "sessionize",
     "winnow_fps",
+    "bm25_topk",
+    "tfidf_terms",
 ]
 
 

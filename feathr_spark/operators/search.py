@@ -1,0 +1,134 @@
+"""Keyword search over a document corpus: BM25 scoring + top-k retrieval.
+
+The reference's expression DSL delegates scalar work to Spark SQL
+(`/root/reference/feathr-rs/src/model.rs:248-253`); ranked retrieval is an
+engine extension a training-data pipeline needs (e.g. pulling candidate
+documents for a topic mix, or grading corpus relevance against probe
+queries).
+
+Design for scale: term frequencies are computed ROW-LOCALLY with builtin
+higher-order functions (the query term list is a handful of literals — no
+corpus-side explode, no (doc, term) shuffle). The only shuffles are a
+single-row corpus-statistics aggregate (document count, average length,
+per-term document frequencies) that is broadcast back, and the global
+top-k, which compiles to TakeOrderedAndProject (partition-local heads,
+no full sort). Every score is a codegen'd expression.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm_tokens(col: Column) -> Column:
+    """Whitespace tokens of lowercased, whitespace-normalized text — the
+    same normalization as the dedup/text operators."""
+    return F.split(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))), " ")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: List[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` documents by Okapi BM25 for a bag of query terms.
+
+    score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    with the Lucene-standard non-negative idf
+    ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Physical plan: one narrow projection computes per-row token count and
+    the per-term tfs (array of ``size(filter(tokens, = term))`` — query
+    terms are literals, so this is row-local and codegen'd); one
+    single-row aggregate derives N, avgdl and each term's document
+    frequency; that row is broadcast back (BroadcastNestedLoopJoin over
+    exactly one row) and the score is a flat arithmetic expression. The
+    final top-k is ``orderBy().limit(k)`` = TakeOrderedAndProject.
+    Scores are rounded BEFORE ranking (round-before-rank convention, ties
+    broken by id) so rankings are reproducible across engines.
+
+    Output: (``id_col``, rank, score), rank 1-based.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(F.col(id_col).alias("__id"),
+                     _norm_tokens(F.col(text_col)).alias("__w"))
+    def _eq(term):
+        # a one-parameter lambda per term: a two-parameter lambda would be
+        # interpreted by Spark as the (element, index) form
+        return lambda x: x == F.lit(term)
+
+    tf_cols = [
+        F.size(F.filter("__w", _eq(t))).cast("double").alias(f"__tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = toks.select("__id", F.size("__w").cast("double").alias("__dl"),
+                          *tf_cols)
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+          for i in range(len(terms))])
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0) + (F.col("__n") - F.col(f"__df{i}") + F.lit(0.5))
+            / (F.col(f"__df{i}") + F.lit(0.5)))
+        tf = F.col(f"__tf{i}")
+        denom = tf + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("__dl") / F.col("__avgdl"))
+        score = score + idf * tf * F.lit(k1 + 1.0) / denom
+    ranked = (scored
+              .select(F.col("__id"),
+                      F.round(score, round_dp).cast("double").alias("score"))
+              .orderBy(F.col("score").desc(), F.col("__id").asc())
+              .limit(k))
+    # the rank window is unpartitioned but runs on the ≤ k rows surviving
+    # TakeOrderedAndProject — the bounded form the plan guard allows
+    w = F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col("__id").asc()))
+    return ranked.select(F.col("__id").alias(id_col),
+                         w.cast("bigint").alias("rank"), "score")
+
+
+def tf_idf_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Corpus TF-IDF table: one row per (doc, term) with tf, df and
+    tf·idf (idf = ln((1+N)/(1+df)) + 1, the smoothed scikit-learn form).
+
+    Plan shape: explode tokens → ``groupBy(doc, term)`` tf counts (one
+    shuffle, map-side combined) → per-term document frequencies reuse the
+    SAME (term)-keyed aggregation (second small shuffle on term only) →
+    broadcast-join the tiny (term, df) frame back. N arrives as a
+    single-row broadcast aggregate, never a driver collect.
+
+    Output: (``id_col``, term, tf, df, tf_idf).
+    """
+    toks = df.select(F.col(id_col).alias("__id"),
+                     F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy("__id", "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    dfreq = (tf.groupBy("term")
+             .agg(F.count("*").cast("bigint").alias("df"))
+             .where(F.col("df") >= min_df))
+    n_docs = df.agg(F.countDistinct(F.col(id_col)).cast("double").alias("__n"))
+    out = (tf.join(F.broadcast(dfreq), "term")
+           .crossJoin(F.broadcast(n_docs)))
+    tfidf = F.col("tf") * (F.log((F.lit(1.0) + F.col("__n"))
+                                 / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
+    return out.select(F.col("__id").alias(id_col), "term", "tf", "df",
+                      F.round(tfidf, 4).cast("double").alias("tf_idf"))

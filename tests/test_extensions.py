@@ -144,6 +144,33 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert len(by_doc[1]) < n_pos / 2
 
 
+def test_bm25_ranks_relevant_docs(spark):
+    """BM25 must rank the term-dense short doc first, score docs without
+    any query term zero, and respect the round-before-rank tiebreak."""
+    from feathr_spark.operators.search import bm25_topk, tf_idf_table
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="spark window agg window window"),
+        Row(doc_id=2, text="window mention once in a much longer document "
+                           "with many other words diluting the term density"),
+        Row(doc_id=3, text="no relevant terms at all here"),
+        Row(doc_id=4, text="unrelated filler text padding"),
+    ])
+    out = bm25_topk(df, ["window"], k=4).collect()
+    assert [r.doc_id for r in out][:2] == [1, 2]
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[2] > 0
+    assert scores.get(3, 0.0) == 0.0 and scores.get(4, 0.0) == 0.0
+    assert [r.rank for r in out] == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        bm25_topk(df, [])
+
+    # tf-idf: a ubiquitous term gets the minimum idf, a unique term tf=1
+    # scores higher than a ubiquitous tf=1
+    t = {(r.doc_id, r.term): r for r in tf_idf_table(df).collect()}
+    assert t[(1, "spark")].df == 1 and t[(1, "window")].df == 2
+    assert t[(1, "spark")].tf_idf > t[(2, "window")].tf_idf
+
+
 def test_text_stats_values(spark):
     from feathr_spark.operators.text import text_stats
     df = spark.createDataFrame([Row(doc_id=1, text="Hello, world! This is the test.")])

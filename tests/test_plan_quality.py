@@ -29,6 +29,9 @@ BROADCAST_LOOP_OK = {
     # collide 79% of all pairs and is strictly slower; see
     # embedding_cosine_pairs docstring)
     "embedding_cosine_pairs",
+    # single-row corpus-stats frame broadcast onto every doc row
+    "bm25_topk",
+    "tfidf_terms",
 }
 
 
@@ -153,6 +156,14 @@ EXCHANGE_BUDGET = {
     # the sketch itself is zero-shuffle; the one Exchange is the per-doc
     # (count, xor, min, max) fold the oracle compares against.
     "winnow_fps": 1,
+    # row-local HOF tfs; the single-row stats aggregate contributes the
+    # SinglePartition exchange, the top-k is TakeOrderedAndProject.
+    "bm25_topk": 2,
+    # explode -> groupBy(doc, term) is the only corpus-sized shuffle; the
+    # rest are tiny: per-term df, the final per-term fold, and
+    # countDistinct(doc_id)'s two-phase (hash + SinglePartition) pair for
+    # the exact document count N.
+    "tfidf_terms": 6,
     # ONE shuffle: the per-session groupBy(user, seq) reuses the
     # sessionize window's hashpartitioning(user) (same-key rows are
     # already co-located under the coarser key).

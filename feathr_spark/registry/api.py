@@ -8,9 +8,16 @@ vocabulary, dispatched in-process against :class:`catalog.Registry`.
 verbatim, so a thin HTTP layer (or a test) can speak the reference's
 protocol; each variant is also a plain method.
 
-Raft replication (`BatchLoad`) and RBAC variants are intentionally out of
-scope for an in-process engine (SURVEY §2.10 scope cut): there is no
-cluster to replicate and no multi-tenant boundary to guard.
+Raft replication (`BatchLoad`) is intentionally out of scope for an
+in-process engine (SURVEY §2.10 scope cut): there is no cluster to
+replicate. RBAC follows the reference model
+(api_provider.rs:153-168 GetUserRoles/AddUserRole/DeleteUserRole;
+enforcement mirrors raft-registry/src/network/api_v2.rs: role routes
+need global admin, writing requests need write on the target project,
+reads need read): construct with an :class:`rbac.RbacStore` and pass
+``credential=`` to :meth:`handle`; without a store (or with
+``credential=None``) enforcement is off — the reference's
+``Credential::RbacDisabled`` mode.
 
 Responses are JSON-shaped dicts: entities as ``{"guid", "name",
 "qualifiedName", "version", "attributes", "typeName"}``, lineage as
@@ -51,20 +58,82 @@ def _page(items: list, size: Optional[int], offset: Optional[int]) -> list:
     return items[start:start + size] if size is not None else items[start:]
 
 
+# Writing request variants per api_provider.rs:172-184 is_writing_request
+# (BatchLoad excluded — Raft-only).
+_WRITING = {"CreateProject", "CreateProjectDataSource",
+            "CreateProjectAnchor", "CreateAnchorFeature",
+            "CreateProjectDerivedFeature", "AddUserRole", "DeleteUserRole"}
+_RBAC_ADMIN = {"GetUserRoles", "AddUserRole", "DeleteUserRole"}
+
+
 class RegistryApi:
     """Typed request dispatch over an in-process :class:`Registry`."""
 
-    def __init__(self, registry: Optional[Registry] = None):
+    def __init__(self, registry: Optional[Registry] = None,
+                 rbac: Optional[object] = None):
+        from .rbac import RbacStore
         self.registry = registry or Registry()
+        # the userroles table is part of the reference schema
+        # (scripts/sqlite.sql), so the store always exists; ENFORCEMENT is
+        # opt-in by passing a store explicitly (= the reference's
+        # rbac-enabled deployment; otherwise Credential::RbacDisabled).
+        self.rbac = rbac or RbacStore(self.registry.db)
+        self.enforce = rbac is not None
 
     # -- generic dispatch (reference enum-variant names) ----------------
-    def handle(self, request: dict) -> object:
+    def handle(self, request: dict, credential: Optional[str] = None
+               ) -> object:
         kind = request.get("type")
         method = getattr(self, _snake(kind), None) if kind else None
         if method is None:
             raise RegistryError(f"unsupported request: {kind!r}")
         params = {k: v for k, v in request.items() if k != "type"}
+        self._enforce(kind, params, credential)
+        if kind in _RBAC_ADMIN and kind != "GetUserRoles":
+            params.setdefault("requestor", credential or "*")
         return method(**params)
+
+    def _enforce(self, kind: str, params: dict,
+                 credential: Optional[str]) -> None:
+        """Mirror the reference middleware: role management needs global
+        admin; writes need write on the target project (project creation
+        is a global write); reads need read. Enforcement off or no
+        credential = RbacDisabled."""
+        if not self.enforce or credential is None:
+            return
+        from .rbac import GLOBAL_SCOPE, Permission
+        if kind in _RBAC_ADMIN:
+            self.rbac.require(credential, GLOBAL_SCOPE, Permission.ADMIN)
+            return
+        if kind == "CreateProject":
+            scope = GLOBAL_SCOPE
+        elif "project_id_or_name" in params:
+            scope = params["project_id_or_name"]
+        elif kind in ("GetProject", "GetProjectLineage"):
+            scope = params["id_or_name"]
+        else:
+            # project listing and cross-project feature lookups: global
+            scope = GLOBAL_SCOPE
+        needed = Permission.WRITE if kind in _WRITING else Permission.READ
+        self.rbac.require(credential, str(scope), needed)
+
+    # -- RBAC (reference api_provider.rs:153-168) -----------------------
+    def get_user_roles(self) -> List[dict]:
+        return self.rbac.user_roles()
+
+    def add_user_role(self, project_id_or_name: str, user: str, role: str,
+                      requestor: str = "*", reason: str = "") -> dict:
+        from .rbac import Permission
+        self.rbac.grant(project_id_or_name, user, Permission.from_role(role),
+                        requestor, reason)
+        return {"status": "OK"}
+
+    def delete_user_role(self, project_id_or_name: str, user: str, role: str,
+                         requestor: str = "*", reason: str = "") -> dict:
+        from .rbac import Permission
+        self.rbac.revoke(project_id_or_name, user, Permission.from_role(role),
+                         requestor, reason)
+        return {"status": "OK"}
 
     # -- projects --------------------------------------------------------
     def get_projects(self, keyword: Optional[str] = None,

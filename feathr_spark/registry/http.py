@@ -15,7 +15,10 @@ dispatched through ``RegistryApi.handle`` — the HTTP layer contains zero
 business logic, mirroring how the reference's poem handlers only build a
 request and forward it.
 
-RBAC routes (``/userroles``) and Raft management routes are out of scope
+RBAC routes (``/userroles``, ``/users/{user}/userroles/add``) follow
+api_v2.rs:911-983; the principal arrives in the ``x-registry-credential``
+header (standing in for the reference's AAD auth middleware) and
+permission failures map to 403. Raft management routes are out of scope
 (documented cut, SURVEY §2.10) and return 404.
 """
 
@@ -96,6 +99,11 @@ _ROUTES = [
      ("id_or_name",)),
     ("GET", rf"/features/{_SEG}/project", "GetEntityProject",
      ("id_or_name",)),
+    # RBAC routes (api_v2.rs:911-983). The reference mounts DELETE on the
+    # same /userroles/add path — mirrored verbatim, quirk and all.
+    ("GET", r"/userroles", "GetUserRoles", ()),
+    ("POST", rf"/users/{_SEG}/userroles/add", "AddUserRole", ("user",)),
+    ("DELETE", rf"/users/{_SEG}/userroles/add", "DeleteUserRole", ("user",)),
 ]
 _COMPILED = [(m, re.compile(p + r"\Z"), t, names)
              for m, p, t, names in _ROUTES]
@@ -125,7 +133,12 @@ def _match(method: str, rel_path: str,
                 req["size"] = int(query["size"][0])
             if "offset" in query:
                 req["offset"] = int(query["offset"][0])
-        if method == "POST":
+        if rtype in ("AddUserRole", "DeleteUserRole"):
+            # query params per api_v2.rs: project, role, reason
+            req["project_id_or_name"] = query.get("project", [""])[0]
+            req["role"] = query.get("role", [""])[0]
+            req["reason"] = query.get("reason", [""])[0]
+        elif method == "POST":
             req["definition"] = body or {}
         return req
     return None
@@ -159,7 +172,7 @@ class _Handler(BaseHTTPRequestHandler):
         path = url.path.rstrip("/") or "/"
         if method == "GET" and path == "/version":
             self._send(200, {"version": "feathr-spark",
-                             "rbac": False,
+                             "rbac": self.api.enforce,
                              "backends": ["sqlite", "memory"],
                              "api_versions": ["v1", "v2"]})
             return
@@ -185,11 +198,21 @@ class _Handler(BaseHTTPRequestHandler):
         if req is None:
             self._send(404, {"error": f"no route: {method} {path}"})
             return
+        # The reference extracts the principal via its auth middleware
+        # (AAD bearer token); the in-process shim reads it from a header.
+        # On an ENFORCING server a missing header is an anonymous caller
+        # (no grants -> denied), never an RbacDisabled bypass.
+        credential = self.headers.get("x-registry-credential") or (
+            "anonymous" if self.api.enforce else None)
         try:
             with self.lock:
-                out = self.api.handle(req)
+                out = self.api.handle(req, credential=credential)
         except RegistryError as e:
-            code = 404 if "not found" in str(e).lower() else 400
+            from .rbac import PermissionDenied
+            if isinstance(e, PermissionDenied):
+                code = 403
+            else:
+                code = 404 if "not found" in str(e).lower() else 400
             self._send(code, {"error": str(e)})
             return
         except (KeyError, TypeError, ValueError) as e:
@@ -202,6 +225,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
 
 
 class RegistryHttpServer:

@@ -40,8 +40,9 @@ def test_project_listing_and_fetch(api):
         "typeName"] == "feathr_workspace_v1"
     with pytest.raises(RegistryError):
         api.handle({"type": "GetProject", "id_or_name": "nope"})
-    with pytest.raises(RegistryError):
-        api.handle({"type": "GetUserRoles"})  # RBAC: out of scope
+    # RBAC in scope since round 4: role list serves (empty) on a
+    # non-enforcing facade
+    assert api.handle({"type": "GetUserRoles"}) == []
 
 
 def test_children_listing_keyword_and_paging(api):

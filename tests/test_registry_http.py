@@ -79,8 +79,11 @@ def server():
 def test_version_probe_and_unrouted_paths(server):
     v = _get(f"{server}/version")
     assert v["api_versions"] == ["v1", "v2"]
+    assert v["rbac"] is False          # no store passed -> RbacDisabled
     _get(f"{server}/api/v3/projects", expect=404)
-    _get(f"{server}/api/v1/userroles", expect=404)      # RBAC scope cut
+    # RBAC routes exist (round 4); on a non-enforcing server the role
+    # list is served (empty) rather than 403
+    assert _get(f"{server}/api/v1/userroles") == []
     _get(f"{server}/nonsense", expect=404)
 
 

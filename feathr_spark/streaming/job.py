@@ -130,6 +130,40 @@ def stream_session_stats(
     )
 
 
+def stream_dedup(
+    stream_df: DataFrame,
+    dedup_cols: Optional[Sequence[str]] = None,
+    text_col: Optional[str] = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST event per fingerprint, with
+    state bounded by the watermark horizon (the streaming analogue of
+    :func:`operators.dedup.exact_dedup`'s keep-one semantics).
+
+    ``dropDuplicatesWithinWatermark`` stores one state row per distinct
+    fingerprint and EVICTS it once the watermark passes — so a duplicate
+    arriving within ``watermark`` of the first occurrence is dropped,
+    while the same content re-appearing much later is treated as new.
+    That horizon semantics is the standard bounded-state trade-off: an
+    unbounded ``dropDuplicates`` on an infinite stream would grow state
+    forever (and is exactly what this function exists to avoid).
+
+    Dedup key: ``dedup_cols`` verbatim, or — when ``text_col`` is given —
+    the md5 fingerprint of whitespace-normalized lowercase text (the
+    batch ``exact_dedup`` fingerprint), computed into ``__fp`` so the
+    comparison state holds a 32-char hash instead of the payload.
+    """
+    if (dedup_cols is None) == (text_col is None):
+        raise ValueError("pass exactly one of dedup_cols / text_col")
+    out = stream_df.withWatermark(ts_col, watermark)
+    if text_col is not None:
+        from ..operators.text import md5_fingerprint
+        out = out.withColumn("__fp", md5_fingerprint(F.col(text_col)))
+        return out.dropDuplicatesWithinWatermark(["__fp"]).drop("__fp")
+    return out.dropDuplicatesWithinWatermark(list(dedup_cols))
+
+
 def run_streaming_query(
     df: DataFrame,
     format: str = "memory",

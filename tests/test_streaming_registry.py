@@ -423,3 +423,36 @@ def test_stream_session_window_stats(spark, tmp_path):
     assert s1.session_start == ts("2024-01-01 00:00:00")
     # session end = last event + gap (half-open)
     assert s1.session_end == ts("2024-01-01 00:59:00")
+
+
+def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicates (same normalized text) within
+    the watermark horizon collapse to one event; distinct texts pass.
+    State is the md5 fingerprint, evicted past the watermark."""
+    from feathr_spark.streaming.job import run_streaming_query, stream_dedup
+    src_dir = str(tmp_path / "stream_dedup_in")
+    df = spark.createDataFrame([
+        Row(event_id=1, t=ts("2024-01-01 00:00:00"), text="Hello  World"),
+        Row(event_id=2, t=ts("2024-01-01 00:01:00"), text="hello world "),
+        Row(event_id=3, t=ts("2024-01-01 00:02:00"), text="different doc"),
+        Row(event_id=4, t=ts("2024-01-01 00:03:00"), text="HELLO WORLD"),
+    ])
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = stream_dedup(stream, text_col="text", ts_col="t",
+                       watermark="10 minutes")
+    assert out.isStreaming and "__fp" not in out.columns
+    run_streaming_query(out, format="memory", query_name="t_dedup",
+                        timeout_ms=0)
+    rows = spark.sql("select * from t_dedup").collect()
+    # one survivor per distinct normalized content; ids 2 and 4 dropped
+    texts = sorted(r.text.lower().strip() for r in rows)
+    assert len(rows) == 2
+    assert texts[0] == "different doc"
+    # key-column variant + arg validation
+    out2 = stream_dedup(stream, dedup_cols=["event_id"], ts_col="t")
+    assert out2.isStreaming
+    with pytest.raises(ValueError):
+        stream_dedup(stream, dedup_cols=["event_id"], text_col="text")
+    with pytest.raises(ValueError):
+        stream_dedup(stream)

@@ -691,6 +691,21 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("fingerprint").cast("bigint").alias("fp_max")))
 
 
+def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style named quality gates (word count, mean word length,
+    symbol ratio, distinct stopwords) — all row-local builtin
+    expressions, zero shuffles."""
+    _utc(spark)
+    from feathr_spark.operators.text import gopher_quality_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = gopher_quality_flags(docs, "text", "doc_id", min_words=10)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_words", "mean_word_len", "symbol_ratio",
+                      "n_distinct_stopwords", "ok_word_count",
+                      "ok_mean_word_len", "ok_symbol_ratio", "ok_stopwords",
+                      "keep")
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query: row-local HOF term
     frequencies (no corpus explode), one single-row stats aggregate
@@ -935,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "winnow_fps": q_winnow_fps,
+        "quality_flags": q_quality_flags,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
@@ -1535,6 +1551,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # Gopher-gate mirror: identical tokenization, rule thresholds,
+        # and 4-dp rounding of the two ratio columns.
+        "quality_flags": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(w) AS n_words,
+                     CAST(ROUND(list_sum(list_transform(w, x -> len(x)))
+                                / greatest(len(w), 1), 4) AS DOUBLE) AS mean_word_len,
+                     CAST(ROUND((len(list_filter(w, x -> contains(x, '#')))
+                                 + len(list_filter(w, x -> contains(x, '...'))))
+                                / greatest(len(w), 1), 4) AS DOUBLE) AS symbol_ratio,
+                     len(list_intersect(w, ['the','and','of','to','is','be','with','that'])) AS n_stop
+              FROM toks
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   mean_word_len, symbol_ratio,
+                   CAST(n_stop AS BIGINT) AS n_distinct_stopwords,
+                   (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
+                   (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+                   (symbol_ratio <= 0.1) AS ok_symbol_ratio,
+                   (n_stop >= 2) AS ok_stopwords,
+                   ((n_words >= 10 AND n_words <= 100000)
+                    AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+                    AND (symbol_ratio <= 0.1)
+                    AND (n_stop >= 2)) AS keep
+            FROM m
         """,
         # BM25 mirror: identical tokenization, Lucene idf, k1=1.2 b=0.75,
         # identical left-to-right score-term summation, round-before-rank.

@@ -60,6 +60,7 @@ HEADLINE = [
     "winnow_fps",
     "bm25_topk",
     "tfidf_terms",
+    "quality_flags",
 ]
 
 

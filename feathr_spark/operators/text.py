@@ -109,6 +109,70 @@ def lang_id(col: Column) -> Column:
     return result
 
 
+GOPHER_STOPWORDS = ["the", "and", "of", "to", "is", "be", "with", "that"]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 5, max_words: int = 100000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_ratio: float = 0.1,
+                         min_distinct_stopwords: int = 2) -> DataFrame:
+    """Gopher/C4-style document quality gates as NAMED boolean rules (the
+    rule set from the Gopher paper's quality-filtering appendix, minus the
+    line-level bullet/ellipsis rules — the repetition rules live in
+    :func:`repetition_stats`):
+
+    - ``ok_word_count``: ``min_words ≤ words ≤ max_words``
+    - ``ok_mean_word_len``: mean word length in
+      ``[min_mean_word_len, max_mean_word_len]``
+    - ``ok_symbol_ratio``: (# + …/... occurrences) / words ≤
+      ``max_symbol_ratio``
+    - ``ok_stopwords``: ≥ ``min_distinct_stopwords`` DISTINCT members of
+      the 8-word Gopher stop list appear
+    - ``keep`` = conjunction of all rules.
+
+    Every rule is a builtin row-local expression (tokens computed once
+    per row) — ZERO shuffles at any scale; the downstream filter is
+    simply ``.where("keep")`` which Catalyst pushes into the scan.
+    Output: (id, n_words, mean_word_len, symbol_ratio,
+    n_distinct_stopwords, ok_*, keep).
+    """
+    toks = F.split(F.lower(F.trim(F.regexp_replace(F.col(text_col),
+                                                   r"\s+", " "))), " ")
+    base = df.select(F.col(id_col), toks.alias("__w"))
+    n_words = F.size("__w")
+    # mean word length over the whitespace tokens (chars excl. separators)
+    total_chars = F.aggregate("__w", F.lit(0),
+                              lambda acc, x: acc + F.length(x))
+    mean_wl = total_chars / F.greatest(n_words, F.lit(1))
+    sym = (F.size(F.filter("__w", lambda x: x.contains("#")))
+           + F.size(F.filter("__w", lambda x: x.contains("..."))))
+    sym_ratio = sym / F.greatest(n_words, F.lit(1))
+    n_stop = F.size(F.array_intersect(
+        "__w", F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])))
+    out = base.select(
+        id_col,
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_wl, 4).cast("double").alias("mean_word_len"),
+        F.round(sym_ratio, 4).cast("double").alias("symbol_ratio"),
+        n_stop.cast("bigint").alias("n_distinct_stopwords"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= min_words)
+         & (F.col("n_words") <= max_words)).alias("ok_word_count"),
+        ((F.col("mean_word_len") >= min_mean_word_len)
+         & (F.col("mean_word_len") <= max_mean_word_len))
+        .alias("ok_mean_word_len"),
+        (F.col("symbol_ratio") <= max_symbol_ratio).alias("ok_symbol_ratio"),
+        (F.col("n_distinct_stopwords") >= min_distinct_stopwords)
+        .alias("ok_stopwords"),
+    ).withColumn("keep", F.col("ok_word_count") & F.col("ok_mean_word_len")
+                 & F.col("ok_symbol_ratio") & F.col("ok_stopwords"))
+
+
 def md5_fingerprint(col: Column, normalize: bool = True) -> Column:
     """Exact-duplicate fingerprint: md5 of whitespace-normalized lowercase
     text. md5 is portable across engines (same hex output everywhere)."""

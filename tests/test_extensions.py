@@ -144,6 +144,28 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert len(by_doc[1]) < n_pos / 2
 
 
+def test_gopher_quality_flags_rules(spark):
+    """Each named gate trips on its own violation; a clean doc keeps."""
+    from feathr_spark.operators.text import gopher_quality_flags
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox is happy and that makes "
+                           "everyone glad to watch it run"),   # clean
+        Row(doc_id=2, text="too short"),                        # word count
+        Row(doc_id=3, text="## ### #tag ### ## the and of to is be with "
+                           "that extra words here"),            # symbols
+        Row(doc_id=4, text="zzzz qqqq wwww eeee rrrr tttt yyyy uuuu iiii "
+                           "oooo pppp aaaa"),                   # no stopwords
+    ])
+    out = {r.doc_id: r for r in
+           gopher_quality_flags(df, min_words=5).collect()}
+    assert out[1].keep
+    assert not out[2].ok_word_count and not out[2].keep
+    assert not out[3].ok_symbol_ratio and not out[3].keep
+    assert not out[4].ok_stopwords and not out[4].keep
+    # metric values: doc 2 has 2 words, mean word len (3+5)/2 = 4.0
+    assert out[2].n_words == 2 and out[2].mean_word_len == 4.0
+
+
 def test_bm25_ranks_relevant_docs(spark):
     """BM25 must rank the term-dense short doc first, score docs without
     any query term zero, and respect the round-before-rank tiebreak."""

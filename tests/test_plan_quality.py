@@ -156,6 +156,7 @@ EXCHANGE_BUDGET = {
     # the sketch itself is zero-shuffle; the one Exchange is the per-doc
     # (count, xor, min, max) fold the oracle compares against.
     "winnow_fps": 1,
+    "quality_flags": 0,
     # row-local HOF tfs; the single-row stats aggregate contributes the
     # SinglePartition exchange, the top-k is TakeOrderedAndProject.
     "bm25_topk": 2,

@@ -691,6 +691,32 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("fingerprint").cast("bigint").alias("fp_max")))
 
 
+def q_profile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type numeric profile of events.value: count / nulls /
+    exact distinct / min / max / exact-decimal sum & mean. ONE shuffle;
+    every aggregate order-independent, so the result is bit-stable
+    across engines and partitionings."""
+    _utc(spark)
+    from feathr_spark.operators.profile import profile_numeric
+    ev = _load_events(spark, sf_dir)
+    return profile_numeric(ev, ["value"], group_by=["event_type"])
+
+
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: hourly partials from
+    ONE raw shuffle, daily rows re-aggregate the hourly partials (never
+    rescan the source); avg derived from exact decimal sums at the
+    edge."""
+    _utc(spark)
+    from feathr_spark.operators.profile import time_rollup
+    ev = _load_events(spark, sf_dir)
+    out = time_rollup(ev, "ts", ["user_id"], "value", levels=("hour", "day"))
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      "resolution", "bucket_start", "n_events", "v_sum",
+                      F.col("v_min").cast("double").alias("v_min"),
+                      F.col("v_max").cast("double").alias("v_max"), "v_avg")
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style named quality gates (word count, mean word length,
     symbol ratio, distinct stopwords) — all row-local builtin
@@ -951,6 +977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "winnow_fps": q_winnow_fps,
         "quality_flags": q_quality_flags,
+        "profile_values": q_profile_values,
+        "time_rollup": q_time_rollup,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
@@ -1551,6 +1579,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # Profile mirror: identical aggregates; sums in exact DECIMAL so
+        # the values are order-independent; mean = (sum as double)/count
+        # (one IEEE division — bit-identical across engines).
+        "profile_values": """
+            SELECT event_type,
+                   CAST(COUNT(value) AS BIGINT) AS value_count,
+                   CAST(COUNT(*) FILTER (value IS NULL) AS BIGINT) AS value_nulls,
+                   CAST(COUNT(DISTINCT value) AS BIGINT) AS value_distinct,
+                   CAST(MIN(value) AS DOUBLE) AS value_min,
+                   CAST(MAX(value) AS DOUBLE) AS value_max,
+                   CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE), 4)
+                        AS DOUBLE) AS value_sum,
+                   CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                              / COUNT(value), 4) AS DOUBLE) AS value_mean
+            FROM events GROUP BY event_type
+        """,
+        # Rollup mirror: hourly from raw, daily from hourly partials —
+        # the same cascade, exact decimal sums.
+        "time_rollup": """
+            WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+            ), h AS (
+              SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+                     COUNT(*) AS n, SUM(CAST(value AS DECIMAL(27,6))) AS s,
+                     MIN(value) AS mn, MAX(value) AS mx
+              FROM e GROUP BY 1, 2
+            ), d AS (
+              SELECT user_id, date_trunc('day', bucket_start) AS bucket_start,
+                     SUM(n) AS n, SUM(s) AS s, MIN(mn) AS mn, MAX(mx) AS mx
+              FROM h GROUP BY 1, 2
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   'hour' AS resolution, bucket_start,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE) AS v_sum,
+                   CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max,
+                   CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE) AS v_avg
+            FROM h
+            UNION ALL
+            SELECT CAST(user_id AS BIGINT), 'day', bucket_start,
+                   CAST(n AS BIGINT),
+                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE),
+                   CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
+                   CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE)
+            FROM d
         """,
         # Gopher-gate mirror: identical tokenization, rule thresholds,
         # and 4-dp rounding of the two ratio columns.

@@ -61,6 +61,8 @@ HEADLINE = [
     "bm25_topk",
     "tfidf_terms",
     "quality_flags",
+    "profile_values",
+    "time_rollup",
 ]
 
 

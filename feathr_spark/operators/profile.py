@@ -1,0 +1,133 @@
+"""Dataset profiling and multi-resolution time rollups.
+
+Both are analytics primitives a feature platform needs around its data
+(the reference delegates all columnar compute to Spark via expression
+strings, `/root/reference/feathr-rs/src/model.rs:248-253`; these are the
+engine-side operators that make that delegation useful at scale).
+
+Portability note (why the decimal casts): double summation is
+order-dependent, so the same mean computed by two engines (or two runs
+with different partitioning!) can differ in the last ulp. Profiles and
+rollups here sum ``DECIMAL`` — exact, associative, engine-portable — and
+only convert to double at the output edge. This also makes the operators
+deterministic across cluster sizes, which matters for snapshot-diffing
+data-quality checks.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(27,6)"
+
+
+def profile_numeric(
+    df: DataFrame,
+    cols: Sequence[str],
+    group_by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Per-column numeric profile: count / nulls / exact distinct / min /
+    max / exact-decimal sum and mean — optionally per ``group_by`` group.
+
+    One shuffle total (a single groupBy computes every column's
+    aggregates side by side; map-side partial aggregation keeps the
+    shuffle payload at one small row per group per map task). All
+    aggregates are order-independent, so results are bit-stable across
+    partitionings and engines.
+
+    Output columns per profiled column c: ``{c}_count, {c}_nulls,
+    {c}_distinct, {c}_min, {c}_max, {c}_sum, {c}_mean`` (sum/mean as
+    DOUBLE rounded to 4 dp at the edge).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs: List = []
+    for c in cols:
+        d = F.col(c).cast(_DEC)
+        aggs += [
+            F.count(c).cast("bigint").alias(f"{c}_count"),
+            F.count_if(F.col(c).isNull()).cast("bigint").alias(f"{c}_nulls"),
+            F.countDistinct(c).cast("bigint").alias(f"{c}_distinct"),
+            F.min(c).cast("double").alias(f"{c}_min"),
+            F.max(c).cast("double").alias(f"{c}_max"),
+            F.round(F.sum(d).cast("double"), 4).alias(f"{c}_sum"),
+            # mean = (exact decimal sum as double) / count: ONE IEEE
+            # division on identical inputs is bit-identical everywhere,
+            # unlike decimal division whose result scale is engine-specific
+            F.round(F.sum(d).cast("double") / F.count(c), 4)
+            .alias(f"{c}_mean"),
+        ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    levels: Sequence[str] = ("hour", "day"),
+) -> DataFrame:
+    """Multi-resolution time rollup (the hypertable continuous-aggregate
+    cascade): per (keys, bucket) aggregates at each requested resolution,
+    where every coarser level re-aggregates the FINER level's partials
+    instead of rescanning the source.
+
+    For levels (hour, day, week): the raw table shuffles ONCE into hourly
+    partials (count/sum/min/max — all composable); daily rows re-group
+    the hourly rows (a shuffle over data already ~3-4 orders of magnitude
+    smaller than the source), weekly re-groups daily. At 100 TB this is
+    the difference between one full-data shuffle and one per level.
+    ``avg`` is derived at the output edge as sum/count (exact decimal),
+    never averaged across levels.
+
+    ``levels`` must be orderd finest→coarsest from ``second, minute,
+    hour, day, week, month, year`` (``date_trunc`` units). Output:
+    keys + resolution + bucket_start + n_events, v_sum, v_min, v_max,
+    v_avg.
+    """
+    order = ["second", "minute", "hour", "day", "week", "month", "year"]
+    if not levels or [order.index(l) for l in levels] != sorted(
+            order.index(l) for l in levels):
+        raise ValueError(f"levels must be finest-to-coarsest from {order}")
+    keys = list(key_cols)
+    d = F.col(value_col).cast(_DEC)
+    finest = levels[0]
+    cur = (df
+           .groupBy(*keys, F.date_trunc(finest, F.col(ts_col))
+                    .alias("bucket_start"))
+           .agg(F.count("*").cast("bigint").alias("n_events"),
+                F.sum(d).alias("__sum"),
+                F.min(value_col).cast("double").alias("v_min"),
+                F.max(value_col).cast("double").alias("v_max")))
+    outs = []
+    for i, level in enumerate(levels):
+        if i > 0:
+            cur = (cur
+                   .groupBy(*keys, F.date_trunc(level, F.col("bucket_start"))
+                            .alias("bucket_start"))
+                   .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                        F.sum("__sum").alias("__sum"),
+                        F.min("v_min").alias("v_min"),
+                        F.max("v_max").alias("v_max")))
+        if len(levels) > 1:
+            # each level feeds BOTH the output union and the next level's
+            # regroup; Spark does not share subplans across union
+            # branches, so an unpersisted level would re-run its whole
+            # upstream cascade once per appearance
+            cur = cur.persist()
+        outs.append(cur.select(
+            *keys, F.lit(level).alias("resolution"), "bucket_start",
+            "n_events",
+            F.round(F.col("__sum").cast("double"), 4).alias("v_sum"),
+            "v_min", "v_max",
+            F.round(F.col("__sum").cast("double") / F.col("n_events"), 4)
+            .alias("v_avg")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -144,6 +144,43 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert len(by_doc[1]) < n_pos / 2
 
 
+def test_profile_numeric_and_time_rollup(spark):
+    """Profiler counts/nulls/distinct/min/max/sum/mean per group; rollup
+    cascade: daily rows equal re-aggregated hourly rows."""
+    import datetime as dt
+    from feathr_spark.operators.profile import profile_numeric, time_rollup
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        Row(g="a", ts=t0, v=1.5),
+        Row(g="a", ts=t0 + dt.timedelta(minutes=30), v=2.5),
+        Row(g="a", ts=t0 + dt.timedelta(hours=1), v=4.0),
+        Row(g="a", ts=t0 + dt.timedelta(days=1), v=8.0),
+        Row(g="b", ts=t0, v=None),
+        Row(g="b", ts=t0, v=3.0),
+    ]
+    df = spark.createDataFrame(rows)
+    prof = {r.g: r for r in
+            profile_numeric(df, ["v"], group_by=["g"]).collect()}
+    assert prof["a"].v_count == 4 and prof["a"].v_nulls == 0
+    assert prof["a"].v_distinct == 4
+    assert prof["a"].v_sum == 16.0 and prof["a"].v_mean == 4.0
+    assert prof["b"].v_count == 1 and prof["b"].v_nulls == 1
+    with pytest.raises(ValueError):
+        profile_numeric(df, [])
+
+    roll = time_rollup(df.where("v is not null"), "ts", ["g"], "v",
+                       levels=("hour", "day"))
+    got = {(r.g, r.resolution, r.bucket_start): (r.n_events, r.v_sum,
+                                                 r.v_min, r.v_max, r.v_avg)
+           for r in roll.collect()}
+    assert got[("a", "hour", t0)] == (2, 4.0, 1.5, 2.5, 2.0)
+    assert got[("a", "day", t0)] == (3, 8.0, 1.5, 4.0, 2.6667)
+    assert got[("a", "day", t0 + dt.timedelta(days=1))] == \
+        (1, 8.0, 8.0, 8.0, 8.0)
+    with pytest.raises(ValueError):
+        time_rollup(df, "ts", ["g"], "v", levels=("day", "hour"))
+
+
 def test_gopher_quality_flags_rules(spark):
     """Each named gate trips on its own violation; a clean doc keeps."""
     from feathr_spark.operators.text import gopher_quality_flags

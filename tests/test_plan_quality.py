@@ -157,6 +157,13 @@ EXCHANGE_BUDGET = {
     # (count, xor, min, max) fold the oracle compares against.
     "winnow_fps": 1,
     "quality_flags": 0,
+    # one groupBy(event_type); countDistinct expands to its two-phase pair
+    "profile_values": 3,
+    # hourly groupBy(user, hour) + daily regroup of the hourly partials;
+    # the third textual match is the hourly Exchange REPRINTED inside the
+    # persisted level's InMemoryRelation build plan (executes once — the
+    # cache is exactly what stops the union from re-running the cascade)
+    "time_rollup": 3,
     # row-local HOF tfs; the single-row stats aggregate contributes the
     # SinglePartition exchange, the top-k is TakeOrderedAndProject.
     "bm25_topk": 2,

@@ -691,6 +691,26 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("fingerprint").cast("bigint").alias("fp_max")))
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic as-of join: each click event attaches the user's newest
+    purchase at-or-before it. Union-window plan: ONE hash shuffle on the
+    key, no join node, no row duplication — O(|L|+|R|) through the
+    shuffle where the naive interval join is O(|L|·history)."""
+    _utc(spark)
+    from feathr_spark.operators.asof import asof_join
+    ev = _load_events(spark, sf_dir)
+    clicks = ev.where("event_type = 'click'") \
+        .select("event_id", "user_id", "ts", "value")
+    buys = ev.where("event_type = 'purchase'") \
+        .select("user_id", "ts", "value")
+    out = asof_join(clicks, buys, ["user_id"], "ts", "ts", suffix="_buy")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.col("user_id").cast("bigint").alias("user_id"),
+                      "ts", _r4(F.col("value")).alias("value"),
+                      F.col("ts_buy"),
+                      _r4(F.col("value_buy")).alias("value_buy"))
+
+
 def q_profile_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type numeric profile of events.value: count / nulls /
     exact distinct / min / max / exact-decimal sum & mean. ONE shuffle;
@@ -979,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_flags": q_quality_flags,
         "profile_values": q_profile_values,
         "time_rollup": q_time_rollup,
+        "asof_join": q_asof_join,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
@@ -1579,6 +1600,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # As-of mirror: DuckDB's native ASOF LEFT JOIN has exactly the
+        # backward-inclusive semantics of asof_join(direction='backward').
+        "asof_join": """
+            WITH c AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT CAST(c.event_id AS BIGINT) AS event_id,
+                   CAST(c.user_id AS BIGINT) AS user_id,
+                   c.ts,
+                   CAST(ROUND(c.value, 4) AS DOUBLE) AS value,
+                   b.ts AS ts_buy,
+                   CAST(ROUND(b.value, 4) AS DOUBLE) AS value_buy
+            FROM c ASOF LEFT JOIN b
+              ON c.user_id = b.user_id AND c.ts >= b.ts
         """,
         # Profile mirror: identical aggregates; sums in exact DECIMAL so
         # the values are order-independent; mean = (sum as double)/count

@@ -63,6 +63,7 @@ HEADLINE = [
     "quality_flags",
     "profile_values",
     "time_rollup",
+    "asof_join",
 ]
 
 

@@ -144,6 +144,53 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert len(by_doc[1]) < n_pos / 2
 
 
+def test_asof_join_semantics(spark):
+    """Backward/forward directions, inclusive equal-timestamp match,
+    tolerance cutoff, SQL null semantics, left-join survival."""
+    import datetime as dt
+    from feathr_spark.operators.asof import asof_join
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    left = spark.createDataFrame([
+        Row(lid=1, k=1, ts=t(10)),
+        Row(lid=2, k=1, ts=t(30)),
+        Row(lid=3, k=2, ts=t(10)),   # no right rows for k=2
+        Row(lid=4, k=None, ts=t(10)),  # null key never matches
+        Row(lid=5, k=1, ts=None),      # null ts never matches
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, ts=t(10), v=100.0),   # equal ts -> matches lid=1
+        Row(k=1, ts=t(25), v=250.0),
+        Row(k=1, ts=t(40), v=400.0),
+        Row(k=None, ts=t(5), v=-1.0),  # null key dropped
+        Row(k=1, ts=None, v=-2.0),     # null ts dropped
+    ])
+    back = {r.lid: (r.ts_r, r.v_r) for r in
+            asof_join(left, right, ["k"], "ts", "ts").collect()}
+    assert back[1] == (t(10), 100.0)          # inclusive bound
+    assert back[2] == (t(25), 250.0)          # newest at-or-before
+    assert back[3] == (None, None)
+    assert back[4] == (None, None)
+    assert back[5] == (None, None)
+    assert len(back) == 5                      # left join: all rows kept
+
+    fwd = {r.lid: (r.ts_r, r.v_r) for r in
+           asof_join(left, right, ["k"], "ts", "ts",
+                     direction="forward").collect()}
+    assert fwd[1] == (t(10), 100.0)            # inclusive both directions
+    assert fwd[2] == (t(40), 400.0)            # earliest at-or-after
+
+    tol = {r.lid: (r.ts_r, r.v_r) for r in
+           asof_join(left, right, ["k"], "ts", "ts",
+                     tolerance="4m").collect()}
+    assert tol[1] == (t(10), 100.0)            # gap 0 <= 4m
+    assert tol[2] == (None, None)              # gap 5m > 4m
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], direction="nearest")
+    with pytest.raises(ValueError):
+        asof_join(left, left.select("k", "ts"), ["k", "ts"])
+
+
 def test_profile_numeric_and_time_rollup(spark):
     """Profiler counts/nulls/distinct/min/max/sum/mean per group; rollup
     cascade: daily rows equal re-aggregated hourly rows."""

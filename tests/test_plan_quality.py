@@ -157,6 +157,9 @@ EXCHANGE_BUDGET = {
     # (count, xor, min, max) fold the oracle compares against.
     "winnow_fps": 1,
     "quality_flags": 0,
+    # ONE hash shuffle on the join key — the union-window as-of plan has
+    # no join node and no row duplication
+    "asof_join": 1,
     # one groupBy(event_type); countDistinct expands to its two-phase pair
     "profile_values": 3,
     # hourly groupBy(user, hour) + daily regroup of the hourly partials;

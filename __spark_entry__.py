@@ -691,6 +691,17 @@ def q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("fingerprint").cast("bigint").alias("fp_max")))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view->click->purchase funnel (greedy-earliest, 2-day window from
+    the first view): one groupBy(user) + a sorted HOF fold per user —
+    the shuffle carries (timestamp, step-index) pairs, never raw
+    events."""
+    _utc(spark)
+    from feathr_spark.operators.funnel import funnel_counts
+    ev = _load_events(spark, sf_dir)
+    return funnel_counts(ev, ["view", "click", "purchase"], within="2d")
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join: each click event attaches the user's newest
     purchase at-or-before it. Union-window plan: ONE hash shuffle on the
@@ -1000,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_values": q_profile_values,
         "time_rollup": q_time_rollup,
         "asof_join": q_asof_join,
+        "funnel": q_funnel,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
@@ -1600,6 +1612,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # Funnel mirror: the same greedy-earliest cascade (anchor = the
+        # earliest 'view'; each later step = earliest occurrence strictly
+        # after the previous match and within 2 days of the anchor).
+        "funnel": """
+            WITH e AS (
+              SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+              FROM events
+            ), t0 AS (
+              SELECT user_id, min(ts) AS ts0 FROM e
+              WHERE event_type = 'view' GROUP BY 1
+            ), t1 AS (
+              SELECT e.user_id, t0.ts0, min(e.ts) AS ts1
+              FROM e JOIN t0 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > t0.ts0
+                AND epoch_ms(e.ts) - epoch_ms(t0.ts0) <= 172800000
+              GROUP BY 1, 2
+            ), t2 AS (
+              SELECT e.user_id, min(e.ts) AS ts2
+              FROM e JOIN t1 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > t1.ts1
+                AND epoch_ms(e.ts) - epoch_ms(t1.ts0) <= 172800000
+              GROUP BY 1
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type,
+                   CAST(count(*) AS BIGINT) AS n_users FROM t0
+            UNION ALL SELECT 2, 'click', count(*) FROM t1
+            UNION ALL SELECT 3, 'purchase', count(*) FROM t2
         """,
         # As-of mirror: DuckDB's native ASOF LEFT JOIN has exactly the
         # backward-inclusive semantics of asof_join(direction='backward').

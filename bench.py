@@ -64,6 +64,7 @@ HEADLINE = [
     "profile_values",
     "time_rollup",
     "asof_join",
+    "funnel",
 ]
 
 

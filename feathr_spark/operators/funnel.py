@@ -1,0 +1,99 @@
+"""Event funnel analysis: ordered multi-step conversion counting.
+
+"How many users did view → click → purchase, in that order?" — the
+standard product-analytics funnel, computed distributed:
+
+1. filter to the funnel's event types (pushed into the scan),
+2. ONE ``groupBy(user)`` collecting the (ts, step-index) pairs,
+3. a sorted higher-order-function fold walks each user's sequence once,
+   greedily matching the next needed step (greedy earliest-match is
+   exact for subsequence containment: taking the earliest occurrence of
+   a step never prevents completing the rest),
+4. a single-row aggregate counts users reaching each depth.
+
+The per-user payload is a handful of (timestamp, byte) structs — the
+shuffle carries no raw events — and the fold is row-local. An optional
+``within`` duration bounds the whole funnel to a time window starting at
+the matched first step (the funnel state carries that anchor).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: Optional[str] = None,
+) -> DataFrame:
+    """Count users completing each prefix of ``steps`` in strict
+    timestamp order (later steps must be strictly after earlier ones;
+    the first step anchors the optional ``within`` window — a HOCON
+    duration like ``"2h"``).
+
+    Output: (step, step_type, n_users), step 1-based, one row per step;
+    ``n_users`` is non-increasing down the funnel.
+
+    Semantics note: matching is GREEDY-EARLIEST — each step matches its
+    earliest admissible occurrence, and ``within`` anchors at the
+    earliest first-step event. Without ``within`` greedy subsequence
+    matching is exact; with it, a user whose only qualifying chain
+    starts at a LATER first-step occurrence is not counted (deterministic
+    one-pass semantics, same family as ClickHouse's windowFunnel; exact
+    any-anchor matching needs per-anchor re-scans).
+    """
+    steps = list(steps)
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be non-empty and distinct")
+    idx = F.create_map(*[x for i, s in enumerate(steps)
+                         for x in (F.lit(s), F.lit(i))])
+    evs = (df
+           .where(F.col(type_col).isin(steps)
+                  & F.col(ts_col).isNotNull()
+                  & F.col(user_col).isNotNull())
+           .select(F.col(user_col).alias("__u"),
+                   F.struct(F.col(ts_col).alias("ts"),
+                            idx[F.col(type_col)].alias("idx"))
+                   .alias("__e")))
+    per_user = evs.groupBy("__u").agg(
+        F.sort_array(F.collect_list("__e")).alias("__seq"))
+
+    n_steps = len(steps)
+    if within is not None:
+        from ..model import parse_duration_ms
+        tol_ms = F.lit(parse_duration_ms(within))
+
+    def step_fold(acc, x):
+        ts_ms = F.unix_millis(x.ts.cast("timestamp"))
+        ok = (acc.n < n_steps) & (x.idx == acc.n) \
+            & ((acc.n == 0) | (ts_ms > acc.last))
+        if within is not None:
+            ok = ok & ((acc.n == 0) | (ts_ms - acc.t0 <= tol_ms))
+        return F.when(ok, F.struct(
+            (acc.n + 1).alias("n"),
+            ts_ms.alias("last"),
+            F.when(acc.n == 0, ts_ms).otherwise(acc.t0).alias("t0"),
+        )).otherwise(acc)
+
+    zero = F.struct(F.lit(0).alias("n"),
+                    F.lit(None).cast("bigint").alias("last"),
+                    F.lit(None).cast("bigint").alias("t0"))
+    reached = per_user.select(
+        F.aggregate("__seq", zero, step_fold).getField("n").alias("__r"))
+    counts = reached.agg(*[
+        F.count_if(F.col("__r") >= i + 1).cast("bigint")
+        .alias(f"__c{i}") for i in range(n_steps)])
+    rows = [F.struct(F.lit(i + 1).cast("bigint").alias("step"),
+                     F.lit(s).alias("step_type"),
+                     F.col(f"__c{i}").alias("n_users"))
+            for i, s in enumerate(steps)]
+    return (counts
+            .select(F.explode(F.array(*rows)).alias("__row"))
+            .select("__row.step", "__row.step_type", "__row.n_users"))

@@ -144,6 +144,41 @@ def test_winnow_fingerprints_guarantee_and_edges(spark):
     assert len(by_doc[1]) < n_pos / 2
 
 
+def test_funnel_counts_semantics(spark):
+    """Order matters, strict timestamps, within-window anchored at the
+    first step, users counted at their deepest prefix."""
+    import datetime as dt
+    from feathr_spark.operators.funnel import funnel_counts
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    df = spark.createDataFrame([
+        # u1 completes in order
+        Row(user_id=1, ts=t(0), event_type="view"),
+        Row(user_id=1, ts=t(5), event_type="click"),
+        Row(user_id=1, ts=t(9), event_type="buy"),
+        # u2: click BEFORE view -> depth 1 only (order matters)
+        Row(user_id=2, ts=t(0), event_type="click"),
+        Row(user_id=2, ts=t(5), event_type="view"),
+        # u3: view+click, no buy -> depth 2
+        Row(user_id=3, ts=t(0), event_type="view"),
+        Row(user_id=3, ts=t(3), event_type="click"),
+        # u4: irrelevant events only -> not counted anywhere
+        Row(user_id=4, ts=t(0), event_type="error"),
+    ])
+    out = {r.step: (r.step_type, r.n_users) for r in
+           funnel_counts(df, ["view", "click", "buy"]).collect()}
+    assert out == {1: ("view", 3), 2: ("click", 2), 3: ("buy", 1)}
+    # within 4 minutes of the first view: u1's click at +5m now misses,
+    # u3's click at +3m still lands
+    outw = {r.step: r.n_users for r in
+            funnel_counts(df, ["view", "click", "buy"],
+                          within="4m").collect()}
+    assert outw == {1: 3, 2: 1, 3: 0}
+    with pytest.raises(ValueError):
+        funnel_counts(df, [])
+    with pytest.raises(ValueError):
+        funnel_counts(df, ["view", "view"])
+
+
 def test_asof_join_semantics(spark):
     """Backward/forward directions, inclusive equal-timestamp match,
     tolerance cutoff, SQL null semantics, left-join survival."""

@@ -160,6 +160,8 @@ EXCHANGE_BUDGET = {
     # ONE hash shuffle on the join key — the union-window as-of plan has
     # no join node and no row duplication
     "asof_join": 1,
+    # groupBy(user) + the single-row depth-count fold (SinglePartition)
+    "funnel": 2,
     # one groupBy(event_type); countDistinct expands to its two-phase pair
     "profile_values": 3,
     # hourly groupBy(user, hour) + daily regroup of the hourly partials;

@@ -702,6 +702,16 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"], within="2d")
 
 
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (first-active-day cohorts, day-offset
+    distinct-user counts, 30-day horizon): distinct (user, day) activity
+    joined to the per-user cohort day, counted per (cohort, offset)."""
+    _utc(spark)
+    from feathr_spark.operators.funnel import retention_cohorts
+    ev = _load_events(spark, sf_dir)
+    return retention_cohorts(ev, "user_id", "ts", max_days=30)
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic as-of join: each click event attaches the user's newest
     purchase at-or-before it. Union-window plan: ONE hash shuffle on the
@@ -1012,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_rollup": q_time_rollup,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
+        "retention": q_retention,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "sessionize": q_sessionize,
@@ -1612,6 +1623,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(fingerprint) AS BIGINT) AS fp_min,
                    CAST(MAX(fingerprint) AS BIGINT) AS fp_max
             FROM fps GROUP BY doc_id
+        """,
+        # Retention mirror: identical cohorting (min active day per user)
+        # and per-(cohort, offset) distinct counts.
+        "retention": """
+            WITH a AS (
+              SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+              FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ), c AS (
+              SELECT user_id, min(d) AS cd FROM a GROUP BY 1
+            )
+            SELECT c.cd AS cohort_day,
+                   CAST(a.d - c.cd AS BIGINT) AS day_offset,
+                   CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained
+            FROM a JOIN c USING (user_id)
+            WHERE a.d - c.cd <= 30
+            GROUP BY 1, 2
         """,
         # Funnel mirror: the same greedy-earliest cascade (anchor = the
         # earliest 'view'; each later step = earliest occurrence strictly

@@ -65,6 +65,7 @@ HEADLINE = [
     "time_rollup",
     "asof_join",
     "funnel",
+    "retention",
 ]
 
 

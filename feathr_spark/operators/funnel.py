@@ -25,6 +25,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_days: int = 30,
+) -> DataFrame:
+    """Classic cohort retention matrix: users are cohorted by their FIRST
+    active day; ``retained`` counts how many of a cohort were active
+    again exactly N days later (0 ≤ N ≤ ``max_days``).
+
+    Plan shape: one ``groupBy(user)`` finds each user's cohort day (a
+    min — map-side combined); distinct (user, day) activity joins the
+    tiny cohort frame back on the user id (AQE broadcasts it when small,
+    plain equi-join at scale); the final count groups the (cohort, offset)
+    pairs. Day 0 equals the cohort size by construction, so the output
+    doubles as the cohort-size row.
+
+    Output: (cohort_day date, day_offset, retained).
+    """
+    day = F.to_date(F.col(ts_col))
+    active = (df.where(F.col(ts_col).isNotNull()
+                       & F.col(user_col).isNotNull())
+              .select(F.col(user_col).alias("__u"), day.alias("__d"))
+              .distinct())
+    cohort = active.groupBy("__u").agg(F.min("__d").alias("__cd"))
+    return (active.join(cohort, "__u")
+            .withColumn("__off", F.datediff(F.col("__d"), F.col("__cd")))
+            .where(F.col("__off") <= max_days)
+            .groupBy(F.col("__cd").alias("cohort_day"),
+                     F.col("__off").cast("bigint").alias("day_offset"))
+            .agg(F.countDistinct("__u").cast("bigint").alias("retained")))
+
+
 def funnel_counts(
     df: DataFrame,
     steps: Sequence[str],

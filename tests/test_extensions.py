@@ -179,6 +179,28 @@ def test_funnel_counts_semantics(spark):
         funnel_counts(df, ["view", "view"])
 
 
+def test_retention_cohorts_matrix(spark):
+    """Cohorting by first active day; day-0 equals cohort size; repeat
+    activity within a day counts once."""
+    import datetime as dt
+    from feathr_spark.operators.funnel import retention_cohorts
+    d = lambda day, h=0: dt.datetime(2024, 1, day, h, 0, 0)
+    df = spark.createDataFrame([
+        Row(user_id=1, ts=d(1)), Row(user_id=1, ts=d(1, 5)),  # same day x2
+        Row(user_id=1, ts=d(2)),
+        Row(user_id=2, ts=d(1)), Row(user_id=2, ts=d(3)),
+        Row(user_id=3, ts=d(2)),
+    ])
+    out = {(str(r.cohort_day), r.day_offset): r.retained
+           for r in retention_cohorts(df, max_days=30).collect()}
+    assert out == {
+        ("2024-01-01", 0): 2,   # u1, u2 cohorted on day 1
+        ("2024-01-01", 1): 1,   # u1 back next day
+        ("2024-01-01", 2): 1,   # u2 back on day 3
+        ("2024-01-02", 0): 1,   # u3's own cohort
+    }
+
+
 def test_asof_join_semantics(spark):
     """Backward/forward directions, inclusive equal-timestamp match,
     tolerance cutoff, SQL null semantics, left-join survival."""

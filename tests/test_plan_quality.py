@@ -162,6 +162,9 @@ EXCHANGE_BUDGET = {
     "asof_join": 1,
     # groupBy(user) + the single-row depth-count fold (SinglePartition)
     "funnel": 2,
+    # distinct(user, day) + cohort min reuse the user partitioning; the
+    # final (cohort, offset) countDistinct adds its two-phase pair
+    "retention": 5,
     # one groupBy(event_type); countDistinct expands to its two-phase pair
     "profile_values": 3,
     # hourly groupBy(user, hour) + daily regroup of the hourly partials;

@@ -758,6 +758,32 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("v_max").cast("double").alias("v_max"), "v_avg")
 
 
+def q_profile_sketch_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the sketch profile (the 100 TB mode): HLL++
+    distinct must land within 3·rsd of exact, and the approximate
+    quantiles inside a generous exact-rank band. Deterministic, so the
+    oracle is the constant expectation row — a red entry means the
+    sketch accuracy contract broke."""
+    _utc(spark)
+    from feathr_spark.operators.profile import profile_numeric
+    ev = _load_events(spark, sf_dir)
+    ap = profile_numeric(ev, ["value"], approx=True, rsd=0.05)
+    ex = ev.agg(
+        F.countDistinct("value").alias("__nd"),
+        F.percentile("value", 0.40).alias("__p50_lo"),
+        F.percentile("value", 0.60).alias("__p50_hi"),
+        F.percentile("value", 0.85).alias("__p95_lo"),
+        F.percentile("value", 0.999).alias("__p95_hi"))
+    return ap.crossJoin(ex).select(
+        F.lit("profile_sketch").alias("metric"),
+        ((F.abs(F.col("value_distinct") - F.col("__nd"))
+          / F.col("__nd")) <= 0.15).alias("distinct_ok"),
+        F.col("value_p50").between(F.col("__p50_lo"), F.col("__p50_hi"))
+        .alias("p50_ok"),
+        F.col("value_p95").between(F.col("__p95_lo"), F.col("__p95_hi"))
+        .alias("p95_ok"))
+
+
 def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style named quality gates (word count, mean word length,
     symbol ratio, distinct stopwords) — all row-local builtin
@@ -1019,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "quality_flags": q_quality_flags,
         "profile_values": q_profile_values,
+        "profile_sketch_gate": q_profile_sketch_gate,
         "time_rollup": q_time_rollup,
         "asof_join": q_asof_join,
         "funnel": q_funnel,
@@ -1702,6 +1729,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
                               / COUNT(value), 4) AS DOUBLE) AS value_mean
             FROM events GROUP BY event_type
+        """,
+        "profile_sketch_gate": """
+            SELECT 'profile_sketch' AS metric,
+                   true AS distinct_ok, true AS p50_ok, true AS p95_ok
         """,
         # Rollup mirror: hourly from raw, daily from hourly partials —
         # the same cascade, exact decimal sums.

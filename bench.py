@@ -115,6 +115,11 @@ def main():
                 sys.stderr.write(f"bench {name} failed: {e}\n")
                 break
         timings[name] = round(best, 3) if best is not None else None
+        # several operators persist internal frames (minhash token cache,
+        # rollup levels, normalized embeddings); each rep re-creates them,
+        # so without this the session accumulates dead caches across
+        # 40+ queries x reps and later timings measure eviction pressure
+        spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v is not None}
     print(json.dumps({

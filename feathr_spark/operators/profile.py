@@ -28,29 +28,43 @@ def profile_numeric(
     df: DataFrame,
     cols: Sequence[str],
     group_by: Optional[Sequence[str]] = None,
+    approx: bool = False,
+    rsd: float = 0.05,
+    quantiles: Sequence[float] = (0.5, 0.95),
 ) -> DataFrame:
-    """Per-column numeric profile: count / nulls / exact distinct / min /
-    max / exact-decimal sum and mean — optionally per ``group_by`` group.
+    """Per-column numeric profile: count / nulls / distinct / min / max /
+    exact-decimal sum and mean — optionally per ``group_by`` group.
 
     One shuffle total (a single groupBy computes every column's
     aggregates side by side; map-side partial aggregation keeps the
-    shuffle payload at one small row per group per map task). All
-    aggregates are order-independent, so results are bit-stable across
-    partitionings and engines.
+    shuffle payload at one small row per group per map task). In exact
+    mode every aggregate is order-independent, so results are bit-stable
+    across partitionings and engines.
+
+    ``approx=True`` is the 100 TB mode: exact ``countDistinct`` keeps
+    per-group distinct-value state (memory ∝ cardinality), so the sketch
+    variant swaps in ``approx_count_distinct`` (HLL++, constant ~1.5 KB
+    state, relative error ``rsd``) and adds ``percentile_approx``
+    quantile columns ``{c}_p{q}`` (bounded-size quantile sketch) —
+    aggregates that stream through any cardinality. The accuracy
+    contract is tested (distinct within 3·rsd of exact; quantiles within
+    the sketch's rank tolerance) the same way the ANN recall gates are.
 
     Output columns per profiled column c: ``{c}_count, {c}_nulls,
-    {c}_distinct, {c}_min, {c}_max, {c}_sum, {c}_mean`` (sum/mean as
-    DOUBLE rounded to 4 dp at the edge).
+    {c}_distinct, {c}_min, {c}_max, {c}_sum, {c}_mean`` (+ ``{c}_p50``
+    etc. in approx mode; sum/mean as DOUBLE rounded to 4 dp).
     """
     if not cols:
         raise ValueError("cols must be non-empty")
     aggs: List = []
     for c in cols:
         d = F.col(c).cast(_DEC)
+        distinct = (F.approx_count_distinct(c, rsd) if approx
+                    else F.countDistinct(c))
         aggs += [
             F.count(c).cast("bigint").alias(f"{c}_count"),
             F.count_if(F.col(c).isNull()).cast("bigint").alias(f"{c}_nulls"),
-            F.countDistinct(c).cast("bigint").alias(f"{c}_distinct"),
+            distinct.cast("bigint").alias(f"{c}_distinct"),
             F.min(c).cast("double").alias(f"{c}_min"),
             F.max(c).cast("double").alias(f"{c}_max"),
             F.round(F.sum(d).cast("double"), 4).alias(f"{c}_sum"),
@@ -60,6 +74,11 @@ def profile_numeric(
             F.round(F.sum(d).cast("double") / F.count(c), 4)
             .alias(f"{c}_mean"),
         ]
+        if approx:
+            for q in quantiles:
+                aggs.append(
+                    F.percentile_approx(c, q, 10000).cast("double")
+                    .alias(f"{c}_p{int(q * 100)}"))
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)

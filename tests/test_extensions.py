@@ -285,6 +285,23 @@ def test_profile_numeric_and_time_rollup(spark):
         time_rollup(df, "ts", ["g"], "v", levels=("day", "hour"))
 
 
+def test_profile_approx_mode_accuracy(spark):
+    """Sketch profile: HLL distinct within 3*rsd of exact; approx
+    quantiles inside an exact rank band; plan has no distinct-expansion."""
+    from feathr_spark.operators.profile import profile_numeric
+    df = spark.range(0, 20000).selectExpr("id % 997 AS g",
+                                          "CAST(id % 5000 AS DOUBLE) AS v")
+    ap = profile_numeric(df, ["v"], approx=True, rsd=0.05).collect()[0]
+    ex = profile_numeric(df, ["v"]).collect()[0]
+    assert abs(ap.v_distinct - ex.v_distinct) / ex.v_distinct <= 0.15
+    assert ap.v_count == ex.v_count and ap.v_sum == ex.v_sum
+    # p50 of 0..4999 uniform-ish: within a generous rank band
+    assert 2000 <= ap.v_p50 <= 3000
+    assert 4300 <= ap.v_p95 <= 5000
+    # exact mode has no quantile columns; approx does
+    assert not [c for c in ex.asDict() if c.startswith("v_p")]
+
+
 def test_gopher_quality_flags_rules(spark):
     """Each named gate trips on its own violation; a clean doc keeps."""
     from feathr_spark.operators.text import gopher_quality_flags

@@ -32,6 +32,8 @@ BROADCAST_LOOP_OK = {
     # single-row corpus-stats frame broadcast onto every doc row
     "bm25_topk",
     "tfidf_terms",
+    # 1-row approx-profile × 1-row exact-bounds crossJoin
+    "profile_sketch_gate",
 }
 
 
@@ -167,6 +169,9 @@ EXCHANGE_BUDGET = {
     "retention": 5,
     # one groupBy(event_type); countDistinct expands to its two-phase pair
     "profile_values": 3,
+    # sketch side: one streaming aggregate pair; exact side: the
+    # countDistinct two-phase pair + percentile single-partition agg
+    "profile_sketch_gate": 6,
     # hourly groupBy(user, hour) + daily regroup of the hourly partials;
     # the third textual match is the hourly Exchange REPRINTED inside the
     # persisted level's InMemoryRelation build plan (executes once — the

@@ -791,7 +791,11 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from feathr_spark.operators.text import gopher_quality_flags
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = gopher_quality_flags(docs, "text", "doc_id", min_words=10)
+    # min_distinct_stopwords=1: the synthetic vocab carries few English
+    # stopwords, and a threshold the whole corpus fails (or passes) would
+    # make the keep flag non-discriminating
+    out = gopher_quality_flags(docs, "text", "doc_id", min_words=10,
+                               min_distinct_stopwords=1)
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "n_words", "mean_word_len", "symbol_ratio",
                       "n_distinct_stopwords", "ok_word_count",
@@ -1789,11 +1793,11 @@ def oracle_sql() -> dict[str, str]:
                    (n_words >= 10 AND n_words <= 100000) AS ok_word_count,
                    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
                    (symbol_ratio <= 0.1) AS ok_symbol_ratio,
-                   (n_stop >= 2) AS ok_stopwords,
+                   (n_stop >= 1) AS ok_stopwords,
                    ((n_words >= 10 AND n_words <= 100000)
                     AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
                     AND (symbol_ratio <= 0.1)
-                    AND (n_stop >= 2)) AS keep
+                    AND (n_stop >= 1)) AS keep
             FROM m
         """,
         # BM25 mirror: identical tokenization, Lucene idf, k1=1.2 b=0.75,

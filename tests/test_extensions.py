@@ -587,6 +587,49 @@ def test_sessionize_and_stats_values(spark):
     assert stats[(2, 1)].duration_sec == 0.0
 
 
+def test_training_corpus_pipeline_e2e(spark):
+    """The operators compose into the canonical training-data pipeline:
+    near-dup detect -> components -> keep-one resolve -> quality gate ->
+    deterministic split -> chunk. Invariants checked at every stage."""
+    from feathr_spark.operators.dedup import (
+        duplicate_components, minhash_lsh_pairs, resolve_duplicates)
+    from feathr_spark.operators.sampling import hash_split
+    from feathr_spark.operators.text import (
+        chunk_documents, gopher_quality_flags)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_docs = docs.count()
+
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64, bands=21,
+                              shingle_k=5, threshold=0.7)
+    comps = duplicate_components(pairs)
+    kept = resolve_duplicates(docs, comps, "doc_id")
+    n_kept = kept.count()
+    n_dropped = comps.where("doc_id != component_id").count()
+    assert n_kept == n_docs - n_dropped and n_dropped > 0
+
+    # threshold 1: the synthetic vocab carries few English stopwords —
+    # the default 2 correctly rejects this corpus wholesale
+    flags = gopher_quality_flags(kept, "text", "doc_id", min_words=10,
+                                 min_distinct_stopwords=1)
+    clean = kept.join(flags.where("keep").select("doc_id"), "doc_id")
+    n_clean = clean.count()
+    assert 0 < n_clean <= n_kept
+
+    split = hash_split(clean, {"train": 0.8, "val": 0.1, "test": 0.1},
+                       "doc_id")
+    by_split = {r.split: r.n for r in
+                split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(by_split.values()) == n_clean      # partition, no loss
+    assert set(by_split) <= {"train", "val", "test"}
+    assert by_split.get("train", 0) > by_split.get("test", 0)
+
+    chunks = chunk_documents(clean, "text", "doc_id",
+                             chunk_tokens=64, stride=48)
+    # every chunk comes from a kept+clean doc, covers them all
+    assert chunks.select("doc_id").distinct().count() == n_clean
+    assert chunks.where("n_tokens > 64").count() == 0
+
+
 def test_resolve_duplicates_keeps_canonical(spark):
     from feathr_spark.operators.dedup import (
         duplicate_components, resolve_duplicates,

@@ -72,6 +72,22 @@ class Feature:
             registry_tags=self.registry_tags,
         )
 
+    def as_feature(self, feature_alias: str) -> "Feature":
+        """Rename for reuse under a different output column (reference
+        feature.rs:230-241): the viewer/viewee pattern joins the SAME
+        feature twice — once per key alias — and each occurrence needs
+        its own column name. Chain with :meth:`with_key`:
+        ``f.with_key(["viewer"]).as_feature("f_emb_viewer")``; register
+        each aliased copy in its own anchor and the planner treats it as
+        an ordinary feature."""
+        return Feature(
+            name=feature_alias,
+            feature_type=self.feature_type,
+            transform=self.transform,
+            key=self.key,
+            registry_tags=self.registry_tags,
+        )
+
 
 @dataclass(frozen=True)
 class FeatureAnchor:

@@ -90,6 +90,46 @@ class FeathrProject:
         self.udfs[name] = fn
 
     # ------------------------------------------------------------------
+    # introspection (reference python/src/lib.rs FeathrProject getters:
+    # get_sources/get_source/get_anchor_groups/get_anchor_group/
+    # get_anchor_features/get_derived_features/get_derived_feature/
+    # get_input_context)
+    # ------------------------------------------------------------------
+    def get_sources(self) -> Dict[str, Source]:
+        return dict(self.sources)
+
+    def get_source(self, name: str) -> Source:
+        try:
+            return self.sources[name]
+        except KeyError:
+            raise FeathrError(f"unknown source {name}") from None
+
+    def get_anchor_groups(self) -> Dict[str, FeatureAnchor]:
+        return dict(self.anchors)
+
+    def get_anchor_group(self, name: str) -> FeatureAnchor:
+        try:
+            return self.anchors[name]
+        except KeyError:
+            raise FeathrError(f"unknown anchor {name}") from None
+
+    def get_anchor_features(self) -> List[str]:
+        return list(self._feature_index)
+
+    def get_derived_features(self) -> Dict[str, DerivedFeature]:
+        return dict(self.derived)
+
+    def get_derived_feature(self, name: str) -> DerivedFeature:
+        try:
+            return self.derived[name]
+        except KeyError:
+            raise FeathrError(f"unknown derived feature {name}") from None
+
+    def get_input_context(self):
+        from .source import INPUT_CONTEXT
+        return INPUT_CONTEXT
+
+    # ------------------------------------------------------------------
     # planning
     # ------------------------------------------------------------------
     def _resolve(self, names: Sequence[str]) -> Tuple[List[Tuple[FeatureAnchor, Feature]], List[DerivedFeature]]:

@@ -310,6 +310,50 @@ def test_key_alias_reuse(spark):
     assert r.f_score == 0.9
 
 
+def test_as_feature_viewer_viewee_double_join(spark):
+    """as_feature + with_key: the full viewer/viewee pattern — the SAME
+    feature joined twice in one query, each occurrence under its own key
+    alias AND its own column name, then a derived feature over both
+    copies (reference feature.rs:230-241, 330-351)."""
+    from feathr_spark import DerivedFeature, FeatureQuery
+    dims = spark.createDataFrame([Row(uid=1, score=0.9), Row(uid=2, score=0.5)])
+    obs = spark.createDataFrame([Row(viewer=1, viewee=2)])
+    p = FeathrProject("t", spark)
+    base = Feature(name="f_score", transform="score",
+                   key=[TypedKey(key_column="uid")])
+    src = DataFrameSource(name="users", df=dims)
+    p.register_anchor(FeatureAnchor(
+        name="u_viewer", source=src,
+        features=[base.with_key(["viewer"]).as_feature("f_score_viewer")]))
+    p.register_anchor(FeatureAnchor(
+        name="u_viewee", source=src,
+        features=[base.with_key(["viewee"]).as_feature("f_score_viewee")]))
+    p.register_derived(DerivedFeature(
+        name="f_affinity", transform="f_score_viewer * f_score_viewee",
+        input_features=["f_score_viewer", "f_score_viewee"]))
+    # no query-level key override: each aliased copy carries its own
+    # observation key alias from with_key
+    out = p.get_offline_features(
+        obs, FeatureQuery(["f_score_viewer", "f_score_viewee", "f_affinity"]))
+    r = out.collect()[0]
+    assert r.f_score_viewer == 0.9 and r.f_score_viewee == 0.5
+    assert abs(r.f_affinity - 0.45) < 1e-9
+    # introspection getters (reference python/src/lib.rs surface)
+    assert set(p.get_anchor_features()) == {"f_score_viewer",
+                                            "f_score_viewee"}
+    assert p.get_anchor_group("u_viewer").source.name == "users"
+    assert "users" in p.get_sources()
+    assert p.get_derived_feature("f_affinity").name == "f_affinity"
+    assert p.get_input_context().is_input_context
+    from feathr_spark.feature import FeathrError
+    with pytest.raises(FeathrError):
+        p.get_source("nope")
+    with pytest.raises(FeathrError):
+        p.get_anchor_group("nope")
+    with pytest.raises(FeathrError):
+        p.get_derived_feature("nope")
+
+
 def test_registry_project_roundtrip(spark):
     """Entry point C: save a full project to the registry, reconstruct it,
     and get identical query results (reference project.rs:742-846)."""

@@ -174,3 +174,76 @@ def test_grouped_window_null_semantics_match_brute_force(spark, rows,
             (x["group"], x["value"]) for x in r.f_g)
         got[(r.k, h)] = val
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# as-of join property: union-window plan vs brute force
+# ---------------------------------------------------------------------------
+
+asof_case = st.tuples(
+    st.lists(  # left rows: (key, hour-or-None)
+        st.tuples(st.integers(1, 3),
+                  st.one_of(st.none(), st.integers(0, 48))),
+        min_size=1, max_size=8),
+    st.lists(  # right rows: (key-or-None, hour-or-None, value)
+        st.tuples(st.one_of(st.none(), st.integers(1, 3)),
+                  st.one_of(st.none(), st.integers(0, 48)),
+                  st.integers(-9, 9)),
+        min_size=0, max_size=10),
+    st.sampled_from(["backward", "forward"]),
+)
+
+
+def _brute_asof(lrows, rrows, direction):
+    """Expected (ts_r, v_r) per left row index: the single matchable right
+    row with max ts <= lt (backward) / min ts >= lt (forward); ties on
+    identical right timestamps cannot occur (strategy deduplicates)."""
+    out = {}
+    for i, (lk, lh) in enumerate(lrows):
+        cand = [(rh, v) for (rk, rh, v) in rrows
+                if rk is not None and rh is not None
+                and lk is not None and lh is not None and rk == lk
+                and (rh <= lh if direction == "backward" else rh >= lh)]
+        if not cand:
+            out[i] = (None, None)
+        elif direction == "backward":
+            out[i] = max(cand)
+        else:
+            out[i] = min(cand)
+    return out
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(asof_case)
+def test_property_asof_join_vs_brute_force(spark, case):
+    from feathr_spark.operators.asof import asof_join
+    lrows, rrows, direction = case
+    # dedupe right (key, ts): duplicate-timestamp match choice is
+    # documented as unspecified — exclude it from the property
+    seen, rdedup = set(), []
+    for rk, rh, v in rrows:
+        if (rk, rh) in seen:
+            continue
+        seen.add((rk, rh))
+        rdedup.append((rk, rh, v))
+
+    def ts(h):
+        return None if h is None else BASE + dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [Row(lid=i, k=k, t=ts(h)) for i, (k, h) in enumerate(lrows)],
+        "lid int, k int, t timestamp")
+    right = spark.createDataFrame(
+        [Row(k=k, t=ts(h), v=float(v)) for k, h, v in rdedup],
+        "k int, t timestamp, v double")
+    out = asof_join(left, right, ["k"], "t", "t",
+                    direction=direction)
+    got = {r.lid: ((None if r.t_r is None
+                    else int((r.t_r - BASE).total_seconds() // 3600)),
+                   r.v_r)
+           for r in out.collect()}
+    expected = {i: (h, None if v is None else float(v))
+                for i, (h, v) in _brute_asof(lrows, rdedup,
+                                             direction).items()}
+    assert got == expected

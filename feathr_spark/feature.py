@@ -140,6 +140,14 @@ class FeatureAnchor:
     def is_passthrough(self) -> bool:
         return self.source.is_input_context
 
+    def __getitem__(self, name: str) -> Feature:
+        """Anchor-group feature lookup by name (reference
+        python/src/lib.rs AnchorGroup::__getitem__)."""
+        for f in self.features:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
 
 @dataclass(frozen=True)
 class FeatureRef:

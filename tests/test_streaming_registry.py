@@ -345,6 +345,11 @@ def test_as_feature_viewer_viewee_double_join(spark):
     assert "users" in p.get_sources()
     assert p.get_derived_feature("f_affinity").name == "f_affinity"
     assert p.get_input_context().is_input_context
+    # anchor-group __getitem__ (lib.rs AnchorGroup::__getitem__)
+    assert p.get_anchor_group("u_viewer")["f_score_viewer"].name == \
+        "f_score_viewer"
+    with pytest.raises(KeyError):
+        p.get_anchor_group("u_viewer")["nope"]
     from feathr_spark.feature import FeathrError
     with pytest.raises(FeathrError):
         p.get_source("nope")

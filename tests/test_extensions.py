@@ -285,6 +285,20 @@ def test_profile_numeric_and_time_rollup(spark):
         time_rollup(df, "ts", ["g"], "v", levels=("day", "hour"))
 
 
+def test_profile_exact_mode_partitioning_invariance(spark):
+    """The decimal-sum design claim: exact profiles are bit-identical
+    under any partitioning (double summation would differ in the last
+    ulp across partition orders for FP-unfriendly values like 0.1)."""
+    from feathr_spark.operators.profile import profile_numeric
+    df = spark.range(0, 30000).selectExpr(
+        "CAST(0.1 + (id % 7) * 0.3 AS DOUBLE) AS v")
+    rows = []
+    for n_parts in (1, 7, 32):
+        r = profile_numeric(df.repartition(n_parts), ["v"]).collect()[0]
+        rows.append(tuple(r))
+    assert rows[0] == rows[1] == rows[2]
+
+
 def test_profile_approx_mode_accuracy(spark):
     """Sketch profile: HLL distinct within 3*rsd of exact; approx
     quantiles inside an exact rank band; plan has no distinct-expansion."""

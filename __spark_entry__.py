@@ -1009,6 +1009,30 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.size("features").cast("bigint").alias("feat_dim"))
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio variant of the multimodal plumbing: mapInPandas decode with
+    AUDIO_META (sample rate / sample count / channels + duration derived
+    JVM-side) — same portable md5-prefix fake codec, full oracle."""
+    _utc(spark)
+    from feathr_spark.operators.multimodal import decode_audio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    binaries = docs.select("doc_id",
+                           F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = decode_audio(binaries, "payload")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("meta.sample_rate").cast("bigint").alias("sample_rate"),
+        F.col("meta.n_samples").cast("bigint").alias("n_samples"),
+        F.col("meta.channels").cast("bigint").alias("channels"),
+        # integer milliseconds via true integer division, not a rounded
+        # double: n_samples/rate can land exactly on a rounding boundary
+        # (e.g. 455028/48000 = 9.47975) where engines' double rounding
+        # legitimately disagrees, and floor(a/b) on doubles has its own
+        # one-ulp hazard at exact multiples
+        F.expr("(meta.n_samples * 1000L) div meta.sample_rate")
+        .cast("bigint").alias("duration_ms"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1070,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_audio": q_multimodal_audio,
     }
 
 
@@ -1885,6 +1910,20 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": _CONTAMINATION_SQL,
         "simhash_pairs": _SIMHASH_SQL,
         "multimodal_decode": _MULTIMODAL_SQL,
+        # Audio fake-codec mirror: same 60-bit md5 prefix of the utf-8
+        # payload; sample_rate/n_samples/channels derivations match
+        # fake_audio_decoder; duration = one IEEE division, rounded.
+        "multimodal_audio": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(8000 * (1 + h % 6) AS BIGINT) AS sample_rate,
+                   CAST(1000 + (h // 6) % 1000000 AS BIGINT) AS n_samples,
+                   CAST(1 + (h // 7) % 2 AS BIGINT) AS channels,
+                   CAST((1000 + (h // 6) % 1000000) * 1000
+                        // (8000 * (1 + h % 6)) AS BIGINT) AS duration_ms
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+                  FROM documents)
+        """,
         "ann_topk": _ANN_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "ann_lsh_recall": f"""

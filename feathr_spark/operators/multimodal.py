@@ -70,6 +70,25 @@ def fake_image_decoder(payload: bytes) -> dict:
     }
 
 
+def fake_audio_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for an audio codec (same portable md5-prefix
+    scheme as :func:`fake_image_decoder`, different field derivations):
+    sample_rate ∈ {8,16,24,32,40,48} kHz, mono/stereo, and a bounded
+    sample count — every value reproducible in any md5-capable engine."""
+    if payload is None:
+        return {"sample_rate": None, "n_samples": None, "channels": None,
+                "format": None, "features": None}
+    import hashlib
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return {
+        "sample_rate": 8000 * (1 + h % 6),
+        "n_samples": 1000 + (h // 6) % 1000000,
+        "channels": 1 + (h // 7) % 2,
+        "format": "fake",
+        "features": [float((h >> (i * 3)) & 0x7F) / 127.0 for i in range(16)],
+    }
+
+
 def unavailable_decoder(payload: bytes) -> dict:
     raise NotImplementedError(
         "media codecs are not installed in this environment; supply a real "
@@ -100,6 +119,37 @@ def decode_images(
                 d = decoder(bytes(payload) if payload is not None else None)
                 metas.append({k: d.get(k) for k in
                               ("width", "height", "channels", "format")})
+                feats.append(d.get("features"))
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decode_audio(
+    df: DataFrame,
+    binary_col: str = "payload",
+    decoder: Callable[[bytes], dict] = fake_audio_decoder,
+) -> DataFrame:
+    """Decode/feature-extract audio binaries partition-parallel: adds
+    ``meta`` (AUDIO_META struct, incl. derived duration) + ``features``.
+    Same Arrow-batched zero-shuffle shape as :func:`decode_images`."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("meta", AUDIO_META),
+           StructField("features", ArrayType(FloatType()))]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas, feats = [], []
+            for payload in pdf[binary_col]:
+                d = decoder(bytes(payload) if payload is not None else None)
+                metas.append({k: d.get(k) for k in
+                              ("sample_rate", "n_samples", "channels",
+                               "format")})
                 feats.append(d.get("features"))
             pdf = pdf.copy()
             pdf["meta"] = metas

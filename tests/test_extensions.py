@@ -400,6 +400,21 @@ def test_multimodal_decode_plumbing(spark):
     assert [f.frame_idx for f in frames] == [0, 30, 60]
 
 
+def test_multimodal_audio_plumbing(spark):
+    from feathr_spark.operators.multimodal import decode_audio
+    df = spark.createDataFrame([Row(doc_id=1, payload=b"audio bytes"),
+                                Row(doc_id=2, payload=None)])
+    rows = {r.doc_id: r for r in decode_audio(df).collect()}
+    a = rows[1]
+    assert a.meta.sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
+    assert 1000 <= a.meta.n_samples <= 1000999
+    assert a.meta.channels in (1, 2) and a.meta.format == "fake"
+    assert len(a.features) == 16
+    assert all(0.0 <= x <= 1.0 for x in a.features)
+    # null payloads pass through as null metadata (no crash)
+    assert rows[2].meta.sample_rate is None and rows[2].features is None
+
+
 def test_unavailable_decoder_raises(spark):
     from feathr_spark.operators.multimodal import decode_images, unavailable_decoder
     df = spark.createDataFrame([Row(doc_id=1, payload=b"x")])

@@ -209,6 +209,7 @@ EXCHANGE_BUDGET = {
     "ann_lsh_recall": 13,
     "ann_ivf_recall": 16,
     "multimodal_decode": 0,
+    "multimodal_audio": 0,
 }
 
 

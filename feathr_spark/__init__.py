@@ -26,6 +26,7 @@ from .model import (
     WindowAggTransform,
     parse_duration_ms,
 )
+from .client import FeathrClient, JobStatus
 from .configio import (
     JoinRequest, from_feature_config, from_join_config, from_lineage,
 )
@@ -46,7 +47,8 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Aggregation", "BackfillTime", "CosmosDbSink", "DataFrameSource",
-    "DerivedFeature", "ExpressionTransform", "FeathrError", "Feature",
+    "DerivedFeature", "ExpressionTransform", "FeathrClient", "FeathrError",
+    "JobStatus", "Feature",
     "FeatureAnchor", "FeatureQuery", "FeathrProject", "FeatureType",
     "GenericSink", "GenericSource", "HdfsSink", "HdfsSource",
     "INPUT_CONTEXT", "InputContext", "JdbcSource", "KafkaSource",

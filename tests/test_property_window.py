@@ -247,3 +247,61 @@ def test_property_asof_join_vs_brute_force(spark, case):
                 for i, (h, v) in _brute_asof(lrows, rdedup,
                                              direction).items()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# funnel property: sorted-fold plan vs brute-force greedy matcher
+# ---------------------------------------------------------------------------
+
+funnel_case = st.tuples(
+    st.lists(  # events: (user, hour, step-type index 0..3)
+        st.tuples(st.integers(1, 4), st.integers(0, 24),
+                  st.integers(0, 3)),
+        min_size=1, max_size=20),
+    st.one_of(st.none(), st.integers(1, 12)),   # within hours
+)
+
+_TYPES = ["a", "b", "c", "d"]
+
+
+def _brute_funnel(rows, steps, within_h):
+    """Greedy-earliest depth per user over timestamp-sorted events (ties
+    broken by step index — matching sort_array on (ts, idx) structs)."""
+    depths = {}
+    by_user = {}
+    for u, h, t in rows:
+        by_user.setdefault(u, []).append((h, steps.index(_TYPES[t])
+                                          if _TYPES[t] in steps else None,
+                                          _TYPES[t]))
+    for u, evs in by_user.items():
+        evs = sorted((h, i) for h, i, ty in evs if ty in steps)
+        n, last, t0 = 0, None, None
+        for h, i in evs:
+            ok = n < len(steps) and i == n and (n == 0 or h > last)
+            if within_h is not None:
+                ok = ok and (n == 0 or h - t0 <= within_h)
+            if ok:
+                last = h
+                if n == 0:
+                    t0 = h
+                n += 1
+        depths[u] = n
+    return {s: sum(1 for d in depths.values() if d >= i + 1)
+            for i, s in enumerate(steps)}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(funnel_case)
+def test_property_funnel_vs_brute_force(spark, case):
+    from feathr_spark.operators.funnel import funnel_counts
+    rows, within_h = case
+    steps = ["a", "b", "c"]
+    df = spark.createDataFrame(
+        [Row(user_id=u, ts=BASE + dt.timedelta(hours=h),
+             event_type=_TYPES[t]) for u, h, t in rows],
+        "user_id int, ts timestamp, event_type string")
+    within = None if within_h is None else f"{within_h}h"
+    out = {r.step_type: r.n_users
+           for r in funnel_counts(df, steps, within=within).collect()}
+    assert out == _brute_funnel(rows, steps, within_h)

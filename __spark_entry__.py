@@ -803,6 +803,23 @@ def q_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "keep")
 
 
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring cross-corpus overlap: shared winnowing
+    fingerprints between corpus A (src0-src9) and B (src10-src19) docs —
+    verbatim-copy evidence the paraphrase-tolerant checks dilute. Join on
+    the 8-byte fingerprint, ids only; hot fingerprints capped at df 200."""
+    _utc(spark)
+    from feathr_spark.operators.text import winnow_overlap_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    a = docs.where(src_num < 10)
+    b = docs.where(src_num >= 10)
+    # k=16/w=8 -> only >=23-char verbatim runs fingerprint-match: on this
+    # tiny-vocabulary corpus shorter grams match nearly every doc pair
+    return winnow_overlap_pairs(a, b, "text", "doc_id", k=16, w=8,
+                                min_shared=5, max_df=200)
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-10 for a 3-term query: row-local HOF term
     frequencies (no corpus explode), one single-row stats aggregate
@@ -1071,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams": q_top_ngrams,
         "repetition_stats": q_repetition_stats,
         "winnow_fps": q_winnow_fps,
+        "winnow_overlap": q_winnow_overlap,
         "quality_flags": q_quality_flags,
         "profile_values": q_profile_values,
         "profile_sketch_gate": q_profile_sketch_gate,
@@ -1792,6 +1810,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
                    CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE)
             FROM d
+        """,
+        # Winnow-overlap mirror: identical sketch (char 16-grams, window 8,
+        # portable md5-prefix hash, per-doc distinct), hot-fingerprint cap
+        # at df 200 on either side, per-pair shared count >= 5.
+        "winnow_overlap": r"""
+            WITH norm AS (
+              SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, srcn,
+                     CASE WHEN len(t) < 16 THEN [t]
+                     ELSE list_transform(range(1, len(t) - 16 + 2),
+                                         i -> substr(t, i, 16)) END AS grams
+              FROM norm
+            ), h AS (
+              SELECT doc_id, srcn,
+                     list_transform(grams,
+                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+              FROM g
+            ), wins AS (
+              SELECT doc_id, srcn,
+                     CASE WHEN len(hs) < 8 THEN [list_min(hs)]
+                     ELSE list_transform(range(1, len(hs) - 8 + 2),
+                                         j -> list_min(hs[j:j+7])) END AS mins
+              FROM h
+            ), fps AS (
+              SELECT DISTINCT doc_id, srcn, unnest(mins) AS fingerprint
+              FROM wins
+            ), fa AS (
+              SELECT doc_id AS id_a, fingerprint FROM fps WHERE srcn < 10
+            ), fb AS (
+              SELECT doc_id AS id_b, fingerprint FROM fps WHERE srcn >= 10
+            ), banned AS (
+              SELECT fingerprint FROM fa GROUP BY 1 HAVING COUNT(*) > 200
+              UNION
+              SELECT fingerprint FROM fb GROUP BY 1 HAVING COUNT(*) > 200
+            ), fa2 AS (
+              SELECT * FROM fa WHERE fingerprint NOT IN (SELECT fingerprint FROM banned)
+            ), fb2 AS (
+              SELECT * FROM fb WHERE fingerprint NOT IN (SELECT fingerprint FROM banned)
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM fa2 JOIN fb2 USING (fingerprint)
+            GROUP BY 1, 2 HAVING COUNT(*) >= 5
         """,
         # Gopher-gate mirror: identical tokenization, rule thresholds,
         # and 4-dp rounding of the two ratio columns.

@@ -58,6 +58,7 @@ HEADLINE = [
     "repetition_stats",
     "sessionize",
     "winnow_fps",
+    "winnow_overlap",
     "bm25_topk",
     "tfidf_terms",
     "quality_flags",

@@ -239,6 +239,57 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                     F.col("fingerprint").cast("bigint")))
 
 
+def winnow_overlap_pairs(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = None,
+) -> DataFrame:
+    """Cross-corpus EXACT-substring overlap via winnowing fingerprints —
+    the char-level counterpart to the word-n-gram containment check: by
+    the winnowing guarantee, any literal substring of length ≥ k + w − 1
+    shared between an A-doc and a B-doc produces at least one shared
+    fingerprint, so ``n_shared`` counts verbatim-copy evidence (quotes,
+    boilerplate, benchmark leakage) that paraphrase-tolerant Jaccard
+    measures dilute.
+
+    Plan shape: both corpora sketch row-locally (zero shuffle, ~2/(w+1)
+    of positions), the inner join runs on the 8-byte fingerprint with ids
+    only, and the per-pair count groups the matches. ``max_df`` is the
+    hot-fingerprint guard (same scale argument as the contamination
+    check): a boilerplate fingerprint present in f_A docs of A and f_B of
+    B meets in ONE join group and emits f_A·f_B rows — quadratic on
+    exactly the most common content — so fingerprints with document
+    frequency > ``max_df`` on either side leave the universe first (AQE
+    decides anti-join strategy).
+
+    Output: (id_a, id_b, n_shared), n_shared ≥ ``min_shared``.
+    """
+    fa = winnow_fingerprints(df_a, text_col, id_col, k, w) \
+        .select(F.col(id_col).alias("__ida"), "fingerprint")
+    fb = winnow_fingerprints(df_b, text_col, id_col, k, w) \
+        .select(F.col(id_col).alias("__idb"), "fingerprint")
+    if max_df is not None:
+        banned = (fa.groupBy("fingerprint").agg(F.count("*").alias("__df"))
+                  .where(F.col("__df") > max_df).select("fingerprint")
+                  .union(fb.groupBy("fingerprint")
+                         .agg(F.count("*").alias("__df"))
+                         .where(F.col("__df") > max_df).select("fingerprint"))
+                  .distinct())
+        fa = fa.join(banned, "fingerprint", "left_anti")
+        fb = fb.join(banned, "fingerprint", "left_anti")
+    return (fa.join(fb, "fingerprint")
+            .groupBy("__ida", "__idb")
+            .agg(F.count("*").cast("bigint").alias("n_shared"))
+            .where(F.col("n_shared") >= min_shared)
+            .select(F.col("__ida").alias("id_a"),
+                    F.col("__idb").alias("id_b"), "n_shared"))
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the full stats column set (one projection, one scan)."""
     c = F.col(text_col)

@@ -338,6 +338,32 @@ def test_gopher_quality_flags_rules(spark):
     assert out[2].n_words == 2 and out[2].mean_word_len == 4.0
 
 
+def test_winnow_overlap_pairs_verbatim_and_cap(spark):
+    """A >=k+w-1-char verbatim run between corpora produces a pair; the
+    max_df cap removes boilerplate fingerprints shared by every doc."""
+    from feathr_spark.operators.text import winnow_overlap_pairs
+    run = "the quick brown fox jumped over the lazy dog tonight again"
+    boiler = " copyright notice terms of service apply to everyone always"
+    a = spark.createDataFrame([
+        Row(doc_id=1, text="aaa " + run + boiler),
+        Row(doc_id=2, text="unrelated left content entirely" + boiler),
+    ])
+    b = spark.createDataFrame([
+        Row(doc_id=10, text="zzzz " + run + boiler),
+        Row(doc_id=11, text="other right content different" + boiler),
+    ])
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in
+             winnow_overlap_pairs(a, b, k=16, w=8, min_shared=2).collect()}
+    assert (1, 10) in pairs          # the verbatim run matches
+    # with the boilerplate capped out (df > 1 on either side), ONLY the
+    # verbatim-run pair survives
+    capped = {(r.id_a, r.id_b): r.n_shared for r in
+              winnow_overlap_pairs(a, b, k=16, w=8, min_shared=2,
+                                   max_df=1).collect()}
+    assert set(capped) == {(1, 10)}
+    assert capped[(1, 10)] <= pairs[(1, 10)]
+
+
 def test_bm25_ranks_relevant_docs(spark):
     """BM25 must rank the term-dense short doc first, score docs without
     any query term zero, and respect the round-before-rank tiebreak."""

@@ -158,6 +158,10 @@ EXCHANGE_BUDGET = {
     # the sketch itself is zero-shuffle; the one Exchange is the per-doc
     # (count, xor, min, max) fold the oracle compares against.
     "winnow_fps": 1,
+    # two hot-fingerprint df aggregations (one per side), their anti-join
+    # spill-back, the fingerprint equi-join, and the per-pair count; all
+    # frames are id+hash only
+    "winnow_overlap": 8,
     "quality_flags": 0,
     # ONE hash shuffle on the join key — the union-window as-of plan has
     # no join node and no row duplication

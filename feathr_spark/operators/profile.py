@@ -90,6 +90,7 @@ def time_rollup(
     key_cols: Sequence[str],
     value_col: str,
     levels: Sequence[str] = ("hour", "day"),
+    raw: bool = False,
 ) -> DataFrame:
     """Multi-resolution time rollup (the hypertable continuous-aggregate
     cascade): per (keys, bucket) aggregates at each requested resolution,
@@ -108,6 +109,14 @@ def time_rollup(
     hour, day, week, month, year`` (``date_trunc`` units). Output:
     keys + resolution + bucket_start + n_events, v_sum, v_min, v_max,
     v_avg.
+
+    ``raw=True`` keeps the EXACT decimal sum (column ``__sum``) instead
+    of the rounded-double output columns — the mergeable-partials form
+    for incremental refresh: :func:`merge_rollups` combines raw rollups
+    of disjoint batches losslessly (decimal addition is exact and
+    associative, so merge-then-finalize equals recompute-from-scratch
+    bit-for-bit; merging FINALIZED rollups would add rounded doubles and
+    drift). Finalize with :func:`finalize_rollup`.
     """
     order = ["second", "minute", "hour", "day", "week", "month", "year"]
     if not levels or [order.index(l) for l in levels] != sorted(
@@ -141,12 +150,44 @@ def time_rollup(
             cur = cur.persist()
         outs.append(cur.select(
             *keys, F.lit(level).alias("resolution"), "bucket_start",
-            "n_events",
-            F.round(F.col("__sum").cast("double"), 4).alias("v_sum"),
-            "v_min", "v_max",
-            F.round(F.col("__sum").cast("double") / F.col("n_events"), 4)
-            .alias("v_avg")))
+            "n_events", "__sum", "v_min", "v_max"))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    return out if raw else finalize_rollup(out)
+
+
+def merge_rollups(*rollups: DataFrame) -> DataFrame:
+    """Merge RAW rollups (``time_rollup(..., raw=True)``) of disjoint
+    batches — the incremental-refresh step of the continuous-aggregate
+    pattern: new data rolls up alone (touching only its own buckets) and
+    merges into the stored partials; history is never rescanned.
+
+    count/sum/min/max all compose, and the sum is exact decimal, so
+    finalize(merge(raw(A), raw(B))) == finalize(raw(A ∪ B)) bit-for-bit
+    (tested). One shuffle over the (tiny) partial frames.
+    """
+    if not rollups:
+        raise ValueError("no rollups to merge")
+    keys = [c for c in rollups[0].columns
+            if c not in ("n_events", "__sum", "v_min", "v_max")]
+    out = rollups[0]
+    for r in rollups[1:]:
+        out = out.unionByName(r)
+    return (out.groupBy(*keys)
+            .agg(F.sum("n_events").cast("bigint").alias("n_events"),
+                 F.sum("__sum").cast(_DEC).alias("__sum"),
+                 F.min("v_min").alias("v_min"),
+                 F.max("v_max").alias("v_max")))
+
+
+def finalize_rollup(raw: DataFrame) -> DataFrame:
+    """Raw partials → the output schema (rounded-double v_sum / v_avg)."""
+    keys = [c for c in raw.columns
+            if c not in ("n_events", "__sum", "v_min", "v_max")]
+    return raw.select(
+        *keys, "n_events",
+        F.round(F.col("__sum").cast("double"), 4).alias("v_sum"),
+        "v_min", "v_max",
+        F.round(F.col("__sum").cast("double") / F.col("n_events"), 4)
+        .alias("v_avg"))

@@ -316,6 +316,33 @@ def test_profile_approx_mode_accuracy(spark):
     assert not [c for c in ex.asDict() if c.startswith("v_p")]
 
 
+def test_rollup_incremental_merge_equals_recompute(spark):
+    """Continuous-aggregate refresh: merging raw rollups of disjoint
+    batches then finalizing equals recomputing over the union —
+    bit-for-bit (decimal partials; merging FINALIZED doubles would
+    drift)."""
+    import datetime as dt
+    from feathr_spark.operators.profile import (
+        finalize_rollup, merge_rollups, time_rollup)
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(rows, "g int, ts timestamp, v double")
+    batch1 = mk([(1, t0 + dt.timedelta(minutes=m), 0.1 + m * 0.3)
+                 for m in range(0, 180, 7)])
+    batch2 = mk([(1, t0 + dt.timedelta(minutes=m), 0.2 + m * 0.1)
+                 for m in range(90, 300, 11)] + [(2, t0, 5.5)])
+    levels = ("hour", "day")
+    merged = finalize_rollup(merge_rollups(
+        time_rollup(batch1, "ts", ["g"], "v", levels, raw=True),
+        time_rollup(batch2, "ts", ["g"], "v", levels, raw=True)))
+    full = time_rollup(batch1.unionByName(batch2), "ts", ["g"], "v", levels)
+    key = lambda r: (r.g, r.resolution, r.bucket_start)
+    m = {key(r): tuple(r)[3:] for r in merged.collect()}
+    f = {key(r): tuple(r)[3:] for r in full.collect()}
+    assert m == f and len(m) > 3
+    with pytest.raises(ValueError):
+        merge_rollups()
+
+
 def test_gopher_quality_flags_rules(spark):
     """Each named gate trips on its own violation; a clean doc keeps."""
     from feathr_spark.operators.text import gopher_quality_flags

@@ -52,6 +52,45 @@ def elementwise_reduce(lists: Column, agg: Aggregation) -> Column:
     return F.when(n > 0, reduced)
 
 
+def elementwise_reduce_sparse(maps: Column, agg: Aggregation) -> Column:
+    """Element-wise reduce an ``array<map<K, V>>`` column — the SPARSE
+    tensor counterpart of :func:`elementwise_reduce` (SURVEY §1.2 maps
+    the reference's ``TensorCategory::SPARSE`` to ``MapType``; the
+    reference declares the category, model.rs:44-47, but its test surface
+    never exercises it — semantics documented here as the engine's
+    contract):
+
+    - SUM/AVG: missing coordinates are implicit zeros (true sparse-tensor
+      semantics); AVG divides by the TOTAL tensor count ``n``.
+    - MIN/MAX: reduce over PRESENT values per key only — the implicit-
+      zero reading would collapse every partially-present key to ≤0/≥0,
+      which discards exactly the information a sparse min/max carries.
+
+    All map unions happen via ``map_zip_with`` higher-order functions
+    (JVM-side, no UDF). Empty input → null.
+    """
+    if agg in (Aggregation.ELEMENTWISE_SUM, Aggregation.ELEMENTWISE_AVG):
+        merge = lambda acc, x: F.map_zip_with(
+            acc, x, lambda k, a, b:
+            F.coalesce(a, F.lit(0.0)) + F.coalesce(b, F.lit(0.0)))
+    elif agg == Aggregation.ELEMENTWISE_MIN:
+        merge = lambda acc, x: F.map_zip_with(
+            acc, x, lambda k, a, b: F.coalesce(F.least(a, b), a, b))
+    elif agg == Aggregation.ELEMENTWISE_MAX:
+        merge = lambda acc, x: F.map_zip_with(
+            acc, x, lambda k, a, b: F.coalesce(F.greatest(a, b), a, b))
+    else:
+        raise ValueError(f"not an elementwise aggregation: {agg}")
+
+    n = F.size(maps)
+    head = F.element_at(maps, 1)
+    tail = F.slice(maps, 2, F.greatest(n - 1, F.lit(0)))
+    reduced = F.aggregate(tail, head, merge)
+    if agg == Aggregation.ELEMENTWISE_AVG:
+        reduced = F.transform_values(reduced, lambda k, v: v / n)
+    return F.when(n > 0, reduced)
+
+
 def make_agg(agg: Aggregation, value: Column, ts: Column
              ) -> Tuple[Column, Callable[[Column], Column]]:
     """(aggregate expression, scalar post-transform) for one frame/group.

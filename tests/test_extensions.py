@@ -365,6 +365,31 @@ def test_gopher_quality_flags_rules(spark):
     assert out[2].n_words == 2 and out[2].mean_word_len == 4.0
 
 
+def test_elementwise_reduce_sparse_semantics(spark):
+    """Sparse (map) elementwise: SUM/AVG treat missing keys as implicit
+    zeros; MIN/MAX reduce over present values; empty input is null."""
+    from feathr_spark.model import Aggregation
+    from feathr_spark.operators.aggregations import elementwise_reduce_sparse
+    df = spark.createDataFrame(
+        [([{"a": 1.0, "b": 2.0}, {"b": 3.0, "c": 4.0}],),
+         ([],)],
+        "maps array<map<string,double>>")
+    out = df.select(
+        *[elementwise_reduce_sparse(F.col("maps"), a).alias(n)
+          for n, a in [("s", Aggregation.ELEMENTWISE_SUM),
+                       ("avg", Aggregation.ELEMENTWISE_AVG),
+                       ("mn", Aggregation.ELEMENTWISE_MIN),
+                       ("mx", Aggregation.ELEMENTWISE_MAX)]]).collect()
+    r = out[0]
+    assert r.s == {"a": 1.0, "b": 5.0, "c": 4.0}
+    assert r.avg == {"a": 0.5, "b": 2.5, "c": 2.0}   # divides by n=2
+    assert r.mn == {"a": 1.0, "b": 2.0, "c": 4.0}    # present values only
+    assert r.mx == {"a": 1.0, "b": 3.0, "c": 4.0}
+    assert out[1].s is None and out[1].avg is None
+    with pytest.raises(ValueError):
+        elementwise_reduce_sparse(F.col("maps"), Aggregation.SUM)
+
+
 def test_winnow_overlap_pairs_verbatim_and_cap(spark):
     """A >=k+w-1-char verbatim run between corpora produces a pair; the
     max_df cap removes boilerplate fingerprints shared by every doc."""

@@ -278,6 +278,116 @@ def _jaccard_lsh_pairs(
                     F.round("jaccard", 4).cast("double").alias("jaccard")))
 
 
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """Persistable near-dup index: one row per document with the MinHash
+    signature components (``__s0..__s{num_perm-1}``) and the hashed
+    shingle set (``__hs``) — everything incremental dedup needs to
+    compare FUTURE batches against this corpus without re-shingling it.
+
+    One groupBy computes the signature minima AND the shingle set in the
+    same aggregation (single shuffle). Write the result to parquet as
+    the corpus grows; :func:`minhash_pairs_incremental` consumes it.
+    Parameters must match between index builds (``num_perm``,
+    ``shingle_k`` are baked into the rows).
+    """
+    params = _perm_params(num_perm)
+    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
+                               distinct=False)
+    tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
+        .where(F.col("__s").isNotNull()) \
+        .select("__id", F.xxhash64("__s").alias("__h"))
+    base = F.pmod(F.col("__h"), F.lit(_MERSENNE))
+    return tok.groupBy("__id").agg(
+        *[F.min(F.pmod(base * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
+          for j, (a, b) in enumerate(params)],
+        F.collect_set("__h").alias("__hs"))
+
+
+def minhash_pairs_incremental(
+    index: DataFrame,
+    new_index: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    min_band_collisions: int = 2,
+    prefilter_margin: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs TOUCHING A NEW DOCUMENT: the incremental-ingestion
+    step. ``index`` is the existing corpus (:func:`minhash_index` rows,
+    typically read back from parquet), ``new_index`` the new batch's
+    rows; the result contains every old↔new and new↔new pair at
+    ``threshold`` — old↔old pairs were found when THEIR batches arrived,
+    so a streaming corpus pays O(|new| · collision-rate) per batch
+    instead of re-processing history (union with prior results for the
+    running pair set; tested equivalent to the one-shot operator on the
+    full corpus).
+
+    Plan shape mirrors :func:`minhash_lsh_pairs`: the band join is
+    ASYMMETRIC — all banded rows against the new banded rows only — so
+    the candidate volume scales with the batch, not the corpus. Each
+    qualifying pair is counted once: an old row only ever sits on the
+    left, and new-new pairs are ordered ``l < r``. The signature
+    prefilter and exact verification read both frames' stored columns —
+    no text is ever touched.
+    """
+    rows_per_band = num_perm // bands
+    combined = (index.withColumn("__new", F.lit(False))
+                .unionByName(new_index.withColumn("__new", F.lit(True)))
+                .persist())
+
+    band_hashes = [
+        F.xxhash64(F.concat_ws(",", *[
+            F.col(f"__s{b * rows_per_band + i}").cast("string")
+            for i in range(rows_per_band)
+        ]))
+        for b in range(bands)
+    ]
+    banded = combined.select(
+        "__id", "__new",
+        F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
+    left, right = banded.alias("l"), banded.alias("r").where(F.col("__new"))
+    # (old,new): old is always l (any id order). (new,new): l < r. Either
+    # way each colliding band contributes exactly one candidate row.
+    ok_order = F.when(F.col("l.__new"),
+                      F.col("l.__id") < F.col("r.__id")) \
+        .otherwise(F.col("l.__id") != F.col("r.__id"))
+    cand = (left.join(right,
+                      (F.col("l.__band") == F.col("r.__band")) &
+                      (F.col("l.__bucket") == F.col("r.__bucket")) &
+                      ok_order)
+            .select(F.least(F.col("l.__id"), F.col("r.__id")).alias("id_a"),
+                    F.greatest(F.col("l.__id"), F.col("r.__id")).alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__nb"))
+            .where(F.col("__nb") >= min_band_collisions)
+            .select("id_a", "id_b"))
+
+    est = sum(
+        F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
+        for j in range(num_perm)
+    ) / F.lit(num_perm)
+    sig = combined
+    prefiltered = (cand
+                   .join(sig.alias("a"), F.col("id_a") == F.col("a.__id"))
+                   .join(sig.alias("b"), F.col("id_b") == F.col("b.__id"))
+                   .where(est >= threshold - prefilter_margin)
+                   .select("id_a", "id_b"))
+    hset = combined.select("__id", "__hs")
+    return (prefiltered
+            .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
+            .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
+            .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b",
+                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",

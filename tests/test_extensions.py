@@ -694,6 +694,32 @@ def test_sessionize_and_stats_values(spark):
     assert stats[(2, 1)].duration_sec == 0.0
 
 
+def test_minhash_incremental_equals_one_shot(spark):
+    """Incremental ingestion correctness: one-shot pairs over the full
+    corpus == pairs within the old batch ∪ pairs touching the new batch
+    (old↔new and new↔new via the stored index), value-identical."""
+    from feathr_spark.operators.dedup import (
+        minhash_index, minhash_lsh_pairs, minhash_pairs_incremental)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.where("doc_id < 350")
+    new = docs.where("doc_id >= 350")
+    kw = dict(num_perm=64, bands=21, threshold=0.7)
+    full = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_k=5, **kw).collect()}
+    old_pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        old, "text", "doc_id", shingle_k=5, **kw).collect()}
+    idx_old = minhash_index(old, "text", "doc_id", num_perm=64, shingle_k=5)
+    idx_new = minhash_index(new, "text", "doc_id", num_perm=64, shingle_k=5)
+    inc = {(r.id_a, r.id_b): r.jaccard for r in minhash_pairs_incremental(
+        idx_old, idx_new, **kw).collect()}
+    assert set(old_pairs) | set(inc) == set(full)
+    assert not (set(old_pairs) & set(inc))          # disjoint by design
+    # every new-touching pair involves a new doc; jaccards identical
+    assert all(a >= 350 or b >= 350 for a, b in inc)
+    merged = {**old_pairs, **inc}
+    assert merged == full
+
+
 def test_training_corpus_pipeline_e2e(spark):
     """The operators compose into the canonical training-data pipeline:
     near-dup detect -> components -> keep-one resolve -> quality gate ->

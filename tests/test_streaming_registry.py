@@ -474,6 +474,50 @@ def test_stream_session_window_stats(spark, tmp_path):
     assert s1.session_end == ts("2024-01-01 00:59:00")
 
 
+def test_stream_incremental_minhash_ingestion(spark, tmp_path):
+    """Streaming corpus ingestion: each micro-batch builds its index
+    rows, pairs against the ACCUMULATED index via
+    minhash_pairs_incremental, then joins the index — a pair is found
+    exactly when its second member arrives, so the union over batches
+    equals the one-shot result regardless of batch order."""
+    from feathr_spark.operators.dedup import (
+        minhash_index, minhash_lsh_pairs, minhash_pairs_incremental)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    src_dir, idx_dir = str(tmp_path / "in"), str(tmp_path / "idx")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    docs.where("doc_id < 250").coalesce(1).write.parquet(src_dir)
+    docs.where("doc_id >= 250").coalesce(1).write.parquet(
+        src_dir, mode="append")
+
+    kw = dict(num_perm=64, bands=21, threshold=0.7)
+    found = []
+
+    def ingest(batch_df, batch_id):
+        idx_new = minhash_index(batch_df, "text", "doc_id",
+                                num_perm=64, shingle_k=5).localCheckpoint()
+        try:
+            stored = batch_df.sparkSession.read.parquet(idx_dir)
+            pairs = minhash_pairs_incremental(stored, idx_new, **kw)
+        except Exception:  # first batch: empty index
+            pairs = minhash_pairs_incremental(
+                idx_new.limit(0), idx_new, **kw)
+        found.extend((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+        idx_new.write.mode("append").parquet(idx_dir)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (stream.writeStream.foreachBatch(ingest)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    one_shot = {(r.id_a, r.id_b): r.jaccard for r in minhash_lsh_pairs(
+        docs, "text", "doc_id", shingle_k=5, **kw).collect()}
+    accumulated = {(a, b): j for a, b, j in found}
+    assert accumulated == one_shot and len(one_shot) > 0
+
+
 def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
     """Streaming exact dedup: duplicates (same normalized text) within
     the watermark horizon collapse to one event; distinct texts pass.

@@ -848,6 +848,17 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("tf_idf").cast("double").alias("max_tfidf")))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity proxy: corpus LM (add-one smoothing) built in
+    one term shuffle, per-doc mean token log-prob aggregated as exact
+    integer micro-nats (order-independent), ppl derived from the rounded
+    mean (round-before-derive)."""
+    _utc(spark)
+    from feathr_spark.operators.lm import score_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return score_documents(docs)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the events stream + per-session
     aggregates — one shuffle on user_id, session boundaries via lag +
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention": q_retention,
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
+        "lm_score": q_lm_score,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "dedup_keep_one": q_dedup_keep_one,
@@ -1952,6 +1964,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(tf_idf) AS DOUBLE) AS min_tfidf,
                    CAST(MAX(tf_idf) AS DOUBLE) AS max_tfidf
             FROM cells GROUP BY term
+        """,
+        # Unigram-LM mirror: add-one smoothing ln((tf+1)/(total+vocab));
+        # per-term log-probs quantized to integer micro-nats before the
+        # per-doc sum (exact, order-independent on both engines); ppl
+        # derived from the ROUNDED mean.
+        "lm_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term
+            ), stats AS (
+              SELECT SUM(tf)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab
+              FROM counts
+            ), lm AS (
+              SELECT term, ln((tf + 1.0) / (total + vocab)) AS logprob
+              FROM counts, stats
+            ), doc_terms AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, term
+            ), scored AS (
+              SELECT d.doc_id,
+                     SUM(d.c)::BIGINT AS n_tokens,
+                     SUM(d.c * CAST(round(l.logprob * 1000000.0, 0) AS BIGINT))
+                         AS sum_micro
+              FROM doc_terms d JOIN lm l USING (term) GROUP BY d.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+                   CAST(round(sum_micro / 1000000.0 / n_tokens, 4) AS DOUBLE)
+                       AS mean_logprob,
+                   CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens, 4)), 4)
+                        AS DOUBLE) AS ppl
+            FROM scored
         """,
         "sessionize": _SESSIONIZE_SQL,
         "json_props": """

@@ -67,6 +67,7 @@ HEADLINE = [
     "asof_join",
     "funnel",
     "retention",
+    "lm_score",
 ]
 
 

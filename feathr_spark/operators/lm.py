@@ -1,0 +1,131 @@
+"""Unigram language-model scoring: corpus LM build + per-document
+log-probability (a KenLM-style perplexity proxy for corpus quality
+filtering, as used by CCNet/Gopher-class training-data pipelines).
+
+The reference's expression DSL delegates scalar work to Spark SQL
+(`/root/reference/feathr-rs/src/model.rs:248-253`); LM-based quality
+scoring is an engine extension a training-data pipeline needs (filter
+documents whose token distribution diverges from a reference corpus).
+
+Design for scale:
+  * the LM is a (term, tf, logprob) frame built with one map-side-combined
+    ``groupBy(term)`` shuffle — never a driver-side vocabulary;
+  * smoothing constants (total token count, vocabulary size) travel as a
+    single-row broadcast aggregate, not a collect;
+  * per-document scoring collapses token repetition FIRST
+    (``groupBy(doc, term)``) so the LM join carries at most one row per
+    distinct (doc, term) — hot stop-words join once per document, not once
+    per occurrence, and AQE's skew-join split handles the residual
+    head-of-zipf skew (the LM side is join-key-unique so splitting is
+    always safe);
+  * the LM join is left to Catalyst/AQE: a small-corpus LM broadcasts, a
+    100 TB-corpus vocabulary (still only ~10^7-10^8 rows — vocabulary
+    grows sub-linearly in corpus size) falls back to a shuffle join;
+  * per-document mean log-prob aggregates ORDER-INDEPENDENTLY: each
+    term's logprob is quantized to integer micro-nats first and summed as
+    BIGINT (exact, associative), so the result is bit-stable across
+    partitionings — a double sum would be partition-order-dependent.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import _norm_tokens
+
+# quantization scale for order-independent integer aggregation of
+# per-term log-probs (micro-nats)
+_MICRO = 1_000_000.0
+
+
+def _lm_and_oov(df: DataFrame, text_col: str):
+    """(lm, oov) pair sharing ONE corpus-scale term shuffle: the OOV
+    constant derives from the same single-row stats aggregate the
+    per-term log-probs broadcast, so Spark plans the counts exchange once
+    and reuses it (ReusedExchange) for the OOV branch."""
+    toks = df.select(F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("tf"))
+    stats = counts.agg(F.sum("tf").cast("double").alias("__total"),
+                       F.count("*").cast("double").alias("__vocab"))
+    lm = (counts.crossJoin(F.broadcast(stats))
+          .select("term", "tf",
+                  F.log((F.col("tf") + F.lit(1.0))
+                        / (F.col("__total") + F.col("__vocab")))
+                  .alias("logprob")))
+    oov = stats.select(
+        F.log(F.lit(1.0) / (F.col("__total") + F.col("__vocab")))
+        .alias("__oov"))
+    return lm, oov
+
+
+def unigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add-one-smoothed unigram LM over a corpus.
+
+    logprob(t) = ln((tf(t) + 1) / (total_tokens + |vocab|))
+
+    Output: (term, tf, logprob). One explode + one ``groupBy(term)``
+    shuffle (map-side combined); the smoothing denominator arrives as a
+    single-row broadcast aggregate.
+    """
+    return _lm_and_oov(df, text_col)[0]
+
+
+def _oov_logprob(lm: DataFrame) -> DataFrame:
+    """Single-row frame with the smoothed out-of-vocabulary log-prob
+    ln(1 / (total + |vocab|)), recovered from an externally-supplied LM so
+    scoring a foreign corpus needs no side-channel state."""
+    return lm.agg(
+        F.log(F.lit(1.0) / (F.sum("tf").cast("double") + F.count("*")))
+        .alias("__oov"))
+
+
+def score_documents(
+    df: DataFrame,
+    lm: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document mean token log-prob under a unigram LM, plus the
+    perplexity proxy ``ppl = exp(-mean_logprob)``.
+
+    ``lm=None`` scores the corpus under its own LM (the common quality-
+    filter setup); pass the LM of a reference corpus to score a candidate
+    corpus against it (out-of-vocabulary terms get the smoothed OOV mass).
+
+    Determinism contract: per-term log-probs are quantized to integer
+    micro-nats and summed as BIGINT, so the per-document sum is exact and
+    independent of partition/aggregation order; the mean is rounded to
+    ``round_dp`` and ``ppl`` is derived from the ROUNDED mean
+    (round-before-derive, same convention as round-before-rank).
+
+    Output: (``id_col``, n_tokens, mean_logprob, ppl).
+    """
+    if lm is None:
+        lm, oov = _lm_and_oov(df, text_col)
+    else:
+        oov = _oov_logprob(lm)
+    doc_terms = (df.select(F.col(id_col).alias("__id"),
+                           F.explode(_norm_tokens(F.col(text_col)))
+                           .alias("term"))
+                 .groupBy("__id", "term")
+                 .agg(F.count("*").cast("bigint").alias("__c")))
+    joined = (doc_terms
+              .join(lm.select("term", "logprob"), "term", "left")
+              .crossJoin(F.broadcast(oov)))
+    lp_micro = F.round(F.coalesce(F.col("logprob"), F.col("__oov"))
+                       * F.lit(_MICRO), 0).cast("bigint")
+    per_doc = (joined
+               .groupBy("__id")
+               .agg(F.sum("__c").cast("bigint").alias("n_tokens"),
+                    F.sum(F.col("__c") * lp_micro).alias("__sum_micro")))
+    mean = F.round(F.col("__sum_micro") / F.lit(_MICRO) / F.col("n_tokens"),
+                   round_dp)
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_tokens"),
+        mean.cast("double").alias("mean_logprob"),
+        F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))

@@ -776,3 +776,50 @@ def test_resolve_duplicates_keeps_canonical(spark):
     kept = sorted(r.doc_id for r in
                   resolve_duplicates(docs, comp).collect())
     assert kept == [1, 4, 5, 7]
+
+
+def test_unigram_lm_scoring_values(spark):
+    """Hand-computed LM check: 3 tiny docs, self-scored; plus foreign-
+    corpus scoring where unseen terms must get the OOV mass."""
+    import math
+    from feathr_spark.operators.lm import score_documents, unigram_lm
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a a b"),
+        Row(doc_id=2, text="a b c"),
+        Row(doc_id=3, text="c"),
+    ])
+    # corpus: a=3 b=2 c=2, total=7, vocab=3 -> denom 10
+    lp = {t: math.log((c + 1) / 10.0) for t, c in
+          {"a": 3, "b": 2, "c": 2}.items()}
+    micro = {t: round(v * 1e6) for t, v in lp.items()}
+
+    def mean(tokens):
+        return round(sum(micro[t] for t in tokens) / 1e6 / len(tokens), 4)
+
+    out = {r.doc_id: r for r in score_documents(docs).collect()}
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 3 \
+        and out[3].n_tokens == 1
+    assert out[1].mean_logprob == mean(["a", "a", "b"])
+    assert out[2].mean_logprob == mean(["a", "b", "c"])
+    assert out[3].mean_logprob == mean(["c"])
+    assert out[1].ppl == round(math.exp(-out[1].mean_logprob), 4)
+
+    # foreign corpus: 'z' is OOV -> ln(1/10); 'a' keeps its LM mass
+    lm = unigram_lm(docs)
+    foreign = spark.createDataFrame([Row(doc_id=9, text="a z")])
+    got = score_documents(foreign, lm=lm).collect()[0]
+    oov_micro = round(math.log(1 / 10.0) * 1e6)
+    assert got.n_tokens == 2
+    assert got.mean_logprob == round((micro["a"] + oov_micro) / 1e6 / 2, 4)
+
+
+def test_lm_score_partition_order_independent(spark):
+    """Integer micro-nat aggregation makes the per-doc sum exact: scores
+    must be bit-identical across repartitionings."""
+    from feathr_spark.operators.lm import score_documents
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: (r.mean_logprob, r.ppl)
+         for r in score_documents(docs).collect()}
+    b = {r.doc_id: (r.mean_logprob, r.ppl)
+         for r in score_documents(docs.repartition(17, "lang")).collect()}
+    assert a == b

@@ -34,6 +34,9 @@ BROADCAST_LOOP_OK = {
     "tfidf_terms",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
+    # single-row smoothing-stats and OOV frames broadcast onto the LM /
+    # per-doc term rows
+    "lm_score",
 }
 
 
@@ -193,6 +196,12 @@ EXCHANGE_BUDGET = {
     # sessionize window's hashpartitioning(user) (same-key rows are
     # already co-located under the coarser key).
     "sessionize": 1,
+    # LM build: explode->groupBy(term) + its single-row stats fold (the
+    # stats subtree prints twice — once under the logprob broadcast, once
+    # under the OOV broadcast — and dedupes to a ReusedExchange at
+    # runtime); scoring: groupBy(doc, term), the term-keyed LM join pair,
+    # and the final per-doc fold.
+    "lm_score": 7,
     "json_props": 0,
     # components come out of the loop's localCheckpoint (lineage
     # truncated) and the non-canonical id list broadcasts into the

@@ -859,6 +859,16 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_documents(docs)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut training-sequence packing (capacity 256, 8 hash
+    buckets): ONE bucket-partitioned window shuffle computes every doc's
+    span; pack ids via true integer division (`div`), exact past 2^53."""
+    _utc(spark)
+    from feathr_spark.operators.packing import pack_sequences
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, capacity=256, n_buckets=8)
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the events stream + per-session
     aggregates — one shuffle on user_id, session boundaries via lag +
@@ -1110,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "tfidf_terms": q_tfidf_terms,
         "lm_score": q_lm_score,
+        "pack_sequences": q_pack_sequences,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "dedup_keep_one": q_dedup_keep_one,
@@ -1998,6 +2009,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens, 4)), 4)
                         AS DOUBLE) AS ppl
             FROM scored
+        """,
+        # Packing mirror: same portable md5-prefix bucket hash, same
+        # running-sum spans; DuckDB `//` = Spark `div` on BIGINT.
+        "pack_sequences": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+              FROM documents
+            ), spans AS (
+              SELECT doc_id, bucket, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                         - n_tokens AS start_offset,
+                     SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                         AS e
+              FROM base WHERE n_tokens > 0
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(bucket AS BIGINT) AS bucket,
+                   n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 256 AS BIGINT) AS pack_first,
+                   CAST((e - 1) // 256 AS BIGINT) AS pack_last,
+                   CAST(start_offset % 256 AS BIGINT) AS offset_in_pack,
+                   CAST((e - 1) // 256 - start_offset // 256 + 1 AS BIGINT)
+                       AS n_splits
+            FROM spans
         """,
         "sessionize": _SESSIONIZE_SQL,
         "json_props": """

@@ -68,6 +68,7 @@ HEADLINE = [
     "funnel",
     "retention",
     "lm_score",
+    "pack_sequences",
 ]
 
 

@@ -823,3 +823,37 @@ def test_lm_score_partition_order_independent(spark):
     b = {r.doc_id: (r.mean_logprob, r.ppl)
          for r in score_documents(docs.repartition(17, "lang")).collect()}
     assert a == b
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing must reproduce a brute-force concat-and-cut per bucket:
+    contiguous spans, correct pack boundaries, split accounting."""
+    from feathr_spark.operators.packing import pack_sequences
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(["w"] * (3 + (i * 7) % 40)))
+         for i in range(60)] + [Row(doc_id=99, text="   ")])
+    cap = 32
+    got = {r.doc_id: r for r in
+           pack_sequences(docs, capacity=cap, n_buckets=4).collect()}
+    assert 99 in got  # "   " normalizes to one empty token, not zero
+    # brute force: same bucket hash, same order
+    import hashlib
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 4
+    streams = {}
+    for i in sorted(got):
+        n = got[i].n_tokens
+        b = bucket(i)
+        start = streams.get(b, 0)
+        streams[b] = start + n
+        r = got[i]
+        assert (r.bucket, r.start_offset) == (b, start), i
+        assert r.pack_first == start // cap
+        assert r.pack_last == (start + n - 1) // cap
+        assert r.offset_in_pack == start % cap
+        assert r.n_splits == r.pack_last - r.pack_first + 1
+    # every pack except possibly the bucket-final one is exactly full:
+    # total tokens in bucket b covers packs 0..ceil(total/cap)-1 densely
+    for b, total in streams.items():
+        ids = [i for i in got if got[i].bucket == b]
+        assert sum(got[i].n_tokens for i in ids) == total

@@ -202,6 +202,8 @@ EXCHANGE_BUDGET = {
     # runtime); scoring: groupBy(doc, term), the term-keyed LM join pair,
     # and the final per-doc fold.
     "lm_score": 7,
+    # ONE bucket-partitioned window shuffle — the whole packing plan
+    "pack_sequences": 1,
     "json_props": 0,
     # components come out of the loop's localCheckpoint (lineage
     # truncated) and the non-canonical id list broadcasts into the

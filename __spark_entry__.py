@@ -869,6 +869,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, capacity=256, n_buckets=8)
 
 
+MIX_RATES = {"en": 1.6, "de": 1.0, "zh": 0.25, "fr": 0.0}
+MIX_DEFAULT = 0.5
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-lang rates (en oversampled
+    1.6x via copy explode, fr dropped, zh 0.25, default 0.5) + the
+    hash-derived training order key. Zero shuffles; integer-threshold
+    draws, no float comparisons."""
+    _utc(spark)
+    from feathr_spark.operators.mixture import mixture_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mixture_sample(docs, MIX_RATES, "lang", "doc_id",
+                         default_rate=MIX_DEFAULT)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang", "copy", "order_key")
+
+
+def _mixture_oracle() -> str:
+    from feathr_spark.operators.mixture import _thresholds
+    per_group, (dw, dt) = _thresholds(MIX_RATES, MIX_DEFAULT)
+    whole = "CASE " + " ".join(
+        f"WHEN lang = '{g}' THEN {w}" for g, (w, t) in per_group.items()
+    ) + f" ELSE {dw} END"
+    thresh = "CASE " + " ".join(
+        f"WHEN lang = '{g}' THEN {t}" for g, (w, t) in per_group.items()
+    ) + f" ELSE {dt} END"
+    return f"""
+        WITH drawn AS (
+          SELECT doc_id, lang,
+                 {whole} + CASE WHEN ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                                     < {thresh} THEN 1 ELSE 0 END AS n
+          FROM documents
+        ), fanned AS (
+          SELECT doc_id, lang, unnest(range(0, n)) AS copy
+          FROM drawn WHERE n > 0
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+               CAST(copy AS BIGINT) AS copy,
+               ('0x' || substr(md5('ord|' || CAST(doc_id AS VARCHAR) || '#'
+                                   || CAST(copy AS VARCHAR)), 1, 15))::BIGINT
+                   AS order_key
+        FROM fanned
+    """
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30 min) of the events stream + per-session
     aggregates — one shuffle on user_id, session boundaries via lag +
@@ -1121,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
+        "mixture_sample": q_mixture_sample,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "dedup_keep_one": q_dedup_keep_one,
@@ -2037,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
                        AS n_splits
             FROM spans
         """,
+        "mixture_sample": _mixture_oracle(),
         "sessionize": _SESSIONIZE_SQL,
         "json_props": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

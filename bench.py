@@ -69,6 +69,7 @@ HEADLINE = [
     "retention",
     "lm_score",
     "pack_sequences",
+    "mixture_sample",
 ]
 
 

@@ -857,3 +857,39 @@ def test_pack_sequences_invariants(spark):
     for b, total in streams.items():
         ids = [i for i in got if got[i].bucket == b]
         assert sum(got[i].n_tokens for i in ids) == total
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    """Copy counts are a pure function of the id: rate 2.5 gives each doc
+    2 or 3 copies; rate 0 drops the group; runs are identical; a seed
+    change re-deals the fractional draws."""
+    from feathr_spark.operators.mixture import mixture_sample
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 == 0 else "fr")
+         for i in range(200)])
+    out = mixture_sample(docs, {"en": 2.5, "fr": 0.0}, "lang", "doc_id")
+    per_doc = {r.doc_id: r.n for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert all(docs_n in (2, 3) for docs_n in per_doc.values())
+    assert all(i % 2 == 0 for i in per_doc)          # fr dropped
+    # expectation 2.5 -> with 100 docs the total is within [200, 300]
+    total = sum(per_doc.values())
+    assert 200 <= total <= 300 and total != 200 and total != 300
+    # copy indices are dense 0..n-1
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    assert all(sorted(v) == list(range(len(v))) for v in by_doc.values())
+    # deterministic rerun; different seed -> different fractional deal
+    again = {r.doc_id: r.n for r in
+             mixture_sample(docs, {"en": 2.5, "fr": 0.0}, "lang", "doc_id")
+             .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert again == per_doc
+    reseeded = {r.doc_id: r.n for r in
+                mixture_sample(docs, {"en": 2.5, "fr": 0.0}, "lang",
+                               "doc_id", seed="epoch1")
+                .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert reseeded != per_doc
+    # order keys unique across (doc, copy) at this scale
+    assert out.select("order_key").distinct().count() == out.count()

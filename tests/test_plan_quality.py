@@ -204,6 +204,8 @@ EXCHANGE_BUDGET = {
     "lm_score": 7,
     # ONE bucket-partitioned window shuffle — the whole packing plan
     "pack_sequences": 1,
+    # rate CASE + row-local explode + hash order key: fully narrow
+    "mixture_sample": 0,
     "json_props": 0,
     # components come out of the loop's localCheckpoint (lineage
     # truncated) and the non-canonical id list broadcasts into the

@@ -1034,6 +1034,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=16, n_probe=8)
 
 
+SEMDEDUP_RECALL_FLOOR = 0.70   # measured 1.00 (sf0.001 & sf0.01, k=16 p=3)
+
+
+def q_semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: distributed k-means (Lloyd's, zero-shuffle row-local
+    argmin assignment, k×dim-row centroid updates) then cosine pairs only
+    within each vector's 3 probed clusters. Approximate -> rows-only;
+    recall gated by semantic_dedup_recall."""
+    _utc(spark)
+    from feathr_spark.operators.clustering import semantic_dedup_pairs
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_dedup_pairs(emb, "embedding", "vec_id", threshold=0.45,
+                                k=16, n_iter=5, n_assign=3) \
+        .select(F.col("id_a").cast("bigint").alias("id_a"),
+                F.col("id_b").cast("bigint").alias("id_b"), "cos_sim")
+
+
+def q_semantic_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate: SemDeDup pairs must cover >= 70% of the exact
+    all-pairs cosine>=0.45 result (quantified-accuracy contract, same
+    pattern as the ANN gates)."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import cosine_pairs_exact
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_pairs_exact(emb, "embedding", "vec_id", threshold=0.45) \
+        .select("id_a", "id_b")
+    approx = q_semantic_dedup_pairs(spark, sf_dir).select("id_a", "id_b")
+    hits = approx.join(exact, ["id_a", "id_b"]).agg(
+        F.count("*").alias("__h"))
+    total = exact.agg(F.count("*").alias("__t"))
+    return hits.crossJoin(total).select(
+        F.lit("semdedup_recall").alias("metric"),
+        F.lit(SEMDEDUP_RECALL_FLOOR).cast("double").alias("floor"),
+        (F.col("__h") / F.col("__t") >= F.lit(SEMDEDUP_RECALL_FLOOR))
+        .alias("passes"))
+
+
 LSH_RECALL_FLOOR = 0.75   # measured 0.87 (sf0.001) / 0.81 (sf0.01)
 IVF_RECALL_FLOOR = 0.60   # measured 0.70 (sf0.001) / 0.66 (sf0.01)
 
@@ -1181,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "semantic_dedup_recall": q_semantic_dedup_recall,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
     }
@@ -2125,6 +2164,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,
                    CAST({LSH_RECALL_FLOOR} AS DOUBLE) AS floor,
+                   true AS passes
+        """,
+        "semantic_dedup_recall": f"""
+            SELECT 'semdedup_recall' AS metric,
+                   CAST({SEMDEDUP_RECALL_FLOOR} AS DOUBLE) AS floor,
                    true AS passes
         """,
         "ann_ivf_recall": f"""

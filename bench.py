@@ -70,6 +70,7 @@ HEADLINE = [
     "lm_score",
     "pack_sequences",
     "mixture_sample",
+    "semantic_dedup_pairs",
 ]
 
 

@@ -893,3 +893,37 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert reseeded != per_doc
     # order keys unique across (doc, copy) at this scale
     assert out.select("order_key").distinct().count() == out.count()
+
+
+def test_kmeans_convergence_and_determinism(spark):
+    """Lloyd's invariants: total inertia is non-increasing in the
+    iteration count, and assignment is bit-stable across partitionings."""
+    from feathr_spark.operators.clustering import kmeans_assign
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    inertia = []
+    for it in (0, 2, 5):
+        a = kmeans_assign(emb, k=8, n_iter=it)
+        inertia.append(a.agg(F.sum("sq_dist")).collect()[0][0])
+    assert inertia[0] >= inertia[1] >= inertia[2]
+    one = sorted(map(tuple, kmeans_assign(emb, k=8, n_iter=3).collect()))
+    two = sorted(map(tuple,
+                     kmeans_assign(emb.repartition(13), k=8, n_iter=3)
+                     .collect()))
+    assert one == two
+
+
+def test_semantic_dedup_recall_floor(spark):
+    """The driver gate's contract, asserted directly: SemDeDup at the
+    driver parameters recovers >= 70% of exact pairs at sf0.001."""
+    from feathr_spark.operators.clustering import semantic_dedup_pairs
+    from feathr_spark.operators.similarity import cosine_pairs_exact
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id_a, r.id_b) for r in
+             cosine_pairs_exact(emb, "embedding", "vec_id",
+                                threshold=0.45).collect()}
+    got = {(r.id_a, r.id_b) for r in
+           semantic_dedup_pairs(emb, threshold=0.45, k=16, n_iter=5,
+                                n_assign=3).collect()}
+    assert len(got & exact) / len(exact) >= 0.70
+    # pairs are canonical and unique
+    assert all(a < b for a, b in got)

@@ -37,6 +37,8 @@ BROADCAST_LOOP_OK = {
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
+    # embeds cosine_pairs_exact's partition-parallel broadcast loop
+    "semantic_dedup_recall",
 }
 
 
@@ -206,6 +208,12 @@ EXCHANGE_BUDGET = {
     "pack_sequences": 1,
     # rate CASE + row-local explode + hash order key: fully narrow
     "mixture_sample": 0,
+    # Lloyd's iterations execute at plan time (bounded centroid collects,
+    # the MLlib shape); visible: the applyInPandas cluster shuffle + the
+    # pair dedup
+    "semantic_dedup_pairs": 2,
+    # embeds the pairs plan + exact all-pairs + the two count folds
+    "semantic_dedup_recall": 6,
     "json_props": 0,
     # components come out of the loop's localCheckpoint (lineage
     # truncated) and the non-canonical id list broadcasts into the

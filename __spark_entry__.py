@@ -225,6 +225,35 @@ def q_window_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE extension: point-in-time (t−90d, t] exact interpolated
+    p50/p90 of o_totalprice keyed by o_custkey (PERCENTILE_CONT
+    semantics; oracle = DuckDB quantile_cont)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(
+        name="wp", source=_orders_src(sf_dir), features=[
+            Feature(name="f_p50_90d",
+                    transform=WindowAggTransform(
+                        "o_totalprice", Aggregation.PERCENTILE, "90d",
+                        agg_param=0.5), key=[key]),
+            Feature(name="f_p90_90d",
+                    transform=WindowAggTransform(
+                        "o_totalprice", Aggregation.PERCENTILE, "90d",
+                        agg_param=0.9), key=[key]),
+        ]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(obs,
+                                 FeatureQuery(["f_p50_90d", "f_p90_90d"]))
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("f_p50_90d")).alias("f_p50_90d"),
+        _r4(F.col("f_p90_90d")).alias("f_p90_90d"),
+    )
+
+
 def q_window_latest_nop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATEST (max-ts value) and NOP (earliest value) over (t−7d, t] on the
     tie-free `events` stream (model.rs:200-216 NOP/LATEST)."""
@@ -1204,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
+        "window_percentile": q_window_percentile,
         "mixture_sample": q_mixture_sample,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
@@ -1223,6 +1253,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
     }
+
+
+_PERCENTILE_ORACLE = """
+SELECT o.o_orderkey AS o_orderkey,
+       CAST(ROUND(quantile_cont(s.o_totalprice, 0.5), 4) AS DOUBLE)
+           AS f_p50_90d,
+       CAST(ROUND(quantile_cont(s.o_totalprice, 0.9), 4) AS DOUBLE)
+           AS f_p90_90d
+FROM orders o
+JOIN orders s
+  ON s.o_custkey = o.o_custkey
+ AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
+ AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+GROUP BY o.o_orderkey
+"""
 
 
 _WINDOW_ORACLE = """
@@ -1650,6 +1695,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "window_agg_basic": _WINDOW_ORACLE,
+        "window_percentile": _PERCENTILE_ORACLE,
         "window_latest_nop": """
             SELECT o.event_id AS event_id,
                    CAST(ROUND(arg_max(s.value, epoch_ms(s.ts)), 4) AS DOUBLE) AS f_latest_7d,

@@ -71,6 +71,7 @@ HEADLINE = [
     "pack_sequences",
     "mixture_sample",
     "semantic_dedup_pairs",
+    "window_percentile",
 ]
 
 

@@ -114,6 +114,7 @@ def _transformation(d, keys: tuple = ()):
             group_by=d.get("group_by") or d.get("groupBy"),
             filter=d.get("filter"),
             limit=d.get("limit"),
+            agg_param=d.get("agg_param") or d.get("aggParam"),
         )
     expr = d.get("def", d.get("definition", d.get("transform_expr")))
     if isinstance(expr, dict):

@@ -268,6 +268,10 @@ class Aggregation(str, Enum):
     # per-group state vs COUNT_DISTINCT's one-entry-per-distinct-value —
     # the right choice for high-cardinality windows at 100 TB.
     APPROX_COUNT_DISTINCT = "APPROX_COUNT_DISTINCT"
+    # engine extension: exact interpolated percentile of the window's
+    # values (the fraction comes from WindowAggTransform.agg_param).
+    # Same interpolation as ANSI PERCENTILE_CONT / DuckDB quantile_cont.
+    PERCENTILE = "PERCENTILE"
     UNION = "UNION"      # collect all values into one list
     ELEMENTWISE_AVG = "ELEMENTWISE_AVG"
     ELEMENTWISE_MIN = "ELEMENTWISE_MIN"
@@ -301,6 +305,9 @@ class WindowAggTransform:
     group_by: Optional[str] = None
     filter: Optional[str] = None
     limit: Optional[int] = None
+    # parameter for parameterized aggregations (PERCENTILE: the fraction
+    # in [0, 1]); ignored by every other agg_func
+    agg_param: Optional[float] = None
 
     @property
     def window_ms(self) -> int:

@@ -91,15 +91,29 @@ def elementwise_reduce_sparse(maps: Column, agg: Aggregation) -> Column:
     return F.when(n > 0, reduced)
 
 
-def make_agg(agg: Aggregation, value: Column, ts: Column
+def make_agg(agg: Aggregation, value: Column, ts: Column,
+             param: float = None,
              ) -> Tuple[Column, Callable[[Column], Column]]:
     """(aggregate expression, scalar post-transform) for one frame/group.
 
     ``value`` is null outside the aggregation's filter; all builtins here
     ignore nulls, which implements the pre-aggregation ``filter`` clause
-    (model.rs:270) for free.
+    (model.rs:270) for free. ``param`` parameterizes PERCENTILE (the
+    fraction) and is ignored elsewhere.
     """
     ident = lambda c: c
+    if agg == Aggregation.PERCENTILE:
+        # exact interpolated percentile — ANSI PERCENTILE_CONT semantics
+        # ((n-1)·p rank, linear interpolation), identical to DuckDB
+        # quantile_cont. Window-frame-legal (plain aggregate, not an
+        # ordered-set syntax). State is the frame's value list — same
+        # class as UNION/COUNT_DISTINCT; for 100 TB high-cardinality
+        # windows pre-bucket values or use approx_percentile upstream.
+        if param is None or not (0.0 <= float(param) <= 1.0):
+            raise ValueError(
+                "PERCENTILE requires agg_param in [0, 1], got "
+                f"{param!r}")
+        return F.percentile(value, F.lit(float(param))), ident
     if agg == Aggregation.AVG:
         return F.avg(value), ident
     if agg == Aggregation.SUM:
@@ -137,8 +151,9 @@ def make_agg(agg: Aggregation, value: Column, ts: Column
     raise ValueError(f"unsupported aggregation: {agg}")
 
 
-def simple_agg(agg: Aggregation, value: Column, ts: Column) -> Column:
+def simple_agg(agg: Aggregation, value: Column, ts: Column,
+               param: float = None) -> Column:
     """Single-expression form for ``groupBy().agg`` contexts (scalar
     wrappers over aggregates are legal there)."""
-    a, post = make_agg(agg, value, ts)
+    a, post = make_agg(agg, value, ts, param)
     return post(a)

@@ -213,7 +213,8 @@ def _union_window(
             .orderBy(_T)
             .rangeBetween(-(wms - 1), Window.currentRow)
         )
-        agg, post = make_agg(s.transform.agg_func, F.col(vc), ts_for_order)
+        agg, post = make_agg(s.transform.agg_func, F.col(vc), ts_for_order,
+                             s.transform.agg_param)
         out_cols.append(post(agg.over(frame)).alias(s.out_name))
 
     result = unioned.select("*", *out_cols).where(F.col(_TAG) == 1)
@@ -265,7 +266,8 @@ def _interval_join_simple(
         v = F.col(f"__v{i}")
         if wms != max_w:  # narrower windows mask values outside their range
             v = F.when(F.col("__st") > F.col("__ot") - wms, v)
-        aggs.append(simple_agg(s.transform.agg_func, v, F.col("__st")).alias(s.out_name))
+        aggs.append(simple_agg(s.transform.agg_func, v, F.col("__st"),
+                               s.transform.agg_param).alias(s.out_name))
     per_combo = joined.groupBy(*[left[a] for a in kcols], left["__ot"]).agg(*aggs)
     # null-SAFE attach: a NULL-key/NULL-ts observation row still matches its
     # distinct combo row, whose source join found nothing (NULL condition),
@@ -311,7 +313,8 @@ def _interval_join_grouped(
     )
     combo = [left[a] for a in kcols] + [left["__ot"]]
     per_group = joined.groupBy(*combo, "__g").agg(
-        simple_agg(t.agg_func, F.col("__v"), F.col("__st")).alias("__gv")
+        simple_agg(t.agg_func, F.col("__v"), F.col("__st"),
+                   t.agg_param).alias("__gv")
     )
     if t.limit is not None:
         rank_w = Window.partitionBy(*kcols, "__ot").orderBy(

@@ -363,6 +363,8 @@ class FeathrProject:
                     d["groupBy"] = t.group_by
                 if t.limit is not None:
                     d["limit"] = t.limit
+                if t.agg_param is not None:
+                    d["agg_param"] = t.agg_param
                 return d
             if isinstance(t, UdfTransform):
                 return {"udf": t.name}
@@ -541,7 +543,8 @@ class FeathrProject:
                         feathr_expr(t.def_expr))
                     if t.filter:
                         v = F.when(feathr_expr(t.filter), v)
-                    aggs.append(simple_agg(t.agg_func, v, F.col(EVENT_TS_COL)).alias(f.name))
+                    aggs.append(simple_agg(t.agg_func, v, F.col(EVENT_TS_COL),
+                                               t.agg_param).alias(f.name))
                 else:
                     assert isinstance(t, ExpressionTransform)
                     v = feathr_expr(t.sql_expr)

@@ -112,7 +112,8 @@ def _transform_to_dict(t) -> dict:
     if isinstance(t, WindowAggTransform):
         return {"kind": "window", "def_expr": t.def_expr,
                 "agg_func": t.agg_func.value, "window": t.window,
-                "group_by": t.group_by, "filter": t.filter, "limit": t.limit}
+                "group_by": t.group_by, "filter": t.filter,
+                "limit": t.limit, "agg_param": t.agg_param}
     if isinstance(t, UdfTransform):
         return {"kind": "udf", "name": t.name}
     if isinstance(t, ExpressionTransform):
@@ -126,7 +127,8 @@ def _transform_from_dict(d: dict):
         return WindowAggTransform(
             def_expr=d["def_expr"], agg_func=Aggregation(d["agg_func"]),
             window=d["window"], group_by=d.get("group_by"),
-            filter=d.get("filter"), limit=d.get("limit"))
+            filter=d.get("filter"), limit=d.get("limit"),
+            agg_param=d.get("agg_param"))
     if kind == "udf":
         return UdfTransform(d["name"])
     if kind == "expr":

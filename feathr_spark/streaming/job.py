@@ -78,7 +78,8 @@ def stream_window_agg(
         v = feathr_expr(t.def_expr)
         if t.filter:
             v = F.when(feathr_expr(t.filter), v)
-        aggs.append(simple_agg(t.agg_func, v, F.col(ts_col)).alias(f.name))
+        aggs.append(simple_agg(t.agg_func, v, F.col(ts_col),
+                               t.agg_param).alias(f.name))
     win = (F.window(F.col(ts_col), dur, slide_dur) if slide_dur
            else F.window(F.col(ts_col), dur))
     grouped = wm.groupBy(win.alias("__w"), *keys).agg(*aggs)

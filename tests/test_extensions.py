@@ -927,3 +927,38 @@ def test_semantic_dedup_recall_floor(spark):
     assert len(got & exact) / len(exact) >= 0.70
     # pairs are canonical and unique
     assert all(a < b for a, b in got)
+
+
+def test_window_percentile_agg(spark, tmp_path):
+    """PERCENTILE window agg: exact interpolated (PERCENTILE_CONT)
+    values vs hand-computed numpy quantiles; bad agg_param rejected."""
+    import datetime as dt
+    import numpy as np
+    from feathr_spark import (Aggregation, Feature, FeatureAnchor,
+                              FeatureQuery, FeathrProject, HdfsSource,
+                              ObservationSettings, TimeWindowParameters,
+                              TypedKey, WindowAggTransform)
+    vals = [5, 1, 9, 3, 7]
+    rows = [Row(k=1, ts=dt.datetime(2024, 1, 1 + i), v=float(x))
+            for i, x in enumerate(vals)]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "pct.parquet")
+    df.write.parquet(path)
+    p = FeathrProject("q", spark)
+    src = HdfsSource(name="s", path=path,
+                     time_window_parameters=TimeWindowParameters("ts"))
+    p.register_anchor(FeatureAnchor(name="a", source=src, features=[
+        Feature(name="p50", transform=WindowAggTransform(
+            "v", Aggregation.PERCENTILE, "30d", agg_param=0.5),
+            key=[TypedKey(key_column="k")]),
+    ]))
+    obs = ObservationSettings(timestamp_column="ts").with_event_ts(df)
+    out = {r.ts.day: r.p50 for r in p.get_offline_features(
+        obs, FeatureQuery(["p50"])).collect()}
+    for day in range(1, 6):
+        expect = float(np.quantile(np.array(vals[:day]), 0.5,
+                                   method="linear"))
+        assert abs(out[day] - expect) < 1e-9, day
+    with pytest.raises(ValueError):
+        from feathr_spark.operators.aggregations import make_agg
+        make_agg(Aggregation.PERCENTILE, F.col("x"), F.col("t"), None)

@@ -136,6 +136,7 @@ EXCHANGE_BUDGET = {
     "passthrough_exprs": 0,
     "keyed_join": 0,
     "window_agg_basic": 1,
+    "window_percentile": 1,
     "window_latest_nop": 1,
     "window_union": 1,
     "window_filtered": 1,

@@ -1183,6 +1183,85 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("duration_ms"))
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
+    (priority, status) / (priority) / () — a single Expand + hash
+    aggregate, not three scans. Exact decimal sum, rendered as double."""
+    _utc(spark)
+    from feathr_spark.operators.olap import grouping_sets_agg
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return grouping_sets_agg(
+        orders,
+        [("o_orderpriority", "o_orderstatus"), ("o_orderpriority",), ()],
+        {"n": "count(*)",
+         "total_price":
+             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"})
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user pivot of event_type into sum(value) columns. The pivot
+    domain is explicit, so there is no plan-time DISTINCT scan; exact
+    decimal sums rendered as double."""
+    _utc(spark)
+    from feathr_spark.operators.olap import pivot_agg
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("value", F.col("value").cast("decimal(18,6)"))
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = pivot_agg(events, ["user_id"], "event_type", "value", kinds)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        *[F.col(f"sum_{k}").cast("double").alias(f"sum_{k}") for k in kinds])
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join WITHOUT an equi key: purchases landing
+    inside [signup_ts, signup_ts + 30 min). Bin-keyed equi join — no
+    BroadcastNestedLoopJoin in the plan (test_plan_quality forbids it)."""
+    _utc(spark)
+    from feathr_spark.operators.rangejoin import range_join
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = (events.where(F.col("event_type") == "signup")
+                 .select(F.col("event_id").alias("signup_id"),
+                         F.col("ts").alias("start_ts"),
+                         (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                         .alias("end_ts")))
+    points = (events.where(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("purchase_id"),
+                      F.col("ts")))
+    out = range_join(points, intervals, "ts", "start_ts", "end_ts",
+                     bin_width_s=1800)
+    return out.select(F.col("signup_id").cast("bigint").alias("signup_id"),
+                      F.col("purchase_id").cast("bigint")
+                      .alias("purchase_id"))
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory frequent terms (merged Misra-Gries). At this corpus
+    the per-partition capacity exceeds the vocabulary, so the sketch is
+    provably exact (max_err = 0) and the oracle pins every count; the
+    approximation regime is value-tested in tests/test_olap_sketch.py."""
+    _utc(spark)
+    from feathr_spark.operators.sketch import heavy_hitters
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return heavy_hitters(docs, "text", k=20, capacity=4096)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span-level corpus dedup: duplicate 8-word spans removed
+    keep-first in (doc_id, pos) order, documents reassembled from the
+    survivors with per-doc kept/dropped counts."""
+    _utc(spark)
+    from feathr_spark.operators.text import dedup_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_spans(docs, span_words=8)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "text_clean",
+                      F.col("n_spans_kept").cast("bigint")
+                      .alias("n_spans_kept"),
+                      F.col("n_spans_dropped").cast("bigint")
+                      .alias("n_spans_dropped"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1252,6 +1331,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_recall": q_semantic_dedup_recall,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
+        # round-4 second wave: OLAP + sketch + range join + span dedup
+        "cube_orders": q_cube_orders,
+        "pivot_events": q_pivot_events,
+        "range_join_events": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "span_dedup": q_span_dedup,
     }
 
 
@@ -2290,5 +2375,82 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE epoch_ms(o_orderdate) <= epoch_ms(TIMESTAMP '{CUTOFF}')
             GROUP BY o_custkey
+        """,
+        "cube_orders": """
+            SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+                        ELSE CAST(o_orderpriority AS VARCHAR) END
+                       AS o_orderpriority,
+                   CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+                        ELSE CAST(o_orderstatus AS VARCHAR) END
+                       AS o_orderstatus,
+                   count(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), ())
+        """,
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE event_type = 'click') AS DOUBLE)
+                       AS sum_click,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE event_type = 'view') AS DOUBLE)
+                       AS sum_view,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+                       AS sum_purchase,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE event_type = 'signup') AS DOUBLE)
+                       AS sum_signup,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                        FILTER (WHERE event_type = 'error') AS DOUBLE)
+                       AS sum_error
+            FROM events GROUP BY user_id
+        """,
+        "range_join_events": """
+            SELECT i.signup_id, p.purchase_id
+            FROM (SELECT event_id AS signup_id, ts AS start_ts,
+                         ts + INTERVAL 30 MINUTE AS end_ts
+                  FROM events WHERE event_type = 'signup') i
+            JOIN (SELECT event_id AS purchase_id, ts
+                  FROM events WHERE event_type = 'purchase') p
+              ON p.ts >= i.start_ts AND p.ts < i.end_ts
+        """,
+        "heavy_hitters": """
+            SELECT w AS term, count(*) AS est_count,
+                   CAST(0 AS BIGINT) AS max_err
+            FROM (SELECT unnest(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY est_count DESC, term ASC
+            LIMIT 20
+        """,
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            spans AS (
+              SELECT doc_id, CAST(s / 8 AS BIGINT) AS pos,
+                     array_to_string(l[s + 1 : s + 8], ' ') AS span
+              FROM toks, LATERAL unnest(
+                     generate_series(0, greatest(len(l) - 1, 0), 8)
+                   ) AS t(s)),
+            flagged AS (
+              SELECT doc_id, pos, span,
+                     row_number() OVER (PARTITION BY md5(span)
+                                        ORDER BY doc_id, pos) = 1 AS keep
+              FROM spans WHERE span <> '')
+            SELECT doc_id,
+                   coalesce(string_agg(CASE WHEN keep THEN span END,
+                                       ' ' ORDER BY pos), '') AS text_clean,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_spans_kept,
+                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_dropped
+            FROM flagged GROUP BY doc_id
         """,
     }

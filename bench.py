@@ -72,6 +72,11 @@ HEADLINE = [
     "mixture_sample",
     "semantic_dedup_pairs",
     "window_percentile",
+    "cube_orders",
+    "pivot_events",
+    "range_join_events",
+    "heavy_hitters",
+    "span_dedup",
 ]
 
 

@@ -455,3 +455,58 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                 F.least(F.col("__n") - F.col("__start"),
                         F.lit(chunk_tokens)).cast("bigint").alias("n_tokens"),
             ))
+
+
+def dedup_spans(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", span_words: int = 16) -> DataFrame:
+    """C4-style span-level corpus dedup: remove repeated spans, keep the
+    FIRST occurrence in corpus order (``id`` asc, position asc), and
+    reassemble each document from its surviving spans.
+
+    C4 (Raffel et al. 2020) drops duplicate three-sentence spans across the
+    whole corpus; the synthetic tables have no sentence boundaries, so the
+    span unit here is a non-overlapping window of ``span_words`` whitespace
+    tokens (the operator is unit-agnostic — any upstream segmentation that
+    produces one span row per position works the same).
+
+    Plan shape (2 shuffles, both key-bounded): (1) spans are built by pure
+    narrow expressions (split → sequence → posexplode → slice, all
+    codegen'd); the keep-first rank is ONE shuffle partitioned by the span's
+    md5 — group sizes are duplicate multiplicities, so AQE's skew split
+    handles boilerplate spans; (2) reassembly is ONE shuffle back on the
+    document id. Dropped spans travel to the reassembly as a boolean flag
+    (no second join against the corpus), so fully-duplicated documents
+    still come out (empty ``text_clean``) and per-doc drop counts are free.
+    Documents that are empty after tokenization produce no output row.
+
+    Output: ``(id, text_clean, n_spans_kept, n_spans_dropped)``.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)),
+                        F.lit(span_words))
+    spans = (base
+             .select(id_col, "__toks",
+                     F.posexplode(starts).alias("__pos", "__start"))
+             .select(F.col(id_col), F.col("__pos"),
+                     F.concat_ws(" ", F.slice(F.col("__toks"),
+                                              F.col("__start") + 1,
+                                              span_words)).alias("__span"))
+             .where(F.col("__span") != ""))
+    w = (Window.partitionBy(F.md5(F.col("__span")))
+         .orderBy(F.col(id_col).asc(), F.col("__pos").asc()))
+    flagged = spans.withColumn("__keep", F.row_number().over(w) == 1)
+    surviving = F.filter(
+        F.array_sort(F.collect_list(F.struct("__pos", "__keep", "__span"))),
+        lambda s: s["__keep"])
+    return (flagged.groupBy(id_col)
+            .agg(F.sum(F.col("__keep").cast("long")).alias("n_spans_kept"),
+                 F.sum((~F.col("__keep")).cast("long"))
+                  .alias("n_spans_dropped"),
+                 F.concat_ws(" ", F.transform(surviving,
+                                              lambda s: s["__span"]))
+                  .alias("text_clean")))

@@ -1,0 +1,194 @@
+"""Value tests for the round-4 OLAP / sketch / range-join / span-dedup ops."""
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.olap import grouping_sets_agg, pivot_agg
+from feathr_spark.operators.rangejoin import range_join
+from feathr_spark.operators.sketch import heavy_hitters
+from feathr_spark.operators.text import dedup_spans
+
+
+# ---------------------------------------------------------------- OLAP
+
+def test_grouping_sets_levels_and_null_safety(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 4.0), (None, "x", 8.0)],
+        "g1 string, g2 string, v double")
+    out = grouping_sets_agg(
+        df, [("g1", "g2"), ("g1",), ()],
+        {"n": "count(*)", "total": "sum(v)"})
+    rows = {(r.g1, r.g2): (r.n, r.total) for r in out.collect()}
+    # detail level
+    assert rows[("a", "x")] == (1, 1.0)
+    assert rows[("a", "y")] == (1, 2.0)
+    # subtotal per g1 — g2 carries the ALL label
+    assert rows[("a", "ALL")] == (2, 3.0)
+    assert rows[("b", "ALL")] == (1, 4.0)
+    # grand total
+    assert rows[("ALL", "ALL")] == (4, 15.0)
+    # a genuinely NULL group value stays NULL (no collision with ALL)
+    assert rows[(None, "x")] == (1, 8.0)
+    assert rows[(None, "ALL")] == (1, 8.0)
+
+
+def test_grouping_sets_single_pass_plan(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("g1"),
+        (F.col("id") % 2).cast("string").alias("g2"),
+        F.col("id").cast("double").alias("v"))
+    out = grouping_sets_agg(df, [("g1", "g2"), ("g1",), ()],
+                            {"n": "count(*)"})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # one Expand feeding one aggregation pair — not N unioned scans
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+
+
+def test_pivot_agg_values_and_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "click", 2.0), (1, "view", 3.0), (1, "click", 5.0),
+         (2, "view", 7.0), (2, "other", 100.0)],
+        "user_id bigint, et string, v double")
+    out = pivot_agg(df, ["user_id"], "et", "v", ["click", "view"])
+    rows = {r.user_id: (r.sum_click, r.sum_view) for r in out.collect()}
+    assert rows[1] == (7.0, 3.0)
+    assert rows[2] == (None, 7.0)  # no clicks; 'other' is outside the domain
+    assert set(out.columns) == {"user_id", "sum_click", "sum_view"}
+
+
+# ---------------------------------------------------------- range join
+
+def _mk_points(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(pid=i, k="a" if i % 2 == 0 else "b",
+                ts=base + dt.timedelta(minutes=7 * i)) for i in range(40)]
+    return spark.createDataFrame(rows)
+
+
+def _mk_intervals(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(iid=j, k="a" if j % 2 == 0 else "b",
+                start=base + dt.timedelta(minutes=30 * j),
+                end=base + dt.timedelta(minutes=30 * j + 45))
+            for j in range(8)]
+    rows.append(Row(iid=99, k="a",
+                    start=base + dt.timedelta(days=30),
+                    end=base + dt.timedelta(days=30, minutes=1)))
+    return spark.createDataFrame(rows)
+
+
+def test_range_join_matches_bruteforce_inner(spark):
+    # no equi key: drop the shared column (caller contract: names disjoint)
+    p, iv = _mk_points(spark).drop("k"), _mk_intervals(spark)
+    got = {(r.iid, r.pid) for r in
+           range_join(p, iv, "ts", "start", "end",
+                      bin_width_s=600).collect()}
+    brute = {(r.iid, r.pid) for r in
+             iv.crossJoin(p.select(F.col("pid"), F.col("ts")))
+               .where((F.col("ts") >= F.col("start")) &
+                      (F.col("ts") < F.col("end"))).collect()}
+    assert got == brute and len(got) > 0
+
+
+def test_range_join_extra_equi_key_and_left(spark):
+    p, iv = _mk_points(spark), _mk_intervals(spark)
+    inner = range_join(p, iv, "ts", "start", "end",
+                       bin_width_s=600, on=["k"])
+    got = {(r.iid, r.pid) for r in inner.collect()}
+    brute = {(r.iid, r.pid) for r in
+             iv.join(p, "k").where((F.col("ts") >= F.col("start")) &
+                                   (F.col("ts") < F.col("end"))).collect()}
+    assert got == brute
+    left = range_join(p, iv, "ts", "start", "end",
+                      bin_width_s=600, on=["k"], how="left").collect()
+    # interval 99 is a month out: survives with NULL point columns
+    miss = [r for r in left if r.iid == 99]
+    assert len(miss) == 1 and miss[0].pid is None
+    assert {(r.iid, r.pid) for r in left if r.pid is not None} == brute
+
+
+def test_range_join_no_nested_loop_join(spark):
+    p, iv = _mk_points(spark).drop("k"), _mk_intervals(spark)
+    plan = (range_join(p, iv, "ts", "start", "end", bin_width_s=600)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+# ------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_matches_exact_on_zipf(spark):
+    # Zipf-ish corpus: term t_i appears ~1000/i times, i in 1..60
+    words = []
+    for i in range(1, 61):
+        words.extend([f"t{i:02d}"] * (1000 // i))
+    docs = [" ".join(words[j::17]) for j in range(17)]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)],
+                               "doc_id bigint, text string")
+    out = heavy_hitters(df, "text", k=10, capacity=64).collect()
+    true = {f"t{i:02d}": 1000 // i for i in range(1, 61)}
+    exact_top = sorted(true, key=lambda t: (-true[t], t))[:10]
+    assert [r.term for r in out] == exact_top
+    for r in out:
+        assert r.est_count <= true[r.term] <= r.est_count + r.max_err
+
+
+def test_heavy_hitters_bound_under_tiny_capacity(spark):
+    # capacity far below vocabulary: estimates still bracket the truth
+    words = []
+    for i in range(1, 201):
+        words.extend([f"w{i:03d}"] * (400 // i))
+    df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string")
+    out = heavy_hitters(df, "text", k=5, capacity=32).collect()
+    true = {f"w{i:03d}": 400 // i for i in range(1, 201)}
+    assert len(out) == 5
+    for r in out:
+        assert r.est_count <= true[r.term] <= r.est_count + r.max_err
+    # the undisputed heaviest term must surface even under pressure
+    assert out[0].term == "w001"
+
+
+def test_heavy_hitters_shuffle_is_capacity_bounded(spark):
+    df = spark.createDataFrame([(0, "a b c a b a")],
+                               "doc_id bigint, text string")
+    plan = (heavy_hitters(df, "text", k=2, capacity=16)
+            ._jdf.queryExecution().executedPlan().toString())
+    # top-k compiles to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+# ----------------------------------------------------------- dedup_spans
+
+def test_dedup_spans_keep_first_and_reassembly(spark):
+    span = "alpha beta gamma delta"          # 4 words = one span unit
+    uniq = "epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, f"{span} {uniq}"),              # first occurrence: keeps both
+         (2, f"{span} {span}"),              # both spans duplicate doc 1
+         (3, uniq),                          # duplicates doc 1's 2nd span
+         (4, "iota kappa")],                 # short unique tail span
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in
+           dedup_spans(df, span_words=4).collect()}
+    assert out[1].text_clean == f"{span} {uniq}"
+    assert (out[1].n_spans_kept, out[1].n_spans_dropped) == (2, 0)
+    # doc 2 loses everything but still has a row
+    assert out[2].text_clean == ""
+    assert (out[2].n_spans_kept, out[2].n_spans_dropped) == (0, 2)
+    assert out[3].text_clean == ""
+    assert out[4].text_clean == "iota kappa"
+    assert (out[4].n_spans_kept, out[4].n_spans_dropped) == (1, 0)
+
+
+def test_dedup_spans_order_within_doc_preserved(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "x y z w a b c d")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r.text_clean
+           for r in dedup_spans(df, span_words=4).collect()}
+    assert out[1] == "a b c d e f g h"
+    # doc 2 keeps its first span, loses the duplicate of doc 1's first
+    assert out[2] == "x y z w"

@@ -39,6 +39,8 @@ BROADCAST_LOOP_OK = {
     "lm_score",
     # embeds cosine_pairs_exact's partition-parallel broadcast loop
     "semantic_dedup_recall",
+    # 1-row merged-error-bound frame broadcast onto the top-k terms
+    "heavy_hitters",
 }
 
 
@@ -48,6 +50,12 @@ def _physical_plan(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # Earlier test modules execute operators that persist() intermediate
+    # frames (dedup token cache, similarity vector frame). Spark's cache
+    # manager substitutes InMemoryRelation into ANY later plan matching the
+    # cached fragment, which shifts Exchange counts and made this module
+    # order-dependent. Snapshot plans from a clean cache.
+    spark.catalog.clearCache()
     out = {}
     for name, fn in entry_mod.queries().items():
         out[name] = (_physical_plan(fn(spark, SF)))
@@ -236,6 +244,17 @@ EXCHANGE_BUDGET = {
     "ann_ivf_recall": 16,
     "multimodal_decode": 0,
     "multimodal_audio": 0,
+    # ONE Expand + one aggregate pair — the single-pass GROUPING SETS shape
+    "cube_orders": 1,
+    # Spark pivot = groupBy(key, pivot_col) partial then groupBy(key) final
+    "pivot_events": 2,
+    # bin-keyed equi join; broadcast at this SF (1 = headroom for SMJ)
+    "range_join_events": 1,
+    # partition-id error fold + term merge + final top-k single partition;
+    # every shuffle is capacity-bounded, never vocabulary-sized
+    "heavy_hitters": 3,
+    # span-hash keep-first window + doc-id reassembly
+    "span_dedup": 2,
 }
 
 

@@ -1183,6 +1183,37 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("duration_ms"))
 
 
+def q_window_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECAY_SUM / DECAY_AVG extension: point-in-time (t−90d, t]
+    exponentially time-decayed spend keyed by o_custkey, half-life 30
+    days — the classic decayed-counter feature. Values rounded with the
+    +1e-9 nudge (both engines sum floats in unspecified order)."""
+    _utc(spark)
+    p = FeathrProject("q", spark)
+    key = TypedKey(key_column="o_custkey")
+    p.register_anchor(FeatureAnchor(
+        name="wd", source=_orders_src(sf_dir), features=[
+            Feature(name="f_dsum_90d",
+                    transform=WindowAggTransform(
+                        "o_totalprice", Aggregation.DECAY_SUM, "90d",
+                        agg_param=30.0), key=[key]),
+            Feature(name="f_davg_90d",
+                    transform=WindowAggTransform(
+                        "o_totalprice", Aggregation.DECAY_AVG, "90d",
+                        agg_param=30.0), key=[key]),
+        ]))
+    obs = ObservationSettings(timestamp_column="o_orderdate").with_event_ts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    out = p.get_offline_features(obs,
+                                 FeatureQuery(["f_dsum_90d", "f_davg_90d"]))
+    r4n = lambda c: F.round(c + F.lit(1e-9), 4).cast("double")
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        r4n(F.col("f_dsum_90d")).alias("f_dsum_90d"),
+        r4n(F.col("f_davg_90d")).alias("f_davg_90d"),
+    )
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1332,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_audio": q_multimodal_audio,
         # round-4 second wave: OLAP + sketch + range join + span dedup
+        "window_decay": q_window_decay,
         "cube_orders": q_cube_orders,
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
@@ -2375,6 +2407,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE epoch_ms(o_orderdate) <= epoch_ms(TIMESTAMP '{CUTOFF}')
             GROUP BY o_custkey
+        """,
+        "window_decay": """
+            SELECT o.o_orderkey AS o_orderkey,
+                   CAST(ROUND(SUM(s.o_totalprice * POW(0.5,
+                            (epoch_ms(o.o_orderdate) - epoch_ms(s.o_orderdate))
+                            / 2592000000.0)) + 1e-9, 4) AS DOUBLE)
+                       AS f_dsum_90d,
+                   CAST(ROUND(SUM(s.o_totalprice * POW(0.5,
+                            (epoch_ms(o.o_orderdate) - epoch_ms(s.o_orderdate))
+                            / 2592000000.0))
+                        / SUM(POW(0.5,
+                            (epoch_ms(o.o_orderdate) - epoch_ms(s.o_orderdate))
+                            / 2592000000.0)) + 1e-9, 4) AS DOUBLE)
+                       AS f_davg_90d
+            FROM orders o
+            JOIN orders s
+              ON s.o_custkey = o.o_custkey
+             AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
+             AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
+            GROUP BY o.o_orderkey
         """,
         "cube_orders": """
             SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'

@@ -72,6 +72,7 @@ HEADLINE = [
     "mixture_sample",
     "semantic_dedup_pairs",
     "window_percentile",
+    "window_decay",
     "cube_orders",
     "pivot_events",
     "range_join_events",

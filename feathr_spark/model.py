@@ -272,6 +272,13 @@ class Aggregation(str, Enum):
     # values (the fraction comes from WindowAggTransform.agg_param).
     # Same interpolation as ANSI PERCENTILE_CONT / DuckDB quantile_cont.
     PERCENTILE = "PERCENTILE"
+    # engine extensions: exponentially time-decayed sum / weighted mean
+    # ("decayed counters" — the classic fraud/abuse feature). agg_param is
+    # the HALF-LIFE IN DAYS: a source row t_d days before the observation
+    # contributes value * 0.5**(t_d / agg_param). DECAY_AVG is the decay-
+    # weighted mean (sum of w*v over sum of w).
+    DECAY_SUM = "DECAY_SUM"
+    DECAY_AVG = "DECAY_AVG"
     UNION = "UNION"      # collect all values into one list
     ELEMENTWISE_AVG = "ELEMENTWISE_AVG"
     ELEMENTWISE_MIN = "ELEMENTWISE_MIN"

@@ -92,16 +92,57 @@ def elementwise_reduce_sparse(maps: Column, agg: Aggregation) -> Column:
 
 
 def make_agg(agg: Aggregation, value: Column, ts: Column,
-             param: float = None,
+             param: float = None, obs_ts: Column = None,
              ) -> Tuple[Column, Callable[[Column], Column]]:
     """(aggregate expression, scalar post-transform) for one frame/group.
 
     ``value`` is null outside the aggregation's filter; all builtins here
     ignore nulls, which implements the pre-aggregation ``filter`` clause
     (model.rs:270) for free. ``param`` parameterizes PERCENTILE (the
-    fraction) and is ignored elsewhere.
+    fraction) and DECAY_SUM/DECAY_AVG (half-life in days) and is ignored
+    elsewhere. ``obs_ts`` is the observation-time epoch-ms column the post
+    transform may reference (required by the DECAY aggregations; the
+    callers guarantee it is legal in the post context — the current row in
+    a window select, a grouping column in ``groupBy().agg``).
     """
     ident = lambda c: c
+    if agg in (Aggregation.DECAY_SUM, Aggregation.DECAY_AVG):
+        # Exponentially time-decayed sum / weighted mean. The frame state
+        # is the (value, ts) pair list — the exact-arithmetic formulation:
+        # weights use only NON-POSITIVE exponents ((t - obs)/half <= 0
+        # inside any window frame), so no overflow for any half-life /
+        # time-range combination, unlike the sum(v * exp(k*t)) * exp(-k*obs)
+        # factorization whose intermediate blows up past ~710/k. Same
+        # state class as UNION/PERCENTILE (memory caveat documented there);
+        # decayed partials are mergeable by rescaling to a common reference
+        # time if an incremental rollup is needed (profile.merge_rollups
+        # pattern).
+        if param is None or float(param) <= 0.0:
+            raise ValueError(
+                f"{agg.value} requires agg_param = half-life in days > 0, "
+                f"got {param!r}")
+        if obs_ts is None:
+            raise ValueError(f"{agg.value} requires the observation-time "
+                             "column (obs_ts)")
+        half_ms = float(param) * 86400000.0
+        pairs = F.collect_list(
+            F.when(value.isNotNull() & ts.isNotNull(),
+                   F.struct(value.cast("double").alias("v"),
+                            ts.cast("double").alias("t"))))
+        weighted = lambda x: x["v"] * F.pow(
+            F.lit(0.5), (obs_ts.cast("double") - x["t"]) / F.lit(half_ms))
+        wsum = lambda c: F.aggregate(
+            c, F.lit(0.0), lambda acc, x: acc + weighted(x))
+        if agg == Aggregation.DECAY_SUM:
+            post = lambda c: F.when(F.size(c) > 0, wsum(c))
+        else:
+            den = lambda c: F.aggregate(
+                c, F.lit(0.0),
+                lambda acc, x: acc + F.pow(
+                    F.lit(0.5),
+                    (obs_ts.cast("double") - x["t"]) / F.lit(half_ms)))
+            post = lambda c: F.when(F.size(c) > 0, wsum(c) / den(c))
+        return pairs, post
     if agg == Aggregation.PERCENTILE:
         # exact interpolated percentile — ANSI PERCENTILE_CONT semantics
         # ((n-1)·p rank, linear interpolation), identical to DuckDB
@@ -152,8 +193,9 @@ def make_agg(agg: Aggregation, value: Column, ts: Column,
 
 
 def simple_agg(agg: Aggregation, value: Column, ts: Column,
-               param: float = None) -> Column:
+               param: float = None, obs_ts: Column = None) -> Column:
     """Single-expression form for ``groupBy().agg`` contexts (scalar
-    wrappers over aggregates are legal there)."""
-    a, post = make_agg(agg, value, ts, param)
+    wrappers over aggregates are legal there). ``obs_ts`` must be a
+    grouping column when given (DECAY aggregations reference it)."""
+    a, post = make_agg(agg, value, ts, param, obs_ts)
     return post(a)

@@ -213,8 +213,12 @@ def _union_window(
             .orderBy(_T)
             .rangeBetween(-(wms - 1), Window.currentRow)
         )
+        # obs_ts: in the post-transform's select context F.col(_T) is the
+        # CURRENT (observation) row's epoch — the same name the frame rows
+        # contributed to the aggregate state refers, per row, to each
+        # source event's epoch. DECAY uses both.
         agg, post = make_agg(s.transform.agg_func, F.col(vc), ts_for_order,
-                             s.transform.agg_param)
+                             s.transform.agg_param, obs_ts=F.col(_T))
         out_cols.append(post(agg.over(frame)).alias(s.out_name))
 
     result = unioned.select("*", *out_cols).where(F.col(_TAG) == 1)
@@ -267,7 +271,8 @@ def _interval_join_simple(
         if wms != max_w:  # narrower windows mask values outside their range
             v = F.when(F.col("__st") > F.col("__ot") - wms, v)
         aggs.append(simple_agg(s.transform.agg_func, v, F.col("__st"),
-                               s.transform.agg_param).alias(s.out_name))
+                               s.transform.agg_param,
+                               obs_ts=left["__ot"]).alias(s.out_name))
     per_combo = joined.groupBy(*[left[a] for a in kcols], left["__ot"]).agg(*aggs)
     # null-SAFE attach: a NULL-key/NULL-ts observation row still matches its
     # distinct combo row, whose source join found nothing (NULL condition),
@@ -314,7 +319,7 @@ def _interval_join_grouped(
     combo = [left[a] for a in kcols] + [left["__ot"]]
     per_group = joined.groupBy(*combo, "__g").agg(
         simple_agg(t.agg_func, F.col("__v"), F.col("__st"),
-                   t.agg_param).alias("__gv")
+                   t.agg_param, obs_ts=F.col("__ot")).alias("__gv")
     )
     if t.limit is not None:
         rank_w = Window.partitionBy(*kcols, "__ot").orderBy(

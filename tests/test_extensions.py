@@ -962,3 +962,62 @@ def test_window_percentile_agg(spark, tmp_path):
     with pytest.raises(ValueError):
         from feathr_spark.operators.aggregations import make_agg
         make_agg(Aggregation.PERCENTILE, F.col("x"), F.col("t"), None)
+
+
+def test_window_decay_agg_values_and_strategies(spark):
+    """DECAY_SUM/DECAY_AVG: exponentially time-decayed counters. Values
+    checked against a brute-force python computation; union-window and
+    interval-join strategies must agree exactly in shape and to float
+    tolerance in value."""
+    import datetime as dt
+    import math
+    from feathr_spark.model import Aggregation, WindowAggTransform
+    from feathr_spark.operators.point_in_time import (
+        WindowFeatureSpec, point_in_time_aggregate)
+
+    base = dt.datetime(2024, 1, 1)
+    src_rows = [Row(k=1 + (i % 2), ts=base + dt.timedelta(days=i % 9),
+                    v=float(1 + i)) for i in range(18)]
+    obs_rows = [Row(k=k, ots=base + dt.timedelta(days=d))
+                for k in (1, 2, 3) for d in (0, 4, 8, 20)]
+    src = spark.createDataFrame(src_rows)
+    obs = spark.createDataFrame(obs_rows)
+    half_days = 2.0
+    specs = [
+        WindowFeatureSpec("dsum", WindowAggTransform(
+            "v", Aggregation.DECAY_SUM, "7d", agg_param=half_days)),
+        WindowFeatureSpec("davg", WindowAggTransform(
+            "v", Aggregation.DECAY_AVG, "7d", agg_param=half_days)),
+    ]
+
+    def brute(k, ots):
+        win_ms = 7 * 86400000
+        pairs = [(r.v, r.ts) for r in src_rows if r.k == k
+                 and 0 <= (ots - r.ts).total_seconds() * 1000 < win_ms]
+        if not pairs:
+            return None, None
+        ws = [0.5 ** ((ots - t).total_seconds() / 86400.0 / half_days)
+              for _, t in pairs]
+        s = sum(w * v for w, (v, _) in zip(ws, pairs))
+        return s, s / sum(ws)
+
+    for strat in ("union_window", "interval_join"):
+        out = point_in_time_aggregate(
+            obs, src, ["k"], ["k"], "ots", "ts", specs, strategy=strat)
+        got = {(r.k, r.ots): (r.dsum, r.davg) for r in out.collect()}
+        assert len(got) == len(obs_rows), strat
+        for r in obs_rows:
+            es, ea = brute(r.k, r.ots)
+            gs, ga = got[(r.k, r.ots)]
+            if es is None:
+                assert gs is None and ga is None, (strat, r)
+            else:
+                assert math.isclose(gs, es, rel_tol=1e-9), (strat, r)
+                assert math.isclose(ga, ea, rel_tol=1e-9), (strat, r)
+
+    from feathr_spark.operators.aggregations import make_agg
+    with pytest.raises(ValueError):
+        make_agg(Aggregation.DECAY_SUM, F.col("x"), F.col("t"), None,
+                 obs_ts=F.col("o"))
+    with pytest.raises(ValueError):
+        make_agg(Aggregation.DECAY_SUM, F.col("x"), F.col("t"), 2.0)

@@ -244,6 +244,8 @@ EXCHANGE_BUDGET = {
     "ann_ivf_recall": 16,
     "multimodal_decode": 0,
     "multimodal_audio": 0,
+    # union-window: the one key shuffle every window agg shares
+    "window_decay": 1,
     # ONE Expand + one aggregate pair — the single-pass GROUPING SETS shape
     "cube_orders": 1,
     # Spark pivot = groupBy(key, pivot_col) partial then groupBy(key) final

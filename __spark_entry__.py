@@ -1214,6 +1214,24 @@ def q_window_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket_gapfill: per-user daily event-value series regularized
+    onto each user's [first, last] day grid, gaps filled by LOCF (last
+    observation carried forward). One raw shuffle; grid/window work runs
+    over pre-aggregated daily rows only."""
+    _utc(spark)
+    from feathr_spark.operators.profile import gapfill
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = gapfill(events, ["user_id"], "ts", "value",
+                  bucket_s=86400, fill="locf")
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket_start"),
+        F.round(F.col("value") + F.lit(1e-9), 4).cast("double")
+        .alias("value"),
+        F.col("is_gap"))
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1364,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": q_multimodal_audio,
         # round-4 second wave: OLAP + sketch + range join + span dedup
         "window_decay": q_window_decay,
+        "gapfill_daily": q_gapfill,
         "cube_orders": q_cube_orders,
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
@@ -2427,6 +2446,32 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "gapfill_daily": """
+            WITH per AS (
+              SELECT user_id,
+                     CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS b,
+                     AVG(CAST(value AS DECIMAL(18,6))) AS v
+              FROM events GROUP BY user_id, 2),
+            span AS (
+              SELECT user_id, min(b) AS lo, max(b) AS hi
+              FROM per GROUP BY user_id),
+            grid AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS b
+              FROM span),
+            j AS (
+              SELECT g.user_id, g.b, p.v
+              FROM grid g LEFT JOIN per p
+                ON p.user_id = g.user_id AND p.b = g.b)
+            SELECT user_id,
+                   epoch_ms(b * 86400000) AS bucket_start,
+                   CAST(ROUND(last_value(CAST(v AS DOUBLE) IGNORE NULLS)
+                              OVER (PARTITION BY user_id ORDER BY b
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) + 1e-9, 4)
+                        AS DOUBLE) AS value,
+                   v IS NULL AS is_gap
+            FROM j
         """,
         "cube_orders": """
             SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'

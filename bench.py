@@ -73,6 +73,7 @@ HEADLINE = [
     "semantic_dedup_pairs",
     "window_percentile",
     "window_decay",
+    "gapfill_daily",
     "cube_orders",
     "pivot_events",
     "range_join_events",

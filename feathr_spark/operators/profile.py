@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(27,6)"
@@ -191,3 +191,67 @@ def finalize_rollup(raw: DataFrame) -> DataFrame:
         "v_min", "v_max",
         F.round(F.col("__sum").cast("double") / F.col("n_events"), 4)
         .alias("v_avg"))
+
+
+def gapfill(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 86400,
+    fill: str = "locf",
+) -> DataFrame:
+    """Regularize an irregular per-key time series onto a fixed bucket
+    grid, filling empty buckets — the hypertable ``time_bucket_gapfill``
+    operation (TimescaleDB's continuous-aggregate companion).
+
+    Per (key, bucket): the bucket value is the exact decimal AVG of the
+    raw values (deterministic — no per-row tie-break needed). The grid
+    spans each key's own [first, last] observed bucket. ``fill``:
+
+    * ``"locf"`` — last observation carried forward (gap buckets take the
+      most recent earlier bucket's value; the canonical fill for state-like
+      series). The first bucket always has a value by construction.
+    * ``"zero"`` — gaps become 0.0 (event-count-like series).
+    * ``"null"`` — gaps stay NULL, only the grid is materialized.
+
+    Plan shape: one shuffle into (key, bucket) partials; the per-key span
+    and the grid explode re-group the ALREADY-AGGREGATED bucket rows (3-4
+    orders of magnitude smaller than the source at daily buckets); the
+    LOCF window sorts those same small rows per key. The raw table is
+    scanned and shuffled exactly once. Grid size is bounded by
+    time-range/bucket per key, independent of event volume. A
+    pathologically hot KEY is harmless here (buckets are pre-aggregated);
+    only a key whose SPAN/bucket ratio is astronomical can blow up the
+    explode — cap with a coarser bucket.
+
+    Output: keys + ``bucket_start`` (timestamp) + ``value`` (double) +
+    ``is_gap`` (true where no raw row landed in the bucket).
+    """
+    if fill not in ("locf", "zero", "null"):
+        raise ValueError(f"gapfill: unknown fill {fill!r}")
+    keys = list(key_cols)
+    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_s)))
+    per = (df.groupBy(*keys, b.alias("__b"))
+           .agg(F.avg(F.col(value_col).cast("decimal(18,6)"))
+                .alias("__v")))
+    grid = (per.groupBy(*keys)
+            .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+            .select(*keys, F.explode(F.sequence(F.col("__lo"),
+                                                F.col("__hi")))
+                    .alias("__b")))
+    filled = grid.join(per, keys + ["__b"], "left")
+    v = F.col("__v").cast("double")
+    if fill == "locf":
+        w = (Window.partitionBy(*keys).orderBy("__b")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        v = F.last(v, ignorenulls=True).over(w)
+    elif fill == "zero":
+        v = F.coalesce(v, F.lit(0.0))
+    return filled.select(
+        *keys,
+        F.timestamp_seconds(F.col("__b") * int(bucket_s))
+        .alias("bucket_start"),
+        v.alias("value"),
+        F.col("__v").isNull().alias("is_gap"))

@@ -192,3 +192,37 @@ def test_dedup_spans_order_within_doc_preserved(spark):
     assert out[1] == "a b c d e f g h"
     # doc 2 keeps its first span, loses the duplicate of doc 1's first
     assert out[2] == "x y z w"
+
+
+# -------------------------------------------------------------- gapfill
+
+def test_gapfill_locf_zero_null(spark):
+    from feathr_spark.operators.profile import gapfill
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(k="a", ts=base, v=10.0),
+        Row(k="a", ts=base + dt.timedelta(days=0, hours=3), v=20.0),
+        Row(k="a", ts=base + dt.timedelta(days=3), v=40.0),   # days 1-2 gap
+        Row(k="b", ts=base + dt.timedelta(days=5), v=7.0),    # single bucket
+    ]
+    df = spark.createDataFrame(rows)
+    out = gapfill(df, ["k"], "ts", "v", bucket_s=86400, fill="locf")
+    got = {(r.k, r.bucket_start.day): (r.value, r.is_gap)
+           for r in out.collect()}
+    assert got[("a", 1)] == (15.0, False)      # avg of the two day-0 rows
+    assert got[("a", 2)] == (15.0, True)       # LOCF
+    assert got[("a", 3)] == (15.0, True)
+    assert got[("a", 4)] == (40.0, False)
+    assert got[("b", 6)] == (7.0, False)
+    assert len(got) == 5                       # grid spans per key only
+
+    zero = {(r.k, r.bucket_start.day): r.value
+            for r in gapfill(df, ["k"], "ts", "v", bucket_s=86400,
+                             fill="zero").collect()}
+    assert zero[("a", 2)] == 0.0 and zero[("a", 1)] == 15.0
+    nul = {(r.k, r.bucket_start.day): r.value
+           for r in gapfill(df, ["k"], "ts", "v", bucket_s=86400,
+                            fill="null").collect()}
+    assert nul[("a", 2)] is None
+    with pytest.raises(ValueError):
+        gapfill(df, ["k"], "ts", "v", fill="bogus")

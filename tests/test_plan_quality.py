@@ -246,6 +246,9 @@ EXCHANGE_BUDGET = {
     "multimodal_audio": 0,
     # union-window: the one key shuffle every window agg shares
     "window_decay": 1,
+    # raw->(key,bucket) shuffle + key-level grid/span regroup; LOCF window
+    # and grid join reuse those partitionings (ReusedExchange)
+    "gapfill_daily": 2,
     # ONE Expand + one aggregate pair — the single-pass GROUPING SETS shape
     "cube_orders": 1,
     # Spark pivot = groupBy(key, pivot_col) partial then groupBy(key) final

@@ -543,8 +543,13 @@ class FeathrProject:
                         feathr_expr(t.def_expr))
                     if t.filter:
                         v = F.when(feathr_expr(t.filter), v)
-                    aggs.append(simple_agg(t.agg_func, v, F.col(EVENT_TS_COL),
-                                               t.agg_param).alias(f.name))
+                    # ts in epoch MILLIS to match obs_ts (cut_ms): DECAY
+                    # subtracts the two; order-based aggs (NOP/LATEST) are
+                    # unaffected by the monotone unit change.
+                    aggs.append(simple_agg(t.agg_func, v, ts_ms,
+                                           t.agg_param,
+                                           obs_ts=F.col("__cut")["cut_ms"])
+                                .alias(f.name))
                 else:
                     assert isinstance(t, ExpressionTransform)
                     v = feathr_expr(t.sql_expr)
@@ -552,10 +557,14 @@ class FeathrProject:
                     ts = F.col(EVENT_TS_COL) if time_aware else F.lit(0)
                     aggs.append(simple_agg(agg, v, ts).alias(f.name))
                 feature_order.append(f.name)
+            # cut_ms is grouped alongside cut_str (1:1 — group set is
+            # unchanged) so DECAY's post-transform may reference the cutoff
+            # epoch as a grouping expression.
             snap = fanned.groupBy(
                 *[F.col(sk).alias(a) for sk, a in zip(src_keys, aliases)],
                 F.col("__cut")["cut_str"].alias("feathr_cutoff"),
-            ).agg(*aggs)
+                F.col("__cut")["cut_ms"].alias("__feathr_cut_ms"),
+            ).agg(*aggs).drop("__feathr_cut_ms")
             if result is None:
                 result, join_keys = snap, list(aliases)
             else:

@@ -1021,3 +1021,33 @@ def test_window_decay_agg_values_and_strategies(spark):
                  obs_ts=F.col("o"))
     with pytest.raises(ValueError):
         make_agg(Aggregation.DECAY_SUM, F.col("x"), F.col("t"), 2.0)
+
+
+def test_decay_sum_in_materialization_snapshot(spark, tmp_path):
+    """DECAY_SUM also works on the snapshot/backfill path, where the
+    observation time is the materialization cutoff (a grouping column)."""
+    import datetime as dt
+    from feathr_spark import (Aggregation, Feature, FeatureAnchor,
+                              FeathrProject, HdfsSource,
+                              TimeWindowParameters, TypedKey,
+                              WindowAggTransform)
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(k=1, ts=base + dt.timedelta(days=i), v=float(10 * (i + 1)))
+            for i in range(5)]
+    df = spark.createDataFrame(rows)
+    path = str(tmp_path / "decay_snap.parquet")
+    df.write.parquet(path)
+    p = FeathrProject("q", spark)
+    src = HdfsSource(name="s", path=path,
+                     time_window_parameters=TimeWindowParameters("ts"))
+    p.register_anchor(FeatureAnchor(name="a", source=src, features=[
+        Feature(name="dsum", transform=WindowAggTransform(
+            "v", Aggregation.DECAY_SUM, "30d", agg_param=2.0),
+            key=[TypedKey(key_column="k")]),
+    ]))
+    cutoff = base + dt.timedelta(days=6)
+    snap = p.compute_snapshot(spark, ["dsum"], cutoff)
+    got = snap.collect()
+    assert len(got) == 1
+    expect = sum(10 * (i + 1) * 0.5 ** ((6 - i) / 2.0) for i in range(5))
+    assert abs(got[0].dsum - expect) < 1e-9

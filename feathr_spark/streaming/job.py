@@ -191,3 +191,50 @@ def run_streaming_query(
         q.processAllAvailable() if timeout_ms == 0 else q.awaitTermination(timeout_ms / 1000)
         q.stop()
     return q
+
+
+def stream_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    interval_ts: str,
+    window_s: int,
+    on: Optional[Sequence[str]] = None,
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: match each point event to interval
+    events such that ``interval_ts <= point_ts < interval_ts + window_s``
+    (the streaming analogue of :func:`operators.rangejoin.range_join`
+    with intervals anchored at an event time).
+
+    Both inputs must be STREAMING frames; Spark requires watermarks on both
+    sides plus the event-time range constraint so the join state is
+    GC-able: each side buffers only rows younger than
+    ``watermark + window_s``, giving bounded state at any input volume —
+    the property that makes this run forever at production rates.
+
+    ``on`` adds equi-key columns. ``how`` is ``inner`` or ``left_outer``
+    (Spark emits the null-padded interval row only once the watermark
+    passes, i.e. late in processing time — correct, not missing).
+    Column names of the two sides must be disjoint apart from ``on``.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"stream_interval_join: how must be inner|left_outer, got {how!r}")
+    on = list(on or [])
+    p = points.withWatermark(point_ts, watermark)
+    iv = intervals.withWatermark(interval_ts, watermark)
+    cond = (
+        (p[point_ts] >= iv[interval_ts])
+        & (p[point_ts] < iv[interval_ts]
+           + F.expr(f"INTERVAL {int(window_s)} SECONDS"))
+    )
+    for k in on:
+        cond = cond & (p[k] == iv[k])
+    joined = iv.join(p, cond, how)
+    # de-duplicate the equi-key columns (both sides carry them after an
+    # expression-condition join)
+    keep = [iv[c] for c in intervals.columns] + \
+           [p[c] for c in points.columns if c not in on]
+    return joined.select(*keep)

@@ -549,3 +549,48 @@ def test_stream_dedup_keeps_first_within_watermark(spark, tmp_path):
         stream_dedup(stream, dedup_cols=["event_id"], text_col="text")
     with pytest.raises(ValueError):
         stream_dedup(stream)
+
+
+def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join result == the batch range_join on the
+    same data (inner, with an equi key), proving the watermarked streaming
+    formulation computes the batch semantics."""
+    from feathr_spark.streaming.job import (run_streaming_query,
+                                            stream_interval_join)
+    from feathr_spark.operators.rangejoin import range_join
+
+    sig = spark.createDataFrame([
+        Row(sid=1, u=1, sts=ts("2024-01-01 00:00:00")),
+        Row(sid=2, u=2, sts=ts("2024-01-01 00:10:00")),
+        Row(sid=3, u=1, sts=ts("2024-01-01 01:00:00")),
+    ])
+    pur = spark.createDataFrame([
+        Row(pid=10, u=1, pts=ts("2024-01-01 00:05:00")),   # sid 1
+        Row(pid=11, u=2, pts=ts("2024-01-01 00:20:00")),   # sid 2
+        Row(pid=12, u=1, pts=ts("2024-01-01 01:29:59")),   # sid 3 (29:59 in)
+        Row(pid=13, u=1, pts=ts("2024-01-01 02:00:00")),   # no match
+        Row(pid=14, u=2, pts=ts("2024-01-01 00:05:00")),   # u mismatch for sid1
+    ])
+    d1, d2 = str(tmp_path / "sig_in"), str(tmp_path / "pur_in")
+    sig.write.parquet(d1)
+    pur.write.parquet(d2)
+    s_sig = spark.readStream.schema(sig.schema).parquet(d1)
+    s_pur = spark.readStream.schema(pur.schema).parquet(d2)
+
+    out = stream_interval_join(s_pur, s_sig, "pts", "sts", 1800,
+                               on=["u"], watermark="5 minutes")
+    run_streaming_query(out, format="memory", query_name="t_sj",
+                        output_mode="append", timeout_ms=0)
+    got = {(r.sid, r.pid) for r in spark.sql("select * from t_sj").collect()}
+
+    batch_iv = sig.select("sid", "u", F.col("sts").alias("start_ts"),
+                          (F.col("sts") + F.expr("INTERVAL 30 MINUTES"))
+                          .alias("end_ts"))
+    batch = range_join(pur.select("pid", "u", "pts"), batch_iv,
+                       "pts", "start_ts", "end_ts",
+                       bin_width_s=1800, on=["u"])
+    expect = {(r.sid, r.pid) for r in batch.collect()}
+    assert got == expect == {(1, 10), (2, 11), (3, 12)}
+
+    with pytest.raises(ValueError):
+        stream_interval_join(s_pur, s_sig, "pts", "sts", 1800, how="full")

@@ -274,6 +274,12 @@ def winnow_overlap_pairs(
     fb = winnow_fingerprints(df_b, text_col, id_col, k, w) \
         .select(F.col(id_col).alias("__idb"), "fingerprint")
     if max_df is not None:
+        # The df census below AND the overlap join both consume fa/fb, so
+        # without a persist each corpus is sketched TWICE (the md5-per-
+        # position pass is the dominant cost). The cached frame is (id,
+        # 8-byte fingerprint) — ~2/(w+1) rows per char, spill-safe.
+        fa = fa.persist()
+        fb = fb.persist()
         banned = (fa.groupBy("fingerprint").agg(F.count("*").alias("__df"))
                   .where(F.col("__df") > max_df).select("fingerprint")
                   .union(fb.groupBy("fingerprint")

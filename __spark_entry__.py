@@ -1232,6 +1232,51 @@ def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_gap"))
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clip order totals into the exact per-priority
+    [p05, p95] band — one stats aggregate + broadcast attach, the data
+    table is scanned once and never shuffled."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import winsorize
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = winsorize(orders, "o_totalprice", 0.05, 0.95,
+                    by=["o_orderpriority"])
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("o_totalprice_wins")).alias("o_totalprice_wins"),
+        _r4(F.col("o_totalprice_lo")).alias("o_totalprice_lo"),
+        _r4(F.col("o_totalprice_hi")).alias("o_totalprice_hi"))
+
+
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization (exact decimal moments, bit-
+    stable across partitionings; broadcast stats attach)."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import standardize
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = standardize(orders, ["o_totalprice"], by=["o_orderpriority"])
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round(F.col("o_totalprice_z") + F.lit(1e-9), 4).cast("double")
+        .alias("o_totalprice_z"))
+
+
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the lineitem numeric
+    columns in ONE aggregate pass (moment-matrix formulation — one scan,
+    constant state, no data shuffle)."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import corr_matrix
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select(
+        "col_a", "col_b",
+        F.round(F.col("corr") + F.lit(1e-9), 4).cast("double")
+        .alias("corr"),
+        F.col("n").cast("bigint").alias("n"))
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1383,6 +1428,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 second wave: OLAP + sketch + range join + span dedup
         "window_decay": q_window_decay,
         "gapfill_daily": q_gapfill,
+        "winsorize_price": q_winsorize,
+        "zscore_price": q_zscore,
+        "corr_columns": q_corr_matrix,
         "cube_orders": q_cube_orders,
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
@@ -2446,6 +2494,54 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "winsorize_price": """
+            WITH st AS (
+              SELECT o_orderpriority,
+                     quantile_cont(o_totalprice, 0.05) AS lo,
+                     quantile_cont(o_totalprice, 0.95) AS hi
+              FROM orders GROUP BY o_orderpriority)
+            SELECT o.o_orderkey,
+                   CAST(ROUND(least(greatest(o.o_totalprice, st.lo), st.hi),
+                              4) AS DOUBLE) AS o_totalprice_wins,
+                   CAST(ROUND(st.lo, 4) AS DOUBLE) AS o_totalprice_lo,
+                   CAST(ROUND(st.hi, 4) AS DOUBLE) AS o_totalprice_hi
+            FROM orders o JOIN st USING (o_orderpriority)
+        """,
+        "zscore_price": """
+            SELECT o_orderkey,
+                   CAST(ROUND(
+                     (o_totalprice - AVG(o_totalprice)
+                        OVER (PARTITION BY o_orderpriority))
+                     / stddev_pop(o_totalprice)
+                        OVER (PARTITION BY o_orderpriority) + 1e-9, 4)
+                     AS DOUBLE) AS o_totalprice_z
+            FROM orders
+        """,
+        "corr_columns": """
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   CAST(ROUND(corr(l_quantity, l_extendedprice) + 1e-9, 4)
+                        AS DOUBLE) AS corr, count(*) AS n FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   CAST(ROUND(corr(l_quantity, l_discount) + 1e-9, 4)
+                        AS DOUBLE), count(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   CAST(ROUND(corr(l_quantity, l_tax) + 1e-9, 4)
+                        AS DOUBLE), count(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   CAST(ROUND(corr(l_extendedprice, l_discount) + 1e-9, 4)
+                        AS DOUBLE), count(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   CAST(ROUND(corr(l_extendedprice, l_tax) + 1e-9, 4)
+                        AS DOUBLE), count(*) FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   CAST(ROUND(corr(l_discount, l_tax) + 1e-9, 4)
+                        AS DOUBLE), count(*) FROM lineitem
         """,
         "gapfill_daily": """
             WITH per AS (

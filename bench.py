@@ -74,6 +74,9 @@ HEADLINE = [
     "window_percentile",
     "window_decay",
     "gapfill_daily",
+    "winsorize_price",
+    "zscore_price",
+    "corr_columns",
     "cube_orders",
     "pivot_events",
     "range_join_events",

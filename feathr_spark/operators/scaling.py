@@ -1,0 +1,145 @@
+"""Feature scaling / outlier handling: winsorize, standardize, correlations.
+
+Classic model-input preparation over the feature frames this engine
+produces (the reference's transformation DSL, ``feathr-rs/src/model.rs:
+248-253``, is raw SQL expressions — these are the aggregate-parameterized
+transforms that a single row-local expression cannot express, because the
+clip bounds / moments are themselves corpus statistics).
+
+Scale design: every operator here is a two-phase plan — ONE aggregate pass
+computing a tiny per-group statistics frame (exact percentiles or moment
+sums), then ONE broadcast join attaching the statistics back for the
+row-local transform. The data table is scanned once, never shuffled (the
+stats shuffle moves only group cardinality rows); at 100 TB the transform
+stays embarrassingly parallel. ``corr_matrix`` is a single aggregate pass
+producing sum/sum-of-product moments for all column pairs at once (one
+scan for the whole matrix, constant state).
+"""
+from __future__ import annotations
+
+from itertools import combinations
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Clip ``value_col`` into its exact [p_lo, p_hi] percentile band,
+    optionally per ``by`` group (PERCENTILE_CONT interpolation, matching
+    the PERCENTILE window aggregation's convention).
+
+    Adds ``{col}_wins`` plus the bound columns ``{col}_lo``/``{col}_hi``;
+    NULL values pass through NULL. Groups absent from the stats frame
+    cannot occur (stats come from the same frame).
+    """
+    if not (0.0 <= p_lo <= p_hi <= 1.0):
+        raise ValueError("winsorize: need 0 <= p_lo <= p_hi <= 1")
+    keys = list(by or [])
+    v = F.col(value_col)
+    stats_agg = [
+        F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
+        F.percentile(v, F.lit(float(p_hi))).alias("__hi"),
+    ]
+    if keys:
+        stats = df.groupBy(*keys).agg(*stats_agg)
+        joined = df.join(F.broadcast(stats), keys, "left")
+    else:
+        stats = df.agg(*stats_agg)
+        joined = df.crossJoin(F.broadcast(stats))
+    clipped = F.when(v.isNull(), F.lit(None).cast("double")) \
+        .otherwise(F.least(F.greatest(v.cast("double"), F.col("__lo")),
+                           F.col("__hi")))
+    return joined.withColumn(f"{value_col}_wins", clipped) \
+        .withColumnRenamed("__lo", f"{value_col}_lo") \
+        .withColumnRenamed("__hi", f"{value_col}_hi")
+
+
+def standardize(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    by: Optional[Sequence[str]] = None,
+    ddof: int = 0,
+) -> DataFrame:
+    """Z-score columns (``(x - mean) / std``), optionally per group.
+
+    Moments are computed as exact decimal sums (order-independent, so the
+    result is bit-stable across partitionings — the same discipline as
+    profile_numeric), converted to double only at the divide. ``ddof=0``
+    is population std (``ddof=1`` sample). Zero-variance groups yield
+    NULL z-scores (no division by 0). Adds ``{col}_z`` per column.
+    """
+    keys = list(by or [])
+    aggs: List = []
+    for c in value_cols:
+        d = F.col(c).cast("decimal(28,8)")
+        aggs += [F.count(F.col(c)).alias(f"__n_{c}"),
+                 F.sum(d).alias(f"__s_{c}"),
+                 F.sum(d * d).alias(f"__ss_{c}")]
+    if keys:
+        stats = df.groupBy(*keys).agg(*aggs)
+        out = df.join(F.broadcast(stats), keys, "left")
+    else:
+        stats = df.agg(*aggs)
+        out = df.crossJoin(F.broadcast(stats))
+    for c in value_cols:
+        n = F.col(f"__n_{c}").cast("double")
+        s = F.col(f"__s_{c}").cast("double")
+        ss = F.col(f"__ss_{c}").cast("double")
+        mean = s / n
+        var = (ss - s * s / n) / F.when(n > ddof, n - ddof)
+        std = F.sqrt(var)
+        out = out.withColumn(
+            f"{c}_z",
+            F.when(std > 0, (F.col(c).cast("double") - mean) / std))
+    return out.drop(*[f"__{p}_{c}" for c in value_cols
+                      for p in ("n", "s", "ss")])
+
+
+def corr_matrix(df: DataFrame, value_cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``value_cols`` in ONE aggregate
+    pass: per-pair sum/sum-of-squares/cross-product moments accumulate in
+    a single scan with constant state (no per-pair jobs, no shuffle of the
+    data table — the classic moment-matrix formulation).
+
+    Rows where EITHER column of a pair is NULL are excluded from that
+    pair (pairwise-complete semantics, like ``corr()`` in SQL engines).
+    Output: (col_a, col_b, corr, n) for a < b in the given order.
+    """
+    cols = list(value_cols)
+    aggs = []
+    for a, b in combinations(cols, 2):
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        ok = ca.isNotNull() & cb.isNotNull()
+        xa, xb = F.when(ok, ca), F.when(ok, cb)
+        pre = f"__{a}__{b}"
+        aggs += [F.count(xa).alias(f"{pre}_n"),
+                 F.sum(xa).alias(f"{pre}_sa"),
+                 F.sum(xb).alias(f"{pre}_sb"),
+                 F.sum(xa * xa).alias(f"{pre}_saa"),
+                 F.sum(xb * xb).alias(f"{pre}_sbb"),
+                 F.sum(xa * xb).alias(f"{pre}_sab")]
+    moments = df.agg(*aggs)
+    pair_rows = []
+    for a, b in combinations(cols, 2):
+        pre = f"__{a}__{b}"
+        n = F.col(f"{pre}_n").cast("double")
+        sa, sb = F.col(f"{pre}_sa"), F.col(f"{pre}_sb")
+        saa, sbb = F.col(f"{pre}_saa"), F.col(f"{pre}_sbb")
+        sab = F.col(f"{pre}_sab")
+        cov = sab - sa * sb / n
+        va = saa - sa * sa / n
+        vb = sbb - sb * sb / n
+        r = F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+        pair_rows.append(F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            r.alias("corr"), F.col(f"{pre}_n").alias("n")))
+    return (moments
+            .select(F.explode(F.array(*pair_rows)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.corr", "p.n"))

@@ -226,3 +226,68 @@ def test_gapfill_locf_zero_null(spark):
     assert nul[("a", 2)] is None
     with pytest.raises(ValueError):
         gapfill(df, ["k"], "ts", "v", fill="bogus")
+
+
+# ------------------------------------------------------------- scaling
+
+def test_winsorize_group_bounds(spark):
+    import numpy as np
+    from feathr_spark.operators.scaling import winsorize
+    vals = {"a": [1.0, 2.0, 3.0, 4.0, 100.0], "b": [10.0, 20.0, 30.0]}
+    rows = [(g, v) for g, vs in vals.items() for v in vs] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", 0.1, 0.9, by=["g"]).collect()
+    for g, vs in vals.items():
+        lo = float(np.quantile(vs, 0.1, method="linear"))
+        hi = float(np.quantile(vs, 0.9, method="linear"))
+        for r in out:
+            if r.g == g and r.v is not None:
+                assert abs(r.v_lo - lo) < 1e-9 and abs(r.v_hi - hi) < 1e-9
+                assert r.v_wins == min(max(r.v, lo), hi)
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].v_wins is None
+    with pytest.raises(ValueError):
+        winsorize(df, "v", 0.9, 0.1)
+
+
+def test_standardize_zscores(spark):
+    import numpy as np
+    from feathr_spark.operators.scaling import standardize
+    vs = [3.0, 7.0, 11.0, 19.0]
+    df = spark.createDataFrame([("a", v) for v in vs] + [("b", 5.0)],
+                               "g string, v double")
+    out = standardize(df, ["v"], by=["g"]).collect()
+    mu, sd = np.mean(vs), np.std(vs)
+    for r in out:
+        if r.g == "a":
+            assert abs(r.v_z - (r.v - mu) / sd) < 1e-9
+        else:
+            assert r.v_z is None       # zero-variance group -> NULL
+    assert all(not c.startswith("__") for c in
+               standardize(df, ["v"], by=["g"]).columns)
+
+
+def test_corr_matrix_vs_numpy(spark):
+    import numpy as np
+    from feathr_spark.operators.scaling import corr_matrix
+    rng = np.random.RandomState(7)
+    x = rng.rand(50); y = 2 * x + rng.rand(50) * 0.1; z = rng.rand(50)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double")
+    got = {(r.col_a, r.col_b): (r.corr, r.n)
+           for r in corr_matrix(df, ["x", "y", "z"]).collect()}
+    assert set(got) == {("x", "y"), ("x", "z"), ("y", "z")}
+    for (a, b), (r, n) in got.items():
+        arr = {"x": x, "y": y, "z": z}
+        expect = float(np.corrcoef(arr[a], arr[b])[0, 1])
+        assert n == 50 and abs(r - expect) < 1e-9, (a, b)
+
+
+def test_corr_matrix_pairwise_null_exclusion(spark):
+    from feathr_spark.operators.scaling import corr_matrix
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.0), (3.0, None), (4.0, 8.0)],
+        "x double, y double")
+    r = corr_matrix(df, ["x", "y"]).collect()[0]
+    assert r.n == 3 and abs(r.corr - 1.0) < 1e-12

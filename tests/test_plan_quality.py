@@ -260,6 +260,11 @@ EXCHANGE_BUDGET = {
     "heavy_hitters": 3,
     # span-hash keep-first window + doc-id reassembly
     "span_dedup": 2,
+    # one stats aggregate; the attach is a broadcast join (no data shuffle)
+    "winsorize_price": 1,
+    "zscore_price": 1,
+    # single-row moment matrix (one scan), explode is narrow
+    "corr_columns": 1,
 }
 
 

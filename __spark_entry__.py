@@ -1277,6 +1277,66 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"))
 
 
+def q_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against its
+    user's trailing 24h mean/std from the SAME window frame (no self
+    join, one key shuffle)."""
+    _utc(spark)
+    from feathr_spark.operators.profile import rolling_anomalies
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = rolling_anomalies(events, ["user_id"], "ts", "value",
+                            window_s=86400, z_thresh=3.0, min_points=5)
+    return out.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.round(F.col("roll_z") + F.lit(1e-9), 4).cast("double")
+        .alias("roll_z"),
+        F.col("is_anomaly"))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of event values, bounds from the data
+    (broadcast 1-row bounds frame, no driver collect); empty buckets
+    materialized."""
+    _utc(spark)
+    from feathr_spark.operators.profile import histogram
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = histogram(events, "value", bins=20)
+    return out.select(
+        F.col("bucket"),
+        _r4(F.col("bucket_lo")).alias("bucket_lo"),
+        _r4(F.col("bucket_hi")).alias("bucket_hi"),
+        F.col("n"))
+
+
+def q_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretization: order totals into global deciles (exact
+    interior percentiles broadcast, count-strictly-below bucketing — no
+    single-partition ntile sort)."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import quantile_bins
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = quantile_bins(orders, "o_totalprice", bins=10)
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice_bin"))
+
+
+def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-group top-k: 5 most expensive orders per priority,
+    deterministic tie-break on order key; WindowGroupLimit pushes the cut
+    below the shuffle."""
+    _utc(spark)
+    from feathr_spark.operators.olap import topk_per_group
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = topk_per_group(orders, ["o_orderpriority"], "o_totalprice", 5,
+                         tie_cols=["o_orderkey"])
+    return out.select(
+        F.col("o_orderpriority"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        _r4(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("rank_in_group"))
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1431,6 +1491,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_price": q_winsorize,
         "zscore_price": q_zscore,
         "corr_columns": q_corr_matrix,
+        "rolling_anomaly": q_rolling_anomaly,
+        "value_histogram": q_value_histogram,
+        "decile_bins": q_decile_bins,
+        "group_topk": q_group_topk,
         "cube_orders": q_cube_orders,
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
@@ -2494,6 +2558,77 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "rolling_anomaly": """
+            WITH t AS (
+              SELECT event_id, user_id, value,
+                     CAST(floor(epoch_ms(ts) / 1000) AS BIGINT) AS sec
+              FROM events),
+            w AS (
+              SELECT event_id, value,
+                     COUNT(value) OVER fr AS n,
+                     SUM(value)  OVER fr AS s,
+                     SUM(value * value) OVER fr AS ss
+              FROM t
+              WINDOW fr AS (PARTITION BY user_id ORDER BY sec
+                            RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW))
+            SELECT event_id,
+                   CAST(ROUND(CASE WHEN n >= 5
+                                    AND sqrt(greatest((ss - s*s/n)/n, 0)) > 0
+                              THEN (value - s/n)
+                                   / sqrt(greatest((ss - s*s/n)/n, 0)) END
+                              + 1e-9, 4) AS DOUBLE) AS roll_z,
+                   coalesce(abs(CASE WHEN n >= 5
+                                      AND sqrt(greatest((ss - s*s/n)/n, 0)) > 0
+                                THEN (value - s/n)
+                                     / sqrt(greatest((ss - s*s/n)/n, 0)) END)
+                            > 3.0, false) AS is_anomaly
+            FROM w
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT min(value) AS lo, max(value) AS hi
+                       FROM events),
+            idx AS (
+              SELECT least(CAST(floor((e.value - b.lo)
+                                      / ((b.hi - b.lo) / 20)) AS BIGINT),
+                           19) AS bucket
+              FROM events e, b WHERE e.value IS NOT NULL),
+            counts AS (SELECT bucket, count(*) AS n FROM idx
+                       GROUP BY bucket),
+            grid AS (SELECT unnest(generate_series(0, 19)) AS bucket, b.lo,
+                            (b.hi - b.lo) / 20 AS w
+                     FROM b)
+            SELECT g.bucket,
+                   CAST(ROUND(g.lo + g.bucket * g.w, 4) AS DOUBLE)
+                       AS bucket_lo,
+                   CAST(ROUND(g.lo + (g.bucket + 1) * g.w, 4) AS DOUBLE)
+                       AS bucket_hi,
+                   coalesce(c.n, 0) AS n
+            FROM grid g LEFT JOIN counts c ON c.bucket = g.bucket
+        """,
+        "decile_bins": """
+            WITH st AS (
+              SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+                     AS cuts
+              FROM orders)
+            SELECT o.o_orderkey,
+                   CAST(len(list_filter(st.cuts,
+                                        c -> o.o_totalprice > c))
+                        AS BIGINT) AS o_totalprice_bin
+            FROM orders o, st
+        """,
+        "group_topk": """
+            SELECT o_orderpriority, o_orderkey,
+                   CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS o_totalprice,
+                   rank_in_group
+            FROM (SELECT *,
+                         row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC,
+                                                     o_orderkey ASC)
+                             AS rank_in_group
+                  FROM orders)
+            WHERE rank_in_group <= 5
         """,
         "winsorize_price": """
             WITH st AS (

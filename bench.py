@@ -77,6 +77,10 @@ HEADLINE = [
     "winsorize_price",
     "zscore_price",
     "corr_columns",
+    "rolling_anomaly",
+    "value_histogram",
+    "decile_bins",
+    "group_topk",
     "cube_orders",
     "pivot_events",
     "range_join_events",

@@ -255,3 +255,100 @@ def gapfill(
         .alias("bucket_start"),
         v.alias("value"),
         F.col("__v").isNull().alias("is_gap"))
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    window_s: int = 7 * 86400,
+    z_thresh: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each row is scored against the
+    mean/std of its key's TRAILING ``window_s`` seconds (current row
+    included — the score is a population z-score of the row within its
+    own recent context).
+
+    One shuffle (the per-key window sort); mean/std come from the same
+    RANGE frame via sum/sum-of-squares, so no self-join and no second
+    pass. Rows with fewer than ``min_points`` frame rows or zero variance
+    get NULL z (and are never flagged) — z-scores over 2-3 points are
+    noise, not anomalies.
+
+    Output: input columns + ``roll_mean``, ``roll_z``, ``is_anomaly``.
+    Skew caveat: one key's history sorts in one task (same bound as every
+    per-key window op here); pre-bucket pathological keys upstream.
+    """
+    t = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    frame = (Window.partitionBy(*key_cols).orderBy(t)
+             .rangeBetween(-(int(window_s) - 1), Window.currentRow))
+    v = F.col(value_col).cast("double")
+    n = F.count(value_col).over(frame)
+    s = F.sum(v).over(frame)
+    ss = F.sum(v * v).over(frame)
+    mean = s / n
+    var = (ss - s * s / n) / n
+    std = F.sqrt(F.greatest(var, F.lit(0.0)))  # FP guard: var >= 0
+    z = F.when((n >= min_points) & (std > 0), (v - mean) / std)
+    return (df.withColumn("roll_mean", mean)
+            .withColumn("roll_z", z)
+            .withColumn("is_anomaly",
+                        F.coalesce(F.abs(z) > z_thresh, F.lit(False))))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    lo: float = None,
+    hi: float = None,
+) -> DataFrame:
+    """Equal-width histogram of ``value_col``: ``bins`` buckets over
+    [lo, hi] (data min/max when omitted — computed in the same job via a
+    broadcast 1-row bounds frame, not a driver collect). Values exactly
+    at ``hi`` fall in the last bucket (closed upper edge, the standard
+    histogram convention); NULLs are excluded.
+
+    One aggregate over the bucket index — the shuffle carries at most
+    ``bins`` rows per partition after partial aggregation. Empty buckets
+    are materialized with count 0 via a sequence explode so downstream
+    plotting/statistics see the full grid.
+
+    Output: (bucket, bucket_lo, bucket_hi, n) with bucket in [0, bins).
+    """
+    if bins <= 0:
+        raise ValueError("histogram: bins must be positive")
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        bounds = df.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        data = df.crossJoin(F.broadcast(bounds))
+        blo, bhi = F.col("__lo"), F.col("__hi")
+    else:
+        data = df
+        blo, bhi = F.lit(float(lo)), F.lit(float(hi))
+    width = (bhi - blo) / F.lit(int(bins))
+    idx = F.when(v.isNull() | (v < blo) | (v > bhi), None).otherwise(
+        F.least(F.floor((v - blo) / width), F.lit(int(bins) - 1)))
+    counts = (data.select(idx.alias("__bkt"))
+              .where(F.col("__bkt").isNotNull())
+              .groupBy("__bkt")
+              .agg(F.count("*").alias("n")))
+    # full grid (empty buckets included): the bounds frame is 1 row
+    if lo is None or hi is None:
+        grid_src = bounds
+    else:
+        grid_src = df.sparkSession.range(1).select(
+            F.lit(float(lo)).alias("__lo"), F.lit(float(hi)).alias("__hi"))
+    grid = grid_src.select(
+        F.explode(F.sequence(F.lit(0), F.lit(int(bins) - 1)))
+        .alias("bucket"), "__lo", "__hi")
+    w = (F.col("__hi") - F.col("__lo")) / F.lit(int(bins))
+    return (grid.join(counts, grid.bucket == counts.__bkt, "left")
+            .select(F.col("bucket").cast("bigint").alias("bucket"),
+                    (grid["__lo"] + F.col("bucket") * w).alias("bucket_lo"),
+                    (grid["__lo"] + (F.col("bucket") + 1) * w)
+                    .alias("bucket_hi"),
+                    F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
+                    .alias("n")))

@@ -143,3 +143,46 @@ def corr_matrix(df: DataFrame, value_cols: Sequence[str]) -> DataFrame:
     return (moments
             .select(F.explode(F.array(*pair_rows)).alias("p"))
             .select("p.col_a", "p.col_b", "p.corr", "p.n"))
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    bins: int = 10,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile discretization: assign each value its equal-frequency
+    bucket in [0, bins), optionally per group — the distribution-robust
+    binning for model features (deciles for bins=10).
+
+    Cut points are the exact interior percentiles (PERCENTILE_CONT);
+    bucket = number of cut points STRICTLY below the value, so ties on a
+    cut point fall into the lower bucket and the mapping is deterministic
+    and engine-portable (no ntile: a global ``ntile`` window needs a
+    single-partition sort of the whole table, and its tie-breaking is
+    row-order dependent — the classic unscalable/unstable formulation).
+    The boundaries frame is group-cardinality-sized and broadcasts; the
+    data table is scanned once and never shuffled. NULL values get a NULL
+    bucket.
+
+    Adds ``{col}_bin`` (bigint).
+    """
+    if bins < 2:
+        raise ValueError("quantile_bins: need bins >= 2")
+    keys = list(by or [])
+    v = F.col(value_col)
+    fracs = [i / bins for i in range(1, bins)]
+    cuts = F.array(*[F.percentile(v, F.lit(f)) for f in fracs]) \
+        .alias("__cuts")
+    if keys:
+        stats = df.groupBy(*keys).agg(cuts)
+        joined = df.join(F.broadcast(stats), keys, "left")
+    else:
+        stats = df.agg(cuts)
+        joined = df.crossJoin(F.broadcast(stats))
+    vd = v.cast("double")
+    bucket = F.when(v.isNotNull(), F.aggregate(
+        F.col("__cuts"), F.lit(0),
+        lambda acc, c: acc + F.when(vd > c, 1).otherwise(0)))
+    return joined.withColumn(f"{value_col}_bin",
+                             bucket.cast("bigint")).drop("__cuts")

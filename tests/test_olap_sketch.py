@@ -291,3 +291,72 @@ def test_corr_matrix_pairwise_null_exclusion(spark):
         "x double, y double")
     r = corr_matrix(df, ["x", "y"]).collect()[0]
     assert r.n == 3 and abs(r.corr - 1.0) < 1e-12
+
+
+# ----------------------------------------------- anomalies / bins / topk
+
+def test_rolling_anomalies_flags_spike(spark):
+    from feathr_spark.operators.profile import rolling_anomalies
+    base = dt.datetime(2024, 1, 1)
+    rows = [Row(k="a", ts=base + dt.timedelta(hours=i),
+                v=10.0 + (i % 3))           # calm 10..12 band
+            for i in range(20)]
+    rows.append(Row(k="a", ts=base + dt.timedelta(hours=20), v=500.0))
+    rows.append(Row(k="b", ts=base, v=1.0))  # lone point: too few, no flag
+    df = spark.createDataFrame(rows)
+    out = rolling_anomalies(df, ["k"], "ts", "v",
+                            window_s=86400, z_thresh=3.0).collect()
+    flagged = [(r.k, r.v) for r in out if r.is_anomaly]
+    assert flagged == [("a", 500.0)]
+    lone = [r for r in out if r.k == "b"][0]
+    assert lone.roll_z is None and lone.is_anomaly is False
+
+
+def test_histogram_grid_and_edges(spark):
+    from feathr_spark.operators.profile import histogram
+    df = spark.createDataFrame(
+        [(float(x),) for x in [0, 1, 2, 3, 4, 5, 9, 10, 10]] + [(None,)],
+        "v double")
+    out = {r.bucket: r for r in histogram(df, "v", bins=5).collect()}
+    assert len(out) == 5
+    assert out[0].n == 2            # 0, 1       in [0, 2)
+    assert out[1].n == 2            # 2, 3       in [2, 4)
+    assert out[2].n == 2            # 4, 5       in [4, 6)
+    assert out[3].n == 0            # empty bucket materialized
+    assert out[4].n == 3            # 9 and the two 10s (closed upper edge)
+    assert out[0].bucket_lo == 0.0 and out[4].bucket_hi == 10.0
+    # explicit bounds exclude out-of-range rows
+    got = {r.bucket: r.n
+           for r in histogram(df, "v", bins=2, lo=0.0, hi=4.0).collect()}
+    assert got == {0: 2, 1: 3}      # [0,2): {0,1}; [2,4]: {2,3,4}
+
+
+def test_quantile_bins_deciles(spark):
+    from feathr_spark.operators.scaling import quantile_bins
+    df = spark.createDataFrame([(float(i),) for i in range(100)] + [(None,)],
+                               "v double")
+    out = quantile_bins(df, "v", bins=4).collect()
+    from collections import Counter
+    c = Counter(r.v_bin for r in out if r.v is not None)
+    assert set(c) == {0, 1, 2, 3}
+    assert all(20 <= n <= 30 for n in c.values())      # ~equal frequency
+    # monotone: bin is non-decreasing in v
+    srt = sorted([r for r in out if r.v is not None], key=lambda r: r.v)
+    bins_seq = [r.v_bin for r in srt]
+    assert bins_seq == sorted(bins_seq)
+    assert [r.v_bin for r in out if r.v is None] == [None]
+
+
+def test_topk_per_group_and_plan_pushdown(spark):
+    from feathr_spark.operators.olap import topk_per_group
+    rows = [(g, i, float(i % 7)) for g in ("a", "b") for i in range(30)]
+    df = spark.createDataFrame(rows, "g string, id int, v double")
+    out = topk_per_group(df, ["g"], "v", 3, tie_cols=["id"])
+    got = {(r.g, r.rank_in_group): (r.v, r.id) for r in out.collect()}
+    assert len(got) == 6
+    # v=6.0 occurs at ids 6,13,20,27 -> top3 deterministic by id tie-break
+    assert got[("a", 1)] == (6.0, 6)
+    assert got[("a", 2)] == (6.0, 13)
+    assert got[("a", 3)] == (6.0, 20)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan   # limit pushed below the shuffle

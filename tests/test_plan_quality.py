@@ -41,6 +41,9 @@ BROADCAST_LOOP_OK = {
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
     "heavy_hitters",
+    # 1-row bounds / percentile-cuts frames broadcast onto every data row
+    "value_histogram",
+    "decile_bins",
 }
 
 
@@ -265,6 +268,14 @@ EXCHANGE_BUDGET = {
     "zscore_price": 1,
     # single-row moment matrix (one scan), explode is narrow
     "corr_columns": 1,
+    # ONE key-window shuffle; mean/std come from the same frame
+    "rolling_anomaly": 1,
+    # bounds fold + bucket-count agg + tiny grid join
+    "value_histogram": 3,
+    # percentile cuts broadcast; data never shuffles
+    "decile_bins": 1,
+    # WindowGroupLimit pushes the per-group cut below the one shuffle
+    "group_topk": 1,
 }
 
 

@@ -1337,6 +1337,37 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_in_group"))
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over the orders frame: every rule
+    measured in ONE aggregate pass (single scan), report = one row per
+    rule."""
+    _utc(spark)
+    from feathr_spark.operators.quality import dq_check
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return dq_check(
+        orders, min_rows=1000, unique=["o_orderkey"],
+        not_null=["o_custkey"], max_null_frac={"o_totalprice": 0.0},
+        in_range={"o_totalprice": (0.0, 1_000_000.0)})
+
+
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-refresh diff: the per-key 90d order-count snapshot at two
+    consecutive cutoffs, classified added/removed/changed/unchanged via
+    one full outer join on the entity key (counts compared — integer, so
+    the classification is exactly reproducible)."""
+    _utc(spark)
+    from feathr_spark.operators.quality import snapshot_diff
+    p = _window_basic_project(spark, sf_dir)
+    old = p.compute_snapshot(
+        spark, ["f_cnt_90d"],
+        datetime.strptime("1997-12-31 00:00:00", "%Y-%m-%d %H:%M:%S"))
+    new = p.compute_snapshot(
+        spark, ["f_cnt_90d"],
+        datetime.strptime(CUTOFF, "%Y-%m-%d %H:%M:%S"))
+    return snapshot_diff(old, new, ["o_custkey"],
+                         compare_cols=["f_cnt_90d"], summary=True)
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1491,6 +1522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_price": q_winsorize,
         "zscore_price": q_zscore,
         "corr_columns": q_corr_matrix,
+        "dq_report": q_dq_report,
+        "snapshot_changes": q_snapshot_changes,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2558,6 +2591,69 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "dq_report": """
+            WITH s AS (
+              SELECT count(*) AS n,
+                     count(DISTINCT o_orderkey) AS u,
+                     count(o_orderkey) AS un,
+                     sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                         AS zc,
+                     sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                         AS zt,
+                     sum(CASE WHEN o_totalprice IS NOT NULL AND
+                              (o_totalprice < 0 OR o_totalprice > 1000000)
+                              THEN 1 ELSE 0 END) AS r
+              FROM orders)
+            SELECT 'min_rows' AS rule, '' AS "column",
+                   CAST(n AS DOUBLE) AS measured,
+                   CAST(1000 AS DOUBLE) AS threshold,
+                   n >= 1000 AS passed FROM s
+            UNION ALL
+            SELECT 'unique', 'o_orderkey', CAST(un - u AS DOUBLE),
+                   CAST(0 AS DOUBLE), un - u = 0 FROM s
+            UNION ALL
+            SELECT 'not_null', 'o_custkey', CAST(zc AS DOUBLE),
+                   CAST(0 AS DOUBLE), zc = 0 FROM s
+            UNION ALL
+            SELECT 'max_null_frac', 'o_totalprice',
+                   CAST(zt AS DOUBLE) / n, CAST(0 AS DOUBLE),
+                   CAST(zt AS DOUBLE) / n <= 0 FROM s
+            UNION ALL
+            SELECT 'in_range', 'o_totalprice', CAST(r AS DOUBLE),
+                   CAST(0 AS DOUBLE), r = 0 FROM s
+        """,
+        "snapshot_changes": f"""
+            WITH o AS (
+              SELECT CAST(o_custkey AS BIGINT) AS k,
+                     COUNT(o_totalprice) FILTER (
+                       epoch_ms(o_orderdate) >
+                       epoch_ms(TIMESTAMP '1997-12-31 00:00:00')
+                       - 7776000000) AS c
+              FROM orders
+              WHERE epoch_ms(o_orderdate) <=
+                    epoch_ms(TIMESTAMP '1997-12-31 00:00:00')
+              GROUP BY o_custkey),
+            nw AS (
+              SELECT CAST(o_custkey AS BIGINT) AS k,
+                     COUNT(o_totalprice) FILTER (
+                       epoch_ms(o_orderdate) >
+                       epoch_ms(TIMESTAMP '{CUTOFF}') - 7776000000) AS c
+              FROM orders
+              WHERE epoch_ms(o_orderdate) <= epoch_ms(TIMESTAMP '{CUTOFF}')
+              GROUP BY o_custkey),
+            d AS (
+              SELECT CASE WHEN o.k IS NULL THEN 'added'
+                          WHEN nw.k IS NULL THEN 'removed'
+                          WHEN o.c = nw.c THEN 'unchanged'
+                          ELSE 'changed' END AS change
+              FROM o FULL OUTER JOIN nw ON o.k = nw.k),
+            g AS (SELECT unnest(['added', 'removed', 'changed',
+                                 'unchanged']) AS change)
+            SELECT g.change,
+                   CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+            FROM g LEFT JOIN (SELECT change, count(*) AS n FROM d
+                              GROUP BY change) cnt USING (change)
         """,
         "rolling_anomaly": """
             WITH t AS (

@@ -77,6 +77,8 @@ HEADLINE = [
     "winsorize_price",
     "zscore_price",
     "corr_columns",
+    "dq_report",
+    "snapshot_changes",
     "rolling_anomaly",
     "value_histogram",
     "decile_bins",

@@ -360,3 +360,42 @@ def test_topk_per_group_and_plan_pushdown(spark):
     assert got[("a", 3)] == (6.0, 20)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan   # limit pushed below the shuffle
+
+
+# ------------------------------------------------------- quality / diff
+
+def test_dq_check_rules_single_pass(spark):
+    from feathr_spark.operators.quality import dq_check
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (3, None, 7.0), (3, "d", None)],
+        "id int, name string, v double")
+    rep = {(r.rule, r.column): r for r in dq_check(
+        df, min_rows=3, unique=["id"], not_null=["name"],
+        max_null_frac={"v": 0.3}, in_range={"v": (0.0, 10.0)}).collect()}
+    assert rep[("min_rows", "")].passed
+    assert not rep[("unique", "id")].passed          # id=3 twice
+    assert rep[("unique", "id")].measured == 1.0
+    assert not rep[("not_null", "name")].passed
+    assert rep[("max_null_frac", "v")].passed        # 1/4 <= 0.3
+    assert not rep[("in_range", "v")].passed         # 50.0 out of range
+    plan = dq_check(df, min_rows=1, unique=["id"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1       # one pass, one scan
+    with pytest.raises(ValueError):
+        dq_check(df)
+
+
+def test_snapshot_diff_classes_and_summary(spark):
+    from feathr_spark.operators.quality import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (4, 40.0)], "k int, v double")
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, None), (4, 41.0), (5, 50.0)], "k int, v double")
+    got = {r.k: r.change
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "unchanged",
+                   4: "changed", 5: "added"}
+    summ = {r.change: r.n for r in
+            snapshot_diff(old, new, ["k"], summary=True).collect()}
+    assert summ == {"added": 1, "removed": 1, "changed": 1,
+                    "unchanged": 2}

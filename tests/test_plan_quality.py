@@ -276,6 +276,11 @@ EXCHANGE_BUDGET = {
     "decile_bins": 1,
     # WindowGroupLimit pushes the per-group cut below the one shuffle
     "group_topk": 1,
+    # one scan; count_distinct's two-phase aggregate adds the 2nd exchange
+    "dq_report": 2,
+    # two cutoff snapshots (explode+groupBy each) + full-outer key join +
+    # the 4-row summary fold
+    "snapshot_changes": 6,
 }
 
 

@@ -1939,6 +1939,39 @@ WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
 """
 
 
+def _winnow_gram_expr(k: int) -> str:
+    """DuckDB Horner polynomial k-gram hash over the `codes` list at
+    1-based position `i` — mirrors winnow_fingerprints bit-for-bit
+    (base 257, mod 2^31-1, h starts at codes[i] % P)."""
+    e = "codes[i] % 2147483647"
+    for j in range(1, k):
+        e = f"({e} * 257 + codes[i+{j}]) % 2147483647"
+    return e
+
+
+def _winnow_hash_ctes(k: int) -> str:
+    """The codes -> gram-hash CTE bodies shared by the winnow oracles
+    (appended after a `norm` CTE exposing doc text as `t`)."""
+    return f"""
+            c AS (
+              SELECT *, CASE WHEN len(t) > 0
+                     THEN list_transform(range(1, len(t) + 1),
+                                         i -> ord(substr(t, i, 1))::BIGINT)
+                     ELSE [] END AS codes
+              FROM norm
+            ), h AS (
+              SELECT * EXCLUDE (codes),
+                     CASE WHEN len(t) = 0 THEN [CAST(0 AS BIGINT)]
+                     WHEN len(t) < {k} THEN
+                       [list_reduce(codes,
+                                    (a, b) -> (a * 257 + b) % 2147483647)]
+                     ELSE list_transform(range(1, len(t) - {k} + 2),
+                                         i -> {_winnow_gram_expr(k)})
+                     END AS hs
+              FROM c
+            )"""
+
+
 def _snapshot_sql(cutoff: str) -> str:
     """Per-cutoff backfill snapshot oracle (avg/cnt over (cutoff-90d, cutoff])."""
     return f"""
@@ -2102,23 +2135,12 @@ def oracle_sql() -> dict[str, str]:
         # Winnowing mirror: identical normalization / char-5-gram /
         # portable 60-bit md5-prefix hash / window-4 sliding min /
         # per-doc distinct, folded to (count, xor, min, max) per doc.
-        "winnow_fps": r"""
+        "winnow_fps": rf"""
             WITH norm AS (
               SELECT doc_id,
                      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
               FROM documents
-            ), g AS (
-              SELECT doc_id,
-                     CASE WHEN len(t) < 5 THEN [t]
-                     ELSE list_transform(range(1, len(t) - 5 + 2),
-                                         i -> substr(t, i, 5)) END AS grams
-              FROM norm
-            ), h AS (
-              SELECT doc_id,
-                     list_transform(grams,
-                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-              FROM g
-            ), wins AS (
+            ), {_winnow_hash_ctes(5)}, wins AS (
               SELECT doc_id,
                      CASE WHEN len(hs) < 4 THEN [list_min(hs)]
                      ELSE list_transform(range(1, len(hs) - 4 + 2),
@@ -2250,23 +2272,12 @@ def oracle_sql() -> dict[str, str]:
         # Winnow-overlap mirror: identical sketch (char 16-grams, window 8,
         # portable md5-prefix hash, per-doc distinct), hot-fingerprint cap
         # at df 200 on either side, per-pair shared count >= 5.
-        "winnow_overlap": r"""
+        "winnow_overlap": rf"""
             WITH norm AS (
               SELECT doc_id, CAST(substr(source, 4) AS INT) AS srcn,
                      lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
               FROM documents
-            ), g AS (
-              SELECT doc_id, srcn,
-                     CASE WHEN len(t) < 16 THEN [t]
-                     ELSE list_transform(range(1, len(t) - 16 + 2),
-                                         i -> substr(t, i, 16)) END AS grams
-              FROM norm
-            ), h AS (
-              SELECT doc_id, srcn,
-                     list_transform(grams,
-                         s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
-              FROM g
-            ), wins AS (
+            ), {_winnow_hash_ctes(16)}, wins AS (
               SELECT doc_id, srcn,
                      CASE WHEN len(hs) < 8 THEN [list_min(hs)]
                      ELSE list_transform(range(1, len(hs) - 8 + 2),

@@ -594,3 +594,54 @@ def test_stream_interval_join_matches_batch_range_join(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_interval_join(s_pur, s_sig, "pts", "sts", 1800, how="full")
+
+
+def test_stream_decay_counters_match_batch_decay(spark, tmp_path):
+    """Streaming decayed counters: two micro-batches (the second carrying
+    a LATE event) converge to exactly the batch DECAY_SUM at the same
+    reference instant — the rescale-merge is lossless."""
+    import time as _time
+    from feathr_spark.streaming.stateful import stream_decay_counters
+
+    src_dir = tmp_path / "decay_stream_in"
+    src_dir.mkdir()
+    base = ts("2024-01-01 00:00:00")
+    b1 = spark.createDataFrame([
+        Row(k="a", t=base, v=10.0),
+        Row(k="a", t=ts("2024-01-03 00:00:00"), v=20.0),
+    ])
+    b2 = spark.createDataFrame([               # late: before the ref
+        Row(k="a", t=ts("2024-01-02 00:00:00"), v=40.0),
+    ])
+    b1.write.parquet(str(src_dir / "f1.parquet"))
+    _time.sleep(1.1)                           # distinct mtimes -> 2 batches
+    b2.write.parquet(str(src_dir / "f2.parquet"))
+
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src_dir) + "/*"))
+    out = stream_decay_counters(stream, ["k"], "t", "v",
+                                half_life_days=1.0)
+    q = (out.writeStream.format("memory").queryName("t_decay")
+         .outputMode("update").start())
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r.decayed_sum
+                 for r in spark.sql("select * from t_decay").collect())
+    # batch1 state: 10*0.5^2 + 20 = 22.5 ; after late merge: + 40*0.5^1
+    assert any(abs(g - 22.5) < 1e-9 for g in got)
+    assert any(abs(g - 42.5) < 1e-9 for g in got)
+
+    # cross-check the final value against the batch DECAY_SUM operator
+    from feathr_spark.model import Aggregation, WindowAggTransform
+    from feathr_spark.operators.point_in_time import (
+        WindowFeatureSpec, point_in_time_aggregate)
+    allev = b1.unionByName(b2)
+    obs = spark.createDataFrame([Row(k="a",
+                                     ots=ts("2024-01-03 00:00:00"))])
+    batch = point_in_time_aggregate(
+        obs, allev, ["k"], ["k"], "ots", "t",
+        [WindowFeatureSpec("ds", WindowAggTransform(
+            "v", Aggregation.DECAY_SUM, "30d", agg_param=1.0))],
+        strategy="union_window").collect()[0].ds
+    assert abs(batch - max(got)) < 1e-9

@@ -1337,6 +1337,34 @@ def q_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_in_group"))
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transitions over each user's event sequence:
+    one lag-window shuffle, tiny |types|^2 matrix, broadcast row-sum
+    normalization."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import transition_matrix
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = transition_matrix(events)
+    return out.select(
+        "from_event", "to_event", "n",
+        F.round(F.col("prob") + F.lit(1e-9), 4).cast("double")
+        .alias("prob"))
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson weighted sampling: keep each doc with
+    probability min(1, n_chars/400) via an md5-derived uniform draw —
+    per-row, zero shuffle, bit-reproducible (quality-weighted corpus
+    downsampling)."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import weighted_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .withColumn("w", F.col("n_chars") / F.lit(400.0))
+    out = weighted_sample(docs, "w", "doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over the orders frame: every rule
     measured in ONE aggregate pass (single scan), report = one row per
@@ -1524,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_columns": q_corr_matrix,
         "dq_report": q_dq_report,
         "snapshot_changes": q_snapshot_changes,
+        "event_transitions": q_transitions,
+        "weighted_sample": q_weighted_sample,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2602,6 +2632,28 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_type)
+                         AS nxt
+              FROM events
+              WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            c AS (SELECT event_type AS from_event, nxt AS to_event,
+                         count(*) AS n
+                  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_event, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.from_event, c.to_event, CAST(c.n AS BIGINT) AS n,
+                   CAST(ROUND(c.n / t.tot + 1e-9, 4) AS DOUBLE) AS prob
+            FROM c JOIN t USING (from_event)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT / POWER(16, 15)
+                  < least(n_chars / 400.0, 1.0)
         """,
         "dq_report": """
             WITH s AS (

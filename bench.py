@@ -79,6 +79,8 @@ HEADLINE = [
     "corr_columns",
     "dq_report",
     "snapshot_changes",
+    "event_transitions",
+    "weighted_sample",
     "rolling_anomaly",
     "value_histogram",
     "decile_bins",

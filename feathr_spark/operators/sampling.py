@@ -69,3 +69,25 @@ def split_thresholds_sql(fractions: Dict[str, float]) -> str:
         parts.append(f"WHEN __sk < '{format(int(cum * 65536), '04x')}' "
                      f"THEN '{name}'")
     return "CASE " + " ".join(parts) + f" ELSE '{items[-1][0]}' END"
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    id_col: str = "doc_id", salt: str = "",
+                    scale: float = 1.0) -> DataFrame:
+    """Deterministic Poisson-style weighted sampling: keep each row with
+    probability ``min(1, weight * scale)``, decided by comparing the
+    row's md5-derived uniform draw against its own inclusion
+    probability — per-row, zero shuffle, no RNG state, and reproducible
+    across engines/cluster sizes (the same discipline as
+    :func:`hash_split`; quality-score-weighted corpus downsampling is
+    the canonical use).
+
+    The uniform draw is the first 15 hex digits of md5(salt + id) mapped
+    to [0, 1) — identical to the oracle's SQL expression, so inclusion
+    decisions are bit-reproducible.
+    """
+    draw = (F.conv(F.substring(sample_key(F.col(id_col), salt), 1, 15),
+                   16, 10).cast("double") / F.lit(float(16 ** 15)))
+    p = F.least(F.col(weight_col).cast("double") * F.lit(float(scale)),
+                F.lit(1.0))
+    return df.where(draw < p)

@@ -73,3 +73,39 @@ def session_stats(df: DataFrame, user_col: str = "user_id",
         aggs.append(F.round(F.sum(value_col), 4).cast("double")
                     .alias(f"sum_{value_col}"))
     return sess.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def transition_matrix(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", event_col: str = "event_type",
+                      order_cols: Optional[Sequence[str]] = None
+                      ) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and row-normalized probabilities of ``from_event →
+    to_event`` for CONSECUTIVE events (the path-analysis companion to the
+    funnel operator — funnels test one ordered hypothesis, the transition
+    matrix surfaces all of them).
+
+    One shuffle on the user key (the lag window); the transition pairs
+    then aggregate with map-side partials into an |event types|² frame,
+    and the probability normalization joins that tiny frame against its
+    own row sums (broadcast). Ties in event time are broken by
+    ``order_cols`` (default: the event column) so the sequence — and
+    therefore the matrix — is deterministic under any partitioning.
+
+    Output: (from_event, to_event, n, prob) with prob = n / Σ_to n.
+    """
+    order = [F.col(ts_col).asc()] + \
+        [F.col(c).asc() for c in (order_cols or [event_col])]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    steps = (df.where(F.col(ts_col).isNotNull() &
+                      F.col(user_col).isNotNull())
+             .withColumn("__next", F.lead(F.col(event_col)).over(w))
+             .where(F.col("__next").isNotNull()))
+    counts = (steps.groupBy(F.col(event_col).alias("from_event"),
+                            F.col("__next").alias("to_event"))
+              .agg(F.count("*").cast("bigint").alias("n")))
+    totals = counts.groupBy("from_event") \
+        .agg(F.sum("n").alias("__tot"))
+    return (counts.join(F.broadcast(totals), "from_event")
+            .select("from_event", "to_event", "n",
+                    (F.col("n") / F.col("__tot")).alias("prob")))

@@ -399,3 +399,34 @@ def test_snapshot_diff_classes_and_summary(spark):
             snapshot_diff(old, new, ["k"], summary=True).collect()}
     assert summ == {"added": 1, "removed": 1, "changed": 1,
                     "unchanged": 2}
+
+
+# ----------------------------------------- transitions / weighted sample
+
+def test_transition_matrix_counts_and_probs(spark):
+    from feathr_spark.operators.sessions import transition_matrix
+    base = dt.datetime(2024, 1, 1)
+    seq = {"u1": ["a", "b", "a", "c"], "u2": ["a", "b"]}
+    rows = [Row(user_id=u, ts=base + dt.timedelta(minutes=i), event_type=e)
+            for u, es in seq.items() for i, e in enumerate(es)]
+    df = spark.createDataFrame(rows)
+    got = {(r.from_event, r.to_event): (r.n, r.prob)
+           for r in transition_matrix(df).collect()}
+    # transitions: u1 a->b, b->a, a->c ; u2 a->b
+    assert got[("a", "b")] == (2, 2 / 3)
+    assert got[("a", "c")] == (1, 1 / 3)
+    assert got[("b", "a")] == (1, 1.0)
+    assert len(got) == 3
+
+
+def test_weighted_sample_determinism_and_bounds(spark):
+    from feathr_spark.operators.sampling import weighted_sample
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    all_kept = weighted_sample(df.withColumn("w", F.lit(1.0)), "w")
+    assert all_kept.count() == 2000            # p=1 keeps everything
+    none = weighted_sample(df.withColumn("w", F.lit(0.0)), "w")
+    assert none.count() == 0
+    half = weighted_sample(df.withColumn("w", F.lit(0.5)), "w")
+    n1, n2 = half.count(), half.count()
+    assert n1 == n2                            # deterministic
+    assert 850 <= n1 <= 1150                   # ~Binomial(2000, .5)

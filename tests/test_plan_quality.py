@@ -276,6 +276,11 @@ EXCHANGE_BUDGET = {
     "decile_bins": 1,
     # WindowGroupLimit pushes the per-group cut below the one shuffle
     "group_topk": 1,
+    # lag window on user + the tiny |types|^2 count/total folds (all
+    # post-window frames are matrix-sized, not data-sized)
+    "event_transitions": 5,
+    # pure row-local filter: md5 draw vs inclusion probability
+    "weighted_sample": 0,
     # one scan; count_distinct's two-phase aggregate adds the 2nd exchange
     "dq_report": 2,
     # two cutoff snapshots (explode+groupBy each) + full-outer key join +

@@ -1063,6 +1063,30 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=16, n_probe=8)
 
 
+PQ_RECALL_FLOOR = 0.70   # measured 0.88 (sf0.01, m=16 kc=16 rerank=8)
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memory-compressed ANN: product quantization (16 subspaces x 16
+    centroids = 16-byte codes vs 512-byte float vectors) + ADC shortlist
+    + exact re-rank of <= k*rerank candidates per query. Approximate ->
+    rows-only; recall gated by ann_pq_recall."""
+    _utc(spark)
+    from feathr_spark.operators.pq import pq_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    return pq_topk(emb, queries_df, "embedding", "vec_id", k=5,
+                   m=16, kc=16, rerank=8)
+
+
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate: PQ+rerank top-5 must retrieve >= 70% of the exact
+    cosine top-5 set."""
+    _utc(spark)
+    return _recall_gate(spark, sf_dir, q_ann_pq_topk(spark, sf_dir),
+                        "pq_recall_at_5", PQ_RECALL_FLOOR)
+
+
 SEMDEDUP_RECALL_FLOOR = 0.70   # measured 1.00 (sf0.001 & sf0.01, k=16 p=3)
 
 
@@ -1539,6 +1563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_pq_topk": q_ann_pq_topk,
+        "ann_pq_recall": q_ann_pq_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
         "semantic_dedup_recall": q_semantic_dedup_recall,
@@ -2532,6 +2558,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,
                    CAST({LSH_RECALL_FLOOR} AS DOUBLE) AS floor,
+                   true AS passes
+        """,
+        "ann_pq_recall": f"""
+            SELECT 'pq_recall_at_5' AS metric,
+                   CAST({PQ_RECALL_FLOOR} AS DOUBLE) AS floor,
                    true AS passes
         """,
         "semantic_dedup_recall": f"""

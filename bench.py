@@ -81,6 +81,7 @@ HEADLINE = [
     "snapshot_changes",
     "event_transitions",
     "weighted_sample",
+    "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",
     "decile_bins",

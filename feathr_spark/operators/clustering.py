@@ -105,17 +105,19 @@ def _assign(vecs: DataFrame, cids: List[int], mat: np.ndarray) -> DataFrame:
                     F.col("__a.sq_dist").alias("sq_dist")))
 
 
-def _fit_centroids(vecs: DataFrame, k: int,
-                   n_iter: int) -> Tuple[List[int], np.ndarray]:
+def _fit_centroids(vecs: DataFrame, k: int, n_iter: int,
+                   dim: int = 64) -> Tuple[List[int], np.ndarray]:
     """Lloyd's loop. Init: elementwise means of the deterministic
     hyperplane-LSH coarse buckets (one pass; same device as IVF) —
     data-dependent, seedless, reproducible. Empty clusters simply drop
     out of the centroid frame (k is an upper bound; the SemDeDup regime
-    doesn't care)."""
+    doesn't care). ``dim`` must match the vector length (the init planes
+    are dim-length; a longer plane nulls the dot and collapses every
+    vector into one bucket — the PQ subspace bug this parameter fixes)."""
     import math
     planes = max(1, int(math.ceil(math.log2(max(2, k)))))
     init = vecs.withColumn(
-        "__cid", lsh_bucket(F.col("__v"), planes).cast("bigint"))
+        "__cid", lsh_bucket(F.col("__v"), planes, dim=dim).cast("bigint"))
     cids, mat = _collect_centroids(
         _centroid_means(init.select("__cid", "__v"), "__v", "__cid"))
     for _ in range(n_iter):

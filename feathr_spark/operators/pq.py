@@ -1,0 +1,215 @@
+"""Product-quantization (PQ) approximate nearest neighbour search.
+
+The memory-compressed ANN path (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011): split each L2-normalized embedding
+into ``m`` subvectors, k-means each subspace into ``kc`` centroids (the
+codebooks), and store each vector as ``m`` small codes. Query scoring is
+asymmetric distance computation (ADC): per query, ONE ``m × kc``
+inner-product lookup table; a corpus vector's approximate cosine is the
+sum of ``m`` table lookups — no float vector ever touched at query time.
+
+Why this matters at 100 TB: brute force and IVF both carry the full
+float vectors through scoring (dim × 8 bytes/row); PQ codes are ``m``
+bytes/row (64 B → 8 B at dim=64, m=8), so the scan that scoring streams
+over shrinks ~32×, and the per-row score cost is ``m`` adds instead of a
+dim-length dot product. Codebooks are km×dim doubles — driver/broadcast
+scale (the same documented bounded driver action as k-means centroids).
+
+Scale/plan shape:
+  * codebook training reuses the k-means machinery per subspace
+    (Arrow-batched matmul assignment, k×dim-row centroid shuffles), over
+    an optional deterministic hash-sample of the corpus — the standard
+    train-on-a-sample regime;
+  * encoding is ONE Arrow-batched pass, zero shuffle: all ``m`` argmins
+    come from a single stacked matmul per batch;
+  * scoring is ONE Arrow-batched pass over (id, codes) with a
+    per-batch top-k cut, so the frame entering the final two-stage rank
+    holds ≤ k rows per (batch, query), never the corpus.
+
+Determinism: codebooks inherit the k-means determinism (quantized
+centroids, stable argmin); scores round to 4 dp BEFORE ranking with
+neighbor-id tie-break (the engine-wide round-before-rank convention).
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .clustering import _fit_centroids
+from .similarity import _two_stage_topk
+
+
+def _normalized(df: DataFrame, vec_col: str, id_col: str,
+                out_id: str) -> DataFrame:
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.when(norm > 0, F.transform(v, lambda x: x / norm))
+        .alias("__nv"))
+
+
+def pq_fit(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    kc: int = 16,
+    n_iter: int = 4,
+    train_fraction: float = 1.0,
+    dim: int = 64,
+) -> List[Tuple[List[int], np.ndarray]]:
+    """Train the ``m`` per-subspace codebooks on (a deterministic hash
+    sample of) the L2-normalized corpus. Returns a list of
+    (centroid_ids, centroid_matrix) per subspace — small enough to live
+    in the UDF closures downstream."""
+    if dim % m != 0:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    vecs = _normalized(corpus, vec_col, id_col, "__id") \
+        .where(F.col("__nv").isNotNull())
+    if train_fraction < 1.0:
+        draw = (F.conv(F.substring(
+            F.md5(F.concat(F.lit("pq"), F.col("__id").cast("string"))),
+            1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
+        vecs = vecs.where(draw < F.lit(float(train_fraction)))
+    vecs = vecs.persist()
+    books: List[Tuple[List[int], np.ndarray]] = []
+    for s in range(m):
+        sub = vecs.select(
+            "__id",
+            F.slice(F.col("__nv"), s * d_sub + 1, d_sub).alias("__v"))
+        books.append(_fit_centroids(sub, kc, n_iter, dim=d_sub))
+    vecs.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: List[Tuple[List[int], np.ndarray]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — one Arrow-batched pass, zero shuffle; the
+    code for subspace s indexes into ``books[s]``'s centroid matrix (a
+    POSITION, not a cluster id, so lookup tables index directly)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [mat for _, mat in books]
+    d_sub = mats[0].shape[1]
+    m = len(mats)
+
+    @pandas_udf("array<int>")
+    def _enc(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in col.to_numpy()])
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        np.divide(x, n, out=x, where=n > 0)
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s, cmat in enumerate(mats):
+            xs = x[:, s * d_sub:(s + 1) * d_sub]
+            d = ((xs * xs).sum(axis=1)[:, None]
+                 - 2.0 * (xs @ cmat.T)
+                 + (cmat * cmat).sum(axis=1)[None, :])
+            codes[:, s] = d.argmin(axis=1)       # stable: first minimum
+        return pd.Series(list(codes))
+
+    return corpus.select(F.col(id_col).alias("neighbor_id"),
+                         _enc(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    m: int = 8,
+    kc: int = 16,
+    n_iter: int = 4,
+    dim: int = 64,
+    train_fraction: float = 1.0,
+    rerank: int = 0,
+) -> DataFrame:
+    """ADC top-k: approximate cosine = Σ_s LUT[query][s, code_s].
+
+    Queries collect to the driver (the tiny query set — same documented
+    action as the ANN query broadcast) to build the (nq, m, kc) lookup
+    tensor shipped in the scoring UDF's closure. The corpus streams
+    through encode+score Arrow-batched with a per-batch top-k cut.
+
+    ``rerank > 0`` enables the standard two-stage retrieval: the ADC
+    pass shortlists ``k * rerank`` candidates per query (compressed-
+    domain scan — the cheap 100 TB sweep), then ONLY those ≤ nq·k·rerank
+    rows are re-scored with exact cosine against the float vectors (the
+    broadcast-sized refinement that buys back the quantization error).
+    Output: (query_id, rank, neighbor_id, score), rank 1-based.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    books = pq_fit(corpus, vec_col, id_col, m, kc, n_iter,
+                   train_fraction, dim)
+    d_sub = dim // m
+    qrows = _normalized(queries, vec_col, id_col, "qid") \
+        .where(F.col("__nv").isNotNull()).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["__nv"] for r in qrows], dtype=np.float64)
+    # LUT[q, s, c] = q_sub(s) · centroid_c(s). Subspaces may have FEWER
+    # than kc centroids (empty clusters drop out of the k-means frame),
+    # so pad to the widest; padded slots are never indexed (codes are
+    # positions into that subspace's own matrix).
+    kc_eff = max(b[1].shape[0] for b in books)
+    lut = np.zeros((len(qids), m, kc_eff), dtype=np.float64)
+    for s in range(m):
+        t = qmat[:, s * d_sub:(s + 1) * d_sub] @ books[s][1].T
+        lut[:, s, :t.shape[1]] = t
+
+    encoded = pq_encode(corpus, books, vec_col, id_col)
+    # per-batch survivors must cover the RERANK shortlist, not just k
+    want = k * max(int(rerank), 1) + 1           # +1 covers self-match
+
+    def _score(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            nb = pdf["neighbor_id"].to_numpy().astype(np.int64)
+            # scores (B, nq): sum of per-subspace LUT gathers
+            sc = np.zeros((len(codes), len(qids)), dtype=np.float64)
+            for s in range(lut.shape[1]):
+                sc += lut[:, s, :][:, codes[:, s]].T
+            cut = min(want, len(codes))
+            top = np.argpartition(-sc, cut - 1, axis=0)[:cut]  # (cut, nq)
+            rows = {"query_id": np.repeat(qids, cut),
+                    "neighbor_id": nb[top.T.reshape(-1)],
+                    "__score": np.round(
+                        sc[top.T.reshape(-1),
+                           np.repeat(np.arange(len(qids)), cut)], 4)}
+            yield pd.DataFrame(rows)
+
+    scored = (encoded.mapInPandas(
+        _score, "query_id bigint, neighbor_id bigint, __score double")
+        .where(F.col("query_id") != F.col("neighbor_id")))
+    if rerank <= 0:
+        return _two_stage_topk(scored, k)
+    from .similarity import dot as _dot
+    shortlist = _two_stage_topk(scored, k * rerank) \
+        .select("query_id", "neighbor_id")
+    qn = queries.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in v])
+         for i, v in zip(qids, qmat)],
+        "query_id bigint, __qv array<double>")
+    cn = _normalized(corpus, vec_col, id_col, "neighbor_id") \
+        .withColumnRenamed("__nv", "__cv")
+    exact = (cn.join(F.broadcast(shortlist), "neighbor_id")
+             .join(F.broadcast(qn), "query_id")
+             .select("query_id", "neighbor_id",
+                     F.round(_dot(F.col("__qv"), F.col("__cv")), 4)
+                     .cast("double").alias("__score")))
+    return _two_stage_topk(exact, k)

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from feathr_spark.operators.olap import grouping_sets_agg, pivot_agg
 from feathr_spark.operators.rangejoin import range_join
 from feathr_spark.operators.sketch import heavy_hitters
@@ -430,3 +431,42 @@ def test_weighted_sample_determinism_and_bounds(spark):
     n1, n2 = half.count(), half.count()
     assert n1 == n2                            # deterministic
     assert 850 <= n1 <= 1150                   # ~Binomial(2000, .5)
+
+
+# ------------------------------------------------------------------ PQ
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from feathr_spark.operators.pq import pq_fit, pq_encode
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books = pq_fit(emb, m=8, kc=16, n_iter=2)
+    assert len(books) == 8
+    for cids, mat in books:
+        assert 1 <= mat.shape[0] <= 16 and mat.shape[1] == 8
+    enc1 = {r.neighbor_id: list(r.codes)
+            for r in pq_encode(emb, books).collect()}
+    enc2 = {r.neighbor_id: list(r.codes)
+            for r in pq_encode(emb, books).collect()}
+    assert enc1 == enc2                       # deterministic
+    assert all(len(c) == 8 for c in enc1.values())
+    # codes index into that subspace's codebook
+    for codes in enc1.values():
+        for s, c in enumerate(codes):
+            assert 0 <= c < books[s][1].shape[0]
+
+
+def test_pq_topk_rerank_recall_floor(spark):
+    from feathr_spark.operators.pq import pq_topk
+    from feathr_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, q, "embedding", "vec_id", k=5) \
+        .select("query_id", "neighbor_id")
+    approx = pq_topk(emb, q, k=5, m=16, kc=16, rerank=8) \
+        .select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
+    assert hits / exact.count() >= 0.6
+    # output shape contract
+    out = pq_topk(emb, q.limit(2), k=3, m=8, kc=8, rerank=4)
+    assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
+    assert out.groupBy("query_id").count().agg(
+        F.max("count")).first()[0] <= 3

@@ -23,6 +23,7 @@ BROADCAST_LOOP_OK = {
     "ann_ivf_topk",      # probed inverted lists × broadcast(queries)
     "ann_lsh_recall",    # embeds ann_topk's exact scoring + 1-row×1-row crossJoin
     "ann_ivf_recall",    # same
+    "ann_pq_recall",     # same
     # cost-based auto strategy routes the low-threshold config to the
     # exact scorer: left side hash-repartitioned, right side broadcast —
     # the partition-parallel all-pairs loop (LSH at threshold 0.45 would
@@ -245,6 +246,10 @@ EXCHANGE_BUDGET = {
     "ann_ivf_topk": 6,
     "ann_lsh_recall": 13,
     "ann_ivf_recall": 16,
+    # ADC shortlist two-stage rank + broadcast-joined exact re-rank
+    "ann_pq_topk": 4,
+    # embeds ann_pq_topk + exact scoring + the two count folds
+    "ann_pq_recall": 14,
     "multimodal_decode": 0,
     "multimodal_audio": 0,
     # union-window: the one key shuffle every window agg shares

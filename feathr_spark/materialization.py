@@ -141,27 +141,44 @@ class RedisSink(Sink):
     timeout_ms: Optional[int] = None
     host: str = "localhost"
     port: int = 6379
+    # Injectable executor-side client factory: () -> redis-like object with
+    # .pipeline() -> (.hset(name, mapping=...), .execute()). Default builds
+    # a real redis.Redis; tests inject an in-memory fake so the partition-
+    # parallel write plumbing and the hash encoding are value-tested
+    # without a server (the wire protocol itself stays plugin territory).
+    client_factory: Optional[object] = None
+
+    @staticmethod
+    def encode_row(d: dict, key_cols, table: str):
+        """(redis key, field mapping) for one feature row — the reference
+        online layout: one hash per entity key, one field per column
+        (materialization.rs:28-55)."""
+        import json
+        key = ":".join(str(d[k]) for k in key_cols)
+        return f"{table}:{key}", {k: json.dumps(v, default=str)
+                                  for k, v in d.items()}
 
     def write(self, df: DataFrame) -> None:
-        try:
-            import redis  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "redis-py not installed; RedisSink is an optional plugin") from e
+        factory = self.client_factory
+        if factory is None:
+            try:
+                import redis
+            except ImportError as e:
+                raise NotImplementedError(
+                    "redis-py not installed; RedisSink is an optional "
+                    "plugin") from e
+            host, port = self.host, self.port
+            factory = lambda: redis.Redis(host=host, port=port)
         table = self.table_name
-        host, port = self.host, self.port
         key_cols = [c for c in df.columns if c.startswith("key_")] or [df.columns[0]]
+        encode = RedisSink.encode_row
 
         def write_partition(rows):
-            import json
-            import redis as _redis
-            client = _redis.Redis(host=host, port=port)
+            client = factory()
             pipe = client.pipeline()
             for row in rows:
-                d = row.asDict()
-                key = ":".join(str(d[k]) for k in key_cols)
-                pipe.hset(f"{table}:{key}", mapping={
-                    k: json.dumps(v, default=str) for k, v in d.items()})
+                name, mapping = encode(row.asDict(), key_cols, table)
+                pipe.hset(name, mapping=mapping)
             pipe.execute()
 
         df.foreachPartition(write_partition)

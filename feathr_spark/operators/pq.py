@@ -39,8 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .clustering import _fit_centroids
-from .similarity import _two_stage_topk
+from .similarity import _planes, _two_stage_topk
 
 
 def _normalized(df: DataFrame, vec_col: str, id_col: str,
@@ -69,6 +68,7 @@ def pq_fit(
     in the UDF closures downstream."""
     if dim % m != 0:
         raise ValueError(f"pq_fit: dim {dim} not divisible by m {m}")
+    import math
     d_sub = dim // m
     vecs = _normalized(corpus, vec_col, id_col, "__id") \
         .where(F.col("__nv").isNotNull())
@@ -78,14 +78,107 @@ def pq_fit(
             1, 15), 16, 10).cast("double") / F.lit(float(16 ** 15)))
         vecs = vecs.where(draw < F.lit(float(train_fraction)))
     vecs = vecs.persist()
-    books: List[Tuple[List[int], np.ndarray]] = []
-    for s in range(m):
-        sub = vecs.select(
-            "__id",
-            F.slice(F.col("__nv"), s * d_sub + 1, d_sub).alias("__v"))
-        books.append(_fit_centroids(sub, kc, n_iter, dim=d_sub))
+
+    # ALL m subspaces train JOINTLY: every Lloyd's iteration is exactly
+    # one corpus scan (one Arrow-batched assignment pass producing all m
+    # codes), one (subspace, code, position) mean shuffle whose partials
+    # collapse to m*kc*d_sub rows per task, and one bounded collect of
+    # the m codebooks (m*kc*d_sub doubles — the documented k-means driver
+    # action). The per-subspace-sequential formulation costs m times the
+    # jobs for identical results — at 16 subspaces that was ~20s of pure
+    # job-scheduling latency on the bench.
+    def _update(assigned: DataFrame) -> List[Tuple[List[int], np.ndarray]]:
+        exploded = assigned.select(
+            F.posexplode(F.col("__nv")).alias("__p", "__x"),
+            F.col("__codes"))
+        sub = (F.col("__p") / d_sub).cast("int")
+        cent = (exploded
+                .select(sub.alias("__s"),
+                        F.element_at(F.col("__codes"), sub + 1)
+                        .alias("__c"),
+                        (F.col("__p") % d_sub).alias("__pos"), "__x")
+                .groupBy("__s", "__c", "__pos")
+                .agg(F.round(F.avg("__x"), 6).alias("__m"))
+                .collect())
+        books = []
+        for s in range(m):
+            rows = [r for r in cent if r["__s"] == s]
+            cids = sorted({int(r["__c"]) for r in rows})
+            mat = np.zeros((len(cids), d_sub))
+            pos_of = {c: i for i, c in enumerate(cids)}
+            for r in rows:
+                mat[pos_of[int(r["__c"])], int(r["__pos"])] = r["__m"]
+            books.append((cids, mat))
+        return books
+
+    # init: per-subspace hyperplane-LSH buckets (deterministic, seedless
+    # per subspace via seed=s), all from ONE matmul pass
+    p_bits = max(1, int(math.ceil(math.log2(max(2, kc)))))
+    init_planes = [_planes(p_bits, d_sub, seed=s) for s in range(m)]
+    assigned = vecs.select(
+        "__nv", _codes_udf_init(init_planes, d_sub)(F.col("__nv"))
+        .alias("__codes"))
+    books = _update(assigned)
+    for _ in range(n_iter):
+        assigned = vecs.select(
+            "__nv", _codes_udf(books, d_sub)(F.col("__nv"))
+            .alias("__codes"))
+        books = _update(assigned)
     vecs.unpersist()
     return books
+
+
+def _codes_udf_init(init_planes, d_sub):
+    """Arrow-batched initial bucket codes: sign-bit buckets per subspace,
+    one stacked matmul per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(init_planes)
+    p_bits = init_planes[0].shape[0] if hasattr(init_planes[0], "shape") \
+        else len(init_planes[0])
+    mats = [np.asarray(p, dtype=np.float64) for p in init_planes]
+    weights = (1 << np.arange(p_bits))
+
+    @pandas_udf("array<int>")
+    def _init(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in col.to_numpy()])
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s in range(m):
+            xs = x[:, s * d_sub:(s + 1) * d_sub]
+            bits = ((xs @ mats[s].T) >= 0).astype(np.int64)
+            codes[:, s] = (bits * weights).sum(axis=1)
+        return pd.Series(list(codes))
+
+    return _init
+
+
+def _codes_udf(books, d_sub):
+    """Arrow-batched argmin codes against the current codebooks (POSITIONS
+    into each subspace's id-sorted centroid matrix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [mat for _, mat in books]
+    m = len(mats)
+
+    @pandas_udf("array<int>")
+    def _assign(col: pd.Series) -> pd.Series:
+        if col.empty:
+            return pd.Series([], dtype=object)
+        x = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in col.to_numpy()])
+        codes = np.empty((len(x), m), dtype=np.int32)
+        for s, cmat in enumerate(mats):
+            xs = x[:, s * d_sub:(s + 1) * d_sub]
+            d = ((xs * xs).sum(axis=1)[:, None]
+                 - 2.0 * (xs @ cmat.T)
+                 + (cmat * cmat).sum(axis=1)[None, :])
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return _assign
 
 
 def pq_encode(

@@ -470,3 +470,21 @@ def test_pq_topk_rerank_recall_floor(spark):
     assert out.columns == ["query_id", "rank", "neighbor_id", "score"]
     assert out.groupBy("query_id").count().agg(
         F.max("count")).first()[0] <= 3
+
+
+def test_winnow_arrow_equals_expression_form(spark):
+    """The Arrow-batched winnow sketch must be value-identical to the
+    pure-expression reference implementation on real data + edge cases."""
+    from feathr_spark.operators.text import (winnow_fingerprints,
+                                             winnow_fingerprints_expr)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9001, ""), (9002, "ab"), (9003, "abcd"), (9004, "abcde"),
+         (9005, "  spaced   out  "), (9006, "zzzzzzzzzz")],
+        "doc_id bigint, text string")
+    both = docs.select("doc_id", "text").unionByName(extra)
+    a = {(r.doc_id, r.fingerprint)
+         for r in winnow_fingerprints(both, k=5, w=4).collect()}
+    b = {(r.doc_id, r.fingerprint)
+         for r in winnow_fingerprints_expr(both, k=5, w=4).collect()}
+    assert a == b and len(a) > 0

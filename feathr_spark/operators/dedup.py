@@ -139,6 +139,69 @@ def _shingled_frame(df: DataFrame, text_col: str, id_col: str,
         _word_ngrams_from_tokens(F.col("__toks"), k, distinct).alias("__sh"))
 
 
+def _hashed_char_tokens(df: DataFrame, text_col: str, id_col: str,
+                        k: int) -> DataFrame:
+    """(__id, __h): 62-bit hashes of the normalized text's char
+    k-shingles, DISTINCT per document — the Arrow-batched fast path for
+    the MinHash family's token frame.
+
+    The expression form (transform/substr array + explode + xxhash64)
+    evaluates the per-position lambda interpreted and allocates a string
+    per shingle; here each document is a few vectorized numpy passes
+    (utf-32 code view, k Horner steps for two 31-bit polynomial hashes
+    combined to 62 bits, one unique). Any uniform injective-in-practice
+    hash serves MinHash identically (signature minima and hashed-set
+    Jaccard are hash-family-agnostic; collisions ~n²/2^62), so this is a
+    drop-in for the xxhash64 tokens — but index builds and pair runs must
+    use the SAME family, which is why every minhash entry point routes
+    through this function. Emitting per-doc distinct hashes also shrinks
+    the downstream aggregation input (the old path deduped inside the
+    shuffle). Short texts (< k chars) hash whole-string, like
+    ``_char_shingles_from_norm``; empty texts hash to 0.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B1, B2, P = 257, 263, 2147483647
+
+    def _toks(it):
+        for pdf in it:
+            ids, hs = [], []
+            for i, t in zip(pdf["__id"].to_numpy(),
+                            pdf["__t"].to_numpy()):
+                if t is None:
+                    continue
+                codes = np.frombuffer(t.encode("utf-32-le"),
+                                      dtype=np.uint32).astype(np.int64)
+                n = codes.shape[0]
+                if n < k:
+                    h1 = np.int64(0)
+                    h2 = np.int64(0)
+                    for c in codes:
+                        h1 = (h1 * B1 + c) % P
+                        h2 = (h2 * B2 + c) % P
+                    u = np.array([(int(h1) << 31) | int(h2)],
+                                 dtype=np.int64)
+                else:
+                    L = n - k + 1
+                    h1 = codes[:L] % P
+                    h2 = codes[:L] % P
+                    for j in range(1, k):
+                        h1 = (h1 * B1 + codes[j:j + L]) % P
+                        h2 = (h2 * B2 + codes[j:j + L]) % P
+                    u = np.unique((h1 << 31) | h2)
+                ids.append(np.full(u.shape[0], i, dtype=np.int64))
+                hs.append(u)
+            if ids:
+                yield pd.DataFrame({"__id": np.concatenate(ids),
+                                    "__h": np.concatenate(hs)})
+
+    norm = _spread(df, id_col).select(
+        F.col(id_col).alias("__id"),
+        normalize_text(F.col(text_col)).alias("__t"))
+    return norm.mapInPandas(_toks, "__id long, __h long")
+
+
 def minhash_signature(shingles: Column, num_perm: int = 64) -> Column:
     """MinHash signature: per permutation j, min over shingle base-hashes of
     (a_j*h + b_j) mod M61. Base hash xxhash64 is computed once per shingle."""
@@ -166,6 +229,7 @@ def _jaccard_lsh_pairs(
     verify: bool,
     prefilter_margin: float = 0.2,
     min_band_collisions: int = 1,
+    tok: DataFrame = None,
 ) -> DataFrame:
     """Shared MinHash-LSH near-dup pipeline over ``shingled(__id, __sh)``.
 
@@ -208,14 +272,17 @@ def _jaccard_lsh_pairs(
     rows_per_band = num_perm // bands
     params = _perm_params(num_perm)
 
-    # explode_outer, not explode: plain explode infers a `size(__sh)>0 AND
-    # isnotnull(__sh)` filter that predicate-pushdown drags below the
-    # repartition exchange, re-evaluating the whole shingle expression
-    # (twice) on the unparallelized input. The post-Generate isNotNull is
-    # equivalent (shingle arrays are never empty) and cannot be pushed down.
-    tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
-        .where(F.col("__s").isNotNull()) \
-        .select("__id", F.xxhash64("__s").alias("__h")).persist()
+    if tok is None:
+        # explode_outer, not explode: plain explode infers a `size(__sh)>0
+        # AND isnotnull(__sh)` filter that predicate-pushdown drags below
+        # the repartition exchange, re-evaluating the whole shingle
+        # expression (twice) on the unparallelized input. The post-Generate
+        # isNotNull is equivalent (shingle arrays are never empty) and
+        # cannot be pushed down.
+        tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
+            .where(F.col("__s").isNotNull()) \
+            .select("__id", F.xxhash64("__s").alias("__h"))
+    tok = tok.persist()
     # tok keeps the full 64-bit hash (the exact-verify sets below need
     # negligible collision odds); the 31-bit base for the permutation
     # family is taken inside the aggregate. It is persisted because BOTH
@@ -297,11 +364,16 @@ def minhash_index(
     ``shingle_k`` are baked into the rows).
     """
     params = _perm_params(num_perm)
-    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
-                               distinct=False)
-    tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
-        .where(F.col("__s").isNotNull()) \
-        .select("__id", F.xxhash64("__s").alias("__h"))
+    if _integral_id(df, id_col):
+        # same token family as minhash_pairs — index rows and pair runs
+        # MUST hash identically for incremental dedup to compose
+        tok = _hashed_char_tokens(df, text_col, id_col, shingle_k)
+    else:
+        shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
+                                   distinct=False)
+        tok = shingled.select("__id", F.explode_outer("__sh").alias("__s")) \
+            .where(F.col("__s").isNotNull()) \
+            .select("__id", F.xxhash64("__s").alias("__h"))
     base = F.pmod(F.col("__h"), F.lit(_MERSENNE))
     return tok.groupBy("__id").agg(
         *[F.min(F.pmod(base * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
@@ -407,10 +479,24 @@ def minhash_lsh_pairs(
     ``_jaccard_lsh_pairs`` keep the resulting false-candidate flood away
     from exact verification.
     """
-    shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
-                               distinct=False)
+    tok = None
+    shingled = None
+    if _integral_id(df, id_col):
+        tok = _hashed_char_tokens(df, text_col, id_col, shingle_k)
+    else:
+        shingled = _shingled_frame(df, text_col, id_col, "char", shingle_k,
+                                   distinct=False)
     return _jaccard_lsh_pairs(shingled, num_perm, bands, threshold, verify,
-                              min_band_collisions=min_band_collisions)
+                              min_band_collisions=min_band_collisions,
+                              tok=tok)
+
+
+def _integral_id(df: DataFrame, id_col: str) -> bool:
+    """The Arrow token fast path emits a static long __id column; fall
+    back to the expression pipeline for non-integral document ids."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+    return isinstance(df.schema[id_col].dataType,
+                      (ByteType, ShortType, IntegerType, LongType))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

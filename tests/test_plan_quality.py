@@ -233,7 +233,12 @@ EXCHANGE_BUDGET = {
     # anti-join — the doc payload never shuffles.
     "dedup_keep_one": 0,
     "contamination_check": 15,
-    "minhash_pairs": 24,
+    # r4 Arrow-token path: the printed count rose 24 -> 30 because the
+    # (persisted) token subtree now prints under more consumers — those
+    # dedupe to ReusedExchange at runtime, and measured wall-clock HALVED
+    # (6.2s -> 3.2s at sf0.1). Budgets bound the printed plan, so track
+    # the new shape.
+    "minhash_pairs": 30,
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,

@@ -162,3 +162,30 @@ def test_lineage_sample_runs_end_to_end(spark):
     assert r2.f_is_long_trip_distance is False
     assert r2.f_location_avg_fare == 60.0         # (100+20)/2, 90d window
     assert r2.f_location_max_fare == 100.0
+
+
+def test_parameterized_agg_round_trip(spark, tmp_path):
+    """agg_param-carrying aggregations (PERCENTILE fraction, DECAY half-
+    life) must survive IR emit -> parse with values and enum intact."""
+    import json
+    df = spark.createDataFrame([Row(k=1, ts=ts("2024-01-01 00:00:00"),
+                                    v=1.0)])
+    path = str(tmp_path / "param_src.parquet")
+    df.write.parquet(path)
+    p = FeathrProject("pp", spark)
+    src = HdfsSource(name="s", path=path,
+                     time_window_parameters=TimeWindowParameters("ts"))
+    key = [TypedKey(key_column="k")]
+    p.register_anchor(FeatureAnchor(name="a", source=src, features=[
+        Feature(name="p90", transform=WindowAggTransform(
+            "v", Aggregation.PERCENTILE, "30d", agg_param=0.9), key=key),
+        Feature(name="dsum", transform=WindowAggTransform(
+            "v", Aggregation.DECAY_SUM, "30d", agg_param=7.0), key=key),
+    ]))
+    cfg = p.to_feature_config()
+    p2 = from_feature_config(json.dumps(cfg), spark)
+    feats = {f.name: f for a in p2.anchors.values() for f in a.features}
+    assert feats["p90"].transform.agg_func == Aggregation.PERCENTILE
+    assert feats["p90"].transform.agg_param == 0.9
+    assert feats["dsum"].transform.agg_func == Aggregation.DECAY_SUM
+    assert feats["dsum"].transform.agg_param == 7.0

@@ -305,3 +305,41 @@ def test_property_funnel_vs_brute_force(spark, case):
     out = {r.step_type: r.n_users
            for r in funnel_counts(df, steps, within=within).collect()}
     assert out == _brute_funnel(rows, steps, within_h)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_range_join_matches_bruteforce_property(spark, data):
+    """Property: binned range join == brute-force inequality join for
+    random points/intervals/bin widths (incl. empty and degenerate
+    intervals)."""
+    import datetime as dt
+    from feathr_spark.operators.rangejoin import range_join
+    base = dt.datetime(2024, 1, 1)
+    n_p = data.draw(st.integers(0, 25), label="n_points")
+    n_i = data.draw(st.integers(0, 12), label="n_intervals")
+    bin_w = data.draw(st.sampled_from([60, 300, 3600]), label="bin_w")
+    points = [(i, base + dt.timedelta(
+        seconds=data.draw(st.integers(0, 7200), label=f"p{i}")))
+        for i in range(n_p)]
+    ivs = []
+    for j in range(n_i):
+        s = data.draw(st.integers(0, 7200), label=f"s{j}")
+        ln = data.draw(st.integers(-60, 3600), label=f"l{j}")
+        ivs.append((j, base + dt.timedelta(seconds=s),
+                    base + dt.timedelta(seconds=s + ln)))
+    p_df = spark.createDataFrame(points or [(0, base)],
+                                 "pid int, ts timestamp")
+    if not points:
+        p_df = p_df.where("pid < 0")
+    i_df = spark.createDataFrame(ivs or [(0, base, base)],
+                                 "iid int, start timestamp, end timestamp")
+    if not ivs:
+        i_df = i_df.where("iid < 0")
+    got = {(r.iid, r.pid) for r in
+           range_join(p_df, i_df, "ts", "start", "end",
+                      bin_width_s=bin_w).collect()}
+    brute = {(j, i) for i, t in points for j, s, e in ivs
+             if s <= t < e}
+    assert got == brute

@@ -1389,6 +1389,24 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive baseline forecast: next 24 hourly buckets per user
+    from the per-(user, hour-of-day) historical mean, global-slot
+    fallback where a user never hit the slot. One raw shuffle; mean
+    frames broadcast."""
+    _utc(spark)
+    from feathr_spark.operators.forecast import seasonal_forecast
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = seasonal_forecast(events, ["user_id"], "ts", "value",
+                            bucket_s=3600, period_s=86400, horizon=24)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket_start"), F.col("slot"),
+        F.round(F.col("forecast") + F.lit(1e-9), 4).cast("double")
+        .alias("forecast"),
+        F.col("from_fallback"))
+
+
 def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over the orders frame: every rule
     measured in ONE aggregate pass (single scan), report = one row per
@@ -1580,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changes": q_snapshot_changes,
         "event_transitions": q_transitions,
         "weighted_sample": q_weighted_sample,
+        "seasonal_forecast": q_seasonal_forecast,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2663,6 +2682,34 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "seasonal_forecast": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS b,
+                     CAST(value AS DECIMAL(18,6)) AS v
+              FROM events),
+            pb AS (SELECT user_id, b, sum(v) AS s, count(v) AS n
+                   FROM base GROUP BY 1, 2),
+            ks AS (SELECT user_id, b % 24 AS slot,
+                          CAST(sum(s) AS DOUBLE) / sum(n) AS km
+                   FROM pb GROUP BY 1, 2),
+            gs AS (SELECT b % 24 AS slot,
+                          CAST(sum(s) AS DOUBLE) / sum(n) AS gm
+                   FROM pb GROUP BY 1),
+            lastb AS (SELECT user_id, max(b) AS lb FROM pb GROUP BY 1),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(lb + 1, lb + 24)) AS fb
+                     FROM lastb)
+            SELECT g.user_id,
+                   epoch_ms(g.fb * 3600000) AS bucket_start,
+                   CAST(g.fb % 24 AS BIGINT) AS slot,
+                   CAST(ROUND(coalesce(ks.km, gs.gm) + 1e-9, 4) AS DOUBLE)
+                       AS forecast,
+                   ks.km IS NULL AS from_fallback
+            FROM grid g
+            LEFT JOIN ks ON ks.user_id = g.user_id AND ks.slot = g.fb % 24
+            LEFT JOIN gs ON gs.slot = g.fb % 24
         """,
         "event_transitions": """
             WITH s AS (

@@ -81,6 +81,7 @@ HEADLINE = [
     "snapshot_changes",
     "event_transitions",
     "weighted_sample",
+    "seasonal_forecast",
     "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",

@@ -1,0 +1,85 @@
+"""Seasonal-naive baseline forecasting over event streams.
+
+The standard first forecast every metrics platform ships: project each
+key's next ``horizon`` buckets from its per-season-slot historical mean
+(hour-of-day, day-of-week, ...), with a hierarchical fallback to the
+global slot mean for (key, slot) combinations never observed. This is
+deliberately a BASELINE (the thing fancier models must beat), chosen
+because it is exactly reproducible in portable SQL — no solver state, no
+iteration, no RNG.
+
+Scale design: ONE shuffle of the raw table into (key, slot) partials
+(map-side combined); the global-slot fallback re-aggregates those
+partials (slot-cardinality rows); the forecast grid explodes
+``horizon`` rows per key from the per-key last-bucket frame and joins
+the two small mean frames (broadcast — they are key*slot / slot sized).
+The raw table is scanned exactly once.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def seasonal_forecast(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 3600,
+    period_s: int = 86400,
+    horizon: int = 24,
+) -> DataFrame:
+    """Forecast the next ``horizon`` buckets per key as the key's
+    historical mean for that season slot (slot = bucket index modulo
+    ``period_s / bucket_s``), falling back to the all-keys slot mean
+    where the key never produced data in that slot.
+
+    Means are exact decimal (order-independent); output values are
+    doubles. Output: keys + ``bucket_start`` + ``slot`` + ``forecast`` +
+    ``from_fallback`` (true where the global mean was used).
+    """
+    if period_s % bucket_s != 0:
+        raise ValueError("seasonal_forecast: period_s must be a "
+                         "multiple of bucket_s")
+    slots = period_s // bucket_s
+    keys = list(key_cols)
+    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_s)))
+    base = df.select(*keys, b.alias("__b"),
+                     F.col(value_col).cast("decimal(18,6)").alias("__v"))
+    per_bucket = (base.groupBy(*keys, "__b")
+                  .agg(F.sum("__v").alias("__s"),
+                       F.count("__v").alias("__n")))
+    slot_col = F.pmod(F.col("__b"), F.lit(int(slots)))
+    # per-(key, slot) mean over BUCKET means? No: over raw values —
+    # sum/count partials re-aggregate exactly.
+    # exact decimal total cast to double, then ONE IEEE division — the
+    # bit-stable mean formulation (decimal division scale is engine-
+    # specific; see profile_numeric)
+    key_slot = (per_bucket
+                .groupBy(*keys, slot_col.alias("slot"))
+                .agg((F.sum("__s").cast("double") / F.sum("__n"))
+                     .alias("__km")))
+    global_slot = (per_bucket
+                   .groupBy(slot_col.alias("slot"))
+                   .agg((F.sum("__s").cast("double") / F.sum("__n"))
+                        .alias("__gm")))
+    last = per_bucket.groupBy(*keys).agg(F.max("__b").alias("__last"))
+    grid = last.select(
+        *keys,
+        F.explode(F.sequence(F.col("__last") + 1,
+                             F.col("__last") + int(horizon)))
+        .alias("__fb"))
+    grid = grid.withColumn("slot", F.pmod(F.col("__fb"), F.lit(int(slots))))
+    out = (grid.join(F.broadcast(key_slot), keys + ["slot"], "left")
+           .join(F.broadcast(global_slot), ["slot"], "left"))
+    return out.select(
+        *keys,
+        F.timestamp_seconds(F.col("__fb") * int(bucket_s))
+        .alias("bucket_start"),
+        F.col("slot").cast("bigint").alias("slot"),
+        F.coalesce(F.col("__km"), F.col("__gm")).alias("forecast"),
+        F.col("__km").isNull().alias("from_fallback"))

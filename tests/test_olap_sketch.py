@@ -488,3 +488,36 @@ def test_winnow_arrow_equals_expression_form(spark):
     b = {(r.doc_id, r.fingerprint)
          for r in winnow_fingerprints_expr(both, k=5, w=4).collect()}
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------------------ forecast
+
+def test_seasonal_forecast_values_and_fallback(spark):
+    from feathr_spark.operators.forecast import seasonal_forecast
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # key "a": slot 0 always 10, slot 1 always 20, over 3 periods of 2 buckets
+    for p in range(3):
+        rows.append(Row(k="a", ts=base + dt.timedelta(hours=2 * p), v=10.0))
+        rows.append(Row(k="a", ts=base + dt.timedelta(hours=2 * p + 1),
+                        v=20.0))
+    # key "b": only ever slot 0, value 100
+    rows.append(Row(k="b", ts=base, v=100.0))
+    df = spark.createDataFrame(rows)
+    out = seasonal_forecast(df, ["k"], "ts", "v", bucket_s=3600,
+                            period_s=7200, horizon=4)
+    got = {(r.k, r.slot, r.bucket_start.hour): (r.forecast,
+                                                r.from_fallback)
+           for r in out.collect()}
+    assert len(got) == 8                       # 2 keys x horizon 4
+    # key a: exact per-slot means, no fallback
+    for (k, s, _), (f, fb) in got.items():
+        if k == "a":
+            assert not fb and f == (10.0 if s == 0 else 20.0)
+    # key b slot 0: own mean; slot 1: global fallback = mean of a's 20s
+    b_by_slot = {s: (f, fb) for (k, s, _), (f, fb) in got.items()
+                 if k == "b"}
+    assert b_by_slot[0] == (100.0, False)
+    assert b_by_slot[1] == (20.0, True)
+    with pytest.raises(ValueError):
+        seasonal_forecast(df, ["k"], "ts", "v", bucket_s=7, period_s=100)

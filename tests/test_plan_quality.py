@@ -286,6 +286,9 @@ EXCHANGE_BUDGET = {
     "decile_bins": 1,
     # WindowGroupLimit pushes the per-group cut below the one shuffle
     "group_topk": 1,
+    # one raw (key,bucket) shuffle; slot means / last-bucket / grid are
+    # partial re-aggregations of that small frame (broadcast joins)
+    "seasonal_forecast": 5,
     # lag window on user + the tiny |types|^2 count/total folds (all
     # post-window frames are matrix-sized, not data-sized)
     "event_transitions": 5,

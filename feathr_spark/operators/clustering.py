@@ -122,9 +122,17 @@ def _fit_centroids(vecs: DataFrame, k: int, n_iter: int,
         _centroid_means(init.select("__cid", "__v"), "__v", "__cid"))
     for _ in range(n_iter):
         assigned = _assign(vecs, cids, mat)
-        cids, mat = _collect_centroids(_centroid_means(
+        new_cids, new_mat = _collect_centroids(_centroid_means(
             assigned.select(F.col("cluster").alias("__cid"), "__v"),
             "__v", "__cid"))
+        # centroids are 6-dp-quantized, so exact equality IS the
+        # fixpoint test — stop early instead of burning the remaining
+        # rounds' scan+shuffle+collect (2 jobs each) on a no-op
+        converged = (new_cids == cids and new_mat.shape == mat.shape
+                     and bool((new_mat == mat).all()))
+        cids, mat = new_cids, new_mat
+        if converged:
+            break
     return cids, mat
 
 

@@ -1389,6 +1389,20 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM (stupid backoff) corpus scoring: per-doc mean transition
+    log-prob + perplexity proxy under the corpus's own bigram LM (every
+    transition seen here, so the oracle mirrors the pure ML path; the
+    backoff branch is value-tested against a foreign document in
+    pytest)."""
+    _utc(spark)
+    from feathr_spark.operators.lm import score_documents_bigram
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = score_documents_bigram(docs)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_transitions", "mean_logprob", "ppl")
+
+
 def q_seasonal_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive baseline forecast: next 24 hourly buckets per user
     from the per-(user, hour-of-day) historical mean, global-slot
@@ -1599,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": q_transitions,
         "weighted_sample": q_weighted_sample,
         "seasonal_forecast": q_seasonal_forecast,
+        "bigram_score": q_bigram_score,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2682,6 +2697,37 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "bigram_score": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            tr AS (
+              SELECT doc_id, p[1] AS w1, p[2] AS w2
+              FROM (SELECT doc_id,
+                           unnest(list_zip(t[1:len(t)-1], t[2:len(t)]))
+                               AS p
+                    FROM toks WHERE len(t) >= 2)),
+            cb AS (SELECT w1, w2, COUNT(*)::BIGINT AS c
+                   FROM tr GROUP BY 1, 2),
+            cp AS (SELECT w1, SUM(c)::BIGINT AS n FROM cb GROUP BY 1),
+            lm AS (SELECT w1, w2, ln(c * 1.0 / n) AS lp
+                   FROM cb JOIN cp USING (w1)),
+            dt AS (SELECT doc_id, w1, w2, COUNT(*)::BIGINT AS c
+                   FROM tr GROUP BY 1, 2, 3),
+            sc AS (
+              SELECT d.doc_id, SUM(d.c)::BIGINT AS n_transitions,
+                     SUM(d.c * CAST(round(l.lp * 1000000.0, 0) AS BIGINT))
+                         AS sm
+              FROM dt d JOIN lm l USING (w1, w2) GROUP BY 1)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, n_transitions,
+                   CAST(round(sm / 1000000.0 / n_transitions, 4) AS DOUBLE)
+                       AS mean_logprob,
+                   CAST(round(exp(-round(sm / 1000000.0 / n_transitions,
+                                         4)), 4) AS DOUBLE) AS ppl
+            FROM sc
         """,
         "seasonal_forecast": """
             WITH base AS (

@@ -82,6 +82,7 @@ HEADLINE = [
     "event_transitions",
     "weighted_sample",
     "seasonal_forecast",
+    "bigram_score",
     "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",

@@ -129,3 +129,95 @@ def score_documents(
         F.col("n_tokens"),
         mean.cast("double").alias("mean_logprob"),
         F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))
+
+
+def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram LM table: (w1, w2, c_bigram, c_prefix, logprob) with
+    logprob = ln(c(w1 w2) / c(w1·)) — the maximum-likelihood conditional
+    used by stupid backoff (Brants et al. 2007, the web-scale
+    distributed-LM design this module follows: no normalization pass, no
+    discount bookkeeping, counts compose under union).
+
+    One explode produces the transition pairs JVM-side (zip of the token
+    array with its tail); one ``groupBy(w1, w2)`` shuffle builds the
+    table; prefix totals re-aggregate the (much smaller) bigram counts,
+    never the corpus.
+    """
+    toks = df.select(_norm_tokens(F.col(text_col)).alias("__t"))
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    pairs = toks.select(F.explode(F.arrays_zip(
+        F.slice(F.col("__t"), 1, n1).alias("w1"),
+        F.slice(F.col("__t"), 2, n1).alias("w2"),
+    )).alias("__p")).select("__p.w1", "__p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c_bigram"))
+    prefix = counts.groupBy("w1").agg(
+        F.sum("c_bigram").cast("bigint").alias("c_prefix"))
+    return (counts.join(prefix, "w1")
+            .select("w1", "w2", "c_bigram", "c_prefix",
+                    F.log(F.col("c_bigram") / F.col("c_prefix"))
+                    .alias("logprob")))
+
+
+def score_documents_bigram(
+    df: DataFrame,
+    lm_corpus: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document mean TRANSITION log-score under the corpus's own
+    bigram LM with stupid backoff: a seen bigram scores
+    ln(c(w1 w2)/c(w1·)); an unseen one backs off to
+    ln(alpha) + unigram logprob(w2) (add-one smoothed; unseen w2 gets
+    the OOV mass). ``lm_corpus`` supplies the reference corpus the LM is
+    built from (default: score the corpus under its own LM, where every
+    transition is seen and backoff never fires — backoff matters when
+    scoring a candidate corpus against a reference). Documents with < 2
+    tokens have no transitions and produce no row.
+
+    Plan shape mirrors :func:`score_documents`: per-doc repeated
+    transitions collapse BEFORE the LM joins (hot bigrams join once per
+    doc); the bigram and unigram tables join by their own keys
+    (AQE-decided strategy); the per-doc fold sums exact integer
+    micro-nats (order-independent, bit-stable).
+
+    Output: (id, n_transitions, mean_logprob, ppl).
+    """
+    ref = lm_corpus if lm_corpus is not None else df
+    uni, oov = _lm_and_oov(ref, text_col)
+    blm = bigram_lm(ref, text_col)
+    toks = df.select(F.col(id_col).alias("__id"),
+                     _norm_tokens(F.col(text_col)).alias("__t"))
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    trans = (toks.select("__id", F.explode(F.arrays_zip(
+        F.slice(F.col("__t"), 1, n1).alias("w1"),
+        F.slice(F.col("__t"), 2, n1).alias("w2"),
+    )).alias("__p"))
+        .select("__id", "__p.w1", "__p.w2")
+        .groupBy("__id", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("__c")))
+    joined = (trans
+              .join(blm.select("w1", "w2",
+                               F.col("logprob").alias("__blp")),
+                    ["w1", "w2"], "left")
+              .join(uni.select(F.col("term").alias("w2"),
+                               F.col("logprob").alias("__ulp")),
+                    "w2", "left")
+              .crossJoin(F.broadcast(oov)))
+    import math
+    backoff = F.lit(math.log(alpha)) + F.coalesce(F.col("__ulp"),
+                                                  F.col("__oov"))
+    lp_micro = F.round(F.coalesce(F.col("__blp"), backoff) * F.lit(_MICRO),
+                       0).cast("bigint")
+    per_doc = (joined.groupBy("__id")
+               .agg(F.sum("__c").cast("bigint").alias("n_transitions"),
+                    F.sum(F.col("__c") * lp_micro).alias("__sum_micro")))
+    mean = F.round(F.col("__sum_micro") / F.lit(_MICRO)
+                   / F.col("n_transitions"), round_dp)
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        F.col("n_transitions"),
+        mean.cast("double").alias("mean_logprob"),
+        F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))

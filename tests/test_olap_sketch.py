@@ -521,3 +521,37 @@ def test_seasonal_forecast_values_and_fallback(spark):
     assert b_by_slot[1] == (20.0, True)
     with pytest.raises(ValueError):
         seasonal_forecast(df, ["k"], "ts", "v", bucket_s=7, period_s=100)
+
+
+# ----------------------------------------------------------- bigram LM
+
+def test_bigram_lm_stupid_backoff_values(spark):
+    import math
+    from feathr_spark.operators.lm import (bigram_lm,
+                                           score_documents_bigram)
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "z")],
+        "doc_id bigint, text string")
+    lm = {(r.w1, r.w2): (r.c_bigram, r.c_prefix, r.logprob)
+          for r in bigram_lm(df).collect()}
+    # transitions: d1: ab, ba, ab, bc ; d2: ab, bx -> c(ab)=3, c(a.)=3
+    assert lm[("a", "b")][0] == 3 and lm[("a", "b")][1] == 3
+    assert abs(lm[("a", "b")][2] - math.log(3 / 3)) < 1e-12
+    assert lm[("b", "a")][0] == 1 and lm[("b", "a")][1] == 3
+    # doc 3 has one token: no transitions, no output row
+    out = {r.doc_id: r for r in score_documents_bigram(df).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_transitions == 4 and out[2].n_transitions == 2
+    # self-LM: every transition is seen. doc2 = ab (ln 3/3) + bx (ln 1/3)
+    exp2 = (0.0 + math.log(1 / 3)) / 2
+    assert abs(out[2].mean_logprob - round(exp2, 4)) < 5e-4
+
+    # foreign doc against the reference LM: backoff fires
+    foreign = spark.createDataFrame([(9, "a q")],
+                                    "doc_id bigint, text string")
+    fo = score_documents_bigram(foreign, lm_corpus=df).collect()[0]
+    # "a q" unseen bigram; q not even in vocab -> ln(0.4) + OOV
+    # unigram ref: total=9 vocab=5 -> oov = ln(1/14)
+    expf = math.log(0.4) + math.log(1 / 14)
+    assert fo.n_transitions == 1
+    assert abs(fo.mean_logprob - round(expf, 4)) < 5e-4

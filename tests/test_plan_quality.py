@@ -38,6 +38,7 @@ BROADCAST_LOOP_OK = {
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
+    "bigram_score",
     # embeds cosine_pairs_exact's partition-parallel broadcast loop
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
@@ -217,6 +218,9 @@ EXCHANGE_BUDGET = {
     # runtime); scoring: groupBy(doc, term), the term-keyed LM join pair,
     # and the final per-doc fold.
     "lm_score": 7,
+    # bigram LM build (pair groupBy + prefix regroup) + unigram fallback
+    # build + per-doc transition collapse + the two LM joins + final fold
+    "bigram_score": 10,
     # ONE bucket-partitioned window shuffle — the whole packing plan
     "pack_sequences": 1,
     # rate CASE + row-local explode + hash order key: fully narrow

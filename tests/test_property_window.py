@@ -343,3 +343,66 @@ def test_range_join_matches_bruteforce_property(spark, data):
     brute = {(j, i) for i, t in points for j, s, e in ivs
              if s <= t < e}
     assert got == brute
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_dedup_spans_matches_bruteforce_property(spark, data):
+    """Property: span dedup == a python brute-force keep-first pass for
+    random small corpora over a tiny vocabulary (maximizing collisions)."""
+    from feathr_spark.operators.text import dedup_spans
+    vocab = ["aa", "bb", "cc"]
+    k = data.draw(st.integers(1, 3), label="span_words")
+    docs = []
+    n_docs = data.draw(st.integers(0, 6), label="n_docs")
+    for i in range(n_docs):
+        n_words = data.draw(st.integers(0, 9), label=f"n{i}")
+        words = [data.draw(st.sampled_from(vocab), label=f"w{i}_{j}")
+                 for j in range(n_words)]
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs or [(0, "x")],
+                               "doc_id bigint, text string")
+    if not docs:
+        df = df.where("doc_id < 0")
+    got = {r.doc_id: (r.text_clean, r.n_spans_kept, r.n_spans_dropped)
+           for r in dedup_spans(df, span_words=k).collect()}
+
+    seen, expect = set(), {}
+    for i, text in docs:
+        words = text.split() if text.strip() else []
+        spans = [" ".join(words[s:s + k]) for s in range(0, len(words), k)]
+        spans = [s for s in spans if s]
+        kept = []
+        dropped = 0
+        for sp in spans:
+            if sp in seen:
+                dropped += 1
+            else:
+                seen.add(sp)
+                kept.append(sp)
+        if spans:
+            expect[i] = (" ".join(kept), len(kept), dropped)
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_heavy_hitters_error_bound_property(spark, data):
+    """Property: for random word distributions and tiny capacities, every
+    reported term satisfies est <= true <= est + max_err, and any term
+    with true count > max_err appears in a top-k covering the summary."""
+    from feathr_spark.operators.sketch import heavy_hitters
+    n_terms = data.draw(st.integers(1, 30), label="n_terms")
+    counts = {f"t{i:02d}": data.draw(st.integers(1, 60), label=f"c{i}")
+              for i in range(n_terms)}
+    words = [t for t, c in counts.items() for _ in range(c)]
+    # deterministic interleave across a few docs
+    docs = [(j, " ".join(words[j::3])) for j in range(3)]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    cap = data.draw(st.sampled_from([4, 8, 16, 64]), label="cap")
+    k = min(cap, n_terms)
+    out = heavy_hitters(df, "text", k=k, capacity=cap).collect()
+    for r in out:
+        assert r.est_count <= counts[r.term] <= r.est_count + r.max_err, r

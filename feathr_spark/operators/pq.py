@@ -306,3 +306,53 @@ def pq_topk(
                      F.round(_dot(F.col("__qv"), F.col("__cv")), 4)
                      .cast("double").alias("__score")))
     return _two_stage_topk(exact, k)
+
+
+def pq_books_to_df(spark, books) -> DataFrame:
+    """Serialize codebooks to a tiny DataFrame (subspace, code, centroid)
+    — the persistable half of a PQ index (write to parquet next to the
+    encoded codes; m*kc rows total)."""
+    rows = [(s, int(c), [float(x) for x in books[s][1][i]])
+            for s in range(len(books))
+            for i, c in enumerate(books[s][0])]
+    return spark.createDataFrame(
+        rows, "subspace int, code int, centroid array<double>")
+
+
+def pq_books_from_df(books_df: DataFrame):
+    """Rebuild the in-memory codebooks from a persisted books frame (the
+    bounded driver action: m*kc rows)."""
+    rows = books_df.collect()
+    m = max(r["subspace"] for r in rows) + 1
+    books = []
+    for s in range(m):
+        sub = sorted([r for r in rows if r["subspace"] == s],
+                     key=lambda r: r["code"])
+        cids = [int(r["code"]) for r in sub]
+        mat = np.array([r["centroid"] for r in sub], dtype=np.float64)
+        books.append((cids, mat))
+    return books
+
+
+def pq_index(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 16,
+    kc: int = 16,
+    n_iter: int = 4,
+    dim: int = 64,
+    train_fraction: float = 1.0,
+) -> Tuple[DataFrame, DataFrame]:
+    """(books_df, codes_df): the persistable PQ index. ``codes_df`` holds
+    one (neighbor_id, codes) row per corpus vector — m bytes of payload
+    instead of dim floats; both frames write to parquet and future
+    queries search WITHOUT re-reading the float corpus (until a re-rank
+    stage explicitly asks for it). New batches encode against the same
+    books frame (``pq_encode(new_df, pq_books_from_df(books_df))``), so
+    the index grows by appending code rows — codebooks stay fixed, the
+    standard frozen-codebook regime."""
+    books = pq_fit(corpus, vec_col, id_col, m, kc, n_iter,
+                   train_fraction, dim)
+    return (pq_books_to_df(corpus.sparkSession, books),
+            pq_encode(corpus, books, vec_col, id_col))

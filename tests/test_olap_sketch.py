@@ -555,3 +555,28 @@ def test_bigram_lm_stupid_backoff_values(spark):
     expf = math.log(0.4) + math.log(1 / 14)
     assert fo.n_transitions == 1
     assert abs(fo.mean_logprob - round(expf, 4)) < 5e-4
+
+
+def test_pq_index_roundtrip_and_frozen_codebook_encode(spark, tmp_path):
+    """PQ index persistence: books round-trip through a DataFrame (and
+    parquet) bit-identically, and encoding a new batch against the
+    reloaded books equals encoding against the originals."""
+    import numpy as np
+    from feathr_spark.operators.pq import (pq_books_from_df, pq_books_to_df,
+                                           pq_encode, pq_fit, pq_index)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    books_df, codes_df = pq_index(emb, m=8, kc=8, n_iter=2)
+    path = str(tmp_path / "pq_books.parquet")
+    books_df.write.parquet(path)
+    books2 = pq_books_from_df(spark.read.parquet(path))
+    books = pq_fit(emb, m=8, kc=8, n_iter=2)
+    assert len(books2) == len(books)
+    for (c1, m1), (c2, m2) in zip(books, books2):
+        assert c1 == c2 and np.array_equal(m1, m2)
+    new_batch = emb.limit(50)
+    e1 = {r.neighbor_id: list(r.codes)
+          for r in pq_encode(new_batch, books).collect()}
+    e2 = {r.neighbor_id: list(r.codes)
+          for r in pq_encode(new_batch, books2).collect()}
+    assert e1 == e2
+    assert codes_df.count() == emb.count()

@@ -645,3 +645,63 @@ def test_stream_decay_counters_match_batch_decay(spark, tmp_path):
             "v", Aggregation.DECAY_SUM, "30d", agg_param=1.0))],
         strategy="union_window").collect()[0].ds
     assert abs(batch - max(got)) < 1e-9
+
+
+def test_stream_features_to_online_store_e2e(spark, tmp_path):
+    """End-to-end streaming materialization into the online store: a
+    file-stream of events -> stateful latest-feature view -> foreachBatch
+    RedisSink write (injected in-memory client) — the reference's
+    streaming:true online-refresh flow with every hop value-checked."""
+    import json
+    import os
+    from feathr_spark.materialization import RedisSink
+    from feathr_spark.streaming.stateful import stream_latest_features
+
+    out_dir = str(tmp_path / "online_calls")
+    os.makedirs(out_dir)
+
+    class _FakeRedis:
+        def __init__(self):
+            self.calls = []
+
+        def pipeline(self):
+            return self
+
+        def hset(self, name, mapping=None):
+            self.calls.append({"name": name, "mapping": mapping})
+
+        def execute(self):
+            import uuid
+            p = os.path.join(out_dir, f"{uuid.uuid4().hex}.jsonl")
+            with open(p, "w") as f:
+                for c in self.calls:
+                    f.write(json.dumps(c) + "\n")
+            self.calls = []
+
+    src = str(tmp_path / "stream_online_in")
+    df = spark.createDataFrame([
+        Row(key_user="1", t=ts("2024-01-01 00:00:10"), f_bal=5.0),
+        Row(key_user="1", t=ts("2024-01-01 00:02:00"), f_bal=9.0),
+        Row(key_user="2", t=ts("2024-01-01 00:01:00"), f_bal=7.0),
+    ])
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    latest = stream_latest_features(stream, ["key_user"], "t", ["f_bal"])
+
+    sink = RedisSink(table_name="feat", streaming=True,
+                     client_factory=_FakeRedis)
+    q = (latest.writeStream.outputMode("update")
+         .foreachBatch(lambda batch, _bid: sink.write(batch))
+         .start())
+    q.processAllAvailable()
+    q.stop()
+
+    latest_row = {}
+    for fn in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, fn)) as f:
+            for line in f:
+                c = json.loads(line)
+                latest_row[c["name"]] = c["mapping"]
+    assert set(latest_row) == {"feat:1", "feat:2"}
+    assert json.loads(latest_row["feat:1"]["f_bal"]) == 9.0
+    assert json.loads(latest_row["feat:2"]["f_bal"]) == 7.0

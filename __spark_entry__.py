@@ -1391,6 +1391,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF feature transform: each order's percentile rank of
+    o_totalprice within its priority group (rank built from non-null
+    count, SQL percent_rank tie semantics)."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import percentile_rank
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = percentile_rank(orders, "o_totalprice", by=["o_orderpriority"])
+    return out.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round(F.col("o_totalprice_pct"), 4).cast("double")
+        .alias("o_totalprice_pct"))
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling: per user, up to 4 md5-drawn event
+    types the user never produced — the contrastive-training pair
+    generator, bit-reproducible (no RNG state)."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import negative_sample
+    # day-1 interactions only: with the full month every user has touched
+    # every type and the negative set is empty (nothing to gate)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .where(F.dayofmonth(F.col("ts").cast("timestamp")) == 1)
+    out = negative_sample(events, "user_id", "event_type", k=4)
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      "event_type", "draw")
+
+
 def q_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM (stupid backoff) corpus scoring: per-doc mean transition
     log-prob + perplexity proxy under the corpus's own bigram LM (every
@@ -1616,6 +1645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "seasonal_forecast": q_seasonal_forecast,
         "bigram_score": q_bigram_score,
+        "cdf_rank": q_cdf_rank,
+        "negative_pairs": q_negative_pairs,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2699,6 +2730,45 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "cdf_rank": """
+            SELECT o_orderkey,
+                   CAST(ROUND(CASE WHEN cnt > 1
+                              THEN (rk - 1) * 1.0 / (cnt - 1)
+                              ELSE 0.0 END, 4) AS DOUBLE)
+                       AS o_totalprice_pct
+            FROM (SELECT o_orderkey,
+                         rank() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice) AS rk,
+                         count(o_totalprice)
+                             OVER (PARTITION BY o_orderpriority) AS cnt
+                  FROM orders)
+        """,
+        "negative_pairs": """
+            WITH ev AS (
+              SELECT user_id, event_type FROM events
+              WHERE date_part('day', CAST(ts AS TIMESTAMP)) = 1),
+            rights AS (
+              SELECT event_type AS r,
+                     row_number() OVER (ORDER BY event_type) - 1 AS idx
+              FROM (SELECT DISTINCT event_type FROM ev)),
+            nr AS (SELECT count(*) AS n FROM rights),
+            lefts AS (SELECT DISTINCT user_id AS l FROM ev),
+            draws AS (
+              SELECT l, d.draw,
+                     ('0x' || substr(md5(CAST(l AS VARCHAR) || ':'
+                                         || CAST(d.draw AS VARCHAR)),
+                                     1, 15))::BIGINT % nr.n AS idx
+              FROM lefts, nr,
+                   (SELECT unnest(generate_series(0, 3)) AS draw) d),
+            cand AS (
+              SELECT l, r, CAST(min(draw) AS BIGINT) AS draw
+              FROM draws JOIN rights USING (idx) GROUP BY l, r),
+            pos AS (SELECT DISTINCT user_id AS l, event_type AS r
+                    FROM ev)
+            SELECT c.l AS user_id, c.r AS event_type, c.draw
+            FROM cand c LEFT JOIN pos p ON p.l = c.l AND p.r = c.r
+            WHERE p.l IS NULL
         """,
         "bigram_score": r"""
             WITH toks AS (

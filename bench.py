@@ -83,6 +83,8 @@ HEADLINE = [
     "weighted_sample",
     "seasonal_forecast",
     "bigram_score",
+    "cdf_rank",
+    "negative_pairs",
     "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",

@@ -91,3 +91,52 @@ def weighted_sample(df: DataFrame, weight_col: str,
     p = F.least(F.col(weight_col).cast("double") * F.lit(float(scale)),
                 F.lit(1.0))
     return df.where(draw < p)
+
+
+def negative_sample(df: DataFrame, left_col: str, right_col: str,
+                    k: int = 4, salt: str = "") -> DataFrame:
+    """Deterministic negative sampling: for every distinct ``left`` value,
+    draw ``k`` pseudo-random ``right`` values from the observed right
+    domain and keep those NOT observed with that left — the standard
+    negative-pair generator for contrastive / recommendation training,
+    with md5 draws instead of RNG state so the sample is bit-reproducible
+    across engines and cluster sizes.
+
+    Plan shape: the right domain is ranked once (a dimension-sized
+    single-partition sort — rights are items/labels/types, not events)
+    and broadcast twice (index lookup + count); the left side fans out
+    only k rows per DISTINCT left; the observed-pair anti-join runs on
+    the (left, right) key. Draws that collide with a positive or with
+    each other are DROPPED, not redrawn (keeps the operator one-pass;
+    with k << |rights| the loss is small and unbiased).
+
+    Output: (left, right, draw) — ``draw`` is the 0-based draw index
+    that produced the pair.
+    """
+    from pyspark.sql import Window
+
+    lefts = df.select(F.col(left_col).alias("__l")).distinct()
+    rights = (df.select(F.col(right_col).alias("__r")).distinct()
+              .withColumn("__idx",
+                          F.row_number().over(
+                              Window.partitionBy().orderBy("__r")) - 1))
+    n_r = rights.groupBy().agg(F.count("*").alias("__nr"))
+    draws = (lefts.crossJoin(F.broadcast(n_r))
+             .select("__l", "__nr",
+                     F.explode(F.sequence(F.lit(0), F.lit(int(k) - 1)))
+                     .alias("draw")))
+    idx = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("__l").cast("string"),
+                           F.lit(":"), F.col("draw").cast("string"))),
+            1, 15), 16, 10).cast("bigint"),
+        F.col("__nr"))
+    cand = (draws.withColumn("__idx", idx)
+            .join(F.broadcast(rights), "__idx")
+            .groupBy("__l", "__r")
+            .agg(F.min("draw").cast("bigint").alias("draw")))
+    pos = df.select(F.col(left_col).alias("__l"),
+                    F.col(right_col).alias("__r")).distinct()
+    return (cand.join(pos, ["__l", "__r"], "left_anti")
+            .select(F.col("__l").alias(left_col),
+                    F.col("__r").alias(right_col), "draw"))

@@ -186,3 +186,34 @@ def quantile_bins(
         lambda acc, c: acc + F.when(vd > c, 1).otherwise(0)))
     return joined.withColumn(f"{value_col}_bin",
                              bucket.cast("bigint")).drop("__cuts")
+
+
+def percentile_rank(
+    df: DataFrame,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Empirical-CDF transform: each row's percentile rank within its
+    group — ``(rank - 1) / (n - 1)`` (SQL ``percent_rank`` semantics:
+    ties share a rank, single-row groups get 0.0). The
+    distribution-free normalization that maps any feature onto [0, 1].
+
+    One shuffle (the per-group sort window); NULL values get NULL rank
+    and do not count toward n. Adds ``{col}_pct``. Per-group history
+    sorts in one task (the usual window skew caveat); with ``by=None``
+    the WHOLE frame sorts in one task — global CDFs are for dimension-
+    sized frames only, group at scale.
+    """
+    from pyspark.sql import Window
+    keys = list(by or [])
+    v = F.col(value_col)
+    w = Window.partitionBy(*keys)
+    # built from rank + non-null count, NOT percent_rank: percent_rank's
+    # n-1 denominator counts NULL rows. With nulls sorted last, non-null
+    # rows' ranks are unaffected, and count(v) ignores nulls.
+    rk = F.rank().over(w.orderBy(v.asc_nulls_last()))
+    n = F.count(v).over(w)
+    pct = F.when(v.isNull(), F.lit(None).cast("double")) \
+        .when(n > 1, (rk - 1).cast("double") / (n - 1)) \
+        .otherwise(F.lit(0.0))
+    return df.withColumn(f"{value_col}_pct", pct)

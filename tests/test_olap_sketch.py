@@ -580,3 +580,40 @@ def test_pq_index_roundtrip_and_frozen_codebook_encode(spark, tmp_path):
           for r in pq_encode(new_batch, books2).collect()}
     assert e1 == e2
     assert codes_df.count() == emb.count()
+
+
+def test_percentile_rank_groups_ties_nulls(spark):
+    from feathr_spark.operators.scaling import percentile_rank
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 4.0), ("a", None),
+         ("b", 9.0)],
+        "g string, v double")
+    got = [(r.g, r.v, r.v_pct)
+           for r in percentile_rank(df, "v", by=["g"]).collect()]
+    vals = {(g, v): p for g, v, p in got}
+    assert vals[("a", 1.0)] == 0.0
+    assert vals[("a", 2.0)] == 1 / 3          # ties share rank 2 -> (2-1)/3
+    assert vals[("a", 4.0)] == 1.0
+    assert vals[("a", None)] is None          # null excluded from n
+    assert vals[("b", 9.0)] == 0.0            # singleton group
+
+
+def test_negative_sample_determinism_and_exclusion(spark):
+    from feathr_spark.operators.sampling import negative_sample
+    pos = [(u, t) for u in range(20) for t in ("a", "b")]  # every u has a,b
+    df = spark.createDataFrame(pos + [(0, "c")], "u int, t string")
+    out1 = negative_sample(df, "u", "t", k=4)
+    out2 = negative_sample(df, "u", "t", k=4)
+    s1 = {(r.u, r.t, r.draw) for r in out1.collect()}
+    assert s1 == {(r.u, r.t, r.draw) for r in out2.collect()}  # deterministic
+    # no sampled pair may be a positive
+    pos_set = set(pos) | {(0, "c")}
+    assert all((u, t) not in pos_set for u, t, _ in s1)
+    # only "c" is a possible negative for u>0; at most one per user
+    assert all(t == "c" for _, t, _ in s1)
+    from collections import Counter
+    per_u = Counter(u for u, _, _ in s1)
+    assert all(c == 1 for c in per_u.values())
+    assert 0 not in per_u                     # u=0 observed all rights
+    # deterministic md5 draws: 11 of the 19 eligible users hit 'c'
+    assert len(per_u) == 11

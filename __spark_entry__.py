@@ -1391,6 +1391,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t between event variants on the value metric —
+    one scan, exact decimal moments, scalar t/df arithmetic."""
+    _utc(spark)
+    from feathr_spark.operators.stats import ab_welch_t
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ab_welch_t(events, "event_type", "value", "view", "purchase")
+    r4n = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return out.select(
+        "control", "treatment", "n_control", "n_treatment",
+        r4n("mean_control"), r4n("mean_treatment"),
+        r4n("std_control"), r4n("std_treatment"),
+        r4n("mean_diff"), r4n("t_stat"), r4n("welch_df"))
+
+
 def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF feature transform: each order's percentile rank of
     o_totalprice within its priority group (rank built from non-null
@@ -1647,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_score": q_bigram_score,
         "cdf_rank": q_cdf_rank,
         "negative_pairs": q_negative_pairs,
+        "ab_welch": q_ab_welch,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2730,6 +2747,52 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "ab_welch": """
+            WITH s AS (
+              SELECT count(CASE WHEN event_type = 'view' THEN value END)
+                         AS nc,
+                     sum(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(28,8)) END) AS sc,
+                     sum(CASE WHEN event_type = 'view'
+                         THEN CAST(value AS DECIMAL(28,8))
+                              * CAST(value AS DECIMAL(28,8)) END) AS ssc,
+                     count(CASE WHEN event_type = 'purchase' THEN value
+                           END) AS nt,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(28,8)) END) AS st,
+                     sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(28,8))
+                              * CAST(value AS DECIMAL(28,8)) END) AS sst
+              FROM events),
+            d AS (
+              SELECT nc, nt,
+                     CAST(sc AS DOUBLE) / nc AS mc,
+                     CAST(st AS DOUBLE) / nt AS mt,
+                     (CAST(ssc AS DOUBLE)
+                      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / nc)
+                         / (nc - 1) AS vc,
+                     (CAST(sst AS DOUBLE)
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nt)
+                         / (nt - 1) AS vt
+              FROM s)
+            SELECT 'view' AS control, 'purchase' AS treatment,
+                   CAST(nc AS BIGINT) AS n_control,
+                   CAST(nt AS BIGINT) AS n_treatment,
+                   CAST(ROUND(mc + 1e-9, 4) AS DOUBLE) AS mean_control,
+                   CAST(ROUND(mt + 1e-9, 4) AS DOUBLE) AS mean_treatment,
+                   CAST(ROUND(sqrt(vc) + 1e-9, 4) AS DOUBLE)
+                       AS std_control,
+                   CAST(ROUND(sqrt(vt) + 1e-9, 4) AS DOUBLE)
+                       AS std_treatment,
+                   CAST(ROUND(mt - mc + 1e-9, 4) AS DOUBLE) AS mean_diff,
+                   CAST(ROUND((mt - mc) / sqrt(vc / nc + vt / nt) + 1e-9,
+                              4) AS DOUBLE) AS t_stat,
+                   CAST(ROUND(pow(vc / nc + vt / nt, 2)
+                              / (pow(vc / nc, 2) / (nc - 1)
+                                 + pow(vt / nt, 2) / (nt - 1)) + 1e-9, 4)
+                        AS DOUBLE) AS welch_df
+            FROM d
         """,
         "cdf_rank": """
             SELECT o_orderkey,

@@ -85,6 +85,7 @@ HEADLINE = [
     "bigram_score",
     "cdf_rank",
     "negative_pairs",
+    "ab_welch",
     "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",

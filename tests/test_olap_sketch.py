@@ -617,3 +617,30 @@ def test_negative_sample_determinism_and_exclusion(spark):
     assert 0 not in per_u                     # u=0 observed all rights
     # deterministic md5 draws: 11 of the 19 eligible users hit 'c'
     assert len(per_u) == 11
+
+
+def test_ab_welch_t_matches_scipy_formula(spark):
+    import numpy as np
+    from feathr_spark.operators.stats import ab_welch_t
+    rng = np.random.RandomState(3)
+    a = rng.normal(10.0, 2.0, 40).round(3)
+    b = rng.normal(11.0, 3.0, 55).round(3)
+    rows = [("control", float(x)) for x in a] + \
+           [("treat", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "variant string, m double")
+    r = ab_welch_t(df, "variant", "m", "control", "treat").collect()[0]
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (b.mean() - a.mean()) / np.sqrt(se2)
+    dfree = se2 ** 2 / ((va / len(a)) ** 2 / (len(a) - 1)
+                        + (vb / len(b)) ** 2 / (len(b) - 1))
+    assert r.n_control == 40 and r.n_treatment == 55
+    assert abs(r.t_stat - t) < 1e-9
+    assert abs(r.welch_df - dfree) < 1e-6
+    assert abs(r.mean_diff - (b.mean() - a.mean())) < 1e-9
+    # degenerate arm -> NULL t
+    d2 = spark.createDataFrame([("control", 1.0), ("control", 1.0),
+                                ("treat", 1.0), ("treat", 1.0)],
+                               "variant string, m double")
+    r2 = ab_welch_t(d2, "variant", "m", "control", "treat").collect()[0]
+    assert r2.t_stat is None

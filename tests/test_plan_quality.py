@@ -310,6 +310,8 @@ EXCHANGE_BUDGET = {
     "event_transitions": 5,
     # pure row-local filter: md5 draw vs inclusion probability
     "weighted_sample": 0,
+    # one scan, single-row moments fold
+    "ab_welch": 1,
     # one per-group sort window
     "cdf_rank": 1,
     # distinct lefts/rights/positives folds + the anti-join; the rights

@@ -1391,6 +1391,36 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_chars").cast("bigint").alias("n_chars"))
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) through the engine's
+    grouping-sets operator: the classic scan-heavy aggregate, exact
+    decimal sums rendered as doubles, single Expand+aggregate plan."""
+    _utc(spark)
+    from feathr_spark.operators.olap import grouping_sets_agg
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate").cast("timestamp")
+                 <= F.lit("1998-09-02").cast("timestamp")))
+    return grouping_sets_agg(
+        li, [("l_returnflag", "l_linestatus")],
+        {"count_order": "count(*)",
+         "sum_qty":
+             "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
+         "sum_base_price":
+             "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)",
+         "sum_disc_price":
+             "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+             "AS DECIMAL(18,6))) AS DOUBLE)",
+         "sum_charge":
+             "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+             "* (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)",
+         "avg_qty":
+             "CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) "
+             "AS DOUBLE) / count(l_quantity) + 1e-9, 4) AS DOUBLE)",
+         "avg_disc":
+             "CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) "
+             "AS DOUBLE) / count(l_discount) + 1e-9, 4) AS DOUBLE)"})
+
+
 def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t between event variants on the value metric —
     one scan, exact decimal moments, scalar t/df arithmetic."""
@@ -1664,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_rank": q_cdf_rank,
         "negative_pairs": q_negative_pairs,
         "ab_welch": q_ab_welch,
+        "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
         "decile_bins": q_decile_bins,
@@ -2747,6 +2778,30 @@ def oracle_sql() -> dict[str, str]:
              AND epoch_ms(s.o_orderdate) >  epoch_ms(o.o_orderdate) - 7776000000
              AND epoch_ms(s.o_orderdate) <= epoch_ms(o.o_orderdate)
             GROUP BY o.o_orderkey
+        """,
+        "pricing_summary": """
+            SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+                   CAST(l_linestatus AS VARCHAR) AS l_linestatus,
+                   count(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,6))) AS DOUBLE)
+                       AS sum_disc_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) AS DECIMAL(18,6)))
+                        AS DOUBLE) AS sum_charge,
+                   CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                                   AS DOUBLE) / count(l_quantity) + 1e-9,
+                              4) AS DOUBLE) AS avg_qty,
+                   CAST(ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6)))
+                                   AS DOUBLE) / count(l_discount) + 1e-9,
+                              4) AS DOUBLE) AS avg_disc
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "ab_welch": """
             WITH s AS (

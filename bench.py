@@ -86,6 +86,7 @@ HEADLINE = [
     "cdf_rank",
     "negative_pairs",
     "ab_welch",
+    "pricing_summary",
     "ann_pq_topk",
     "rolling_anomaly",
     "value_histogram",

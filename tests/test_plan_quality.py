@@ -312,6 +312,8 @@ EXCHANGE_BUDGET = {
     "weighted_sample": 0,
     # one scan, single-row moments fold
     "ab_welch": 1,
+    # TPC-H Q1 shape: one Expand + aggregate pair
+    "pricing_summary": 1,
     # one per-group sort window
     "cdf_rank": 1,
     # distinct lefts/rights/positives folds + the anti-join; the rights

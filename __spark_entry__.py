@@ -1529,6 +1529,29 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
                          compare_cols=["f_cnt_90d"], summary=True)
 
 
+def q_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between the two halves of the events
+    month (ref = first half, cur = second half): per-column PSI terms
+    over a shared equal-width grid anchored on the reference half's
+    min/max, with escape buckets for out-of-range and NULL values.
+    ONE scan per side (columns melt in the projection), bounds frame
+    broadcast, everything downstream grid-sized."""
+    _utc(spark)
+    from feathr_spark.operators.quality import drift_report
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("ts"),
+                  F.when(F.col("event_type") != "error", F.col("value"))
+                  .alias("val"),
+                  F.hour("ts").cast("double").alias("hod")))
+    cut = "2024-01-16 00:00:00"
+    ref = ev.where(F.col("ts") < F.lit(cut).cast("timestamp"))
+    cur = ev.where(F.col("ts") >= F.lit(cut).cast("timestamp"))
+    out = drift_report(ref, cur, ["val", "hod"], bins=10)
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double").alias(c)
+    return out.select("column", "bucket", r4("bucket_lo"), r4("bucket_hi"),
+                      r4("ref_frac"), r4("cur_frac"), r4("psi_term"))
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level OLAP aggregate in ONE pass: GROUPING SETS over
     (priority, status) / (priority) / () — a single Expand + hash
@@ -1686,6 +1709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_price": q_zscore,
         "corr_columns": q_corr_matrix,
         "dq_report": q_dq_report,
+        "drift_events": q_drift_events,
         "snapshot_changes": q_snapshot_changes,
         "event_transitions": q_transitions,
         "weighted_sample": q_weighted_sample,
@@ -2999,6 +3023,86 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'in_range', 'o_totalprice', CAST(r AS DOUBLE),
                    CAST(0 AS DOUBLE), r = 0 FROM s
+        """,
+        "drift_events": """
+            WITH ev AS (
+              SELECT ts,
+                     CASE WHEN event_type <> 'error' THEN value END AS val,
+                     CAST(hour(ts) AS DOUBLE) AS hod
+              FROM events),
+            mref AS (
+              SELECT 'val' AS col, CAST(val AS DOUBLE) AS v FROM ev
+              WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+              UNION ALL
+              SELECT 'hod', hod FROM ev
+              WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+            mcur AS (
+              SELECT 'val' AS col, CAST(val AS DOUBLE) AS v FROM ev
+              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+              UNION ALL
+              SELECT 'hod', hod FROM ev
+              WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+            b AS (SELECT col, min(v) AS lo, max(v) AS hi
+                  FROM mref GROUP BY col),
+            cref AS (
+              SELECT m.col,
+                     CASE WHEN m.v IS NULL THEN -2
+                          WHEN b.lo IS NULL OR m.v < b.lo THEN -1
+                          WHEN m.v > b.hi THEN 10
+                          WHEN b.hi = b.lo THEN 0
+                          ELSE least(CAST(floor((m.v - b.lo)
+                                          / ((b.hi - b.lo) / 10))
+                                     AS BIGINT), 9) END AS bucket,
+                     count(*) AS rn
+              FROM mref m JOIN b USING (col) GROUP BY 1, 2),
+            ccur AS (
+              SELECT m.col,
+                     CASE WHEN m.v IS NULL THEN -2
+                          WHEN b.lo IS NULL OR m.v < b.lo THEN -1
+                          WHEN m.v > b.hi THEN 10
+                          WHEN b.hi = b.lo THEN 0
+                          ELSE least(CAST(floor((m.v - b.lo)
+                                          / ((b.hi - b.lo) / 10))
+                                     AS BIGINT), 9) END AS bucket,
+                     count(*) AS cn
+              FROM mcur m JOIN b USING (col) GROUP BY 1, 2),
+            grid AS (
+              SELECT b.col, b.lo, b.hi,
+                     unnest(generate_series(-2, 10)) AS bucket
+              FROM b),
+            j AS (
+              SELECT g.col, g.bucket, g.lo, g.hi,
+                     coalesce(cref.rn, 0) AS rn,
+                     coalesce(ccur.cn, 0) AS cn
+              FROM grid g
+              LEFT JOIN cref ON cref.col = g.col
+                            AND cref.bucket = g.bucket
+              LEFT JOIN ccur ON ccur.col = g.col
+                            AND ccur.bucket = g.bucket),
+            fr AS (
+              SELECT col, bucket, lo, hi,
+                     CASE WHEN sum(rn) OVER (PARTITION BY col) > 0
+                          THEN rn / sum(rn) OVER (PARTITION BY col)
+                          ELSE 0.0 END AS ref_frac,
+                     CASE WHEN sum(cn) OVER (PARTITION BY col) > 0
+                          THEN cn / sum(cn) OVER (PARTITION BY col)
+                          ELSE 0.0 END AS cur_frac
+              FROM j)
+            SELECT col AS "column", CAST(bucket AS BIGINT) AS bucket,
+                   CAST(ROUND(CASE WHEN bucket BETWEEN 0 AND 9
+                        THEN lo + bucket * ((hi - lo) / 10) END
+                        + 1e-9, 4) AS DOUBLE) AS bucket_lo,
+                   CAST(ROUND(CASE WHEN bucket BETWEEN 0 AND 9
+                        THEN lo + (bucket + 1) * ((hi - lo) / 10) END
+                        + 1e-9, 4) AS DOUBLE) AS bucket_hi,
+                   CAST(ROUND(ref_frac + 1e-9, 4) AS DOUBLE) AS ref_frac,
+                   CAST(ROUND(cur_frac + 1e-9, 4) AS DOUBLE) AS cur_frac,
+                   CAST(ROUND((greatest(cur_frac, 1e-6)
+                               - greatest(ref_frac, 1e-6))
+                              * ln(greatest(cur_frac, 1e-6)
+                                   / greatest(ref_frac, 1e-6))
+                              + 1e-9, 4) AS DOUBLE) AS psi_term
+            FROM fr
         """,
         "snapshot_changes": f"""
             WITH o AS (

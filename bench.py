@@ -97,6 +97,7 @@ HEADLINE = [
     "range_join_events",
     "heavy_hitters",
     "span_dedup",
+    "drift_events",
 ]
 
 

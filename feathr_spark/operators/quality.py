@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -135,3 +135,115 @@ def snapshot_diff(
             .select("change",
                     F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
                     .alias("n")))
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_cols: Sequence[str],
+    bins: int = 10,
+    min_frac: float = 1e-6,
+    summary: bool = False,
+) -> DataFrame:
+    """Distribution-drift report between a reference snapshot and a
+    current one: per numeric column, compare the two frames' value
+    distributions over a SHARED equal-width grid anchored on the
+    reference frame's min/max, and score the shift with PSI (population
+    stability index) terms. The monitoring companion to
+    ``snapshot_diff`` — feature platforms alarm on exactly this when a
+    refreshed materialization's feature distribution walks away from
+    the training-time one (the reference ships snapshots blindly,
+    ``feathr-rs/src/materialization.rs`` has no monitoring step).
+
+    Binning (engine-portable, mirrors ``profile.histogram``): buckets
+    0..bins-1 over [ref_min, ref_max] with a closed upper edge; bucket
+    -1 = below ref_min, bucket ``bins`` = above ref_max (current-frame
+    values can escape the reference range — that IS drift), bucket -2 =
+    NULL. Fractions are over ALL rows of each side, so the full per-
+    column distribution (nulls included) sums to 1 and null-rate drift
+    is scored too. A constant reference column (min == max) puts every
+    in-range value in bucket 0.
+
+    ``psi_term = (cur_p - ref_p) * ln(cur_p / ref_p)`` with both
+    proportions floored at ``min_frac`` (the standard zero-bin guard);
+    PSI = sum of terms, conventional alert thresholds 0.1 / 0.25.
+
+    Scale: each frame is scanned ONCE (columns melt into (column, v)
+    rows in the projection); the bounds frame is n_cols rows and
+    broadcasts; the bucket aggregation ships at most (n_cols *
+    (bins+3)) rows per partition after partial aggregation; everything
+    downstream is grid-sized. No driver collect.
+
+    Output: (column, bucket, bucket_lo, bucket_hi, ref_frac, cur_frac,
+    psi_term) — grid fully materialized, empty buckets at frac 0.
+    With ``summary=True``: (column, psi, tv, null_shift) where ``tv``
+    is total variation distance and ``null_shift`` = cur null frac -
+    ref null frac.
+    """
+    if bins <= 0:
+        raise ValueError("drift_report: bins must be positive")
+    cols = list(value_cols)
+    if not cols:
+        raise ValueError("drift_report: no value_cols given")
+
+    def melt(df: DataFrame) -> DataFrame:
+        arr = F.array(*[F.struct(F.lit(c).alias("column"),
+                                 F.col(c).cast("double").alias("v"))
+                        for c in cols])
+        return df.select(F.explode(arr).alias("m")) \
+                 .select("m.column", "m.v")
+
+    mref, mcur = melt(ref), melt(cur)
+    bounds = mref.groupBy("column").agg(F.min("v").alias("__lo"),
+                                        F.max("v").alias("__hi"))
+
+    def bucketize(m: DataFrame, out: str) -> DataFrame:
+        d = m.join(F.broadcast(bounds), "column")
+        lo, hi, v = F.col("__lo"), F.col("__hi"), F.col("v")
+        width = (hi - lo) / F.lit(int(bins))
+        idx = (F.when(v.isNull(), F.lit(-2))
+               .when(lo.isNull() | (v < lo), F.lit(-1))
+               .when(v > hi, F.lit(bins))
+               .when(hi == lo, F.lit(0))
+               .otherwise(F.least(F.floor((v - lo) / width),
+                                  F.lit(int(bins) - 1))))
+        return (d.select("column", idx.cast("bigint").alias("bucket"))
+                .groupBy("column", "bucket")
+                .agg(F.count("*").alias(out)))
+
+    cref = bucketize(mref, "__rn")
+    ccur = bucketize(mcur, "__cn")
+    grid = bounds.select(
+        "column", "__lo", "__hi",
+        F.explode(F.sequence(F.lit(-2), F.lit(int(bins)))).alias("bucket"))
+    j = (grid.join(cref, ["column", "bucket"], "left")
+             .join(ccur, ["column", "bucket"], "left")
+             .select("column", "bucket", "__lo", "__hi",
+                     F.coalesce("__rn", F.lit(0)).alias("__rn"),
+                     F.coalesce("__cn", F.lit(0)).alias("__cn")))
+    # totals per (column, side): a window over the grid-sized frame
+    wc = Window.partitionBy("column")
+    rt, ct = F.sum("__rn").over(wc), F.sum("__cn").over(wc)
+    ref_frac = F.when(rt > 0, F.col("__rn") / rt).otherwise(F.lit(0.0))
+    cur_frac = F.when(ct > 0, F.col("__cn") / ct).otherwise(F.lit(0.0))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(int(bins))
+    in_range = (F.col("bucket") >= 0) & (F.col("bucket") < bins)
+    pr = F.greatest(F.col("ref_frac"), F.lit(float(min_frac)))
+    pc = F.greatest(F.col("cur_frac"), F.lit(float(min_frac)))
+    detail = (j.select(
+        "column", "bucket",
+        F.when(in_range, F.col("__lo") + F.col("bucket") * width)
+         .alias("bucket_lo"),
+        F.when(in_range, F.col("__lo") + (F.col("bucket") + 1) * width)
+         .alias("bucket_hi"),
+        ref_frac.alias("ref_frac"), cur_frac.alias("cur_frac"))
+        .withColumn("psi_term", (pc - pr) * F.log(pc / pr)))
+    if not summary:
+        return detail
+    return (detail.groupBy("column").agg(
+        F.sum("psi_term").alias("psi"),
+        (F.sum(F.abs(F.col("cur_frac") - F.col("ref_frac"))) / 2)
+        .alias("tv"),
+        F.sum(F.when(F.col("bucket") == -2,
+                     F.col("cur_frac") - F.col("ref_frac"))
+              .otherwise(F.lit(0.0))).alias("null_shift")))

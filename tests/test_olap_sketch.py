@@ -402,6 +402,53 @@ def test_snapshot_diff_classes_and_summary(spark):
                     "unchanged": 2}
 
 
+def test_drift_report_buckets_and_summary(spark):
+    from feathr_spark.operators.quality import drift_report
+    # ref: a uniform over [0, 9]; b constant
+    ref = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(10)], "a double, b double")
+    # cur: shifted up, plus escapes — one below-lo, one above-hi, one NULL
+    cur = spark.createDataFrame(
+        [(5.0, 1.0), (7.0, 1.0), (9.0, 2.0), (-5.0, 1.0), (100.0, 1.0),
+         (None, 1.0)], "a double, b double")
+    det = drift_report(ref, cur, ["a", "b"], bins=5)
+    rows = {(r.column, r.bucket): r for r in det.collect()}
+    assert len(rows) == 2 * (5 + 3)            # full grid incl. escapes
+    # per-(column, side) fractions sum to 1 (nulls and escapes included)
+    for c in ("a", "b"):
+        assert abs(sum(r.ref_frac for (cc, _), r in rows.items()
+                       if cc == c) - 1.0) < 1e-9
+        assert abs(sum(r.cur_frac for (cc, _), r in rows.items()
+                       if cc == c) - 1.0) < 1e-9
+    # escape buckets: ref has none, cur has one of each for column a
+    assert rows[("a", -1)].ref_frac == 0.0
+    assert rows[("a", -1)].cur_frac == pytest.approx(1 / 6)
+    assert rows[("a", 5)].cur_frac == pytest.approx(1 / 6)
+    assert rows[("a", -2)].cur_frac == pytest.approx(1 / 6)
+    # closed upper edge: ref value 9.0 lands in the last in-range bucket
+    assert rows[("a", 4)].ref_frac == pytest.approx(2 / 10)
+    # escape/null buckets carry no numeric range
+    assert rows[("a", -1)].bucket_lo is None
+    assert rows[("a", 5)].bucket_hi is None
+    # constant ref column: every in-range value in bucket 0
+    assert rows[("b", 0)].ref_frac == 1.0
+    assert rows[("b", 0)].cur_frac == pytest.approx(5 / 6)
+    summ = {r.column: r for r in
+            drift_report(ref, cur, ["a", "b"], bins=5,
+                         summary=True).collect()}
+    assert summ["a"].psi > 0.25                # a drifted hard
+    assert summ["a"].null_shift == pytest.approx(1 / 6)
+    assert summ["b"].null_shift == 0.0
+    assert 0.0 <= summ["b"].tv <= 1.0
+    # identical frames -> zero drift everywhere
+    zero = {r.column: r for r in
+            drift_report(ref, ref, ["a"], bins=5, summary=True).collect()}
+    assert zero["a"].psi == pytest.approx(0.0)
+    assert zero["a"].tv == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        drift_report(ref, cur, [])
+
+
 # ----------------------------------------- transitions / weighted sample
 
 def test_transition_matrix_counts_and_probs(spark):

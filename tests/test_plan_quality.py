@@ -321,6 +321,10 @@ EXCHANGE_BUDGET = {
     "negative_pairs": 6,
     # one scan; count_distinct's two-phase aggregate adds the 2nd exchange
     "dq_report": 2,
+    # per-side bucket-count aggregates (2 each: ref side prints under the
+    # bounds broadcast too) + the grid-sized per-column totals window;
+    # bounds and bucket-count frames broadcast into the grid joins
+    "drift_events": 5,
     # two cutoff snapshots (explode+groupBy each) + full-outer key join +
     # the 4-row summary fold
     "snapshot_changes": 6,

@@ -1437,6 +1437,23 @@ def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4n("mean_diff"), r4n("t_stat"), r4n("welch_df"))
 
 
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group ROC-AUC (Mann–Whitney, ties at half credit) of
+    o_totalprice predicting finished status — the distributed-cumsum
+    plan: distinct-score collapse, range buckets, prefix offsets from a
+    buckets-sized frame. No global sort anywhere."""
+    _utc(spark)
+    from feathr_spark.operators.stats import roc_auc
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("y", F.col("o_orderstatus") == "F"))
+    out = roc_auc(orders, "y", "o_totalprice",
+                  by=["o_orderpriority"], buckets=16)
+    return out.select(
+        "o_orderpriority",
+        F.round(F.col("auc") + F.lit(1e-9), 4).cast("double").alias("auc"),
+        "n_pos", "n_neg")
+
+
 def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF feature transform: each order's percentile rank of
     o_totalprice within its priority group (rank built from non-null
@@ -1718,6 +1735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdf_rank": q_cdf_rank,
         "negative_pairs": q_negative_pairs,
         "ab_welch": q_ab_welch,
+        "roc_auc_price": q_roc_auc,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -2826,6 +2844,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "roc_auc_price": """
+            WITH d AS (
+              SELECT o_orderpriority AS g,
+                     (o_orderstatus = 'F') AS y,
+                     CAST(o_totalprice AS DOUBLE) AS s
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            sc AS (
+              SELECT g, s,
+                     count(*) FILTER (y) AS p,
+                     count(*) FILTER (NOT y) AS n
+              FROM d GROUP BY g, s),
+            o AS (
+              SELECT g, p, n,
+                     coalesce(sum(n) OVER (
+                       PARTITION BY g ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS nb
+              FROM sc),
+            t AS (
+              SELECT g, sum(p) AS tp, sum(n) AS tn,
+                     sum(p * (nb + 0.5 * n)) AS credit
+              FROM o GROUP BY g)
+            SELECT g AS o_orderpriority,
+                   CAST(ROUND(CASE WHEN tp > 0 AND tn > 0
+                                   THEN credit / (tp * tn) END + 1e-9, 4)
+                        AS DOUBLE) AS auc,
+                   CAST(tp AS BIGINT) AS n_pos,
+                   CAST(tn AS BIGINT) AS n_neg
+            FROM t
         """,
         "ab_welch": """
             WITH s AS (

@@ -98,6 +98,7 @@ HEADLINE = [
     "heavy_hitters",
     "span_dedup",
     "drift_events",
+    "roc_auc_price",
 ]
 
 

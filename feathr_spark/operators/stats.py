@@ -1,4 +1,4 @@
-"""Experiment statistics: Welch's two-sample t over metric frames.
+"""Experiment statistics: Welch's two-sample t and ROC-AUC readouts.
 
 The A/B readout every event-analytics platform ships. One aggregate pass
 computes each variant's exact decimal moments (the same bit-stable
@@ -7,12 +7,17 @@ Welch–Satterthwaite degrees of freedom are scalar arithmetic on the tiny
 per-variant frame. No p-value column on purpose: neither engine exposes
 the t CDF portably — consumers threshold |t| (|t| > 1.96 ≈ 5% for the
 df's this targets) or feed t/df to scipy driver-side.
+
+``roc_auc`` is the scorer-quality companion: exact AUC (the Mann–Whitney
+probability that a random positive outscores a random negative, ties at
+half credit) WITHOUT the global sort the textbook rank formula implies —
+see its docstring for the bucketed distributed-cumsum plan.
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +76,93 @@ def ab_welch_t(
         (mt - mc).alias("mean_diff"),
         t.alias("t_stat"),
         dfree.alias("welch_df"))
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    by: Optional[Sequence[str]] = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against boolean ``label_col``,
+    optionally per group: the Mann–Whitney statistic
+    P(score_pos > score_neg) + 0.5 * P(score_pos = score_neg).
+
+    Distributed-cumsum plan — NO global sort (the textbook rank formula
+    sorts the whole table into one task):
+
+    1. collapse to per-distinct-score (pos_n, neg_n) counts — the only
+       data-sized shuffle;
+    2. assign each distinct score an order-preserving equal-width range
+       bucket from a broadcast min/max frame;
+    3. per-bucket negative totals (a buckets-sized frame) turn into
+       running prefix offsets with a window over that TINY frame;
+    4. negatives strictly below each score = within-bucket running sum
+       (window partitioned by bucket — parallel across buckets) + the
+       bucket's offset; pair credit = pos_n * (neg_below + 0.5 *
+       neg_at_this_score);
+    5. AUC = total credit / (P * N).
+
+    Rows with NULL label or NULL score are excluded. Degenerate groups
+    (no positives or no negatives) get NULL auc. Output per group:
+    (by..., auc, n_pos, n_neg). Exact — buckets only partition the
+    cumsum, they never quantize scores.
+    """
+    if buckets < 1:
+        raise ValueError("roc_auc: buckets must be >= 1")
+    keys = list(by or [])
+    lab, sc = F.col(label_col), F.col(score_col).cast("double")
+    d = (df.where(lab.isNotNull() & sc.isNotNull())
+           .select(*keys, lab.cast("boolean").alias("__y"),
+                   sc.alias("__s")))
+    # 1. per-distinct-score counts (pos/neg at that exact score)
+    s = (d.groupBy(*keys, "__s")
+          .agg(F.count_if(F.col("__y")).alias("__p"),
+               F.count_if(~F.col("__y")).alias("__n")))
+    # 2. order-preserving range bucket from broadcast per-group bounds
+    bounds = s.groupBy(*keys).agg(F.min("__s").alias("__lo"),
+                                  F.max("__s").alias("__hi"))
+    if keys:
+        sb = s.join(F.broadcast(bounds), keys)
+    else:
+        sb = s.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = (hi - lo) / F.lit(int(buckets))
+    bkt = (F.when(hi == lo, F.lit(0))
+           .otherwise(F.least(F.floor((F.col("__s") - lo) / width),
+                              F.lit(int(buckets) - 1)))).cast("bigint")
+    sb = sb.select(*keys, "__s", "__p", "__n", bkt.alias("__b"))
+    # 3. per-bucket totals -> prefix offsets (buckets-sized frame; the
+    # __g constant keeps the window partitioned-by-construction for the
+    # global case — the frame is <= `buckets` rows per group either way)
+    g = F.lit(0).alias("__g")
+    bt = sb.groupBy(*keys, g, "__b").agg(F.sum("__n").alias("__bn"),
+                                         F.sum("__p").alias("__bp"))
+    woff = Window.partitionBy(*(keys or ["__g"])).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(*(keys or ["__g"]))
+    offs = bt.select(
+        *keys, "__b",
+        F.coalesce(F.sum("__bn").over(woff), F.lit(0)).alias("__off"),
+        F.sum("__bn").over(wtot).alias("__tn"),
+        F.sum("__bp").over(wtot).alias("__tp"))
+    # 4. within-bucket running negatives (parallel across buckets)
+    wrun = Window.partitionBy(*keys, "__b").orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    scored = (sb.join(F.broadcast(offs), keys + ["__b"])
+              .select(*keys, "__tp", "__tn",
+                      (F.col("__p").cast("double") *
+                       (F.coalesce(F.sum("__n").over(wrun), F.lit(0))
+                        + F.col("__off")
+                        + 0.5 * F.col("__n"))).alias("__credit")))
+    # 5. fold per group
+    out = (scored.groupBy(*keys)
+           .agg(F.sum("__credit").alias("__c"),
+                F.first("__tp").alias("__tp"),
+                F.first("__tn").alias("__tn")))
+    auc = F.when((F.col("__tp") > 0) & (F.col("__tn") > 0),
+                 F.col("__c") / (F.col("__tp") * F.col("__tn")))
+    return out.select(*keys, auc.alias("auc"),
+                      F.col("__tp").cast("bigint").alias("n_pos"),
+                      F.col("__tn").cast("bigint").alias("n_neg"))

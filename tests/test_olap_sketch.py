@@ -691,3 +691,59 @@ def test_ab_welch_t_matches_scipy_formula(spark):
                                "variant string, m double")
     r2 = ab_welch_t(d2, "variant", "m", "control", "treat").collect()[0]
     assert r2.t_stat is None
+
+
+def _brute_auc(pairs):
+    """Mann–Whitney AUC: mean over pos×neg of 1/0.5/0 credit."""
+    pos = [s for y, s in pairs if y]
+    neg = [s for y, s in pairs if not y]
+    if not pos or not neg:
+        return None
+    credit = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                 for p in pos for n in neg)
+    return credit / (len(pos) * len(neg))
+
+
+def test_roc_auc_matches_brute_force(spark):
+    import numpy as np
+    from feathr_spark.operators.stats import roc_auc
+    rng = np.random.RandomState(7)
+    # informative scorer + heavy ties (rounded to 1dp) exercises the
+    # 0.5-credit path and multi-count distinct-score rows
+    pairs = [(bool(y), float(round(rng.normal(1.0 if y else 0.0, 1.0), 1)))
+             for y in rng.randint(0, 2, 300)]
+    df = spark.createDataFrame(pairs, "y boolean, s double")
+    r = roc_auc(df, "y", "s", buckets=8).collect()[0]
+    want = _brute_auc(pairs)
+    assert abs(r.auc - want) < 1e-12
+    assert r.n_pos == sum(1 for y, _ in pairs if y)
+    assert r.n_neg == len(pairs) - r.n_pos
+    # bucket count must not change the result (it only partitions the
+    # cumsum) — including the degenerate 1-bucket case
+    for b in (1, 3, 64):
+        assert abs(roc_auc(df, "y", "s", buckets=b).collect()[0].auc
+                   - want) < 1e-12
+    # per-group: each group matches its own brute force
+    gp = [("a" if i % 2 else "b", y, s)
+          for i, (y, s) in enumerate(pairs)]
+    gdf = spark.createDataFrame(gp, "g string, y boolean, s double")
+    got = {r.g: r.auc for r in roc_auc(gdf, "y", "s", by=["g"]).collect()}
+    for g in ("a", "b"):
+        assert abs(got[g] - _brute_auc(
+            [(y, s) for gg, y, s in gp if gg == g])) < 1e-12
+    # perfect / inverted / degenerate scorers
+    perfect = spark.createDataFrame(
+        [(True, 2.0), (True, 3.0), (False, 0.0), (False, 1.0)],
+        "y boolean, s double")
+    assert roc_auc(perfect, "y", "s").collect()[0].auc == 1.0
+    inverted = perfect.withColumn("s", -F.col("s"))
+    assert roc_auc(inverted, "y", "s").collect()[0].auc == 0.0
+    onecls = spark.createDataFrame([(True, 1.0), (True, 2.0)],
+                                   "y boolean, s double")
+    assert roc_auc(onecls, "y", "s").collect()[0].auc is None
+    # NULL labels/scores are excluded, not counted
+    withnull = spark.createDataFrame(
+        [(True, 2.0), (False, 1.0), (None, 9.0), (True, None)],
+        "y boolean, s double")
+    rn = roc_auc(withnull, "y", "s").collect()[0]
+    assert rn.auc == 1.0 and rn.n_pos == 1 and rn.n_neg == 1

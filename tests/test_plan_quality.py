@@ -312,6 +312,11 @@ EXCHANGE_BUDGET = {
     "weighted_sample": 0,
     # one scan, single-row moments fold
     "ab_welch": 1,
+    # distinct-score collapse is the only data-sized shuffle; the rest
+    # are the buckets-sized offset/total windows and per-bucket running
+    # sums (the score-count subtree prints again under the broadcast
+    # offsets branch — dedupes to ReusedExchange at runtime) + final fold
+    "roc_auc_price": 8,
     # TPC-H Q1 shape: one Expand + aggregate pair
     "pricing_summary": 1,
     # one per-group sort window

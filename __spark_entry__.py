@@ -1421,6 +1421,83 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              "AS DOUBLE) / count(l_discount) + 1e-9, 4) AS DOUBLE)"})
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the driver tables
+    (o_orderpriority stands in for o_shippriority): BUILDING-segment
+    customers broadcast into orders, orders join lineitem on the order
+    key, exact decimal revenue per order, global top-10 via
+    TakeOrderedAndProject (partition-local heads — no full sort).
+    Deterministic tie-break: revenue desc, orderdate asc, orderkey asc."""
+    _utc(spark)
+    cut = F.lit("1997-06-01").cast("timestamp")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate").cast("timestamp") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate").cast("timestamp") > cut)
+          .select("l_orderkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (orders.join(F.broadcast(cust),
+                     orders.o_custkey == cust.c_custkey)
+         .join(li, orders.o_orderkey == li.l_orderkey))
+    agg = (j.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum("__rev").alias("__revenue")))
+    top = (agg.orderBy(F.col("__revenue").desc(),
+                       F.col("o_orderdate").asc(),
+                       F.col("o_orderkey").asc())
+           .limit(10))
+    return top.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.round(F.col("__revenue").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("revenue"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"),
+                      "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority")
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): revenue per nation for ASIA
+    where the supplying and ordering nations match — lineitem joins
+    orders (the only data-sized shuffle pair) while supplier, customer,
+    nation and region all BROADCAST (dimension-sized). Exact decimal
+    revenue per nation."""
+    _utc(spark)
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .where(F.col("r_name") == "ASIA"))
+    asia_nations = (nation.join(F.broadcast(region),
+                                nation.n_regionkey == region.r_regionkey)
+                    .select("n_nationkey", "n_name"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .select("c_custkey", "c_nationkey")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .select("s_suppkey", "s_nationkey")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate").cast("timestamp") >= lo)
+                     & (F.col("o_orderdate").cast("timestamp") < hi))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+         .where(F.col("c_nationkey") == F.col("s_nationkey"))
+         .join(F.broadcast(asia_nations),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum("__rev").cast("double") + F.lit(1e-9), 4)
+                 .cast("double").alias("revenue")))
+
+
 def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t between event variants on the value metric —
     one scan, exact decimal moments, scalar t/df arithmetic."""
@@ -1736,6 +1813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_pairs": q_negative_pairs,
         "ab_welch": q_ab_welch,
         "roc_auc_price": q_roc_auc,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -2844,6 +2923,44 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "shipping_priority": """
+            SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                                    * (1 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                              + 1e-9, 4) AS DOUBLE) AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1997-06-01'
+              AND l_shipdate > TIMESTAMP '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) DESC,
+                     o_orderdate ASC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                                    * (1 - l_discount)
+                                    AS DECIMAL(18,6))) AS DOUBLE)
+                              + 1e-9, 4) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
         """,
         "roc_auc_price": """
             WITH d AS (

@@ -99,6 +99,8 @@ HEADLINE = [
     "span_dedup",
     "drift_events",
     "roc_auc_price",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 

@@ -317,6 +317,12 @@ EXCHANGE_BUDGET = {
     # sums (the score-count subtree prints again under the broadcast
     # offsets branch — dedupes to ReusedExchange at runtime) + final fold
     "roc_auc_price": 8,
+    # Q3: customer broadcast, order-lineitem join broadcast at test SF,
+    # ONE groupBy shuffle, top-10 is TakeOrderedAndProject (headroom of
+    # 1 for the join flipping to SMJ at larger fixture SFs)
+    "shipping_priority": 2,
+    # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
+    "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair
     "pricing_summary": 1,
     # one per-group sort window

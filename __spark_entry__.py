@@ -1531,6 +1531,41 @@ def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos", "n_neg")
 
 
+def q_calibration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of a time-of-day scorer (seconds-of-day /
+    86400 as the 'probability' of a purchase event): ONE aggregate pass
+    over the events, bins-sized frames after. Decimal partial sums keep
+    mean_pred/gap bit-stable across partitionings and engines."""
+    _utc(spark)
+    from feathr_spark.operators.stats import calibration_report
+    ev = _load_events(spark, sf_dir)
+    d = ev.select(
+        (F.col("event_type") == "purchase").alias("y"),
+        ((F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts"))
+         / F.lit(86400.0)).alias("p"))
+    out = calibration_report(d, "y", "p", bins=10)
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return out.select("bucket", r4("p_lo"), r4("p_hi"), "n",
+                      r4("mean_pred"), r4("pos_rate"), r4("gap"))
+
+
+def q_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnosis of the orders→customer join key: the 10
+    hottest o_custkey values with their share of all rows. One groupBy
+    shuffle; the top-10 cut is TakeOrderedAndProject and the rank
+    window runs on those 10 rows only."""
+    _utc(spark)
+    from feathr_spark.operators.profile import key_skew
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = key_skew(orders, ["o_custkey"], top_k=10)
+    return out.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"), "n",
+        F.round(F.col("share") + F.lit(1e-9), 4).cast("double")
+        .alias("share"),
+        "rank")
+
+
 def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF feature transform: each order's percentile rank of
     o_totalprice within its priority group (rank built from non-null
@@ -1815,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc_price": q_roc_auc,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "calibration_events": q_calibration_events,
+        "key_skew_orders": q_key_skew_orders,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -2961,6 +2998,51 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "calibration_events": """
+            WITH d AS (
+              SELECT (event_type = 'purchase') AS y,
+                     (hour(ts) * 3600 + minute(ts) * 60
+                      + CAST(floor(second(ts)) AS BIGINT)) / 86400.0 AS p
+              FROM events),
+            c AS (
+              SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS b,
+                     count(*) AS n,
+                     sum(CASE WHEN y THEN 1 ELSE 0 END) AS pos,
+                     sum(CAST(p AS DECIMAL(20,10))) AS sp
+              FROM d GROUP BY 1),
+            grid AS (SELECT unnest(generate_series(0, 9)) AS bucket)
+            SELECT g.bucket,
+                   CAST(ROUND(g.bucket / 10.0 + 1e-9, 4) AS DOUBLE)
+                       AS p_lo,
+                   CAST(ROUND((g.bucket + 1) / 10.0 + 1e-9, 4) AS DOUBLE)
+                       AS p_hi,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+                   CAST(ROUND(CASE WHEN c.n > 0 THEN CAST(c.sp AS DOUBLE)
+                                   / c.n END + 1e-9, 4) AS DOUBLE)
+                       AS mean_pred,
+                   CAST(ROUND(CASE WHEN c.n > 0 THEN CAST(c.pos AS DOUBLE)
+                                   / c.n END + 1e-9, 4) AS DOUBLE)
+                       AS pos_rate,
+                   CAST(ROUND(CASE WHEN c.n > 0
+                              THEN CAST(c.pos - c.sp AS DOUBLE) / c.n END
+                              + 1e-9, 4) AS DOUBLE) AS gap
+            FROM grid g LEFT JOIN c ON c.b = g.bucket
+        """,
+        "key_skew_orders": """
+            WITH c AS (SELECT o_custkey, count(*) AS n
+                       FROM orders GROUP BY 1),
+            t AS (SELECT sum(n) AS tot FROM c),
+            top AS (SELECT o_custkey, n,
+                           row_number() OVER (ORDER BY n DESC,
+                                              o_custkey ASC) AS rank
+                    FROM c QUALIFY rank <= 10)
+            SELECT CAST(top.o_custkey AS BIGINT) AS o_custkey,
+                   CAST(top.n AS BIGINT) AS n,
+                   CAST(ROUND(top.n / t.tot + 1e-9, 4) AS DOUBLE)
+                       AS share,
+                   CAST(rank AS INTEGER) AS rank
+            FROM top, t
         """,
         "roc_auc_price": """
             WITH d AS (

@@ -101,6 +101,8 @@ HEADLINE = [
     "roc_auc_price",
     "shipping_priority",
     "local_supplier_volume",
+    "calibration_events",
+    "key_skew_orders",
 ]
 
 

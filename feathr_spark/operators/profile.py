@@ -352,3 +352,70 @@ def histogram(
                     .alias("bucket_hi"),
                     F.coalesce(F.col("n"), F.lit(0)).cast("bigint")
                     .alias("n")))
+
+
+def key_skew(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_k: int = 20,
+    summary: bool = False,
+) -> DataFrame:
+    """Join/aggregation skew diagnosis for a key set: how concentrated
+    the per-key row counts are. The pre-flight readout for every
+    shuffle-on-key operator here — the PIT planner's auto strategy
+    samples exactly this signal at plan time (``choose_pit_strategy``);
+    this operator makes the full diagnosis a first-class query.
+
+    Plan: ONE data-sized shuffle (the per-key groupBy count, map-side
+    combined); everything after operates on the keys-sized counts frame
+    — the top-k hot keys compile to TakeOrderedAndProject (partition-
+    local heads, no global sort) and the share/rank window runs on
+    those k rows only. NULL keys count as a real key group (that is
+    where skew usually hides — e.g. events with a missing user id all
+    landing on one reducer).
+
+    Output (default): the ``top_k`` hottest keys as (key..., n, share,
+    rank), ties broken by key ascending. With ``summary=True``: one row
+    (n_rows, n_keys, max_key_n, top1_share, entropy, norm_entropy) —
+    ``entropy`` is the Shannon entropy of the key distribution in nats
+    (= ln(n_keys) when perfectly uniform; ``norm_entropy`` = entropy /
+    ln(n_keys) ∈ [0, 1], NULL for a single key), computed as
+    ``ln N − Σ n·ln n / N`` so it folds in the same single pass over
+    the counts frame.
+    """
+    if top_k < 1:
+        raise ValueError("key_skew: top_k must be >= 1")
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("key_skew: key_cols must be non-empty")
+    counts = df.groupBy(*keys).agg(F.count("*").alias("__n"))
+    if summary:
+        n = F.col("__n")
+        tot = counts.agg(
+            F.sum(n).alias("__N"),
+            F.count(F.lit(1)).alias("__K"),
+            F.max(n).alias("__mx"),
+            F.sum(n.cast("double") * F.log(n.cast("double")))
+            .alias("__nlogn"))
+        N = F.col("__N").cast("double")
+        K = F.col("__K").cast("double")
+        ent = F.log(N) - F.col("__nlogn") / N
+        return tot.select(
+            F.col("__N").cast("bigint").alias("n_rows"),
+            F.col("__K").cast("bigint").alias("n_keys"),
+            F.col("__mx").cast("bigint").alias("max_key_n"),
+            (F.col("__mx") / N).alias("top1_share"),
+            ent.alias("entropy"),
+            F.when(K > 1, ent / F.log(K)).alias("norm_entropy"))
+    top = (counts.orderBy(F.col("__n").desc(),
+                          *[F.col(k).asc_nulls_last() for k in keys])
+           .limit(int(top_k)))
+    tot = counts.agg(F.sum("__n").alias("__tot"))
+    w = Window.orderBy(F.col("__n").desc(),
+                       *[F.col(k).asc_nulls_last() for k in keys])
+    return (top.crossJoin(F.broadcast(tot))
+            .select(*keys,
+                    F.col("__n").cast("bigint").alias("n"),
+                    (F.col("__n") / F.col("__tot").cast("double"))
+                    .alias("share"),
+                    F.row_number().over(w).alias("rank")))

@@ -166,3 +166,79 @@ def roc_auc(
     return out.select(*keys, auc.alias("auc"),
                       F.col("__tp").cast("bigint").alias("n_pos"),
                       F.col("__tn").cast("bigint").alias("n_neg"))
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    prob_col: str,
+    bins: int = 10,
+    summary: bool = False,
+) -> DataFrame:
+    """Reliability diagram + Brier score for a probabilistic scorer:
+    bin predicted probabilities into ``bins`` equal-width buckets over
+    [0, 1] (closed upper edge, the ``profile.histogram`` convention),
+    and per bucket report the mean predicted probability against the
+    observed positive rate — a calibrated scorer sits on the diagonal.
+
+    ONE aggregate pass: the bucket groupBy carries (count, positives,
+    sum p, sum (p-y)^2) partials, so the shuffle ships at most ``bins``
+    rows per partition whatever the data size; the grid (empty buckets
+    included) and the Brier fold are bins-sized. Probabilities outside
+    [0, 1] raise at runtime via a guarded bucket (they indicate a
+    scorer bug, not drift); NULL label or prob rows are excluded.
+
+    Output: (bucket, p_lo, p_hi, n, mean_pred, pos_rate, gap) where
+    ``gap = pos_rate - mean_pred``; empty buckets have NULL rates.
+    With ``summary=True``: one row (n, brier, ece) — Brier = mean
+    squared error of p vs y, ECE = expected calibration error
+    (count-weighted mean |gap|).
+    """
+    if bins <= 0:
+        raise ValueError("calibration_report: bins must be positive")
+    y = F.col(label_col).cast("boolean")
+    p = F.col(prob_col).cast("double")
+    d = (df.where(y.isNotNull() & p.isNotNull())
+           .select(y.cast("int").alias("__y"), p.alias("__p")))
+    idx = (F.when((F.col("__p") < 0) | (F.col("__p") > 1),
+                  F.raise_error(F.lit(
+                      f"calibration_report: {prob_col} outside [0, 1]")))
+           .otherwise(F.least(F.floor(F.col("__p") * bins),
+                              F.lit(int(bins) - 1)))).cast("bigint")
+    # decimal partials: double summation is order-dependent, and the
+    # same frame must hash identically across partitionings/engines
+    # (profile.py discipline) — p quantizes to 10 dp first, so the sums
+    # are exact and associative
+    pd_ = F.col("__p").cast("decimal(20,10)")
+    err = pd_ - F.col("__y").cast("decimal(20,10)")
+    counts = (d.select(idx.alias("__b"), "__y", "__p")
+              .groupBy("__b")
+              .agg(F.count("*").alias("__n"),
+                   F.sum("__y").alias("__pos"),
+                   F.sum(pd_).alias("__sp"),
+                   F.sum((err * err).cast("decimal(30,20)"))
+                   .alias("__se")))
+    if summary:
+        tot = counts.agg(F.sum("__n").alias("__N"),
+                         F.sum("__se").alias("__SE"),
+                         F.sum(F.abs(F.col("__pos") - F.col("__sp")))
+                         .alias("__AE"))
+        return tot.select(
+            F.col("__N").cast("bigint").alias("n"),
+            F.when(F.col("__N") > 0, F.col("__SE") / F.col("__N"))
+            .cast("double").alias("brier"),
+            F.when(F.col("__N") > 0, F.col("__AE") / F.col("__N"))
+            .cast("double").alias("ece"))
+    grid = df.sparkSession.range(int(bins)).select(
+        F.col("id").cast("bigint").alias("bucket"))
+    out = grid.join(counts, grid.bucket == counts.__b, "left")
+    n = F.coalesce(F.col("__n"), F.lit(0))
+    return out.select(
+        "bucket",
+        (F.col("bucket") / bins).alias("p_lo"),
+        ((F.col("bucket") + 1) / bins).alias("p_hi"),
+        n.cast("bigint").alias("n"),
+        F.when(n > 0, F.col("__sp") / n).cast("double").alias("mean_pred"),
+        F.when(n > 0, F.col("__pos") / n).cast("double").alias("pos_rate"),
+        F.when(n > 0, (F.col("__pos") - F.col("__sp")) / n)
+        .cast("double").alias("gap"))

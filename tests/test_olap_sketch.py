@@ -693,6 +693,81 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_key_skew_topk_and_entropy(spark):
+    import math
+    from feathr_spark.operators.profile import key_skew
+    # counts: a=5, b=3, NULL=2, c=1  (N=11, K=4)
+    rows = [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 2 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    top = key_skew(df, ["k"], top_k=3).collect()
+    assert [(r.k, r.n, r.rank) for r in top] == \
+        [("a", 5, 1), ("b", 3, 2), (None, 2, 3)]   # NULL is a real key
+    assert top[0].share == pytest.approx(5 / 11)
+    s = key_skew(df, ["k"], summary=True).collect()[0]
+    assert (s.n_rows, s.n_keys, s.max_key_n) == (11, 4, 5)
+    assert s.top1_share == pytest.approx(5 / 11)
+    want_h = -sum(p * math.log(p)
+                  for p in (5 / 11, 3 / 11, 2 / 11, 1 / 11))
+    assert s.entropy == pytest.approx(want_h, abs=1e-12)
+    assert s.norm_entropy == pytest.approx(want_h / math.log(4))
+    # uniform keys -> norm_entropy 1; single key -> NULL
+    uni = spark.createDataFrame([(i % 4,) for i in range(40)], "k int")
+    su = key_skew(uni, ["k"], summary=True).collect()[0]
+    assert su.norm_entropy == pytest.approx(1.0)
+    one = key_skew(spark.createDataFrame([(1,), (1,)], "k int"),
+                   ["k"], summary=True).collect()[0]
+    assert one.norm_entropy is None and one.entropy == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        key_skew(df, [])
+    # the top-k cut is TakeOrderedAndProject, never a global sort
+    plan = key_skew(df, ["k"], top_k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_calibration_report_values_and_brier(spark):
+    import numpy as np
+    from feathr_spark.operators.stats import calibration_report
+    rng = np.random.RandomState(11)
+    probs = rng.uniform(0, 1, 400)
+    ys = rng.uniform(0, 1, 400) < probs        # calibrated by construction
+    rows = [(bool(y), float(p)) for y, p in zip(ys, probs)]
+    df = spark.createDataFrame(rows, "y boolean, p double")
+    det = {r.bucket: r for r in
+           calibration_report(df, "y", "p", bins=5).collect()}
+    assert sorted(det) == [0, 1, 2, 3, 4]
+    for b, r in det.items():
+        sel = [(y, p) for y, p in rows
+               if min(int(p * 5), 4) == b]
+        assert r.n == len(sel)
+        assert r.mean_pred == pytest.approx(
+            sum(p for _, p in sel) / len(sel))
+        assert r.pos_rate == pytest.approx(
+            sum(1 for y, _ in sel if y) / len(sel))
+        assert r.gap == pytest.approx(r.pos_rate - r.mean_pred)
+        # calibrated scorer: observed tracks predicted
+        assert abs(r.gap) < 0.15
+    summ = calibration_report(df, "y", "p", bins=5,
+                              summary=True).collect()[0]
+    want_brier = float(np.mean((probs - ys.astype(float)) ** 2))
+    assert summ.brier == pytest.approx(want_brier, abs=1e-9)
+    assert summ.n == 400 and 0.0 <= summ.ece < 0.1
+    # p exactly 1.0 lands in the last bucket (closed upper edge)
+    edge = spark.createDataFrame([(True, 1.0), (False, 0.0)],
+                                 "y boolean, p double")
+    ed = {r.bucket: r.n for r in
+          calibration_report(edge, "y", "p", bins=4).collect()}
+    assert ed[3] == 1 and ed[0] == 1
+    # empty buckets materialize with NULL rates
+    er = {r.bucket: r for r in
+          calibration_report(edge, "y", "p", bins=4).collect()}
+    assert er[1].n == 0 and er[1].pos_rate is None
+    # out-of-range probability raises (scorer bug, not drift)
+    bad = spark.createDataFrame([(True, 1.5)], "y boolean, p double")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(bad, "y", "p").collect()
+
+
 def _brute_auc(pairs):
     """Mann–Whitney AUC: mean over pos×neg of 1/0.5/0 credit."""
     pos = [s for y, s in pairs if y]

@@ -35,6 +35,8 @@ BROADCAST_LOOP_OK = {
     "tfidf_terms",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
+    # 10-row top-k frame × broadcast 1-row totals crossJoin
+    "key_skew_orders",
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
@@ -321,6 +323,11 @@ EXCHANGE_BUDGET = {
     # ONE groupBy shuffle, top-10 is TakeOrderedAndProject (headroom of
     # 1 for the join flipping to SMJ at larger fixture SFs)
     "shipping_priority": 2,
+    # ONE bucket aggregate pair merged by AQE; grid join broadcasts
+    "calibration_events": 1,
+    # per-key groupBy + the total fold; top-10 is TakeOrderedAndProject
+    # and its rank window runs on the 10-row result
+    "key_skew_orders": 3,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

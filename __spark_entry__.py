@@ -1566,6 +1566,44 @@ def q_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank")
 
 
+def q_target_encode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean-target encoding (+ leave-one-out variant) of order
+    priority against the price label: one melted stats pass, category-
+    sized frames broadcast back, exact decimal sums, double math on the
+    exact components."""
+    _utc(spark)
+    from feathr_spark.operators.encoding import target_encode
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    te = target_encode(orders, ["o_orderpriority"], "o_totalprice",
+                       smoothing=10.0)
+    loo = target_encode(orders, ["o_orderpriority"], "o_totalprice",
+                        smoothing=10.0, loo=True, suffix="_loo")
+    j = te.select("o_orderkey", "o_orderpriority", "o_orderpriority_te") \
+        .join(loo.select("o_orderkey", "o_orderpriority_loo"),
+              "o_orderkey")
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return j.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                    "o_orderpriority", r4("o_orderpriority_te"),
+                    r4("o_orderpriority_loo"))
+
+
+def q_hash_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing of event_type + the user id into 64 / 1024
+    buckets: portable md5 contract, column-name-salted, zero shuffle —
+    pure row-local projection."""
+    _utc(spark)
+    from feathr_spark.operators.encoding import hash_encode
+    ev = _load_events(spark, sf_dir) \
+        .select("event_id", "event_type",
+                F.col("user_id").cast("bigint").alias("user_id"))
+    out = hash_encode(hash_encode(ev, ["event_type"], num_buckets=64),
+                      ["user_id"], num_buckets=1024)
+    return out.select("event_id", "event_type", "user_id",
+                      "event_type_hx", "user_id_hx")
+
+
 def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF feature transform: each order's percentile rank of
     o_totalprice within its priority group (rank built from non-null
@@ -1852,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "calibration_events": q_calibration_events,
         "key_skew_orders": q_key_skew_orders,
+        "target_encode_orders": q_target_encode_orders,
+        "hash_encode_events": q_hash_encode_events,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -2998,6 +3038,56 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "target_encode_orders": """
+            WITH pr AS (
+              SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(20,10)))
+                          AS DOUBLE) / count(*) AS p
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            st AS (
+              SELECT CAST(o_orderpriority AS VARCHAR) AS v,
+                     count(*) AS n,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(20,10)))
+                          AS DOUBLE) AS sy
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+              GROUP BY 1)
+            SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   o.o_orderpriority,
+                   CAST(ROUND(CASE WHEN st.v IS NULL THEN pr.p
+                              ELSE (st.sy + 10.0 * pr.p) / (st.n + 10.0)
+                              END + 1e-9, 4) AS DOUBLE)
+                       AS o_orderpriority_te,
+                   CAST(ROUND(CASE WHEN st.v IS NULL THEN pr.p
+                              ELSE (st.sy
+                                    - CASE WHEN o.o_totalprice IS NOT NULL
+                                           THEN CAST(o.o_totalprice
+                                                     AS DOUBLE)
+                                           ELSE 0 END
+                                    + 10.0 * pr.p)
+                                   / (st.n
+                                      - CASE WHEN o.o_totalprice
+                                             IS NOT NULL
+                                             THEN 1.0 ELSE 0.0 END
+                                      + 10.0)
+                              END + 1e-9, 4) AS DOUBLE)
+                       AS o_orderpriority_loo
+            FROM orders o
+            LEFT JOIN st ON CAST(o.o_orderpriority AS VARCHAR) = st.v, pr
+        """,
+        "hash_encode_events": """
+            SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id,
+                   CASE WHEN event_type IS NOT NULL THEN
+                     ('0x' || substr(md5('event_type:' || event_type),
+                                     1, 15))::BIGINT % 64 END
+                       AS event_type_hx,
+                   CASE WHEN user_id IS NOT NULL THEN
+                     ('0x' || substr(md5('user_id:'
+                                         || CAST(user_id AS VARCHAR)),
+                                     1, 15))::BIGINT % 1024 END
+                       AS user_id_hx
+            FROM events
         """,
         "calibration_events": """
             WITH d AS (

@@ -103,6 +103,8 @@ HEADLINE = [
     "local_supplier_volume",
     "calibration_events",
     "key_skew_orders",
+    "target_encode_orders",
+    "hash_encode_events",
 ]
 
 

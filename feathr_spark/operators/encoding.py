@@ -1,0 +1,151 @@
+"""Categorical feature encoders for training-data pipelines.
+
+The reference's feature DSL stops at Spark SQL expressions over source
+columns (``/root/reference/feathr-rs/src/model.rs:248-253``); these are
+the two encoders that expression vocabulary cannot reach — both need
+corpus statistics (target encoding) or a portable hash contract
+(feature hashing) — implemented engine-side with the repo's usual
+discipline: decimal-exact statistics, broadcast-sized attach frames,
+md5-based portability (no JVM-specific hash functions).
+
+Scale shape: ``target_encode`` melts every encoded column into ONE
+statistics pass (one data-sized shuffle however many columns), and the
+per-category stats frames are category-cardinality-sized — they
+broadcast back onto the data, which is scanned once more and never
+shuffled. ``hash_encode`` is pure row-local projection: zero shuffle.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def target_encode(
+    df: DataFrame,
+    cat_cols: Sequence[str],
+    label_col: str,
+    smoothing: float = 20.0,
+    loo: bool = False,
+    suffix: str = "_te",
+) -> DataFrame:
+    """Smoothed mean-target encoding of categorical columns: each
+    category value maps to ``(sum_y + m·prior) / (n + m)`` where
+    ``prior`` is the global label mean and ``m`` the smoothing pseudo-
+    count — the standard high-cardinality categorical encoder (rare
+    categories shrink toward the prior instead of memorizing noise).
+
+    ``loo=True`` produces the leave-one-out variant for the TRAINING
+    frame: each row's own label is excluded from its category's
+    statistic (``(sum_y − y + m·prior) / (n − 1 + m)``), the standard
+    target-leakage guard; encode serving/validation frames with
+    ``loo=False`` stats.
+
+    NULL categories encode to the prior (they carry no category
+    evidence); NULL labels are excluded from all statistics and, under
+    ``loo``, contribute nothing to subtract. Label must be boolean or
+    numeric; sums are exact decimal (bit-stable, engine-portable).
+
+    Plan: all columns melt into ONE (column, value) statistics pass —
+    one data-sized shuffle total, not one per column; the global prior
+    is a broadcast single-row frame and each per-category frame is
+    category-sized and broadcasts back. Adds ``{col}{suffix}`` per
+    encoded column.
+    """
+    cols = list(cat_cols)
+    if not cols:
+        raise ValueError("target_encode: cat_cols must be non-empty")
+    m = float(smoothing)
+    if m < 0:
+        raise ValueError("target_encode: smoothing must be >= 0")
+    y = F.col(label_col).cast("decimal(20,10)")
+
+    # ONE stats pass over the melted (column, category, y) rows
+    arr = F.array(*[F.struct(F.lit(c).alias("__c"),
+                             F.col(c).cast("string").alias("__v"))
+                    for c in cols])
+    melted = (df.where(F.col(label_col).isNotNull())
+              .select(y.alias("__y"), F.explode(arr).alias("m"))
+              .select("__y", "m.__c", "m.__v")
+              .where(F.col("__v").isNotNull()))
+    stats = (melted.groupBy("__c", "__v")
+             .agg(F.count("*").alias("__n"),
+                  F.sum("__y").alias("__sy")))
+    if len(cols) > 1:
+        # each column's attach branch filters this frame — without a
+        # persist Spark re-runs the whole melted aggregation per column
+        # (same lesson as the dedup pair fan-out: no common-subplan
+        # sharing across branches)
+        stats = stats.persist()
+    # exact decimal sum, ONE cast to double, then a double division —
+    # decimal-division scale rules differ between engines, double math
+    # on exact components does not
+    prior = (df.where(F.col(label_col).isNotNull())
+             .agg((F.sum(y).cast("double") / F.count(F.lit(1)))
+                  .alias("__prior")))
+
+    out = df.crossJoin(F.broadcast(prior))
+    pr = F.col("__prior")
+    for c in cols:
+        st = (stats.where(F.col("__c") == c)
+              .select(F.col("__v").alias(f"__v_{c}"),
+                      F.col("__n").alias(f"__n_{c}"),
+                      F.col("__sy").alias(f"__sy_{c}")))
+        out = out.join(F.broadcast(st),
+                       out[c].cast("string") == st[f"__v_{c}"], "left")
+        n = F.col(f"__n_{c}").cast("double")
+        sy = F.col(f"__sy_{c}").cast("double")
+        if loo:
+            yown = F.when(F.col(label_col).isNotNull(),
+                          F.col(label_col).cast("double")) \
+                .otherwise(F.lit(0.0))
+            nown = F.when(F.col(label_col).isNotNull(), F.lit(1.0)) \
+                .otherwise(F.lit(0.0))
+            enc = (sy - yown + m * pr) / (n - nown + m)
+        else:
+            enc = (sy + m * pr) / (n + m)
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col(f"__v_{c}").isNull(), pr).otherwise(enc)
+            .cast("double"))
+        out = out.drop(f"__v_{c}", f"__n_{c}", f"__sy_{c}")
+    return out.drop("__prior")
+
+
+def hash_encode(
+    df: DataFrame,
+    cols: Sequence[str],
+    num_buckets: int = 1 << 18,
+    salt: str = "",
+    suffix: str = "_hx",
+) -> DataFrame:
+    """Feature hashing (the 'hashing trick'): map each categorical value
+    to a stable integer bucket in ``[0, num_buckets)`` via md5 — the
+    fixed-width encoder for unbounded vocabularies (no fitted mapping
+    to store or ship, collisions accepted by design).
+
+    Portable contract (same as the sampling/fingerprint family): bucket
+    = first 15 hex digits of ``md5(salt ‖ column-name ‖ ':' ‖ value)``
+    mod ``num_buckets`` — the column name salts the hash so the same
+    value in two columns lands in decorrelated buckets. NULL values get
+    a NULL bucket. Pure row-local projection, zero shuffle, bit-
+    reproducible across engines and cluster sizes.
+
+    Adds ``{col}{suffix}`` (bigint) per column.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("hash_encode: cols must be non-empty")
+    if num_buckets < 1:
+        raise ValueError("hash_encode: num_buckets must be >= 1")
+    out = df
+    for c in cols:
+        h = F.md5(F.concat(F.lit(salt), F.lit(c), F.lit(":"),
+                           F.col(c).cast("string")))
+        bucket = F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") \
+            % F.lit(int(num_buckets))
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col(c).isNotNull(), bucket).cast("bigint"))
+    return out

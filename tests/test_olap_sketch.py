@@ -693,6 +693,58 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_target_encode_smoothed_loo_and_hash_encode(spark):
+    from feathr_spark.operators.encoding import hash_encode, target_encode
+    rows = [("a", 1), ("a", 1), ("a", 0), ("b", 1), ("b", 0),
+            (None, 1), ("c", None)]
+    df = spark.createDataFrame(rows, "cat string, y int")
+    # prior over non-null labels = 4/6
+    prior = 4 / 6
+    m = 2.0
+    got = {(r.cat, r.y): r.cat_te
+           for r in target_encode(df, ["cat"], "y",
+                                  smoothing=m).collect()}
+    assert got[("a", 1)] == pytest.approx((2 + m * prior) / (3 + m))
+    assert got[("b", 0)] == pytest.approx((1 + m * prior) / (2 + m))
+    assert got[(None, 1)] == pytest.approx(prior)     # NULL cat -> prior
+    # c has only a NULL-label row: no stats -> prior
+    assert got[("c", None)] == pytest.approx(prior)
+    # leave-one-out: own label excluded
+    loo = [(r.cat, r.y, r.cat_te)
+           for r in target_encode(df, ["cat"], "y", smoothing=m,
+                                  loo=True).collect()]
+    for cat, y, v in loo:
+        if cat == "a" and y == 1:
+            assert v == pytest.approx((2 - 1 + m * prior) / (3 - 1 + m))
+        if cat == "a" and y == 0:
+            assert v == pytest.approx((2 - 0 + m * prior) / (3 - 1 + m))
+    # multi-column melt: one stats pass for both columns
+    df2 = df.withColumn("cat2", F.upper("cat"))
+    te2 = target_encode(df2, ["cat", "cat2"], "y", smoothing=m)
+    assert {"cat_te", "cat2_te"} <= set(te2.columns)
+    plan = te2._jdf.queryExecution().executedPlan().toString()
+    # the melted stats aggregation is persisted: both columns' attach
+    # branches read the cache instead of re-running the stats pass
+    assert plan.count("InMemoryTableScan") == 2
+    # and the values coming out of the cache are right
+    g2 = {(r.cat, r.y): (r.cat_te, r.cat2_te) for r in te2.collect()}
+    assert g2[("a", 0)][0] == pytest.approx((2 + m * prior) / (3 + m))
+    assert g2[("a", 0)][0] == pytest.approx(g2[("a", 0)][1])
+    with pytest.raises(ValueError):
+        target_encode(df, [], "y")
+    # hash encoding: deterministic, in range, column-salted, NULL-safe
+    hx = hash_encode(df, ["cat"], num_buckets=16).collect()
+    vals = {r.cat: r.cat_hx for r in hx}
+    assert all(v is None or 0 <= v < 16 for v in vals.values())
+    assert vals[None] is None
+    again = {r.cat: r.cat_hx
+             for r in hash_encode(df, ["cat"], num_buckets=16).collect()}
+    assert vals == again                          # bit-reproducible
+    two = hash_encode(df2.where(F.col("cat") == "a"), ["cat", "cat2"],
+                      num_buckets=1 << 18).collect()[0]
+    assert two.cat_hx != two.cat2_hx              # column-name salt
+
+
 def test_key_skew_topk_and_entropy(spark):
     import math
     from feathr_spark.operators.profile import key_skew

@@ -37,6 +37,8 @@ BROADCAST_LOOP_OK = {
     "profile_sketch_gate",
     # 10-row top-k frame × broadcast 1-row totals crossJoin
     "key_skew_orders",
+    # broadcast 1-row global-prior frame × the data rows
+    "target_encode_orders",
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
@@ -328,6 +330,12 @@ EXCHANGE_BUDGET = {
     # per-key groupBy + the total fold; top-10 is TakeOrderedAndProject
     # and its rank window runs on the 10-row result
     "key_skew_orders": 3,
+    # two encoder passes (te + loo joined on the key): each has a
+    # category-stats aggregate pair + the broadcast prior fold; the
+    # final key join broadcasts
+    "target_encode_orders": 6,
+    # pure row-local md5 projection
+    "hash_encode_events": 0,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1604,6 +1604,21 @@ def q_hash_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type_hx", "user_id_hx")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source fractional sampling of the documents
+    corpus ("keep 30% of web, all of wiki" style corpus mixing by
+    rate): md5-draw vs a literal CASE rate table — zero shuffle, zero
+    stats pass, bit-reproducible."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import stratified_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.3, "src3": 0.1,
+             "src4": 1.0, "src5": 0.25, "src6": 0.75, "src7": 0.0,
+             "src8": 0.6, "src9": 0.9}   # src10..19 absent -> dropped
+    out = stratified_sample(docs, ["source"], rates)
+    return out.select("doc_id", "source", "n_chars")
+
+
 def q_cdf_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF feature transform: each order's percentile rank of
     o_totalprice within its priority group (rank built from non-null
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_orders": q_key_skew_orders,
         "target_encode_orders": q_target_encode_orders,
         "hash_encode_events": q_hash_encode_events,
+        "stratified_sample": q_stratified_sample,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3038,6 +3054,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      ::BIGINT / POWER(16, 15)
+                  < CASE source
+                      WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                      WHEN 'src2' THEN 0.3 WHEN 'src3' THEN 0.1
+                      WHEN 'src4' THEN 1.0 WHEN 'src5' THEN 0.25
+                      WHEN 'src6' THEN 0.75 WHEN 'src7' THEN 0.0
+                      WHEN 'src8' THEN 0.6 WHEN 'src9' THEN 0.9
+                      ELSE 0.0 END
         """,
         "target_encode_orders": """
             WITH pr AS (

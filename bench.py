@@ -105,6 +105,7 @@ HEADLINE = [
     "key_skew_orders",
     "target_encode_orders",
     "hash_encode_events",
+    "stratified_sample",
 ]
 
 

@@ -12,7 +12,7 @@ pre-filter first); hash_split is a pure narrow projection (zero shuffles).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -140,3 +140,49 @@ def negative_sample(df: DataFrame, left_col: str, right_col: str,
     return (cand.join(pos, ["__l", "__r"], "left_anti")
             .select(F.col("__l").alias(left_col),
                     F.col("__r").alias(right_col), "draw"))
+
+
+def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
+                      fractions, id_col: str = "doc_id",
+                      salt: str = "") -> DataFrame:
+    """Deterministic stratified FRACTIONAL sampling: keep each row with
+    its stratum's probability, decided by the row's md5-derived uniform
+    draw (same 15-hex-digit contract as :func:`weighted_sample`) — the
+    per-stratum complement to :func:`quota_sample`'s hard cap, e.g.
+    "keep 5% of web but 100% of books" corpus mixing by rate instead of
+    count.
+
+    ``fractions`` is either a single float (uniform downsample) or a
+    dict mapping a stratum KEY to its rate, where the key is the value
+    of ``strata_cols[0]`` for a single column or the tuple of values
+    for several. Strata absent from the dict fall back to ``default``
+    (0.0 — drop, the explicit-domain discipline: an unexpected stratum
+    should vanish loudly in counts, not silently pass through).
+
+    Zero shuffle, zero stats pass (the rate table compiles to a literal
+    CASE over the strata columns); bit-reproducible across engines and
+    cluster sizes. NULL stratum values never match a dict key and take
+    the default.
+    """
+    keys = list(strata_cols)
+    if not keys:
+        raise ValueError("stratified_sample: strata_cols must be non-empty")
+    draw = (F.conv(F.substring(sample_key(F.col(id_col), salt), 1, 15),
+                   16, 10).cast("double") / F.lit(float(16 ** 15)))
+    if isinstance(fractions, (int, float)):
+        p = F.lit(float(fractions))
+    else:
+        expr = None
+        for k, frac in fractions.items():
+            kt = k if isinstance(k, tuple) else (k,)
+            if len(kt) != len(keys):
+                raise ValueError(
+                    f"stratified_sample: key {k!r} does not match "
+                    f"{len(keys)} strata column(s)")
+            cond = F.lit(True)
+            for c, v in zip(keys, kt):
+                cond = cond & (F.col(c) == F.lit(v))
+            expr = (F.when(cond, float(frac)) if expr is None
+                    else expr.when(cond, float(frac)))
+        p = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
+    return df.where(draw < p)

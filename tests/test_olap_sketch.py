@@ -693,6 +693,42 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_stratified_sample_rates_and_determinism(spark):
+    from feathr_spark.operators.sampling import stratified_sample
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(4000)],
+        "doc_id bigint, src string")
+    out = stratified_sample(df, ["src"], {"web": 0.25, "books": 1.0})
+    got = {r[0]: r[1] for r in
+           out.groupBy("src").count().collect()}
+    assert got["books"] == 2000                  # rate 1.0 keeps all
+    assert abs(got["web"] / 2000 - 0.25) < 0.05  # md5 draw ~ rate
+    # deterministic: identical row set on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in stratified_sample(
+        df, ["src"], {"web": 0.25, "books": 1.0}).collect())
+    assert a == b
+    # unlisted stratum drops (explicit-domain discipline)
+    extra = df.withColumn("src", F.lit("crawl"))
+    assert stratified_sample(extra, ["src"], {"web": 1.0}).count() == 0
+    # scalar fraction = uniform downsample; 0.0 empty, 1.0 full
+    assert stratified_sample(df, ["src"], 1.0).count() == 4000
+    assert stratified_sample(df, ["src"], 0.0).count() == 0
+    # tuple keys for multi-column strata + mismatched key arity raises
+    df2 = df.withColumn("lang", F.lit("en"))
+    m = stratified_sample(df2, ["src", "lang"],
+                          {("books", "en"): 1.0}).count()
+    assert m == 2000
+    with pytest.raises(ValueError):
+        stratified_sample(df2, ["src", "lang"], {"books": 1.0})
+    with pytest.raises(ValueError):
+        stratified_sample(df, [], 0.5)
+    # zero shuffle: pure row-local filter
+    plan = stratified_sample(df, ["src"], {"web": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_target_encode_smoothed_loo_and_hash_encode(spark):
     from feathr_spark.operators.encoding import hash_encode, target_encode
     rows = [("a", 1), ("a", 1), ("a", 0), ("b", 1), ("b", 0),

@@ -336,6 +336,8 @@ EXCHANGE_BUDGET = {
     "target_encode_orders": 6,
     # pure row-local md5 projection
     "hash_encode_events": 0,
+    # row-local md5 draw vs literal CASE rate table
+    "stratified_sample": 0,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

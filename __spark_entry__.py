@@ -1604,6 +1604,28 @@ def q_hash_encode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "event_type_hx", "user_id_hx")
 
 
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over lineitem (order = basket,
+    part = item): pairs explode ROW-LOCALLY from each order's sorted
+    distinct-part array (HOF double transform — no self-join of the
+    items table); support/confidence/lift attach from re-aggregations
+    of the persisted basket frame."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    out = association_rules(li, "l_orderkey", "l_partkey",
+                            min_pair_count=2)
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return out.select(
+        F.col("item_a").cast("bigint").alias("item_a"),
+        F.col("item_b").cast("bigint").alias("item_b"),
+        "n_ab", "n_a", "n_b", "n_baskets",
+        r4("support"), r4("conf_a_b"), r4("conf_b_a"), r4("lift"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source fractional sampling of the documents
     corpus ("keep 30% of web, all of wiki" style corpus mixing by
@@ -1908,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "target_encode_orders": q_target_encode_orders,
         "hash_encode_events": q_hash_encode_events,
         "stratified_sample": q_stratified_sample,
+        "basket_rules": q_basket_rules,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3054,6 +3077,38 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "basket_rules": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            pc AS (
+              SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            ic AS (SELECT it, count(*) AS n FROM bi GROUP BY 1),
+            t AS (SELECT count(*) AS nb FROM ok)
+            SELECT pc.a AS item_a, pc.b2 AS item_b,
+                   CAST(pc.n_ab AS BIGINT) AS n_ab,
+                   CAST(ia.n AS BIGINT) AS n_a,
+                   CAST(ib.n AS BIGINT) AS n_b,
+                   CAST(t.nb AS BIGINT) AS n_baskets,
+                   CAST(ROUND(pc.n_ab / CAST(t.nb AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS support,
+                   CAST(ROUND(pc.n_ab / CAST(ia.n AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS conf_a_b,
+                   CAST(ROUND(pc.n_ab / CAST(ib.n AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS conf_b_a,
+                   CAST(ROUND(pc.n_ab * CAST(t.nb AS DOUBLE)
+                              / (CAST(ia.n AS DOUBLE) * ib.n) + 1e-9, 4)
+                        AS DOUBLE) AS lift
+            FROM pc
+            JOIN ic ia ON ia.it = pc.a
+            JOIN ic ib ON ib.it = pc.b2, t
         """,
         "stratified_sample": """
             SELECT doc_id, source, n_chars FROM documents

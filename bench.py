@@ -106,6 +106,7 @@ HEADLINE = [
     "target_encode_orders",
     "hash_encode_events",
     "stratified_sample",
+    "basket_rules",
 ]
 
 

@@ -693,6 +693,48 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_association_rules_support_confidence_lift(spark):
+    from feathr_spark.operators.assoc import association_rules
+    rows = [
+        (1, "milk"), (1, "bread"), (1, "milk"),       # dup milk collapses
+        (2, "milk"), (2, "bread"), (2, "eggs"),
+        (3, "milk"), (3, "eggs"),
+        (4, "bread"), (4, None),                      # NULL item dropped
+        (5, "milk"),
+    ]
+    df = spark.createDataFrame(rows, "order bigint, item string")
+    got = {(r.item_a, r.item_b): r for r in
+           association_rules(df, "order", "item",
+                             min_pair_count=1).collect()}
+    # 5 baskets; milk in 4, bread in 3, eggs in 2
+    mb = got[("bread", "milk")]                        # canonical a < b
+    assert (mb.n_ab, mb.n_a, mb.n_b, mb.n_baskets) == (2, 3, 4, 5)
+    assert mb.support == pytest.approx(2 / 5)
+    assert mb.conf_a_b == pytest.approx(2 / 3)         # P(milk | bread)
+    assert mb.conf_b_a == pytest.approx(2 / 4)
+    assert mb.lift == pytest.approx((2 / 5) / ((3 / 5) * (4 / 5)))
+    me = got[("eggs", "milk")]
+    assert me.n_ab == 2 and me.lift == pytest.approx(
+        (2 / 5) / ((2 / 5) * (4 / 5)))
+    assert ("bread", "eggs") in got and got[("bread", "eggs")].n_ab == 1
+    assert all(a < b for a, b in got)                  # canonical order
+    # min_pair_count prunes
+    pruned = {(r.item_a, r.item_b) for r in
+              association_rules(df, "order", "item",
+                                min_pair_count=2).collect()}
+    assert pruned == {("bread", "milk"), ("eggs", "milk")}
+    # a mega-basket is excluded from EVERY statistic
+    mega = [(9, f"it{i}") for i in range(5)]
+    df2 = spark.createDataFrame(rows + mega, "order bigint, item string")
+    g2 = {(r.item_a, r.item_b): r for r in
+          association_rules(df2, "order", "item", min_pair_count=1,
+                            max_basket=4).collect()}
+    assert g2[("bread", "milk")].n_baskets == 5        # basket 9 dropped
+    assert not any(a.startswith("it") for a, _ in g2)
+    with pytest.raises(ValueError):
+        association_rules(df, "order", "item", min_pair_count=0)
+
+
 def test_stratified_sample_rates_and_determinism(spark):
     from feathr_spark.operators.sampling import stratified_sample
     df = spark.createDataFrame(

@@ -39,6 +39,8 @@ BROADCAST_LOOP_OK = {
     "key_skew_orders",
     # broadcast 1-row global-prior frame × the data rows
     "target_encode_orders",
+    # broadcast 1-row basket-total frame × the rule rows
+    "basket_rules",
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
@@ -338,6 +340,10 @@ EXCHANGE_BUDGET = {
     "hash_encode_events": 0,
     # row-local md5 draw vs literal CASE rate table
     "stratified_sample": 0,
+    # basket groupBy + pair count + per-item counts and their two
+    # attach joins (the persisted basket subtree prints under several
+    # consumers; dedupes to the cache at runtime)
+    "basket_rules": 8,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1626,6 +1626,36 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("support"), r4("conf_a_b"), r4("conf_b_a"), r4("lift"))
 
 
+def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (3 iterations) over the symmetric part
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders, weight = co-occurrence count): rank join + contribution
+    aggregate per round, scalar stats as broadcast 1-row frames,
+    localCheckpoint lineage truncation. Output is rank relative to
+    uniform (x N) so the 4-dp hash compare keeps resolution."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import pagerank
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2) \
+        .select("item_a", "item_b", "n_ab")
+    edges = (rules.select(F.col("item_a").alias("src"),
+                          F.col("item_b").alias("dst"),
+                          F.col("n_ab").cast("double").alias("w"))
+             .union(rules.select(F.col("item_b").alias("src"),
+                                 F.col("item_a").alias("dst"),
+                                 F.col("n_ab").cast("double").alias("w"))))
+    ranks = pagerank(edges, weight="w", damping=0.85, iters=3)
+    nn = ranks.agg(F.count(F.lit(1)).alias("__n"))
+    return (ranks.crossJoin(F.broadcast(nn))
+            .select(F.col("id").cast("bigint").alias("part"),
+                    F.round(F.col("rank") * F.col("__n") + F.lit(1e-9), 4)
+                    .cast("double").alias("rank_rel")))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source fractional sampling of the documents
     corpus ("keep 30% of web, all of wiki" style corpus mixing by
@@ -1931,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_encode_events": q_hash_encode_events,
         "stratified_sample": q_stratified_sample,
         "basket_rules": q_basket_rules,
+        "part_pagerank": q_part_pagerank,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3109,6 +3140,55 @@ def oracle_sql() -> dict[str, str]:
             FROM pc
             JOIN ic ia ON ia.it = pc.a
             JOIN ic ib ON ib.it = pc.b2, t
+        """,
+        "part_pagerank": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            pc AS (
+              SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            e AS (
+              SELECT a AS src, b2 AS dst, CAST(n_ab AS DOUBLE) AS w
+              FROM pc
+              UNION ALL
+              SELECT b2, a, CAST(n_ab AS DOUBLE) FROM pc),
+            nodes AS (SELECT DISTINCT src AS id FROM e),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            ow AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+            r0 AS (SELECT id, 1.0 / nn.n AS r FROM nodes, nn),
+            r1 AS (
+              SELECT nd.id,
+                     (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS r
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS id, sum(r0.r * e.w / ow.ow) AS s
+                FROM e JOIN r0 ON r0.id = e.src
+                       JOIN ow ON ow.src = e.src
+                GROUP BY 1) c USING (id), nn),
+            r2 AS (
+              SELECT nd.id,
+                     (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS r
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS id, sum(r1.r * e.w / ow.ow) AS s
+                FROM e JOIN r1 ON r1.id = e.src
+                       JOIN ow ON ow.src = e.src
+                GROUP BY 1) c USING (id), nn),
+            r3 AS (
+              SELECT nd.id,
+                     (1 - 0.85) / nn.n + 0.85 * coalesce(c.s, 0) AS r
+              FROM nodes nd LEFT JOIN (
+                SELECT e.dst AS id, sum(r2.r * e.w / ow.ow) AS s
+                FROM e JOIN r2 ON r2.id = e.src
+                       JOIN ow ON ow.src = e.src
+                GROUP BY 1) c USING (id), nn)
+            SELECT CAST(r3.id AS BIGINT) AS part,
+                   CAST(ROUND(r3.r * nn.n + 1e-9, 4) AS DOUBLE)
+                       AS rank_rel
+            FROM r3, nn
         """,
         "stratified_sample": """
             SELECT doc_id, source, n_chars FROM documents

@@ -107,6 +107,7 @@ HEADLINE = [
     "hash_encode_events",
     "stratified_sample",
     "basket_rules",
+    "part_pagerank",
 ]
 
 

@@ -693,6 +693,58 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def _py_pagerank(edges, damping, iters):
+    """Reference power iteration (weighted, dangling redistribution)."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    outw = {}
+    for u, _, w in edges:
+        outw[u] = outw.get(u, 0.0) + w
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dm = sum(r[v] for v in nodes if v not in outw)
+        nxt = {v: (1 - damping) / n + damping * dm / n for v in nodes}
+        for u, v, w in edges:
+            nxt[v] += damping * r[u] * w / outw[u]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_power_iteration(spark):
+    from feathr_spark.operators.graph import pagerank
+    # directed, weighted, with a dangling node (d has no out-edges)
+    edges = [("a", "b", 2.0), ("a", "c", 1.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("c", "d", 3.0)]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.id: r.rank
+           for r in pagerank(df, weight="w", damping=0.85,
+                             iters=5).collect()}
+    want = _py_pagerank(edges, 0.85, 5)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # total rank is conserved (dangling mass redistributed, not lost)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # unweighted: every edge counts 1
+    got1 = {r.id: r.rank
+            for r in pagerank(df, damping=0.85, iters=3).collect()}
+    want1 = _py_pagerank([(u, v, 1.0) for u, v, _ in edges], 0.85, 3)
+    for v in want1:
+        assert got1[v] == pytest.approx(want1[v], abs=1e-12)
+    # parallel edges add weight
+    dup = spark.createDataFrame(edges + [("a", "b", 1.0)],
+                                "src string, dst string, w double")
+    gd = {r.id: r.rank
+          for r in pagerank(dup, weight="w", iters=2).collect()}
+    wd = _py_pagerank([("a", "b", 3.0)] + edges[1:], 0.85, 2)
+    for v in wd:
+        assert gd[v] == pytest.approx(wd[v], abs=1e-12)
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, iters=0)
+
+
 def test_association_rules_support_confidence_lift(spark):
     from feathr_spark.operators.assoc import association_rules
     rows = [

@@ -41,6 +41,8 @@ BROADCAST_LOOP_OK = {
     "target_encode_orders",
     # broadcast 1-row basket-total frame × the rule rows
     "basket_rules",
+    # checkpointed rank frame × broadcast 1-row node count
+    "part_pagerank",
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
@@ -344,6 +346,9 @@ EXCHANGE_BUDGET = {
     # attach joins (the persisted basket subtree prints under several
     # consumers; dedupes to the cache at runtime)
     "basket_rules": 8,
+    # iterative; rounds execute at plan time behind localCheckpoint —
+    # the visible plan is the final rank frame x broadcast node count
+    "part_pagerank": 1,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1656,6 +1656,37 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("rank_rel")))
 
 
+def q_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the mergeable distinct-count cascade: daily
+    per-event-type HLL sketches union up to monthly, the estimate must
+    land within 10% of the exact monthly distinct-user count, and the
+    cascade must EQUAL the direct monthly sketch (lossless union).
+    Deterministic, so the oracle is the exact count + true flags."""
+    _utc(spark)
+    from feathr_spark.operators.profile import (
+        distinct_rollup, finalize_distinct, merge_distinct_rollup)
+    ev = _load_events(spark, sf_dir)
+    daily = distinct_rollup(ev, "ts", ["event_type"], "user_id",
+                            level="day")
+    monthly = finalize_distinct(merge_distinct_rollup(daily, "month"))
+    direct = finalize_distinct(
+        distinct_rollup(ev, "ts", ["event_type"], "user_id",
+                        level="month")) \
+        .withColumnRenamed("distinct_est", "__direct")
+    exact = (ev.groupBy("event_type",
+                        F.date_trunc("month", "ts").alias("bucket_start"))
+             .agg(F.countDistinct("user_id").alias("n_exact")))
+    j = (monthly.join(direct, ["event_type", "bucket_start"])
+         .join(exact, ["event_type", "bucket_start"]))
+    return j.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        ((F.abs(F.col("distinct_est") - F.col("n_exact"))
+          / F.col("n_exact")) <= 0.10).alias("est_ok"),
+        (F.col("distinct_est") == F.col("__direct")).alias("cascade_ok"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source fractional sampling of the documents
     corpus ("keep 30% of web, all of wiki" style corpus mixing by
@@ -1962,6 +1993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "basket_rules": q_basket_rules,
         "part_pagerank": q_part_pagerank,
+        "distinct_rollup_gate": q_distinct_rollup_gate,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3140,6 +3172,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pc
             JOIN ic ia ON ia.it = pc.a
             JOIN ic ib ON ib.it = pc.b2, t
+        """,
+        "distinct_rollup_gate": """
+            SELECT event_type,
+                   strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+                   true AS est_ok,
+                   true AS cascade_ok
+            FROM events
+            GROUP BY 1, 2
         """,
         "part_pagerank": """
             WITH b AS (

@@ -108,6 +108,7 @@ HEADLINE = [
     "stratified_sample",
     "basket_rules",
     "part_pagerank",
+    "distinct_rollup_gate",
 ]
 
 

@@ -693,6 +693,41 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_distinct_rollup_cascade_equals_direct(spark):
+    import datetime as _dt
+    from feathr_spark.operators.profile import (
+        distinct_rollup, finalize_distinct, merge_distinct_rollup)
+    base = _dt.datetime(2024, 1, 1)
+    rows = [(base + _dt.timedelta(hours=h), f"g{h % 2}", f"u{(h * 7) % 45}")
+            for h in range(24 * 21)]                  # 3 weeks hourly
+    df = spark.createDataFrame(rows, "ts timestamp, g string, u string")
+    daily = distinct_rollup(df, "ts", ["g"], "u", level="day")
+    # cascade: daily sketches unioned up to weekly...
+    weekly = finalize_distinct(merge_distinct_rollup(daily, "week"))
+    # ...equals sketching the raw data weekly DIRECTLY — hll_union of
+    # same-lgk sketches is lossless, so this is exact equality
+    direct = finalize_distinct(
+        distinct_rollup(df, "ts", ["g"], "u", level="week"))
+    wk = {(r.g, r.bucket_start): r.distinct_est for r in weekly.collect()}
+    dr = {(r.g, r.bucket_start): r.distinct_est for r in direct.collect()}
+    assert wk == dr
+    # incremental refresh: disjoint batches union + same-bucket merge
+    a = distinct_rollup(df.where(F.col("g") == "g0"), "ts", [], "u")
+    b = distinct_rollup(df.where(F.col("g") == "g1"), "ts", [], "u")
+    merged = finalize_distinct(
+        merge_distinct_rollup(a.unionByName(b), "day"))
+    whole = finalize_distinct(distinct_rollup(df, "ts", [], "u"))
+    assert {r.bucket_start: r.distinct_est for r in merged.collect()} \
+        == {r.bucket_start: r.distinct_est for r in whole.collect()}
+    # estimates track exact counts at this cardinality (45 users)
+    exact = {(r.g, r.bucket_start): r.n for r in
+             (df.groupBy("g", F.date_trunc("week", "ts")
+                         .alias("bucket_start"))
+              .agg(F.countDistinct("u").alias("n"))).collect()}
+    for k, est in wk.items():
+        assert abs(est - exact[k]) / exact[k] < 0.15
+
+
 def _py_pagerank(edges, damping, iters):
     """Reference power iteration (weighted, dangling redistribution)."""
     nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})

@@ -349,6 +349,10 @@ EXCHANGE_BUDGET = {
     # iterative; rounds execute at plan time behind localCheckpoint —
     # the visible plan is the final rank frame x broadcast node count
     "part_pagerank": 1,
+    # daily sketch agg + monthly union + direct monthly sketch + the
+    # exact countDistinct two-phase pair; every frame past the sketch
+    # aggregates is bucket-count-sized fixed-width binaries
+    "distinct_rollup_gate": 5,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1687,6 +1687,28 @@ def q_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("distinct_est") == F.col("__direct")).alias("cascade_ok"))
 
 
+def q_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold cross-validation assignment over documents:
+    md5 bucket — zero shuffle, stable under repartitioning and
+    incremental data."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import kfold_assign
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    return kfold_assign(docs, k=5)
+
+
+def q_time_split_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split of events at Jan 20 with a 1-day
+    embargo gap (purged split — rows inside the gap join neither side).
+    Row-local, zero shuffle."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import time_split
+    ev = _load_events(spark, sf_dir).select("event_id", "ts")
+    return time_split(ev, "ts", "2024-01-20 00:00:00",
+                      embargo_s=86400).select("event_id", "split")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-source fractional sampling of the documents
     corpus ("keep 30% of web, all of wiki" style corpus mixing by
@@ -1994,6 +2016,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules": q_basket_rules,
         "part_pagerank": q_part_pagerank,
         "distinct_rollup_gate": q_distinct_rollup_gate,
+        "kfold_docs": q_kfold_docs,
+        "time_split_events": q_time_split_events,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3172,6 +3196,21 @@ def oracle_sql() -> dict[str, str]:
             FROM pc
             JOIN ic ia ON ia.it = pc.a
             JOIN ic ib ON ib.it = pc.b2, t
+        """,
+        "kfold_docs": """
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT % 5 AS INTEGER)
+                       AS fold
+            FROM documents
+        """,
+        "time_split_events": """
+            SELECT event_id,
+                   CASE WHEN ts < TIMESTAMP '2024-01-19 00:00:00'
+                        THEN 'train'
+                        WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
+                        THEN 'test' END AS split
+            FROM events
         """,
         "distinct_rollup_gate": """
             SELECT event_type,

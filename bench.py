@@ -109,6 +109,8 @@ HEADLINE = [
     "basket_rules",
     "part_pagerank",
     "distinct_rollup_gate",
+    "kfold_docs",
+    "time_split_events",
 ]
 
 

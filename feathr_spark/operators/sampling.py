@@ -186,3 +186,40 @@ def stratified_sample(df: DataFrame, strata_cols: Sequence[str],
                     else expr.when(cond, float(frac)))
         p = expr.otherwise(F.lit(0.0)) if expr is not None else F.lit(0.0)
     return df.where(draw < p)
+
+
+def kfold_assign(df: DataFrame, k: int = 5, id_col: str = "doc_id",
+                 salt: str = "") -> DataFrame:
+    """Deterministic k-fold assignment: ``fold`` in [0, k) from the
+    row's md5 draw — the cross-validation companion to
+    :func:`hash_split` with the same contract (zero shuffle, stable
+    under repartitioning, incremental data lands in folds without
+    reshuffling history). Adds ``fold`` (int)."""
+    if k < 2:
+        raise ValueError("kfold_assign: k must be >= 2")
+    bucket = F.conv(F.substring(sample_key(F.col(id_col), salt), 1, 15),
+                    16, 10).cast("bigint") % F.lit(int(k))
+    return df.withColumn("fold", bucket.cast("int"))
+
+
+def time_split(df: DataFrame, ts_col: str, cutoff,
+               embargo_s: int = 0) -> DataFrame:
+    """Temporal train/test split with an optional EMBARGO gap: rows
+    strictly before ``cutoff − embargo`` are ``train``, rows at/after
+    ``cutoff`` are ``test``, and rows inside the embargo window get
+    NULL (excluded from both) — the leakage guard for autocorrelated
+    data, where a sample just before the cutoff leaks near-future
+    information into training (the purged split of financial ML).
+
+    Row-local, zero shuffle. ``cutoff`` is an ISO timestamp string or
+    datetime. Adds ``split`` (train / test / NULL).
+    """
+    if embargo_s < 0:
+        raise ValueError("time_split: embargo_s must be >= 0")
+    cut = F.lit(str(cutoff)).cast("timestamp")
+    ts = F.col(ts_col).cast("timestamp")
+    lo = cut - F.expr(f"INTERVAL {int(embargo_s)} SECOND")
+    split = (F.when(ts < lo, "train")
+             .when(ts >= cut, "test")
+             .otherwise(F.lit(None).cast("string")))
+    return df.withColumn("split", split)

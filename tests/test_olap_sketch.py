@@ -693,6 +693,42 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_kfold_and_time_split(spark):
+    import datetime as _dt
+    from feathr_spark.operators.sampling import kfold_assign, time_split
+    df = spark.range(3000).select(F.col("id").alias("doc_id"))
+    folds = kfold_assign(df, k=5)
+    got = {r.doc_id: r.fold for r in folds.collect()}
+    assert set(got.values()) == {0, 1, 2, 3, 4}
+    sizes = [sum(1 for f in got.values() if f == i) for i in range(5)]
+    assert all(abs(s - 600) < 120 for s in sizes)      # roughly balanced
+    # stable: identical assignment on re-run and under repartitioning
+    again = {r.doc_id: r.fold
+             for r in kfold_assign(df.repartition(7), k=5).collect()}
+    assert got == again
+    with pytest.raises(ValueError):
+        kfold_assign(df, k=1)
+    # embargoed temporal split
+    base = _dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, base + _dt.timedelta(hours=i)) for i in range(48)],
+        "i bigint, ts timestamp")
+    out = {r.i: r.split
+           for r in time_split(ev, "ts", "2024-01-02 00:00:00",
+                               embargo_s=6 * 3600).collect()}
+    assert out[0] == "train" and out[17] == "train"
+    assert all(out[i] is None for i in range(18, 24))  # embargo gap
+    assert out[24] == "test" and out[47] == "test"
+    # zero embargo: clean two-way split
+    out0 = {r.i: r.split
+            for r in time_split(ev, "ts",
+                                "2024-01-02 00:00:00").collect()}
+    assert sum(1 for v in out0.values() if v == "train") == 24
+    assert None not in out0.values()
+    with pytest.raises(ValueError):
+        time_split(ev, "ts", "2024-01-02 00:00:00", embargo_s=-1)
+
+
 def test_distinct_rollup_cascade_equals_direct(spark):
     import datetime as _dt
     from feathr_spark.operators.profile import (

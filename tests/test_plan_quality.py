@@ -353,6 +353,9 @@ EXCHANGE_BUDGET = {
     # exact countDistinct two-phase pair; every frame past the sketch
     # aggregates is bucket-count-sized fixed-width binaries
     "distinct_rollup_gate": 5,
+    # row-local md5 fold bucket / timestamp CASE
+    "kfold_docs": 0,
+    "time_split_events": 0,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1639,9 +1639,11 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
+    # persist: the pair pipeline feeds BOTH union branches (forward and
+    # reversed edges) — unpersisted it runs twice
     rules = association_rules(li, "l_orderkey", "l_partkey",
                               min_pair_count=2) \
-        .select("item_a", "item_b", "n_ab")
+        .select("item_a", "item_b", "n_ab").persist()
     edges = (rules.select(F.col("item_a").alias("src"),
                           F.col("item_b").alias("dst"),
                           F.col("n_ab").cast("double").alias("w"))

@@ -57,9 +57,15 @@ def pagerank(
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # persist the cleaned edge frame FIRST: nodes / out-weights /
+    # normalized edges each materialize it independently, and an
+    # unpersisted upstream (e.g. a pair-generation pipeline feeding the
+    # graph) would re-run once per derived frame — measured 4x the
+    # whole co-occurrence pipeline on the driver query without this
     e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                       w.alias("__w"))
-         .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull()))
+         .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
+         .persist())
     # node set + per-source out-weight: reused every round, persist once
     nodes = (e.select(F.col("__src").alias("id"))
              .union(e.select(F.col("__dst").alias("id")))
@@ -97,6 +103,7 @@ def pagerank(
                              + F.col("__dm") / F.col("__n")))
                      .alias("rank"))
                  .localCheckpoint())
+    e.unpersist()
     nodes.unpersist()
     outw.unpersist()
     en.unpersist()

@@ -22,7 +22,7 @@ import sys
 from collections.abc import Callable
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -860,6 +860,31 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bm25_topk(docs, ["window", "merge", "join"], k=10)
     return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
                       "rank", "score")
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 top-10 with
+    a quality-score top-10 over the same corpus — rank-only fusion, so
+    the incomparable raw scores never mix. All fusion frames are
+    top-k-bounded; the quality cut is TakeOrderedAndProject."""
+    _utc(spark)
+    from feathr_spark.operators.search import bm25_topk, rrf_fuse
+    from feathr_spark.operators.text import quality_score
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bm = bm25_topk(docs, ["window", "merge", "join"], k=10) \
+        .select("doc_id", "rank")
+    q = quality_score(F.col("text"))
+    topq = (docs.select("doc_id", q.alias("__q"))
+            .orderBy(F.col("__q").desc(), F.col("doc_id").asc())
+            .limit(10))
+    wq = Window.orderBy(F.col("__q").desc(), F.col("doc_id").asc())
+    qual = topq.select("doc_id", F.row_number().over(wq).alias("rank"))
+    fused = rrf_fuse([bm, qual], k=60, top_k=10)
+    return fused.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.round(F.col("rrf_score") + F.lit(1e-9), 4).cast("double")
+        .alias("rrf_score"),
+        "n_lists", "rank")
 
 
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2020,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_rollup_gate": q_distinct_rollup_gate,
         "kfold_docs": q_kfold_docs,
         "time_split_events": q_time_split_events,
+        "hybrid_rrf": q_hybrid_rrf,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -2090,6 +2116,71 @@ def _lang_sql_parts():
     en_hits = " + ".join(subcount(padded, m)
                          for m in LANG_MARKERS["en"])
     return scores, best, case, en_hits
+
+
+def _rrf_oracle() -> str:
+    """RRF fusion of the bm25_topk ranking with the quality top-10 —
+    both rankings mirror their driver-query oracles, the fusion is
+    1/(60+rank) sums with round-before-rank + doc-id tie-break."""
+    _, _, _, en_hits = _lang_sql_parts()
+    n_tok = ("CASE WHEN length(trim(text)) = 0 THEN 0 "
+             "ELSE len(string_split_regex(trim(text), '\\s+')) END")
+    punct = ("CASE WHEN length(text) > 0 THEN "
+             "len(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) * 1.0"
+             " / length(text) ELSE 0.0 END")
+    quality = (f"(least(({n_tok}) / 20.0, 1.0) * 0.4 "
+               f"+ (1.0 - least(({punct}) * 4, 1.0)) * 0.3 "
+               f"+ least(({en_hits}) / greatest(({n_tok}), 1) * 5, 1.0)"
+               " * 0.3)")
+    return rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+          FROM documents
+        ), per AS (
+          SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+                 CAST(len(list_filter(w, x -> x = 'window')) AS DOUBLE) AS tf0,
+                 CAST(len(list_filter(w, x -> x = 'merge')) AS DOUBLE) AS tf1,
+                 CAST(len(list_filter(w, x -> x = 'join')) AS DOUBLE) AS tf2
+          FROM toks
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+                 SUM(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+                 SUM(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+                 SUM(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+          FROM per
+        ), scored AS (
+          SELECT doc_id, CAST(ROUND(
+              ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * tf0 * 2.2
+                  / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl))
+            + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * tf1 * 2.2
+                  / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl))
+            + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * tf2 * 2.2
+                  / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)), 4) AS DOUBLE) AS score
+          FROM per, stats
+        ), bm AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+          FROM scored QUALIFY rank <= 10
+        ), qual AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY {quality} DESC, doc_id ASC)
+                     AS rank
+          FROM documents QUALIFY rank <= 10
+        ), u AS (
+          SELECT doc_id, 1.0 / (60 + rank) AS w FROM bm
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + rank) AS w FROM qual
+        ), fused AS (
+          SELECT doc_id, sum(w) AS s, count(*) AS lists FROM u GROUP BY 1
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(ROUND(s + 1e-9, 4) AS DOUBLE) AS rrf_score,
+               CAST(lists AS INTEGER) AS n_lists,
+               CAST(row_number() OVER (ORDER BY ROUND(s, 6) DESC,
+                                       doc_id ASC) AS INTEGER) AS rank
+        FROM fused QUALIFY rank <= 10
+    """
 
 
 def _text_oracles() -> dict[str, str]:
@@ -3017,6 +3108,7 @@ def oracle_sql() -> dict[str, str]:
                    true AS passes
         """,
         **_text_oracles(),
+        "hybrid_rrf": _rrf_oracle(),
         "window_elementwise": """
             SELECT o.event_id AS event_id,
                    array_to_string(

@@ -111,6 +111,7 @@ HEADLINE = [
     "distinct_rollup_gate",
     "kfold_docs",
     "time_split_events",
+    "hybrid_rrf",
 ]
 
 

@@ -132,3 +132,53 @@ def tf_idf_table(
                                  / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))
     return out.select(F.col("__id").alias(id_col), "term", "tf", "df",
                       F.round(tfidf, 4).cast("double").alias("tf_idf"))
+
+
+def rrf_fuse(
+    rankings: List[DataFrame],
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    by: List[str] = None,
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N rankings (Cormack et al. 2009): each
+    list contributes ``1 / (k + rank)`` per document, fused score =
+    the sum — the standard combiner for HYBRID retrieval (BM25 +
+    vector top-k), robust because it uses only ranks, never the
+    incomparable raw scores. ``by`` carries per-query columns when the
+    rankings are per-query frames.
+
+    Scale: the inputs are already top-k-bounded (that is what a
+    ranking IS), so every frame here is (queries × k × n_lists)-sized
+    — the union/groupBy/rank window all operate on retrieval results,
+    not the corpus. The rank window is partitioned by the query
+    columns (or a constant for a single global ranking — the frame is
+    bounded by construction either way). Round-before-rank + doc-id
+    tie-break keep the fused order engine-portable.
+
+    Output: (by..., doc_id, rrf_score, rank) with rank <= top_k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k < 1 or top_k < 1:
+        raise ValueError("rrf_fuse: k and top_k must be >= 1")
+    keys = list(by or [])
+    parts = [r.select(*keys, F.col(doc_col).alias("__doc"),
+                      (F.lit(1.0) / (F.lit(int(k)) + F.col(rank_col)))
+                      .alias("__w"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (u.groupBy(*keys, "__doc")
+             .agg(F.sum("__w").alias("__score"),
+                  F.count("*").alias("__lists")))
+    w = Window.partitionBy(*(keys or [F.lit(0)])).orderBy(
+        F.round(F.col("__score"), 6).desc(), F.col("__doc").asc())
+    return (fused.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= int(top_k))
+            .select(*keys, F.col("__doc").alias(doc_col),
+                    F.col("__score").alias("rrf_score"),
+                    F.col("__lists").cast("int").alias("n_lists"),
+                    "rank"))

@@ -693,6 +693,37 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_rrf_fuse_hybrid_ranking(spark):
+    from feathr_spark.operators.search import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id bigint, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)],
+                              "doc_id bigint, rank int")
+    got = {r.doc_id: r for r in
+           rrf_fuse([a, b], k=60, top_k=4).collect()}
+    # hand-computed RRF: doc1 1/61+1/62, doc3 1/63+1/61, doc2 1/62, doc4 1/63
+    assert got[1].rrf_score == pytest.approx(1 / 61 + 1 / 62)
+    assert got[3].rrf_score == pytest.approx(1 / 63 + 1 / 61)
+    assert got[2].rrf_score == pytest.approx(1 / 62)
+    assert got[1].rank == 1 and got[3].rank == 2   # doc1 edges doc3
+    assert got[2].rank == 3 and got[4].rank == 4   # doc2 beats doc4
+    assert got[1].n_lists == 2 and got[2].n_lists == 1
+    # top_k cut
+    assert {r.doc_id for r in
+            rrf_fuse([a, b], top_k=2).collect()} == {1, 3}
+    # per-query fusion: each query fuses independently
+    qa = spark.createDataFrame([("q1", 1, 1), ("q2", 9, 1)],
+                               "q string, doc_id bigint, rank int")
+    qb = spark.createDataFrame([("q1", 1, 1), ("q2", 8, 1)],
+                               "q string, doc_id bigint, rank int")
+    per = {(r.q, r.doc_id): r.rank
+           for r in rrf_fuse([qa, qb], by=["q"], top_k=2).collect()}
+    assert per[("q1", 1)] == 1
+    assert per[("q2", 9)] in (1, 2) and per[("q2", 8)] in (1, 2)
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
 def test_kfold_and_time_split(spark):
     import datetime as _dt
     from feathr_spark.operators.sampling import kfold_assign, time_split

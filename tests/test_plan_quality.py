@@ -33,6 +33,8 @@ BROADCAST_LOOP_OK = {
     # single-row corpus-stats frame broadcast onto every doc row
     "bm25_topk",
     "tfidf_terms",
+    # embeds bm25_topk's broadcast stats frame
+    "hybrid_rrf",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
     # 10-row top-k frame × broadcast 1-row totals crossJoin
@@ -356,6 +358,9 @@ EXCHANGE_BUDGET = {
     # row-local md5 fold bucket / timestamp CASE
     "kfold_docs": 0,
     "time_split_events": 0,
+    # both input rankings are TakeOrderedAndProject-bounded; the one
+    # Exchange is the fused groupBy over <= 20 rows
+    "hybrid_rrf": 1,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

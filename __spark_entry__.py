@@ -1523,6 +1523,27 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("revenue")))
 
 
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-plus-
+    filtered-aggregate shape — every predicate reaches the parquet scan
+    as a pushed filter, exact decimal revenue, single-row result."""
+    _utc(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    f = (li.where((F.col("l_shipdate").cast("timestamp") >= lo)
+                  & (F.col("l_shipdate").cast("timestamp") < hi)
+                  & (F.col("l_discount") >= 0.05)
+                  & (F.col("l_discount") <= 0.07)
+                  & (F.col("l_quantity") < 24)))
+    return f.agg(
+        F.round(F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+                      .cast("decimal(18,6)")).cast("double")
+                + F.lit(1e-9), 4)
+        .cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"))
+
+
 def q_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's two-sample t between event variants on the value metric —
     one scan, exact decimal moments, scalar t/df arithmetic."""
@@ -2046,6 +2067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kfold_docs": q_kfold_docs,
         "time_split_events": q_time_split_events,
         "hybrid_rrf": q_hybrid_rrf,
+        "forecast_revenue": q_forecast_revenue,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3220,6 +3242,17 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "forecast_revenue": """
+            SELECT CAST(ROUND(CAST(sum(CAST(l_extendedprice * l_discount
+                                       AS DECIMAL(18,6))) AS DOUBLE)
+                             + 1e-9, 4) AS DOUBLE) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
         """,
         "shipping_priority": """
             SELECT CAST(l_orderkey AS BIGINT) AS o_orderkey,

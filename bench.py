@@ -112,6 +112,7 @@ HEADLINE = [
     "kfold_docs",
     "time_split_events",
     "hybrid_rrf",
+    "forecast_revenue",
 ]
 
 

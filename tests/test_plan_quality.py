@@ -361,6 +361,8 @@ EXCHANGE_BUDGET = {
     # both input rankings are TakeOrderedAndProject-bounded; the one
     # Exchange is the fused groupBy over <= 20 rows
     "hybrid_rrf": 1,
+    # single-row filtered aggregate; predicates pushed to the scan
+    "forecast_revenue": 1,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

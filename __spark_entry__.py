@@ -1523,6 +1523,39 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("revenue")))
 
 
+def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 merge: the per-customer order profile (cumulative
+    count + max status) snapshotted at 1997-01-01 seeds the dimension;
+    the 1998-01-01 snapshot merges in — changed customers close their
+    old version and open a new one, unchanged ones are untouched
+    (idempotent), first-time customers insert. One co-partitioned key
+    join; closed history never shuffles."""
+    _utc(spark)
+    from feathr_spark.operators.scd import scd2_merge
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ca, cb = "1997-01-01 00:00:00", "1998-01-01 00:00:00"
+
+    def snap(cut):
+        return (orders
+                .where(F.col("o_orderdate").cast("timestamp")
+                       <= F.lit(cut).cast("timestamp"))
+                .groupBy(F.col("o_custkey").cast("bigint")
+                         .alias("o_custkey"))
+                .agg(F.count("*").cast("bigint").alias("n_orders"),
+                     F.max("o_orderstatus").alias("last_status")))
+
+    dim = snap(ca).select(
+        "o_custkey", "n_orders", "last_status",
+        F.lit(ca).cast("timestamp").alias("effective_from"),
+        F.lit(None).cast("timestamp").alias("effective_to"))
+    out = scd2_merge(dim, snap(cb), ["o_custkey"], cb)
+    return out.select(
+        "o_custkey", "n_orders", "last_status",
+        F.date_format("effective_from", "yyyy-MM-dd")
+        .alias("effective_from"),
+        F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"))
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): the pure scan-plus-
     filtered-aggregate shape — every predicate reaches the parquet scan
@@ -2068,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_split_events": q_time_split_events,
         "hybrid_rrf": q_hybrid_rrf,
         "forecast_revenue": q_forecast_revenue,
+        "scd2_customers": q_scd2_customers,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3242,6 +3276,37 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "scd2_customers": """
+            WITH a AS (
+              SELECT CAST(o_custkey AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS n,
+                     max(o_orderstatus) AS st
+              FROM orders
+              WHERE o_orderdate <= TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1),
+            b AS (
+              SELECT CAST(o_custkey AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS n,
+                     max(o_orderstatus) AS st
+              FROM orders
+              WHERE o_orderdate <= TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY 1)
+            SELECT a.k AS o_custkey, a.n AS n_orders, a.st AS last_status,
+                   '1997-01-01' AS effective_from,
+                   CAST(NULL AS VARCHAR) AS effective_to
+            FROM a JOIN b ON a.k = b.k AND a.n = b.n AND a.st = b.st
+            UNION ALL
+            SELECT a.k, a.n, a.st, '1997-01-01', '1998-01-01'
+            FROM a JOIN b ON a.k = b.k
+            WHERE a.n <> b.n OR a.st <> b.st
+            UNION ALL
+            SELECT b.k, b.n, b.st, '1998-01-01', NULL
+            FROM a JOIN b ON a.k = b.k
+            WHERE a.n <> b.n OR a.st <> b.st
+            UNION ALL
+            SELECT b.k, b.n, b.st, '1998-01-01', NULL
+            FROM b LEFT JOIN a ON a.k = b.k WHERE a.k IS NULL
         """,
         "forecast_revenue": """
             SELECT CAST(ROUND(CAST(sum(CAST(l_extendedprice * l_discount

@@ -113,6 +113,7 @@ HEADLINE = [
     "time_split_events",
     "hybrid_rrf",
     "forecast_revenue",
+    "scd2_customers",
 ]
 
 

@@ -693,6 +693,53 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_scd2_merge_versions(spark):
+    import datetime as _dt
+    from feathr_spark.operators.scd import scd2_merge
+    t0 = _dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, "gold", None, t0, None),       # current, will change
+         (2, "silver", "eu", t0, None),     # current, unchanged
+         (3, "bronze", "us", t0, _dt.datetime(2024, 2, 1)),  # closed
+         (3, "silver", "us", _dt.datetime(2024, 2, 1), None),
+         (5, "gold", "eu", t0, None)],      # current, absent in update
+        "k bigint, tier string, region string, "
+        "effective_from timestamp, effective_to timestamp")
+    upd = spark.createDataFrame(
+        [(1, "platinum", "us"),             # changed (incl. NULL->us)
+         (2, "silver", "eu"),               # identical -> no-op
+         (3, "silver", "us"),               # identical to current v2
+         (4, "gold", None)],                # new key
+        "k bigint, tier string, region string")
+    ts = "2024-03-01 00:00:00"
+    out = scd2_merge(dim, upd, ["k"], ts)
+    rows = {(r.k, r.effective_from, r.effective_to):
+            (r.tier, r.region) for r in out.collect()}
+    cut = _dt.datetime(2024, 3, 1)
+    # key 1: old version closed at ts, new open version
+    assert rows[(1, t0, cut)] == ("gold", None)
+    assert rows[(1, cut, None)] == ("platinum", "us")
+    # keys 2/5: untouched current rows; key 3: closed history + current
+    assert rows[(2, t0, None)] == ("silver", "eu")
+    assert rows[(5, t0, None)] == ("gold", "eu")
+    assert rows[(3, t0, _dt.datetime(2024, 2, 1))] == ("bronze", "us")
+    assert rows[(3, _dt.datetime(2024, 2, 1), None)] == ("silver", "us")
+    # key 4: first version
+    assert rows[(4, cut, None)] == ("gold", None)
+    assert len(rows) == 7
+    # exactly one open version per key
+    open_per_key = {}
+    for (k, _, to), _v in rows.items():
+        if to is None:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+    assert set(open_per_key.values()) == {1}
+    # idempotent: re-merging the same snapshot changes nothing
+    again = scd2_merge(out, upd, ["k"], "2024-04-01 00:00:00")
+    assert again.count() == out.count()
+    with pytest.raises(ValueError):
+        scd2_merge(dim, upd, [], ts)
+
+
 def test_rrf_fuse_hybrid_ranking(spark):
     from feathr_spark.operators.search import rrf_fuse
     a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],

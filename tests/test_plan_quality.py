@@ -363,6 +363,9 @@ EXCHANGE_BUDGET = {
     "hybrid_rrf": 1,
     # single-row filtered aggregate; predicates pushed to the scan
     "forecast_revenue": 1,
+    # two snapshot aggregates + the co-partitioned full-outer key join
+    # (the survivors/fresh union branches reuse the join exchange)
+    "scd2_customers": 4,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

@@ -1523,6 +1523,21 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("revenue")))
 
 
+def q_fuzzy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over the part-name dictionary: prefix ∪ suffix
+    blocked candidates (equi joins, never a cross join), length-band
+    prefilter, exact Levenshtein verification at distance <= 3. The
+    dictionary frame is distinct names, so the work is
+    vocabulary-sized at any SF."""
+    _utc(spark)
+    from feathr_spark.operators.linkage import fuzzy_match
+    names = (spark.read.parquet(f"{sf_dir}/part.parquet")
+             .select("p_name").distinct()
+             .select(F.col("p_name").alias("id"), "p_name"))
+    out = fuzzy_match(names, names, "p_name", max_dist=3, block_len=3)
+    return out.select("id_l", "id_r", "dist")
+
+
 def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 merge: the per-customer order profile (cumulative
     count + max status) snapshotted at 1997-01-01 seeds the dimension;
@@ -2102,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": q_hybrid_rrf,
         "forecast_revenue": q_forecast_revenue,
         "scd2_customers": q_scd2_customers,
+        "fuzzy_parts": q_fuzzy_parts,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3276,6 +3292,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "fuzzy_parts": r"""
+            WITH names AS (
+              SELECT DISTINCT
+                     p_name AS id,
+                     lower(trim(regexp_replace(p_name, '\s+', ' ', 'g')))
+                         AS s
+              FROM part),
+            ok AS (SELECT id, s FROM names WHERE s IS NOT NULL
+                   AND length(s) >= 3),
+            cands AS (
+              SELECT DISTINCT a.id AS id_l, b.id AS id_r, a.s AS sl,
+                              b.s AS sr
+              FROM ok a JOIN ok b
+                ON substr(a.s, 1, 3) = substr(b.s, 1, 3)
+               AND abs(length(a.s) - length(b.s)) <= 3
+               AND a.id < b.id
+              UNION
+              SELECT DISTINCT a.id, b.id, a.s, b.s
+              FROM ok a JOIN ok b
+                ON substr(a.s, length(a.s) - 2, 3)
+                   = substr(b.s, length(b.s) - 2, 3)
+               AND abs(length(a.s) - length(b.s)) <= 3
+               AND a.id < b.id)
+            SELECT id_l, id_r,
+                   CAST(levenshtein(sl, sr) AS INTEGER) AS dist
+            FROM cands
+            WHERE levenshtein(sl, sr) <= 3
         """,
         "scd2_customers": """
             WITH a AS (

@@ -114,6 +114,7 @@ HEADLINE = [
     "hybrid_rrf",
     "forecast_revenue",
     "scd2_customers",
+    "fuzzy_parts",
 ]
 
 

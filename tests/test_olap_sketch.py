@@ -693,6 +693,44 @@ def test_ab_welch_t_matches_scipy_formula(spark):
     assert r2.t_stat is None
 
 
+def test_fuzzy_match_blocked_levenshtein(spark):
+    from feathr_spark.operators.linkage import fuzzy_match
+    df = spark.createDataFrame(
+        [(1, "jonathan smith"), (2, "jonathan smyth"),   # dist 1
+         (3, "Jonathan  Smith"),                         # norm == id 1
+         (4, "jon smith"),                               # far from 1
+         (5, "acme corp"), (6, "acme corp."),            # dist 1
+         (7, "zz"),                                      # too short
+         (8, None)],
+        "id bigint, name string")
+    got = {(r.id_l, r.id_r): r.dist
+           for r in fuzzy_match(df, df, "name", max_dist=2).collect()}
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 0 and got[(2, 3)] == 1
+    assert got[(5, 6)] == 1
+    assert (1, 4) not in got            # dist 5 > max_dist
+    assert all(a < b for a, b in got)   # canonical, no self-pairs
+    assert not any(7 in p or 8 in p for p in got)
+    # suffix block catches a typo in the first characters
+    pre = spark.createDataFrame(
+        [(1, "xavier johnson"), (2, "zavier johnson")],
+        "id bigint, name string")
+    gp = {(r.id_l, r.id_r): r.dist
+          for r in fuzzy_match(pre, pre, "name", max_dist=1).collect()}
+    assert gp[(1, 2)] == 1
+    # two-sided (non-self) match keeps all cross pairs incl. exact
+    a = spark.createDataFrame([(1, "blue bolt")], "id bigint, name string")
+    b = spark.createDataFrame([(9, "blue bolts")], "id bigint, name string")
+    tw = fuzzy_match(a, b, "name", max_dist=2).collect()
+    assert len(tw) == 1 and tw[0].dist == 1
+    with pytest.raises(ValueError):
+        fuzzy_match(df, df, "name", max_dist=-1)
+    # candidate generation is an equi join, never a nested loop
+    plan = fuzzy_match(df, df, "name", max_dist=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
 def test_scd2_merge_versions(spark):
     import datetime as _dt
     from feathr_spark.operators.scd import scd2_merge

@@ -366,6 +366,9 @@ EXCHANGE_BUDGET = {
     # two snapshot aggregates + the co-partitioned full-outer key join
     # (the survivors/fresh union branches reuse the join exchange)
     "scd2_customers": 4,
+    # name-dictionary distinct + the two block equi joins + pair dedup;
+    # all frames vocabulary-sized
+    "fuzzy_parts": 4,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

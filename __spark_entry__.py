@@ -1571,6 +1571,28 @@ def q_scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("effective_to", "yyyy-MM-dd").alias("effective_to"))
 
 
+def q_kappa_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement: Cohen's kappa between the order
+    status and a deterministic noisy relabeling (md5 draw keeps 85%,
+    the rest collapse to 'F') — one contingency groupBy, classes²
+    frames after."""
+    _utc(spark)
+    from feathr_spark.operators.stats import cohens_kappa
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    draw = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("kappa:"),
+                       F.col("o_orderkey").cast("string"))), 1, 15),
+        16, 10).cast("double") / F.lit(float(16 ** 15)))
+    d = orders.select(
+        F.col("o_orderstatus").alias("r1"),
+        F.when(draw < 0.85, F.col("o_orderstatus")).otherwise("F")
+        .alias("r2"))
+    out = cohens_kappa(d, "r1", "r2")
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return out.select("n", r4("po"), r4("pe"), r4("kappa"))
+
+
 def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (forecasting revenue change): the pure scan-plus-
     filtered-aggregate shape — every predicate reaches the parquet scan
@@ -2118,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue": q_forecast_revenue,
         "scd2_customers": q_scd2_customers,
         "fuzzy_parts": q_fuzzy_parts,
+        "kappa_orders": q_kappa_orders,
         "pricing_summary": q_pricing_summary,
         "rolling_anomaly": q_rolling_anomaly,
         "value_histogram": q_value_histogram,
@@ -3292,6 +3315,34 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus
+        """,
+        "kappa_orders": """
+            WITH d AS (
+              SELECT o_orderstatus AS a,
+                     CASE WHEN ('0x' || substr(md5('kappa:'
+                               || CAST(o_orderkey AS VARCHAR)), 1, 15))
+                               ::BIGINT / POWER(16, 15) < 0.85
+                          THEN o_orderstatus ELSE 'F' END AS b
+              FROM orders WHERE o_orderstatus IS NOT NULL),
+            na AS (SELECT a AS c, count(*) AS n FROM d GROUP BY 1),
+            nb AS (SELECT b AS c, count(*) AS n FROM d GROUP BY 1),
+            t AS (SELECT count(*) AS N,
+                         sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS ag
+                  FROM d),
+            pe AS (
+              SELECT sum(coalesce(na.n, 0) * CAST(coalesce(nb.n, 0)
+                         AS DOUBLE) / (t.N * CAST(t.N AS DOUBLE)))
+                     AS pe
+              FROM na FULL OUTER JOIN nb USING (c), t)
+            SELECT CAST(t.N AS BIGINT) AS n,
+                   CAST(ROUND(CAST(t.ag AS DOUBLE) / t.N + 1e-9, 4)
+                        AS DOUBLE) AS po,
+                   CAST(ROUND(pe.pe + 1e-9, 4) AS DOUBLE) AS pe,
+                   CAST(ROUND(CASE WHEN pe.pe < 1.0
+                              THEN (CAST(t.ag AS DOUBLE) / t.N - pe.pe)
+                                   / (1.0 - pe.pe) END + 1e-9, 4)
+                        AS DOUBLE) AS kappa
+            FROM t, pe
         """,
         "fuzzy_parts": r"""
             WITH names AS (

@@ -115,6 +115,7 @@ HEADLINE = [
     "forecast_revenue",
     "scd2_customers",
     "fuzzy_parts",
+    "kappa_orders",
 ]
 
 

@@ -168,6 +168,64 @@ def roc_auc(
                       F.col("__tn").cast("bigint").alias("n_neg"))
 
 
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Cohen's kappa between two label columns — chance-corrected
+    inter-annotator agreement, the annotation-QA readout for labeled
+    training data: ``kappa = (p_o − p_e) / (1 − p_e)`` with ``p_o`` the
+    observed agreement rate and ``p_e`` the chance rate from the two
+    raters' marginals.
+
+    One groupBy((keys), a, b) pass builds the contingency table (the
+    only data-sized shuffle; everything after is classes²-sized);
+    marginals come from window sums over that small frame. Rows where
+    either label is NULL are excluded. Perfect agreement on a single
+    label class has ``p_e = 1`` → NULL kappa (undefined, not 1.0).
+
+    Output per group: (by..., n, po, pe, kappa).
+    """
+    keys = list(by or [])
+    a, b = F.col(rater_a), F.col(rater_b)
+    d = (df.where(a.isNotNull() & b.isNotNull())
+           .select(*keys, a.cast("string").alias("__a"),
+                   b.cast("string").alias("__b")))
+    # contingency table: the only data-sized shuffle — fans out into
+    # the marginals and the totals below, persist against recompute
+    cont = (d.groupBy(*keys, "__a", "__b")
+            .agg(F.count("*").alias("__n")).persist())
+    # pe needs per-CLASS marginals (na_c/n)(nb_c/n) even for classes
+    # one rater never uses — full-outer join of the two marginal frames
+    cls = (cont.select(*keys, F.col("__a").alias("__c"), "__n")
+           .groupBy(*keys, "__c").agg(F.sum("__n").alias("__na"))
+           .join(cont.select(*keys, F.col("__b").alias("__c"), "__n")
+                 .groupBy(*keys, "__c").agg(F.sum("__n").alias("__nb")),
+                 keys + ["__c"], "full_outer")
+           .select(*keys,
+                   F.coalesce("__na", F.lit(0)).alias("__na"),
+                   F.coalesce("__nb", F.lit(0)).alias("__nb")))
+    tot = cont.groupBy(*keys).agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))
+              .otherwise(F.lit(0))).alias("__agree"))
+    pe_f = (cls.join(tot, keys) if keys
+            else cls.crossJoin(F.broadcast(tot)))
+    pe_rows = pe_f.groupBy(*keys).agg(
+        F.sum(F.col("__na").cast("double") * F.col("__nb")
+              / (F.col("__N").cast("double") * F.col("__N")))
+        .alias("__pe"),
+        F.first("__N").alias("__N"), F.first("__agree").alias("__agree"))
+    po = F.col("__agree").cast("double") / F.col("__N")
+    pe = F.col("__pe")
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return pe_rows.select(
+        *keys, F.col("__N").cast("bigint").alias("n"),
+        po.alias("po"), pe.alias("pe"), kappa.alias("kappa"))
+
+
 def calibration_report(
     df: DataFrame,
     label_col: str,

@@ -1094,6 +1094,38 @@ def test_key_skew_topk_and_entropy(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_cohens_kappa_agreement(spark):
+    from feathr_spark.operators.stats import cohens_kappa
+    # textbook contingency: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    rows = ([("y", "y")] * 20 + [("y", "n")] * 5
+            + [("n", "y")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    po = 35 / 50
+    pe = (25 / 50) * (30 / 50) + (25 / 50) * (20 / 50)
+    assert r.n == 50
+    assert r.po == pytest.approx(po)
+    assert r.pe == pytest.approx(pe)
+    assert r.kappa == pytest.approx((po - pe) / (1 - pe))
+    # a class only one rater uses still enters pe (na=0 or nb=0 -> 0)
+    df2 = spark.createDataFrame(rows + [("maybe", "y")],
+                                "a string, b string")
+    r2 = cohens_kappa(df2, "a", "b").collect()[0]
+    assert r2.n == 51 and r2.kappa < r.kappa + 0.05
+    # perfect single-class agreement: pe = 1 -> kappa NULL
+    one = spark.createDataFrame([("y", "y")] * 5, "a string, b string")
+    ro = cohens_kappa(one, "a", "b").collect()[0]
+    assert ro.po == 1.0 and ro.kappa is None
+    # NULL labels excluded; per-group variant
+    g = spark.createDataFrame(
+        [("g1", "y", "y"), ("g1", "n", "n"), ("g2", "y", "n"),
+         ("g2", "n", "y"), ("g2", None, "y")],
+        "g string, a string, b string")
+    gr = {r.g: r for r in cohens_kappa(g, "a", "b", by=["g"]).collect()}
+    assert gr["g1"].po == 1.0 and gr["g2"].po == 0.0
+    assert gr["g2"].n == 2
+
+
 def test_calibration_report_values_and_brier(spark):
     import numpy as np
     from feathr_spark.operators.stats import calibration_report

@@ -45,6 +45,8 @@ BROADCAST_LOOP_OK = {
     "basket_rules",
     # checkpointed rank frame × broadcast 1-row node count
     "part_pagerank",
+    # classes-sized marginals × broadcast 1-row totals crossJoin
+    "kappa_orders",
     # single-row smoothing-stats and OOV frames broadcast onto the LM /
     # per-doc term rows
     "lm_score",
@@ -369,6 +371,9 @@ EXCHANGE_BUDGET = {
     # name-dictionary distinct + the two block equi joins + pair dedup;
     # all frames vocabulary-sized
     "fuzzy_parts": 4,
+    # one contingency groupBy (persisted InMemory build prints per
+    # consumer) + the classes-sized marginal/total folds
+    "kappa_orders": 7,
     # Q5: all four dims broadcast; lineitem-orders + the nation groupBy
     "local_supplier_volume": 3,
     # TPC-H Q1 shape: one Expand + aggregate pair

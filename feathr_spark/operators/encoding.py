@@ -29,6 +29,7 @@ def target_encode(
     smoothing: float = 20.0,
     loo: bool = False,
     suffix: str = "_te",
+    broadcast_stats: Optional[bool] = None,
 ) -> DataFrame:
     """Smoothed mean-target encoding of categorical columns: each
     category value maps to ``(sum_y + m·prior) / (n + m)`` where
@@ -50,8 +51,18 @@ def target_encode(
     Plan: all columns melt into ONE (column, value) statistics pass —
     one data-sized shuffle total, not one per column; the global prior
     is a broadcast single-row frame and each per-category frame is
-    category-sized and broadcasts back. Adds ``{col}{suffix}`` per
-    encoded column.
+    category-cardinality-sized. ``broadcast_stats`` controls the attach
+    join: ``None`` (default) adds no hint and lets Catalyst/AQE pick
+    broadcast vs shuffle from the measured stats size — the safe choice
+    for the high-cardinality categoricals this encoder targets, where a
+    forced broadcast of a huge category frame can OOM the driver;
+    ``True`` forces the broadcast hint (tiny known vocabularies);
+    ``False`` never broadcasts. Adds ``{col}{suffix}`` per column.
+
+    ``loo`` edge case: a singleton category with ``smoothing=0`` has an
+    empty leave-one-out sample (``n − 1 + m = 0``); the row falls back
+    to the prior (the no-evidence answer) instead of NULL-ing on the
+    zero division.
     """
     cols = list(cat_cols)
     if not cols:
@@ -92,8 +103,12 @@ def target_encode(
               .select(F.col("__v").alias(f"__v_{c}"),
                       F.col("__n").alias(f"__n_{c}"),
                       F.col("__sy").alias(f"__sy_{c}")))
-        out = out.join(F.broadcast(st),
-                       out[c].cast("string") == st[f"__v_{c}"], "left")
+        if broadcast_stats:
+            st = F.broadcast(st)
+        elif broadcast_stats is False:
+            st = st.hint("shuffle_hash")
+        out = out.join(st, out[c].cast("string") == st[f"__v_{c}"],
+                       "left")
         n = F.col(f"__n_{c}").cast("double")
         sy = F.col(f"__sy_{c}").cast("double")
         if loo:
@@ -102,7 +117,11 @@ def target_encode(
                 .otherwise(F.lit(0.0))
             nown = F.when(F.col(label_col).isNotNull(), F.lit(1.0)) \
                 .otherwise(F.lit(0.0))
-            enc = (sy - yown + m * pr) / (n - nown + m)
+            denom = n - nown + m
+            # singleton category + smoothing=0 under loo: empty sample,
+            # shrink fully to the prior instead of NULL on 0/0
+            enc = F.when(denom <= 0, pr) \
+                .otherwise((sy - yown + m * pr) / denom)
         else:
             enc = (sy + m * pr) / (n + m)
         out = out.withColumn(

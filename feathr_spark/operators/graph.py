@@ -41,7 +41,13 @@ def pagerank(
     for ``iters`` rounds from the uniform start r = 1/N. ``weight``
     None means every edge weighs 1; parallel edges simply add weight.
     Nodes = every id appearing as ``src`` or ``dst``; NULL endpoints
-    are dropped. Dangling nodes (no out-edges) spread their rank
+    are dropped. Edges with NULL, zero or negative weight are dropped
+    row-locally before normalization: a 0-weight edge carries no mass
+    by definition and negative mass is undefined for PageRank — and a
+    node whose out-edges ALL have non-positive weight therefore counts
+    as DANGLING (its rank spreads uniformly) instead of silently
+    NULL-ing its ``w/outw`` fractions and leaking rank mass on the
+    zero division. Dangling nodes (no out-edges) spread their rank
     uniformly — total rank stays 1 every round (the power-iteration
     invariant; asserted in tests, not renormalized away).
 
@@ -66,11 +72,17 @@ def pagerank(
                       w.alias("__w"))
          .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
          .persist())
+    # weight-positive edge frame: normalization + out-weights must only
+    # see usable edges (w > 0, the docstring contract) — but the NODE
+    # set keeps every endpoint of every edge, so a node with only
+    # zero-weight out-edges still exists (as dangling) rather than
+    # vanishing from the graph
+    ep = e.where(F.col("__w") > 0)
     # node set + per-source out-weight: reused every round, persist once
     nodes = (e.select(F.col("__src").alias("id"))
              .union(e.select(F.col("__dst").alias("id")))
              .distinct().persist())
-    outw = e.groupBy("__src").agg(F.sum("__w").alias("__ow")).persist()
+    outw = ep.groupBy("__src").agg(F.sum("__w").alias("__ow")).persist()
     nn = nodes.agg(F.count(F.lit(1)).alias("__n"))  # 1-row, broadcast
 
     d = float(damping)
@@ -78,7 +90,7 @@ def pagerank(
              .select("id", (F.lit(1.0) / F.col("__n")).alias("rank"))
              .localCheckpoint())
     # normalized edges: contribution fraction w/outw is loop-invariant
-    en = (e.join(outw, "__src")
+    en = (ep.join(outw, "__src")
           .select("__src", "__dst", (F.col("__w") / F.col("__ow"))
                   .alias("__frac"))
           .persist())

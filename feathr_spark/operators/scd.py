@@ -48,6 +48,18 @@ def scd2_merge(
     - key absent from ``updates``: untouched (absence is not a delete
       — feed explicit tombstones as attribute values if needed).
 
+    Contract: ``updates`` is a SNAPSHOT — at most ONE row per key. Two
+    rows for one key would fan the full-outer join out (closing and
+    re-opening the current version once per duplicate), so the merge
+    validates the contract in-plan (a per-key count folded into the
+    update aggregation; violation raises at execution, costing no extra
+    pass — the join was going to shuffle updates on the key anyway).
+
+    Out-of-order protection: if the key's OPEN row has ``from_col`` >=
+    ``effective_ts`` the update is STALE (an older snapshot replayed
+    after a newer one) and is ignored for that key — never produces an
+    inverted ``[from, to)`` interval. Brand-new keys still insert.
+
     Already-closed history rows never join or shuffle. Output: the full
     new SCD2 table with the same columns as ``dim``.
     """
@@ -64,17 +76,34 @@ def scd2_merge(
     closed = dim.where(F.col(to_col).isNotNull())
     current = dim.where(F.col(to_col).isNull())
     # a matched update row may have all-NULL attributes — presence is
-    # tracked with a join-side flag, not attribute nullness
-    upd = updates.select(
-        *keys, F.lit(True).alias("__has_upd"),
-        *[F.col(c).alias(f"__u_{c}") for c in cmp_cols])
+    # tracked with a join-side flag, not attribute nullness. The per-key
+    # aggregate both enforces the one-row-per-key contract (raise on
+    # duplicates, folded into the flag so pruning can't drop it) and
+    # pre-partitions updates on the join key — the full-outer join
+    # reuses the partitioning, so the guard adds no extra shuffle.
+    upd = (updates
+           .groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("__n_upd"),
+                *[F.first(c).alias(f"__u_{c}") for c in cmp_cols])
+           .select(
+               *keys,
+               F.when(F.col("__n_upd") == 1, F.lit(True))
+               .otherwise(F.raise_error(F.lit(
+                   "scd2_merge: updates must contain at most one row "
+                   "per key (got duplicates)")))
+               .alias("__has_upd"),
+               *[F.col(f"__u_{c}") for c in cmp_cols]))
 
     j = current.join(upd, keys, "full_outer")
     same = F.lit(True)
     for c in cmp_cols:
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
     in_dim = F.col(from_col).isNotNull()
-    changed = in_dim & F.col("__has_upd").isNotNull() & ~same
+    # stale = the open row already starts at/after this snapshot's ts
+    # (out-of-order replay): ignore the update rather than invert the
+    # validity interval
+    stale = in_dim & (F.col(from_col) >= ts)
+    changed = in_dim & F.col("__has_upd").isNotNull() & ~same & ~stale
 
     # surviving current rows: unchanged, or closed out by the update
     survivors = j.where(in_dim).select(
@@ -84,9 +113,10 @@ def scd2_merge(
         F.when(changed, ts).otherwise(F.col(to_col)).alias(to_col),
         *[F.col(c) for c in current.columns
           if c not in keys + cmp_cols + [from_col, to_col]])
-    # new versions: changed keys + brand-new keys
+    # new versions: changed keys + brand-new keys (stale updates on
+    # existing keys produce nothing)
     fresh = j.where(F.col("__has_upd").isNotNull()
-                    & (~in_dim | ~same)).select(
+                    & (~in_dim | (~same & ~stale))).select(
         *keys,
         *[F.col(f"__u_{c}").alias(c) for c in cmp_cols],
         ts.alias(from_col),

@@ -880,9 +880,10 @@ def test_distinct_rollup_cascade_equals_direct(spark):
         assert abs(est - exact[k]) / exact[k] < 0.15
 
 
-def _py_pagerank(edges, damping, iters):
+def _py_pagerank(edges, damping, iters, extra_nodes=()):
     """Reference power iteration (weighted, dangling redistribution)."""
-    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges}
+                   | set(extra_nodes))
     n = len(nodes)
     outw = {}
     for u, _, w in edges:
@@ -1223,3 +1224,85 @@ def test_roc_auc_matches_brute_force(spark):
         "y boolean, s double")
     rn = roc_auc(withnull, "y", "s").collect()[0]
     assert rn.auc == 1.0 and rn.n_pos == 1 and rn.n_neg == 1
+
+
+def test_scd2_merge_guards(spark):
+    """Round-5 hardening: duplicate update keys raise in-plan; stale
+    (out-of-order) snapshots are ignored instead of inverting the
+    validity interval."""
+    import datetime as _dt
+    from feathr_spark.operators.scd import scd2_merge
+    t0 = _dt.datetime(2024, 3, 1)
+    dim = spark.createDataFrame(
+        [(1, "gold", t0, None)],
+        "k bigint, tier string, "
+        "effective_from timestamp, effective_to timestamp")
+    # duplicate key in updates -> loud failure at execution
+    dupes = spark.createDataFrame(
+        [(1, "silver"), (1, "bronze")], "k bigint, tier string")
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception) as ei:
+        scd2_merge(dim, dupes, ["k"], "2024-04-01 00:00:00").collect()
+    assert "one row" in str(ei.value) or "USER_RAISED" in str(ei.value)
+    # stale merge: effective_ts BEFORE the open row's effective_from —
+    # the update is ignored (no inverted interval, no extra version)
+    upd = spark.createDataFrame([(1, "silver"), (2, "new")],
+                                "k bigint, tier string")
+    out = scd2_merge(dim, upd, ["k"], "2024-01-01 00:00:00")
+    rows = {(r.k, r.effective_from, r.effective_to): r.tier
+            for r in out.collect()}
+    cut = _dt.datetime(2024, 1, 1)
+    assert rows[(1, t0, None)] == "gold"          # untouched, still open
+    assert rows[(2, cut, None)] == "new"          # new key still inserts
+    assert len(rows) == 2
+    # no interval anywhere with to <= from
+    for (_, f, t), _v in rows.items():
+        assert t is None or t > f
+
+
+def test_pagerank_nonpositive_weights(spark):
+    """Round-5 hardening: zero/negative-weight edges are dropped before
+    normalization; a node with only non-positive out-edges counts as
+    dangling — rank mass is conserved, never NULLed away."""
+    from feathr_spark.operators.graph import pagerank
+    edges = [("a", "b", 2.0),
+             ("b", "a", 1.0),
+             ("b", "c", 0.0),    # zero-weight: no mass flows b->c
+             ("c", "a", 0.0),    # c's ONLY out-edge is weight 0 ->
+             ("c", "b", -5.0)]   # ... and a negative one: c is dangling
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    got = {r.id: r.rank
+           for r in pagerank(df, weight="w", damping=0.85,
+                             iters=4).collect()}
+    # all three nodes still exist; no NULL ranks; total mass conserved
+    assert set(got) == {"a", "b", "c"}
+    assert all(v is not None for v in got.values())
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # equivalent clean graph: only the positive edges, c dangling
+    want = _py_pagerank([("a", "b", 2.0), ("b", "a", 1.0)], 0.85, 4,
+                        extra_nodes=["c"])
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+
+def test_target_encode_loo_singleton_and_hint(spark):
+    """Round-5 hardening: loo + smoothing=0 on a singleton category
+    falls back to the prior (was 0/0 -> NULL); broadcast_stats gates
+    the attach-join hint."""
+    from feathr_spark.operators.encoding import target_encode
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 0.0), ("solo", 1.0)], "cat string, y double")
+    out = {r.cat: (r.y, r.cat_te) for r in
+           target_encode(df, ["cat"], "y", smoothing=0.0,
+                         loo=True).collect()
+           if r.cat == "solo"}
+    prior = 2.0 / 3.0
+    assert out["solo"][1] == pytest.approx(prior)    # not None
+    # hint variants agree on values
+    for bs in (True, False, None):
+        got = sorted((r.cat, round(r.cat_te, 9)) for r in
+                     target_encode(df, ["cat"], "y", smoothing=5.0,
+                                   broadcast_stats=bs).collect())
+        if bs is True:
+            base = got
+    assert got == base

@@ -194,30 +194,42 @@ def drift_report(
                  .select("m.column", "m.v")
 
     mref, mcur = melt(ref), melt(cur)
+    # n_cols-row frame, but its subtree is a FULL reference scan — and it
+    # fans out into three consumers (the bucketize broadcast + the grid).
+    # Unpersisted, Spark re-runs the ref scan once per consumer (no
+    # common-subplan sharing); persisted, the ref side is scanned exactly
+    # twice total (bounds + bucket counts).
     bounds = mref.groupBy("column").agg(F.min("v").alias("__lo"),
-                                        F.max("v").alias("__hi"))
+                                        F.max("v").alias("__hi")).persist()
 
-    def bucketize(m: DataFrame, out: str) -> DataFrame:
-        d = m.join(F.broadcast(bounds), "column")
-        lo, hi, v = F.col("__lo"), F.col("__hi"), F.col("v")
-        width = (hi - lo) / F.lit(int(bins))
-        idx = (F.when(v.isNull(), F.lit(-2))
-               .when(lo.isNull() | (v < lo), F.lit(-1))
-               .when(v > hi, F.lit(bins))
-               .when(hi == lo, F.lit(0))
-               .otherwise(F.least(F.floor((v - lo) / width),
-                                  F.lit(int(bins) - 1))))
-        return (d.select("column", idx.cast("bigint").alias("bucket"))
-                .groupBy("column", "bucket")
-                .agg(F.count("*").alias(out)))
-
-    cref = bucketize(mref, "__rn")
-    ccur = bucketize(mcur, "__cn")
+    # ONE bucket-count pass for BOTH sides: tag and union the melted
+    # frames, bucketize against the broadcast bounds, and fold each
+    # side's count with count_if — one data-sized aggregation (and one
+    # scan per side) instead of two. Partial aggregation still caps the
+    # shuffle at (n_cols * (bins+3)) rows per partition.
+    m = (mref.select("column", "v", F.lit(True).alias("__is_ref"))
+         .unionByName(mcur.select("column", "v",
+                                  F.lit(False).alias("__is_ref"))))
+    d = m.join(F.broadcast(bounds), "column")
+    lo, hi, v = F.col("__lo"), F.col("__hi"), F.col("v")
+    width = (hi - lo) / F.lit(int(bins))
+    idx = (F.when(v.isNull(), F.lit(-2))
+           .when(lo.isNull() | (v < lo), F.lit(-1))
+           .when(v > hi, F.lit(bins))
+           .when(hi == lo, F.lit(0))
+           .otherwise(F.least(F.floor((v - lo) / width),
+                              F.lit(int(bins) - 1))))
+    counts = (d.select("column", idx.cast("bigint").alias("bucket"),
+                       "__is_ref")
+              .groupBy("column", "bucket")
+              .agg(F.count_if(F.col("__is_ref")).alias("__rn"),
+                   F.count_if(~F.col("__is_ref")).alias("__cn")))
     grid = bounds.select(
         "column", "__lo", "__hi",
         F.explode(F.sequence(F.lit(-2), F.lit(int(bins)))).alias("bucket"))
-    j = (grid.join(cref, ["column", "bucket"], "left")
-             .join(ccur, ["column", "bucket"], "left")
+    # counts is grid-sized (<= n_cols * (bins+3) rows) — broadcast it so
+    # the grid side never shuffles
+    j = (grid.join(F.broadcast(counts), ["column", "bucket"], "left")
              .select("column", "bucket", "__lo", "__hi",
                      F.coalesce("__rn", F.lit(0)).alias("__rn"),
                      F.coalesce("__cn", F.lit(0)).alias("__cn")))

@@ -385,10 +385,11 @@ EXCHANGE_BUDGET = {
     "negative_pairs": 6,
     # one scan; count_distinct's two-phase aggregate adds the 2nd exchange
     "dq_report": 2,
-    # per-side bucket-count aggregates (2 each: ref side prints under the
-    # bounds broadcast too) + the grid-sized per-column totals window;
-    # bounds and bucket-count frames broadcast into the grid joins
-    "drift_events": 5,
+    # r5 single-pass: ONE union bucket-count aggregate for both sides
+    # (count_if fold) + the grid-sized per-column totals window + the
+    # persisted bounds aggregate, whose cached subtree PRINTS under both
+    # its consumers (2 textual matches, one runtime shuffle)
+    "drift_events": 4,
     # two cutoff snapshots (explode+groupBy each) + full-outer key join +
     # the 4-row summary fold
     "snapshot_changes": 6,

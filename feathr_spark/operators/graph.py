@@ -56,6 +56,15 @@ def pagerank(
     ``iters`` (10–20 is the usual plateau; rank deltas fall
     geometrically with ``d``).
 
+    Per-round eager ``localCheckpoint`` is LOAD-BEARING, not just
+    lineage hygiene: each round consumes the previous ranks TWICE
+    (contribution join + dangling-mass aggregate), so an uncheckpointed
+    loop re-executes the prior round once per consumer — 2^k recompute
+    after k rounds (measured: skipping intermediate checkpoints for a
+    3-round run took the sf0.1 driver query from ~9 s to ~13 s, and it
+    grows exponentially from there). The ~2-4 small scheduler jobs per
+    round are the cheap side of that trade at every scale.
+
     Output: (id, rank).
     """
     if not 0.0 < damping < 1.0:
@@ -96,7 +105,7 @@ def pagerank(
           .persist())
     dangling_ids = nodes.join(outw, nodes.id == outw.__src, "left_anti") \
         .persist()
-    for _ in range(int(iters)):
+    for i in range(int(iters)):
         contrib = (en.join(ranks, en.__src == ranks.id)
                    .groupBy("__dst")
                    .agg(F.sum(F.col("rank") * F.col("__frac"))

@@ -1,0 +1,170 @@
+"""Scale-stress harness for the heavy dedup/ANN query family.
+
+VERDICT r4 item 7: the 100 TB story for minhash_pairs /
+dedup_components / semantic_dedup_pairs / ann_pq_topk (+ the winnow /
+contamination substring family) rested on design argument alone — every
+recorded run is sf0.1. This script MEASURES the growth curve: it
+generates documents/embeddings corpora at 1x / 3x / 5x the sf0.1 size
+with the same statistical character (empirical unigram + length
+distributions fitted from the real sf0.1 corpus, ~5%% injected near-
+duplicates; per-label Gaussian clusters fitted from the real sf0.1
+embeddings), runs each heavy query at each scale in one Spark session,
+and prints sec-vs-scale with the fitted growth exponent
+(log t ~ a + b log n; b < 2 = sub-quadratic).
+
+Corpora land under .stress/ (gitignored); /root/testdata is never
+touched. Usage:
+
+    python scripts/scale_stress.py              # 1x/3x/5x, min-of-2
+    python scripts/scale_stress.py 1 3          # custom scale list
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, ".stress")
+HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
+         "contamination_check", "semantic_dedup_pairs", "ann_pq_topk"]
+BASE_DOCS = 5000       # sf0.1 documents rows
+BASE_VECS = 2000       # sf0.1 embeddings rows
+NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate
+MUTATE_FRAC = 0.10     # tokens flipped per near-dup copy
+
+
+def fit_source(con):
+    """Empirical unigram / length / lang / source distributions and the
+    per-label embedding cluster moments from the real sf0.1 tables."""
+    words = con.sql(
+        f"SELECT w, count(*) n FROM (SELECT unnest(string_split(text,' '))"
+        f" w FROM '{SRC}/documents.parquet') WHERE w <> '' GROUP BY 1"
+    ).fetchall()
+    vocab = np.array([w for w, _ in words])
+    wp = np.array([n for _, n in words], dtype=float)
+    wp /= wp.sum()
+    lens = np.array([r[0] for r in con.sql(
+        f"SELECT len(string_split(text,' ')) FROM '{SRC}/documents.parquet'"
+    ).fetchall()])
+    langs = con.sql(f"SELECT lang, count(*) FROM '{SRC}/documents.parquet'"
+                    " GROUP BY 1").fetchall()
+    srcs = con.sql(f"SELECT source, count(*) FROM '{SRC}/documents.parquet'"
+                   " GROUP BY 1").fetchall()
+    emb = con.sql(f"SELECT label, embedding FROM '{SRC}/embeddings.parquet'"
+                  ).fetchall()
+    by_label = {}
+    for lab, vec in emb:
+        by_label.setdefault(lab, []).append(np.asarray(vec, dtype=np.float32))
+    moments = {lab: (np.mean(v, axis=0), np.std(v, axis=0).mean())
+               for lab, v in ((l, np.stack(vs))
+                              for l, vs in by_label.items())}
+    return vocab, wp, lens, langs, srcs, moments
+
+
+def gen_dir(scale, fitted, con):
+    """Deterministic corpus at `scale` x sf0.1, same shape; returns dir."""
+    vocab, wp, lens, langs, srcs, moments = fitted
+    d = os.path.join(OUT, f"x{scale}")
+    if (os.path.exists(os.path.join(d, "documents.parquet"))
+            and os.path.exists(os.path.join(d, "embeddings.parquet"))):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(42 + scale)
+    n_docs, n_vecs = BASE_DOCS * scale, BASE_VECS * scale
+
+    lang_v = np.array([l for l, _ in langs])
+    lang_p = np.array([n for _, n in langs], dtype=float)
+    lang_p /= lang_p.sum()
+    src_v = np.array([s for s, _ in srcs])
+    src_p = np.array([n for _, n in srcs], dtype=float)
+    src_p /= src_p.sum()
+
+    texts = []
+    for i in range(n_docs):
+        if i > 0 and rng.random() < NEAR_DUP_FRAC:
+            toks = texts[rng.integers(0, i)].split(" ")
+            flip = rng.random(len(toks)) < MUTATE_FRAC
+            repl = rng.choice(vocab, size=int(flip.sum()), p=wp)
+            toks = np.array(toks, dtype=object)
+            toks[flip] = repl
+            texts.append(" ".join(toks.tolist()))
+        else:
+            ln = int(rng.choice(lens))
+            texts.append(" ".join(rng.choice(vocab, size=ln, p=wp)))
+    doc_lang = rng.choice(lang_v, size=n_docs, p=lang_p)
+    doc_src = rng.choice(src_v, size=n_docs, p=src_p)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(doc_lang.tolist(), pa.string()),
+        "source": pa.array(doc_src.tolist(), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }), os.path.join(d, "documents.parquet"))
+
+    labels = rng.integers(0, len(moments), size=n_vecs)
+    dim = len(next(iter(moments.values()))[0])
+    vecs = np.empty((n_vecs, dim), dtype=np.float32)
+    for lab, (mu, sd) in moments.items():
+        mask = labels == lab
+        vecs[mask] = (mu + rng.standard_normal((int(mask.sum()), dim))
+                      * sd).astype(np.float32)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n_vecs), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels.tolist(), pa.int32()),
+    }), os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def main():
+    import duckdb
+    scales = [int(a) for a in sys.argv[1:]] or [1, 3, 5]
+    con = duckdb.connect()
+    fitted = fit_source(con)
+    dirs = {s: gen_dir(s, fitted, con) for s in scales}
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master(
+                 f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .config("spark.ui.enabled", "false")
+             .config("spark.driver.memory", "24g")
+             .getOrCreate())
+    qs = entry.queries()
+    # warm the JVM/codegen once on the smallest scale
+    for q in HEAVY:
+        qs[q](spark, dirs[scales[0]]).count()
+
+    results = {q: {} for q in HEAVY}
+    for s in scales:
+        for q in HEAVY:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[q](spark, dirs[s]).count()
+                best = min(best, time.time() - t0)
+            results[q][s] = best
+            print(f"x{s} {q:24s} {best:7.2f}s", flush=True)
+
+    print("\nquery                     " +
+          "".join(f"  x{s:<6d}" for s in scales) + "  growth-exp")
+    for q in HEAVY:
+        ts = [results[q][s] for s in scales]
+        if len(scales) > 1:
+            b = np.polyfit(np.log(scales), np.log(ts), 1)[0]
+        else:
+            b = float("nan")
+        print(f"{q:26s}" + "".join(f"  {t:6.2f}" for t in ts)
+              + f"  {b:5.2f}")
+
+
+if __name__ == "__main__":
+    main()

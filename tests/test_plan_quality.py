@@ -264,9 +264,12 @@ EXCHANGE_BUDGET = {
     # r4 Arrow-token path: the printed count rose 24 -> 30 because the
     # (persisted) token subtree now prints under more consumers — those
     # dedupe to ReusedExchange at runtime, and measured wall-clock HALVED
-    # (6.2s -> 3.2s at sf0.1). Budgets bound the printed plan, so track
-    # the new shape.
-    "minhash_pairs": 30,
+    # (6.2s -> 3.2s at sf0.1). r5 hot-bucket cap: the bucket-count
+    # aggregate (ONE runtime shuffle over the cached sig subtree) prints
+    # under both anti-join sides of both self-join sides -> 30 -> 44
+    # textual matches, while the quadratic hot-bucket candidate join is
+    # gone (5x-scale stress 36 s -> 6.7 s, sf0.1 candidates 2.6M -> <1M).
+    "minhash_pairs": 44,
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,

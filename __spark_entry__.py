@@ -902,6 +902,21 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("tf_idf").cast("double").alias("max_tfidf")))
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (head/middle/tail,
+    Wenzek et al. LREC 2020): self-scored unigram-LM ppl per doc, exact
+    per-language tercile cuts broadcast back, count-strictly-below
+    bucketing. One corpus term shuffle + one doc-sized cuts aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.lm import ccnet_buckets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_buckets(docs, lang_col="lang")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang", F.col("ppl").cast("double").alias("ppl"),
+                      F.col("tercile").cast("bigint").alias("tercile"),
+                      "bucket")
+
+
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM perplexity proxy: corpus LM (add-one smoothing) built in
     one term shuffle, per-doc mean token log-prob aggregated as exact
@@ -2070,7 +2085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries has a recorded driver-side green row after this round.
     """
     return {
-        # --- never driver-verified as of r4 (oracle-bearing) — slots 1-49
+        # --- new in r5 (rotation discipline: new queries go FIRST)
+        "ccnet_buckets": q_ccnet_buckets,
+        # --- never driver-verified as of r4 (oracle-bearing)
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -3114,6 +3131,48 @@ def oracle_sql() -> dict[str, str]:
         # per-term log-probs quantized to integer micro-nats before the
         # per-doc sum (exact, order-independent on both engines); ppl
         # derived from the ROUNDED mean.
+        "ccnet_buckets": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term
+            ), stats AS (
+              SELECT SUM(tf)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab
+              FROM counts
+            ), lm AS (
+              SELECT term, ln((tf + 1.0) / (total + vocab)) AS logprob
+              FROM counts, stats
+            ), doc_terms AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, term
+            ), scored AS (
+              SELECT d.doc_id,
+                     SUM(d.c)::BIGINT AS n_tokens,
+                     SUM(d.c * CAST(round(l.logprob * 1000000.0, 0) AS BIGINT))
+                         AS sum_micro
+              FROM doc_terms d JOIN lm l USING (term) GROUP BY d.doc_id
+            ), ppl AS (
+              SELECT s.doc_id, dd.lang,
+                     CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens, 4)), 4)
+                          AS DOUBLE) AS ppl
+              FROM scored s JOIN documents dd USING (doc_id)
+            ), cuts AS (
+              SELECT lang,
+                     list_transform(
+                       quantile_cont(ppl, [0.3333333333333333,
+                                           0.6666666666666666]),
+                       x -> round(x + 1e-9, 4)) AS cs
+              FROM ppl GROUP BY lang
+            )
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.lang, p.ppl,
+                   CAST(len(list_filter(c.cs, x -> p.ppl > x)) AS BIGINT)
+                       AS tercile,
+                   (['head','middle','tail'])[
+                       len(list_filter(c.cs, x -> p.ppl > x)) + 1] AS bucket
+            FROM ppl p JOIN cuts c USING (lang)
+        """,
         "lm_score": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 HEADLINE = [
+    "ccnet_buckets",
     "passthrough_exprs",
     "keyed_join",
     "window_agg_basic",

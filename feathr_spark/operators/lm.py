@@ -221,3 +221,63 @@ def score_documents_bigram(
         F.col("n_transitions"),
         mean.cast("double").alias("mean_logprob"),
         F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm: Optional[DataFrame] = None,
+    lang_col: Optional[str] = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every
+    document's unigram-LM perplexity and split each language's
+    distribution into equal-frequency terciles — ``head`` (lowest
+    perplexity, most fluent), ``middle``, ``tail``. The standard
+    LLM-training-data quality partition (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    LREC 2020): pretraining mixes sample head/middle heavily and
+    down-weight or drop tail.
+
+    ``lm`` is the reference LM to score against (CCNet uses a Wikipedia
+    LM per language); ``None`` self-scores the corpus under its own LM.
+    ``lang_col`` names an existing language column; ``None`` detects
+    with the row-local n-gram heuristic (:func:`..text.lang_id`).
+    Cut points are exact per-language interior percentiles over the
+    ROUNDED ppl, themselves rounded to ``round_dp`` (interpolation
+    between equal neighbors is engine-divergent at the 1e-15 level —
+    see ``quantile_bins.round_cuts_dp``); bucket = cuts strictly below,
+    so ties on a cut fall toward ``head`` and the mapping is
+    engine-portable. Documents with no
+    tokens have no perplexity and are omitted.
+
+    Plan: one corpus term shuffle (the LM + per-doc scores), a row-local
+    language column, one doc-sized per-language percentile aggregate
+    whose language-cardinality-sized cuts frame broadcasts back — the
+    corpus text is scanned once, the doc-id frame never shuffles wide.
+
+    Output: (``id_col``, lang, ppl, tercile 0|1|2, bucket
+    head|middle|tail).
+    """
+    from .scaling import quantile_bins
+    if lang_col is None:
+        from .text import lang_id as _lang_heuristic
+        lang = _lang_heuristic(F.col(text_col))
+    else:
+        lang = F.col(lang_col)
+    scored = score_documents(df, lm=lm, text_col=text_col, id_col=id_col,
+                             round_dp=round_dp)
+    base = df.select(F.col(id_col), lang.alias("lang"))
+    # persist: quantile_bins consumes its input TWICE (the cuts
+    # aggregate + the probe side) and this input embeds the whole LM
+    # term shuffle — unpersisted, the corpus scores twice
+    j = base.join(scored.select(id_col, "ppl"), id_col).persist()
+    binned = quantile_bins(j, "ppl", bins=3, by=["lang"],
+                           round_cuts_dp=round_dp)
+    names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+    return binned.select(
+        F.col(id_col), "lang", "ppl",
+        F.col("ppl_bin").alias("tercile"),
+        F.element_at(names, F.col("ppl_bin").cast("int") + 1)
+        .alias("bucket"))

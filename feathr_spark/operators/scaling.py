@@ -150,6 +150,7 @@ def quantile_bins(
     value_col: str,
     bins: int = 10,
     by: Optional[Sequence[str]] = None,
+    round_cuts_dp: Optional[int] = None,
 ) -> DataFrame:
     """Quantile discretization: assign each value its equal-frequency
     bucket in [0, bins), optionally per group — the distribution-robust
@@ -165,6 +166,14 @@ def quantile_bins(
     data table is scanned once and never shuffled. NULL values get a NULL
     bucket.
 
+    ``round_cuts_dp`` rounds each interpolated cut point (with the
+    repo-wide ``+1e-9`` half-up nudge) before comparison — REQUIRED when
+    the values themselves are dp-rounded and engine portability matters:
+    interpolating between two EQUAL values returns exactly that value
+    under Spark's ``a + (b-a)·d`` but drifts ~1e-15 under DuckDB's
+    ``(1-d)·a + d·b``, silently flipping the bucket of every row sitting
+    exactly on a cut.
+
     Adds ``{col}_bin`` (bigint).
     """
     if bins < 2:
@@ -172,8 +181,12 @@ def quantile_bins(
     keys = list(by or [])
     v = F.col(value_col)
     fracs = [i / bins for i in range(1, bins)]
-    cuts = F.array(*[F.percentile(v, F.lit(f)) for f in fracs]) \
-        .alias("__cuts")
+    def _cut(f):
+        c = F.percentile(v, F.lit(f))
+        if round_cuts_dp is not None:
+            c = F.round(c + F.lit(1e-9), round_cuts_dp)
+        return c
+    cuts = F.array(*[_cut(f) for f in fracs]).alias("__cuts")
     if keys:
         stats = df.groupBy(*keys).agg(cuts)
         joined = df.join(F.broadcast(stats), keys, "left")

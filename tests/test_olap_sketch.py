@@ -1306,3 +1306,39 @@ def test_target_encode_loo_singleton_and_hint(spark):
         if bs is True:
             base = got
     assert got == base
+
+
+def test_ccnet_buckets_terciles(spark):
+    """CCNet perplexity terciles: per-language equal-frequency split,
+    head = lowest ppl, ties on a cut fall toward head, empty docs drop."""
+    from feathr_spark.operators.lm import ccnet_buckets
+    rows = []
+    # lang A: 9 docs with clearly distinct fluency bands (repeating
+    # common tokens scores high-prob; rare tokens low-prob)
+    common, rare = "the cat sat", "zq xv jk"
+    for i in range(3):
+        rows.append((i, " ".join([common] * 6), "A"))        # fluent
+    for i in range(3, 6):
+        rows.append((i, common + " " + rare, "A"))           # mixed
+    for i in range(6, 9):
+        rows.append((i, " ".join([f"w{i}x{k}" for k in range(6)]), "A"))
+    rows.append((9, "uno dos tres uno dos tres", "B"))
+    rows.append((10, "uno dos tres cuatro cinco seis", "B"))
+    rows.append((11, "", "B"))   # empty: one ''-token, still scored
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in
+           ccnet_buckets(df, lang_col="lang").collect()}
+    assert 11 in out             # tokenizer contract: every doc buckets
+    assert all(out[i].bucket == "head" for i in range(3))
+    assert all(out[i].bucket == "middle" for i in range(3, 6))
+    assert all(out[i].bucket == "tail" for i in range(6, 9))
+    assert {out[i].tercile for i in range(3)} == {0}
+    # B's docs split around B's OWN cuts, independent of A's scale
+    assert {out[9].lang, out[10].lang, out[11].lang} == {"B"}
+    assert out[9].ppl < out[10].ppl           # repetition scores fluent
+    assert out[9].bucket == "head"
+    # ppl matches score_documents exactly (composition, not re-derivation)
+    from feathr_spark.operators.lm import score_documents
+    ref = {r.doc_id: r.ppl for r in score_documents(df).collect()}
+    for i, r in out.items():
+        assert r.ppl == ref[i]

@@ -51,6 +51,8 @@ BROADCAST_LOOP_OK = {
     # per-doc term rows
     "lm_score",
     "bigram_score",
+    # embeds lm_score's OOV broadcast; adds a broadcast cuts frame
+    "ccnet_buckets",
     # embeds cosine_pairs_exact's partition-parallel broadcast loop
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
@@ -270,6 +272,10 @@ EXCHANGE_BUDGET = {
     # textual matches, while the quadratic hot-bucket candidate join is
     # gone (5x-scale stress 36 s -> 6.7 s, sf0.1 candidates 2.6M -> <1M).
     "minhash_pairs": 44,
+    # lm_score's term shuffles + the per-lang cuts aggregate; the
+    # persisted scored frame prints under both quantile_bins consumers
+    # (cuts + probe) — dedupes to the cache at runtime
+    "ccnet_buckets": 15,
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,

@@ -902,6 +902,18 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("tf_idf").cast("double").alias("max_tfidf")))
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (NeurIPS 2023 data-selection): every doc's
+    per-token log likelihood ratio between the German-subset target LM
+    and the whole-corpus LM — positive = more target-like. Two term
+    shuffles, vocabulary-sized attach frames, exact micro-nat folds."""
+    _utc(spark)
+    from feathr_spark.operators.lm import dsir_logratio
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "de")
+    return dsir_logratio(docs, target)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style per-language perplexity terciles (head/middle/tail,
     Wenzek et al. LREC 2020): self-scored unigram-LM ppl per doc, exact
@@ -2087,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r5 (rotation discipline: new queries go FIRST)
         "ccnet_buckets": q_ccnet_buckets,
+        "dsir_weights": q_dsir_weights,
         # --- never driver-verified as of r4 (oracle-bearing)
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_pq_recall": q_ann_pq_recall,
@@ -3131,6 +3144,59 @@ def oracle_sql() -> dict[str, str]:
         # per-term log-probs quantized to integer micro-nats before the
         # per-doc sum (exact, order-independent on both engines); ppl
         # derived from the ROUNDED mean.
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents
+            ), counts AS (
+              SELECT term, COUNT(*)::BIGINT AS tf FROM toks GROUP BY term
+            ), stats AS (
+              SELECT SUM(tf)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab
+              FROM counts
+            ), lm AS (
+              SELECT term, ln((tf + 1.0) / (total + vocab)) AS logprob
+              FROM counts, stats
+            ), ttoks AS (
+              SELECT unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents WHERE lang = 'de'
+            ), tcounts AS (
+              SELECT term, COUNT(*)::BIGINT AS tf FROM ttoks GROUP BY term
+            ), tstats AS (
+              SELECT SUM(tf)::DOUBLE AS total, COUNT(*)::DOUBLE AS vocab
+              FROM tcounts
+            ), tlm AS (
+              SELECT term, ln((tf + 1.0) / (total + vocab)) AS logprob
+              FROM tcounts, tstats
+            ), toov AS (
+              SELECT ln(1.0 / (total + vocab)) AS oov FROM tstats
+            ), doc_terms AS (
+              SELECT doc_id, term, COUNT(*)::BIGINT AS c
+              FROM toks GROUP BY doc_id, term
+            ), raw_sc AS (
+              SELECT d.doc_id, SUM(d.c)::BIGINT AS n_tokens,
+                     SUM(d.c * CAST(round(l.logprob * 1000000.0, 0) AS BIGINT))
+                         AS sm
+              FROM doc_terms d JOIN lm l USING (term) GROUP BY d.doc_id
+            ), tgt_sc AS (
+              SELECT d.doc_id,
+                     SUM(d.c * CAST(round(COALESCE(t.logprob, o.oov)
+                                          * 1000000.0, 0) AS BIGINT)) AS sm
+              FROM doc_terms d
+              LEFT JOIN tlm t USING (term)
+              CROSS JOIN toov o
+              GROUP BY d.doc_id
+            )
+            SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.n_tokens,
+                   CAST(round(r.sm / 1000000.0 / r.n_tokens, 4) AS DOUBLE)
+                       AS logprob_raw,
+                   CAST(round(t.sm / 1000000.0 / r.n_tokens, 4) AS DOUBLE)
+                       AS logprob_target,
+                   CAST(round(round(t.sm / 1000000.0 / r.n_tokens, 4)
+                              - round(r.sm / 1000000.0 / r.n_tokens, 4)
+                              + 1e-9, 4) AS DOUBLE) AS logratio
+            FROM raw_sc r JOIN tgt_sc t USING (doc_id)
+        """,
         "ccnet_buckets": r"""
             WITH toks AS (
               SELECT doc_id,

@@ -29,6 +29,7 @@ import __spark_entry__ as entrymod
 
 HEADLINE = [
     "ccnet_buckets",
+    "dsir_weights",
     "passthrough_exprs",
     "keyed_join",
     "window_agg_basic",

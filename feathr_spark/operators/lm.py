@@ -281,3 +281,51 @@ def ccnet_buckets(
         F.col("ppl_bin").alias("tercile"),
         F.element_at(names, F.col("ppl_bin").cast("int") + 1)
         .alias("bucket"))
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """DSIR-style importance scores for training-data selection (Xie et
+    al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score every raw document under BOTH a
+    target-domain LM and the raw corpus's own LM and emit the per-token
+    mean log likelihood ratio — positive means the document looks more
+    like the target domain than like the raw corpus background.
+    Selection then composes with the existing samplers: importance
+    resampling draws with probability ∝ exp(logratio) (feed
+    ``weighted_sample``), hard selection takes top-k by ``logratio``.
+
+    DSIR hashes n-gram features; this engine's portable equivalent is
+    the unigram LM family already proven against the driver oracle
+    (add-one smoothing, OOV mass for terms unseen in the target,
+    integer micro-nat folds — order-independent and bit-stable). The
+    per-TOKEN mean keeps the score length-independent; multiply by
+    ``n_tokens`` for the full-document ratio.
+
+    Plan: two corpus term shuffles (one per LM — the raw corpus text is
+    scanned once per scoring pass over the SAME doc_terms shape) plus
+    the target corpus's LM build; every attach frame is vocabulary- or
+    single-row-sized. Output: (``id_col``, n_tokens, logprob_raw,
+    logprob_target, logratio), all log-probs per-token means rounded to
+    ``round_dp``.
+    """
+    raw = score_documents(df, text_col=text_col, id_col=id_col,
+                          round_dp=round_dp) \
+        .select(F.col(id_col), "n_tokens",
+                F.col("mean_logprob").alias("logprob_raw"))
+    tgt_lm = unigram_lm(target, text_col=text_col)
+    tgt = score_documents(df, lm=tgt_lm, text_col=text_col,
+                          id_col=id_col, round_dp=round_dp) \
+        .select(F.col(id_col),
+                F.col("mean_logprob").alias("logprob_target"))
+    out = raw.join(tgt, id_col)
+    ratio = F.round(F.col("logprob_target") - F.col("logprob_raw")
+                    + F.lit(1e-9), round_dp)
+    return out.select(F.col(id_col), "n_tokens", "logprob_raw",
+                      "logprob_target",
+                      ratio.cast("double").alias("logratio"))

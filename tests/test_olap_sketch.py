@@ -1342,3 +1342,27 @@ def test_ccnet_buckets_terciles(spark):
     ref = {r.doc_id: r.ppl for r in score_documents(df).collect()}
     for i, r in out.items():
         assert r.ppl == ref[i]
+
+
+def test_dsir_logratio_direction_and_identity(spark):
+    """DSIR importance ratio: target-like docs score positive, background
+    docs negative; target == corpus degenerates to logratio ~ 0."""
+    from feathr_spark.operators.lm import dsir_logratio
+    rows = ([(i, "alpha beta gamma alpha beta") for i in range(6)]
+            + [(i, "delta epsilon zeta delta zeta") for i in range(6, 12)])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = df.where(F.col("doc_id") < 6)      # the alpha-beta domain
+    out = {r.doc_id: r for r in dsir_logratio(df, target).collect()}
+    assert all(out[i].logratio > 0 for i in range(6))       # target-like
+    assert all(out[i].logratio < 0 for i in range(6, 12))   # background
+    # per-token mean is length-independent: scores within a group equal
+    assert len({out[i].logratio for i in range(6)}) == 1
+    # self-target identity: scoring the corpus against itself ~ 0
+    self_out = dsir_logratio(df, df).collect()
+    assert all(abs(r.logratio) < 1e-9 for r in self_out)
+    # n_tokens and raw logprob come straight from score_documents
+    from feathr_spark.operators.lm import score_documents
+    ref = {r.doc_id: (r.n_tokens, r.mean_logprob)
+           for r in score_documents(df).collect()}
+    for i, r in out.items():
+        assert (r.n_tokens, r.logprob_raw) == ref[i]

@@ -53,6 +53,8 @@ BROADCAST_LOOP_OK = {
     "bigram_score",
     # embeds lm_score's OOV broadcast; adds a broadcast cuts frame
     "ccnet_buckets",
+    # two lm_score scoring passes (raw + target OOV broadcasts)
+    "dsir_weights",
     # embeds cosine_pairs_exact's partition-parallel broadcast loop
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
@@ -276,6 +278,10 @@ EXCHANGE_BUDGET = {
     # persisted scored frame prints under both quantile_bins consumers
     # (cuts + probe) — dedupes to the cache at runtime
     "ccnet_buckets": 15,
+    # raw-LM + target-LM term shuffles and the two per-doc micro-nat
+    # folds; the shared doc_terms subtree prints under both scoring
+    # branches (ReusedExchange at runtime)
+    "dsir_weights": 15,
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,

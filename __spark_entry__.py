@@ -902,6 +902,83 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("tf_idf").cast("double").alias("max_tfidf")))
 
 
+def q_quantile_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the mergeable KLL quantile cascade: daily
+    per-event-type value sketches merge up to monthly; the cascaded
+    p50/p90 estimates must land within 5% RANK of the exact monthly
+    percentiles (KLL k=200 guarantees ~0.7%; compaction is randomized
+    so the gate is rank tolerance, never equality). Deterministic
+    booleans + exact counts, so the oracle is exact ranks + TRUE."""
+    _utc(spark)
+    from feathr_spark.operators.profile import (
+        finalize_quantiles, merge_quantile_rollup, quantile_rollup)
+    ev = _load_events(spark, sf_dir)
+    daily = quantile_rollup(ev, "ts", ["event_type"], "value",
+                            level="day")
+    monthly = finalize_quantiles(
+        merge_quantile_rollup(daily, "month"), fracs=(0.5, 0.9))
+    # exact rank of each estimate: fraction of the month's values <= est
+    exact = ev.select("event_type",
+                      F.date_trunc("month", "ts").alias("bucket_start"),
+                      F.col("value").cast("double").alias("__v"))
+    j = monthly.join(exact, ["event_type", "bucket_start"])
+    g = (j.groupBy("event_type", "bucket_start", "p50", "p90")
+         .agg(F.count("*").alias("n_exact"),
+              (F.count_if(F.col("__v") <= F.col("p50"))
+               / F.count("*")).alias("__r50"),
+              (F.count_if(F.col("__v") <= F.col("p90"))
+               / F.count("*")).alias("__r90")))
+    return g.select(
+        "event_type",
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.abs(F.col("__r50") - 0.5) <= 0.05).alias("p50_ok"),
+        (F.abs(F.col("__r90") - 0.9) <= 0.05).alias("p90_ok"))
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra between two user cohorts (big
+    purchasers vs big-error users): |A|, |B|, union, intersection,
+    differences in one row, each gated within 2% (+1) of the exact
+    answer (exact mode below 2^12 distincts — the gate stays a
+    tolerance so the query survives SFs past that boundary). The
+    exact side is one per-user flag fold, no self-join."""
+    _utc(spark)
+    from feathr_spark.operators.profile import audience_overlap
+    ev = _load_events(spark, sf_dir)
+    in_a = (F.col("event_type") == "purchase") & (F.col("value") >= 150)
+    in_b = (F.col("event_type") == "error") & (F.col("value") >= 150)
+    a = ev.where(in_a).select("user_id")
+    b = ev.where(in_b).select("user_id")
+    est = audience_overlap(a, b, "user_id")
+    flags = (ev.groupBy("user_id")
+             .agg(F.max(in_a.cast("int")).alias("__fa"),
+                  F.max(in_b.cast("int")).alias("__fb")))
+    exact = flags.agg(
+        F.sum("__fa").alias("__ea"), F.sum("__fb").alias("__eb"),
+        F.sum(F.col("__fa") * F.col("__fb")).alias("__ei"),
+        F.sum(F.greatest("__fa", "__fb")).alias("__eu"))
+
+    def ok(e, x):
+        tol = F.greatest(F.round(x * 0.02), F.lit(1))
+        return F.abs(e - x) <= tol
+
+    j = est.crossJoin(F.broadcast(exact))
+    return j.select(
+        F.col("__ea").cast("bigint").alias("n_a_exact"),
+        F.col("__eb").cast("bigint").alias("n_b_exact"),
+        F.col("__ei").cast("bigint").alias("n_inter_exact"),
+        F.col("__eu").cast("bigint").alias("n_union_exact"),
+        ok(F.col("n_a"), F.col("__ea")).alias("a_ok"),
+        ok(F.col("n_b"), F.col("__eb")).alias("b_ok"),
+        ok(F.col("n_intersection"), F.col("__ei")).alias("inter_ok"),
+        ok(F.col("n_union"), F.col("__eu")).alias("union_ok"),
+        ok(F.col("n_only_a"), F.col("__ea") - F.col("__ei"))
+        .alias("diff_a_ok"),
+        ok(F.col("n_only_b"), F.col("__eb") - F.col("__ei"))
+        .alias("diff_b_ok"))
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance scores (NeurIPS 2023 data-selection): every doc's
     per-token log likelihood ratio between the German-subset target LM
@@ -2100,6 +2177,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 (rotation discipline: new queries go FIRST)
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
+        "quantile_rollup_gate": q_quantile_rollup_gate,
+        "audience_overlap": q_audience_overlap,
         # --- never driver-verified as of r4 (oracle-bearing)
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_pq_recall": q_ann_pq_recall,
@@ -3650,6 +3729,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
                         THEN 'test' END AS split
             FROM events
+        """,
+        "quantile_rollup_gate": """
+            SELECT event_type,
+                   strftime(date_trunc('month', ts), '%Y-%m-%d') AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   true AS p50_ok,
+                   true AS p90_ok
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "audience_overlap": """
+            WITH flags AS (
+              SELECT user_id,
+                     MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                              THEN 1 ELSE 0 END) AS fa,
+                     MAX(CASE WHEN event_type = 'error' AND value >= 150
+                              THEN 1 ELSE 0 END) AS fb
+              FROM events GROUP BY user_id)
+            SELECT CAST(SUM(fa) AS BIGINT) AS n_a_exact,
+                   CAST(SUM(fb) AS BIGINT) AS n_b_exact,
+                   CAST(SUM(fa * fb) AS BIGINT) AS n_inter_exact,
+                   CAST(SUM(GREATEST(fa, fb)) AS BIGINT) AS n_union_exact,
+                   true AS a_ok, true AS b_ok, true AS inter_ok,
+                   true AS union_ok, true AS diff_a_ok, true AS diff_b_ok
+            FROM flags
         """,
         "distinct_rollup_gate": """
             SELECT event_type,

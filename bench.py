@@ -30,6 +30,8 @@ import __spark_entry__ as entrymod
 HEADLINE = [
     "ccnet_buckets",
     "dsir_weights",
+    "quantile_rollup_gate",
+    "audience_overlap",
     "passthrough_exprs",
     "keyed_join",
     "window_agg_basic",

@@ -480,3 +480,119 @@ def finalize_distinct(rollup: DataFrame) -> DataFrame:
         *other,
         F.hll_sketch_estimate(F.col("__sk")).cast("bigint")
         .alias("distinct_est"))
+
+
+def quantile_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    level: str = "day",
+    k: int = 200,
+) -> DataFrame:
+    """Per-(keys, bucket) MERGEABLE quantile sketches: the
+    percentile analogue of :func:`distinct_rollup`'s HLL cascade.
+    Exact percentiles do not compose across buckets (daily medians
+    cannot be combined into a monthly median), so the
+    continuous-aggregate pattern for quantiles stores a Datasketches
+    KLL sketch per bucket (``kll_sketch_agg_double``, O(k·log n/k)
+    values whatever the row count) and MERGES sketches to coarsen or
+    refresh — weekly/monthly p50/p95/p99 never rescan the source.
+
+    KLL guarantees normalized rank error ~1.33/k at 99% confidence
+    (±0.67% of rank at the default k=200) and the guarantee SURVIVES
+    merging. Compaction is randomized, so merged-vs-direct sketches
+    agree in rank error, not bit-for-bit (unlike the HLL cascade's
+    exact union identity) — gate on rank tolerance, never equality.
+
+    One data-sized shuffle (the bucket groupBy with map-side partial
+    sketches); downstream merges carry one fixed-width binary per
+    (keys, bucket). Coarsen with :func:`merge_quantile_rollup`, read
+    percentiles off with :func:`finalize_quantiles`.
+
+    Output: keys + bucket_start + ``__qsk`` (binary sketch).
+    """
+    keys = list(key_cols)
+    return (df
+            .groupBy(*keys, F.date_trunc(level, F.col(ts_col))
+                     .alias("bucket_start"))
+            .agg(F.kll_sketch_agg_double(
+                     F.col(value_col).cast("double"), F.lit(int(k)))
+                 .alias("__qsk")))
+
+
+def merge_quantile_rollup(
+    rollup: DataFrame,
+    level: str,
+    k: int = 200,
+) -> DataFrame:
+    """Coarsen a quantile rollup to a coarser ``date_trunc`` level (or
+    merge same-bucket partials from disjoint batches) by KLL-merging
+    the sketches — history is never rescanned."""
+    keys = [c for c in rollup.columns
+            if c not in ("bucket_start", "__qsk")]
+    return (rollup
+            .groupBy(*keys, F.date_trunc(level, F.col("bucket_start"))
+                     .alias("bucket_start"))
+            .agg(F.kll_merge_agg_double(F.col("__qsk"), F.lit(int(k)))
+                 .alias("__qsk")))
+
+
+def finalize_quantiles(
+    rollup: DataFrame,
+    fracs: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Sketches → percentile estimate columns ``p{frac*100:g}`` plus
+    the exact row count ``n`` the sketch saw."""
+    other = [c for c in rollup.columns if c != "__qsk"]
+    cols = [F.kll_sketch_get_quantile_double(
+                F.col("__qsk"), F.lit(float(f)))
+            .alias(f"p{round(f * 100)}")
+            for f in fracs]
+    return rollup.select(
+        *other,
+        F.kll_sketch_get_n_double(F.col("__qsk")).cast("bigint")
+        .alias("n"), *cols)
+
+
+def audience_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    lg_nom: int = 12,
+) -> DataFrame:
+    """Distinct-value set algebra between two cohorts via Theta
+    sketches: |A|, |B|, |A∪B|, |A∩B|, |A\\B|, |B\\A| in ONE row —
+    the audience-overlap readout (users who did X AND Y / X but not
+    Y) that exact COUNT(DISTINCT) needs a full self-join for. HLL
+    unions only; Theta sketches close the set algebra (intersection
+    and difference compose from the same mergeable state), which is
+    why this operator exists alongside :func:`distinct_rollup`.
+
+    Each side folds to one ~2^lg_nom-bounded sketch in a single
+    aggregate pass (map-side partials — the cohort never shuffles
+    wide); the two 1-row frames broadcast-cross into the set
+    expressions. Below ~2^lg_nom distinct values a Theta sketch is in
+    exact mode and every readout is exact; above, estimates carry the
+    standard Theta relative-error bound (~1/sqrt(2^lg_nom) ≈ 1.6% at
+    the default lg_nom=12).
+
+    Output (one row): n_a, n_b, n_union, n_intersection, n_only_a,
+    n_only_b (bigint estimates).
+    """
+    ska = a.agg(F.theta_sketch_agg(F.col(value_col), F.lit(int(lg_nom)))
+                .alias("__ta"))
+    skb = b.agg(F.theta_sketch_agg(F.col(value_col), F.lit(int(lg_nom)))
+                .alias("__tb"))
+    one = ska.crossJoin(F.broadcast(skb))
+    ta, tb = F.col("__ta"), F.col("__tb")
+    est = F.theta_sketch_estimate
+    return one.select(
+        est(ta).cast("bigint").alias("n_a"),
+        est(tb).cast("bigint").alias("n_b"),
+        est(F.theta_union(ta, tb, F.lit(int(lg_nom)))).cast("bigint")
+        .alias("n_union"),
+        est(F.theta_intersection(ta, tb)).cast("bigint")
+        .alias("n_intersection"),
+        est(F.theta_difference(ta, tb)).cast("bigint").alias("n_only_a"),
+        est(F.theta_difference(tb, ta)).cast("bigint").alias("n_only_b"))

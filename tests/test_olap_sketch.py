@@ -1366,3 +1366,41 @@ def test_dsir_logratio_direction_and_identity(spark):
            for r in score_documents(df).collect()}
     for i, r in out.items():
         assert (r.n_tokens, r.logprob_raw) == ref[i]
+
+
+def test_quantile_rollup_cascade_accuracy(spark):
+    """KLL quantile cascade: daily sketches merged to one sketch give
+    percentiles within the rank-error bound of exact; n is exact."""
+    import datetime as _dt
+    from feathr_spark.operators.profile import (
+        finalize_quantiles, merge_quantile_rollup, quantile_rollup)
+    rows = [(("g"), _dt.datetime(2024, 1, 1 + d), float(v))
+            for d in range(10) for v in range(d * 100, d * 100 + 100)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    daily = quantile_rollup(df, "ts", ["g"], "v", level="day")
+    assert daily.count() == 10
+    monthly = finalize_quantiles(merge_quantile_rollup(daily, "month"),
+                                 fracs=(0.5, 0.9))
+    r = monthly.collect()[0]
+    assert r.n == 1000
+    # values are 0..999 uniformly: p50 ~ 500, p90 ~ 900 (±1.33/k·n ranks
+    # at k=200 → ±~7 ranks; allow 3x slack for merge + interpolation)
+    assert abs(r.p50 - 500) <= 20
+    assert abs(r.p90 - 900) <= 20
+
+
+def test_audience_overlap_exact_mode(spark):
+    """Theta set algebra: below 2^lg_nom the sketches are in exact mode
+    — every readout equals the true set cardinality."""
+    from feathr_spark.operators.profile import audience_overlap
+    a = spark.createDataFrame([(i,) for i in range(100)], "u bigint")
+    b = spark.createDataFrame([(i,) for i in range(60, 200)], "u bigint")
+    r = audience_overlap(a, b, "u").collect()[0]
+    assert (r.n_a, r.n_b) == (100, 140)
+    assert r.n_union == 200
+    assert r.n_intersection == 40
+    assert r.n_only_a == 60 and r.n_only_b == 100
+    # disjoint cohorts
+    c = spark.createDataFrame([(i,) for i in range(1000, 1010)], "u bigint")
+    r2 = audience_overlap(a, c, "u").collect()[0]
+    assert r2.n_intersection == 0 and r2.n_union == 110

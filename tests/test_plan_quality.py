@@ -55,6 +55,9 @@ BROADCAST_LOOP_OK = {
     "ccnet_buckets",
     # two lm_score scoring passes (raw + target OOV broadcasts)
     "dsir_weights",
+    # two 1-row theta-sketch frames cross into the set expressions,
+    # then the 1-row exact-flags fold crosses in for the gate
+    "audience_overlap",
     # embeds cosine_pairs_exact's partition-parallel broadcast loop
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
@@ -282,6 +285,11 @@ EXCHANGE_BUDGET = {
     # folds; the shared doc_terms subtree prints under both scoring
     # branches (ReusedExchange at runtime)
     "dsir_weights": 15,
+    # daily KLL aggregate + monthly merge; the rank-check join
+    # broadcasts the bucket-sized finalized frame onto the raw scan
+    "quantile_rollup_gate": 2,
+    # two cohort sketch folds + the per-user flag fold + final fold
+    "audience_overlap": 4,
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,

@@ -312,7 +312,10 @@ def dsir_logratio(
     the target corpus's LM build; every attach frame is vocabulary- or
     single-row-sized. Output: (``id_col``, n_tokens, logprob_raw,
     logprob_target, logratio), all log-probs per-token means rounded to
-    ``round_dp``.
+    ``round_dp``. An EMPTY target corpus has no LM: ``logprob_target``
+    and ``logratio`` come back NULL for every row (the SQL no-evidence
+    answer — validating emptiness up front would cost a driver-side
+    pass; filter on ``logratio IS NOT NULL`` or pre-check the target).
     """
     raw = score_documents(df, text_col=text_col, id_col=id_col,
                           round_dp=round_dp) \

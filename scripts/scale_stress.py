@@ -28,7 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(REPO, ".stress")
 HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
-         "contamination_check", "semantic_dedup_pairs", "ann_pq_topk"]
+         "contamination_check", "semantic_dedup_pairs", "ann_pq_topk",
+         "ccnet_buckets", "dsir_weights"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

@@ -238,3 +238,50 @@ def stream_interval_join(
     keep = [iv[c] for c in intervals.columns] + \
            [p[c] for c in points.columns if c not in on]
     return joined.select(*keep)
+
+
+def stream_quantile_monitor(
+    stream_df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    fracs: Sequence[float] = (0.5, 0.95),
+    k: int = 200,
+) -> DataFrame:
+    """Streaming percentile monitor: per-(keys, tumbling window) KLL
+    quantile sketches with watermarked state — the latency-dashboard /
+    drift-alarm readout (p50/p95 per service per window) computed with
+    CONSTANT per-window state however many events land in it. The
+    streaming face of :func:`..operators.profile.quantile_rollup`:
+    same sketch family, same rank-error guarantee (~1.33/k at 99%
+    confidence), and a closed window's sketch state is exactly what the
+    batch operator would have built over the same slice (value-tested
+    as equality in exact mode).
+
+    Append-mode semantics: a window emits once, after the watermark
+    passes its end — late events inside the watermark still merge into
+    the open sketch; later ones drop (standard watermark contract).
+
+    Output: keys + window_start + window_end + n (exact event count) +
+    ``p{frac*100}`` per requested fraction.
+    """
+    from ..model import parse_duration_ms
+    win = f"{parse_duration_ms(window)} milliseconds"
+    keys = list(key_cols)
+    wm = stream_df.withWatermark(ts_col, watermark)
+    agg = (wm.groupBy(F.window(F.col(ts_col), win).alias("__w"), *keys)
+           .agg(F.kll_sketch_agg_double(
+                    F.col(value_col).cast("double"), F.lit(int(k)))
+                .alias("__qsk")))
+    pcols = [F.kll_sketch_get_quantile_double(F.col("__qsk"),
+                                              F.lit(float(f)))
+             .alias(f"p{round(f * 100)}") for f in fracs]
+    return agg.select(
+        *keys,
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        F.kll_sketch_get_n_double(F.col("__qsk")).cast("bigint")
+        .alias("n"),
+        *pcols)

@@ -705,3 +705,45 @@ def test_stream_features_to_online_store_e2e(spark, tmp_path):
     assert set(latest_row) == {"feat:1", "feat:2"}
     assert json.loads(latest_row["feat:1"]["f_bal"]) == 9.0
     assert json.loads(latest_row["feat:2"]["f_bal"]) == 7.0
+
+
+def test_stream_quantile_monitor_matches_batch_kll(spark, tmp_path):
+    """Streaming KLL percentile monitor: per-window p50/p95 equal the
+    batch sketch over the same slice (exact mode: n < sketch capacity),
+    and n is the exact event count. Uses complete mode so the still-open
+    window is visible too."""
+    from feathr_spark.streaming.job import (
+        run_streaming_query, stream_quantile_monitor,
+    )
+    src_dir = str(tmp_path / "stream_kll_in")
+    rows = [Row(k="svc", t=ts(f"2024-01-01 00:{m:02d}:00"), v=float(m))
+            for m in range(30)]          # window 1: 0..14, window 2: 15..29
+    df = spark.createDataFrame(rows)
+    df.write.parquet(src_dir)
+    stream = spark.readStream.schema(df.schema).parquet(src_dir)
+    out = stream_quantile_monitor(stream, ["k"], ts_col="t",
+                                  value_col="v", window="15m",
+                                  watermark="1 minute",
+                                  fracs=(0.5, 0.95))
+    run_streaming_query(out, format="memory", query_name="t_kll",
+                        output_mode="complete", timeout_ms=0)
+    got = {r.window_start: r for r in spark.sql("select * from t_kll")
+           .collect()}
+    assert len(got) == 2
+    w1 = got[ts("2024-01-01 00:00:00")]
+    w2 = got[ts("2024-01-01 00:15:00")]
+    assert (w1.n, w2.n) == (15, 15)
+    assert w1.window_end == ts("2024-01-01 00:15:00")
+    # exact mode: sketch holds all 15 values -> exact order statistics,
+    # identical to the batch sketch over the same slice
+    batch = (df.groupBy(F.window("t", "15 minutes").alias("__w"))
+             .agg(F.kll_sketch_agg_double("v", F.lit(200)).alias("s"))
+             .select(F.col("__w.start").alias("ws"),
+                     F.kll_sketch_get_quantile_double("s", F.lit(0.5))
+                     .alias("p50"),
+                     F.kll_sketch_get_quantile_double("s", F.lit(0.95))
+                     .alias("p95")))
+    ref = {r.ws: r for r in batch.collect()}
+    for ws, r in got.items():
+        assert (r.p50, r.p95) == (ref[ws].p50, ref[ws].p95)
+    assert w1.p50 == 7.0 and w2.p50 == 22.0

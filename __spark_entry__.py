@@ -902,6 +902,47 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("tf_idf").cast("double").alias("max_tfidf")))
 
 
+def q_sketch_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week retention of big purchasers straight from Theta
+    sketch algebra (|prev-week ∩ this-week| per bucket — no fact-table
+    self-join), gated within 2% (+1) of the exact per-user-week flag
+    join. Exact mode below 2^12 distincts; the gate stays a tolerance
+    past that boundary."""
+    _utc(spark)
+    from feathr_spark.operators.profile import (sketch_retention,
+                                                theta_rollup)
+    ev = _load_events(spark, sf_dir)
+    cohort = ev.where((F.col("event_type") == "purchase")
+                      & (F.col("value") >= 150))
+    weekly = theta_rollup(cohort, "ts", [], "user_id", level="week")
+    est = sketch_retention(weekly)
+    # exact side: distinct (user, week) pairs self-joined one week ahead
+    wk = cohort.select(F.date_trunc("week", "ts").alias("__w"),
+                       "user_id").distinct()
+    nxt = wk.select((F.col("__w") - F.expr("INTERVAL 7 DAYS"))
+                    .alias("__wn"), F.col("user_id").alias("__u2"))
+    exact = (wk.join(nxt, (F.col("__w") == F.col("__wn"))
+                     & (wk.user_id == nxt.__u2), "left")
+             .groupBy("__w")
+             .agg(F.count_distinct("user_id").alias("__n"),
+                  F.count_distinct("__u2").alias("__r")))
+    # align: exact row for week W describes W's cohort and W->W+1
+    # retention; the sketch row for week W+1 carries n_prev/n_retained
+    j = est.join(exact,
+                 est.bucket_start == F.col("__w")
+                 + F.expr("INTERVAL 7 DAYS"))
+
+    def ok(e, x):
+        return F.abs(e - x) <= F.greatest(F.round(x * 0.02), F.lit(1))
+
+    return j.select(
+        F.date_format("bucket_start", "yyyy-MM-dd").alias("bucket"),
+        F.col("__n").cast("bigint").alias("n_prev_exact"),
+        F.col("__r").cast("bigint").alias("n_retained_exact"),
+        ok(F.col("n_prev"), F.col("__n")).alias("prev_ok"),
+        ok(F.col("n_retained"), F.col("__r")).alias("retained_ok"))
+
+
 def q_quantile_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy gate for the mergeable KLL quantile cascade: daily
     per-event-type value sketches merge up to monthly; the cascaded
@@ -2181,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "quantile_rollup_gate": q_quantile_rollup_gate,
         "audience_overlap": q_audience_overlap,
+        "sketch_retention": q_sketch_retention,
         # --- never driver-verified as of r4 (oracle-bearing)
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_pq_recall": q_ann_pq_recall,
@@ -3731,6 +3773,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ts >= TIMESTAMP '2024-01-20 00:00:00'
                         THEN 'test' END AS split
             FROM events
+        """,
+        "sketch_retention": """
+            WITH wk AS (
+              SELECT DISTINCT date_trunc('week', ts) AS w, user_id
+              FROM events
+              WHERE event_type = 'purchase' AND value >= 150
+            ), agg AS (
+              SELECT a.w,
+                     count(DISTINCT a.user_id) AS n_prev,
+                     count(DISTINCT b.user_id) AS n_ret
+              FROM wk a LEFT JOIN wk b
+                ON b.w = a.w + INTERVAL 7 DAY AND b.user_id = a.user_id
+              WHERE a.w + INTERVAL 7 DAY IN (SELECT DISTINCT w FROM wk)
+              GROUP BY a.w
+            )
+            SELECT strftime(w + INTERVAL 7 DAY, '%Y-%m-%d') AS bucket,
+                   CAST(n_prev AS BIGINT) AS n_prev_exact,
+                   CAST(n_ret AS BIGINT) AS n_retained_exact,
+                   true AS prev_ok, true AS retained_ok
+            FROM agg
         """,
         "quantile_rollup_gate": """
             SELECT event_type,

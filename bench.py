@@ -32,6 +32,7 @@ HEADLINE = [
     "dsir_weights",
     "quantile_rollup_gate",
     "audience_overlap",
+    "sketch_retention",
     "passthrough_exprs",
     "keyed_join",
     "window_agg_basic",

@@ -596,3 +596,87 @@ def audience_overlap(
         .alias("n_intersection"),
         est(F.theta_difference(ta, tb)).cast("bigint").alias("n_only_a"),
         est(F.theta_difference(tb, ta)).cast("bigint").alias("n_only_b"))
+
+
+def theta_rollup(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    level: str = "week",
+    lg_nom: int = 12,
+) -> DataFrame:
+    """Per-(keys, bucket) MERGEABLE Theta sketches of the distinct
+    ``value_col`` set — :func:`distinct_rollup` with set ALGEBRA: HLL
+    buckets only union, Theta buckets also intersect and difference,
+    which is what period-over-period questions (retention, churn,
+    new-vs-returning) actually need. One data-sized shuffle; each
+    bucket's state is ~2^lg_nom bounded and exact below that many
+    distincts. Coarsen with :func:`merge_theta_rollup`; consume
+    consecutive-bucket intersections with :func:`sketch_retention`.
+
+    Output: keys + bucket_start + ``__tsk`` (binary sketch).
+    """
+    keys = list(key_cols)
+    return (df
+            .groupBy(*keys, F.date_trunc(level, F.col(ts_col))
+                     .alias("bucket_start"))
+            .agg(F.theta_sketch_agg(F.col(value_col), F.lit(int(lg_nom)))
+                 .alias("__tsk")))
+
+
+def merge_theta_rollup(
+    rollup: DataFrame,
+    level: str,
+    lg_nom: int = 12,
+) -> DataFrame:
+    """Coarsen a theta rollup by unioning sketches into coarser
+    ``date_trunc`` buckets — same contract as the HLL/KLL cascades:
+    history is never rescanned."""
+    keys = [c for c in rollup.columns
+            if c not in ("bucket_start", "__tsk")]
+    return (rollup
+            .groupBy(*keys, F.date_trunc(level, F.col("bucket_start"))
+                     .alias("bucket_start"))
+            .agg(F.theta_union_agg(F.col("__tsk"), F.lit(int(lg_nom)))
+                 .alias("__tsk")))
+
+
+def sketch_retention(rollup: DataFrame, lag: int = 1) -> DataFrame:
+    """Period-over-period retention straight from a
+    :func:`theta_rollup`: for each (keys, bucket), intersect the
+    bucket's sketch with the sketch ``lag`` buckets earlier —
+    |prev ∩ cur| distinct members retained — without ever rescanning
+    the raw events (the classic retention query re-joins two scans of
+    the fact table per period pair; here it is sketch algebra over a
+    bucket-count-sized frame).
+
+    ``lag`` counts ORDERED buckets per key group, so a calendar gap in
+    the rollup makes "previous" the nearest earlier bucket — feed a
+    gap-free rollup (or gapfill first) for strict period-over-period.
+    The lag window sorts the bucket-count-sized sketch frame per key
+    group — never data-sized. First ``lag`` buckets have no
+    predecessor: NULL prev metrics.
+
+    Output: keys + bucket_start + n_prev, n_cur, n_retained (bigint
+    estimates; exact below 2^lg_nom) + retention (double, retained /
+    prev, NULL when no predecessor or empty prev).
+    """
+    from pyspark.sql import Window
+    keys = [c for c in rollup.columns
+            if c not in ("bucket_start", "__tsk")]
+    w = Window.partitionBy(*(keys or [F.lit(0)])).orderBy("bucket_start")
+    prev = F.lag("__tsk", int(lag)).over(w)
+    est = F.theta_sketch_estimate
+    d = rollup.select(*keys, "bucket_start", F.col("__tsk").alias("__c"),
+                      prev.alias("__p"))
+    n_prev = F.when(F.col("__p").isNotNull(), est(F.col("__p")))
+    n_ret = F.when(F.col("__p").isNotNull(),
+                   est(F.theta_intersection(F.col("__p"), F.col("__c"))))
+    return d.select(
+        *keys, "bucket_start",
+        n_prev.cast("bigint").alias("n_prev"),
+        est(F.col("__c")).cast("bigint").alias("n_cur"),
+        n_ret.cast("bigint").alias("n_retained"),
+        F.when(n_prev > 0, n_ret / n_prev).cast("double")
+        .alias("retention"))

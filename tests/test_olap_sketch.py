@@ -1404,3 +1404,33 @@ def test_audience_overlap_exact_mode(spark):
     c = spark.createDataFrame([(i,) for i in range(1000, 1010)], "u bigint")
     r2 = audience_overlap(a, c, "u").collect()[0]
     assert r2.n_intersection == 0 and r2.n_union == 110
+
+
+def test_theta_rollup_sketch_retention(spark):
+    """Theta rollup + retention: weekly sketches, consecutive-bucket
+    intersections equal the exact per-user retention (exact mode)."""
+    import datetime as _dt
+    from feathr_spark.operators.profile import (
+        merge_theta_rollup, sketch_retention, theta_rollup)
+    rows = []
+    # week of Jan 1: users 0..9; Jan 8: 5..14 (5 retained); Jan 15: 100
+    for u in range(10):
+        rows.append((_dt.datetime(2024, 1, 2), u))
+    for u in range(5, 15):
+        rows.append((_dt.datetime(2024, 1, 9), u))
+    rows.append((_dt.datetime(2024, 1, 16), 100))
+    df = spark.createDataFrame(rows, "ts timestamp, user_id bigint")
+    weekly = theta_rollup(df, "ts", [], "user_id", level="week")
+    got = {r.bucket_start: r for r in sketch_retention(weekly).collect()}
+    w1, w2, w3 = (_dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 8),
+                  _dt.datetime(2024, 1, 15))
+    assert got[w1].n_prev is None and got[w1].retention is None
+    assert (got[w2].n_prev, got[w2].n_cur, got[w2].n_retained) == (10, 10, 5)
+    assert got[w2].retention == 0.5
+    assert (got[w3].n_prev, got[w3].n_cur, got[w3].n_retained) == (10, 1, 0)
+    # union-coarsen: month bucket = all 16 distinct users
+    from pyspark.sql import functions as _F
+    monthly = merge_theta_rollup(weekly, "month")
+    n = monthly.select(_F.theta_sketch_estimate("__tsk").cast("bigint")
+                       .alias("n")).collect()[0].n
+    assert n == 16

@@ -288,6 +288,9 @@ EXCHANGE_BUDGET = {
     # daily KLL aggregate + monthly merge; the rank-check join
     # broadcasts the bucket-sized finalized frame onto the raw scan
     "quantile_rollup_gate": 2,
+    # weekly theta aggregate + the lag window over the bucket frame +
+    # the exact-side distinct/self-join pair for the gate
+    "sketch_retention": 6,
     # two cohort sketch folds + the per-user flag fold + final fold
     "audience_overlap": 4,
     "ngram_jaccard_pairs": 13,
@@ -447,6 +450,9 @@ GLOBAL_WINDOW_OK = {
     # row_number over the DISTINCT right domain (event types / items /
     # labels — the negative-sampling index table, broadcast downstream)
     "negative_pairs",
+    # lag over the BUCKET-COUNT-sized sketch frame (weeks x keys, one
+    # fixed-width sketch per row) — never the data table
+    "sketch_retention",
 }
 
 

@@ -2209,12 +2209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never burn a gate slot on an err="no_oracle" row — their accuracy
         is driver-proven via the oracled *_recall gate companions.
 
-    Round-5 rotation: the 4 queries NEW this round lead, then the
+    Round-5 rotation: the 5 queries NEW this round lead, then the
     oracle-bearing queries that were outside the r4 window
     (CORRECTNESS_r04.json = r4 dict[0:50]). The window holds 50, so
-    three r4-era queries (range_join_events, heavy_hitters, span_dedup)
-    plus the long-green r1-r4 set wait below it — rotate them into the
-    front of round 6's window.
+    four r4-era queries (pivot_events, range_join_events,
+    heavy_hitters, span_dedup) plus the long-green r1-r4 set wait
+    below it — rotate them into the front of round 6's window.
     """
     return {
         # --- new in r5 (rotation discipline: new queries go FIRST)

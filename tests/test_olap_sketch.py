@@ -1434,3 +1434,41 @@ def test_theta_rollup_sketch_retention(spark):
     n = monthly.select(_F.theta_sketch_estimate("__tsk").cast("bigint")
                        .alias("n")).collect()[0].n
     assert n == 16
+
+
+def test_sketch_rollups_persist_and_merge_after_roundtrip(spark, tmp_path):
+    """The incremental-refresh claim for the KLL/Theta cascades: sketch
+    state (binary column) survives a parquet round-trip, and merging a
+    round-tripped rollup with a fresh batch equals rolling up the union
+    directly (theta: exact estimates; KLL: exact-mode quantiles)."""
+    import datetime as _dt
+    from feathr_spark.operators.profile import (
+        finalize_quantiles, merge_quantile_rollup, merge_theta_rollup,
+        quantile_rollup, theta_rollup)
+    t = _dt.datetime(2024, 1, 2)
+    a = spark.createDataFrame([(t, u, float(u)) for u in range(50)],
+                              "ts timestamp, user_id bigint, v double")
+    b = spark.createDataFrame([(t, u, float(u)) for u in range(30, 80)],
+                              "ts timestamp, user_id bigint, v double")
+    # theta: persist week-rollup of A, merge with B's rollup
+    pa_ = str(tmp_path / "theta_a")
+    theta_rollup(a, "ts", [], "user_id", level="week").write.parquet(pa_)
+    stored = spark.read.parquet(pa_)
+    merged = merge_theta_rollup(
+        stored.unionByName(theta_rollup(b, "ts", [], "user_id",
+                                        level="week")), "week")
+    n = merged.select(F.theta_sketch_estimate("__tsk").cast("bigint")
+                      .alias("n")).collect()[0].n
+    assert n == 80                      # |0..79| exactly (exact mode)
+    # kll: same pattern, quantiles equal the direct union rollup
+    pk = str(tmp_path / "kll_a")
+    quantile_rollup(a, "ts", [], "v", level="week").write.parquet(pk)
+    kmerged = merge_quantile_rollup(
+        spark.read.parquet(pk).unionByName(
+            quantile_rollup(b, "ts", [], "v", level="week")), "week")
+    direct = quantile_rollup(a.unionByName(b), "ts", [], "v",
+                             level="week")
+    got = finalize_quantiles(kmerged, fracs=(0.5,)).collect()[0]
+    want = finalize_quantiles(direct, fracs=(0.5,)).collect()[0]
+    assert got.n == want.n == 100
+    assert got.p50 == want.p50          # exact mode: both are exact

@@ -750,13 +750,22 @@ def cross_corpus_containment(
         .select(F.col("__id").alias("__idb"), F.explode_outer("__sh").alias("__s")) \
         .where(F.col("__s").isNotNull()) \
         .select("__idb", F.xxhash64("__s").alias("__h"))
+    # persist both shingle frames: each fans into 2+ consumers (the
+    # max_df document-frequency aggregate + its own anti-join probe,
+    # then a's side feeds BOTH the denominator count and the
+    # intersection join) — unpersisted, the shingling pipeline (the
+    # most expensive narrow stage) re-executes once per consumer.
+    # Cache payload is two longs per gram occurrence.
+    sh_a = sh_a.persist()
+    sh_b = sh_b.persist()
     if max_df is not None:
         banned = (sh_a.groupBy("__h").agg(F.count("*").alias("__df"))
                   .where(F.col("__df") > max_df).select("__h")
                   .union(sh_b.groupBy("__h").agg(F.count("*").alias("__df"))
                          .where(F.col("__df") > max_df).select("__h"))
                   .distinct())
-        sh_a = sh_a.join(banned, "__h", "left_anti")
+        # post-ban a-side also fans out (denominator + intersection)
+        sh_a = sh_a.join(banned, "__h", "left_anti").persist()
         sh_b = sh_b.join(banned, "__h", "left_anti")
     n_a = sh_a.groupBy("__ida").agg(F.count("*").alias("__na"))
     inter = (sh_a.join(sh_b, "__h")

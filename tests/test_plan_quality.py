@@ -267,7 +267,11 @@ EXCHANGE_BUDGET = {
     # truncated) and the non-canonical id list broadcasts into the
     # anti-join — the doc payload never shuffles.
     "dedup_keep_one": 0,
-    "contamination_check": 15,
+    # r5: persisted shingle frames print their (cached) subtrees under
+    # each consumer — 15 -> 17 textual matches, while the shingling
+    # pipeline now executes once instead of once per consumer (sf0.1
+    # steady 2.2-3.2 s -> 1.3-1.6 s, x5 stress 11.5 s -> ~3-4 s)
+    "contamination_check": 17,
     # r4 Arrow-token path: the printed count rose 24 -> 30 because the
     # (persisted) token subtree now prints under more consumers — those
     # dedupe to ReusedExchange at runtime, and measured wall-clock HALVED

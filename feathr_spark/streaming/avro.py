@@ -7,15 +7,22 @@ source builder source.rs:563-650) and lets the Spark runtime decode the
 expression (spark-avro on the classpath: codegen'd, zero Python); when
 the connector is absent, :func:`decode_avro_payload` falls back to an
 Arrow-batched ``mapInPandas`` decoder implementing the Avro binary
-encoding for the flat-record-of-primitives subset that Kafka feature
-payloads use. Anything deeper (arrays, maps, nested records, non-null
-unions) raises with a pointer to the connector — the fallback is a
-capability bridge, not a full Avro implementation.
+encoding. Round 5 extends the fallback from flat primitives to the
+full structural subset: NESTED records, arrays, maps (string keys,
+per the spec), enums (→ string), fixed (→ binary), and ``["null",
+T]`` unions at any depth — compiled recursively by
+:func:`compile_schema` into a Spark schema plus closure-based
+encoder/decoder pairs. Multi-branch non-null unions and recursive
+named-type self-references still need the connector (Spark itself
+cannot type a sum type as one column).
 
 Binary encoding per the Avro 1.11 spec: int/long are zigzag varints,
 float/double little-endian IEEE, boolean one byte, string/bytes a long
 length followed by the payload, ``["null", T]`` unions a varint branch
-index; record fields are concatenated in schema order.
+index; record fields are concatenated in schema order; arrays and maps
+are block-encoded (varint count per block, negative count = byte size
+follows for skipping, zero count terminates); enums are the varint
+symbol index; fixed is raw bytes of the declared size.
 """
 
 from __future__ import annotations
@@ -165,6 +172,203 @@ def decode_record(buf: bytes, fields: List[Tuple[str, str, bool]]) -> dict:
     return out
 
 
+# -- recursive schema compiler (round 5) -------------------------------------
+
+def compile_schema(avro_json):
+    """Compile an Avro record schema into ``(StructType, encode, decode)``
+    where ``encode(dict) -> bytes`` and ``decode(bytes) -> dict`` handle
+    the full structural subset: nested records, arrays, maps, enums,
+    fixed, and ``["null", T]`` unions at any depth. Raises
+    ``NotImplementedError`` for multi-branch non-null unions and
+    named-type self-references (genuinely connector territory: Spark has
+    no column type for a sum type, and a self-referential record has no
+    finite StructType)."""
+    schema = json.loads(avro_json) if isinstance(avro_json, str) \
+        else avro_json
+    if not (isinstance(schema, dict) and schema.get("type") == "record"):
+        raise NotImplementedError(
+            f"only record schemas are supported, got {schema!r:.80}")
+    named = {}
+    stype, enc, dec = _compile(schema, named)
+
+    def encode(row: dict) -> bytes:
+        return bytes(enc(row))
+
+    def decode(buf: bytes) -> dict:
+        val, _ = dec(buf, 0)
+        return val
+
+    return stype, encode, decode
+
+
+def _compile(sch, named):
+    """Recursive compile → (spark_type, enc(val)->bytearray,
+    dec(buf, pos)->(val, pos))."""
+    # named-type reference ("TypeName" used after definition)
+    if isinstance(sch, str) and sch in named:
+        return named[sch]
+    if isinstance(sch, str):
+        if sch not in _PRIMITIVES:
+            raise NotImplementedError(
+                f"type {sch!r} needs the spark-avro connector")
+        t = sch
+
+        def enc_p(v, t=t):
+            return bytearray(_encode_value(v, t))
+
+        def dec_p(buf, pos, t=t):
+            return _decode_value(buf, pos, t)
+
+        return _PRIMITIVES[t], enc_p, dec_p
+    if isinstance(sch, list):        # union
+        branches = [b for b in sch if b != "null"]
+        if len(sch) != 2 or "null" not in sch or len(branches) != 1:
+            raise NotImplementedError(
+                "only ['null', T] unions are supported without the "
+                "spark-avro connector (Spark has no sum-type column)")
+        null_idx = sch.index("null")
+        st, enc_i, dec_i = _compile(branches[0], named)
+
+        def enc_u(v, enc_i=enc_i, null_idx=null_idx):
+            if v is None:
+                return bytearray(_zigzag_encode(null_idx))
+            return bytearray(_zigzag_encode(1 - null_idx)) + enc_i(v)
+
+        def dec_u(buf, pos, dec_i=dec_i, null_idx=null_idx):
+            branch, pos = _zigzag_decode(buf, pos)
+            if branch == null_idx:
+                return None, pos
+            return dec_i(buf, pos)
+
+        return st, enc_u, dec_u
+    if not isinstance(sch, dict):
+        raise NotImplementedError(f"unsupported schema node {sch!r:.80}")
+    kind = sch.get("type")
+    if kind == "record":
+        fields = []
+        # pre-register a placeholder to catch self-references loudly
+        name = sch.get("name")
+        if name:
+            named[name] = None
+        for f in sch.get("fields", []):
+            fsch = f["type"]
+            if isinstance(fsch, str) and fsch in named \
+                    and named[fsch] is None:
+                raise NotImplementedError(
+                    f"field {f['name']!r}: recursive reference to "
+                    f"{fsch!r} has no finite Spark schema")
+            st, e, d = _compile(fsch, named)
+            nullable = isinstance(fsch, list) or not isinstance(
+                st, T.BooleanType)
+            fields.append((f["name"], st, e, d, nullable))
+        stype = T.StructType([
+            T.StructField(n, st, nullable=nb)
+            for n, st, _, _, nb in fields])
+
+        def enc_r(v, fields=fields):
+            out = bytearray()
+            for n, _, e, _, _ in fields:
+                out += e(v.get(n) if isinstance(v, dict) else v[n])
+            return out
+
+        def dec_r(buf, pos, fields=fields):
+            out = {}
+            for n, _, _, d, _ in fields:
+                out[n], pos = d(buf, pos)
+            return out, pos
+
+        if name:
+            named[name] = (stype, enc_r, dec_r)
+        return stype, enc_r, dec_r
+    if kind == "array":
+        st, e, d = _compile(sch["items"], named)
+
+        def enc_a(v, e=e):
+            out = bytearray()
+            if v:
+                out += _zigzag_encode(len(v))
+                for item in v:
+                    out += e(item)
+            out += _zigzag_encode(0)
+            return out
+
+        def dec_a(buf, pos, d=d):
+            out = []
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:                 # block byte-size prefix: skip it
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    item, pos = d(buf, pos)
+                    out.append(item)
+
+        return T.ArrayType(st), enc_a, dec_a
+    if kind == "map":
+        st, e, d = _compile(sch["values"], named)
+
+        def enc_m(v, e=e):
+            out = bytearray()
+            if v:
+                out += _zigzag_encode(len(v))
+                for k, item in v.items():
+                    out += bytearray(_encode_value(k, "string")) + e(item)
+            out += _zigzag_encode(0)
+            return out
+
+        def dec_m(buf, pos, d=d):
+            out = {}
+            while True:
+                n, pos = _zigzag_decode(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _zigzag_decode(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    k, pos = _decode_value(buf, pos, "string")
+                    out[k], pos = d(buf, pos)
+
+        return T.MapType(T.StringType(), st), enc_m, dec_m
+    if kind == "enum":
+        symbols = list(sch["symbols"])
+
+        def enc_e(v, symbols=symbols):
+            return bytearray(_zigzag_encode(symbols.index(v)))
+
+        def dec_e(buf, pos, symbols=symbols):
+            i, pos = _zigzag_decode(buf, pos)
+            return symbols[i], pos
+
+        out = (T.StringType(), enc_e, dec_e)
+        if sch.get("name"):
+            named[sch["name"]] = out
+        return out
+    if kind == "fixed":
+        size = int(sch["size"])
+
+        def enc_f(v, size=size):
+            raw = bytes(v)
+            if len(raw) != size:
+                raise ValueError(f"fixed size {size} != {len(raw)}")
+            return bytearray(raw)
+
+        def dec_f(buf, pos, size=size):
+            return bytes(buf[pos:pos + size]), pos + size
+
+        out = (T.BinaryType(), enc_f, dec_f)
+        if sch.get("name"):
+            named[sch["name"]] = out
+        return out
+    if isinstance(kind, (str, list, dict)) and "type" in sch \
+            and kind not in ("record", "array", "map", "enum", "fixed"):
+        # {"type": "long", "logicalType": ...} wrapper — decode the base
+        return _compile(kind, named)
+    raise NotImplementedError(f"unsupported schema node {sch!r:.80}")
+
+
 # -- Spark integration ------------------------------------------------------
 
 def decode_avro_payload(df: DataFrame, avro_json: str,
@@ -185,8 +389,8 @@ def decode_avro_payload(df: DataFrame, avro_json: str,
         return decoded.select("payload.*", *keep_cols)
     except Exception:  # ImportError or AnalysisException AVRO_NOT_LOADED
         pass
-    fields = parse_flat_record_schema(avro_json)
-    payload_schema = spark_schema_for(fields)
+    payload_schema, _, decode = compile_schema(avro_json)
+    names = [f.name for f in payload_schema.fields]
     out_schema = T.StructType(
         list(payload_schema) + [df.schema[c] for c in keep_cols])
     src = df.select(F.col(value_col), *[F.col(c) for c in keep_cols])
@@ -194,9 +398,8 @@ def decode_avro_payload(df: DataFrame, avro_json: str,
     def decode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
         for pdf in batches:
-            recs = [decode_record(v, fields) for v in pdf[value_col]]
-            out = pd.DataFrame.from_records(recs, columns=[
-                n for n, _, _ in fields])
+            recs = [decode(v) for v in pdf[value_col]]
+            out = pd.DataFrame.from_records(recs, columns=names)
             for c in keep_cols:
                 out[c] = pdf[c].values
             yield out

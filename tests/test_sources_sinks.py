@@ -558,3 +558,61 @@ def test_avro_nested_decode_through_spark(spark):
     assert got[5].kind == "C" and bytes(got[5].sig) == bytes([5] * 4)
     assert got[0].maybe_scores is None
     assert got[4].maybe_scores == [2.0]
+
+
+def test_avro_nested_codec_property_roundtrip():
+    """Property: randomly composed schemas (primitives, nullables,
+    arrays, maps, nested records) round-trip arbitrary values exactly."""
+    from hypothesis import given, settings, strategies as st
+    from feathr_spark.streaming.avro import compile_schema
+
+    prim = st.sampled_from(["long", "string", "double", "boolean"])
+
+    def type_tree(depth):
+        if depth == 0:
+            return prim
+        sub = type_tree(depth - 1)
+        return st.one_of(
+            prim,
+            st.tuples(st.just("null"), sub).map(lambda t: ["null", t[1]]),
+            sub.map(lambda i: {"type": "array", "items": i}),
+            sub.map(lambda v: {"type": "map", "values": v}),
+        )
+
+    def value_for(t, draw_from):
+        if t == "long":
+            return draw_from.integers(min_value=-2**60, max_value=2**60)
+        if t == "string":
+            return draw_from.text(max_size=8)
+        if t == "double":
+            return draw_from.floats(allow_nan=False, allow_infinity=False)
+        if t == "boolean":
+            return draw_from.booleans()
+        if isinstance(t, list):
+            return st.one_of(st.none(), value_for(t[1], draw_from))
+        if t["type"] == "array":
+            return st.lists(value_for(t["items"], draw_from), max_size=4)
+        if t["type"] == "map":
+            return st.dictionaries(draw_from.text(max_size=4),
+                                   value_for(t["values"], draw_from),
+                                   max_size=4)
+        raise AssertionError(t)
+
+    class _S:
+        integers = staticmethod(st.integers)
+        text = staticmethod(st.text)
+        floats = staticmethod(st.floats)
+        booleans = staticmethod(st.booleans)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def run(data):
+        ftypes = data.draw(st.lists(type_tree(2), min_size=1, max_size=4))
+        schema = {"type": "record", "name": "R", "fields": [
+            {"name": f"f{i}", "type": t} for i, t in enumerate(ftypes)]}
+        _, enc, dec = compile_schema(json.dumps(schema))
+        row = {f"f{i}": data.draw(value_for(t, _S))
+               for i, t in enumerate(ftypes)}
+        assert dec(enc(row)) == row
+
+    run()

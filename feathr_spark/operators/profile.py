@@ -658,9 +658,10 @@ def sketch_retention(rollup: DataFrame, lag: int = 1) -> DataFrame:
     group — never data-sized. First ``lag`` buckets have no
     predecessor: NULL prev metrics.
 
-    Output: keys + bucket_start + n_prev, n_cur, n_retained (bigint
-    estimates; exact below 2^lg_nom) + retention (double, retained /
-    prev, NULL when no predecessor or empty prev).
+    Output: keys + bucket_start + n_prev, n_cur, n_retained, n_new
+    (cur \ prev), n_churned (prev \ cur) — bigint estimates, exact
+    below 2^lg_nom — + retention (double, retained / prev, NULL when
+    no predecessor or empty prev).
     """
     from pyspark.sql import Window
     keys = [c for c in rollup.columns
@@ -673,10 +674,19 @@ def sketch_retention(rollup: DataFrame, lag: int = 1) -> DataFrame:
     n_prev = F.when(F.col("__p").isNotNull(), est(F.col("__p")))
     n_ret = F.when(F.col("__p").isNotNull(),
                    est(F.theta_intersection(F.col("__p"), F.col("__c"))))
+    # new = in cur but not prev; churned = in prev but not cur — the
+    # same sketch algebra, so the full new/retained/churned decomposition
+    # costs nothing extra
+    n_new = F.when(F.col("__p").isNotNull(),
+                   est(F.theta_difference(F.col("__c"), F.col("__p"))))
+    n_churn = F.when(F.col("__p").isNotNull(),
+                     est(F.theta_difference(F.col("__p"), F.col("__c"))))
     return d.select(
         *keys, "bucket_start",
         n_prev.cast("bigint").alias("n_prev"),
         est(F.col("__c")).cast("bigint").alias("n_cur"),
         n_ret.cast("bigint").alias("n_retained"),
+        n_new.cast("bigint").alias("n_new"),
+        n_churn.cast("bigint").alias("n_churned"),
         F.when(n_prev > 0, n_ret / n_prev).cast("double")
         .alias("retention"))

@@ -1426,8 +1426,10 @@ def test_theta_rollup_sketch_retention(spark):
                   _dt.datetime(2024, 1, 15))
     assert got[w1].n_prev is None and got[w1].retention is None
     assert (got[w2].n_prev, got[w2].n_cur, got[w2].n_retained) == (10, 10, 5)
+    assert (got[w2].n_new, got[w2].n_churned) == (5, 5)
     assert got[w2].retention == 0.5
     assert (got[w3].n_prev, got[w3].n_cur, got[w3].n_retained) == (10, 1, 0)
+    assert (got[w3].n_new, got[w3].n_churned) == (1, 10)
     # union-coarsen: month bucket = all 16 distinct users
     from pyspark.sql import functions as _F
     monthly = merge_theta_rollup(weekly, "month")

@@ -56,9 +56,19 @@ class GenericSink(Sink):
     num_buckets: int = 32
     sort_by: Optional[Sequence[str]] = None
     partition_by: Optional[Sequence[str]] = None
+    # Z-order clustering: range-partition + sort the output along the
+    # bit-interleaved curve of these columns so every file is tight in
+    # EVERY listed dimension — min-max footer pruning then skips files
+    # for filters on any of them (operators/layout.py). Replaces the
+    # round-robin num_parts repartition (round-robin would scatter the
+    # clustering it just built).
+    zorder_by: Optional[Sequence[str]] = None
 
     def write(self, df: DataFrame) -> None:
-        if self.num_parts is not None:
+        if self.zorder_by:
+            from .operators.layout import zorder_sort
+            df = zorder_sort(df, self.zorder_by, num_parts=self.num_parts)
+        elif self.num_parts is not None:
             df = (df.repartition(self.num_parts) if self.exact_parts
                   else df.coalesce(self.num_parts))
         opts = {k.replace("__", "."): v for k, v in self.options.items()}
@@ -106,6 +116,8 @@ def sink_to_dict(sink: Sink) -> dict:
         if sink.bucket_by:
             d["params"]["bucketBy"] = list(sink.bucket_by)
             d["params"]["numBuckets"] = sink.num_buckets
+        if sink.zorder_by:
+            d["params"]["zorderBy"] = list(sink.zorder_by)
     else:
         d = {"name": type(sink).__name__, "params": {}}
     if sink.streaming:

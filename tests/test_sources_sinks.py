@@ -616,3 +616,83 @@ def test_avro_nested_codec_property_roundtrip():
         assert dec(enc(row)) == row
 
     run()
+
+
+def _parquet_file_ranges(path, col):
+    """Per-file (min, max) of `col` from parquet footers — what the
+    reader's file-skipping actually consults."""
+    import pyarrow.parquet as pq
+    out = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics:
+                    los.append(c.statistics.min)
+                    his.append(c.statistics.max)
+        out.append((min(los), max(his)))
+    return out
+
+
+def test_zorder_sink_prunes_both_dimensions(spark, tmp_path):
+    """Z-ordered output: footer min-max ranges are tight in BOTH
+    clustered columns, so a point filter on either column overlaps only
+    a fraction of the files (a single-column sort would prune one
+    dimension and leave the other full-range)."""
+    import random
+    rng = random.Random(7)
+    rows = [(rng.randrange(1000), float(rng.randrange(1000)))
+            for _ in range(20000)]
+    df = spark.createDataFrame(rows, "uid bigint, v double").repartition(8)
+
+    plain, zo = str(tmp_path / "plain"), str(tmp_path / "zo")
+    # 16 output files: in 2D the curve needs >~n^2 cells for a point
+    # slice to clearly prune (a 4x4 grid -> a slice hits ~1/4 of files)
+    GenericSink(format="parquet", path=plain, num_parts=16).write(df)
+    GenericSink(format="parquet", path=zo, num_parts=16,
+                zorder_by=["uid", "v"]).write(df)
+
+    def overlap_frac(path, col, point):
+        ranges = _parquet_file_ranges(path, col)
+        return sum(1 for lo, hi in ranges if lo <= point <= hi) \
+            / len(ranges)
+
+    # round-robin layout: every file spans ~the full domain of both cols
+    assert overlap_frac(plain, "uid", 250) == 1.0
+    assert overlap_frac(plain, "v", 250.0) == 1.0
+    # z-order: a point filter touches a minority of files in EACH dim
+    # (probe away from the domain midpoint — 0.5 sits exactly on the
+    # curve's top-level bit boundary, its documented worst case)
+    assert overlap_frac(zo, "uid", 250) <= 0.5
+    assert overlap_frac(zo, "v", 250.0) <= 0.5
+    # data intact
+    got = spark.read.parquet(zo)
+    assert got.count() == 20000
+    assert got.agg(F.sum("uid")).collect()[0][0] == sum(u for u, _ in rows)
+    # a filtered scan reads fewer rows than the table (file/row-group
+    # pruning visible end-to-end)
+    n = got.where((F.col("uid") == 500) & (F.col("v") < 100)).count()
+    assert n == sum(1 for u, v in rows if u == 500 and v < 100)
+
+
+def test_zorder_key_properties(spark):
+    from feathr_spark.operators.layout import ZKEY, with_zorder_key
+    df = spark.createDataFrame(
+        [(0, 0.0), (0, 1023.0), (1023, 0.0), (1023, 1023.0),
+         (None, 512.0)],
+        "a bigint, v double")
+    rows = {(r.a, r.v): r[ZKEY] for r in
+            with_zorder_key(df, ["a", "v"], bits=10).collect()}
+    # corners: (max, max) has all interleaved bits set
+    assert rows[(1023, 1023.0)] == (1 << 20) - 1
+    assert rows[(0, 0.0)] == 0
+    # NULL normalizes to 0 in its dimension
+    assert rows[(None, 512.0)] == rows.get((None, 512.0))
+    with pytest.raises(ValueError):
+        with_zorder_key(df, [])
+    with pytest.raises(ValueError):
+        with_zorder_key(df, ["a", "v"], bits=40)

@@ -2209,21 +2209,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never burn a gate slot on an err="no_oracle" row — their accuracy
         is driver-proven via the oracled *_recall gate companions.
 
-    Round-5 rotation: the 5 queries NEW this round lead, then the
-    oracle-bearing queries that were outside the r4 window
-    (CORRECTNESS_r04.json = r4 dict[0:50]). The window holds 50, so
-    four r4-era queries (pivot_events, range_join_events,
-    heavy_hitters, span_dedup) plus the long-green r1-r4 set wait
-    below it — rotate them into the front of round 6's window.
+    Round-6 rotation: the 4 oracle-bearing queries that have NEVER had a
+    driver-recorded row (pivot_events, range_join_events, heavy_hitters,
+    span_dedup — they sat at positions 51-54 through r5) lead, followed by
+    queries NEW in r6, then the r5-green set re-fills the window.
     """
     return {
-        # --- new in r5 (rotation discipline: new queries go FIRST)
+        # --- never driver-recorded through r5 (oracle-bearing): FIRST
+        "pivot_events": q_pivot_events,
+        "range_join_events": q_range_join,
+        "heavy_hitters": q_heavy_hitters,
+        "span_dedup": q_span_dedup,
+        # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "quantile_rollup_gate": q_quantile_rollup_gate,
         "audience_overlap": q_audience_overlap,
         "sketch_retention": q_sketch_retention,
-        # --- never driver-verified as of r4 (oracle-bearing)
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_pq_recall": q_ann_pq_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2269,11 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_bins": q_decile_bins,
         "group_topk": q_group_topk,
         "cube_orders": q_cube_orders,
-        "pivot_events": q_pivot_events,
-        "range_join_events": q_range_join,
-        "heavy_hitters": q_heavy_hitters,
-        "span_dedup": q_span_dedup,
-        # --- slot 50 + below: green in CORRECTNESS_r01-r04 (kept registered)
+        # --- slot 50 + below: green in CORRECTNESS_r01-r05 (kept registered)
         "passthrough_exprs": q_passthrough,
         "keyed_join": q_keyed_join,
         "window_agg_basic": q_window_agg_basic,

@@ -307,36 +307,64 @@ def _jaccard_lsh_pairs(
     ]
     banded = sig.select(
         "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
+    anchor_pairs = None
     if max_bucket_size is not None:
         # Hot-bucket cap: on template-heavy corpora the globally-minimal
         # shingle hashes recur across huge doc fractions, so a few band
         # buckets hold O(corpus) docs and the self-join on them is
         # quadratic in CORPUS size, not near-dup density (measured on the
         # sf0.1 corpus: ONE bucket of 1,604 docs out of 5,000 produced
-        # 1.3M of 2.6M candidates — 21% of all-pairs). Buckets larger than
-        # the cap carry no dedup signal (they are boilerplate collisions,
-        # and a >cap bucket would be >cap²/2 mostly-false candidates), so
-        # they are dropped BEFORE the join: bucket counts are one tiny
-        # aggregate, the hot set broadcasts into a left_anti. Recall: a
-        # true pair at J = threshold collides in ~b·J^r bands (7.2 at
-        # J=0.7, b=21, r=3); losing the few hot bands leaves
-        # P(< min_band_collisions) negligible — and the final pair set
-        # was verified IDENTICAL on the real corpora at caps 100-300.
-        hot = (banded.groupBy("__band", "__bucket")
-               .agg(F.count("*").alias("__bn"))
-               .where(F.col("__bn") > int(max_bucket_size))
-               .select("__band", "__bucket"))
-        banded = banded.join(F.broadcast(hot), ["__band", "__bucket"],
+        # 1.3M of 2.6M candidates — 21% of all-pairs). Buckets over the
+        # cap are NOT dropped (a duplicate cluster larger than the cap
+        # would over-fill EVERY one of its band buckets, and dropping
+        # them all would silently lose the whole cluster — exactly the
+        # giant-boilerplate-cluster case web-scale dedup exists for).
+        # Instead they degrade from the quadratic clique join to an
+        # anchor STAR: every member pairs with the bucket's min-id
+        # member, O(bucket) candidates instead of O(bucket²)/2. For the
+        # downstream keep-one/connected-components consumer a star is
+        # equivalent to the clique (same components); the direct
+        # member↔member pairs inside an over-cap bucket are the only
+        # recall cost, and only when NO under-cap bucket catches them.
+        # Anchor pairs are weighted `min_band_collisions` in the
+        # collision count so a cluster surviving only in hot buckets is
+        # not re-lost to the ≥2-band filter (near-dup — not identical —
+        # clusters can elect different anchors per band, leaving true
+        # (anchor, member) pairs with a single band collision);
+        # the prefilter + exact verification still discard every
+        # dissimilar anchor pair at O(bucket) cost. Bucket counts are
+        # one tiny aggregate; the hot set broadcasts into a
+        # left_anti (cold side) and a semi join (hot side).
+        counts = (banded.groupBy("__band", "__bucket")
+                  .agg(F.count("*").alias("__bn"))
+                  .where(F.col("__bn") > int(max_bucket_size))
+                  .select("__band", "__bucket"))
+        hot_rows = banded.join(F.broadcast(counts), ["__band", "__bucket"],
+                               "semi")
+        anchors = (hot_rows.groupBy("__band", "__bucket")
+                   .agg(F.min("__id").alias("__aid")))
+        anchor_pairs = (hot_rows
+                        .join(F.broadcast(anchors), ["__band", "__bucket"])
+                        .where(F.col("__id") != F.col("__aid"))
+                        .select(F.col("__aid").alias("id_a"),
+                                F.col("__id").alias("id_b"),
+                                F.lit(int(min_band_collisions)).alias("__w")))
+        banded = banded.join(F.broadcast(counts), ["__band", "__bucket"],
                              "left_anti")
 
     left, right = banded.alias("l"), banded.alias("r")
-    cand = (left.join(right,
-                      (F.col("l.__band") == F.col("r.__band")) &
-                      (F.col("l.__bucket") == F.col("r.__bucket")) &
-                      (F.col("l.__id") < F.col("r.__id")))
-            .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+    clique_pairs = (left.join(right,
+                              (F.col("l.__band") == F.col("r.__band")) &
+                              (F.col("l.__bucket") == F.col("r.__bucket")) &
+                              (F.col("l.__id") < F.col("r.__id")))
+                    .select(F.col("l.__id").alias("id_a"),
+                            F.col("r.__id").alias("id_b"),
+                            F.lit(1).alias("__w")))
+    if anchor_pairs is not None:
+        clique_pairs = clique_pairs.unionByName(anchor_pairs)
+    cand = (clique_pairs
             .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("__nb"))
+            .agg(F.sum("__w").alias("__nb"))
             .where(F.col("__nb") >= min_band_collisions)
             .select("id_a", "id_b"))
     if not verify:
@@ -502,16 +530,20 @@ def minhash_lsh_pairs(
     ``_jaccard_lsh_pairs`` keep the resulting false-candidate flood away
     from exact verification.
 
-    ``max_bucket_size`` (default 200) drops band buckets holding more
-    docs than the cap before the candidate self-join — the guard that
-    keeps template-heavy corpora (where the globally-minimal shingles
-    recur in O(corpus) docs and ONE bucket can hold 30% of all docs)
-    from degrading to an all-pairs join. Requires
-    ``min_band_collisions >= 2`` semantics to stay lossless in practice:
-    true pairs collide in many bands and the dropped buckets are
-    boilerplate noise (verified output-identical on the test corpora at
-    caps 100-300; 5x-scale stress: 36 s -> sub-linear after the cap).
-    Set None to disable.
+    ``max_bucket_size`` (default 200) degrades band buckets holding more
+    docs than the cap from the quadratic candidate self-join to an
+    anchor star (every member vs. the bucket's min-id member) — the
+    guard that keeps template-heavy corpora (where the globally-minimal
+    shingles recur in O(corpus) docs and ONE bucket can hold 30% of all
+    docs) from degrading to an all-pairs join, while a duplicate
+    cluster LARGER than the cap stays connected through its anchors
+    instead of being silently dropped. Inside an over-cap bucket only
+    direct member↔member pairs (not anchor↔member) can be missed, and
+    only when no under-cap bucket catches them — for keep-one dedup via
+    connected components the star is equivalent. Verified
+    output-identical on the test corpora at caps 100-300; 5x-scale
+    stress: 36 s -> sub-linear after the cap. Set None for exact
+    all-clique candidate generation.
     """
     tok = None
     shingled = None

@@ -29,6 +29,29 @@ def test_minhash_finds_near_dups_not_distinct(spark):
     assert 0.5 <= pairs[0].jaccard < 1.0
 
 
+def test_minhash_hot_bucket_cap_keeps_giant_cluster_connected(spark):
+    """A duplicate cluster LARGER than max_bucket_size over-fills every one
+    of its band buckets; the cap must degrade those buckets to anchor
+    stars (keeping the cluster connected), not drop them (zero recall)."""
+    from feathr_spark.operators.dedup import (
+        duplicate_components, minhash_lsh_pairs)
+    boiler = ("subscribe to our newsletter terms of service privacy policy "
+              "all rights reserved contact us about careers press blog")
+    rows = [Row(doc_id=i, text=boiler) for i in range(30)]
+    rows += [Row(doc_id=100, text="a genuinely unique document about spark "
+                                  "adaptive query execution and skew joins")]
+    df = spark.createDataFrame(rows)
+    pairs = minhash_lsh_pairs(df, num_perm=64, bands=21, threshold=0.8,
+                              max_bucket_size=10)
+    comp = {r.doc_id: r.component_id
+            for r in duplicate_components(pairs).collect()}
+    # every cluster member lands in ONE component (the star via anchors)
+    assert all(comp[i] == 0 for i in range(30))
+    assert comp.get(100, 100) == 100  # unique doc untouched / own label
+    # and every emitted pair is exact-verified at the threshold
+    assert all(p.jaccard >= 0.8 for p in pairs.collect())
+
+
 def test_simhash_hamming(spark):
     from feathr_spark.operators.dedup import simhash_pairs, simhash_signatures
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "

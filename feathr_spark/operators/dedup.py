@@ -16,6 +16,8 @@ from typing import List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._cache import attach_intermediates
+
 # Permutation family h_j(x) = (a_j*x + b_j) mod M31 over 31-bit base
 # hashes: 31-bit operands keep a*h + b < 2^62, inside int64 even with ANSI
 # overflow checks. M31 collisions are irrelevant for minhash accuracy.
@@ -368,7 +370,7 @@ def _jaccard_lsh_pairs(
             .where(F.col("__nb") >= min_band_collisions)
             .select("id_a", "id_b"))
     if not verify:
-        return cand
+        return attach_intermediates(cand, [tok, sig])
 
     est = sum(
         F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
@@ -386,13 +388,14 @@ def _jaccard_lsh_pairs(
     # twice. xxhash64 sets intersect like the string sets (collision odds
     # ~n²/2⁶⁴); shingles are distinct, so pmod-hashing preserves set sizes.
     hset = tok.groupBy("__id").agg(F.collect_set("__h").alias("__hs"))
-    return (prefiltered
-            .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
-            .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
-            .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b",
-                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+    out = (prefiltered
+           .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
+           .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
+           .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b",
+                   F.round("jaccard", 4).cast("double").alias("jaccard")))
+    return attach_intermediates(out, [tok, sig])
 
 
 def minhash_index(
@@ -501,13 +504,14 @@ def minhash_pairs_incremental(
                    .where(est >= threshold - prefilter_margin)
                    .select("id_a", "id_b"))
     hset = combined.select("__id", "__hs")
-    return (prefiltered
-            .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
-            .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
-            .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b",
-                    F.round("jaccard", 4).cast("double").alias("jaccard")))
+    out = (prefiltered
+           .join(hset.alias("ha"), F.col("id_a") == F.col("ha.__id"))
+           .join(hset.alias("hb"), F.col("id_b") == F.col("hb.__id"))
+           .withColumn("jaccard", jaccard(F.col("ha.__hs"), F.col("hb.__hs")))
+           .where(F.col("jaccard") >= threshold)
+           .select("id_a", "id_b",
+                   F.round("jaccard", 4).cast("double").alias("jaccard")))
+    return attach_intermediates(out, [combined])
 
 
 def minhash_lsh_pairs(
@@ -654,9 +658,11 @@ def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"),
                     F.col("l.__sim").alias("sim_a"), F.col("r.__sim").alias("sim_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    return (cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
-            .where(F.col("hamming") <= max_hamming)
-            .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming")))
+    out = (cand.withColumn("hamming", hamming64(F.col("sim_a"), F.col("sim_b")))
+           .where(F.col("hamming") <= max_hamming)
+           .select("id_a", "id_b",
+                   F.col("hamming").cast("bigint").alias("hamming")))
+    return attach_intermediates(out, [sig])
 
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
@@ -732,8 +738,10 @@ def embedding_cosine_pairs(df: DataFrame, vec_col: str = "embedding",
                                F.col("__nv").alias("__nvb")), "id_b")
               .select("id_a", "id_b",
                       dot(F.col("__nva"), F.col("__nvb")).alias("cosine")))
-    return (scored.where(F.col("cosine") >= threshold)
-            .select("id_a", "id_b", F.round("cosine", 4).cast("double").alias("cosine")))
+    out = (scored.where(F.col("cosine") >= threshold)
+           .select("id_a", "id_b",
+                   F.round("cosine", 4).cast("double").alias("cosine")))
+    return attach_intermediates(out, [nrm, buckets])
 
 
 def cross_corpus_containment(
@@ -790,6 +798,7 @@ def cross_corpus_containment(
     # Cache payload is two longs per gram occurrence.
     sh_a = sh_a.persist()
     sh_b = sh_b.persist()
+    cached = [sh_a, sh_b]
     if max_df is not None:
         banned = (sh_a.groupBy("__h").agg(F.count("*").alias("__df"))
                   .where(F.col("__df") > max_df).select("__h")
@@ -799,14 +808,16 @@ def cross_corpus_containment(
         # post-ban a-side also fans out (denominator + intersection)
         sh_a = sh_a.join(banned, "__h", "left_anti").persist()
         sh_b = sh_b.join(banned, "__h", "left_anti")
+        cached.append(sh_a)
     n_a = sh_a.groupBy("__ida").agg(F.count("*").alias("__na"))
     inter = (sh_a.join(sh_b, "__h")
              .groupBy("__ida", "__idb").agg(F.count("*").alias("__i")))
-    return (inter.join(n_a, "__ida")
-            .withColumn("containment", F.col("__i") / F.col("__na"))
-            .where(F.col("containment") >= threshold)
-            .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"),
-                    F.round("containment", 4).cast("double").alias("containment")))
+    out = (inter.join(n_a, "__ida")
+           .withColumn("containment", F.col("__i") / F.col("__na"))
+           .where(F.col("containment") >= threshold)
+           .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"),
+                   F.round("containment", 4).cast("double").alias("containment")))
+    return attach_intermediates(out, cached)
 
 
 def resolve_duplicates(df: DataFrame, components: DataFrame,

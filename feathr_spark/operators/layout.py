@@ -23,8 +23,41 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 ZKEY = "__zkey"
+
+
+def _sortable_double(df: DataFrame, c: str) -> Column:
+    """Project column ``c`` to a DOUBLE whose order matches the column's
+    natural order, so min-max z-normalization is meaningful for every
+    supported type (a silent ``cast("double")`` of a string is NULL for
+    all rows — the column would contribute nothing to the key).
+
+    - numerics / booleans / timestamps: plain cast (epoch seconds);
+    - dates: day number (``unix_date``);
+    - strings / binary: big-endian value of the first 6 BYTES
+      (48 bits — exact in a double), zero-right-padded so shorter
+      values order correctly. Order-preserving for the byte prefix,
+      which matches how parquet footer min/max prunes strings
+      (lexicographic) — and is purely row-local codegen arithmetic,
+      unlike a rank projection (global sort) or a hash (order-destroying).
+
+    Raises ``ValueError`` for array/map/struct columns.
+    """
+    dt = df.schema[c].dataType
+    col = F.col(c)
+    if isinstance(dt, (T.StringType, T.BinaryType)):
+        raw = col if isinstance(dt, T.BinaryType) else F.encode(col, "UTF-8")
+        hx = F.rpad(F.substring(F.hex(raw), 1, 12), 12, "0")
+        return F.conv(hx, 16, 10).cast("double")
+    if isinstance(dt, T.DateType):
+        return F.unix_date(col).cast("double")
+    if isinstance(dt, (T.NumericType, T.BooleanType, T.TimestampType,
+                       T.TimestampNTZType)):
+        return col.cast("double")
+    raise ValueError(
+        f"zorder: column {c!r} has unsupported type {dt.simpleString()}")
 
 
 def _normalize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
@@ -35,9 +68,13 @@ def _normalize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     frac = F.when(span > 0,
                   (col.cast("double") - lo.cast("double")) / span) \
         .otherwise(F.lit(0.0))
-    scaled = F.least(F.floor(frac * F.lit(float(1 << bits))),
+    # coalesce BEFORE least: Spark's least() skips NULL operands, so a
+    # NULL frac would otherwise resolve to the (1<<bits)-1 cap — NULLs
+    # clustering at the TOP of every dimension instead of the bottom.
+    scaled = F.least(F.floor(F.coalesce(frac, F.lit(0.0))
+                             * F.lit(float(1 << bits))),
                      F.lit((1 << bits) - 1)).cast("bigint")
-    return F.coalesce(scaled, F.lit(0))
+    return scaled
 
 
 def with_zorder_key(
@@ -64,13 +101,14 @@ def with_zorder_key(
         bits = 63 // k
     if bits * k > 63:
         raise ValueError(f"zorder: {k} cols x {bits} bits exceeds 63")
+    projs = {c: _sortable_double(df, c) for c in cols}
     bounds = df.agg(*[f for c in cols for f in (
-        F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-        F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))])
+        F.min(projs[c]).alias(f"__lo_{c}"),
+        F.max(projs[c]).alias(f"__hi_{c}"))])
     out = df.crossJoin(F.broadcast(bounds))
     z = F.lit(0).cast("bigint")
     for i, c in enumerate(cols):
-        v = _normalize(F.col(c), F.col(f"__lo_{c}"), F.col(f"__hi_{c}"),
+        v = _normalize(projs[c], F.col(f"__lo_{c}"), F.col(f"__hi_{c}"),
                        bits)
         for j in range(bits):
             z = z.bitwiseOR(F.shiftleft(

@@ -276,11 +276,12 @@ def ccnet_buckets(
     binned = quantile_bins(j, "ppl", bins=3, by=["lang"],
                            round_cuts_dp=round_dp)
     names = F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
-    return binned.select(
+    from ._cache import attach_intermediates
+    return attach_intermediates(binned.select(
         F.col(id_col), "lang", "ppl",
         F.col("ppl_bin").alias("tercile"),
         F.element_at(names, F.col("ppl_bin").cast("int") + 1)
-        .alias("bucket"))
+        .alias("bucket")), [j])
 
 
 def dsir_logratio(

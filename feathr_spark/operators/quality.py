@@ -250,12 +250,13 @@ def drift_report(
          .alias("bucket_hi"),
         ref_frac.alias("ref_frac"), cur_frac.alias("cur_frac"))
         .withColumn("psi_term", (pc - pr) * F.log(pc / pr)))
+    from ._cache import attach_intermediates
     if not summary:
-        return detail
-    return (detail.groupBy("column").agg(
+        return attach_intermediates(detail, [bounds])
+    return attach_intermediates(detail.groupBy("column").agg(
         F.sum("psi_term").alias("psi"),
         (F.sum(F.abs(F.col("cur_frac") - F.col("ref_frac"))) / 2)
         .alias("tv"),
         F.sum(F.when(F.col("bucket") == -2,
                      F.col("cur_frac") - F.col("ref_frac"))
-              .otherwise(F.lit(0.0))).alias("null_shift")))
+              .otherwise(F.lit(0.0))).alias("null_shift")), [bounds])

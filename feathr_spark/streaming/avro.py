@@ -178,11 +178,11 @@ def compile_schema(avro_json):
     """Compile an Avro record schema into ``(StructType, encode, decode)``
     where ``encode(dict) -> bytes`` and ``decode(bytes) -> dict`` handle
     the full structural subset: nested records, arrays, maps, enums,
-    fixed, and ``["null", T]`` unions at any depth. Raises
-    ``NotImplementedError`` for multi-branch non-null unions and
-    named-type self-references (genuinely connector territory: Spark has
-    no column type for a sum type, and a self-referential record has no
-    finite StructType)."""
+    fixed, ``["null", T]`` unions at any depth, and multi-branch unions
+    (mapped to a struct of nullable per-branch fields with exactly one
+    set). Raises ``NotImplementedError`` only for named-type
+    self-references (a self-referential record has no finite
+    StructType — genuinely connector/variant territory)."""
     schema = json.loads(avro_json) if isinstance(avro_json, str) \
         else avro_json
     if not (isinstance(schema, dict) and schema.get("type") == "record"):
@@ -201,11 +201,29 @@ def compile_schema(avro_json):
     return stype, encode, decode
 
 
+def _union_branch_name(b) -> str:
+    """Spec-mandated union member name: the type name for primitives /
+    array / map, the full name for named types (record/enum/fixed)."""
+    if isinstance(b, str):
+        return b
+    if isinstance(b, dict):
+        if b.get("name"):
+            return b["name"]
+        t = b.get("type")
+        if isinstance(t, str):
+            return t
+    raise NotImplementedError(f"cannot name union branch {b!r:.80}")
+
+
 def _compile(sch, named):
     """Recursive compile → (spark_type, enc(val)->bytearray,
     dec(buf, pos)->(val, pos))."""
     # named-type reference ("TypeName" used after definition)
     if isinstance(sch, str) and sch in named:
+        if named[sch] is None:       # placeholder: still being compiled
+            raise NotImplementedError(
+                f"recursive reference to {sch!r} has no finite Spark "
+                "schema (needs the spark-avro connector)")
         return named[sch]
     if isinstance(sch, str):
         if sch not in _PRIMITIVES:
@@ -222,25 +240,81 @@ def _compile(sch, named):
         return _PRIMITIVES[t], enc_p, dec_p
     if isinstance(sch, list):        # union
         branches = [b for b in sch if b != "null"]
-        if len(sch) != 2 or "null" not in sch or len(branches) != 1:
+        if len(sch) == 2 and "null" in sch and len(branches) == 1:
+            # ["null", T]: the common optional-field case maps straight
+            # to a nullable column of T — no wrapper struct.
+            null_idx = sch.index("null")
+            st, enc_i, dec_i = _compile(branches[0], named)
+
+            def enc_u(v, enc_i=enc_i, null_idx=null_idx):
+                if v is None:
+                    return bytearray(_zigzag_encode(null_idx))
+                return bytearray(_zigzag_encode(1 - null_idx)) + enc_i(v)
+
+            def dec_u(buf, pos, dec_i=dec_i, null_idx=null_idx):
+                branch, pos = _zigzag_decode(buf, pos)
+                if branch == null_idx:
+                    return None, pos
+                return dec_i(buf, pos)
+
+            return st, enc_u, dec_u
+        # Multi-branch union (e.g. ["null","string","long"]): Spark has
+        # no sum-type column, so map it to a struct of one NULLABLE
+        # field per non-null branch — exactly one is set per value (all
+        # NULL ⇔ the "null" branch). Field names follow the Avro spec's
+        # union-member naming (primitive/complex type name, or the
+        # name of a named type), which the spec guarantees unique
+        # within a union. This mirrors what spark-avro itself does
+        # ("member0"-style is Avro->Spark in some versions; type-named
+        # fields keep values self-describing and stable under branch
+        # reordering).
+        entries = []                 # (union_idx, field_name, enc, dec)
+        fields = []
+        null_idx = sch.index("null") if "null" in sch else None
+        for i, b in enumerate(sch):
+            if b == "null":
+                continue
+            bname = _union_branch_name(b)
+            st, e, d = _compile(b, named)
+            entries.append((i, bname, e, d))
+            fields.append(T.StructField(bname, st, nullable=True))
+        names = [n for _, n, _, _ in entries]
+        if len(set(names)) != len(names):
             raise NotImplementedError(
-                "only ['null', T] unions are supported without the "
-                "spark-avro connector (Spark has no sum-type column)")
-        null_idx = sch.index("null")
-        st, enc_i, dec_i = _compile(branches[0], named)
+                f"union branch names collide: {names!r} (invalid Avro)")
+        stype = T.StructType(fields)
 
-        def enc_u(v, enc_i=enc_i, null_idx=null_idx):
-            if v is None:
+        def enc_mu(v, entries=entries, null_idx=null_idx, names=names):
+            if v is None or (isinstance(v, dict)
+                             and all(v.get(n) is None for n in names)):
+                if null_idx is None:
+                    raise ValueError("None for a union without a null "
+                                     "branch")
                 return bytearray(_zigzag_encode(null_idx))
-            return bytearray(_zigzag_encode(1 - null_idx)) + enc_i(v)
+            set_names = [n for n in names
+                         if isinstance(v, dict) and v.get(n) is not None]
+            if len(set_names) != 1:
+                raise ValueError(
+                    f"union value must set exactly one of {names!r}, "
+                    f"got {v!r:.80}")
+            for i, n, e, _ in entries:
+                if n == set_names[0]:
+                    return bytearray(_zigzag_encode(i)) + e(v[n])
 
-        def dec_u(buf, pos, dec_i=dec_i, null_idx=null_idx):
+        def dec_mu(buf, pos, entries=entries, null_idx=null_idx,
+                   names=names):
             branch, pos = _zigzag_decode(buf, pos)
             if branch == null_idx:
                 return None, pos
-            return dec_i(buf, pos)
+            for i, n, _, d in entries:
+                if i == branch:
+                    val, pos = d(buf, pos)
+                    out = {m: None for m in names}
+                    out[n] = val
+                    return out, pos
+            raise ValueError(f"union branch index {branch} out of range")
 
-        return st, enc_u, dec_u
+        return stype, enc_mu, dec_mu
     if not isinstance(sch, dict):
         raise NotImplementedError(f"unsupported schema node {sch!r:.80}")
     kind = sch.get("type")

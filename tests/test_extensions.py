@@ -557,9 +557,17 @@ def test_cross_corpus_containment(spark):
     b = spark.createDataFrame([
         Row(doc_id=10, text="zero one two three four five six"),
     ])
-    out = {(r.id_a, r.id_b): r.containment
-           for r in cross_corpus_containment(a, b, n=3, threshold=0.5).collect()}
+    res = cross_corpus_containment(a, b, n=3, threshold=0.5)
+    out = {(r.id_a, r.id_b): r.containment for r in res.collect()}
     assert out == {(1, 10): 1.0}
+    # operator-internal persisted frames are released deterministically
+    from feathr_spark.operators._cache import release_intermediates
+    deps = getattr(res, "_feathr_cached_deps", ())
+    assert deps and all(d.storageLevel.useMemory or d.storageLevel.useDisk
+                        for d in deps)
+    release_intermediates(res)
+    assert all(not (d.storageLevel.useMemory or d.storageLevel.useDisk)
+               for d in deps)
 
 
 def test_cross_corpus_containment_hot_gram_cap(spark):

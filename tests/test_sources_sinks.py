@@ -524,14 +524,72 @@ def test_avro_nested_codec_roundtrip_pure():
     blocked = (_zigzag_encode(-2) + _zigzag_encode(len(items)) + items
                + _zigzag_encode(0))
     assert dec2(blocked) == {"xs": [7, 8]}
-    # still-unsupported shapes raise loudly
+    # still-unsupported shapes raise loudly (incl. recursion through a
+    # nested union path, which must NOT crash with a TypeError)
     from feathr_spark.streaming.avro import compile_schema as cs
-    with pytest.raises(NotImplementedError):
-        cs('{"type":"record","name":"r","fields":'
-           '[{"name":"u","type":["long","string"]}]}')
     with pytest.raises(NotImplementedError):
         cs('{"type":"record","name":"N","fields":'
            '[{"name":"child","type":"N"}]}')    # recursive reference
+    with pytest.raises(NotImplementedError):
+        cs('{"type":"record","name":"Node","fields":'
+           '[{"name":"next","type":["null","Node"]}]}')
+    with pytest.raises(NotImplementedError):
+        cs('{"type":"record","name":"T","fields":[{"name":"xs","type":'
+           '{"type":"array","items":"T"}}]}')
+
+
+def test_avro_multibranch_union_roundtrip():
+    """["null","string","long"]-style unions map to a struct of nullable
+    per-branch fields (exactly one set; all-null ⇔ the null branch)."""
+    from feathr_spark.streaming.avro import compile_schema
+    schema = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": ["null", "string", "long"]},
+        {"name": "w", "type": ["double", "boolean"]},  # no null branch
+        {"name": "nested", "type": ["null", "string",
+                                    {"type": "array", "items": "long"}]},
+    ]})
+    stype, enc, dec = compile_schema(schema)
+    assert stype["v"].dataType.fieldNames() == ["string", "long"]
+    assert stype["nested"].dataType.fieldNames() == ["string", "array"]
+    rows = [
+        {"id": 1, "v": {"string": "x", "long": None},
+         "w": {"double": 1.5, "boolean": None},
+         "nested": {"string": None, "array": [1, 2, 3]}},
+        {"id": 2, "v": {"string": None, "long": 42},
+         "w": {"double": None, "boolean": True},
+         "nested": None},
+        {"id": 3, "v": None,
+         "w": {"double": -0.25, "boolean": None},
+         "nested": {"string": "s", "array": None}},
+    ]
+    for r in rows:
+        assert dec(enc(r)) == r
+    # encoding rejects ambiguous / impossible values
+    with pytest.raises(ValueError):
+        enc({"id": 9, "v": {"string": "x", "long": 1},
+             "w": {"double": 0.0, "boolean": None}, "nested": None})
+    with pytest.raises(ValueError):
+        enc({"id": 9, "v": None, "w": None, "nested": None})
+
+
+def test_avro_multibranch_union_through_spark(spark):
+    """The mapInPandas fallback materializes multi-branch union columns
+    as structs with exactly one non-null field per row."""
+    from feathr_spark.streaming.avro import compile_schema, decode_avro_payload
+    schema = json.dumps({"type": "record", "name": "R", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "v", "type": ["null", "string", "long"]},
+    ]})
+    _, enc, _ = compile_schema(schema)
+    rows = [{"id": 0, "v": None},
+            {"id": 1, "v": {"string": "hello", "long": None}},
+            {"id": 2, "v": {"string": None, "long": 7}}]
+    df = spark.createDataFrame([(enc(r),) for r in rows], "value binary")
+    got = {r.id: r for r in decode_avro_payload(df, schema).collect()}
+    assert got[0].v is None
+    assert got[1].v.string == "hello" and got[1].v.long is None
+    assert got[2].v.long == 7 and got[2].v.string is None
 
 
 def test_avro_nested_decode_through_spark(spark):
@@ -572,11 +630,17 @@ def test_avro_nested_codec_property_roundtrip():
         if depth == 0:
             return prim
         sub = type_tree(depth - 1)
+        multi = st.sampled_from([
+            ["null", "long", "string"],
+            ["boolean", "double"],
+            ["null", "string", {"type": "array", "items": "long"}],
+        ])
         return st.one_of(
             prim,
             st.tuples(st.just("null"), sub).map(lambda t: ["null", t[1]]),
             sub.map(lambda i: {"type": "array", "items": i}),
             sub.map(lambda v: {"type": "map", "values": v}),
+            multi,
         )
 
     def value_for(t, draw_from):
@@ -589,7 +653,21 @@ def test_avro_nested_codec_property_roundtrip():
         if t == "boolean":
             return draw_from.booleans()
         if isinstance(t, list):
-            return st.one_of(st.none(), value_for(t[1], draw_from))
+            if len(t) == 2 and t[0] == "null":
+                return st.one_of(st.none(), value_for(t[1], draw_from))
+            from feathr_spark.streaming.avro import _union_branch_name
+            branches = [b for b in t if b != "null"]
+            names = [_union_branch_name(b) for b in branches]
+
+            def one_set(i_and_v, names=names):
+                i, v = i_and_v
+                return {n: (v if j == i else None)
+                        for j, n in enumerate(names)}
+            picks = [st.tuples(st.just(i), value_for(b, draw_from))
+                     .map(one_set) for i, b in enumerate(branches)]
+            if "null" in t:
+                picks.append(st.none())
+            return st.one_of(*picks)
         if t["type"] == "array":
             return st.lists(value_for(t["items"], draw_from), max_size=4)
         if t["type"] == "map":
@@ -690,9 +768,29 @@ def test_zorder_key_properties(spark):
     # corners: (max, max) has all interleaved bits set
     assert rows[(1023, 1023.0)] == (1 << 20) - 1
     assert rows[(0, 0.0)] == 0
-    # NULL normalizes to 0 in its dimension
-    assert rows[(None, 512.0)] == rows.get((None, 512.0))
+    # NULL normalizes to 0 in its dimension: a sits at even interleave
+    # positions (i=0, k=2), so no even bit may be set for the NULL row
+    assert rows[(None, 512.0)] & 0x55555 == 0
+    assert rows[(None, 512.0)] > 0  # ...while v still contributes
     with pytest.raises(ValueError):
         with_zorder_key(df, [])
     with pytest.raises(ValueError):
         with_zorder_key(df, ["a", "v"], bits=40)
+
+
+def test_zorder_string_columns_cluster(spark):
+    """String columns contribute to the key via the order-preserving
+    byte-prefix projection (they were silently NULL→0 before); array
+    columns are rejected instead of contributing nothing."""
+    from feathr_spark.operators.layout import ZKEY, with_zorder_key
+    df = spark.createDataFrame(
+        [("aaa", 1), ("aab", 2), ("zzz", 3), ("mmm", 4), (None, 5)],
+        "country string, v int")
+    keyed = {r.country: r[ZKEY]
+             for r in with_zorder_key(df, ["country"], bits=48).collect()}
+    # prefix order preserved: aaa < aab < mmm < zzz; NULL sorts first
+    assert keyed["aaa"] < keyed["aab"] < keyed["mmm"] < keyed["zzz"]
+    assert keyed[None] == 0
+    arr = spark.createDataFrame([([1, 2],)], "xs array<int>")
+    with pytest.raises(ValueError):
+        with_zorder_key(arr, ["xs"])

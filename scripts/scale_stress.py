@@ -123,15 +123,76 @@ def gen_dir(scale, fitted, con):
     return d
 
 
+def gen_edges(spark, scale, rng_seed=7):
+    """Deterministic power-law-ish edge list at `scale` x the sf0.1
+    part-graph size (~6k nodes / ~60k edges): preferential-attachment
+    style dst draws produce the hub skew an iterative operator has to
+    survive at 100 TB (uniform graphs hide hot-key behavior)."""
+    rng = np.random.default_rng(rng_seed + scale)
+    n_nodes, n_edges = 6000 * scale, 60000 * scale
+    src = rng.integers(0, n_nodes, size=n_edges)
+    # Zipf-ish dst: rank r chosen with p ~ 1/(r+10)
+    ranks = np.arange(n_nodes)
+    p = 1.0 / (ranks + 10.0)
+    p /= p.sum()
+    dst = rng.choice(n_nodes, size=n_edges, p=p)
+    keep = src != dst
+    import pandas as pd
+    return spark.createDataFrame(pd.DataFrame({
+        "src": src[keep].astype("int64"), "dst": dst[keep].astype("int64")}))
+
+
+def stress_iterative(spark, scales):
+    """VERDICT r5 item 5: measure (not argue) the iteration family's
+    growth — pagerank at fixed 3 iters and connected components, on
+    1x/3x/5x edge counts."""
+    from feathr_spark.operators.dedup import duplicate_components
+    from feathr_spark.operators.graph import pagerank
+    from pyspark.sql import functions as F
+    results = {"pagerank_3it": {}, "components": {}}
+    for s in scales:
+        edges = gen_edges(spark, s).persist()
+        edges.count()
+        for name, fn in (
+            ("pagerank_3it",
+             lambda e: pagerank(e, iters=3).agg(F.sum("rank")).collect()),
+            ("components",
+             lambda e: duplicate_components(
+                 e.select(F.col("src").alias("id_a"),
+                          F.col("dst").alias("id_b"))).count()),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(edges)
+                best = min(best, time.time() - t0)
+            results[name][s] = best
+            print(f"x{s} {name:24s} {best:7.2f}s", flush=True)
+        edges.unpersist()
+    return results
+
+
+def report(results, scales):
+    print("\nquery                     " +
+          "".join(f"  x{s:<6d}" for s in scales) + "  growth-exp")
+    for q, by_scale in results.items():
+        ts = [by_scale[s] for s in scales]
+        if len(scales) > 1:
+            b = np.polyfit(np.log(scales), np.log(ts), 1)[0]
+        else:
+            b = float("nan")
+        print(f"{q:26s}" + "".join(f"  {t:6.2f}" for t in ts)
+              + f"  {b:5.2f}")
+
+
 def main():
     import duckdb
-    scales = [int(a) for a in sys.argv[1:]] or [1, 3, 5]
+    args = sys.argv[1:]
+    graph_only = "--graph" in args
+    args = [a for a in args if a != "--graph"]
+    scales = [int(a) for a in args] or [1, 3, 5]
     con = duckdb.connect()
-    fitted = fit_source(con)
-    dirs = {s: gen_dir(s, fitted, con) for s in scales}
-
     sys.path.insert(0, REPO)
-    import __spark_entry__ as entry
     from pyspark.sql import SparkSession
     spark = (SparkSession.builder.master(
                  f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
@@ -139,6 +200,13 @@ def main():
              .config("spark.ui.enabled", "false")
              .config("spark.driver.memory", "24g")
              .getOrCreate())
+    if graph_only:
+        report(stress_iterative(spark, scales), scales)
+        return
+    fitted = fit_source(con)
+    dirs = {s: gen_dir(s, fitted, con) for s in scales}
+
+    import __spark_entry__ as entry
     qs = entry.queries()
     # warm the JVM/codegen once on the smallest scale
     for q in HEAVY:
@@ -155,16 +223,8 @@ def main():
             results[q][s] = best
             print(f"x{s} {q:24s} {best:7.2f}s", flush=True)
 
-    print("\nquery                     " +
-          "".join(f"  x{s:<6d}" for s in scales) + "  growth-exp")
-    for q in HEAVY:
-        ts = [results[q][s] for s in scales]
-        if len(scales) > 1:
-            b = np.polyfit(np.log(scales), np.log(ts), 1)[0]
-        else:
-            b = float("nan")
-        print(f"{q:26s}" + "".join(f"  {t:6.2f}" for t in ts)
-              + f"  {b:5.2f}")
+    report(results, scales)
+    report(stress_iterative(spark, scales), scales)
 
 
 if __name__ == "__main__":

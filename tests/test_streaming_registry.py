@@ -59,6 +59,49 @@ def test_stream_window_agg(spark, tmp_path):
     assert [r.f_sum_1m for r in rows] == [4.0, 5.0]
 
 
+def test_stream_kafka_shaped_avro_window_sink(spark, tmp_path):
+    """The full Kafka pipeline minus the connector, composed end-to-end:
+    a stream with Kafka's exact frame shape (key/value binary, topic,
+    partition, offset, timestamp) → pure-Python Avro decode → watermarked
+    tumbling window aggregation → sink. Codec, window, and sink were each
+    tested separately; this proves they compose on one streaming plan."""
+    from feathr_spark.streaming.avro import compile_schema, decode_avro_payload
+    from feathr_spark.streaming.job import (
+        run_streaming_query, stream_window_agg)
+    schema = ('{"type":"record","name":"trip","fields":['
+              '{"name":"city","type":"string"},'
+              '{"name":"fare","type":"double"}]}')
+    _, enc, _ = compile_schema(schema)
+    t0 = ts("2024-01-01 00:00:00")
+    recs = [("nyc", 10.0, 10), ("nyc", 5.0, 50),    # window 00:00
+            ("sf", 2.0, 20),                         # window 00:00
+            ("nyc", 7.0, 70)]                        # window 00:01
+    kafka_shaped = spark.createDataFrame(
+        [Row(key=str(i).encode(), value=bytes(enc({"city": c, "fare": f})),
+             topic="trips", partition=i % 2, offset=i,
+             timestamp=t0 + dt.timedelta(seconds=s))
+         for i, (c, f, s) in enumerate(recs)])
+    src_dir = str(tmp_path / "kafka_shaped")
+    kafka_shaped.write.parquet(src_dir)
+    stream = spark.readStream.schema(kafka_shaped.schema).parquet(src_dir)
+    assert stream.columns == ["key", "value", "topic", "partition",
+                              "offset", "timestamp"]
+    decoded = decode_avro_payload(stream, schema, keep_cols=("timestamp",))
+    assert decoded.isStreaming
+    feats = [Feature(name="f_fare_1m",
+                     transform=WindowAggTransform("fare", Aggregation.SUM,
+                                                  "1m"),
+                     key=[TypedKey(key_column="city")])]
+    out = stream_window_agg(decoded, ["city"], "timestamp", feats,
+                            watermark="10 minutes")
+    run_streaming_query(out, format="memory", query_name="t_kafka_avro",
+                        output_mode="complete", timeout_ms=0)
+    rows = {(r.city, r.window_start.strftime("%H:%M")): r.f_fare_1m
+            for r in spark.sql("select * from t_kafka_avro").collect()}
+    assert rows == {("nyc", "00:00"): 15.0, ("sf", "00:00"): 2.0,
+                    ("nyc", "00:01"): 7.0}
+
+
 def test_stream_sliding_window(spark, tmp_path):
     """slide= makes an event contribute to every overlapping window."""
     from feathr_spark.streaming.job import run_streaming_query, stream_window_agg

@@ -2184,6 +2184,103 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_spans_dropped"))
 
 
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over parts (minimize retail price, maximize size):
+    the fully distributed skyline — one data-sized aggregate + a
+    bucket-decomposed prefix max, no O(n²) self-join, no global
+    data-sized sort (operators/olap.py:skyline_2d)."""
+    _utc(spark)
+    from feathr_spark.operators.olap import skyline_2d
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = skyline_2d(part, "p_retailprice", "p_size",
+                     minimize_x=True, maximize_y=True)
+    return out.select(F.col("p_partkey").cast("bigint").alias("p_partkey"),
+                      _r4(F.col("p_retailprice")).alias("price"),
+                      F.col("p_size").cast("bigint").alias("size"))
+
+
+def q_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority modal order status (deterministic lexicographic tie
+    break): data-sized shuffle is the (key, cat) count only; the mode
+    pick windows over the tiny count frame."""
+    _utc(spark)
+    from feathr_spark.operators.olap import mode_by
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return mode_by(orders, ["o_orderpriority"], "o_orderstatus")
+
+
+def q_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (bits), via the
+    two-cascaded-aggregates identity H = log n − Σ c·ln c / n — no
+    window, no third shuffle."""
+    _utc(spark)
+    from feathr_spark.operators.stats import entropy_by
+    events = _load_events(spark, sf_dir)
+    return entropy_by(events, "user_id", "event_type") \
+        .select(F.col("user_id").cast("bigint").alias("user_id"),
+                "n", "n_cats", "entropy")
+
+
+def q_gini_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration Gini per market segment (rank identity,
+    group-partitioned window — per-group parallel sort, never global;
+    exact decimal sums under the ranks)."""
+    _utc(spark)
+    from feathr_spark.operators.stats import gini_by
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = orders.join(customer,
+                    orders.o_custkey == customer.c_custkey) \
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
+    return gini_by(j, "c_mktsegment", "o_totalprice", "o_orderkey")
+
+
+def q_chi2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence of order priority × status + Cramér's V:
+    one data-sized aggregate to the contingency cells, marginals from
+    windows over the cell frame (|a|·|b| rows)."""
+    _utc(spark)
+    from feathr_spark.operators.stats import chi2_independence
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return chi2_independence(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals: row-local digit
+    arithmetic + ONE 9-row aggregate; per-digit chi-square terms."""
+    _utc(spark)
+    from feathr_spark.operators.quality import benford_digits
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_digits(orders, "o_totalprice")
+
+
+def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift scan over the daily event-value series: raw
+    table collapses to per-day sums in one aggregate; the running
+    standardized deviation + peak flag run on the ~year-length series."""
+    _utc(spark)
+    from feathr_spark.operators.forecast import cusum_changepoints
+    events = _load_events(spark, sf_dir)
+    out = cusum_changepoints(events, "ts", "value")
+    return out.select(F.col("bucket_ts").cast("timestamp").alias("day"),
+                      _r4(F.col("value")).alias("value"),
+                      "cusum", "is_peak")
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scores (recency/frequency/monetary quintiles, fully
+    deterministic tile order): one aggregate to the per-customer triple,
+    broadcast anchor date, ntile windows over the customer-sized frame."""
+    _utc(spark)
+    from feathr_spark.operators.encoding import rfm_scores
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = rfm_scores(orders, "o_custkey", "o_orderdate", "o_totalprice")
+    return out.select(F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                      "recency_days", "frequency",
+                      _r4(F.col("monetary")).alias("monetary"),
+                      "r_score", "f_score", "m_score", "rfm")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2220,6 +2317,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "span_dedup": q_span_dedup,
+        # --- new in r6 (never driver-verified)
+        "skyline_parts": q_skyline_parts,
+        "mode_priority": q_mode_priority,
+        "entropy_events": q_entropy_events,
+        "gini_segments": q_gini_segments,
+        "chi2_orders": q_chi2_orders,
+        "benford_prices": q_benford_prices,
+        "cusum_daily": q_cusum_daily,
+        "rfm_segments": q_rfm_segments,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -2852,6 +2958,184 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "skyline_parts": """
+            SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+                   CAST(ROUND(p.p_retailprice, 4) AS DOUBLE) AS price,
+                   CAST(p.p_size AS BIGINT) AS size
+            FROM part p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM part q
+              WHERE q.p_retailprice <= p.p_retailprice
+                AND q.p_size >= p.p_size
+                AND (q.p_retailprice < p.p_retailprice
+                     OR q.p_size > p.p_size))
+        """,
+        "mode_priority": """
+            WITH c AS (
+              SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+              FROM orders WHERE o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            r AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY cnt DESC,
+                                                 o_orderstatus ASC) AS rn,
+                     sum(cnt) OVER (PARTITION BY o_orderpriority) AS tot
+              FROM c)
+            SELECT o_orderpriority, o_orderstatus AS mode,
+                   CAST(cnt AS BIGINT) AS mode_count,
+                   CAST(tot AS BIGINT) AS n
+            FROM r WHERE rn = 1
+        """,
+        "entropy_events": """
+            WITH c AS (
+              SELECT user_id, event_type, count(*) AS cnt
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1, 2),
+            f AS (
+              SELECT user_id, sum(cnt) AS n, count(*) AS k,
+                     sum(cnt * ln(cnt)) AS clnc
+              FROM c GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(k AS BIGINT) AS n_cats,
+                   CAST(ROUND(CASE WHEN n > 0
+                                   THEN (ln(n) - clnc / n) / ln(2)
+                                   ELSE 0.0 END, 4) AS DOUBLE) AS entropy
+            FROM f
+        """,
+        "gini_segments": """
+            WITH j AS (
+              SELECT c.c_mktsegment AS seg, o.o_totalprice AS v,
+                     o.o_orderkey AS id
+              FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE o.o_totalprice IS NOT NULL AND o.o_totalprice >= 0),
+            r AS (
+              SELECT seg, CAST(v AS DECIMAL(28,8)) AS vd,
+                     row_number() OVER (PARTITION BY seg
+                                        ORDER BY v ASC, id ASC) AS i
+              FROM j),
+            f AS (
+              SELECT seg, count(*) AS n, sum(vd) AS s,
+                     sum(i * vd) AS isum
+              FROM r GROUP BY 1)
+            SELECT seg AS c_mktsegment,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE) AS total,
+                   CAST(ROUND(CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+                          2.0 * CAST(isum AS DOUBLE)
+                              / (n * CAST(s AS DOUBLE))
+                          - (n + 1.0) / n END, 4) AS DOUBLE) AS gini
+            FROM f
+        """,
+        "chi2_orders": """
+            WITH cells AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*) AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (
+              SELECT c, a, b,
+                     CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                     / (CAST(sum(c) OVER (PARTITION BY a) AS DOUBLE)
+                        * CAST(sum(c) OVER (PARTITION BY b) AS DOUBLE))
+                     AS term
+              FROM cells),
+            f AS (
+              SELECT sum(c) AS n, sum(term) AS st,
+                     count(DISTINCT a) AS ra, count(DISTINCT b) AS rb
+              FROM t)
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST((ra - 1) * (rb - 1) AS BIGINT) AS dof,
+                   CAST(ROUND(n * (st - 1.0), 4) AS DOUBLE) AS chi2,
+                   CAST(ROUND(CASE WHEN n > 0 AND least(ra, rb) - 1 > 0
+                              THEN sqrt(n * (st - 1.0)
+                                        / (n * (least(ra, rb) - 1)))
+                              END, 4) AS DOUBLE) AS cramers_v
+            FROM f
+        """,
+        "benford_prices": """
+            WITH pos AS (
+              SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+            c AS (
+              SELECT CAST(floor(v / power(10, floor(log10(v))))
+                          AS BIGINT) AS digit,
+                     count(*) AS cnt
+              FROM pos GROUP BY 1),
+            f AS (
+              SELECT digit, cnt,
+                     CAST(sum(cnt) OVER () AS DOUBLE) AS tot
+              FROM c)
+            SELECT digit,
+                   CAST(cnt AS BIGINT) AS n,
+                   CAST(ROUND(cnt / tot, 4) AS DOUBLE) AS freq,
+                   CAST(ROUND(log10(1.0 + 1.0 / digit), 4) AS DOUBLE)
+                       AS expected,
+                   CAST(ROUND(tot * (cnt / tot - log10(1.0 + 1.0 / digit))
+                              * (cnt / tot - log10(1.0 + 1.0 / digit))
+                              / log10(1.0 + 1.0 / digit), 4) AS DOUBLE)
+                       AS chi2_term
+            FROM f
+        """,
+        "cusum_daily": """
+            WITH s AS (
+              SELECT date_trunc('day', ts) AS day,
+                     sum(CAST(value AS DECIMAL(28,8))) AS v
+              FROM events GROUP BY 1),
+            st AS (
+              SELECT avg(CAST(v AS DOUBLE)) AS mu,
+                     stddev_samp(CAST(v AS DOUBLE)) AS sd
+              FROM s),
+            c AS (
+              SELECT day, CAST(v AS DOUBLE) AS value,
+                     sum((CAST(v AS DOUBLE) - mu)
+                         / CASE WHEN sd > 0 THEN sd END)
+                       OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cusum
+              FROM s, st),
+            p AS (SELECT max(abs(cusum)) AS pk FROM c)
+            SELECT CAST(day AS TIMESTAMP) AS day,
+                   CAST(ROUND(value, 4) AS DOUBLE) AS value,
+                   CAST(ROUND(cusum, 4) + 0.0 AS DOUBLE) AS cusum,
+                   abs(cusum) = pk AND pk IS NOT NULL AS is_peak
+            FROM c, p
+        """,
+        "rfm_segments": """
+            WITH pk AS (
+              SELECT o_custkey, max(o_orderdate) AS last_order,
+                     count(*) AS freq,
+                     sum(CAST(o_totalprice AS DECIMAL(28,8))) AS m
+              FROM orders GROUP BY 1),
+            a AS (SELECT max(o_orderdate) AS anchor FROM orders),
+            b AS (
+              SELECT o_custkey,
+                     datediff('day', last_order, anchor) AS rec,
+                     freq, CAST(m AS DOUBLE) AS mon
+              FROM pk, a),
+            s AS (
+              SELECT o_custkey, rec, freq, mon,
+                     ntile(5) OVER (ORDER BY rec DESC, o_custkey)
+                         AS r_score,
+                     ntile(5) OVER (ORDER BY freq ASC, o_custkey)
+                         AS f_score,
+                     ntile(5) OVER (ORDER BY mon ASC, o_custkey)
+                         AS m_score
+              FROM b)
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(rec AS BIGINT) AS recency_days,
+                   CAST(freq AS BIGINT) AS frequency,
+                   CAST(ROUND(mon, 4) AS DOUBLE) AS monetary,
+                   CAST(r_score AS BIGINT) AS r_score,
+                   CAST(f_score AS BIGINT) AS f_score,
+                   CAST(m_score AS BIGINT) AS m_score,
+                   CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                       || CAST(m_score AS VARCHAR) AS rfm
+            FROM s
+        """,
         "passthrough_exprs": """
             SELECT CAST(event_id AS BIGINT) AS event_id,
                    CAST(ROUND(value * 2, 4) AS DOUBLE) AS f_value_x2,

@@ -121,6 +121,15 @@ HEADLINE = [
     "scd2_customers",
     "fuzzy_parts",
     "kappa_orders",
+    # round-6 additions
+    "skyline_parts",
+    "mode_priority",
+    "entropy_events",
+    "gini_segments",
+    "chi2_orders",
+    "benford_prices",
+    "cusum_daily",
+    "rfm_segments",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -168,3 +168,54 @@ def hash_encode(
             f"{c}{suffix}",
             F.when(F.col(c).isNotNull(), bucket).cast("bigint"))
     return out
+
+
+def rfm_scores(
+    orders: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics feature triple, scored 1..``n_tiles``
+    by ntile so every score level holds ~1/n of customers.
+
+    Conventions: recency is days since the customer's last order
+    relative to the NEWEST order in the frame (no wall-clock — exactly
+    reproducible), scored so that MORE recent = HIGHER score, like
+    frequency and monetary. Tile ordering is made deterministic by the
+    (metric, key) composite sort, so equal metrics split by key —
+    ntile needs a total order to be reproducible across engines.
+
+    Plan: one data-sized aggregate to the per-key RFM triple; the
+    1-row global max-date frame broadcasts; the three ntile windows run
+    over the per-KEY frame (customer-sized, far below the order count)
+    and share one partitioning (none — ntile is a global rank; at
+    extreme key cardinality swap in percent_rank-derived buckets, the
+    documented scale knob). Output: key, recency_days, frequency,
+    monetary, r_score, f_score, m_score, rfm (e.g. '545').
+    """
+    per_key = orders.groupBy(key_col).agg(
+        F.max(F.col(ts_col).cast("timestamp")).alias("__last"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col(amount_col).cast("decimal(28,8)")).alias("__m"))
+    anchor = orders.agg(F.max(F.col(ts_col).cast("timestamp"))
+                        .alias("__anchor"))
+    base = per_key.crossJoin(F.broadcast(anchor)).select(
+        F.col(key_col),
+        F.datediff(F.col("__anchor"), F.col("__last"))
+        .cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        F.col("__m").cast("double").alias("monetary"))
+    r_w = Window.orderBy(F.col("recency_days").desc(), F.col(key_col))
+    f_w = Window.orderBy(F.col("frequency").asc(), F.col(key_col))
+    m_w = Window.orderBy(F.col("monetary").asc(), F.col(key_col))
+    out = base.select(
+        key_col, "recency_days", "frequency", "monetary",
+        F.ntile(n_tiles).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(n_tiles).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(n_tiles).over(m_w).cast("bigint").alias("m_score"))
+    return out.withColumn(
+        "rfm", F.concat_ws("", F.col("r_score"), F.col("f_score"),
+                           F.col("m_score")))

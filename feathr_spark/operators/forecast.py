@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,3 +83,58 @@ def seasonal_forecast(
         F.col("slot").cast("bigint").alias("slot"),
         F.coalesce(F.col("__km"), F.col("__gm")).alias("forecast"),
         F.col("__km").isNull().alias("from_fallback"))
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    bucket: str = "day",
+    round_dp: int = 4,
+) -> DataFrame:
+    """CUSUM mean-shift detector over a bucketed series: the cumulative
+    sum of standardized deviations S_t = Σ_{i≤t} (x_i − x̄)/σ peaks at
+    a change point (Page's classic statistic, the no-tuning form every
+    metrics platform ships first). |S| near 0 everywhere = stable mean;
+    the argmax |S| bucket is the best single change-point estimate.
+
+    Plan: the raw table collapses in ONE map-side-combined aggregate to
+    (keys, bucket) sums; mean/σ per key come from a second aggregate
+    over that BUCKET-sized frame, joined back broadcast; the running
+    sum is a window PARTITIONED by the keys (parallel across keys;
+    within one key the series length is bucket-granularity-bounded —
+    ~365 rows/year at "day" — so the per-key sort is trivially small,
+    never data-sized). With no keys the single window is over that same
+    bucket-bounded series, not the raw data.
+
+    Output: keys + (bucket_ts, value, cusum, is_peak) — ``is_peak``
+    marks the max-|S| bucket per key.
+    """
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    series = (df.groupBy(*keys, b.alias("bucket_ts"))
+              .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                   .alias("__v")))
+    stats = series.groupBy(*keys).agg(
+        F.avg(F.col("__v").cast("double")).alias("__mu"),
+        F.stddev_samp(F.col("__v").cast("double")).alias("__sd"),
+    )
+    joined = (series.join(F.broadcast(stats), keys) if keys
+              else series.crossJoin(F.broadcast(stats)))
+    dev = (F.col("__v").cast("double") - F.col("__mu")) / \
+        F.when(F.col("__sd") > 0, F.col("__sd"))
+    w = Window.partitionBy(*keys).orderBy("bucket_ts") \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.partitionBy(*keys)
+    cusum = F.sum(dev).over(w)
+    out = joined.select(
+        *keys, "bucket_ts",
+        F.col("__v").cast("double").alias("value"),
+        # + 0.0 normalizes IEEE -0.0 (the final CUSUM row is 0 by
+        # construction and rounds to a signed zero engine-dependently)
+        (F.round(cusum, round_dp) + F.lit(0.0)).cast("double")
+        .alias("cusum"))
+    peak = F.max(F.abs(F.col("cusum"))).over(wk)
+    return out.withColumn(
+        "is_peak", (F.abs(F.col("cusum")) == peak) & peak.isNotNull())

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -119,3 +119,106 @@ def topk_per_group(
             .where(F.col("rank_in_group") <= int(k))
             .withColumn("rank_in_group",
                         F.col("rank_in_group").cast("bigint")))
+
+
+def mode_by(
+    df: DataFrame,
+    keys: Sequence[str],
+    cat_col: str,
+) -> DataFrame:
+    """Per-group mode of a categorical column (ties break to the
+    lexicographically smallest value — deterministic, engine-portable).
+
+    Plan: the data-sized shuffle is the (keys, cat) count aggregate;
+    the mode pick is a row_number window over the COUNT frame (group
+    cardinality × category cardinality — tiny), so the raw data is
+    scanned once and never window-sorted.
+
+    Output: keys + (``mode``, mode_count, n).
+    """
+    counts = (df.where(F.col(cat_col).isNotNull())
+              .groupBy(*keys, cat_col)
+              .agg(F.count("*").alias("__c")))
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__c").desc(), F.col(cat_col).asc())
+    tot = Window.partitionBy(*keys)
+    return (counts
+            .withColumn("__rn", F.row_number().over(w))
+            .withColumn("__n", F.sum("__c").over(tot))
+            .where(F.col("__rn") == 1)
+            .select(*keys,
+                    F.col(cat_col).alias("mode"),
+                    F.col("__c").cast("bigint").alias("mode_count"),
+                    F.col("__n").cast("bigint").alias("n")))
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    minimize_x: bool = True,
+    maximize_y: bool = True,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows not dominated by any other
+    row, where q dominates p iff q is no worse on BOTH dimensions and
+    strictly better on at least one. Default orientation: minimize x
+    (e.g. price), maximize y (e.g. size/quality) — flip with the flags.
+
+    The textbook NOT EXISTS formulation is an O(n²) self-join, and the
+    obvious window form (running best-y ordered by x) is a GLOBAL sort
+    over |distinct x| rows — data-sized when x is continuous. This is
+    the fully distributed form; internally x/y are sign-normalized so
+    "better" is always (smaller px, larger py):
+
+    1. one data-sized aggregate collapses to a row per distinct px with
+       the group's best py — the only shuffle that sees the input;
+    2. px range-buckets into ``n_buckets`` equal spans from a broadcast
+       1-row bounds frame; the strict-prefix best-py decomposes into
+       (a) a per-BUCKET window (parallel across buckets, each sorts
+       only its own span) and (b) a running best across the
+       bucket-top frame — ``n_buckets`` rows, the only global window;
+    3. a distinct-px row survives iff its best py beats
+       max(same-bucket strict prefix, all-lower-buckets best); the
+       surviving verdict joins back broadcast and keeps input rows
+       matching their x's best y (ties on BOTH dims survive together —
+       neither dominates the other).
+
+    Total: one data-sized shuffle + one distinct-x-sized shuffle, no
+    global sort, no self-join. Skyline size itself is unbounded
+    (adversarially O(n)) but never materializes on one node.
+
+    Output: the surviving input rows, unchanged schema.
+    """
+    px = F.col(x_col).cast("double") * (1.0 if minimize_x else -1.0)
+    py = F.col(y_col).cast("double") * (1.0 if maximize_y else -1.0)
+    per_x = df.select(px.alias("__px"), py.alias("__py")) \
+        .groupBy("__px").agg(F.max("__py").alias("__best"))
+    bounds = per_x.agg(F.min("__px").alias("__lo"),
+                       F.max("__px").alias("__hi"))
+    span = F.col("__hi") - F.col("__lo")
+    bkt = F.when(span > 0,
+                 F.least(F.floor((F.col("__px") - F.col("__lo")) / span
+                                 * n_buckets),
+                         F.lit(n_buckets - 1))).otherwise(F.lit(0)) \
+        .cast("bigint")
+    bucketed = per_x.crossJoin(F.broadcast(bounds)) \
+        .select("__px", "__best", bkt.alias("__bkt"))
+    w_local = Window.partitionBy("__bkt").orderBy(F.col("__px").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    tops = bucketed.groupBy("__bkt").agg(F.max("__best").alias("__top"))
+    w_lower = Window.orderBy(F.col("__bkt").asc()) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    lower = tops.select("__bkt", F.max("__top").over(w_lower)
+                        .alias("__lower"))
+    prev = F.greatest(F.max("__best").over(w_local),
+                      F.col("__lower"))  # greatest() skips NULL operands
+    verdict = (bucketed
+               .join(F.broadcast(lower), "__bkt")
+               .withColumn("__prev", prev)
+               .where(F.col("__prev").isNull()
+                      | (F.col("__best") > F.col("__prev")))
+               .select("__px", "__best"))
+    return (df.join(F.broadcast(verdict),
+                    (px == F.col("__px")) & (py == F.col("__best")))
+            .select(*df.columns))

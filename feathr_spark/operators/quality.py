@@ -260,3 +260,45 @@ def drift_report(
         F.sum(F.when(F.col("bucket") == -2,
                      F.col("cur_frac") - F.col("ref_frac"))
               .otherwise(F.lit(0.0))).alias("null_shift")), [bounds])
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """First-significant-digit distribution of a positive numeric column
+    vs Benford's law — the classic fabricated-data / unit-mix-change
+    smell test for financial and telemetry columns (organically-grown
+    magnitudes follow P(d) = log10(1 + 1/d); uniform or hand-entered
+    data does not).
+
+    The digit is pure row-local arithmetic (floor(v / 10^floor(log10 v))
+    — no string round-trip), so the whole report is ONE map-side-combined
+    aggregate to 9 rows; the chi-square contribution per digit lets the
+    caller sum a readout statistic without a second pass. Non-positive
+    and NULL values are excluded (Benford is defined on magnitudes).
+
+    Output: (digit 1-9, n, freq, expected, chi2_term), one row per
+    OBSERVED digit (absent digits = zero count; the chi2 sum over
+    observed rows equals the full sum because missing digits contribute
+    n·p_d — add it driver-side if a strict statistic is needed, or
+    gate on per-digit |freq − expected| which is the usual practice).
+    """
+    v = F.col(value_col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))) \
+        .cast("bigint")
+    counts = (df.where(v.isNotNull() & (v > 0))
+              .select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("__c")))
+    w = Window.partitionBy()
+    n = F.sum("__c").over(w).cast("double")
+    freq = F.col("__c") / n
+    expected = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    chi2_term = n * (freq - expected) * (freq - expected) / expected
+    return (counts.select(
+        "digit",
+        F.col("__c").cast("bigint").alias("n"),
+        F.round(freq, round_dp).cast("double").alias("freq"),
+        F.round(expected, round_dp).cast("double").alias("expected"),
+        F.round(chi2_term, round_dp).cast("double").alias("chi2_term")))

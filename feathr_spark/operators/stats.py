@@ -15,6 +15,7 @@ see its docstring for the bucketed distributed-cumsum plan.
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -310,3 +311,140 @@ def calibration_report(
         F.when(n > 0, F.col("__pos") / n).cast("double").alias("pos_rate"),
         F.when(n > 0, (F.col("__pos") - F.col("__sp")) / n)
         .cast("double").alias("gap"))
+
+
+def entropy_by(
+    df: DataFrame,
+    key_col: str,
+    cat_col: str,
+    base2: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Shannon entropy of the ``cat_col`` distribution per ``key_col`` —
+    the diversity readout behind per-user behavioral profiling and
+    per-source corpus mix monitoring (a user who only ever fires one
+    event type has entropy 0; uniform over k types, log k).
+
+    Plan: two cascaded aggregations, never a window. The identity
+    H = log n − (Σ c·log c)/n over the per-(key, cat) counts lets the
+    second aggregate consume only the first's output — the (key, cat)
+    count shuffle is the data-sized one, the per-key fold is
+    category-bounded. A window formulation (count / sum-over-key) would
+    add a third exchange and a per-key sort; this shape is exactly two
+    shuffles with map-side partial aggregation on both.
+
+    Output: (``key_col``, n, n_cats, entropy), entropy in bits by
+    default (``base2=False`` for nats).
+    """
+    counts = (df.where(F.col(cat_col).isNotNull())
+              .groupBy(key_col, cat_col)
+              .agg(F.count("*").alias("__c")))
+    c = F.col("__c").cast("double")
+    folded = counts.groupBy(key_col).agg(
+        F.sum("__c").alias("__n"),
+        F.count("*").alias("__k"),
+        F.sum(c * F.log(c)).alias("__clnc"))
+    n = F.col("__n").cast("double")
+    ent_nats = F.when(n > 0, F.log(n) - F.col("__clnc") / n) \
+        .otherwise(F.lit(0.0))
+    ent = ent_nats / F.lit(math.log(2)) if base2 else ent_nats
+    return folded.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__k").cast("bigint").alias("n_cats"),
+        F.round(ent, round_dp).cast("double").alias("entropy"))
+
+
+def gini_by(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    id_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Gini coefficient of non-negative ``value_col`` per ``key_col``
+    group (0 = perfectly equal, →1 = concentrated) — the inequality
+    readout for revenue/usage concentration dashboards.
+
+    Uses the rank identity G = (2·Σ i·xᵢ)/(n·Σ xᵢ) − (n+1)/n over
+    values sorted ascending within each group. The rank window is
+    PARTITIONED by the group key — per-group parallel sort, never a
+    global one — and ties order deterministically by ``id_col`` (the
+    identity is tie-order invariant: exchanging equal values swaps
+    equal terms). One exchange (hash by key) shared by the window and
+    the fold.
+
+    Output: (``key_col``, n, total, gini). Groups whose sum is 0 get
+    NULL gini (undefined).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc())
+    x = F.col(value_col).cast("decimal(28,8)")
+    ranked = (df.where(F.col(value_col).isNotNull()
+                       & (F.col(value_col) >= 0))
+              .select(key_col, value_col, id_col)
+              .withColumn("__i", F.row_number().over(w)))
+    folded = ranked.groupBy(key_col).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(F.col("__i") * x).alias("__is"))
+    n = F.col("__n").cast("double")
+    s = F.col("__s").cast("double")
+    gini = F.when(s > 0,
+                  2.0 * F.col("__is").cast("double") / (n * s)
+                  - (n + 1.0) / n)
+    return folded.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(s, round_dp).cast("double").alias("total"),
+        F.round(gini, round_dp).cast("double").alias("gini"))
+
+
+def chi2_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns, plus Cramér's V effect size — the contingency-table
+    counterpart to :func:`ab_welch_t` (no p-value on purpose, same
+    reason: the chi-square CDF isn't portable across engines; consumers
+    threshold the statistic or feed (chi2, dof) to scipy driver-side).
+
+    Plan: ONE data-sized aggregate (the (a, b) cell counts); marginals
+    come from windows over the CELL frame (cardinality |a|·|b| — tiny),
+    so the raw data is scanned exactly once and nothing data-sized
+    shuffles twice. χ² = N·(Σ cᵢⱼ²/(rᵢ·kⱼ) − 1) is evaluated in that
+    algebraic form — expected counts never materialize, so empty cells
+    (which contribute nothing to the sum but would need generating for
+    the textbook (o−e)²/e) cost nothing.
+
+    Output (one row): n, dof, chi2, cramers_v.
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(a_col, b_col).agg(F.count("*").alias("__c")))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    c = F.col("__c").cast("double")
+    terms = cells.select(
+        "__c",
+        (c * c / (F.sum("__c").over(wa).cast("double")
+                  * F.sum("__c").over(wb).cast("double"))).alias("__t"),
+        F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+    folded = terms.agg(
+        F.sum("__c").alias("__n"),
+        F.sum("__t").alias("__sum_t"),
+        F.count_distinct("__a").alias("__ra"),
+        F.count_distinct("__b").alias("__rb"))
+    n = F.col("__n").cast("double")
+    chi2 = n * (F.col("__sum_t") - 1.0)
+    r, k = F.col("__ra").cast("double"), F.col("__rb").cast("double")
+    dof = (r - 1) * (k - 1)
+    minrk = F.least(r, k) - 1
+    v = F.when((n > 0) & (minrk > 0), F.sqrt(chi2 / (n * minrk)))
+    return folded.select(
+        F.col("__n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        F.round(chi2, round_dp).cast("double").alias("chi2"),
+        F.round(v, round_dp).cast("double").alias("cramers_v"))

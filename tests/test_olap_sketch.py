@@ -1474,3 +1474,152 @@ def test_sketch_rollups_persist_and_merge_after_roundtrip(spark, tmp_path):
     want = finalize_quantiles(direct, fracs=(0.5,)).collect()[0]
     assert got.n == want.n == 100
     assert got.p50 == want.p50          # exact mode: both are exact
+
+
+# --- round 6: skyline / mode / entropy / gini / chi2 / benford / cusum / rfm
+
+
+def test_skyline_2d_orientations_and_ties(spark):
+    from feathr_spark.operators.olap import skyline_2d
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 3), (3, 3.0, 2), (4, 1.0, 2),
+         (5, 2.0, 1), (6, 5.0, 5), (7, 5.0, 5)],
+        "id int, price double, size int")
+    # min price / max size: (1,2) dominates (1,1); (2,3) survives;
+    # (5,5) ties survive TOGETHER (neither dominates the other)
+    sky = sorted(r.id for r in skyline_2d(pts, "price", "size").collect())
+    assert sky == [2, 4, 6, 7]
+    # flipped orientation: maximize price, minimize size
+    sky2 = sorted(r.id for r in skyline_2d(
+        pts, "price", "size", minimize_x=False, maximize_y=False).collect())
+    # (2,1) dominates (1,1); the (5,5) tie pair has nothing cheaper/larger
+    assert sky2 == [3, 5, 6, 7]
+    # oracle cross-check on a random cloud vs the O(n^2) definition
+    import random
+    random.seed(6)
+    rows = [(i, float(random.randint(0, 30)), random.randint(0, 30))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    def dominated(p):
+        return any(q[1] <= p[1] and q[2] >= p[2]
+                   and (q[1] < p[1] or q[2] > p[2]) for q in rows)
+    want = sorted(i for i, x, y in rows if not dominated((i, x, y)))
+    assert got == want
+
+
+def test_skyline_2d_one_bucket_degenerate(spark):
+    """All x equal -> span 0 -> single bucket; only the best-y rows
+    survive (ties together)."""
+    from feathr_spark.operators.olap import skyline_2d
+    df = spark.createDataFrame(
+        [(1, 2.0, 5), (2, 2.0, 9), (3, 2.0, 9)], "id int, x double, y int")
+    assert sorted(r.id for r in skyline_2d(df, "x", "y").collect()) == [2, 3]
+
+
+def test_mode_by_ties_and_nulls(spark):
+    from feathr_spark.operators.olap import mode_by
+    df = spark.createDataFrame(
+        [("a", "y"), ("a", "x"), ("a", "y"), ("a", "x"), ("a", None),
+         ("b", "z")], "k string, c string")
+    out = {r.k: (r.mode, r.mode_count, r.n)
+           for r in mode_by(df, ["k"], "c").collect()}
+    # tie x/y at 2 -> lexicographically smallest; NULL excluded from n
+    assert out == {"a": ("x", 2, 4), "b": ("z", 1, 1)}
+
+
+def test_entropy_by_known_values(spark):
+    import math
+    from feathr_spark.operators.stats import entropy_by
+    rows = [(1, "a")] * 2 + [(1, "b")] * 2 + [(2, "a")] * 4 + \
+        [(3, "a"), (3, "b"), (3, "c"), (3, "d")]
+    df = spark.createDataFrame(rows, "u int, t string")
+    out = {r.u: (r.n, r.n_cats, r.entropy)
+           for r in entropy_by(df, "u", "t").collect()}
+    assert out[1] == (4, 2, 1.0)          # uniform over 2 -> 1 bit
+    assert out[2] == (4, 1, 0.0)          # degenerate -> 0
+    assert out[3] == (4, 4, 2.0)          # uniform over 4 -> 2 bits
+    # nats mode
+    nats = {r.u: r.entropy
+            for r in entropy_by(df, "u", "t", base2=False).collect()}
+    assert abs(nats[3] - math.log(4)) < 1e-4  # output is 4dp-rounded
+
+
+def test_gini_by_extremes(spark):
+    from feathr_spark.operators.stats import gini_by
+    df = spark.createDataFrame(
+        [("eq", 5.0, i) for i in range(4)]
+        + [("conc", 0.0, 1), ("conc", 0.0, 2), ("conc", 0.0, 3),
+           ("conc", 100.0, 4)]
+        + [("zero", 0.0, 1)],
+        "seg string, v double, id int")
+    out = {r.seg: r.gini for r in gini_by(df, "seg", "v", "id").collect()}
+    assert out["eq"] == 0.0
+    # all mass on 1 of 4: G = 2*4/4 - 5/4 = 0.75
+    assert out["conc"] == 0.75
+    assert out["zero"] is None            # undefined on zero total
+
+
+def test_chi2_independence_perfect_association(spark):
+    from feathr_spark.operators.stats import chi2_independence
+    # perfectly associated 2x2: chi2 = n, V = 1
+    rows = [("p", "q")] * 10 + [("s", "r")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert (r.n, r.dof, r.chi2, r.cramers_v) == (20, 1, 20.0, 1.0)
+    # independent: chi2 ~ 0
+    rows = [("p", "q")] * 5 + [("p", "r")] * 5 + [("s", "q")] * 5 + \
+        [("s", "r")] * 5
+    r2 = chi2_independence(spark.createDataFrame(rows, "a string, b string"),
+                           "a", "b").collect()[0]
+    assert r2.chi2 == 0.0 and r2.cramers_v == 0.0
+
+
+def test_benford_digits_exact_counts(spark):
+    from feathr_spark.operators.quality import benford_digits
+    vals = [1.0, 1.5, 19.0, 2.0, 25.0, 3.0, 0.004, 900.0, -5.0, 0.0, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    out = {r.digit: r for r in benford_digits(df, "v").collect()}
+    assert {d: out[d].n for d in out} == {1: 3, 2: 2, 3: 1, 4: 1, 9: 1}
+    # freq sums to 1 over observed digits; expected is Benford's law
+    assert abs(sum(out[d].freq for d in out) - 1.0) < 1e-6
+    assert abs(out[1].expected - 0.301) < 1e-3
+
+
+def test_cusum_changepoints_finds_shift(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.forecast import cusum_changepoints
+    rows = [Row(ts=dt.datetime(2024, 1, 1) + dt.timedelta(days=i),
+                v=(1.0 if i < 6 else 9.0)) for i in range(12)]
+    out = cusum_changepoints(spark.createDataFrame(rows), "ts", "v") \
+        .collect()
+    peaks = [r.bucket_ts.day for r in out if r.is_peak]
+    assert peaks == [6]                   # last low day = the change point
+    # keyed variant: each key gets its own peak
+    rows2 = [Row(k="a", ts=r.ts, v=r.v) for r in rows] + \
+        [Row(k="b", ts=rows[i].ts, v=(9.0 if i < 6 else 1.0))
+         for i in range(12)]
+    out2 = cusum_changepoints(spark.createDataFrame(rows2), "ts", "v",
+                              key_cols=["k"]).collect()
+    assert {r.k for r in out2 if r.is_peak} == {"a", "b"}
+
+
+def test_rfm_scores_deterministic(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.encoding import rfm_scores
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=k, ts=t0 + dt.timedelta(days=d), amt=float(a))
+            for k, d, a in [(1, 9, 100), (1, 8, 50), (2, 0, 10),
+                            (3, 4, 500), (4, 2, 20), (5, 6, 80)]]
+    out = {r.o_custkey: r for r in rfm_scores(
+        spark.createDataFrame(rows), "k", "ts", "amt", n_tiles=5)
+        .withColumnRenamed("k", "o_custkey").collect()}
+    # customer 1: most recent (0 days), most frequent, monetary 150
+    assert out[1].recency_days == 0 and out[1].frequency == 2
+    assert out[1].r_score == 5 and out[1].f_score == 5
+    # customer 2: least recent, monetary lowest
+    assert out[2].r_score == 1 and out[2].m_score == 1
+    assert out[3].m_score == 5            # highest spender
+    assert all(len(r.rfm) == 3 for r in out.values())

@@ -67,6 +67,12 @@ BROADCAST_LOOP_OK = {
     "decile_bins",
     # 1-row right-domain count broadcast onto the distinct lefts
     "negative_pairs",
+    # 1-row px-bounds frame broadcast onto the distinct-px rows
+    "skyline_parts",
+    # 1-row mean/std frame broadcast onto the per-day series
+    "cusum_daily",
+    # 1-row anchor-date frame broadcast onto the per-customer rows
+    "rfm_segments",
 }
 
 
@@ -280,7 +286,12 @@ EXCHANGE_BUDGET = {
     # under both anti-join sides of both self-join sides -> 30 -> 44
     # textual matches, while the quadratic hot-bucket candidate join is
     # gone (5x-scale stress 36 s -> 6.7 s, sf0.1 candidates 2.6M -> <1M).
-    "minhash_pairs": 44,
+    # r6 anchor stars (over-cap buckets degrade to anchor pairs instead
+    # of being dropped — recall fix): +2 runtime shuffles on tiny frames
+    # (the bucket-top/anchor aggregates) whose banded subtree prints
+    # under three more consumers -> 44 -> 72 textual matches; the pair
+    # union's groupBy is the same shuffle the old count took.
+    "minhash_pairs": 72,
     # lm_score's term shuffles + the per-lang cuts aggregate; the
     # persisted scored frame prints under both quantile_bins consumers
     # (cuts + probe) — dedupes to the cache at runtime
@@ -423,6 +434,33 @@ EXCHANGE_BUDGET = {
     # two cutoff snapshots (explode+groupBy each) + full-outer key join +
     # the 4-row summary fold
     "snapshot_changes": 6,
+    # --- round 6 ---
+    # distinct-px aggregate + 1-row bounds fold + per-bucket window
+    # repartition + bucket-top fold + n_buckets-sized running-best window;
+    # the per_x subtree PRINTS under both its consumers (textual matches
+    # > runtime shuffles)
+    "skyline_parts": 7,
+    # (key, cat) count aggregate + mode-pick window repartition on the
+    # key alone (the window frame is category-cardinality-sized)
+    "mode_priority": 2,
+    # the two cascaded aggregates of the entropy identity — per-(key,cat)
+    # counts, then the per-key fold
+    "entropy_events": 2,
+    # orders joins broadcast(customer); the single hash exchange is shared
+    # by the per-segment rank window and the per-segment fold
+    "gini_segments": 1,
+    # contingency-cell aggregate + two marginal windows over the cell
+    # frame + the final fold, whose two count_distincts expand to the
+    # two-phase pair
+    "chi2_orders": 5,
+    # 9-row digit aggregate + the SinglePartition total window over it
+    "benford_prices": 2,
+    # per-day aggregate + 1-row mean/std fold + the series-length
+    # SinglePartition running-sum/peak windows
+    "cusum_daily": 4,
+    # per-customer RFM aggregate + 1-row anchor fold + the shared
+    # SinglePartition exchange under the three ntile windows
+    "rfm_segments": 3,
 }
 
 
@@ -457,6 +495,17 @@ GLOBAL_WINDOW_OK = {
     # lag over the BUCKET-COUNT-sized sketch frame (weeks x keys, one
     # fixed-width sketch per row) — never the data table
     "sketch_retention",
+    # running best over the BUCKET-TOP frame (n_buckets rows, constant by
+    # construction); the data-sized prefix work runs in the per-bucket
+    # partitioned window
+    "skyline_parts",
+    # running CUSUM over the per-DAY series (bucket-granularity-bounded,
+    # ~365 rows/year — never the raw events)
+    "cusum_daily",
+    # ntile is a global rank by definition; it runs over the per-CUSTOMER
+    # aggregate (far below the order count). At extreme key cardinality
+    # swap in percent_rank-derived buckets (documented in rfm_scores).
+    "rfm_segments",
 }
 
 

@@ -5,6 +5,11 @@ on DuckDB at the given sf dir, then compares row count, column names, and
 order-insensitive values (columns sorted by name, rows sorted).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+       python scripts/check_oracles.py --json OUT.json [sf_dir]
+
+--json writes the per-query verdicts as a committed, diffable artifact
+(the LOCAL_ORACLES_r{N}.json ritual: the driver's gate window covers 50
+queries per round; this closes the rest with a hard recorded signal).
 """
 
 from __future__ import annotations
@@ -49,8 +54,14 @@ def normalize(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = (SparkSession.builder.master("local[8]")
              .appName("oracle-check")
@@ -65,6 +76,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    verdicts = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -73,6 +85,7 @@ def main():
         scols = sdf.columns
         if name not in oracles:
             print(f"{name:25s} rows={len(srows)} (rows-only check: no oracle)")
+            verdicts[name] = {"status": "rows_only", "rows": len(srows)}
             continue
         orc = con.execute(oracles[name])
         ocols = [d[0] for d in orc.description]
@@ -95,9 +108,18 @@ def main():
         if status:
             failures.append(name)
             print(f"{name:25s} FAIL  " + " | ".join(status[:3]))
+            verdicts[name] = {"status": "fail", "rows": len(srows),
+                              "detail": status[0]}
         else:
             print(f"{name:25s} OK    rows={len(srows)}")
+            verdicts[name] = {"status": "ok", "rows": len(srows)}
     spark.stop()
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": verdicts}, f, indent=1,
+                      sort_keys=True)
+        print(f"wrote {json_out} ({len(verdicts)} verdicts)")
     if failures:
         print("FAILED:", failures)
         sys.exit(1)

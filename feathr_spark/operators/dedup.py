@@ -310,7 +310,14 @@ def _jaccard_lsh_pairs(
     banded = sig.select(
         "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
     anchor_pairs = None
+    banded_persisted = False
     if max_bucket_size is not None:
+        # the cap path fans banded into 4 consumers (bucket counts, the
+        # hot-side semi join, the cold-side anti join used twice by the
+        # self-join) — persist the 24-byte-row frame so the band-hash
+        # explode over the cached signatures runs once, not per consumer
+        banded = banded.persist()
+        banded_persisted = True
         # Hot-bucket cap: on template-heavy corpora the globally-minimal
         # shingle hashes recur across huge doc fractions, so a few band
         # buckets hold O(corpus) docs and the self-join on them is
@@ -369,8 +376,9 @@ def _jaccard_lsh_pairs(
             .agg(F.sum("__w").alias("__nb"))
             .where(F.col("__nb") >= min_band_collisions)
             .select("id_a", "id_b"))
+    cached = [tok, sig] + ([banded] if banded_persisted else [])
     if not verify:
-        return attach_intermediates(cand, [tok, sig])
+        return attach_intermediates(cand, cached)
 
     est = sum(
         F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
@@ -395,7 +403,7 @@ def _jaccard_lsh_pairs(
            .where(F.col("jaccard") >= threshold)
            .select("id_a", "id_b",
                    F.round("jaccard", 4).cast("double").alias("jaccard")))
-    return attach_intermediates(out, [tok, sig])
+    return attach_intermediates(out, cached)
 
 
 def minhash_index(

@@ -288,10 +288,12 @@ EXCHANGE_BUDGET = {
     # gone (5x-scale stress 36 s -> 6.7 s, sf0.1 candidates 2.6M -> <1M).
     # r6 anchor stars (over-cap buckets degrade to anchor pairs instead
     # of being dropped — recall fix): +2 runtime shuffles on tiny frames
-    # (the bucket-top/anchor aggregates) whose banded subtree prints
-    # under three more consumers -> 44 -> 72 textual matches; the pair
-    # union's groupBy is the same shuffle the old count took.
-    "minhash_pairs": 72,
+    # (the bucket-top/anchor aggregates); banded is now persisted against
+    # its 4 consumers, and a cached frame's full subtree PRINTS under
+    # every consumer in the unexecuted plan -> 44 -> 120 textual matches
+    # while runtime shuffles DROPPED (banded explode runs once: solo
+    # min-of-3 5.7 -> 4.4 s at sf0.1; 5x stress 6.9 s, exponent 0.10).
+    "minhash_pairs": 120,
     # lm_score's term shuffles + the per-lang cuts aggregate; the
     # persisted scored frame prints under both quantile_bins consumers
     # (cuts + probe) — dedupes to the cache at runtime

@@ -2267,6 +2267,44 @@ def q_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "cusum", "is_peak")
 
 
+def q_ohlc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars per event type: first/last-in-bucket via ordered
+    min_by/max_by aggregates (deterministic (ts, event_id) tie order) —
+    ONE aggregate, no window sort."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import ohlc_bars
+    events = _load_events(spark, sf_dir)
+    out = ohlc_bars(events, "ts", "value", key_cols=["event_type"],
+                    tie_col="event_id")
+    return out.select("event_type",
+                      F.col("bucket_ts").cast("timestamp").alias("day"),
+                      "open", "high", "low", "close", "n", "total")
+
+
+def q_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily time-weighted average event value (each observation
+    holds until the next; last holds to the day end) — one lead window
+    partitioned by (user, day), aggregate reuses the exchange."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import twap
+    events = _load_events(spark, sf_dir)
+    out = twap(events, "ts", "value", key_cols=["user_id"],
+               tie_col="event_id")
+    return out.select(F.col("user_id").cast("bigint").alias("user_id"),
+                      F.col("bucket_ts").cast("timestamp").alias("day"),
+                      "twap", "n")
+
+
+def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 consecutive event-type bigram paths across user timelines:
+    one collect shuffle (sorting inside the aggregated array), row-local
+    n-gram extraction, TakeOrderedAndProject top-k."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import top_paths
+    events = _load_events(spark, sf_dir)
+    return top_paths(events, tie_col="event_id", n=2, k=20)
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scores (recency/frequency/monetary quintiles, fully
     deterministic tile order): one aggregate to the per-customer triple,
@@ -2326,6 +2364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_prices": q_benford_prices,
         "cusum_daily": q_cusum_daily,
         "rfm_segments": q_rfm_segments,
+        "ohlc_events": q_ohlc_events,
+        "twap_daily": q_twap_daily,
+        "top_paths": q_top_paths,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3135,6 +3176,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                        || CAST(m_score AS VARCHAR) AS rfm
             FROM s
+        """,
+        "ohlc_events": """
+            WITH e AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     CAST(value AS DOUBLE) AS v,
+                     lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ordk
+              FROM events WHERE value IS NOT NULL)
+            SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+                   CAST(ROUND(arg_min(v, ordk), 4) AS DOUBLE) AS open,
+                   CAST(ROUND(max(v), 4) AS DOUBLE) AS high,
+                   CAST(ROUND(min(v), 4) AS DOUBLE) AS low,
+                   CAST(ROUND(arg_max(v, ordk), 4) AS DOUBLE) AS close,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(ROUND(CAST(sum(CAST(v AS DECIMAL(28,8)))
+                                   AS DOUBLE), 4) AS DOUBLE) AS total
+            FROM e GROUP BY 1, 2
+        """,
+        "twap_daily": """
+            WITH e AS (
+              SELECT user_id, date_trunc('day', ts) AS day,
+                     CAST(value AS DOUBLE) AS v, ts, event_id
+              FROM events WHERE value IS NOT NULL),
+            wts AS (
+              SELECT user_id, day, v,
+                     CAST(epoch_us(coalesce(
+                         lead(ts) OVER (PARTITION BY user_id, day
+                                        ORDER BY ts, event_id),
+                         day + INTERVAL 1 DAY)) - epoch_us(ts) AS DOUBLE)
+                       AS w
+              FROM e)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(day AS TIMESTAMP) AS day,
+                   CAST(ROUND(CASE WHEN sum(w) > 0
+                                   THEN sum(v * w) / sum(w)
+                                   ELSE avg(v) END, 4) AS DOUBLE) AS twap,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM wts GROUP BY 1, 2
+        """,
+        "top_paths": """
+            WITH s AS (
+              SELECT user_id,
+                     list(event_type ORDER BY ts, event_id) AS tl
+              FROM events WHERE event_type IS NOT NULL
+              GROUP BY 1),
+            p AS (
+              SELECT tl[i] || '>' || tl[i + 1] AS path
+              FROM s, LATERAL (
+                SELECT unnest(generate_series(1, len(tl) - 1)) AS i) g)
+            SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM p GROUP BY 1
+            ORDER BY n_occurrences DESC, path ASC
+            LIMIT 20
         """,
         "passthrough_exprs": """
             SELECT CAST(event_id AS BIGINT) AS event_id,

@@ -130,6 +130,9 @@ HEADLINE = [
     "benford_prices",
     "cusum_daily",
     "rfm_segments",
+    "ohlc_events",
+    "twap_daily",
+    "top_paths",
 ]
 
 

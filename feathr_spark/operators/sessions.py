@@ -109,3 +109,46 @@ def transition_matrix(df: DataFrame, user_col: str = "user_id",
     return (counts.join(F.broadcast(totals), "from_event")
             .select("from_event", "to_event", "n",
                     (F.col("n") / F.col("__tot")).alias("prob")))
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = None,
+    n: int = 2,
+    k: int = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Most common length-``n`` event-type paths (consecutive sequences
+    within one user's timeline) — the "what do users do next" readout
+    behind funnel discovery and next-event features.
+
+    Plan: ONE shuffle collects each user's ordered type list
+    (``array_sort`` over (ts, tie, type) structs — deterministic under
+    timestamp ties; sorting inside the aggregated array, never a
+    window); path extraction is a row-local ``transform`` over index
+    ``sequence``; the path counts are a second, path-cardinality-bounded
+    aggregate; the global top-k compiles to TakeOrderedAndProject
+    (per-partition k, never a full sort). Users shorter than ``n``
+    contribute nothing.
+
+    Output: (path, n_occurrences), ties broken lexicographically.
+    """
+    order_cols = [F.col(ts_col).cast("timestamp").alias("__t")] + \
+        ([F.col(tie_col).alias("__tie")] if tie_col else []) + \
+        [F.col(type_col).alias("__y")]
+    seq = (df.where(F.col(type_col).isNotNull())
+           .groupBy(user_col)
+           .agg(F.array_sort(F.collect_list(F.struct(*order_cols)))
+                .alias("__evs")))
+    tl = seq.select(F.transform("__evs", lambda s: s["__y"]).alias("__tl"))
+    paths = tl.select(F.explode(F.when(
+        F.size("__tl") >= n,
+        F.transform(F.sequence(F.lit(1), F.size("__tl") - n + 1),
+                    lambda i: F.concat_ws(sep, F.slice("__tl", i, n)))
+    )).alias("path"))
+    return (paths.groupBy("path").agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+            .limit(k))

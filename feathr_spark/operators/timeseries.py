@@ -1,0 +1,109 @@
+"""Time-series bar aggregates over event tables: OHLC and TWAP.
+
+The standard rollups for turning an irregular event/tick stream into
+fixed-interval bars — the feature shape behind price/metric dashboards
+and the per-bucket inputs to the forecasting/anomaly operators. Extends
+the reference surface (Azure/Feathr's window aggregations cover
+SUM/AVG/MIN/MAX/LATEST, `feathr-rs/src/model.rs:198-216`; first/last-in-
+bucket and duration-weighted means are not expressible there).
+
+Scale shape: both operators are ONE map-side-combined aggregate per
+bucket (OHLC) or one key-partitioned window + one aggregate (TWAP); the
+raw table is scanned once, nothing data-sized shuffles twice, and no
+window ever runs unpartitioned.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    bucket: str = "day",
+    tie_col: str = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Open/high/low/close bars per key per time bucket.
+
+    Open/close are the first/last value by event time inside the bucket
+    — ``min_by``/``max_by`` over a (ts, tie) struct, so ties at the same
+    timestamp break deterministically on ``tie_col`` (engines disagree
+    on arbitrary-tie arg_min otherwise; pass the event id). ONE
+    aggregate: no window, no sort, no self-join — first/last-in-group
+    via ordered aggregates is the scalable form (a row_number window
+    would sort every bucket).
+
+    Output: keys + (bucket_ts, open, high, low, close, n, total).
+    """
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    v = F.col(value_col).cast("double")
+    ordk = (F.struct(F.col(ts_col).cast("timestamp"), F.col(tie_col))
+            if tie_col else F.col(ts_col).cast("timestamp"))
+    return (df.where(v.isNotNull())
+            .groupBy(*keys, b.alias("bucket_ts"))
+            .agg(F.round(F.min_by(v, ordk), round_dp).cast("double")
+                 .alias("open"),
+                 F.round(F.max(v), round_dp).cast("double").alias("high"),
+                 F.round(F.min(v), round_dp).cast("double").alias("low"),
+                 F.round(F.max_by(v, ordk), round_dp).cast("double")
+                 .alias("close"),
+                 F.count("*").alias("n"),
+                 F.round(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                         .cast("double"), round_dp).cast("double")
+                 .alias("total")))
+
+
+def twap(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    bucket: str = "day",
+    tie_col: str = None,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Time-weighted average value per key per bucket: each observation
+    holds from its timestamp until the NEXT observation in the same
+    bucket (last one holds to the bucket end), weight = that duration —
+    the last-observation-carried-forward integral divided by the covered
+    span. The honest mean for irregularly-sampled series, where the
+    arithmetic mean over-weights bursts.
+
+    Plan: one ``lead`` window partitioned by (keys, bucket) — parallel
+    across buckets, each sorts only its own bucket's rows — then one
+    aggregate over the same partitioning (exchange reused). Ties order
+    by ``tie_col`` (zero-duration ties contribute zero weight, so tied
+    rows cannot double-count).
+
+    Output: keys + (bucket_ts, twap, n). Buckets with a single
+    observation get its value (weight = time to bucket end).
+    """
+    keys = list(key_cols)
+    ts = F.col(ts_col).cast("timestamp")
+    b = F.date_trunc(bucket, ts)
+    order = [F.col("__ts")] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*keys, "__b").orderBy(*order)
+    bucket_end = F.col("__b") + F.expr(f"INTERVAL 1 {bucket}")
+    base = df.where(F.col(value_col).isNotNull()).select(
+        *keys, F.col(value_col).cast("double").alias("__v"),
+        ts.alias("__ts"), b.alias("__b"),
+        *( [F.col(tie_col)] if tie_col else [] ))
+    nxt = F.coalesce(F.lead("__ts").over(w), bucket_end)
+    weighted = base.select(
+        *keys, "__b", "__v",
+        (F.unix_micros(nxt) - F.unix_micros(F.col("__ts")))
+        .cast("double").alias("__w"))
+    return (weighted.groupBy(*keys, F.col("__b").alias("bucket_ts"))
+            .agg(F.round(
+                F.when(F.sum("__w") > 0,
+                       F.sum(F.col("__v") * F.col("__w")) / F.sum("__w"))
+                .otherwise(F.avg("__v")), round_dp)
+                .cast("double").alias("twap"),
+                F.count("*").alias("n")))

@@ -1623,3 +1623,59 @@ def test_rfm_scores_deterministic(spark):
     assert out[2].r_score == 1 and out[2].m_score == 1
     assert out[3].m_score == 5            # highest spender
     assert all(len(r.rfm) == 3 for r in out.values())
+
+
+def test_ohlc_bars_values(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.timeseries import ohlc_bars
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(ts=t0 + dt.timedelta(hours=h), v=float(v), i=i)
+            for i, (h, v) in enumerate(
+                [(0, 10), (1, 20), (2, 5), (3, 30), (25, 7), (26, 3)])]
+    # same-timestamp tie: the higher event id is the close
+    rows.append(Row(ts=t0 + dt.timedelta(hours=3), v=99.0, i=100))
+    out = {r.bucket_ts.day: r for r in ohlc_bars(
+        spark.createDataFrame(rows), "ts", "v", tie_col="i").collect()}
+    d1 = out[1]
+    assert (d1.open, d1.high, d1.low, d1.close) == (10.0, 99.0, 5.0, 99.0)
+    assert d1.n == 5 and d1.total == 164.0
+    assert (out[2].open, out[2].close) == (7.0, 3.0)
+
+
+def test_twap_weights_by_duration(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.timeseries import twap
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(ts=t0, v=10.0, i=0),                      # holds 12h
+            Row(ts=t0 + dt.timedelta(hours=12), v=20.0, i=1),  # 12h
+            Row(ts=t0 + dt.timedelta(days=1, hours=1), v=7.0, i=2),
+            Row(ts=t0 + dt.timedelta(days=1, hours=2), v=3.0, i=3)]
+    out = {r.bucket_ts.day: r.twap for r in twap(
+        spark.createDataFrame(rows), "ts", "v", tie_col="i").collect()}
+    assert out[1] == 15.0                                # equal halves
+    assert out[2] == round((7 * 1 + 3 * 22) / 23, 4)     # LOCF to day end
+    # arithmetic mean would say 5.0 — TWAP must not
+    assert out[2] != 5.0
+
+
+def test_top_paths_order_and_ties(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.sessions import top_paths
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for u, seq in [(1, "abca"), (2, "ab"), (3, "bc")]:
+        for i, ch in enumerate(seq):
+            rows.append(Row(user_id=u, ts=t0 + dt.timedelta(minutes=i),
+                            event_type=ch, event_id=u * 100 + i))
+    out = [(r.path, r.n_occurrences) for r in top_paths(
+        spark.createDataFrame(rows), tie_col="event_id", k=10).collect()]
+    # a>b twice (users 1,2), b>c twice (users 1,3), c>a once; tie a>b
+    # before b>c lexicographically
+    assert out == [("a>b", 2), ("b>c", 2), ("c>a", 1)]
+    # single-event users contribute nothing
+    one = spark.createDataFrame([Row(user_id=9, ts=t0, event_type="x",
+                                     event_id=1)])
+    assert top_paths(one, tie_col="event_id").count() == 0

@@ -463,6 +463,14 @@ EXCHANGE_BUDGET = {
     # per-customer RFM aggregate + 1-row anchor fold + the shared
     # SinglePartition exchange under the three ntile windows
     "rfm_segments": 3,
+    # ONE (type, day) aggregate — first/last via ordered min_by/max_by,
+    # no window
+    "ohlc_events": 1,
+    # the lead window's (user, day) exchange, reused by the aggregate
+    "twap_daily": 1,
+    # per-user collect aggregate + path-cardinality count; the top-k is
+    # TakeOrderedAndProject (per-partition k)
+    "top_paths": 2,
 }
 
 

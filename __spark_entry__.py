@@ -2305,6 +2305,63 @@ def q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_paths(events, tie_col="event_id", n=2, k=20)
 
 
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority OLS trend of order totals over the order date (day
+    number): closed-form slope/intercept/r² from exact decimal moment
+    sums — ONE aggregate pass, no solver, no collect."""
+    _utc(spark)
+    from feathr_spark.operators.stats import ols_trend
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .withColumn("day_x",
+                    F.unix_date(F.col("o_orderdate").cast("date")))
+    return ols_trend(orders, "day_x", "o_totalprice",
+                     key_cols=["o_orderpriority"])
+
+
+def q_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling of order totals (outlier-proof cousin
+    of zscore_price): one exact-percentile cuts aggregate broadcast onto
+    the single data-sized scan."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import robust_scale
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = robust_scale(orders, "o_totalprice", "o_orderkey")
+    return out.select(F.col("o_orderkey").cast("bigint")
+                      .alias("o_orderkey"), "value", "robust")
+
+
+def q_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch accuracy gate: for the exact top-20 corpus
+    tokens, the CMS point estimate must never underestimate (structural
+    guarantee) and must sit within 8N/width of the true count (the gate
+    bound; hashes are deterministic so this is a fixed fact of the
+    corpus, not a flaky draw). Oracle pins the exact counts + true
+    flags — the sketch passes only if both properties hold."""
+    _utc(spark)
+    from feathr_spark.operators.sketch import cms_lookup, count_min_sketch
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    depth, width = 3, 1024
+    sketch = count_min_sketch(docs, depth=depth, width=width).persist()
+    terms = (docs.select(F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")).alias("term"))
+        .where(F.col("term") != ""))
+    top = (terms.groupBy("term").agg(F.count("*").alias("n_exact"))
+           .orderBy(F.col("n_exact").desc(), F.col("term").asc())
+           .limit(20))
+    est = cms_lookup(sketch, top.select("term"), depth=depth, width=width)
+    n_total = sketch.where(F.col("row") == 0) \
+        .agg(F.sum("cnt").alias("__N"))
+    bound = F.ceil(F.lit(8.0) * F.col("__N") / F.lit(width))
+    return (top.join(est, "term")
+            .crossJoin(F.broadcast(n_total))
+            .select("term",
+                    F.col("n_exact").cast("bigint").alias("n_exact"),
+                    (F.col("est_count") >= F.col("n_exact"))
+                    .alias("no_underestimate"),
+                    (F.col("est_count") <= F.col("n_exact") + bound)
+                    .alias("within_bound")))
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scores (recency/frequency/monetary quintiles, fully
     deterministic tile order): one aggregate to the per-customer triple,
@@ -2367,6 +2424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_events": q_ohlc_events,
         "twap_daily": q_twap_daily,
         "top_paths": q_top_paths,
+        "ols_trend": q_ols_trend,
+        "robust_scale_price": q_robust_scale_price,
+        "cms_gate": q_cms_gate,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3176,6 +3236,86 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                        || CAST(m_score AS VARCHAR) AS rfm
             FROM s
+        """,
+        "ols_trend": """
+            WITH m AS (
+              SELECT o_orderpriority,
+                     count(*) AS n,
+                     sum(CAST(datediff('day', DATE '1970-01-01',
+                                       o_orderdate) AS DECIMAL(28,8)))
+                       AS sx,
+                     sum(CAST(o_totalprice AS DECIMAL(28,8))) AS sy,
+                     sum(CAST(CAST(datediff('day', DATE '1970-01-01',
+                                            o_orderdate)
+                                   AS DECIMAL(28,8))
+                              * CAST(o_totalprice AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS sxy,
+                     sum(CAST(CAST(datediff('day', DATE '1970-01-01',
+                                            o_orderdate)
+                                   AS DECIMAL(28,8))
+                              * CAST(datediff('day', DATE '1970-01-01',
+                                              o_orderdate)
+                                     AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS sxx,
+                     sum(CAST(CAST(o_totalprice AS DECIMAL(28,8))
+                              * CAST(o_totalprice AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS syy
+              FROM orders
+              WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+              GROUP BY 1),
+            d AS (
+              SELECT o_orderpriority, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                     CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(sxx AS DOUBLE) AS sxxd,
+                     CAST(syy AS DOUBLE) AS syyd
+              FROM m),
+            e AS (
+              SELECT o_orderpriority, n,
+                     nd * sxxd - sxd * sxd AS vx,
+                     nd * syyd - syd * syd AS vy,
+                     nd * sxyd - sxd * syd AS cov,
+                     nd, sxd, syd
+              FROM d)
+            SELECT o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(ROUND(CASE WHEN vx > 0 THEN cov / vx END, 4)
+                        AS DOUBLE) AS slope,
+                   CAST(ROUND(CASE WHEN vx > 0
+                              THEN (syd - (cov / vx) * sxd) / nd END, 4)
+                        AS DOUBLE) AS intercept,
+                   CAST(ROUND(CASE WHEN vx > 0 AND vy > 0
+                                   THEN (cov * cov) / (vx * vy)
+                              WHEN vx > 0 AND vy = 0 THEN 1.0 END, 4)
+                        AS DOUBLE) AS r2
+            FROM e
+        """,
+        "robust_scale_price": """
+            WITH cuts AS (
+              SELECT quantile_cont(o_totalprice, 0.25) AS q1,
+                     quantile_cont(o_totalprice, 0.5) AS med,
+                     quantile_cont(o_totalprice, 0.75) AS q3
+              FROM orders WHERE o_totalprice IS NOT NULL)
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS value,
+                   CAST(ROUND(CASE WHEN q3 - q1 > 0 THEN
+                          (o_totalprice - med) / (q3 - q1) END, 4)
+                        AS DOUBLE) AS robust
+            FROM orders, cuts
+        """,
+        "cms_gate": """
+            SELECT w AS term,
+                   CAST(count(*) AS BIGINT) AS n_exact,
+                   TRUE AS no_underestimate,
+                   TRUE AS within_bound
+            FROM (SELECT unnest(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS w
+                  FROM documents)
+            GROUP BY w
+            ORDER BY n_exact DESC, term ASC
+            LIMIT 20
         """,
         "ohlc_events": """
             WITH e AS (

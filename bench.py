@@ -133,6 +133,9 @@ HEADLINE = [
     "ohlc_events",
     "twap_daily",
     "top_paths",
+    "ols_trend",
+    "robust_scale_price",
+    "cms_gate",
 ]
 
 

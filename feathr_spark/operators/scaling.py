@@ -230,3 +230,37 @@ def percentile_rank(
         .when(n > 1, (rk - 1).cast("double") / (n - 1)) \
         .otherwise(F.lit(0.0))
     return df.withColumn(f"{value_col}_pct", pct)
+
+
+def robust_scale(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    by: Sequence[str] = (),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Median/IQR scaling: (v − median) / (q75 − q25) — the outlier-proof
+    cousin of :func:`standardize` (a single 10⁹ outlier shifts a z-score's
+    mean and explodes its σ; quartiles barely move). The per-group cuts
+    come from ONE exact-percentile aggregate (doc-sized frame, broadcast
+    back); the scan stays data-sized and single-pass like the other
+    scalers here.
+
+    Output: ``by`` + (``id_col``, value, robust) — rows whose group has
+    zero IQR get NULL robust (scale undefined; gate or impute downstream).
+    """
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    cuts = (df.where(v.isNotNull())
+            .groupBy(*keys)
+            .agg(F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
+                 F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
+                 F.expr(f"percentile({value_col}, 0.75)").alias("__q3")))
+    j = (df.join(F.broadcast(cuts), keys) if keys
+         else df.crossJoin(F.broadcast(cuts)))
+    iqr = F.col("__q3") - F.col("__q1")
+    robust = F.when(iqr > 0, (v - F.col("__med")) / iqr)
+    return j.select(
+        *keys, F.col(id_col),
+        F.round(v, round_dp).cast("double").alias("value"),
+        F.round(robust, round_dp).cast("double").alias("robust"))

@@ -122,3 +122,59 @@ def heavy_hitters(
     return topk.crossJoin(F.broadcast(part_err)).select(
         "term", "est_count", F.coalesce("max_err", F.lit(0)).alias("max_err")
     )
+
+
+def count_min_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch of a corpus's whitespace-token frequencies
+    (Cormode & Muthukrishnan 2005): ``depth`` hash rows × ``width``
+    buckets of ADDITIVE counters — the other classic mergeable
+    frequency sketch next to :func:`heavy_hitters`' Misra-Gries (MG
+    answers "what are the top terms", CMS answers "how often is THIS
+    term" for arbitrary later queries from constant state).
+
+    The sketch IS a DataFrame: (row, bucket, cnt), at most depth×width
+    rows regardless of corpus size — write it to parquet, merge sketches
+    of corpus shards by summing matching cells. Hashes are deterministic
+    ``xxhash64(term, row-seed) mod width``, so sketches built anywhere
+    compose. Guarantee: estimate ≥ true count, and ≤ true + εN with
+    ε = e/width at probability 1 − e^−depth. One explode + ONE
+    (row, bucket) aggregate — map-side partials cap the shuffle at
+    depth×width rows per task.
+    """
+    terms = (df.select(F.explode(
+        F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"))
+        .where(F.col("term") != ""))
+    cells = terms.select(F.posexplode(F.array(*[
+        F.pmod(F.xxhash64(F.col("term"), F.lit(r)), F.lit(width))
+        for r in range(depth)
+    ])).alias("row", "bucket"))
+    return (cells.groupBy("row", "bucket")
+            .agg(F.count("*").alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, terms: DataFrame,
+               term_col: str = "term", depth: int = 3,
+               width: int = 1024) -> DataFrame:
+    """Point-query a :func:`count_min_sketch`: per term, the minimum of
+    its ``depth`` bucket counters (the CMS estimate). ``terms`` is a
+    (usually small) frame of query terms; the join is on (row, bucket)
+    against the depth×width-row sketch — broadcast by size. Missing
+    cells count 0 (term never hashed there).
+
+    Output: (``term_col``, est_count).
+    """
+    probes = terms.select(
+        F.col(term_col),
+        F.posexplode(F.array(*[
+            F.pmod(F.xxhash64(F.col(term_col), F.lit(r)), F.lit(width))
+            for r in range(depth)
+        ])).alias("row", "bucket"))
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+            .groupBy(term_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("bigint").alias("est_count")))

@@ -448,3 +448,54 @@ def chi2_independence(
         dof.cast("bigint").alias("dof"),
         F.round(chi2, round_dp).cast("double").alias("chi2"),
         F.round(v, round_dp).cast("double").alias("cramers_v"))
+
+
+def ols_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    key_cols: Sequence[str] = (),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS): slope,
+    intercept, and r² of y on x — the trend readout behind
+    metric-over-time monitoring, computed from exact moment sums in ONE
+    map-side-combined aggregate pass (never an iterative solver, never a
+    collect).
+
+    The five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+    DECIMAL — order-independent exact sums, so the derived statistics
+    are bit-identical across engines and partitionings; the closed-form
+    division happens once per group in double. Degenerate groups
+    (n < 2 or zero x-variance) get NULL slope/intercept/r².
+
+    Output: keys + (n, slope, intercept, r2).
+    """
+    keys = list(key_cols)
+    x = F.col(x_col).cast("decimal(28,8)")
+    y = F.col(y_col).cast("decimal(28,8)")
+    m = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+         .groupBy(*keys)
+         .agg(F.count("*").alias("__n"),
+              F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+              F.sum((x * y).cast("decimal(38,10)")).alias("__sxy"),
+              F.sum((x * x).cast("decimal(38,10)")).alias("__sxx"),
+              F.sum((y * y).cast("decimal(38,10)")).alias("__syy")))
+    n = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when(vx > 0, cov / vx)
+    intercept = F.when(vx > 0, (sy - slope * sx) / n)
+    r2 = F.when((vx > 0) & (vy > 0), (cov * cov) / (vx * vy)) \
+        .when((vx > 0) & (vy == 0), F.lit(1.0))
+    return m.select(
+        *keys,
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(slope, round_dp).cast("double").alias("slope"),
+        F.round(intercept, round_dp).cast("double").alias("intercept"),
+        F.round(r2, round_dp).cast("double").alias("r2"))

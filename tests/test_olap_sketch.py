@@ -1679,3 +1679,72 @@ def test_top_paths_order_and_ties(spark):
     one = spark.createDataFrame([Row(user_id=9, ts=t0, event_type="x",
                                      event_id=1)])
     assert top_paths(one, tie_col="event_id").count() == 0
+
+
+def test_ols_trend_exact_line(spark):
+    from feathr_spark.operators.stats import ols_trend
+    # perfect line y = 2x + 3 -> slope 2, intercept 3, r2 = 1
+    rows = [("a", float(x), 2.0 * x + 3.0) for x in range(10)]
+    # flat group: slope 0, r2 NULL (vy = 0 -> r2 = 1 by convention? no:
+    # vy == 0 means y constant -> any line fits; we return r2 = 1 when
+    # the fit is exact (vx > 0, vy == 0 -> residuals 0)
+    rows += [("b", float(x), 7.0) for x in range(5)]
+    rows += [("c", 1.0, 5.0)]  # n = 1 -> all NULL
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    out = {r.k: r for r in ols_trend(df, "x", "y", ["k"]).collect()}
+    assert (out["a"].slope, out["a"].intercept, out["a"].r2) == \
+        (2.0, 3.0, 1.0)
+    assert (out["b"].slope, out["b"].r2) == (0.0, 1.0)
+    assert out["c"].slope is None and out["c"].r2 is None
+
+
+def test_robust_scale_outlier_proof(spark):
+    from feathr_spark.operators.scaling import robust_scale
+    vals = [float(v) for v in range(1, 12)]        # 1..11: med 6, IQR 5
+    vals.append(1e9)                                # the outlier
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "id int, v double")
+    out = {r.id: r.robust for r in robust_scale(df, "v", "id").collect()}
+    # median/IQR shift only slightly with one outlier; z-score would
+    # collapse all inliers to ~0. Check the median row lands near 0 and
+    # the spread of inliers stays O(1).
+    assert abs(out[5]) < 0.2
+    assert 0.5 < abs(out[0]) < 2.0
+    assert out[11] > 100            # the outlier is still flagged huge
+    same = spark.createDataFrame([(1, 5.0), (2, 5.0)], "id int, v double")
+    assert all(r.robust is None
+               for r in robust_scale(same, "v", "id").collect())
+
+
+def test_count_min_sketch_properties(spark):
+    from pyspark.sql import Row
+    from feathr_spark.operators.sketch import cms_lookup, count_min_sketch
+    docs = spark.createDataFrame(
+        [Row(i=0, text=" ".join(["apple"] * 50 + ["banana"] * 20
+                                + ["fig"]))]
+        + [Row(i=i, text="noise words "
+               + " ".join(f"w{j}" for j in range(50)))
+           for i in range(1, 5)])
+    sk = count_min_sketch(docs, depth=3, width=256)
+    # sketch is bounded: at most depth*width cells, each row sums to N
+    assert sk.count() <= 3 * 256
+    row_sums = {r.row: r.total for r in
+                sk.groupBy("row").agg(F.sum("cnt").alias("total"))
+                .collect()}
+    assert len(set(row_sums.values())) == 1      # every row sees all N
+    q = spark.createDataFrame([("apple",), ("banana",), ("absent",)],
+                              "term string")
+    est = {r.term: r.est_count
+           for r in cms_lookup(sk, q, depth=3, width=256).collect()}
+    assert est["apple"] >= 50 and est["banana"] >= 20  # never underestimates
+    n = next(iter(row_sums.values()))
+    assert est["absent"] <= 8 * n / 256          # collisions stay bounded
+    # mergeability: sketch(a ∪ b) == sketch(a) + sketch(b) cell-wise
+    half1 = docs.where(F.col("i") < 2)
+    half2 = docs.where(F.col("i") >= 2)
+    merged = (count_min_sketch(half1, depth=3, width=256)
+              .unionByName(count_min_sketch(half2, depth=3, width=256))
+              .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt")))
+    a = {(r.row, r.bucket): r.cnt for r in sk.collect()}
+    b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert a == b

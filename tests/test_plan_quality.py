@@ -73,6 +73,10 @@ BROADCAST_LOOP_OK = {
     "cusum_daily",
     # 1-row anchor-date frame broadcast onto the per-customer rows
     "rfm_segments",
+    # 1-row quartile-cuts frame broadcast onto every data row
+    "robust_scale_price",
+    # 1-row token-total frame broadcast onto the 20 gate rows
+    "cms_gate",
 }
 
 
@@ -471,6 +475,15 @@ EXCHANGE_BUDGET = {
     # per-user collect aggregate + path-cardinality count; the top-k is
     # TakeOrderedAndProject (per-partition k)
     "top_paths": 2,
+    # ONE moment aggregate (all six sums in the same pass)
+    "ols_trend": 1,
+    # one exact-percentile cuts aggregate, broadcast onto the scan
+    "robust_scale_price": 1,
+    # sketch cell aggregate (persisted, prints under lookup + N fold) +
+    # exact top-20 aggregate feeding TakeOrderedAndProject + the probe
+    # groupBy; every frame depth*width- or k-bounded except the two
+    # corpus token passes
+    "cms_gate": 5,
 }
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType, LongType, StringType, StructField, StructType,
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
 )
 
 
@@ -155,3 +155,108 @@ def stream_decay_counters(
     return prepared.groupBy(*keys).applyInPandasWithState(
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout)
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    window: str = "1h",
+    watermark: str = "10 minutes",
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Streaming top-``k`` terms per tumbling window with BOUNDED state —
+    the streaming face of :func:`..operators.sketch.heavy_hitters`: one
+    Misra-Gries summary (``capacity`` counters, same decrement rule and
+    error bound) per open window, merged incrementally as micro-batches
+    arrive, emitted ONCE when the watermark closes the window
+    (event-time timeout), then evicted.
+
+    State per window is ``capacity`` (term, count) pairs regardless of
+    how many events land in it — the unbounded-vocabulary problem that
+    makes a naive windowed ``groupBy(term)`` grow state with distinct
+    terms is capped by construction. Tokenization stays JVM-side
+    (split + explode before the stateful operator); Python sees Arrow
+    batches of a single term column per window group.
+
+    In the exact regime (capacity ≥ window vocabulary) a closed
+    window's output EQUALS the batch operator on the same slice
+    (value-tested); beyond it, the standard MG undercount bound applies
+    per window, reported as ``max_err``.
+
+    Output (append, on window close): window_start, term, est_count,
+    max_err.
+    """
+    from ..model import parse_duration_ms
+    win_ms = parse_duration_ms(window)
+    cap = int(capacity)
+    out_schema = StructType([
+        StructField("window_start", LongType()),
+        StructField("term", StringType()),
+        StructField("est_count", LongType()),
+        StructField("max_err", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("terms", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("err", LongType()),
+    ])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        win_start = int(key[0])
+        if state.hasTimedOut:
+            terms, counts, err = state.get
+            state.remove()
+            top = sorted(zip(counts, terms),
+                         key=lambda p: (-p[0], p[1]))[:k]
+            if top:
+                yield pd.DataFrame(
+                    {"window_start": [win_start] * len(top),
+                     "term": [t for _, t in top],
+                     "est_count": [c for c, _ in top],
+                     "max_err": [err] * len(top)})
+            return
+        if state.exists:
+            terms, counts, err = state.get
+            counters = dict(zip(terms, counts))
+            err = int(err)
+        else:
+            counters, err = {}, 0
+        for pdf in pdfs:
+            for term, c in pdf["__term"].value_counts().items():
+                c = int(c)
+                if term in counters:
+                    counters[term] += c
+                    continue
+                counters[term] = c
+                if len(counters) <= cap:
+                    continue
+                m = min(counters.values())
+                err += m
+                counters = {t: n - m for t, n in counters.items()
+                            if n > m}
+        state.update((list(counters.keys()),
+                      [int(v) for v in counters.values()], err))
+        # fire once the watermark passes the window end; a late-but-
+        # in-horizon batch for an already-past window must not set a
+        # timestamp at or below the current watermark (Spark rejects it)
+        state.setTimeoutTimestamp(
+            max(win_start + win_ms, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — make `update` a generator
+
+    prepared = (stream_df
+                .withWatermark(ts_col, watermark)
+                .select(
+                    F.col(ts_col),  # keep the watermarked column in scope
+                    (F.floor(F.unix_millis(F.col(ts_col)
+                                           .cast("timestamp"))
+                             / F.lit(win_ms)) * F.lit(win_ms))
+                    .cast("bigint").alias("__ws"),
+                    F.explode(F.split(F.trim(F.col(text_col)), r"\s+"))
+                    .alias("__term"))
+                .where(F.col("__term") != ""))
+    return prepared.groupBy("__ws").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)

@@ -790,3 +790,51 @@ def test_stream_quantile_monitor_matches_batch_kll(spark, tmp_path):
     for ws, r in got.items():
         assert (r.p50, r.p95) == (ref[ws].p50, ref[ws].p95)
     assert w1.p50 == 7.0 and w2.p50 == 22.0
+
+
+def test_stream_heavy_hitters_closed_window_equals_batch(spark, tmp_path):
+    """The MG state of a CLOSED window equals the batch heavy_hitters
+    summary over the same slice (exact regime: capacity >= vocabulary),
+    and state is evicted after emission (bounded-state contract)."""
+    from feathr_spark.operators.sketch import heavy_hitters
+    from feathr_spark.streaming.stateful import stream_heavy_hitters
+    src = tmp_path / "hh_stream"
+    src.mkdir()
+    t0 = ts("2024-01-01 00:10:00")
+    w1 = [Row(ts=t0, text="apple apple banana"),
+          Row(ts=ts("2024-01-01 00:20:00"), text="apple fig banana")]
+    # batch 2 sits two hours later: watermark (10 min) passes the end of
+    # window 1 and must close it
+    w2 = [Row(ts=ts("2024-01-01 02:30:00"), text="zebra zebra")]
+    spark.createDataFrame(w1).write.parquet(str(src / "b1.parquet"))
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = stream_heavy_hitters(stream, window="1h", k=5, capacity=64)
+    q = (out.writeStream.format("memory").queryName("t_hh")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "hh_ckpt")).start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from t_hh").count() == 0  # still open
+        spark.createDataFrame(w2).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+        # one more batch so the timeout (evaluated at batch start) fires
+        spark.createDataFrame(
+            [Row(ts=ts("2024-01-01 03:30:00"), text="tail")]
+        ).write.parquet(str(src / "b3.parquet"))
+        q.processAllAvailable()
+        rows = spark.sql("select * from t_hh").collect()
+    finally:
+        q.stop()
+    w1_start = int(ts("2024-01-01 00:00:00").timestamp() * 1000)
+    got_w1 = {(r.term, r.est_count, r.max_err)
+              for r in rows if r.window_start == w1_start}
+    got_other = {(r.term, r.est_count) for r in rows
+                 if r.window_start != w1_start}
+    batch = heavy_hitters(spark.createDataFrame(w1), "text",
+                          k=5, capacity=64)
+    want = {(r.term, r.est_count, r.max_err) for r in batch.collect()}
+    assert got_w1 == want and ("apple", 3, 0) in got_w1
+    # window 2 (zebra) closed too once the tail batch advanced the
+    # watermark past its end
+    assert got_other == {("zebra", 2)}

@@ -2362,6 +2362,31 @@ def q_cms_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("within_bound")))
 
 
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between order priority and status —
+    same single-cell-aggregate plan as chi2_orders, plus the normalized
+    I/min(H) readout."""
+    _utc(spark)
+    from feathr_spark.operators.stats import mutual_info
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return mutual_info(orders, "o_orderpriority", "o_orderstatus")
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→8 projection of the embeddings table:
+    the plan-literal ±1/√d sign matrix (md5-parity, engine-portable)
+    folds each vector row-locally — zero shuffle, zero runtime hashing.
+    Output components rounded for the exact oracle compare."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import random_projection
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_projection(emb, out_dim=8, dim=64, seed=0)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        F.transform("projected", lambda x: F.round(x, 4)
+                    .cast("double")).alias("projected"))
+
+
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer scores (recency/frequency/monetary quintiles, fully
     deterministic tile order): one aggregate to the per-customer triple,
@@ -2427,6 +2452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trend": q_ols_trend,
         "robust_scale_price": q_robust_scale_price,
         "cms_gate": q_cms_gate,
+        "mutual_info_orders": q_mutual_info,
+        "jl_project": q_jl_project,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3236,6 +3263,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                        || CAST(m_score AS VARCHAR) AS rfm
             FROM s
+        """,
+        "mutual_info_orders": """
+            WITH cells AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*) AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            t AS (
+              SELECT c,
+                     CAST(c AS DOUBLE) AS cd,
+                     CAST(sum(c) OVER () AS DOUBLE) AS n,
+                     CAST(sum(c) OVER (PARTITION BY a) AS DOUBLE) AS ca,
+                     CAST(sum(c) OVER (PARTITION BY b) AS DOUBLE) AS cb
+              FROM cells),
+            f AS (
+              SELECT sum(c) AS n_rows,
+                     sum((cd / n) * ln(cd * n / (ca * cb))) AS i,
+                     -sum((cd / n) * ln(ca / n)) AS ha,
+                     -sum((cd / n) * ln(cb / n)) AS hb
+              FROM t)
+            SELECT CAST(n_rows AS BIGINT) AS n,
+                   CAST(ROUND(i / ln(2), 4) AS DOUBLE) AS mi,
+                   CAST(ROUND(CASE WHEN least(ha, hb) / ln(2) > 0
+                              THEN (i / ln(2)) / (least(ha, hb) / ln(2))
+                              END, 4) AS DOUBLE) AS mi_normalized
+            FROM f
+        """,
+        "jl_project": """
+            WITH signs AS (
+              SELECT j.j AS j, i.i AS i,
+                     CASE WHEN ('0x' || substr(md5('0_' || j.j || '_'
+                                                    || i.i), 1, 15))
+                               ::BIGINT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END / sqrt(8.0) AS r
+              FROM (SELECT unnest(generate_series(0, 63)) AS j) j,
+                   (SELECT unnest(generate_series(0, 7)) AS i) i),
+            ex AS (
+              SELECT vec_id, u.x AS x, u.j AS j
+              FROM embeddings,
+                   LATERAL (SELECT unnest(embedding) AS x,
+                                   generate_subscripts(embedding, 1) - 1
+                                     AS j) u),
+            comp AS (
+              SELECT e.vec_id, s.i,
+                     CAST(ROUND(sum(CAST(e.x AS DOUBLE) * s.r), 4)
+                          AS DOUBLE) AS v
+              FROM ex e JOIN signs s ON e.j = s.j
+              GROUP BY 1, 2)
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   list(v ORDER BY i) AS projected
+            FROM comp GROUP BY 1
         """,
         "ols_trend": """
             WITH m AS (

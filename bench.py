@@ -136,6 +136,8 @@ HEADLINE = [
     "ols_trend",
     "robust_scale_price",
     "cms_gate",
+    "mutual_info_orders",
+    "jl_project",
 ]
 
 

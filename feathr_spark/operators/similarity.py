@@ -304,3 +304,50 @@ def ivf_topk(
         "query_id", "neighbor_id",
         F.round(cosine(F.col("__qv"), F.col("__cv")), 4).cast("double").alias("__score"))
     return _two_stage_topk(scored, k)
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 0,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project each
+    vector through a deterministic ±1/√d sign matrix — the standard
+    cheap pre-step that shrinks embedding scan/shuffle cost ~dim/out_dim
+    before ANN or clustering while approximately preserving pairwise
+    distances (JL lemma: distortion ≤ ε needs out_dim ≈ 8·ln n / ε²).
+
+    The sign matrix entry R[j][i] is the parity of
+    ``md5(f"{seed}_{j}_{i}")``'s leading 60 bits — data-independent, so
+    it is computed ONCE driver-side with hashlib and embedded as plan
+    literals: at runtime each component is a single codegen'd
+    ``zip_with`` + ``aggregate`` fold over the input array, zero
+    hashing, zero shuffle, no UDF. The same md5 formula is trivially
+    reproducible in any SQL engine (portable_hash64 family), which is
+    what gives the driver query an exact independent oracle.
+
+    ``dim`` must match the input vector length (plan-time constant —
+    the matrix is baked into the expression tree).
+
+    Output: input columns + ``out_col`` array<double> of ``out_dim``.
+    """
+    import hashlib
+    inv_sqrt = 1.0 / math.sqrt(out_dim)
+
+    def sign(j: int, i: int) -> float:
+        h = hashlib.md5(f"{seed}_{j}_{i}".encode()).hexdigest()
+        return 1.0 if int(h[:15], 16) % 2 == 0 else -1.0
+
+    v = F.col(vec_col).cast("array<double>")
+
+    def component(i: int) -> Column:
+        signs = F.array(*[F.lit(sign(j, i) * inv_sqrt)
+                          for j in range(dim)])
+        return F.aggregate(F.zip_with(v, signs, lambda x, r: x * r),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    return df.withColumn(out_col,
+                         F.array(*[component(i) for i in range(out_dim)]))

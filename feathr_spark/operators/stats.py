@@ -499,3 +499,53 @@ def ols_trend(
         F.round(slope, round_dp).cast("double").alias("slope"),
         F.round(intercept, round_dp).cast("double").alias("intercept"),
         F.round(r2, round_dp).cast("double").alias("r2"))
+
+
+def mutual_info(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    base2: bool = True,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Mutual information between two categorical columns —
+    I(A;B) = Σ p(a,b)·log(p(a,b)/(p(a)p(b))) — the feature-relevance /
+    redundancy readout that, unlike correlation, sees nonlinear and
+    non-ordinal association. Same plan skeleton as
+    :func:`chi2_independence`: ONE data-sized aggregate to the
+    contingency cells, marginals from windows over the tiny cell frame,
+    one final fold. Also emits the normalized variant
+    I/min(H(A), H(B)) (0..1, comparable across feature pairs).
+
+    Output (one row): n, mi, mi_normalized (NULL when either marginal
+    entropy is 0 — a constant column carries no information).
+    """
+    cells = (df.where(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+             .groupBy(a_col, b_col).agg(F.count("*").alias("__c")))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    wall = Window.partitionBy()
+    c = F.col("__c").cast("double")
+    n = F.sum("__c").over(wall).cast("double")
+    ca = F.sum("__c").over(wa).cast("double")
+    cb = F.sum("__c").over(wb).cast("double")
+    # I = Σ (c/n)·log(c·n/(ca·cb)); H(A) = log n − Σ_a ca·log ca / n
+    # computed from the SAME cell pass (per-cell ca/ca duplicates fold
+    # out by dividing each cell's marginal term by the partner count)
+    terms = cells.select(
+        "__c",
+        ((c / n) * F.log(c * n / (ca * cb))).alias("__mi"),
+        ((c / n) * F.log(ca / n)).alias("__ha"),   # sums to −H(A) in nats
+        ((c / n) * F.log(cb / n)).alias("__hb"))
+    folded = terms.agg(F.sum("__c").alias("__n"),
+                       F.sum("__mi").alias("__i"),
+                       (-F.sum("__ha")).alias("__Ha"),
+                       (-F.sum("__hb")).alias("__Hb"))
+    scale = F.lit(math.log(2)) if base2 else F.lit(1.0)
+    mi = F.col("__i") / scale
+    hmin = F.least(F.col("__Ha"), F.col("__Hb")) / scale
+    return folded.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.round(mi, round_dp).cast("double").alias("mi"),
+        F.round(F.when(hmin > 0, mi / hmin), round_dp).cast("double")
+        .alias("mi_normalized"))

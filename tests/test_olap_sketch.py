@@ -1748,3 +1748,44 @@ def test_count_min_sketch_properties(spark):
     a = {(r.row, r.bucket): r.cnt for r in sk.collect()}
     b = {(r.row, r.bucket): r.cnt for r in merged.collect()}
     assert a == b
+
+
+def test_mutual_info_extremes(spark):
+    from feathr_spark.operators.stats import mutual_info
+    dep = spark.createDataFrame([("x", "p")] * 5 + [("y", "q")] * 5,
+                                "a string, b string")
+    r = mutual_info(dep, "a", "b").collect()[0]
+    assert (r.n, r.mi, r.mi_normalized) == (10, 1.0, 1.0)
+    ind = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+        + [("y", "q")] * 5, "a string, b string")
+    r2 = mutual_info(ind, "a", "b").collect()[0]
+    assert r2.mi == 0.0 and r2.mi_normalized == 0.0
+    const = spark.createDataFrame([("x", "p")] * 4, "a string, b string")
+    assert mutual_info(const, "a", "b").collect()[0].mi_normalized is None
+
+
+def test_random_projection_preserves_distances(spark):
+    import itertools
+    import numpy as np
+    from pyspark.sql import Row
+    from feathr_spark.operators.similarity import random_projection
+    rng = np.random.default_rng(1)
+    rows = [Row(vec_id=i,
+                embedding=[float(x) for x in rng.standard_normal(64)])
+            for i in range(30)]
+    out = random_projection(spark.createDataFrame(rows),
+                            out_dim=32, dim=64, seed=0).collect()
+    orig = {r.vec_id: np.array(r.embedding) for r in out}
+    proj = {r.vec_id: np.array(r.projected) for r in out}
+    ratios = [np.linalg.norm(proj[a] - proj[b])
+              / np.linalg.norm(orig[a] - orig[b])
+              for a, b in itertools.combinations(range(30), 2)]
+    # JL at 32 dims: distances preserved within a modest band on average
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+    assert min(ratios) > 0.4 and max(ratios) < 1.8
+    # determinism: same seed -> identical projection
+    again = random_projection(spark.createDataFrame(rows),
+                              out_dim=32, dim=64, seed=0).collect()
+    assert {r.vec_id: r.projected for r in again} == \
+        {r.vec_id: r.projected for r in out}

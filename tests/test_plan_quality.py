@@ -484,6 +484,11 @@ EXCHANGE_BUDGET = {
     # groupBy; every frame depth*width- or k-bounded except the two
     # corpus token passes
     "cms_gate": 5,
+    # one cell aggregate; the marginal windows over the cell frame
+    # repartition it twice (|a|*|b| rows)
+    "mutual_info_orders": 2,
+    # row-local plan-literal matrix fold — zero shuffles by construction
+    "jl_project": 0,
 }
 
 

@@ -406,3 +406,71 @@ def test_heavy_hitters_error_bound_property(spark, data):
     out = heavy_hitters(df, "text", k=k, capacity=cap).collect()
     for r in out:
         assert r.est_count <= counts[r.term] <= r.est_count + r.max_err, r
+
+
+@pytest.mark.usefixtures("spark")
+@given(data=st.data())
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_skyline_matches_brute_force(spark, data):
+    """skyline_2d over random integer clouds (heavy ties on both axes,
+    every bucket layout) equals the O(n^2) dominance definition."""
+    from feathr_spark.operators.olap import skyline_2d
+    n = data.draw(st.integers(min_value=1, max_value=60), label="n")
+    span = data.draw(st.sampled_from([1, 3, 10, 1000]), label="span")
+    rows = [(i,
+             float(data.draw(st.integers(0, span), label=f"x{i}")),
+             data.draw(st.integers(0, span), label=f"y{i}"))
+            for i in range(n)]
+    min_x = data.draw(st.booleans(), label="min_x")
+    max_y = data.draw(st.booleans(), label="max_y")
+    df = spark.createDataFrame(rows, "id int, x double, y int")
+    got = sorted(r.id for r in skyline_2d(
+        df, "x", "y", minimize_x=min_x, maximize_y=max_y,
+        n_buckets=data.draw(st.sampled_from([1, 2, 7, 1024]))).collect())
+
+    def better_x(q, p):
+        return q[1] < p[1] if min_x else q[1] > p[1]
+
+    def better_y(q, p):
+        return q[2] > p[2] if max_y else q[2] < p[2]
+
+    def dominated(p):
+        return any((better_x(q, p) or q[1] == p[1])
+                   and (better_y(q, p) or q[2] == p[2])
+                   and (better_x(q, p) or better_y(q, p)) for q in rows)
+
+    want = sorted(p[0] for p in rows if not dominated(p))
+    assert got == want
+
+
+@pytest.mark.usefixtures("spark")
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_property_cms_never_underestimates(spark, data):
+    """Count-Min over random corpora: every queried term's estimate is
+    >= its true count (structural one-sided error), exact when the
+    sketch is collision-free for that term."""
+    from collections import Counter
+    from pyspark.sql import Row
+    from feathr_spark.operators.sketch import cms_lookup, count_min_sketch
+    vocab = [f"t{i}" for i in range(data.draw(
+        st.integers(2, 40), label="vocab"))]
+    docs, truth = [], Counter()
+    for d in range(data.draw(st.integers(1, 6), label="docs")):
+        words = data.draw(st.lists(st.sampled_from(vocab), min_size=1,
+                                   max_size=80), label=f"d{d}")
+        truth.update(words)
+        docs.append(Row(text=" ".join(words)))
+    width = data.draw(st.sampled_from([8, 64, 512]), label="width")
+    depth = data.draw(st.sampled_from([1, 3]), label="depth")
+    df = spark.createDataFrame(docs)
+    sk = count_min_sketch(df, depth=depth, width=width)
+    q = spark.createDataFrame([(t,) for t in vocab], "term string")
+    est = {r.term: r.est_count
+           for r in cms_lookup(sk, q, depth=depth, width=width).collect()}
+    n = sum(truth.values())
+    for t in vocab:
+        assert est[t] >= truth[t], (t, est[t], truth[t])
+        assert est[t] <= n  # a counter can never exceed the stream size

@@ -1905,9 +1905,10 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("l_partkey")))
     # persist: the pair pipeline feeds BOTH union branches (forward and
     # reversed edges) — unpersisted it runs twice
-    rules = association_rules(li, "l_orderkey", "l_partkey",
-                              min_pair_count=2) \
-        .select("item_a", "item_b", "n_ab").persist()
+    from feathr_spark.operators._cache import release_intermediates
+    full_rules = association_rules(li, "l_orderkey", "l_partkey",
+                                   min_pair_count=2)
+    rules = full_rules.select("item_a", "item_b", "n_ab").persist()
     edges = (rules.select(F.col("item_a").alias("src"),
                           F.col("item_b").alias("dst"),
                           F.col("n_ab").cast("double").alias("w"))
@@ -1915,6 +1916,10 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.col("item_a").alias("dst"),
                                  F.col("n_ab").cast("double").alias("w"))))
     ranks = pagerank(edges, weight="w", damping=0.85, iters=3)
+    # pagerank's result is checkpointed — the rule pipeline's caches are
+    # releasable now instead of lingering in the session cache manager
+    release_intermediates(full_rules)
+    rules.unpersist()
     nn = ranks.agg(F.count(F.lit(1)).alias("__n"))
     return (ranks.crossJoin(F.broadcast(nn))
             .select(F.col("id").cast("bigint").alias("part"),
@@ -2401,6 +2406,87 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "r_score", "f_score", "m_score", "rfm")
 
 
+def q_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficient over the part
+    co-purchase graph (edges = part pairs bought together in >= 2
+    orders). Degree-ordered orientation bounds hub wedge generation at
+    O(sqrt(|E|)) out-degree — the plan that survives power-law graphs;
+    the oracle's plain 3-way self-join finds the identical triangle
+    set."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import triangle_stats
+    from feathr_spark.operators._cache import release_intermediates
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+    edges = rules.select(F.col("item_a").alias("src"),
+                         F.col("item_b").alias("dst"))
+    out = triangle_stats(edges)
+    # triangle_stats is eager (checkpointed result), so the rule
+    # pipeline's basket cache is releasable immediately — leaving it
+    # cached would substitute into later queries' plan snapshots
+    release_intermediates(rules)
+    return out.select(
+        F.col("id").cast("bigint").alias("part"),
+        "degree", "triangles",
+        F.round(F.col("clustering_coeff") + 1e-9, 4).cast("double")
+        .alias("clustering_coeff"))
+
+
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer re-order gaps (days to
+    the next order; the gap from a customer's last order to the global
+    max order date is right-censored). One data-sized groupBy, then
+    window algebra over the distinct-duration frame."""
+    _utc(spark)
+    from feathr_spark.operators.survival import (
+        kaplan_meier, order_gap_durations)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dur = order_gap_durations(orders, "o_custkey", "o_orderdate")
+    out = kaplan_meier(dur, "duration", "event")
+    return out.select(
+        F.col("duration").cast("bigint").alias("duration"),
+        "n_risk", "n_event", "n_censored",
+        F.round(F.col("survival") + 1e-9, 4).cast("double")
+        .alias("survival"))
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear-touch conversion attribution anchored at each
+    user's first purchase. Linear credit uses integer micro-unit
+    accounting (round(1e6·cnt/tot) summed as BIGINT) — exact and
+    order-independent at any parallelism, so the 4-dp compare is a
+    fact, not a float-summation race."""
+    _utc(spark)
+    from feathr_spark.operators.attribution import attribution_credits
+    ev = _load_events(spark, sf_dir)
+    out = attribution_credits(ev, "purchase", micro=1_000_000)
+    return out.select(
+        "channel", "n_touches", "first_touch", "last_touch",
+        F.round(F.col("linear") + 1e-9, 4).cast("double").alias("linear"))
+
+
+def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle over orders: customers cohorted by first
+    order month, per-cell revenue (exact DECIMAL fold) and running
+    cumulative LTV per cohort user over the first 12 month offsets."""
+    _utc(spark)
+    from feathr_spark.operators.funnel import ltv_cohorts
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = ltv_cohorts(orders, "o_custkey", "o_orderdate",
+                      "o_totalprice", max_offset=12)
+    return out.select(
+        F.col("cohort_month").cast("date").alias("cohort_month"),
+        "month_offset", "cohort_users",
+        F.round(F.col("revenue") + 1e-9, 4).cast("double")
+        .alias("revenue"),
+        F.round(F.col("cum_ltv_per_user") + 1e-9, 4).cast("double")
+        .alias("cum_ltv_per_user"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2454,6 +2540,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_gate": q_cms_gate,
         "mutual_info_orders": q_mutual_info,
         "jl_project": q_jl_project,
+        "triangles_parts": q_triangles_parts,
+        "kaplan_meier_orders": q_kaplan_meier,
+        "attribution_events": q_attribution,
+        "ltv_cohorts": q_ltv_cohorts,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3316,6 +3406,175 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS vec_id,
                    list(v ORDER BY i) AS projected
             FROM comp GROUP BY 1
+        """,
+        "triangles_parts": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            e AS (
+              SELECT x.it AS a, y.it AS b2
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            deg AS (
+              SELECT id, count(*) AS degree FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b2 FROM e)
+              GROUP BY 1),
+            tri AS (
+              SELECT e1.a AS u, e1.b2 AS v, e2.b2 AS w
+              FROM e e1
+              JOIN e e2 ON e1.a = e2.a AND e1.b2 < e2.b2
+              JOIN e e3 ON e3.a = e1.b2 AND e3.b2 = e2.b2),
+            pn AS (
+              SELECT id, count(*) AS t FROM (
+                SELECT u AS id FROM tri UNION ALL
+                SELECT v FROM tri UNION ALL
+                SELECT w FROM tri)
+              GROUP BY 1)
+            SELECT CAST(deg.id AS BIGINT) AS part,
+                   CAST(deg.degree AS BIGINT) AS degree,
+                   CAST(coalesce(pn.t, 0) AS BIGINT) AS triangles,
+                   CAST(ROUND(CASE WHEN deg.degree >= 2
+                              THEN 2.0 * coalesce(pn.t, 0)
+                                   / (CAST(deg.degree AS DOUBLE)
+                                      * (CAST(deg.degree AS DOUBLE) - 1.0))
+                              END + 1e-9, 4) AS DOUBLE)
+                       AS clustering_coeff
+            FROM deg LEFT JOIN pn ON pn.id = deg.id
+        """,
+        "kaplan_meier_orders": """
+            WITH b AS (
+              SELECT o_custkey AS u, CAST(o_orderdate AS DATE) AS d
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            hz AS (SELECT max(d) AS h FROM b),
+            g AS (
+              SELECT u, d,
+                     lead(d) OVER (PARTITION BY u ORDER BY d) AS nd
+              FROM b),
+            dur AS (
+              SELECT CAST(datediff('day', d, coalesce(nd, h)) AS BIGINT)
+                       AS duration,
+                     CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM g, hz),
+            t AS (
+              SELECT duration, sum(ev) AS n_event,
+                     sum(1 - ev) AS n_censored
+              FROM dur GROUP BY 1),
+            r AS (
+              SELECT *,
+                     sum(n_event + n_censored) OVER ()
+                     - sum(n_event + n_censored)
+                       OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+                     + (n_event + n_censored) AS n_risk
+              FROM t),
+            f AS (
+              SELECT *, 1.0 - n_event / CAST(n_risk AS DOUBLE) AS factor
+              FROM r),
+            s AS (
+              SELECT *,
+                     CASE WHEN sum(CASE WHEN factor <= 0.0 THEN 1
+                                   ELSE 0 END)
+                            OVER (ORDER BY duration ROWS BETWEEN
+                                  UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                          THEN 0.0
+                          ELSE exp(sum(ln(CASE WHEN factor > 0.0
+                                          THEN factor END))
+                                   OVER (ORDER BY duration ROWS BETWEEN
+                                         UNBOUNDED PRECEDING
+                                         AND CURRENT ROW))
+                     END AS survival
+              FROM f)
+            SELECT CAST(duration AS BIGINT) AS duration,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_event AS BIGINT) AS n_event,
+                   CAST(n_censored AS BIGINT) AS n_censored,
+                   CAST(ROUND(survival + 1e-9, 4) AS DOUBLE) AS survival
+            FROM s
+        """,
+        "attribution_events": """
+            WITH conv AS (
+              SELECT user_id AS u, min(epoch_ms(ts)) AS cms
+              FROM events
+              WHERE event_type = 'purchase' AND ts IS NOT NULL
+                AND user_id IS NOT NULL
+              GROUP BY 1),
+            tch AS (
+              SELECT e.user_id AS u, e.event_type AS channel,
+                     lpad(CAST(epoch_ms(e.ts) AS VARCHAR), 20, '0')
+                     || lpad(CAST(e.event_id AS VARCHAR), 12, '0') AS k
+              FROM events e JOIN conv ON e.user_id = conv.u
+              WHERE e.event_type <> 'purchase' AND e.ts IS NOT NULL
+                AND epoch_ms(e.ts) < conv.cms),
+            per_uc AS (
+              SELECT u, channel, count(*) AS cnt
+              FROM tch GROUP BY 1, 2),
+            per_u AS (
+              SELECT u, arg_min(channel, k) AS first_ch,
+                     arg_max(channel, k) AS last_ch,
+                     count(*) AS tot
+              FROM tch GROUP BY 1),
+            lin AS (
+              SELECT channel,
+                     CAST(sum(cnt) AS BIGINT) AS n_touches,
+                     CAST(sum(CAST(ROUND(1000000.0 * cnt
+                                         / CAST(tot AS DOUBLE))
+                                   AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 AS linear
+              FROM per_uc JOIN per_u USING (u)
+              GROUP BY 1),
+            fst AS (SELECT first_ch AS channel, count(*) AS first_touch
+                    FROM per_u GROUP BY 1),
+            lst AS (SELECT last_ch AS channel, count(*) AS last_touch
+                    FROM per_u GROUP BY 1)
+            SELECT lin.channel,
+                   lin.n_touches,
+                   CAST(coalesce(fst.first_touch, 0) AS BIGINT)
+                       AS first_touch,
+                   CAST(coalesce(lst.last_touch, 0) AS BIGINT)
+                       AS last_touch,
+                   CAST(ROUND(lin.linear + 1e-9, 4) AS DOUBLE) AS linear
+            FROM lin
+            LEFT JOIN fst ON fst.channel = lin.channel
+            LEFT JOIN lst ON lst.channel = lin.channel
+        """,
+        "ltv_cohorts": """
+            WITH b AS (
+              SELECT o_custkey AS u,
+                     date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                     CAST(o_totalprice AS DECIMAL(28,8)) AS amt
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            c AS (SELECT u, min(m) AS cm FROM b GROUP BY 1),
+            cells AS (
+              SELECT cm AS cohort_month,
+                     datediff('month', cm, m) AS off,
+                     count(DISTINCT b.u) AS users,
+                     sum(amt) AS rev
+              FROM b JOIN c ON b.u = c.u
+              WHERE datediff('month', cm, m) <= 12
+              GROUP BY 1, 2),
+            sized AS (
+              SELECT *,
+                     max(CASE WHEN off = 0 THEN users END)
+                       OVER (PARTITION BY cohort_month) AS cohort_users
+              FROM cells)
+            SELECT CAST(cohort_month AS DATE) AS cohort_month,
+                   CAST(off AS BIGINT) AS month_offset,
+                   CAST(cohort_users AS BIGINT) AS cohort_users,
+                   CAST(ROUND(CAST(rev AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS revenue,
+                   CAST(ROUND(sum(CAST(rev AS DOUBLE))
+                              OVER (PARTITION BY cohort_month
+                                    ORDER BY off ROWS BETWEEN UNBOUNDED
+                                    PRECEDING AND CURRENT ROW)
+                              / CAST(cohort_users AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS cum_ltv_per_user
+            FROM sized
         """,
         "ols_trend": """
             WITH m AS (

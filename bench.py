@@ -138,6 +138,10 @@ HEADLINE = [
     "cms_gate",
     "mutual_info_orders",
     "jl_project",
+    "triangles_parts",
+    "kaplan_meier_orders",
+    "attribution_events",
+    "ltv_cohorts",
 ]
 
 

@@ -94,7 +94,8 @@ def association_rules(
                                     F.col("__in").alias("n_b")), "item_b")
            .crossJoin(F.broadcast(total)))
     nb = F.col("__nb").cast("double")
-    return out.select(
+    from ._cache import attach_intermediates
+    out = out.select(
         "item_a", "item_b",
         F.col("n_ab").cast("bigint").alias("n_ab"),
         F.col("n_a").cast("bigint").alias("n_a"),
@@ -105,3 +106,6 @@ def association_rules(
         (F.col("n_ab") / F.col("n_b").cast("double")).alias("conf_b_a"),
         (F.col("n_ab") * nb
          / (F.col("n_a").cast("double") * F.col("n_b"))).alias("lift"))
+    # callers done with the rule table release the basket cache
+    # deterministically (see _cache docstring)
+    return attach_intermediates(out, [baskets])

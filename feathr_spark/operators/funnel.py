@@ -58,6 +58,63 @@ def retention_cohorts(
             .agg(F.countDistinct("__u").cast("bigint").alias("retained")))
 
 
+def ltv_cohorts(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    amount_col: str = "amount",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort lifetime-value triangle: users are cohorted by their FIRST
+    active month; each (cohort, month-offset) cell sums that cohort's
+    revenue in that month, plus the running cumulative per-user LTV.
+
+    Plan shape mirrors ``retention_cohorts``: one ``groupBy(user)`` min
+    finds the cohort month (map-side combined), the user-sized cohort
+    frame joins back on the user id (AQE-broadcast when small), one
+    (cohort, offset) aggregate, then window cumsums over the tiny
+    triangle frame. Revenue folds as DECIMAL (order-independent exact
+    sum — see the portability note in BASELINE.md) and converts to
+    double only for the per-user readout.
+
+    Output: (cohort_month date, month_offset, cohort_users, revenue,
+    cum_ltv_per_user).
+    """
+    mon = F.trunc(F.col(ts_col).cast("date"), "month")
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(user_col).isNotNull())
+            .select(F.col(user_col).alias("__u"), mon.alias("__m"),
+                    F.col(amount_col).cast("decimal(28,8)").alias("__amt"))
+            .persist())  # consumed by the cohort agg AND the join back
+    cohort = base.groupBy("__u").agg(F.min("__m").alias("__cm"))
+    cells = (base.join(cohort, "__u")
+             .withColumn("__off", F.months_between(F.col("__m"),
+                                                   F.col("__cm"))
+                         .cast("bigint"))
+             .where(F.col("__off") <= max_offset)
+             .groupBy(F.col("__cm").alias("cohort_month"),
+                      F.col("__off").alias("month_offset"))
+             .agg(F.countDistinct("__u").alias("__users"),
+                  F.sum("__amt").alias("__rev")))
+    from pyspark.sql import Window
+    wc = (Window.partitionBy("cohort_month").orderBy("month_offset")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    size = F.first(F.when(F.col("month_offset") == 0, F.col("__users"))
+                   .otherwise(None), ignorenulls=True).over(
+        Window.partitionBy("cohort_month"))
+    out = (cells
+           .withColumn("cohort_users", size.cast("bigint"))
+           .select("cohort_month",
+                   F.col("month_offset").cast("bigint")
+                   .alias("month_offset"),
+                   "cohort_users",
+                   F.col("__rev").cast("double").alias("revenue"),
+                   (F.sum(F.col("__rev").cast("double")).over(wc)
+                    / F.col("cohort_users")).alias("cum_ltv_per_user")))
+    from ._cache import attach_intermediates
+    return attach_intermediates(out, [base])
+
+
 def funnel_counts(
     df: DataFrame,
     steps: Sequence[str],

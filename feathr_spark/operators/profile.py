@@ -659,7 +659,7 @@ def sketch_retention(rollup: DataFrame, lag: int = 1) -> DataFrame:
     predecessor: NULL prev metrics.
 
     Output: keys + bucket_start + n_prev, n_cur, n_retained, n_new
-    (cur \ prev), n_churned (prev \ cur) — bigint estimates, exact
+    (cur minus prev), n_churned (prev minus cur) — bigint estimates, exact
     below 2^lg_nom — + retention (double, retained / prev, NULL when
     no predecessor or empty prev).
     """

@@ -1,0 +1,115 @@
+"""Survival analysis: the Kaplan-Meier product-limit estimator.
+
+"How long until a customer orders again / a user churns / a job
+fails?" with right-censoring (subjects still alive at observation end
+contribute risk time but no event). The reference has no survival
+operator; churn/retention modeling over event logs is a standard
+analytics ask, and the estimator distributes cleanly:
+
+1. ONE ``groupBy(duration)`` collapses the subject-sized input to the
+   distinct-duration frame (events ``d_i`` and censored ``c_i`` per
+   duration — map-side combined, so the shuffle carries one row per
+   distinct duration per partition);
+2. window cumsums over the tiny duration frame derive the at-risk
+   counts ``n_i`` (total minus everyone who exited earlier);
+3. the survival curve S(t) = prod_{t_i<=t} (1 - d_i/n_i) folds as
+   ``exp(sum(log ...)))`` over the same ordered window.
+
+The only full-data pass is step 1; everything after runs on a frame
+whose size is the number of DISTINCT durations (days: thousands of
+rows at any corpus scale). Per-key curves partition all three windows
+by the key columns — same plan shape, one extra shuffle key.
+
+A zero survival factor (every remaining subject exits at once,
+1 - d/n = 0) would make ``log`` NULL in Spark (which returns NULL for
+non-positive inputs, silently poisoning the running sum) and -inf in
+DuckDB — so zero factors are counted separately and force S(t)=0 from
+that duration on, keeping both engines exact and portable.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    key_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over ``(duration, event)`` rows —
+    ``event`` truthy means the event was observed at ``duration``,
+    falsy means the subject was censored there. NULL durations are
+    dropped; NULL event flags count as censored (a subject whose
+    outcome is unknown contributes risk time only, the conservative
+    convention).
+
+    Output: one row per distinct duration (per key group) with
+    ``(duration, n_risk, n_event, n_censored, survival)``, survival
+    rounded by the caller if hash-compared.
+    """
+    keys = list(key_cols or [])
+    ev = F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+    per_t = (df.where(F.col(duration_col).isNotNull())
+             .groupBy(*keys, F.col(duration_col).alias("duration"))
+             .agg(F.sum(ev).alias("n_event"),
+                  F.sum(1 - ev).alias("n_censored")))
+    wcum = (Window.partitionBy(*keys).orderBy("duration")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(*keys) if keys else \
+        Window.partitionBy(F.lit(1))
+    exited = F.col("n_event") + F.col("n_censored")
+    n_risk = (F.sum(exited).over(wall)
+              - F.sum(exited).over(wcum) + exited)
+    t = per_t.withColumn("n_risk", n_risk)
+    factor = 1.0 - F.col("n_event") / F.col("n_risk").cast("double")
+    # log(0) is NULL in Spark / -inf in DuckDB: track zero factors as a
+    # cumulative count instead and clamp survival to exactly 0 after one
+    surv = F.when(
+        F.sum(F.when(factor <= 0.0, 1).otherwise(0)).over(wcum) > 0,
+        F.lit(0.0),
+    ).otherwise(F.exp(F.sum(F.log(
+        F.when(factor > 0.0, factor))).over(wcum)))
+    return t.select(
+        *keys, "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_event").cast("bigint").alias("n_event"),
+        F.col("n_censored").cast("bigint").alias("n_censored"),
+        surv.alias("survival"))
+
+
+def order_gap_durations(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    horizon=None,
+) -> DataFrame:
+    """Turn an event/order log into right-censored re-occurrence gaps:
+    each consecutive pair of a subject's timestamps yields an OBSERVED
+    duration (days until the next event), and the gap from the last
+    timestamp to ``horizon`` (default: the global max timestamp — the
+    end of the observation window) yields a CENSORED duration.
+
+    One ``lead`` window per subject plus a broadcast 1-row horizon
+    frame; output is row-per-input-event, feeding ``kaplan_meier``.
+    Output: (user, duration, event).
+    """
+    d = F.to_date(F.col(ts_col))
+    base = (df.where(F.col(ts_col).isNotNull()
+                     & F.col(user_col).isNotNull())
+            .select(F.col(user_col).alias("user"), d.alias("__d")))
+    if horizon is None:
+        hz = base.agg(F.max("__d").alias("__hz"))  # 1-row, broadcast
+        base = base.crossJoin(F.broadcast(hz))
+    else:
+        base = base.withColumn("__hz", F.lit(horizon).cast("date"))
+    w = Window.partitionBy("user").orderBy("__d")
+    nxt = F.lead("__d").over(w)
+    return (base
+            .select("user",
+                    F.datediff(F.coalesce(nxt, F.col("__hz")), F.col("__d"))
+                    .cast("bigint").alias("duration"),
+                    nxt.isNotNull().alias("event")))

@@ -77,6 +77,9 @@ BROADCAST_LOOP_OK = {
     "robust_scale_price",
     # 1-row token-total frame broadcast onto the 20 gate rows
     "cms_gate",
+    # 1-row observation-horizon frame broadcast onto every (user, date)
+    # row to right-censor the final gap
+    "kaplan_meier_orders",
 }
 
 
@@ -489,6 +492,22 @@ EXCHANGE_BUDGET = {
     "mutual_info_orders": 2,
     # row-local plan-literal matrix fold — zero shuffles by construction
     "jl_project": 0,
+    # triangle_stats ends in an eager localCheckpoint (pagerank's
+    # deterministic-release pattern), so the snapshot plan is the
+    # checkpoint scan — the real shuffles (pair count, degree, wedge
+    # join) run at build time; runtime evidence lives in the bench entry
+    "triangles_parts": 0,
+    # data-sized: the per-user lead window + the duration groupBy; the
+    # remaining windows run over the distinct-duration frame (single
+    # partition by construction, see GLOBAL_WINDOW_OK)
+    "kaplan_meier_orders": 4,
+    # anchor aggregate + the two touch aggregates + channel-keyed joins;
+    # the persisted touches/per_u subtrees PRINT under every consumer
+    # (textual matches > runtime shuffles — cf. drift_events note)
+    "attribution_events": 11,
+    # cohort min aggregate + user join + (cohort, offset) cell aggregate
+    # + the triangle-sized cumulative window
+    "ltv_cohorts": 4,
 }
 
 
@@ -534,6 +553,10 @@ GLOBAL_WINDOW_OK = {
     # aggregate (far below the order count). At extreme key cardinality
     # swap in percent_rank-derived buckets (documented in rfm_scores).
     "rfm_segments",
+    # at-risk/survival cumsums run over the DISTINCT-DURATION frame
+    # (bounded by the day-gap range — ~1k rows at any corpus scale);
+    # the data-sized pass is the partitioned per-user lead window
+    "kaplan_meier_orders",
 }
 
 

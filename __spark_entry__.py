@@ -2487,6 +2487,91 @@ def q_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cum_ltv_per_user"))
 
 
+def q_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph via
+    alternating large-star/small-star (O(log n) rounds at any
+    diameter); the oracle's recursive-CTE transitive closure labels
+    each node with its minimum reachable id — the identical
+    partition."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import connected_components
+    from feathr_spark.operators._cache import release_intermediates
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+    edges = rules.select(F.col("item_a").alias("src"),
+                         F.col("item_b").alias("dst"))
+    out = connected_components(edges)
+    # connected_components returns an eager checkpoint — the rule
+    # pipeline's basket cache is releasable immediately
+    release_intermediates(rules)
+    return out.select(F.col("id").cast("bigint").alias("part"),
+                      F.col("component").cast("bigint").alias("component"),
+                      "component_size")
+
+
+def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do BUILDING and MACHINERY customers have the
+    same re-order survival curve? Right-censored gaps from
+    order_gap_durations; one data-sized groupBy then window algebra
+    over the distinct-duration frame."""
+    _utc(spark)
+    from feathr_spark.operators.survival import (
+        logrank_test, order_gap_durations)
+    segs = ("BUILDING", "MACHINERY")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment").isin(*segs))
+            .select(F.col("c_custkey").alias("user"),
+                    F.col("c_mktsegment").alias("segment")))
+    sub = orders.join(F.broadcast(cust),
+                      orders.o_custkey == cust.user).drop("user", "segment")
+    dur = order_gap_durations(sub, "o_custkey", "o_orderdate")
+    grouped = dur.join(F.broadcast(cust), "user")
+    out = logrank_test(grouped, "duration", "event", "segment")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "obs_a",
+        F.round(F.col("exp_a") + 1e-9, 4).cast("double").alias("exp_a"),
+        "obs_b",
+        F.round(F.col("exp_b") + 1e-9, 4).cast("double").alias("exp_b"),
+        F.round(F.col("chi2") + 1e-9, 4).cast("double").alias("chi2"))
+
+
+def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per return flag: quantity vs extended
+    price (strongly monotone) and discount vs extended price (noise).
+    Average-rank tie convention on both engines."""
+    _utc(spark)
+    from feathr_spark.operators.stats import spearman_corr
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = spearman_corr(
+        li, [("l_quantity", "l_extendedprice"),
+             ("l_discount", "l_extendedprice")], by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        F.round(F.col("rho_l_quantity__l_extendedprice") + 1e-9, 4)
+        .cast("double").alias("rho_qty_price"),
+        F.round(F.col("rho_l_discount__l_extendedprice") + 1e-9, 4)
+        .cast("double").alias("rho_disc_price"))
+
+
+def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation (lags 1-7) of the daily order-revenue series:
+    exact DECIMAL daily fold, then the whole correlogram in window
+    algebra over the day-count-sized series frame."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import autocorrelation
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue")))
+    out = autocorrelation(daily, "d", "revenue", max_lag=7)
+    return out.select("lag", "n_pairs", "acf")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2544,6 +2629,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_orders": q_kaplan_meier,
         "attribution_events": q_attribution,
         "ltv_cohorts": q_ltv_cohorts,
+        "components_parts": q_components_parts,
+        "logrank_segments": q_logrank_segments,
+        "spearman_lineitem": q_spearman_lineitem,
+        "acf_daily": q_acf_daily,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3575,6 +3664,178 @@ def oracle_sql() -> dict[str, str]:
                               / CAST(cohort_users AS DOUBLE) + 1e-9, 4)
                         AS DOUBLE) AS cum_ltv_per_user
             FROM sized
+        """,
+        "components_parts": """
+            WITH RECURSIVE b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            e AS (
+              SELECT x.it AS a, y.it AS b2
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            nodes AS (
+              SELECT a AS id FROM e UNION SELECT b2 FROM e),
+            und AS (
+              SELECT a AS u, b2 AS v FROM e
+              UNION ALL SELECT b2, a FROM e),
+            reach(id, r) AS (
+              SELECT id, id FROM nodes
+              UNION
+              SELECT und.v, reach.r
+              FROM reach JOIN und ON und.u = reach.id),
+            comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY 1),
+            sz AS (
+              SELECT component, count(*) AS n FROM comp GROUP BY 1)
+            SELECT CAST(comp.id AS BIGINT) AS part,
+                   CAST(comp.component AS BIGINT) AS component,
+                   CAST(sz.n AS BIGINT) AS component_size
+            FROM comp JOIN sz USING (component)
+        """,
+        "logrank_segments": """
+            WITH c AS (
+              SELECT c_custkey AS u, c_mktsegment AS g FROM customer
+              WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            b AS (
+              SELECT o.o_custkey AS u, CAST(o.o_orderdate AS DATE) AS d
+              FROM orders o JOIN c ON o.o_custkey = c.u
+              WHERE o.o_custkey IS NOT NULL
+                AND o.o_orderdate IS NOT NULL),
+            hz AS (SELECT max(d) AS h FROM b),
+            g AS (
+              SELECT u, d,
+                     lead(d) OVER (PARTITION BY u ORDER BY d) AS nd
+              FROM b),
+            dur AS (
+              SELECT g.u,
+                     CAST(datediff('day', d, coalesce(nd, h)) AS BIGINT)
+                       AS t,
+                     CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev,
+                     c.g AS grp
+              FROM g JOIN c ON g.u = c.u, hz),
+            per_t AS (
+              SELECT t,
+                     sum(CASE WHEN grp = 'BUILDING' THEN ev
+                         ELSE 0 END) AS da,
+                     sum(CASE WHEN grp = 'BUILDING' THEN 1 - ev
+                         ELSE 0 END) AS ca,
+                     sum(CASE WHEN grp <> 'BUILDING' THEN ev
+                         ELSE 0 END) AS db,
+                     sum(CASE WHEN grp <> 'BUILDING' THEN 1 - ev
+                         ELSE 0 END) AS cb
+              FROM dur GROUP BY 1),
+            r AS (
+              SELECT *,
+                     sum(da + ca) OVER ()
+                     - sum(da + ca) OVER (ORDER BY t ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     + (da + ca) AS na,
+                     sum(db + cb) OVER ()
+                     - sum(db + cb) OVER (ORDER BY t ROWS BETWEEN
+                         UNBOUNDED PRECEDING AND CURRENT ROW)
+                     + (db + cb) AS nb
+              FROM per_t),
+            f AS (
+              SELECT da, db, na, nb,
+                     CAST(na + nb AS DOUBLE) AS n,
+                     CAST(da + db AS DOUBLE) AS d,
+                     na / CAST(na + nb AS DOUBLE) AS pa
+              FROM r WHERE da + db > 0),
+            s AS (
+              SELECT sum(da) AS obs_a, sum(d * pa) AS exp_a,
+                     sum(db) AS obs_b, sum(d - d * pa) AS exp_b,
+                     sum(CASE WHEN n > 1
+                         THEN d * pa * (1 - pa) * (n - d) / (n - 1)
+                         ELSE 0 END) AS v
+              FROM f),
+            nt AS (
+              SELECT sum(CASE WHEN grp = 'BUILDING' THEN 1
+                         ELSE 0 END) AS n_a,
+                     sum(CASE WHEN grp <> 'BUILDING' THEN 1
+                         ELSE 0 END) AS n_b
+              FROM dur)
+            SELECT 'BUILDING' AS group_a, 'MACHINERY' AS group_b,
+                   CAST(nt.n_a AS BIGINT) AS n_a,
+                   CAST(nt.n_b AS BIGINT) AS n_b,
+                   CAST(s.obs_a AS BIGINT) AS obs_a,
+                   CAST(ROUND(s.exp_a + 1e-9, 4) AS DOUBLE) AS exp_a,
+                   CAST(s.obs_b AS BIGINT) AS obs_b,
+                   CAST(ROUND(s.exp_b + 1e-9, 4) AS DOUBLE) AS exp_b,
+                   CAST(ROUND(CASE WHEN s.v > 0
+                              THEN (s.obs_a - s.exp_a)
+                                   * (s.obs_a - s.exp_a) / s.v
+                              ELSE 0 END + 1e-9, 4) AS DOUBLE) AS chi2
+            FROM s, nt
+        """,
+        "spearman_lineitem": """
+            WITH b AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_quantity AS DOUBLE) AS q,
+                     CAST(l_extendedprice AS DOUBLE) AS e,
+                     CAST(l_discount AS DOUBLE) AS di
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_discount IS NOT NULL),
+            r AS (
+              SELECT g,
+                     rank() OVER (PARTITION BY g ORDER BY q)
+                     + (count(*) OVER (PARTITION BY g, q) - 1) / 2.0
+                       AS rq,
+                     rank() OVER (PARTITION BY g ORDER BY e)
+                     + (count(*) OVER (PARTITION BY g, e) - 1) / 2.0
+                       AS re,
+                     rank() OVER (PARTITION BY g ORDER BY di)
+                     + (count(*) OVER (PARTITION BY g, di) - 1) / 2.0
+                       AS rdi
+              FROM b)
+            SELECT g AS l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(ROUND(corr(rq, re) + 1e-9, 4) AS DOUBLE)
+                       AS rho_qty_price,
+                   CAST(ROUND(corr(rdi, re) + 1e-9, 4) AS DOUBLE)
+                       AS rho_disc_price
+            FROM r GROUP BY 1
+        """,
+        "acf_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS x
+              FROM orders GROUP BY 1),
+            st AS (SELECT avg(x) AS mu FROM s),
+            ss AS (SELECT sum((x - mu) * (x - mu)) AS ss FROM s, st),
+            l AS (
+              SELECT x,
+                     lag(x, 1) OVER (ORDER BY d) AS p1,
+                     lag(x, 2) OVER (ORDER BY d) AS p2,
+                     lag(x, 3) OVER (ORDER BY d) AS p3,
+                     lag(x, 4) OVER (ORDER BY d) AS p4,
+                     lag(x, 5) OVER (ORDER BY d) AS p5,
+                     lag(x, 6) OVER (ORDER BY d) AS p6,
+                     lag(x, 7) OVER (ORDER BY d) AS p7
+              FROM s),
+            u AS (
+              SELECT 1 AS lag, x, p1 AS p FROM l UNION ALL
+              SELECT 2, x, p2 FROM l UNION ALL
+              SELECT 3, x, p3 FROM l UNION ALL
+              SELECT 4, x, p4 FROM l UNION ALL
+              SELECT 5, x, p5 FROM l UNION ALL
+              SELECT 6, x, p6 FROM l UNION ALL
+              SELECT 7, x, p7 FROM l)
+            SELECT CAST(u.lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(ROUND(CASE WHEN ss.ss > 0
+                              THEN sum((u.x - st.mu) * (u.p - st.mu))
+                                   / ss.ss END + 1e-9, 4) AS DOUBLE)
+                       AS acf
+            FROM u, st, ss
+            WHERE u.p IS NOT NULL
+            GROUP BY 1, ss.ss
         """,
         "ols_trend": """
             WITH m AS (

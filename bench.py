@@ -142,6 +142,10 @@ HEADLINE = [
     "kaplan_meier_orders",
     "attribution_events",
     "ltv_cohorts",
+    "components_parts",
+    "logrank_segments",
+    "spearman_lineitem",
+    "acf_daily",
 ]
 
 

@@ -24,6 +24,107 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components of an undirected graph by alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14): each round rewires
+    every node's neighborhood toward its local minimum, and the edge
+    set provably converges in O(log n) rounds to stars centered at each
+    component's minimum id — REGARDLESS of graph diameter. This is the
+    general-graph complement to ``dedup.duplicate_components`` (min-
+    label propagation, O(diameter) rounds — optimal for the clique-
+    shaped duplicate clusters it targets, quadratic-round on long
+    chains; its docstring defers exactly here).
+
+    Per round: two window-min passes over the (bidirectional) edge
+    list + one distinct — every frame edge-sized, partitioned by node
+    id; convergence is detected from a (count, bit_xor of edge hashes)
+    fingerprint, ONE scalar aggregate per round (no edge-set diff
+    join), and each new edge set is eagerly ``localCheckpoint``-ed so
+    the plan stays O(1) per round. No driver collect ever sees an
+    edge.
+
+    Output: (id, component, component_size) — component is the minimum
+    node id of the component; isolated nodes (only self-loops / NULL
+    partners dropped) map to themselves with size 1.
+    """
+    a0 = F.least(F.col(src), F.col(dst))
+    b0 = F.greatest(F.col(src), F.col(dst))
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(a0.alias("__a"), b0.alias("__b"))
+         .distinct().localCheckpoint())
+    # node set persists across the loop: the final left-join restores
+    # isolated nodes that dropped out of the shrinking edge set
+    nodes = (e.select(F.col("__a").alias("id"))
+             .union(e.select(F.col("__b").alias("id")))
+             .distinct().persist())
+    from pyspark.sql import Window
+    wl = Window.partitionBy("__u")
+    canon = [F.least(F.col("__x"), F.col("__y")).alias("__a"),
+             F.greatest(F.col("__x"), F.col("__y")).alias("__b")]
+    prev = None
+    for _ in range(max_iters):
+        bi = (e.select(F.col("__a").alias("__u"), F.col("__b").alias("__v"))
+              .union(e.select(F.col("__b").alias("__u"),
+                              F.col("__a").alias("__v"))))
+        # large-star: every neighbor v > u links to min(N(u) ∪ {u})
+        m = F.least(F.col("__u"), F.min("__v").over(wl))
+        ls = (bi.select("__u", "__v", m.alias("__m"))
+              .where(F.col("__v") > F.col("__u"))
+              .select(F.col("__v").alias("__x"), F.col("__m").alias("__y"))
+              .select(*canon)
+              .where(F.col("__a") != F.col("__b")).distinct())
+        # small-star over the rewired set: neighbors v < u (plus u
+        # itself) all link to the local minimum
+        bs = (ls.select(F.col("__a").alias("__u"), F.col("__b").alias("__v"))
+              .union(ls.select(F.col("__b").alias("__u"),
+                               F.col("__a").alias("__v"))))
+        bs = bs.where(F.col("__v") < F.col("__u"))
+        m2 = F.least(F.col("__u"), F.min("__v").over(wl))
+        sm = bs.select("__u", "__v", m2.alias("__m"))
+        out = (sm.select(F.col("__v").alias("__x"), F.col("__m").alias("__y"))
+               .union(sm.select(F.col("__u").alias("__x"),
+                                F.col("__m").alias("__y")))
+               .select(*canon)
+               .where(F.col("__a") != F.col("__b")).distinct())
+        e = out.localCheckpoint()
+        row = e.agg(F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("__a", "__b")).alias("h")).first()
+        fp = (row["n"], row["h"])
+        if fp == prev:
+            break
+        prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after {max_iters} rounds "
+            "(raise max_iters; expected O(log n))")
+    # fixpoint edge set is stars (component_min, member): canonical __a
+    # is the root; min-aggregate is belt-and-braces, each member appears
+    # in exactly one star edge
+    lab = (e.groupBy(F.col("__b").alias("id"))
+           .agg(F.min("__a").alias("component")))
+    labeled = (nodes.join(lab, "id", "left")
+               .select("id", F.coalesce(F.col("component"), F.col("id"))
+                       .alias("component"))
+               .persist())  # 2 consumers: size aggregate + final join
+    sizes = labeled.groupBy("component") \
+        .agg(F.count(F.lit(1)).alias("component_size"))
+    out = (labeled.join(sizes, "component")
+           .select("id", "component",
+                   F.col("component_size").cast("bigint")
+                   .alias("component_size"))
+           .localCheckpoint())
+    nodes.unpersist()
+    labeled.unpersist()
+    return out
+
+
 def triangle_stats(
     edges: DataFrame,
     src: str = "src",

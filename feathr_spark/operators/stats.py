@@ -549,3 +549,56 @@ def mutual_info(
         F.round(mi, round_dp).cast("double").alias("mi"),
         F.round(F.when(hmin > 0, mi / hmin), round_dp).cast("double")
         .alias("mi_normalized"))
+
+
+def spearman_corr(
+    df: DataFrame,
+    pairs: Sequence[tuple],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation for one or more column pairs, per key
+    group: Pearson correlation over AVERAGE ranks (the exact tie
+    convention — min-rank + (ties−1)/2 — so tied values share the mean
+    of the positions they span, matching every stats package).
+    Monotone-association readout that is robust to outliers and
+    nonlinear scale, the standard complement to the Pearson
+    ``corr_matrix``.
+
+    Plan shape: one rank window per DISTINCT column involved (not per
+    pair) — ``rank()`` over (keys, value) plus a tie-count window on
+    the same partitioning — then ONE aggregate computes every pair's
+    ``corr`` together. Rows with a NULL in ANY ranked column are
+    dropped first so all pairs share one ranking universe (listwise
+    deletion — the multi-pair contract; run single pairs separately
+    for pairwise deletion). The rank windows sort within key groups:
+    with ``by`` keys this partitions (scales with balanced groups);
+    without keys it is a single-partition global sort — fine for the
+    grouped analytics it targets, use sampled/approximate ranks
+    beyond that.
+
+    Output: keys + n + one ``rho_<x>__<y>`` column per pair, NULL when
+    a column is constant within the group (zero rank variance).
+    """
+    keys = [F.col(k) for k in by]
+    cols = []
+    for x, y in pairs:
+        for c in (x, y):
+            if c not in cols:
+                cols.append(c)
+    base = df.select(*keys, *[F.col(c).cast("double").alias(c)
+                              for c in cols])
+    for c in cols:
+        base = base.where(F.col(c).isNotNull())
+    ranked = base
+    for c in cols:
+        wv = Window.partitionBy(*by).orderBy(F.col(c))
+        wt = Window.partitionBy(*[F.col(k) for k in by], F.col(c))
+        ranked = ranked.withColumn(
+            f"__r_{c}",
+            F.rank().over(wv).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1.0) / 2.0)
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for x, y in pairs:
+        aggs.append(F.corr(F.col(f"__r_{x}"), F.col(f"__r_{y}"))
+                    .alias(f"rho_{x}__{y}"))
+    return ranked.groupBy(*[F.col(k) for k in by]).agg(*aggs)

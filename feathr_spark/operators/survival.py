@@ -81,6 +81,96 @@ def kaplan_meier(
         surv.alias("survival"))
 
 
+def logrank_test(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    group_col: str = "group",
+) -> DataFrame:
+    """Two-sample log-rank (Mantel-Cox) test: do two groups share a
+    survival curve? The standard companion to :func:`kaplan_meier` —
+    "does segment A churn faster than segment B" with right-censoring
+    handled correctly (a plain mean-duration t-test is biased the
+    moment anything is censored).
+
+    At each distinct event time t (pooled over both groups), group A's
+    observed events ``d_At`` are compared with the expectation under
+    the null ``E_At = d_t · n_At / n_t`` (events split proportionally
+    to the at-risk counts); the statistic is ``(Σ d_At − Σ E_At)² /
+    Σ V_t`` with the hypergeometric variance ``V_t = d_t (n_At/n_t)
+    (1 − n_At/n_t) (n_t − d_t)/(n_t − 1)`` — chi-squared with 1 dof
+    under the null.
+
+    Plan shape: ONE data-sized ``groupBy(group, duration)``; both
+    groups' exit counts pivot into one row per distinct duration via
+    conditional sums, at-risk counts derive from cumulative windows
+    over that tiny frame (distinct-duration-sized — see
+    :func:`kaplan_meier`), and the statistic is a final single-row
+    aggregate. The two group labels are read with a LIMIT-3 collect
+    (three scalars, a config-plane lookup — not a data collect).
+
+    Output: one row — (group_a, group_b, n_a, n_b, obs_a, exp_a,
+    obs_b, exp_b, chi2). Groups are ordered by label so the output is
+    deterministic; raises if the column doesn't have exactly 2
+    distinct non-NULL values.
+    """
+    ev = F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+    base = (df.where(F.col(duration_col).isNotNull()
+                     & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("__g"),
+                    F.col(duration_col).alias("__t"),
+                    ev.alias("__e")))
+    groups = [r[0] for r in
+              base.select("__g").distinct().orderBy("__g").limit(3)
+              .collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"logrank_test: need exactly 2 groups, saw {groups}")
+    ga, gb = groups
+    is_a = F.col("__g") == F.lit(ga)
+    per_t = (base.groupBy("__t")
+             .agg(F.sum(F.when(is_a, F.col("__e")).otherwise(0))
+                  .alias("__da"),
+                  F.sum(F.when(is_a, 1 - F.col("__e")).otherwise(0))
+                  .alias("__ca"),
+                  F.sum(F.when(~is_a, F.col("__e")).otherwise(0))
+                  .alias("__db"),
+                  F.sum(F.when(~is_a, 1 - F.col("__e")).otherwise(0))
+                  .alias("__cb")))
+    wcum = (Window.orderBy("__t")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(F.lit(1))
+    xa = F.col("__da") + F.col("__ca")
+    xb = F.col("__db") + F.col("__cb")
+    na = F.sum(xa).over(wall) - F.sum(xa).over(wcum) + xa
+    nb = F.sum(xb).over(wall) - F.sum(xb).over(wcum) + xb
+    t = (per_t.withColumn("__na", na).withColumn("__nb", nb)
+         .where(F.col("__da") + F.col("__db") > 0))
+    n = (F.col("__na") + F.col("__nb")).cast("double")
+    d = (F.col("__da") + F.col("__db")).cast("double")
+    pa = F.col("__na") / n
+    e_a = d * pa
+    v = F.when(n > 1.0,
+               d * pa * (1.0 - pa) * (n - d) / (n - 1.0)).otherwise(0.0)
+    agg = t.agg(
+        F.sum("__da").cast("bigint").alias("obs_a"),
+        F.sum(e_a).alias("exp_a"),
+        F.sum("__db").cast("bigint").alias("obs_b"),
+        F.sum(d - e_a).alias("exp_b"),
+        F.sum(v).alias("__v"))
+    n_tot = base.groupBy().agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"))
+    chi2 = F.when(
+        F.col("__v") > 0.0,
+        (F.col("obs_a").cast("double") - F.col("exp_a")) ** 2
+        / F.col("__v")).otherwise(0.0)
+    return (agg.crossJoin(F.broadcast(n_tot))
+            .select(F.lit(ga).alias("group_a"), F.lit(gb).alias("group_b"),
+                    "n_a", "n_b", "obs_a", "exp_a", "obs_b", "exp_b",
+                    chi2.alias("chi2")))
+
+
 def order_gap_durations(
     df: DataFrame,
     user_col: str,

@@ -107,3 +107,68 @@ def twap(
                 .otherwise(F.avg("__v")), round_dp)
                 .cast("double").alias("twap"),
                 F.count("*").alias("n")))
+
+
+def autocorrelation(
+    series: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 14,
+    by: Sequence[str] = (),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Sample autocorrelation function (ACF) of an already-regular
+    series (one row per period per key — build it with ``ohlc_bars``/
+    ``time_rollup`` first): for lag k,
+
+        acf(k) = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+
+    — the standard biased estimator (full-series mean and variance in
+    the denominator, the form whose correlogram is positive
+    semi-definite and what statsmodels/R ``acf`` report). Lags are
+    ROW-ordered (k steps back in the ordered series), so a calendar
+    gap is the caller's modeling decision — ``gapfill`` first to treat
+    missing periods as zero/interpolated.
+
+    Plan shape: the series frame is bucket-count-sized (it already
+    aggregated the raw data), so this runs entirely in window algebra
+    over that tiny frame: one stats window (mean/ss per key), ONE lag
+    window producing all ``max_lag`` shifted values, explode to
+    (row, lag) pairs, one (keys, lag) aggregate. Nothing data-sized;
+    the unpartitioned-window warning on keyless input is inherent to
+    ordering a single global series.
+
+    Output: keys + (lag, n_pairs, acf) for k = 1..max_lag; acf NULL
+    when the series is constant (zero variance).
+    """
+    wk = Window.partitionBy(*by)
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    x = F.col(value_col).cast("double")
+    s = (series.where(x.isNotNull())
+         .withColumn("__mu", F.avg(x).over(wk))
+         .withColumn("__ss",
+                     F.sum((x - F.col("__mu")) ** 2).over(wk)))
+    # materialize the shifted values as plain columns BEFORE the
+    # generator: Catalyst collapses projections, and a window lag
+    # flowing through explode into the null filter is rejected
+    # (UNSUPPORTED_EXPR_FOR_OPERATOR)
+    s = s.select(*by, "__mu", "__ss", x.alias("__x"),
+                 *[F.lag(x, k).over(w).alias(f"__p{k}")
+                   for k in range(1, max_lag + 1)])
+    lagged = F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"__p{k}").alias("prev"))
+        for k in range(1, max_lag + 1)])
+    pairs = (s.withColumn("__l", F.explode(lagged))
+             .select(*by, "__mu", "__ss",
+                     F.col("__l.lag").alias("lag"),
+                     (F.col("__x") - F.col("__mu")).alias("__d"),
+                     (F.col("__l.prev") - F.col("__mu")).alias("__dp"))
+             .where(F.col("__dp").isNotNull()))
+    return (pairs.groupBy(*by, "lag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.round(F.when(F.first("__ss") > 0,
+                                F.sum(F.col("__d") * F.col("__dp"))
+                                / F.first("__ss")) + 1e-9, round_dp)
+                 .cast("double").alias("acf"))
+            .select(*by, F.col("lag").cast("bigint").alias("lag"),
+                    "n_pairs", "acf"))

@@ -181,3 +181,154 @@ def test_ltv_cohorts_hand_triangle(spark):
     assert feb0.cohort_users == 1 and feb0.revenue == 10.0
     assert abs(feb0.cum_ltv_per_user - 10.0) < 1e-12
     assert len(out) == 3
+
+
+# ------------------------------------------------------- connected components
+
+def _brute_components(edges, nodes=None):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for n in nodes or ():
+        adj.setdefault(n, set())
+    comp = {}
+    for start in sorted(adj):
+        if start in comp:
+            continue
+        stack, members = [start], []
+        seen = {start}
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for v in adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        root = min(members)
+        for m in members:
+            comp[m] = root
+    return comp
+
+
+def test_connected_components_long_chain(spark):
+    # a 60-node path — the diameter case min-label propagation is
+    # quadratic-round on; large-star/small-star must converge fast
+    from feathr_spark.operators.graph import connected_components
+    edges = [(i, i + 1) for i in range(60)] + [(100, 101), (200, 200)]
+    df = spark.createDataFrame(edges, "src int, dst int")
+    out = {r.id: (r.component, r.component_size)
+           for r in connected_components(df, max_iters=12).collect()}
+    assert all(out[i] == (0, 61) for i in range(61))
+    assert out[100] == (100, 2) and out[101] == (100, 2)
+    assert 200 not in out  # pure self-loop node is dropped
+
+
+def test_connected_components_random_matches_brute_force(spark):
+    from feathr_spark.operators.graph import connected_components
+    rng = random.Random(13)
+    edges = list({(rng.randint(0, 80), rng.randint(0, 80))
+                  for _ in range(70)})
+    df = spark.createDataFrame(edges + [(b, a) for a, b in edges[:10]],
+                               "src int, dst int")
+    want = _brute_components(edges)
+    out = {r.id: r.component for r in connected_components(df).collect()}
+    assert out == {k: v for k, v in want.items()}
+
+
+# ---------------------------------------------------------------- log-rank
+
+def test_logrank_identical_groups_zero_chi2(spark):
+    from feathr_spark.operators.survival import logrank_test
+    rows = [(d, e) for d in (1, 2, 3, 5, 8) for e in (True, False)]
+    data = [("a", d, e) for d, e in rows] + [("b", d, e) for d, e in rows]
+    df = spark.createDataFrame(data, "group string, duration int, event boolean")
+    r = logrank_test(df).collect()[0]
+    assert r.group_a == "a" and r.group_b == "b"
+    assert r.obs_a == r.obs_b == 5
+    assert abs(r.chi2) < 1e-12
+    assert abs(r.exp_a - r.obs_a) < 1e-9
+
+
+def test_logrank_textbook_example(spark):
+    # Worked example: group A events at 1,2 (n=3, one censored at 3);
+    # group B events at 3,4 (n=3, one censored at 5).
+    from feathr_spark.operators.survival import logrank_test
+    data = [("A", 1, True), ("A", 2, True), ("A", 3, False),
+            ("B", 3, True), ("B", 4, True), ("B", 5, False)]
+    df = spark.createDataFrame(data, "group string, duration int, event boolean")
+    r = logrank_test(df).collect()[0]
+    # hand computation:
+    # t=1: d=1 nA=3 nB=3 -> eA=.5, v=.25
+    # t=2: d=1 nA=2 nB=3 -> eA=.4, v=.24
+    # t=3: d=1 nA=1 nB=3 -> eA=.25, v=.1875
+    # t=4: d=1 nA=0 nB=2 -> eA=0,  v=0
+    assert r.obs_a == 2 and r.obs_b == 2
+    assert abs(r.exp_a - 1.15) < 1e-9
+    assert abs(r.exp_b - 2.85) < 1e-9
+    chi2 = (2 - 1.15) ** 2 / (0.25 + 0.24 + 0.1875)
+    assert abs(r.chi2 - chi2) < 1e-9
+
+
+# ---------------------------------------------------------------- spearman
+
+def test_spearman_exact_monotone_and_ties(spark):
+    from feathr_spark.operators.stats import spearman_corr
+    # y is a monotone (nonlinear) function of x -> rho exactly 1
+    rows = [(float(x), float(x ** 3)) for x in range(1, 9)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, [("x", "y")]).collect()[0]
+    assert abs(r.rho_x__y - 1.0) < 1e-12
+    # reversed -> -1
+    rows = [(float(x), float(-x ** 3)) for x in range(1, 9)]
+    r = spearman_corr(spark.createDataFrame(rows, "x double, y double"),
+                      [("x", "y")]).collect()[0]
+    assert abs(r.rho_x__y + 1.0) < 1e-12
+
+
+def test_spearman_ties_match_scipy_convention(spark):
+    from feathr_spark.operators.stats import spearman_corr
+    # hand-checked with average ranks:
+    # x = [1,2,2,3], ranks [1, 2.5, 2.5, 4]
+    # y = [10,20,20,10], ranks [1.5, 3.5, 3.5, 1.5]
+    # pearson(rx, ry) = 0 by symmetry? compute: rx dev [-1.5,0,0,1.5],
+    # ry dev [-1,1,1,-1] -> cov = (1.5 - 1.5)/3 = 0
+    rows = [(1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 10.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = spearman_corr(df, [("x", "y")]).collect()[0]
+    assert abs(r.rho_x__y) < 1e-12
+    assert r.n == 4
+
+
+# ---------------------------------------------------------------- acf
+
+def test_autocorrelation_alternating_series(spark):
+    from feathr_spark.operators.timeseries import autocorrelation
+    # x alternates around its mean: acf(1) strongly negative, acf(2)
+    # positive; exact values from the biased estimator
+    xs = [1.0, -1.0] * 6
+    rows = [(i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "t int, x double")
+    out = {r.lag: r for r in
+           autocorrelation(df, "t", "x", max_lag=3).collect()}
+    n = len(xs)
+    mu = sum(xs) / n
+    ss = sum((v - mu) ** 2 for v in xs)
+    for k in (1, 2, 3):
+        want = sum((xs[i] - mu) * (xs[i - k] - mu)
+                   for i in range(k, n)) / ss
+        assert abs(out[k].acf - round(want + 1e-9, 4)) < 1e-9, k
+        assert out[k].n_pairs == n - k
+
+
+def test_autocorrelation_keyed_constant_null(spark):
+    from feathr_spark.operators.timeseries import autocorrelation
+    rows = [("a", i, float(i % 4)) for i in range(12)] + \
+           [("b", i, 5.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    out = {(r.k, r.lag): r.acf for r in
+           autocorrelation(df, "t", "x", max_lag=2, by=["k"]).collect()}
+    assert out[("b", 1)] is None and out[("b", 2)] is None
+    assert out[("a", 1)] is not None

@@ -80,6 +80,9 @@ BROADCAST_LOOP_OK = {
     # 1-row observation-horizon frame broadcast onto every (user, date)
     # row to right-censor the final gap
     "kaplan_meier_orders",
+    # same horizon broadcast inside order_gap_durations, plus the
+    # 1-row group-total frame broadcast onto the 1-row statistic
+    "logrank_segments",
 }
 
 
@@ -508,6 +511,23 @@ EXCHANGE_BUDGET = {
     # cohort min aggregate + user join + (cohort, offset) cell aggregate
     # + the triangle-sized cumulative window
     "ltv_cohorts": 4,
+    # large-star/small-star loop ends in an eager localCheckpoint (same
+    # pattern as triangles_parts): the snapshot plan is the checkpoint
+    # scan; per-round shuffles are runtime-only, evidenced in the bench
+    "components_parts": 0,
+    # segment-filtered gap extraction (per-user lead window + duration
+    # groupBy) feeds distinct-duration window algebra; the per-group
+    # pivot + at-risk windows + the two scalar folds print the persisted
+    # subtrees under every consumer
+    "logrank_segments": 7,
+    # one rank-window partitioning (all three rank windows + the tie
+    # counts share the l_returnflag hash partitioning) + the final
+    # aggregate reuses it — a single data-sized shuffle for the whole
+    # correlogram
+    "spearman_lineitem": 1,
+    # daily aggregate (map-side combined) + the single-partition series
+    # window; everything after runs on the day-count-sized frame
+    "acf_daily": 2,
 }
 
 
@@ -557,6 +577,12 @@ GLOBAL_WINDOW_OK = {
     # (bounded by the day-gap range — ~1k rows at any corpus scale);
     # the data-sized pass is the partitioned per-user lead window
     "kaplan_meier_orders",
+    # same distinct-duration algebra as kaplan_meier_orders (at-risk
+    # cumsums for both groups over the pooled duration frame)
+    "logrank_segments",
+    # the whole correlogram runs over the day-count-sized series frame;
+    # ordering a single global series is inherently one partition
+    "acf_daily",
 }
 
 

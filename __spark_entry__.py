@@ -2558,6 +2558,71 @@ def q_spearman_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double").alias("rho_disc_price"))
 
 
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on order value between URGENT and LOW priority
+    orders — U via the roc_auc bucketed-cumsum plan (no global sort on
+    the ~unique price column), tie term from one map-side aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.stats import mann_whitney_u
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderpriority")
+                     .isin("1-URGENT", "5-LOW")))
+    out = mann_whitney_u(orders, "o_orderpriority", "o_totalprice")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(F.col("u_a") + 1e-9, 4).cast("double").alias("u_a"),
+        F.round(F.col("u_b") + 1e-9, 4).cast("double").alias("u_b"),
+        F.round(F.col("z") + 1e-9, 4).cast("double").alias("z"))
+
+
+def q_kruskal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H for order value across all five priorities —
+    midranks from the bucketed prefix plan over the distinct-price
+    frame, one fold per group, one for the statistic."""
+    _utc(spark)
+    from feathr_spark.operators.stats import kruskal_wallis
+    from feathr_spark.operators._cache import attach_intermediates
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = kruskal_wallis(orders, "o_orderpriority", "o_totalprice")
+    res = out.select(
+        "n", "k",
+        F.round(F.col("h") + 1e-9, 4).cast("double").alias("h"))
+    # re-attach the operator's cached pooled frame to the frame the
+    # driver actually consumes (the select loses the Python attribute)
+    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
+                                             ()))
+
+
+def q_cramers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V for two categorical pairs on orders: priority vs
+    status (near-independent) and status vs order month (seasonally
+    coupled). One cell aggregate per pair; χ² in the algebraic
+    no-dense-grid form."""
+    _utc(spark)
+    from feathr_spark.operators.stats import cramers_v
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("o_month",
+                          F.month(F.col("o_orderdate").cast("date"))))
+    return cramers_v(orders, [("o_orderpriority", "o_orderstatus"),
+                              ("o_orderstatus", "o_month")])
+
+
+def q_weighted_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted percentiles of unit price per return flag —
+    DECIMAL-exact cumulative weights through the bucketed prefix plan,
+    so the boundary row is deterministic at any parallelism."""
+    _utc(spark)
+    from feathr_spark.operators.stats import weighted_percentiles
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = weighted_percentiles(li, "l_extendedprice", "l_quantity",
+                               [0.25, 0.5, 0.9, 0.99],
+                               by=["l_returnflag"])
+    return out.select("l_returnflag",
+                      F.round(F.col("p"), 2).cast("double").alias("p"),
+                      F.round(F.col("value") + 1e-9, 4).cast("double")
+                      .alias("value"))
+
+
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation (lags 1-7) of the daily order-revenue series:
     exact DECIMAL daily fold, then the whole correlogram in window
@@ -2633,6 +2698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_segments": q_logrank_segments,
         "spearman_lineitem": q_spearman_lineitem,
         "acf_daily": q_acf_daily,
+        "mw_priorities": q_mann_whitney,
+        "kruskal_priority": q_kruskal_priority,
+        "cramers_orders": q_cramers_orders,
+        "weighted_pctile": q_weighted_pctile,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -3836,6 +3905,173 @@ def oracle_sql() -> dict[str, str]:
             FROM u, st, ss
             WHERE u.p IS NOT NULL
             GROUP BY 1, ss.ss
+        """,
+        "mw_priorities": """
+            WITH b AS (
+              SELECT o_orderpriority AS g,
+                     CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+                AND o_totalprice IS NOT NULL),
+            r AS (
+              SELECT g,
+                     rank() OVER (ORDER BY v)
+                     + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+              FROM b),
+            agg AS (
+              SELECT sum(CASE WHEN g = '1-URGENT' THEN rk END) AS ra,
+                     sum(CASE WHEN g = '1-URGENT' THEN 1
+                         ELSE 0 END) AS na,
+                     sum(CASE WHEN g = '5-LOW' THEN 1 ELSE 0 END) AS nb
+              FROM r),
+            tie AS (
+              SELECT sum(CAST(c AS DOUBLE) ** 3 - c) AS tc FROM (
+                SELECT count(*) AS c FROM b GROUP BY v)),
+            s AS (
+              SELECT na, nb, ra - na * (na + 1) / 2.0 AS ua,
+                     CAST(na AS DOUBLE) * nb AS nanb,
+                     na + nb AS n, tie.tc
+              FROM agg, tie)
+            SELECT '1-URGENT' AS group_a, '5-LOW' AS group_b,
+                   CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+                   CAST(ROUND(ua + 1e-9, 4) AS DOUBLE) AS u_a,
+                   CAST(ROUND(nanb - ua + 1e-9, 4) AS DOUBLE) AS u_b,
+                   CAST(ROUND(CASE WHEN nanb / 12.0 * ((n + 1)
+                                   - tc / (CAST(n AS DOUBLE) * (n - 1)))
+                                   > 0
+                              THEN (ua - nanb / 2.0)
+                                   / sqrt(nanb / 12.0 * ((n + 1)
+                                     - tc / (CAST(n AS DOUBLE)
+                                             * (n - 1))))
+                              END + 1e-9, 4) AS DOUBLE) AS z
+            FROM s
+        """,
+        "kruskal_priority": """
+            WITH b AS (
+              SELECT o_orderpriority AS g,
+                     CAST(o_totalprice AS DOUBLE) AS v
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL),
+            r AS (
+              SELECT g,
+                     rank() OVER (ORDER BY v)
+                     + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+              FROM b),
+            pg AS (
+              SELECT g, sum(rk) AS rg, count(*) AS ng
+              FROM r GROUP BY 1),
+            tie AS (
+              SELECT sum(CAST(c AS DOUBLE) ** 3 - c) AS tc FROM (
+                SELECT count(*) AS c FROM b GROUP BY v)),
+            s AS (
+              SELECT sum(rg * rg / ng) AS sr, sum(ng) AS n,
+                     count(*) AS k
+              FROM pg)
+            SELECT CAST(s.n AS BIGINT) AS n, CAST(s.k AS BIGINT) AS k,
+                   CAST(ROUND(CASE WHEN s.k >= 2
+                              AND 1 - tie.tc / (CAST(s.n AS DOUBLE) ** 3
+                                                - s.n) > 0
+                              THEN (12.0 / (s.n * (s.n + 1.0)) * s.sr
+                                    - 3.0 * (s.n + 1.0))
+                                   / (1 - tie.tc
+                                      / (CAST(s.n AS DOUBLE) ** 3 - s.n))
+                              END + 1e-9, 4) AS DOUBLE) AS h
+            FROM s, tie
+        """,
+        "cramers_orders": """
+            WITH o2 AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     month(CAST(o_orderdate AS DATE)) AS o_month
+              FROM orders),
+            c1 AS (
+              SELECT o_orderpriority AS a, o_orderstatus AS b,
+                     count(*) AS c
+              FROM o2 WHERE o_orderpriority IS NOT NULL
+                AND o_orderstatus IS NOT NULL
+              GROUP BY 1, 2),
+            t1a AS (
+              SELECT a, b, c,
+                     CAST(c AS DOUBLE) * c
+                     / (sum(c) OVER (PARTITION BY a)
+                        * CAST(sum(c) OVER (PARTITION BY b)
+                               AS DOUBLE)) AS term
+              FROM c1),
+            t1 AS (
+              SELECT sum(c) AS n, sum(term) AS st,
+                     count(DISTINCT a) AS ra, count(DISTINCT b) AS rb
+              FROM t1a),
+            s1 AS (
+              SELECT 'o_orderpriority' AS col_x,
+                     'o_orderstatus' AS col_y,
+                     n, (ra - 1) * (rb - 1) AS dof,
+                     greatest(n * (st - 1.0), 0.0) AS chi2,
+                     CASE WHEN least(ra, rb) > 1
+                          THEN sqrt(greatest(n * (st - 1.0), 0.0)
+                                    / (n * (least(ra, rb) - 1.0)))
+                     END AS v
+              FROM t1),
+            c2 AS (
+              SELECT o_orderstatus AS a, o_month AS b, count(*) AS c
+              FROM o2 WHERE o_orderstatus IS NOT NULL
+                AND o_month IS NOT NULL
+              GROUP BY 1, 2),
+            t2a AS (
+              SELECT a, b, c,
+                     CAST(c AS DOUBLE) * c
+                     / (sum(c) OVER (PARTITION BY a)
+                        * CAST(sum(c) OVER (PARTITION BY b)
+                               AS DOUBLE)) AS term
+              FROM c2),
+            t2 AS (
+              SELECT sum(c) AS n, sum(term) AS st,
+                     count(DISTINCT a) AS ra, count(DISTINCT b) AS rb
+              FROM t2a),
+            s2 AS (
+              SELECT 'o_orderstatus' AS col_x, 'o_month' AS col_y,
+                     n, (ra - 1) * (rb - 1) AS dof,
+                     greatest(n * (st - 1.0), 0.0) AS chi2,
+                     CASE WHEN least(ra, rb) > 1
+                          THEN sqrt(greatest(n * (st - 1.0), 0.0)
+                                    / (n * (least(ra, rb) - 1.0)))
+                     END AS v
+              FROM t2)
+            SELECT col_x, col_y, CAST(n AS BIGINT) AS n,
+                   CAST(dof AS BIGINT) AS dof,
+                   CAST(ROUND(chi2, 4) AS DOUBLE) AS chi2,
+                   CAST(ROUND(v, 4) AS DOUBLE) AS v
+            FROM s1
+            UNION ALL
+            SELECT col_x, col_y, CAST(n AS BIGINT),
+                   CAST(dof AS BIGINT),
+                   CAST(ROUND(chi2, 4) AS DOUBLE),
+                   CAST(ROUND(v, 4) AS DOUBLE)
+            FROM s2
+        """,
+        "weighted_pctile": """
+            WITH pv AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS v,
+                     sum(CAST(l_quantity AS DECIMAL(28,8))) AS w
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND CAST(l_quantity AS DOUBLE) > 0
+              GROUP BY 1, 2),
+            cw AS (
+              SELECT g, v,
+                     CAST(sum(w) OVER (PARTITION BY g ORDER BY v
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE) AS cum,
+                     CAST(sum(w) OVER (PARTITION BY g) AS DOUBLE) AS tw
+              FROM pv),
+            ps AS (SELECT * FROM (VALUES (0.25), (0.5), (0.9), (0.99))
+                   t(p))
+            SELECT cw.g AS l_returnflag,
+                   CAST(ROUND(ps.p, 2) AS DOUBLE) AS p,
+                   CAST(ROUND(min(cw.v) + 1e-9, 4) AS DOUBLE) AS value
+            FROM cw JOIN ps ON cw.cum >= ps.p * cw.tw
+            GROUP BY 1, 2
         """,
         "ols_trend": """
             WITH m AS (

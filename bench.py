@@ -146,6 +146,10 @@ HEADLINE = [
     "logrank_segments",
     "spearman_lineitem",
     "acf_daily",
+    "mw_priorities",
+    "kruskal_priority",
+    "cramers_orders",
+    "weighted_pctile",
 ]
 
 

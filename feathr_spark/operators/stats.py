@@ -438,7 +438,10 @@ def chi2_independence(
         F.count_distinct("__a").alias("__ra"),
         F.count_distinct("__b").alias("__rb"))
     n = F.col("__n").cast("double")
-    chi2 = n * (F.col("__sum_t") - 1.0)
+    # float fold of Σ cᵢⱼ²/(rᵢ·kⱼ) can land a hair under 1.0 on exactly
+    # independent data — clamp: χ² is non-negative by construction, and
+    # an un-clamped -1e-14 poisons V with sqrt(negative) = NaN
+    chi2 = F.greatest(n * (F.col("__sum_t") - 1.0), F.lit(0.0))
     r, k = F.col("__ra").cast("double"), F.col("__rb").cast("double")
     dof = (r - 1) * (k - 1)
     minrk = F.least(r, k) - 1
@@ -602,3 +605,274 @@ def spearman_corr(
         aggs.append(F.corr(F.col(f"__r_{x}"), F.col(f"__r_{y}"))
                     .alias(f"rho_{x}__{y}"))
     return ranked.groupBy(*[F.col(k) for k in by]).agg(*aggs)
+
+
+def _avg_rank_frame(
+    per_value: DataFrame,
+    keys: Sequence[str],
+    value_col: str = "__s",
+    count_col: str = "__t",
+    buckets: int = 64,
+) -> DataFrame:
+    """Attach the average pooled rank (1-based, midpoint of each tied
+    block) to a per-distinct-value count frame WITHOUT a global sort —
+    the same bucketed distributed-cumsum plan as :func:`roc_auc`:
+    order-preserving range buckets from a broadcast min/max frame,
+    prefix offsets over the buckets-sized frame, within-bucket running
+    sums partitioned by bucket (parallel). Adds ``__rank`` (double).
+    """
+    g = F.lit(0).alias("__g")
+    bounds = per_value.groupBy(*keys).agg(F.min(value_col).alias("__lo"),
+                                          F.max(value_col).alias("__hi"))
+    if keys:
+        sb = per_value.join(F.broadcast(bounds), list(keys))
+    else:
+        sb = per_value.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = (hi - lo) / F.lit(int(buckets))
+    bkt = (F.when(hi == lo, F.lit(0))
+           .otherwise(F.least(F.floor((F.col(value_col) - lo) / width),
+                              F.lit(int(buckets) - 1)))).cast("bigint")
+    sb = sb.withColumn("__b", bkt).drop("__lo", "__hi")
+    bt = sb.groupBy(*keys, g, "__b").agg(F.sum(count_col).alias("__bn"))
+    woff = Window.partitionBy(*(keys or ["__g"])).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    offs = bt.select(
+        *keys, "__b",
+        F.coalesce(F.sum("__bn").over(woff), F.lit(0)).alias("__off"))
+    wrun = Window.partitionBy(*keys, "__b").orderBy(value_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    return (sb.join(F.broadcast(offs), list(keys) + ["__b"])
+            .withColumn(
+                "__rank",
+                (F.coalesce(F.sum(count_col).over(wrun), F.lit(0))
+                 + F.col("__off")).cast("double")
+                + (F.col(count_col).cast("double") + 1.0) / 2.0)
+            .drop("__b", "__off"))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: do two groups draw from
+    the same distribution? The nonparametric complement to
+    :func:`ab_welch_t` — rank-based, so heavy tails and outliers don't
+    distort it, and ties get the standard midrank treatment.
+
+    U is EXACTLY the ROC-AUC pair statistic (``U_a = AUC · n_a · n_b``
+    with ties at half credit), so this reuses :func:`roc_auc`'s
+    bucketed distributed-cumsum plan — no global sort at any data
+    size. The tie-corrected normal approximation
+
+        z = (U_a − n_a n_b / 2) /
+            sqrt( n_a n_b / 12 · ((n+1) − Σ(t³−t)/(n(n−1))) )
+
+    adds one per-distinct-value aggregate for Σ(t³−t) — map-side
+    combined, no window. No p-value column (no portable normal CDF;
+    threshold |z|, e.g. 1.96 ≈ 5%).
+
+    Output per group: (by..., group_a, group_b, n_a, n_b, u_a, u_b, z)
+    with groups ordered by label; z NULL when a side is empty or all
+    values tie. Raises unless ``group_col`` has exactly 2 distinct
+    non-NULL values.
+    """
+    keys = list(by or [])
+    base = (df.where(F.col(group_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+            .select(*keys, F.col(group_col).alias("__grp"),
+                    F.col(value_col).cast("double").alias("__s")))
+    groups = [r[0] for r in
+              base.select("__grp").distinct().orderBy("__grp").limit(3)
+              .collect()]
+    if len(groups) != 2:
+        raise ValueError(
+            f"mann_whitney_u: need exactly 2 groups, saw {groups}")
+    ga, gb = groups
+    auc = roc_auc(base.withColumn("__y", F.col("__grp") == F.lit(ga)),
+                  "__y", "__s", by=keys or None)
+    ties = (base.groupBy(*keys, "__s")
+            .agg(F.count(F.lit(1)).cast("double").alias("__t"))
+            .groupBy(*keys)
+            .agg(F.sum(F.col("__t") ** 3 - F.col("__t")).alias("__tc")))
+    if keys:
+        j = auc.join(ties, keys)
+    else:
+        j = auc.crossJoin(F.broadcast(ties))
+    na = F.col("n_pos").cast("double")
+    nb = F.col("n_b").cast("double")
+    j = j.withColumnRenamed("n_neg", "n_b")
+    n = na + nb
+    u_a = F.col("auc") * na * nb
+    mu = na * nb / 2.0
+    var = (na * nb / 12.0) * ((n + 1.0)
+                              - F.col("__tc") / (n * (n - 1.0)))
+    z = F.when(var > 0, (u_a - mu) / F.sqrt(var))
+    return j.select(
+        *keys,
+        F.lit(ga).alias("group_a"), F.lit(gb).alias("group_b"),
+        F.col("n_pos").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        u_a.alias("u_a"), (na * nb - u_a).alias("u_b"), z.alias("z"))
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    by: Optional[Sequence[str]] = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Kruskal–Wallis H: the k-group generalization of Mann–Whitney —
+    one-way ANOVA on midranks. H = (12/(n(n+1))) Σ_g R_g²/n_g − 3(n+1),
+    divided by the tie correction 1 − Σ(t³−t)/(n³−n); chi-squared with
+    k−1 dof under the null.
+
+    Plan: one data-sized ``groupBy(value, group)``; average pooled
+    ranks come from the bucketed prefix plan (:func:`_avg_rank_frame` —
+    no global sort); one aggregate folds R_g per group and a second
+    folds the statistic. Output per ``by`` group: (by..., n, k, h) — h
+    NULL when every value ties or k < 2.
+    """
+    keys = list(by or [])
+    base = (df.where(F.col(group_col).isNotNull()
+                     & F.col(value_col).isNotNull())
+            .select(*keys, F.col(group_col).alias("__grp"),
+                    F.col(value_col).cast("double").alias("__s")))
+    # pv is the only data-sized aggregate and fans out to the pooled
+    # per-value frame AND the per-group rank fold — persist or the raw
+    # table is scanned+shuffled once per consumer
+    pv = (base.groupBy(*keys, "__s", "__grp")
+          .agg(F.count(F.lit(1)).alias("__c")).persist())
+    pooled = (pv.groupBy(*keys, "__s")
+              .agg(F.sum("__c").alias("__t")).persist())
+    ranked = _avg_rank_frame(pooled, keys, buckets=buckets)
+    if keys:
+        pj = pv.join(ranked.select(*keys, "__s", "__rank", "__t"),
+                     keys + ["__s"])
+    else:
+        pj = pv.join(ranked.select("__s", "__rank", "__t"), ["__s"])
+    per_g = (pj.groupBy(*keys, "__grp")
+             .agg(F.sum(F.col("__c") * F.col("__rank")).alias("__rg"),
+                  F.sum("__c").alias("__ng")))
+    tie = (pooled.groupBy(*keys)
+           .agg(F.sum(F.col("__t").cast("double") ** 3
+                      - F.col("__t")).alias("__tc")))
+    stat = (per_g.groupBy(*keys)
+            .agg(F.sum(F.col("__rg") ** 2 / F.col("__ng")).alias("__sr"),
+                 F.sum("__ng").alias("__n"),
+                 F.count(F.lit(1)).alias("__k")))
+    if keys:
+        j = stat.join(tie, keys)
+    else:
+        j = stat.crossJoin(F.broadcast(tie))
+    n = F.col("__n").cast("double")
+    h_raw = 12.0 / (n * (n + 1.0)) * F.col("__sr") - 3.0 * (n + 1.0)
+    corr = 1.0 - F.col("__tc") / (n ** 3 - n)
+    h = F.when((F.col("__k") >= 2) & (corr > 0), h_raw / corr)
+    out = j.select(*keys, F.col("__n").cast("bigint").alias("n"),
+                   F.col("__k").cast("bigint").alias("k"), h.alias("h"))
+    from ._cache import attach_intermediates
+    return attach_intermediates(out, [pv, pooled])
+
+
+def cramers_v(
+    df: DataFrame,
+    pairs: Sequence[tuple],
+    round_dp: int = 4,
+) -> DataFrame:
+    """Cramér's V association matrix for categorical column pairs —
+    the contingency counterpart to ``corr_matrix`` (Pearson only sees
+    numerics; V ∈ [0, 1] ranks which categorical dimensions actually
+    move together). A thin multi-pair batcher over
+    :func:`chi2_independence`, which already evaluates χ² in the
+    algebraic form that needs no dense grid (empty cells contribute
+    nothing) and derives V; one map-side-combined cell aggregate per
+    pair, results union into one labeled frame. V is NULL for
+    degenerate tables (min(r, c) = 1). Output: (col_x, col_y, n, dof,
+    chi2, v).
+    """
+    outs = []
+    for x, y in pairs:
+        one = chi2_independence(df, x, y, round_dp=round_dp)
+        outs.append(one.select(
+            F.lit(x).alias("col_x"), F.lit(y).alias("col_y"),
+            "n", "dof", "chi2",
+            F.col("cramers_v").alias("v")))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def weighted_percentiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    ps: Sequence[float],
+    by: Optional[Sequence[str]] = None,
+    buckets: int = 64,
+) -> DataFrame:
+    """Weight-aware percentiles: the smallest value whose cumulative
+    weight reaches p · total_weight (lower-boundary / type-1 — the
+    portable convention both engines can state exactly, no
+    interpolation). "Median price weighted by quantity sold" — the
+    question plain ``percentile_approx`` (row-weighted) answers
+    wrongly.
+
+    Plan: one ``groupBy(keys, value)`` weight fold (the only
+    data-sized shuffle), cumulative weights via the same bucketed
+    prefix plan as :func:`_avg_rank_frame` (no global sort), then one
+    min-aggregate per (key, p) over the rows at-or-past each
+    threshold. Weights fold as DECIMAL the whole way — exact and
+    order-independent, so the threshold row is a FACT, not a
+    float-summation race (a double cumsum accumulates in partition
+    order; two engines/runs can disagree on the boundary row). Weights
+    must be positive; NULL/zero-weight rows drop out. Output:
+    (by..., p, value).
+    """
+    keys = list(by or [])
+    w = F.col(weight_col).cast("decimal(28,8)")
+    pv = (df.where(F.col(value_col).isNotNull()
+                   & F.col(weight_col).isNotNull()
+                   & (F.col(weight_col).cast("double") > 0))
+          .groupBy(*keys, F.col(value_col).cast("double").alias("__s"))
+          .agg(F.sum(w).alias("__t")))
+    # bucketed prefix cumsum, decimal-exact end to end
+    g = F.lit(0).alias("__g")
+    bounds = pv.groupBy(*keys).agg(F.min("__s").alias("__lo"),
+                                   F.max("__s").alias("__hi"))
+    if keys:
+        sb = pv.join(F.broadcast(bounds), keys)
+    else:
+        sb = pv.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = (hi - lo) / F.lit(int(buckets))
+    bkt = (F.when(hi == lo, F.lit(0))
+           .otherwise(F.least(F.floor((F.col("__s") - lo) / width),
+                              F.lit(int(buckets) - 1)))).cast("bigint")
+    sb = sb.withColumn("__b", bkt).drop("__lo", "__hi")
+    bt = sb.groupBy(*keys, g, "__b").agg(F.sum("__t").alias("__bw"))
+    woff = Window.partitionBy(*(keys or ["__g"])).orderBy("__b") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    wtot = Window.partitionBy(*(keys or ["__g"]))
+    offs = bt.select(
+        *keys, "__b",
+        F.coalesce(F.sum("__bw").over(woff),
+                   F.lit(0).cast("decimal(28,8)")).alias("__off"),
+        F.sum("__bw").over(wtot).alias("__tw"))
+    wrun = Window.partitionBy(*keys, "__b").orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j = (sb.join(F.broadcast(offs), list(keys) + ["__b"])
+         .withColumn("__cw", (F.col("__off")
+                              + F.sum("__t").over(wrun)).cast("double"))
+         .withColumn("__twd", F.col("__tw").cast("double")))
+    pframe = F.array(*[F.lit(float(p)) for p in ps])
+    exploded = (j.withColumn("__p", F.explode(pframe))
+                .where(F.col("__cw") >= F.col("__p") * F.col("__twd")))
+    return (exploded.groupBy(*keys, "__p")
+            .agg(F.min("__s").alias("value"))
+            .select(*keys, F.col("__p").cast("double").alias("p"),
+                    "value"))

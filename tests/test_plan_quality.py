@@ -83,6 +83,10 @@ BROADCAST_LOOP_OK = {
     # same horizon broadcast inside order_gap_durations, plus the
     # 1-row group-total frame broadcast onto the 1-row statistic
     "logrank_segments",
+    # 1-row tie-correction frame broadcast onto the 1-row U/AUC fold
+    "mw_priorities",
+    # 1-row tie-correction frame broadcast onto the 1-row H fold
+    "kruskal_priority",
 }
 
 
@@ -528,6 +532,19 @@ EXCHANGE_BUDGET = {
     # daily aggregate (map-side combined) + the single-partition series
     # window; everything after runs on the day-count-sized frame
     "acf_daily": 2,
+    # two single-pass map-side aggregates over the priority-filtered
+    # scan (the roc_auc distinct-price reduction + the tie fold) plus
+    # the bucketed-prefix windows over the distinct-price frame
+    "mw_priorities": 10,
+    # the persisted pv/pooled subtrees PRINT under all five consumers
+    # (textual matches > runtime shuffles — drift_events note); runtime
+    # is ONE data-sized aggregate + bucketed rank algebra
+    "kruskal_priority": 30,
+    # one cell aggregate per pair (2) + cell-frame windows + the union
+    "cramers_orders": 10,
+    # one data-sized (flag, price) weight fold + the decimal bucketed
+    # prefix cumsum + the per-(flag, p) min fold
+    "weighted_pctile": 8,
 }
 
 
@@ -583,6 +600,13 @@ GLOBAL_WINDOW_OK = {
     # the whole correlogram runs over the day-count-sized series frame;
     # ordering a single global series is inherently one partition
     "acf_daily",
+    # the flagged window is the bucketed-prefix OFFSET pass: its input
+    # is bounded at `buckets` (64) rows by construction (per-bucket
+    # totals), Catalyst just constant-folds the literal partition key
+    # out of the spec; the data-sized cumsums run partitioned by bucket
+    "mw_priorities",
+    "kruskal_priority",
+    "weighted_pctile",
 }
 
 

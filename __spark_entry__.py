@@ -2623,6 +2623,113 @@ def q_weighted_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("value"))
 
 
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: median of ~3M pairwise
+    slopes over the 2.4k-day series — O(n²) in SERIES length only; a
+    distributed join + exact interpolated median on both engines."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import theil_sen
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue")))
+    return theil_sen(daily, "d", "revenue")
+
+
+def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS over the customer->part purchase bipartite graph (3
+    iterations, L1-normalized): hub customers buy what authority parts
+    sell. Scores rescaled by each side's node count (pagerank's
+    rank_rel convention) so the 4-dp compare keeps signal."""
+    _utc(spark)
+    from feathr_spark.operators.graph import hits
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    out = hits(edges, iters=3)
+    counts = edges.agg(
+        F.countDistinct("src").cast("double").alias("__ns"),
+        F.countDistinct("dst").cast("double").alias("__nd"))
+    return (out.crossJoin(F.broadcast(counts))
+            .select("id",
+                    F.round(F.col("hub") * F.col("__ns") + 1e-9, 4)
+                    .cast("double").alias("hub_rel"),
+                    F.round(F.col("authority") * F.col("__nd") + 1e-9, 4)
+                    .cast("double").alias("auth_rel")))
+
+
+def q_bh_fdr_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg over 12 monthly independence tests: per
+    month, chi2 of order status vs an above-median-price flag (3x2
+    table, dof 2 when all statuses appear, so p = exp(-chi2/2) is the
+    exact chi-square survival transform — a deterministic portable
+    map either way), then one FDR pass over the 12-row tests frame."""
+    _utc(spark)
+    from feathr_spark.operators.stats import bh_fdr
+    from pyspark.sql import Window
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    med = orders.agg(F.median(F.col("o_totalprice").cast("double"))
+                     .alias("__med"))
+    base = (orders.crossJoin(F.broadcast(med))
+            .select(F.month(F.col("o_orderdate").cast("date"))
+                    .alias("m"),
+                    F.col("o_orderstatus").alias("s"),
+                    (F.col("o_totalprice").cast("double")
+                     > F.col("__med")).alias("f")))
+    cells = base.groupBy("m", "s", "f").agg(F.count(F.lit(1))
+                                            .alias("__c"))
+    wr = Window.partitionBy("m", "s")
+    wc = Window.partitionBy("m", "f")
+    wm = Window.partitionBy("m")
+    c = F.col("__c").cast("double")
+    terms = cells.select(
+        "m", "__c",
+        (c * c / (F.sum("__c").over(wr).cast("double")
+                  * F.sum("__c").over(wc).cast("double"))).alias("__t"))
+    tests = (terms.groupBy("m")
+             .agg(F.sum("__c").alias("__n"), F.sum("__t").alias("__st"))
+             .select("m",
+                     F.exp(-F.greatest(
+                         F.col("__n") * (F.col("__st") - 1.0),
+                         F.lit(0.0)) / 2.0).alias("__p")))
+    out = bh_fdr(tests, "__p", ["m"], alpha=0.05)
+    return out.select(
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("p") + 1e-9, 4).cast("double").alias("p"),
+        "rank",
+        F.round(F.col("q") + 1e-9, 4).cast("double").alias("q"),
+        "rejected")
+
+
+def q_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clauset MLE power-law alpha of the co-purchase degree
+    distribution (dmin=2) — the is-this-graph-scale-free readout that
+    justifies the skew-aware graph plans. One degree aggregate + one
+    fold."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import degree_powerlaw
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+    edges = rules.select(F.col("item_a").alias("src"),
+                         F.col("item_b").alias("dst"))
+    out = degree_powerlaw(edges, dmin=2)
+    return out.select(
+        "n_nodes", "n_tail", "dmin",
+        F.round(F.col("alpha") + 1e-9, 4).cast("double").alias("alpha"),
+        "max_degree")
+
+
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation (lags 1-7) of the daily order-revenue series:
     exact DECIMAL daily fold, then the whole correlogram in window
@@ -2702,6 +2809,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kruskal_priority": q_kruskal_priority,
         "cramers_orders": q_cramers_orders,
         "weighted_pctile": q_weighted_pctile,
+        "theil_sen_daily": q_theil_sen,
+        "hits_bipartite": q_hits_bipartite,
+        "bh_fdr_monthly": q_bh_fdr_monthly,
+        "powerlaw_parts": q_powerlaw_parts,
         # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
@@ -4072,6 +4183,151 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(min(cw.v) + 1e-9, 4) AS DOUBLE) AS value
             FROM cw JOIN ps ON cw.cum >= ps.p * cw.tw
             GROUP BY 1, 2
+        """,
+        "theil_sen_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS y
+              FROM orders GROUP BY 1),
+            x AS (
+              SELECT epoch_ms(CAST(d AS TIMESTAMP)) / 86400000.0 AS x,
+                     y
+              FROM s),
+            p AS (
+              SELECT (b.y - a.y) / (b.x - a.x) AS sl
+              FROM x a JOIN x b ON a.x < b.x),
+            m AS (SELECT median(sl) AS m FROM p),
+            r AS (
+              SELECT count(*) AS n,
+                     median(x.y - m.m * x.x) AS b
+              FROM x, m)
+            SELECT CAST(r.n AS BIGINT) AS n,
+                   CAST(ROUND(m.m + 1e-9, 4) AS DOUBLE) AS slope,
+                   CAST(ROUND(r.b + 1e-9, 4) AS DOUBLE) AS intercept
+            FROM r, m
+        """,
+        "hits_bipartite": """
+            WITH e AS (
+              SELECT DISTINCT
+                     'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                     'p' || CAST(l.l_partkey AS VARCHAR) AS v
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey),
+            srcs AS (SELECT DISTINCT u FROM e),
+            dsts AS (SELECT DISTINCT v FROM e),
+            ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
+            nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dsts),
+            h0 AS (SELECT u, 1.0 / ns.n AS s FROM srcs, ns),
+            a1r AS (SELECT e.v, sum(h0.s) AS s
+                    FROM e JOIN h0 ON e.u = h0.u GROUP BY 1),
+            a1 AS (SELECT v, s / (SELECT sum(s) FROM a1r) AS s
+                   FROM a1r),
+            h1r AS (SELECT e.u, sum(a1.s) AS s
+                    FROM e JOIN a1 ON e.v = a1.v GROUP BY 1),
+            h1 AS (SELECT u, s / (SELECT sum(s) FROM h1r) AS s
+                   FROM h1r),
+            a2r AS (SELECT e.v, sum(h1.s) AS s
+                    FROM e JOIN h1 ON e.u = h1.u GROUP BY 1),
+            a2 AS (SELECT v, s / (SELECT sum(s) FROM a2r) AS s
+                   FROM a2r),
+            h2r AS (SELECT e.u, sum(a2.s) AS s
+                    FROM e JOIN a2 ON e.v = a2.v GROUP BY 1),
+            h2 AS (SELECT u, s / (SELECT sum(s) FROM h2r) AS s
+                   FROM h2r),
+            a3r AS (SELECT e.v, sum(h2.s) AS s
+                    FROM e JOIN h2 ON e.u = h2.u GROUP BY 1),
+            a3 AS (SELECT v, s / (SELECT sum(s) FROM a3r) AS s
+                   FROM a3r),
+            h3r AS (SELECT e.u, sum(a3.s) AS s
+                    FROM e JOIN a3 ON e.v = a3.v GROUP BY 1),
+            h3 AS (SELECT u, s / (SELECT sum(s) FROM h3r) AS s
+                   FROM h3r)
+            SELECT h3.u AS id,
+                   CAST(ROUND(h3.s * ns.n + 1e-9, 4) AS DOUBLE)
+                       AS hub_rel,
+                   CAST(0.0 AS DOUBLE) AS auth_rel
+            FROM h3, ns
+            UNION ALL
+            SELECT a3.v,
+                   CAST(0.0 AS DOUBLE),
+                   CAST(ROUND(a3.s * nd.n + 1e-9, 4) AS DOUBLE)
+            FROM a3, nd
+        """,
+        "bh_fdr_monthly": """
+            WITH med AS (
+              SELECT median(CAST(o_totalprice AS DOUBLE)) AS m
+              FROM orders),
+            base AS (
+              SELECT month(CAST(o_orderdate AS DATE)) AS mo,
+                     o_orderstatus AS s,
+                     CAST(o_totalprice AS DOUBLE) > med.m AS f
+              FROM orders, med),
+            cells AS (
+              SELECT mo, s, f, count(*) AS c FROM base GROUP BY 1, 2, 3),
+            terms AS (
+              SELECT mo, c,
+                     CAST(c AS DOUBLE) * c
+                     / (sum(c) OVER (PARTITION BY mo, s)
+                        * CAST(sum(c) OVER (PARTITION BY mo, f)
+                               AS DOUBLE)) AS t
+              FROM cells),
+            tests AS (
+              SELECT mo, sum(c) AS n, sum(t) AS st
+              FROM terms GROUP BY 1),
+            pv AS (
+              SELECT mo,
+                     exp(-greatest(n * (st - 1.0), 0.0) / 2.0) AS p
+              FROM tests),
+            rk AS (
+              SELECT mo, p,
+                     row_number() OVER (ORDER BY p, mo) AS i,
+                     count(*) OVER () AS nt
+              FROM pv),
+            qq AS (
+              SELECT *,
+                     least(min(p * nt / i)
+                           OVER (ORDER BY p DESC, mo DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW), 1.0) AS q
+              FROM rk)
+            SELECT CAST(mo AS BIGINT) AS m,
+                   CAST(ROUND(p + 1e-9, 4) AS DOUBLE) AS p,
+                   CAST(i AS BIGINT) AS rank,
+                   CAST(ROUND(q + 1e-9, 4) AS DOUBLE) AS q,
+                   q <= 0.05 AS rejected
+            FROM qq
+        """,
+        "powerlaw_parts": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            e AS (
+              SELECT x.it AS a, y.it AS b2
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            deg AS (
+              SELECT id, count(*) AS d FROM (
+                SELECT a AS id FROM e UNION ALL SELECT b2 FROM e)
+              GROUP BY 1),
+            f AS (
+              SELECT count(*) AS n_nodes,
+                     sum(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS n_tail,
+                     sum(CASE WHEN d >= 2
+                         THEN ln(CAST(d AS DOUBLE) / 1.5) END) AS s,
+                     max(d) AS md
+              FROM deg)
+            SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+                   CAST(n_tail AS BIGINT) AS n_tail,
+                   CAST(2 AS BIGINT) AS dmin,
+                   CAST(ROUND(CASE WHEN s > 0 THEN 1.0 + n_tail / s END
+                              + 1e-9, 4) AS DOUBLE) AS alpha,
+                   CAST(md AS BIGINT) AS max_degree
+            FROM f
         """,
         "ols_trend": """
             WITH m AS (

@@ -150,6 +150,10 @@ HEADLINE = [
     "kruskal_priority",
     "cramers_orders",
     "weighted_pctile",
+    "theil_sen_daily",
+    "hits_bipartite",
+    "bh_fdr_monthly",
+    "powerlaw_parts",
 ]
 
 

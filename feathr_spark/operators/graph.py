@@ -315,3 +315,118 @@ def pagerank(
     en.unpersist()
     dangling_ids.unpersist()
     return ranks
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """HITS (Kleinberg) hub/authority scores over a DIRECTED edge list
+    — the natural ranking for bipartite interaction graphs (buyers →
+    products, queries → documents): a good hub points at good
+    authorities and vice versa. Iterate
+
+        a(v) = Σ_{u→v} h(u)   then L1-normalize,
+        h(u) = Σ_{u→v} a(v)   then L1-normalize
+
+    from uniform h for a FIXED ``iters`` (same no-convergence-collect
+    policy as :func:`pagerank`; scores plateau geometrically). L1
+    normalization (not the textbook L2) keeps the oracle algebra in
+    exact-sum territory and changes only the scale, never the ranking.
+
+    Plan: per round one join + aggregate per direction (shuffles on
+    node id), every frame node- or edge-sized, the normalizer travels
+    as a broadcast 1-row frame, per-round eager ``localCheckpoint``
+    (load-bearing — see pagerank's measured 2^k recompute note).
+
+    Output: (id, hub, authority) for every node; a pure source has
+    authority 0, a pure sink hub 0.
+    """
+    if iters < 1:
+        raise ValueError("hits: iters must be >= 1")
+    e = (edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+         .where(F.col("__u").isNotNull() & F.col("__v").isNotNull())
+         .persist())
+    srcs = e.select(F.col("__u").alias("id")).distinct().persist()
+    dsts = e.select(F.col("__v").alias("id")).distinct().persist()
+    ns = srcs.agg(F.count(F.lit(1)).alias("__n"))  # 1-row
+    h = (srcs.crossJoin(F.broadcast(ns))
+         .select("id", (F.lit(1.0) / F.col("__n")).alias("score"))
+         .localCheckpoint())
+    a = None
+    for _ in range(iters):
+        contrib = (e.join(h.withColumnRenamed("id", "__u"), "__u")
+                   .groupBy(F.col("__v").alias("id"))
+                   .agg(F.sum("score").alias("raw")))
+        tot = contrib.agg(F.sum("raw").alias("__t"))
+        a = (dsts.join(contrib, "id", "left")
+             .crossJoin(F.broadcast(tot))
+             .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
+                            / F.col("__t")).alias("score"))
+             .localCheckpoint())
+        back = (e.join(a.withColumnRenamed("id", "__v"), "__v")
+                .groupBy(F.col("__u").alias("id"))
+                .agg(F.sum("score").alias("raw")))
+        tot2 = back.agg(F.sum("raw").alias("__t"))
+        h = (srcs.join(back, "id", "left")
+             .crossJoin(F.broadcast(tot2))
+             .select("id", (F.coalesce(F.col("raw"), F.lit(0.0))
+                            / F.col("__t")).alias("score"))
+             .localCheckpoint())
+    out = (srcs.select("id").union(dsts.select("id")).distinct()
+           .join(h.withColumnRenamed("score", "hub"), "id", "left")
+           .join(a.withColumnRenamed("score", "authority"), "id", "left")
+           .select("id",
+                   F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+                   F.coalesce(F.col("authority"), F.lit(0.0))
+                   .alias("authority"))
+           .localCheckpoint())
+    e.unpersist()
+    srcs.unpersist()
+    dsts.unpersist()
+    return out
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    dmin: int = 2,
+) -> DataFrame:
+    """Power-law tail fit of the (undirected) degree distribution:
+    the Clauset-Shalizi-Newman discrete MLE
+
+        alpha = 1 + n_tail / Σ_{d_i ≥ dmin} ln(d_i / (dmin − 0.5))
+
+    — the standard "is this graph scale-free, and how heavy is the
+    hub tail" readout that decides whether skew mitigations (the
+    degree-ordered orientation in :func:`triangle_stats`, salting)
+    are load-bearing or paranoia. One degree aggregate + one fold;
+    ln sums are order-independent enough at readout precision.
+
+    Output (one row): n_nodes, n_tail, dmin, alpha, max_degree —
+    alpha NULL when no node reaches dmin.
+    """
+    e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                     & (F.col(src) != F.col(dst)))
+         .select(F.least(F.col(src), F.col(dst)).alias("__a"),
+                 F.greatest(F.col(src), F.col(dst)).alias("__b"))
+         .distinct())
+    deg = (e.select(F.col("__a").alias("id"))
+           .union(e.select(F.col("__b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("__d")))
+    d = F.col("__d").cast("double")
+    tail = F.when(F.col("__d") >= dmin,
+                  F.log(d / (float(dmin) - 0.5)))
+    folded = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.count(tail).cast("bigint").alias("n_tail"),
+        F.sum(tail).alias("__s"),
+        F.max("__d").cast("bigint").alias("max_degree"))
+    alpha = F.when(F.col("__s") > 0,
+                   1.0 + F.col("n_tail") / F.col("__s"))
+    return folded.select("n_nodes", "n_tail",
+                         F.lit(int(dmin)).cast("bigint").alias("dmin"),
+                         alpha.alias("alpha"), "max_degree")

@@ -876,3 +876,53 @@ def weighted_percentiles(
             .agg(F.min("__s").alias("value"))
             .select(*keys, F.col("__p").cast("double").alias("p"),
                     "value"))
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    id_cols: Sequence[str],
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate control over a frame of
+    test results: running many tests (one per segment / month / metric)
+    at raw α≈0.05 manufactures false positives by volume; BH adjusts
+    each p-value to a q-value (the smallest FDR at which that test
+    would be rejected) so "reject q ≤ α" bounds the EXPECTED fraction
+    of false discoveries at α.
+
+        q_(i) = min_{j ≥ i} ( p_(j) · n / j )
+
+    over the p-ascending order — a running min from the LARGEST p
+    down, i.e. one cumulative-min window over the tests frame sorted
+    descending. The frame is tests-count-sized (one row per test the
+    caller ran — hundreds at most), so the single-partition window is
+    inherent and irrelevant; the heavy lifting happened upstream in
+    whatever produced the p-values. Ties in p order by ``id_cols`` —
+    the q-values are provably identical under any tie order (larger
+    rank ⇒ smaller raw q, and the running min spans the whole tied
+    block), the tie-break just pins row order for the hash compare.
+
+    Output: id_cols + (p, rank, q, rejected) sorted by p.
+    """
+    w = (Window.orderBy(F.col("__p").desc(),
+                        *[F.col(c).desc() for c in id_cols])
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = (df.where(F.col(p_col).isNotNull())
+            .select(*id_cols, F.col(p_col).cast("double").alias("__p")))
+    # n = the number of TESTS (non-null p rows) — a window count over
+    # the tiny tests frame, not a driver-side action
+    wn = Window.partitionBy(F.lit(1))
+    wr = Window.orderBy(F.col("__p"), *[F.col(c) for c in id_cols])
+    ranked = (base
+              .withColumn("__n", F.count(F.lit(1)).over(wn))
+              .withColumn("__i", F.row_number().over(wr)))
+    q = F.min(F.col("__p") * F.col("__n").cast("double")
+              / F.col("__i")).over(w)
+    return (ranked
+            .withColumn("__q", F.least(q, F.lit(1.0)))
+            .select(*id_cols, F.col("__p").alias("p"),
+                    F.col("__i").cast("bigint").alias("rank"),
+                    F.col("__q").alias("q"),
+                    (F.col("__q") <= F.lit(float(alpha)))
+                    .alias("rejected")))

@@ -87,6 +87,15 @@ BROADCAST_LOOP_OK = {
     "mw_priorities",
     # 1-row tie-correction frame broadcast onto the 1-row H fold
     "kruskal_priority",
+    # day-count-sized series self-paired via broadcast loop (pairwise
+    # slopes), then the 1-row median frame broadcast back onto it
+    "theil_sen_daily",
+    # 1-row side-count frame broadcast onto the node rows
+    "hits_bipartite",
+    # 1-row global-median frame broadcast onto every order row
+    "bh_fdr_monthly",
+    # basket-rules pipeline's 1-row total broadcast (association_rules)
+    "powerlaw_parts",
 }
 
 
@@ -545,6 +554,19 @@ EXCHANGE_BUDGET = {
     # one data-sized (flag, price) weight fold + the decimal bucketed
     # prefix cumsum + the per-(flag, p) min fold
     "weighted_pctile": 8,
+    # daily aggregate + the persisted series frame printing under its
+    # three consumers (pair join x2 + residual pass) + two 1-row folds
+    "theil_sen_daily": 8,
+    # hits ends in localCheckpoint (pagerank pattern): snapshot plan is
+    # the checkpoint scan + the side-count aggregate over the edge frame
+    "hits_bipartite": 2,
+    # median fold + the (month, status, flag) cell aggregate + cell-
+    # frame windows + the 12-row FDR windows
+    "bh_fdr_monthly": 6,
+    # association_rules' pair pipeline prints its persisted basket
+    # subtree under each branch (textual > runtime; cf. drift_events);
+    # runtime is the pair aggregate + one degree aggregate + one fold
+    "powerlaw_parts": 28,
 }
 
 
@@ -607,6 +629,9 @@ GLOBAL_WINDOW_OK = {
     "mw_priorities",
     "kruskal_priority",
     "weighted_pctile",
+    # the FDR rank/cummin windows run over the 12-row tests frame —
+    # one row per test by construction, never data-sized
+    "bh_fdr_monthly",
 }
 
 

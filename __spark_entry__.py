@@ -2748,6 +2748,73 @@ def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver contract
 # ---------------------------------------------------------------------------
 
+def q_ks_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between returned ('R')
+    and delivered ('N') line items' extended price — exact D via the
+    distributed-cumsum plan (distinct-price collapse, range buckets,
+    no global sort), asymptotic p from the portable 2*exp(-2*m*D^2)
+    bound."""
+    _utc(spark)
+    from feathr_spark.operators.distance import ks_2sample
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = ks_2sample(li, "l_returnflag", "l_extendedprice", "R", "N")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(F.col("d_stat") + 1e-9, 4).cast("double").alias("d_stat"),
+        F.round(F.col("p_value") + 1e-9, 4).cast("double")
+        .alias("p_value"))
+
+
+def q_wasserstein_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover's distance between the same two price samples:
+    sum |Fa-Fb| * gap over merged distinct prices, cross-bucket gaps
+    stitched through the buckets-sized boundary frame — same no-sort
+    scale plan as the KS statistic."""
+    _utc(spark)
+    from feathr_spark.operators.distance import wasserstein_1d
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = wasserstein_1d(li, "l_returnflag", "l_extendedprice", "R", "N")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(F.col("w1") + 1e-9, 4).cast("double").alias("w1"))
+
+
+def q_jsd_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) of each weekday's event-type
+    mix from the pooled mix — one cell aggregate, pooled frame
+    broadcast back, absent categories folded algebraically. (The
+    synthetic events table spans a single month, so day-of-week is the
+    natural drift axis.)"""
+    _utc(spark)
+    from feathr_spark.operators.distance import js_divergence
+    from feathr_spark.operators._cache import attach_intermediates
+    ev = (_load_events(spark, sf_dir)
+          .withColumn("dow", F.dayofweek(F.col("ts"))))
+    out = js_divergence(ev, "event_type", ["dow"])
+    res = out.select(
+        "dow", "n",
+        F.round(F.col("jsd") + 1e-9, 4).cast("double").alias("jsd"))
+    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
+                                             ()))
+
+
+def q_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily order count and daily revenue —
+    concordant/discordant pairs over the ~2.4k-day series (bounded
+    self-join, the theil_sen contract), tie-corrected."""
+    _utc(spark)
+    from feathr_spark.operators.distance import kendall_tau
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("cnt"),
+                  F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("rev")))
+    out = kendall_tau(daily, "cnt", "rev")
+    return out.select(
+        "n", "concordant", "discordant",
+        F.round(F.col("tau_b") + 1e-9, 4).cast("double").alias("tau_b"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -2780,6 +2847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "span_dedup": q_span_dedup,
+        # --- new in r6 (distribution distances)
+        "ks_price_returns": q_ks_price_returns,
+        "wasserstein_price": q_wasserstein_price,
+        "jsd_event_types": q_jsd_event_types,
+        "kendall_daily": q_kendall_daily,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3445,6 +3517,117 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ks_price_returns": """
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS s
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+            s AS (
+              SELECT s,
+                     count(*) FILTER (WHERE g = 'R') AS ca,
+                     count(*) FILTER (WHERE g = 'N') AS cb
+              FROM d GROUP BY 1),
+            t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                         CAST(sum(cb) AS DOUBLE) AS nb FROM s),
+            c AS (
+              SELECT sum(ca) OVER w / t.na AS fa,
+                     sum(cb) OVER w / t.nb AS fb
+              FROM s, t
+              WINDOW w AS (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            m AS (SELECT max(abs(fa - fb)) AS d FROM c)
+            SELECT 'R' AS group_a, 'N' AS group_b,
+                   CAST(t.na AS BIGINT) AS n_a,
+                   CAST(t.nb AS BIGINT) AS n_b,
+                   CAST(ROUND(m.d + 1e-9, 4) AS DOUBLE) AS d_stat,
+                   CAST(ROUND(least(1.0,
+                          2 * exp(-2 * (t.na * t.nb / (t.na + t.nb))
+                                  * m.d * m.d)) + 1e-9, 4)
+                        AS DOUBLE) AS p_value
+            FROM m, t
+        """,
+        "wasserstein_price": """
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS s
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+            s AS (
+              SELECT s,
+                     count(*) FILTER (WHERE g = 'R') AS ca,
+                     count(*) FILTER (WHERE g = 'N') AS cb
+              FROM d GROUP BY 1),
+            t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                         CAST(sum(cb) AS DOUBLE) AS nb FROM s),
+            c AS (
+              SELECT s,
+                     lead(s) OVER (ORDER BY s) AS nxt,
+                     sum(ca) OVER w / t.na AS fa,
+                     sum(cb) OVER w / t.nb AS fb
+              FROM s, t
+              WINDOW w AS (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT 'R' AS group_a, 'N' AS group_b,
+                   CAST(t.na AS BIGINT) AS n_a,
+                   CAST(t.nb AS BIGINT) AS n_b,
+                   CAST(ROUND(sum(abs(fa - fb)
+                                  * (coalesce(nxt, s) - s)) + 1e-9, 4)
+                        AS DOUBLE) AS w1
+            FROM c, t GROUP BY t.na, t.nb
+        """,
+        "jsd_event_types": """
+            WITH cells AS (
+              SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+                     event_type AS c,
+                     CAST(count(*) AS DOUBLE) AS n
+              FROM events GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS t FROM cells),
+            pooled AS (
+              SELECT c, sum(n) / (SELECT t FROM tot) AS q
+              FROM cells GROUP BY 1),
+            g AS (SELECT dow, sum(n) AS gn FROM cells GROUP BY 1),
+            terms AS (
+              SELECT cells.dow, g.gn, pooled.q,
+                     0.5 * (n / gn)
+                         * log2((n / gn) / ((n / gn + q) / 2))
+                     + 0.5 * q * log2(q / ((n / gn + q) / 2)) AS term
+              FROM cells
+              JOIN pooled ON cells.c = pooled.c
+              JOIN g ON cells.dow = g.dow)
+            SELECT dow, CAST(gn AS BIGINT) AS n,
+                   CAST(ROUND(sum(term) + 0.5 * (1 - sum(q)) + 1e-9, 4)
+                        AS DOUBLE) AS jsd
+            FROM terms GROUP BY 1, 2
+        """,
+        "kendall_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(count(*) AS DOUBLE) AS cnt,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS rev
+              FROM orders GROUP BY 1),
+            p AS (
+              SELECT (a.cnt - b.cnt) * (a.rev - b.rev) AS sgn,
+                     a.cnt = b.cnt AS tx,
+                     a.rev = b.rev AS ty
+              FROM s a JOIN s b ON a.d < b.d),
+            agg AS (
+              SELECT count(*) FILTER (WHERE sgn > 0) AS c,
+                     count(*) FILTER (WHERE sgn < 0) AS d,
+                     count(*) FILTER (WHERE tx) AS n1,
+                     count(*) FILTER (WHERE ty) AS n2
+              FROM p),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s)
+            SELECT CAST(n.n AS BIGINT) AS n,
+                   CAST(agg.c AS BIGINT) AS concordant,
+                   CAST(agg.d AS BIGINT) AS discordant,
+                   CAST(ROUND((agg.c - agg.d)
+                        / sqrt((n.n * (n.n - 1) / 2 - agg.n1)
+                               * (n.n * (n.n - 1) / 2 - agg.n2))
+                        + 1e-9, 4) AS DOUBLE) AS tau_b
+            FROM agg, n
+        """,
         "skyline_parts": """
             SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
                    CAST(ROUND(p.p_retailprice, 4) AS DOUBLE) AS price,

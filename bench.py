@@ -154,6 +154,10 @@ HEADLINE = [
     "hits_bipartite",
     "bh_fdr_monthly",
     "powerlaw_parts",
+    "ks_price_returns",
+    "wasserstein_price",
+    "jsd_event_types",
+    "kendall_daily",
 ]
 
 

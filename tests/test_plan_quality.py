@@ -90,6 +90,15 @@ BROADCAST_LOOP_OK = {
     # day-count-sized series self-paired via broadcast loop (pairwise
     # slopes), then the 1-row median frame broadcast back onto it
     "theil_sen_daily",
+    # 1-row bounds frame broadcast onto the distinct-price rows
+    # (bucketed-cumsum CDF prelude)
+    "ks_price_returns",
+    "wasserstein_price",
+    # 1-row pooled-total frame broadcast onto the category cells
+    "jsd_event_types",
+    # day-count-sized series self-paired via broadcast loop (concordant
+    # pairs), then the 1-row n frame broadcast back onto the fold
+    "kendall_daily",
     # 1-row side-count frame broadcast onto the node rows
     "hits_bipartite",
     # 1-row global-median frame broadcast onto every order row
@@ -567,6 +576,18 @@ EXCHANGE_BUDGET = {
     # subtree under each branch (textual > runtime; cf. drift_events);
     # runtime is the pair aggregate + one degree aggregate + one fold
     "powerlaw_parts": 28,
+    # one data-sized distinct-price collapse; the bucketed-prefix
+    # windows and the two tiny folds run on the distinct-value frame
+    "ks_price_returns": 8,
+    # same prelude + the buckets-sized boundary-stitch frame's window
+    # and the gap join print extra Exchange text on the tiny frames
+    "wasserstein_price": 12,
+    # one cell aggregate (the only data shuffle); pooled/group frames
+    # derive from the persisted cells frame (printed per consumer)
+    "jsd_event_types": 8,
+    # daily aggregate + the bounded pair self-join's broadcast prep +
+    # two 1-row folds
+    "kendall_daily": 5,
 }
 
 
@@ -629,6 +650,11 @@ GLOBAL_WINDOW_OK = {
     "mw_priorities",
     "kruskal_priority",
     "weighted_pctile",
+    # same bucketed-prefix OFFSET pass (buckets-sized input) for the
+    # two-sample CDF prelude; wasserstein adds the lead over the
+    # buckets-sized boundary frame for cross-bucket gap stitching
+    "ks_price_returns",
+    "wasserstein_price",
     # the FDR rank/cummin windows run over the 12-row tests frame —
     # one row per test by construction, never data-sized
     "bh_fdr_monthly",

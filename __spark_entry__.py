@@ -2815,6 +2815,176 @@ def q_kendall_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("tau_b") + 1e-9, 4).cast("double").alias("tau_b"))
 
 
+def q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    customer over one quarter, top 20. Orders pre-filtered to the
+    quarter BEFORE the lineitem join (partition-pruning-shaped scan),
+    nation broadcast, global top-20 via TakeOrderedAndProject."""
+    _utc(spark)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate").cast("timestamp") >= lo)
+                     & (F.col("o_orderdate").cast("timestamp") < hi))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    agg = (j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+           .agg(F.sum("__rev").alias("__revenue")))
+    top = (agg.orderBy(F.col("__revenue").desc(),
+                       F.col("c_custkey").asc())
+           .limit(20))
+    return top.select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        "c_name",
+        F.round(F.col("__revenue").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("revenue"),
+        F.round(F.col("c_acctbal") + F.lit(1e-9), 4).cast("double")
+        .alias("c_acctbal"),
+        "n_name")
+
+
+def q_tpch_q14_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): PROMO parts' share of one month's
+    discounted revenue. Month filter cuts lineitem before the part
+    join; both sums fold in ONE aggregate pass (conditional sum, not
+    two scans)."""
+    _utc(spark)
+    lo = F.lit("1997-09-01").cast("timestamp")
+    hi = F.lit("1997-10-01").cast("timestamp")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate").cast("timestamp") >= lo)
+                 & (F.col("l_shipdate").cast("timestamp") < hi))
+          .select("l_partkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey",
+                    F.col("p_type").startswith("PROMO").alias("__promo")))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    agg = j.agg(
+        F.sum(F.when(F.col("__promo"), F.col("__rev"))
+              .otherwise(F.lit(0).cast("decimal(18,6)")))
+        .alias("__promo_rev"),
+        F.sum("__rev").alias("__total_rev"))
+    return agg.select(
+        F.round(100.0 * F.col("__promo_rev").cast("double")
+                / F.col("__total_rev").cast("double") + 1e-9, 4)
+        .cast("double").alias("promo_pct"))
+
+
+def q_tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose line quantities
+    sum past 300 units, top 100 by order value. The quantity HAVING
+    collapses lineitem FIRST (map-side combined groupBy on the join
+    key), so the orders/customer joins see only qualifying keys."""
+    _utc(spark)
+    big = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .alias("__qty"))
+           .where(F.col("__qty") > 300))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_totalprice"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_name"))
+    j = (big.join(orders, big.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    top = (j.orderBy(F.col("o_totalprice").desc(),
+                     F.col("o_orderkey").asc())
+           .limit(100))
+    return top.select(
+        "c_name",
+        F.col("c_custkey").cast("bigint").alias("c_custkey"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"),
+                      "yyyy-MM-dd").alias("o_orderdate"),
+        F.round(F.col("o_totalprice") + F.lit(1e-9), 4).cast("double")
+        .alias("o_totalprice"),
+        F.round(F.col("__qty").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("sum_qty"))
+
+
+def q_tpch_q19_disjunct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity branches OR-ed across the lineitem-part join.
+    Each side is pre-filtered to the UNION of its branch ranges (so
+    the scans prune), the exact branch disjunction evaluates after the
+    equi join — never a nested-loop plan."""
+    _utc(spark)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+          .select("l_partkey", "l_quantity",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+                   & (F.col("p_size") >= 1) & (F.col("p_size") <= 15))
+            .select("p_partkey", "p_brand", "p_size"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    qty, size, brand = (F.col("l_quantity"), F.col("p_size"),
+                        F.col("p_brand"))
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10)
+           & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15)
+           & qty.between(20, 30)))
+    return (j.where(cond)
+            .agg(F.sum("__rev").alias("__r"),
+                 F.count(F.lit(1)).alias("__n"))
+            .select(
+                F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+                .cast("double").alias("revenue"),
+                F.col("__n").cast("bigint").alias("n_items")))
+
+
+def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade between NATION_1 and
+    NATION_2 by ship year. Supplier and customer sides are each cut to
+    the two nations BEFORE the fact joins (two broadcast-sized dim
+    frames), the pair filter keeps only cross-nation flows."""
+    _utc(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    pick = nation.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(pick),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(pick),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey",
+                  F.year(F.col("l_shipdate").cast("timestamp"))
+                  .alias("l_year"),
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (j.groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.sum("__rev").alias("__r"))
+            .select("supp_nation", "cust_nation",
+                    F.col("l_year").cast("bigint").alias("l_year"),
+                    F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+                    .cast("double").alias("revenue")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -2852,6 +3022,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wasserstein_price": q_wasserstein_price,
         "jsd_event_types": q_jsd_event_types,
         "kendall_daily": q_kendall_daily,
+        # --- new in r6 (TPC-H second wave)
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q14_promo": q_tpch_q14_promo,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "tpch_q7_volume": q_tpch_q7_volume,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3517,6 +3693,93 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "tpch_q10_returns": """
+            SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   c.c_name,
+                   CAST(ROUND(CAST(sum(CAST(l.l_extendedprice
+                        * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS revenue,
+                   CAST(ROUND(c.c_acctbal + 1e-9, 4) AS DOUBLE)
+                       AS c_acctbal,
+                   n.n_name
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+              AND l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) DESC,
+                     c.c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q14_promo": """
+            SELECT CAST(ROUND(100.0
+                     * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                            THEN CAST(l.l_extendedprice
+                                 * (1 - l.l_discount) AS DECIMAL(18,6))
+                            ELSE CAST(0 AS DECIMAL(18,6)) END)
+                        AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice
+                            * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS promo_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "tpch_q18_big_orders": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+              FROM lineitem GROUP BY 1
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+            SELECT c.c_name,
+                   CAST(c.c_custkey AS BIGINT) AS c_custkey,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+                   strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   CAST(ROUND(o.o_totalprice + 1e-9, 4) AS DOUBLE)
+                       AS o_totalprice,
+                   CAST(ROUND(CAST(big.qty AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS sum_qty
+            FROM big
+            JOIN orders o ON big.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+            LIMIT 100
+        """,
+        "tpch_q19_disjunct": """
+            SELECT CAST(ROUND(CAST(sum(CAST(l.l_extendedprice
+                        * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q7_volume": """
+            SELECT n1.n_name AS supp_nation,
+                   n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   CAST(ROUND(CAST(sum(CAST(l.l_extendedprice
+                        * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+              AND n2.n_name IN ('NATION_1', 'NATION_2')
+              AND n1.n_name <> n2.n_name
+            GROUP BY 1, 2, 3
+        """,
         "ks_price_returns": """
             WITH d AS (
               SELECT l_returnflag AS g,

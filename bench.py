@@ -158,6 +158,11 @@ HEADLINE = [
     "wasserstein_price",
     "jsd_event_types",
     "kendall_daily",
+    "tpch_q10_returns",
+    "tpch_q14_promo",
+    "tpch_q18_big_orders",
+    "tpch_q19_disjunct",
+    "tpch_q7_volume",
 ]
 
 

@@ -588,6 +588,13 @@ EXCHANGE_BUDGET = {
     # daily aggregate + the bounded pair self-join's broadcast prep +
     # two 1-row folds
     "kendall_daily": 5,
+    # TPC-H second wave: every join broadcasts at the snapshot SF, so
+    # the single Exchange is the final aggregate / top-k partial
+    "tpch_q10_returns": 1,
+    "tpch_q14_promo": 1,
+    "tpch_q18_big_orders": 1,
+    "tpch_q19_disjunct": 1,
+    "tpch_q7_volume": 1,
 }
 
 

@@ -2985,6 +2985,87 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("revenue")))
 
 
+def q_ttr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: token/type counts, type-token
+    ratio, hapax ratio — one (doc, term) collapse, per-doc fold."""
+    _utc(spark)
+    from feathr_spark.operators.text import type_token_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = type_token_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens", "n_types",
+        F.round(F.col("ttr") + 1e-9, 4).cast("double").alias("ttr"),
+        F.round(F.col("hapax_ratio") + 1e-9, 4).cast("double")
+        .alias("hapax_ratio"))
+
+
+def q_flesch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + FK grade per document — row-local regexp
+    counts, zero shuffle; vowel-group syllable heuristic chosen for
+    identical RE2 semantics on both engines."""
+    _utc(spark)
+    from feathr_spark.operators.text import readability
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = readability(docs)
+    return out.select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        F.round(F.col("flesch") + 1e-9, 4).cast("double")
+        .alias("flesch"),
+        F.round(F.col("fk_grade") + 1e-9, 4).cast("double")
+        .alias("fk_grade"))
+
+
+def q_ndcg_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-evaluation gate: per market segment, how well does
+    1995-97 customer revenue (the 'prediction') rank customers by
+    their 1998+ revenue tier (the 'label')? nDCG@20 through two
+    shared-partitioning row_number windows — no global sort."""
+    _utc(spark)
+    from feathr_spark.operators.search import ndcg_at_k
+    cut = F.lit("1998-01-01").cast("timestamp")
+    zero = F.lit(0).cast("decimal(28,8)")
+    rev = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.when(F.col("o_orderdate").cast("timestamp") < cut,
+                             F.col("o_totalprice").cast("decimal(28,8)"))
+                      .otherwise(zero)).alias("__rev1"),
+                F.sum(F.when(F.col("o_orderdate").cast("timestamp") >= cut,
+                             F.col("o_totalprice").cast("decimal(28,8)"))
+                      .otherwise(zero)).alias("__rev2")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    d = (cust.join(rev, cust.c_custkey == rev.o_custkey, "left")
+         .select("c_mktsegment", "c_custkey",
+                 F.coalesce(F.col("__rev1").cast("double"), F.lit(0.0))
+                 .alias("score"),
+                 F.least(F.lit(3.0),
+                         F.floor(F.coalesce(F.col("__rev2")
+                                            .cast("double"), F.lit(0.0))
+                                 / 200000.0).cast("double"))
+                 .alias("rel")))
+    out = ndcg_at_k(d, "c_mktsegment", "c_custkey", "score", "rel", k=20)
+    return out.select(
+        "c_mktsegment", "n_items",
+        F.round(F.col("dcg") + 1e-9, 4).cast("double").alias("dcg"),
+        F.round(F.col("idcg") + 1e-9, 4).cast("double").alias("idcg"),
+        F.round(F.col("ndcg") + 1e-9, 4).cast("double").alias("ndcg"))
+
+
+def q_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value (B=32): per-row
+    md5-deterministic Poisson(1) multiplicities, B-bounded shuffle via
+    map-side partial aggregation, DECIMAL-exact replicate sums."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import poisson_bootstrap_ci
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = poisson_bootstrap_ci(orders, "o_totalprice", "o_orderkey",
+                               n_boot=32)
+    return out.select(
+        "n", "n_boot",
+        F.round(F.col("mean") + 1e-9, 4).cast("double").alias("mean"),
+        F.round(F.col("ci_lo") + 1e-9, 4).cast("double").alias("ci_lo"),
+        F.round(F.col("ci_hi") + 1e-9, 4).cast("double").alias("ci_hi"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3028,6 +3109,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "tpch_q7_volume": q_tpch_q7_volume,
+        # --- new in r6 (text/IR/bootstrap)
+        "ttr_docs": q_ttr_docs,
+        "flesch_docs": q_flesch_docs,
+        "ndcg_ltv": q_ndcg_ltv,
+        "bootstrap_ci_price": q_bootstrap_ci_price,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3693,6 +3779,126 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ttr_docs": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')) AS t
+              FROM documents),
+            terms AS (
+              SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(ROUND(count(*) / CAST(sum(c) AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS ttr,
+                   CAST(ROUND(count(*) FILTER (WHERE c = 1)
+                        / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS hapax_ratio
+            FROM terms GROUP BY doc_id
+        """,
+        "flesch_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[a-z]+')) AS DOUBLE) AS w,
+                     CAST(len(regexp_extract_all(lower(text),
+                          '[aeiouy]+')) AS DOUBLE) AS y,
+                     CAST(greatest(len(regexp_extract_all(text,
+                          '[.!?]+')), 1) AS DOUBLE) AS s
+              FROM documents)
+            SELECT doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sentences,
+                   CAST(y AS BIGINT) AS n_syllables,
+                   CASE WHEN w > 0 THEN
+                     CAST(ROUND(206.835 - 1.015 * w / s - 84.6 * y / w
+                          + 1e-9, 4) AS DOUBLE) END AS flesch,
+                   CASE WHEN w > 0 THEN
+                     CAST(ROUND(0.39 * w / s + 11.8 * y / w - 15.59
+                          + 1e-9, 4) AS DOUBLE) END AS fk_grade
+            FROM d
+        """,
+        "ndcg_ltv": """
+            WITH r AS (
+              SELECT o_custkey,
+                     sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                         THEN CAST(o_totalprice AS DECIMAL(28,8))
+                         ELSE CAST(0 AS DECIMAL(28,8)) END) AS rev1,
+                     sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                         THEN CAST(o_totalprice AS DECIMAL(28,8))
+                         ELSE CAST(0 AS DECIMAL(28,8)) END) AS rev2
+              FROM orders GROUP BY 1),
+            d AS (
+              SELECT c.c_mktsegment AS g, c.c_custkey AS i,
+                     coalesce(CAST(r.rev1 AS DOUBLE), 0.0) AS s,
+                     least(3.0, floor(coalesce(CAST(r.rev2 AS DOUBLE),
+                                               0.0) / 200000.0)) AS rel
+              FROM customer c LEFT JOIN r ON c.c_custkey = r.o_custkey),
+            ranked AS (
+              SELECT g, rel,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY s DESC, i ASC) AS rnk,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY rel DESC, i ASC)
+                         AS irnk
+              FROM d),
+            agg AS (
+              SELECT g, count(*) AS n,
+                     sum(CASE WHEN rnk <= 20 THEN (pow(2.0, rel) - 1)
+                         / log2(rnk + 1.0) ELSE 0 END) AS dcg,
+                     sum(CASE WHEN irnk <= 20 THEN (pow(2.0, rel) - 1)
+                         / log2(irnk + 1.0) ELSE 0 END) AS idcg
+              FROM ranked GROUP BY 1)
+            SELECT g AS c_mktsegment,
+                   CAST(n AS BIGINT) AS n_items,
+                   CAST(ROUND(dcg + 1e-9, 4) AS DOUBLE) AS dcg,
+                   CAST(ROUND(idcg + 1e-9, 4) AS DOUBLE) AS idcg,
+                   CASE WHEN idcg > 0 THEN
+                     CAST(ROUND(dcg / idcg + 1e-9, 4) AS DOUBLE) END
+                       AS ndcg
+            FROM agg
+        """,
+        "bootstrap_ci_price": """
+            WITH d AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS id,
+                     CAST(o_totalprice AS DECIMAL(18,4)) AS x
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            rep AS (SELECT id, x, t.b FROM d, range(32) t(b)),
+            u AS (
+              SELECT b, x,
+                     ('0x' || substr(md5(id || ':' ||
+                       CAST(b AS VARCHAR)), 1, 15))::BIGINT
+                       / POWER(16, 15) AS u
+              FROM rep),
+            mm AS (
+              SELECT b, x,
+                     CASE WHEN u < 0.36787944117144233 THEN 0
+                          WHEN u < 0.7357588823428847 THEN 1
+                          WHEN u < 0.9196986029286058 THEN 2
+                          WHEN u < 0.9810118431238462 THEN 3
+                          WHEN u < 0.9963401531726563 THEN 4
+                          WHEN u < 0.9994058151824183 THEN 5
+                          WHEN u < 0.9999167588507119 THEN 6
+                          WHEN u < 0.9999897508033253 THEN 7
+                          ELSE 8 END AS m
+              FROM u),
+            means AS (
+              SELECT b,
+                     CAST(sum(CAST(m AS DECIMAL(18,4)) * x) AS DOUBLE)
+                       / CAST(sum(m) AS DOUBLE) AS mean
+              FROM mm GROUP BY b),
+            q AS (SELECT quantile_cont(mean, 0.025) AS ql,
+                         quantile_cont(mean, 0.975) AS qh FROM means),
+            base AS (SELECT count(*) AS n, CAST(sum(x) AS DOUBLE) AS sx
+                     FROM d)
+            SELECT CAST(base.n AS BIGINT) AS n,
+                   CAST(32 AS BIGINT) AS n_boot,
+                   CAST(ROUND(base.sx / base.n + 1e-9, 4) AS DOUBLE)
+                       AS mean,
+                   CAST(ROUND(q.ql + 1e-9, 4) AS DOUBLE) AS ci_lo,
+                   CAST(ROUND(q.qh + 1e-9, 4) AS DOUBLE) AS ci_hi
+            FROM base, q
+        """,
         "tpch_q10_returns": """
             SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
                    c.c_name,

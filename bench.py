@@ -163,6 +163,10 @@ HEADLINE = [
     "tpch_q18_big_orders",
     "tpch_q19_disjunct",
     "tpch_q7_volume",
+    "ttr_docs",
+    "flesch_docs",
+    "ndcg_ltv",
+    "bootstrap_ci_price",
 ]
 
 

@@ -223,3 +223,74 @@ def time_split(df: DataFrame, ts_col: str, cutoff,
              .when(ts >= cut, "test")
              .otherwise(F.lit(None).cast("string")))
     return df.withColumn("split", split)
+
+
+# cumulative Poisson(1) probabilities P(X <= k); the CASE ladder below is
+# written with these exact literals on BOTH engines so every row's
+# multiplicity is bit-identical whichever side evaluates it
+_POISSON1_CDF = [
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253,
+]
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_boot: int = 32,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    salt: str = "",
+) -> DataFrame:
+    """Percentile bootstrap confidence interval for the MEAN of
+    ``value_col``, web-scale formulation (Poisson bootstrap): instead
+    of materializing B resamples, each row draws an independent
+    Poisson(1) multiplicity per replicate from a deterministic
+    md5-derived uniform (inverse-CDF CASE ladder — no RNG state, bit-
+    reproducible on any engine/cluster).
+
+    Plan: explode ``n_boot`` replicate ids per row, map-side partial
+    aggregation collapses to ``n_boot`` rows per task BEFORE the
+    exchange, so the shuffle is B-bounded however large the table; the
+    replicate means and the percentile fold are B-sized. Sums
+    accumulate in DECIMAL so replicate means are exact
+    (order-independent) and the CI is bit-stable at any parallelism.
+
+    Output: 1 row ``(n, n_boot, mean, ci_lo, ci_hi)``.
+    """
+    if n_boot < 2:
+        raise ValueError("poisson_bootstrap_ci: n_boot must be >= 2")
+    d = (df.where(F.col(value_col).isNotNull())
+           .select(F.col(id_col).cast("string").alias("__id"),
+                   F.col(value_col).cast("decimal(18,4)").alias("__x")))
+    rep = d.select("__id", "__x",
+                   F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1)))
+                   .alias("__b"))
+    u = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("__id"), F.lit(":"),
+                           F.col("__b").cast("string"))), 1, 15),
+            16, 10).cast("double") / F.lit(float(16 ** 15)))
+    mult = F.lit(8)
+    for kk in range(len(_POISSON1_CDF) - 1, -1, -1):
+        mult = F.when(u < _POISSON1_CDF[kk], F.lit(kk)).otherwise(mult)
+    means = (rep.select("__b", "__x", mult.alias("__m"))
+             .groupBy("__b")
+             .agg(F.sum(F.col("__m").cast("decimal(18,4)")
+                        * F.col("__x")).alias("__s"),
+                  F.sum("__m").alias("__w"))
+             .select((F.col("__s").cast("double")
+                      / F.col("__w").cast("double")).alias("__mean")))
+    base = d.agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum("__x").alias("__sx"))
+    ci = means.agg(
+        F.expr(f"percentile(__mean, array({lo!r}, {hi!r}))").alias("__q"))
+    out = base.crossJoin(F.broadcast(ci))
+    return out.select(
+        F.col("__n").cast("bigint").alias("n"),
+        F.lit(n_boot).cast("bigint").alias("n_boot"),
+        (F.col("__sx").cast("double") / F.col("__n")).cast("double")
+        .alias("mean"),
+        F.col("__q")[0].cast("double").alias("ci_lo"),
+        F.col("__q")[1].cast("double").alias("ci_hi"))

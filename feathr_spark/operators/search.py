@@ -182,3 +182,59 @@ def rrf_fuse(
                     F.col("__score").alias("rrf_score"),
                     F.col("__lists").cast("int").alias("n_lists"),
                     "rank"))
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    score_col: str,
+    rel_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@k of the ``score_col`` ordering
+    against graded ``rel_col`` relevance, per group.
+
+    DCG@k = sum over the top-k scored items of (2^rel - 1)/log2(rank+1);
+    IDCG@k is the same sum under the ideal (relevance-sorted) order;
+    nDCG = DCG/IDCG (NULL when the group has no positive relevance).
+    Ties break on ``item_col`` ascending in BOTH orderings, so the
+    statistic is deterministic at any parallelism.
+
+    Plan: two row_number windows share one hash partitioning on the
+    group key (rank by score, rank by relevance), each filtered to k
+    rows per group map-side; the final fold is group-sized. No global
+    sort anywhere.
+    """
+    if k < 1:
+        raise ValueError("ndcg_at_k: k must be >= 1")
+    g = F.col(group_col)
+    d = (df.where(g.isNotNull())
+           .select(g.alias("__g"), F.col(item_col).alias("__i"),
+                   F.col(score_col).cast("double").alias("__s"),
+                   F.col(rel_col).cast("double").alias("__r")))
+    w_rank = Window.partitionBy("__g").orderBy(F.col("__s").desc(),
+                                               F.col("__i").asc())
+    w_ideal = Window.partitionBy("__g").orderBy(F.col("__r").desc(),
+                                                F.col("__i").asc())
+    ranked = d.select(
+        "__g", "__r",
+        F.row_number().over(w_rank).alias("__rank"),
+        F.row_number().over(w_ideal).alias("__irank"))
+    gain = F.pow(F.lit(2.0), F.col("__r")) - 1.0
+    dcg_term = F.when(F.col("__rank") <= k,
+                      gain / F.log2(F.col("__rank") + 1.0)).otherwise(0.0)
+    idcg_term = F.when(F.col("__irank") <= k,
+                       gain / F.log2(F.col("__irank") + 1.0)) \
+        .otherwise(0.0)
+    out = (ranked.groupBy("__g")
+           .agg(F.sum(dcg_term).alias("__dcg"),
+                F.sum(idcg_term).alias("__idcg"),
+                F.count(F.lit(1)).alias("__n")))
+    ndcg = F.when(F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg"))
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.col("__n").cast("bigint").alias("n_items"),
+        F.col("__dcg").cast("double").alias("dcg"),
+        F.col("__idcg").cast("double").alias("idcg"),
+        ndcg.cast("double").alias("ndcg"))

@@ -609,3 +609,67 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     out = norm.mapInPandas(_sketch, "__id long, fingerprint long")
     return out.select(F.col("__id").alias(id_col),
                       F.col("fingerprint").cast("bigint"))
+
+
+def type_token_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document lexical-diversity profile: token count, vocabulary
+    size (types), type-token ratio, and hapax-legomena ratio (share of
+    types occurring exactly once) — the classic corpus-quality signals
+    for spotting boilerplate (low TTR) and OCR noise (high hapax).
+
+    Tokens are lowercase ``[a-z0-9]+`` runs (ASCII — identical regex
+    semantics on every engine). Plan: one (doc, term) collapse — the
+    only data-sized shuffle — then a per-doc fold over the term-count
+    frame; no per-doc quadratic HOF scans, so a 1 MB document costs the
+    same per token as a tweet.
+    """
+    toks = F.explode(
+        F.regexp_extract_all(F.lower(F.col(text_col)),
+                             F.lit(r"[a-z0-9]+"), F.lit(0)))
+    terms = (df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+             .groupBy("__id", "__t")
+             .agg(F.count(F.lit(1)).alias("__c")))
+    out = (terms.groupBy("__id")
+           .agg(F.sum("__c").alias("__n"),
+                F.count(F.lit(1)).alias("__types"),
+                F.count_if(F.col("__c") == 1).alias("__hapax")))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        F.col("__types").cast("bigint").alias("n_types"),
+        (F.col("__types") / F.col("__n")).cast("double").alias("ttr"),
+        (F.col("__hapax") / F.col("__types")).cast("double")
+        .alias("hapax_ratio"))
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Row-local Flesch reading ease + Flesch-Kincaid grade per
+    document, appended as columns (zero shuffle).
+
+    Heuristics chosen for cross-engine determinism: words = lowercase
+    ``[a-z]+`` runs, syllables = vowel-group runs ``[aeiouy]+`` (vowel
+    groups never span a non-letter, so the text-level count equals the
+    per-word sum), sentences = ``[.!?]+`` runs clamped to >= 1.
+    Documents with zero words get NULL scores rather than a divide
+    error.
+    """
+    low = F.lower(F.col(text_col))
+    words = F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), F.lit(0)))
+    syls = F.size(F.regexp_extract_all(low, F.lit(r"[aeiouy]+"),
+                                       F.lit(0)))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"),
+                                    F.lit(0))), F.lit(1))
+    w = words.cast("double")
+    flesch = (F.lit(206.835) - 1.015 * w / sents.cast("double")
+              - 84.6 * syls.cast("double") / w)
+    fk = (0.39 * w / sents.cast("double")
+          + 11.8 * syls.cast("double") / w - F.lit(15.59))
+    ok = words > 0
+    return (df.withColumn("n_words", words.cast("bigint"))
+            .withColumn("n_sentences", sents.cast("bigint"))
+            .withColumn("n_syllables", syls.cast("bigint"))
+            .withColumn("flesch",
+                        F.when(ok, flesch).cast("double"))
+            .withColumn("fk_grade", F.when(ok, fk).cast("double")))

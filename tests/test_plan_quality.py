@@ -99,6 +99,8 @@ BROADCAST_LOOP_OK = {
     # day-count-sized series self-paired via broadcast loop (concordant
     # pairs), then the 1-row n frame broadcast back onto the fold
     "kendall_daily",
+    # 1-row percentile frame crossed onto the 1-row base-stats fold
+    "bootstrap_ci_price",
     # 1-row side-count frame broadcast onto the node rows
     "hits_bipartite",
     # 1-row global-median frame broadcast onto every order row
@@ -595,6 +597,16 @@ EXCHANGE_BUDGET = {
     "tpch_q18_big_orders": 1,
     "tpch_q19_disjunct": 1,
     "tpch_q7_volume": 1,
+    # one (doc, term) collapse + the per-doc fold
+    "ttr_docs": 2,
+    # row-local regexp arithmetic — zero shuffle
+    "flesch_docs": 0,
+    # per-customer revenue aggregate + the shared group-partitioned
+    # rank windows; the fold reuses the window partitioning
+    "ndcg_ltv": 2,
+    # B-bounded replicate aggregate (map-side combined) + two 1-row
+    # folds (base stats, percentile) crossed back in
+    "bootstrap_ci_price": 3,
 }
 
 

@@ -3066,6 +3066,56 @@ def q_bootstrap_ci_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ci_hi") + 1e-9, 4).cast("double").alias("ci_hi"))
 
 
+def q_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best single mean-shift changepoint in the daily revenue series
+    (binary segmentation step 1): DECIMAL-exact prefix/total moments so
+    the SSE algebra is bit-identical on both engines; top-1 argmax via
+    TakeOrderedAndProject over the day-count-sized frame."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import binary_changepoint
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue")))
+    out = binary_changepoint(daily, "d", "revenue")
+    return out.select(
+        F.date_format(F.col("split_t").cast("timestamp"), "yyyy-MM-dd")
+        .alias("split_t"),
+        "n_left", "n_right",
+        F.round(F.col("mean_left") + 1e-9, 4).cast("double")
+        .alias("mean_left"),
+        F.round(F.col("mean_right") + 1e-9, 4).cast("double")
+        .alias("mean_right"),
+        F.round(F.col("sse_reduction") + 1e-9, 4).cast("double")
+        .alias("sse_reduction"))
+
+
+def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (same edge
+    definition as triangles_parts: pairs co-ordered >= 2 times, basket
+    cap 100) — integer-exact moment sums, one fold."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import degree_assortativity
+    from feathr_spark.operators._cache import (attach_intermediates,
+                                               release_intermediates)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+    edges = rules.select(F.col("item_a").alias("src"),
+                         F.col("item_b").alias("dst"))
+    out = degree_assortativity(edges)
+    res = out.select(
+        "n_edges", "n_nodes",
+        F.round(F.col("assortativity") + 1e-9, 4).cast("double")
+        .alias("assortativity"))
+    release_intermediates(rules)
+    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
+                                             ()))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3114,6 +3164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flesch_docs": q_flesch_docs,
         "ndcg_ltv": q_ndcg_ltv,
         "bootstrap_ci_price": q_bootstrap_ci_price,
+        "changepoint_revenue": q_changepoint_revenue,
+        "assortativity_parts": q_assortativity_parts,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3779,6 +3831,84 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "changepoint_revenue": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS DECIMAL(18,4)) AS y
+              FROM orders GROUP BY 1),
+            c AS (
+              SELECT d,
+                     row_number() OVER (ORDER BY d) AS cn,
+                     sum(y) OVER w AS cs,
+                     sum(CAST(y AS DECIMAL(28,4)) * y) OVER w AS cs2
+              FROM s
+              WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            t AS (SELECT count(*) AS n, sum(y) AS st,
+                         sum(CAST(y AS DECIMAL(28,4)) * y) AS s2
+                  FROM s),
+            sc AS (
+              SELECT d, cn, t.n,
+                     CAST(cs AS DOUBLE) / CAST(cn AS DOUBLE) AS ml,
+                     CAST(t.st - cs AS DOUBLE)
+                       / CAST(t.n - cn AS DOUBLE) AS mr,
+                     (CAST(t.s2 AS DOUBLE)
+                        - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+                          / CAST(t.n AS DOUBLE))
+                     - (CAST(cs2 AS DOUBLE)
+                        - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE)
+                          / CAST(cn AS DOUBLE))
+                     - (CAST(t.s2 - cs2 AS DOUBLE)
+                        - CAST(t.st - cs AS DOUBLE)
+                          * CAST(t.st - cs AS DOUBLE)
+                          / CAST(t.n - cn AS DOUBLE)) AS red
+              FROM c, t WHERE cn < t.n)
+            SELECT strftime(d, '%Y-%m-%d') AS split_t,
+                   CAST(cn AS BIGINT) AS n_left,
+                   CAST(n - cn AS BIGINT) AS n_right,
+                   CAST(ROUND(ml + 1e-9, 4) AS DOUBLE) AS mean_left,
+                   CAST(ROUND(mr + 1e-9, 4) AS DOUBLE) AS mean_right,
+                   CAST(ROUND(red + 1e-9, 4) AS DOUBLE)
+                       AS sse_reduction
+            FROM sc ORDER BY red DESC, d ASC LIMIT 1
+        """,
+        "assortativity_parts": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            e AS (
+              SELECT x.it AS a, y.it AS b2
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (SELECT a AS u, b2 AS v FROM e
+                    UNION ALL SELECT b2, a FROM e),
+            deg AS (SELECT u AS id, count(*) AS dg FROM sym GROUP BY 1),
+            j AS (
+              SELECT d1.dg AS x, d2.dg AS y
+              FROM sym JOIN deg d1 ON sym.u = d1.id
+                       JOIN deg d2 ON sym.v = d2.id),
+            agg AS (
+              SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                     sum(x * y) AS sxy, sum(x * x) AS sx2,
+                     sum(y * y) AS sy2
+              FROM j),
+            nn AS (SELECT count(*) AS nodes FROM deg)
+            SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+                   CAST(nodes AS BIGINT) AS n_nodes,
+                   CASE WHEN (CAST(m AS DOUBLE) * sx2 - sx * sx) > 0
+                         AND (CAST(m AS DOUBLE) * sy2 - sy * sy) > 0
+                   THEN CAST(ROUND(
+                        (CAST(m AS DOUBLE) * sxy - sx * sy)
+                        / sqrt((CAST(m AS DOUBLE) * sx2 - sx * sx)
+                             * (CAST(m AS DOUBLE) * sy2 - sy * sy))
+                        + 1e-9, 4) AS DOUBLE) END AS assortativity
+            FROM agg, nn
+        """,
         "ttr_docs": """
             WITH toks AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text),

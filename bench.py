@@ -167,6 +167,8 @@ HEADLINE = [
     "flesch_docs",
     "ndcg_ltv",
     "bootstrap_ci_price",
+    "changepoint_revenue",
+    "assortativity_parts",
 ]
 
 

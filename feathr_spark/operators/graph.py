@@ -430,3 +430,50 @@ def degree_powerlaw(
     return folded.select("n_nodes", "n_tail",
                          F.lit(int(dmin)).cast("bigint").alias("dmin"),
                          alpha.alias("alpha"), "max_degree")
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between the degrees at the two ends of every
+    undirected edge. Positive = hubs link to hubs (social nets),
+    negative = hub-and-spoke (the typical co-purchase shape).
+
+    ``edges`` carries each undirected edge ONCE as (src, dst); the
+    operator symmetrizes internally so both orientations contribute.
+    Plan: one endpoint-degree aggregate, two key joins to attach the
+    endpoint degrees (degree frame is node-sized), then ONE fold —
+    every moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum
+    (degrees are ints), so the coefficient is bit-stable at any
+    parallelism. NULL when degenerate (all degrees equal).
+    """
+    e = edges.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
+    sym = e.unionByName(
+        e.select(F.col("__b").alias("__a"), F.col("__a").alias("__b")))
+    sym = sym.persist()
+    deg = sym.groupBy("__a").agg(F.count(F.lit(1)).alias("__d"))
+    j = (sym
+         .join(deg.select(F.col("__a").alias("__sa"),
+                          F.col("__d").alias("__dx")),
+               F.col("__a") == F.col("__sa"))
+         .join(deg.select(F.col("__a").alias("__sb"),
+                          F.col("__d").alias("__dy")),
+               F.col("__b") == F.col("__sb")))
+    agg = j.agg(
+        F.count(F.lit(1)).alias("__m"),
+        F.sum("__dx").alias("__sx"), F.sum("__dy").alias("__sy"),
+        F.sum(F.col("__dx") * F.col("__dy")).alias("__sxy"),
+        F.sum(F.col("__dx") * F.col("__dx")).alias("__sx2"),
+        F.sum(F.col("__dy") * F.col("__dy")).alias("__sy2"))
+    nodes = deg.agg(F.count(F.lit(1)).alias("__nodes"))
+    out = agg.crossJoin(F.broadcast(nodes))
+    m = F.col("__m").cast("double")
+    cov = m * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = m * F.col("__sx2") - F.col("__sx") * F.col("__sx")
+    vy = m * F.col("__sy2") - F.col("__sy") * F.col("__sy")
+    r = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    res = out.select(
+        (F.col("__m") / 2).cast("bigint").alias("n_edges"),
+        F.col("__nodes").cast("bigint").alias("n_nodes"),
+        r.cast("double").alias("assortativity"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (sym,))

@@ -240,3 +240,63 @@ def theil_sen(
                    .alias("intercept")))
     from ._cache import attach_intermediates
     return attach_intermediates(out, [s])
+
+
+def binary_changepoint(df: DataFrame, time_col: str,
+                       value_col: str) -> DataFrame:
+    """Best single mean-shift changepoint (first step of binary
+    segmentation / PELT): the split that maximizes the total-SSE
+    reduction ``SSE_full - (SSE_left + SSE_right)``.
+
+    Intended for SERIES-sized frames (daily/bucketed aggregates — the
+    acf/theil_sen contract): one ordered prefix window yields
+    cumulative (n, sum, sum-of-squares), the 1-row totals frame is
+    broadcast back, every candidate split scores row-locally, and the
+    argmax is a top-1 TakeOrderedAndProject. Sums and sums-of-squares
+    accumulate in DECIMAL (exact, order-independent), so the SSE
+    algebra sees bit-identical inputs on every engine and at any
+    parallelism — values quantize to 4 dp on entry (decimal(18,4)).
+
+    Output: 1 row ``(split_t, n_left, n_right, mean_left, mean_right,
+    sse_reduction)`` — NULL-free when the series has >= 2 points.
+    """
+    d = (df.where(F.col(time_col).isNotNull()
+                  & F.col(value_col).isNotNull())
+           .select(F.col(time_col).alias("__t"),
+                   F.col(value_col).cast("decimal(18,4)").alias("__y")))
+    w = (Window.partitionBy(F.lit(0)).orderBy("__t")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    y2 = F.col("__y") * F.col("__y")
+    cum = d.select(
+        "__t",
+        F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("__t")).alias("__cn"),
+        F.sum("__y").over(w).alias("__cs"),
+        F.sum(y2).over(w).alias("__cs2"))
+    tot = d.agg(F.count(F.lit(1)).alias("__n"),
+                F.sum("__y").alias("__s"),
+                F.sum(y2).alias("__s2"))
+    c = cum.crossJoin(F.broadcast(tot)).where(F.col("__cn") < F.col("__n"))
+    nl = F.col("__cn").cast("double")
+    nr = (F.col("__n") - F.col("__cn")).cast("double")
+    n = F.col("__n").cast("double")
+    sl = F.col("__cs").cast("double")
+    sr = (F.col("__s") - F.col("__cs")).cast("double")
+    s2l = F.col("__cs2").cast("double")
+    s2r = (F.col("__s2") - F.col("__cs2")).cast("double")
+    sse_full = (F.col("__s2").cast("double")
+                - F.col("__s").cast("double")
+                * F.col("__s").cast("double") / n)
+    red = sse_full - (s2l - sl * sl / nl) - (s2r - sr * sr / nr)
+    scored = c.select("__t", "__cn", "__n",
+                      (sl / nl).alias("__ml"), (sr / nr).alias("__mr"),
+                      red.alias("__red"))
+    top = scored.orderBy(F.col("__red").desc(), F.col("__t").asc()) \
+        .limit(1)
+    return top.select(
+        F.col("__t").alias("split_t"),
+        F.col("__cn").cast("bigint").alias("n_left"),
+        (F.col("__n") - F.col("__cn")).cast("bigint").alias("n_right"),
+        F.col("__ml").cast("double").alias("mean_left"),
+        F.col("__mr").cast("double").alias("mean_right"),
+        F.col("__red").cast("double").alias("sse_reduction"))

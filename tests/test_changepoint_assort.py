@@ -1,0 +1,98 @@
+"""Value tests for binary changepoint and degree assortativity."""
+
+import math
+
+from feathr_spark.operators.graph import degree_assortativity
+from feathr_spark.operators.timeseries import binary_changepoint
+
+
+def test_changepoint_finds_clear_shift(spark):
+    rows = [(i, 1.0 if i <= 4 else 10.0) for i in range(1, 8)]
+    df = spark.createDataFrame(rows, "t int, y double")
+    out = binary_changepoint(df, "t", "y").collect()[0]
+    assert out.split_t == 4
+    assert out.n_left == 4 and out.n_right == 3
+    assert abs(out.mean_left - 1.0) < 1e-12
+    assert abs(out.mean_right - 10.0) < 1e-12
+    # SSE_full with means 1,10: full mean = 34/7 -> reduction = SSE_full
+    # (both halves are constant so SSE_left = SSE_right = 0)
+    mu = (4 * 1.0 + 3 * 10.0) / 7
+    sse_full = 4 * (1 - mu) ** 2 + 3 * (10 - mu) ** 2
+    assert abs(out.sse_reduction - sse_full) < 1e-9
+
+
+def test_changepoint_constant_series_zero_reduction(spark):
+    df = spark.createDataFrame([(i, 5.0) for i in range(1, 6)],
+                               "t int, y double")
+    out = binary_changepoint(df, "t", "y").collect()[0]
+    assert out.split_t == 1  # ties break to the earliest split
+    assert abs(out.sse_reduction) < 1e-12
+    assert out.mean_left == out.mean_right == 5.0
+
+
+def test_changepoint_matches_brute_force(spark):
+    import random
+    rng = random.Random(11)
+    ys = [rng.uniform(0, 10) + (5 if i > 37 else 0) for i in range(60)]
+    df = spark.createDataFrame(list(enumerate(ys)), "t int, y double")
+    out = binary_changepoint(df, "t", "y").collect()[0]
+    # brute force on the same decimal(18,4)-quantized values
+    q = [round(y, 4) for y in ys]
+
+    def sse(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs)
+
+    full = sse(q)
+    best_t, best_red = None, -math.inf
+    for t in range(1, len(q)):
+        red = full - sse(q[:t]) - sse(q[t:])
+        if red > best_red + 1e-12:
+            best_t, best_red = t - 1, red
+    assert out.split_t == best_t
+    assert abs(out.sse_reduction - best_red) < 1e-6
+
+
+def test_assortativity_star_is_minus_one(spark):
+    df = spark.createDataFrame(
+        [("c", "a"), ("c", "b"), ("c", "d")], "src string, dst string")
+    out = degree_assortativity(df).collect()[0]
+    assert out.n_edges == 3 and out.n_nodes == 4
+    assert abs(out.assortativity - (-1.0)) < 1e-12
+
+
+def test_assortativity_matches_pure_python(spark):
+    import random
+    rng = random.Random(5)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(12), rng.randrange(12)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    df = spark.createDataFrame(sorted(edges), "src int, dst int")
+    out = degree_assortativity(df).collect()[0]
+
+    from collections import Counter
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    xs, ys = [], []
+    for a, b in edges:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    m = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sx2, sy2 = sum(x * x for x in xs), sum(y * y for y in ys)
+    ref = (m * sxy - sx * sy) / math.sqrt(
+        (m * sx2 - sx * sx) * (m * sy2 - sy * sy))
+    assert out.n_edges == len(edges) and out.n_nodes == len(deg)
+    assert abs(out.assortativity - ref) < 1e-12
+
+
+def test_assortativity_regular_graph_null(spark):
+    # a 4-cycle: every degree 2 -> zero variance -> NULL
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int")
+    assert degree_assortativity(df).collect()[0].assortativity is None

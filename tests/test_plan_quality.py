@@ -101,6 +101,10 @@ BROADCAST_LOOP_OK = {
     "kendall_daily",
     # 1-row percentile frame crossed onto the 1-row base-stats fold
     "bootstrap_ci_price",
+    # 1-row totals frame broadcast onto the day-count-sized prefix rows
+    "changepoint_revenue",
+    # 1-row node-count frame crossed onto the 1-row moment fold
+    "assortativity_parts",
     # 1-row side-count frame broadcast onto the node rows
     "hits_bipartite",
     # 1-row global-median frame broadcast onto every order row
@@ -607,6 +611,14 @@ EXCHANGE_BUDGET = {
     # B-bounded replicate aggregate (map-side combined) + two 1-row
     # folds (base stats, percentile) crossed back in
     "bootstrap_ci_price": 3,
+    # daily aggregate + the series prefix window + the 1-row totals
+    # fold + top-1; all post-aggregate frames are day-count-sized
+    "changepoint_revenue": 4,
+    # association_rules' persisted basket subtree and the persisted
+    # symmetrized edge frame PRINT under every consumer (textual >
+    # runtime — cf. powerlaw_parts); runtime is the pair aggregate +
+    # one degree aggregate + two edge-key joins + one fold
+    "assortativity_parts": 69,
 }
 
 
@@ -677,6 +689,9 @@ GLOBAL_WINDOW_OK = {
     # the FDR rank/cummin windows run over the 12-row tests frame —
     # one row per test by construction, never data-sized
     "bh_fdr_monthly",
+    # the prefix-moment window runs over the day-count-sized series
+    # (the acf_daily contract) — never the raw orders
+    "changepoint_revenue",
 }
 
 

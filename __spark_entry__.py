@@ -3116,6 +3116,112 @@ def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ()))
 
 
+def q_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of daily revenue (weekly
+    seasonality): DECIMAL-exact moving-average trend, per-phase
+    seasonal means over the quantized detrended series, residual —
+    all on the day-count-sized frame."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import seasonal_decompose
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue")))
+    out = seasonal_decompose(daily, "d", "revenue", period=7,
+                             trend_window=7)
+    return out.select(
+        F.date_format(F.col("d").cast("timestamp"), "yyyy-MM-dd")
+        .alias("d"),
+        F.round(F.col("y") + 1e-9, 4).cast("double").alias("y"),
+        "phase",
+        F.round(F.col("trend") + 1e-9, 4).cast("double").alias("trend"),
+        F.round(F.col("seasonal") + 1e-9, 4).cast("double")
+        .alias("seasonal"),
+        F.round(F.col("residual") + 1e-9, 4).cast("double")
+        .alias("residual"))
+
+
+def q_tpch_q8_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    EUROPE customers' ECONOMY-part revenue, by order year. Part and
+    supplier sides pre-filtered; both the share numerator and the
+    denominator fold in ONE conditional aggregate per year."""
+    _utc(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    eur_nations = (nation.join(
+        F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(eur_nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_type") == "ECONOMY")
+            .select("p_partkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey",
+                    (F.col("n_name") == "NATION_3").alias("__is_n3")))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey",
+                      F.year(F.col("o_orderdate").cast("timestamp"))
+                      .alias("o_year")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    zero = F.lit(0).cast("decimal(18,6)")
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    agg = (j.groupBy("o_year")
+           .agg(F.sum(F.when(F.col("__is_n3"), F.col("__rev"))
+                      .otherwise(zero)).alias("__n3"),
+                F.sum("__rev").alias("__tot")))
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        F.round(F.col("__n3").cast("double")
+                / F.col("__tot").cast("double") + 1e-9, 4)
+        .cast("double").alias("mkt_share"))
+
+
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit, no-partsupp adaptation): revenue
+    from parts named like '%bolt%' grouped by supplier nation and
+    order year — the four-table star with the part filter cutting the
+    fact scan first."""
+    _utc(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_name").contains("bolt"))
+            .select("p_partkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "n_name"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey",
+                      F.year(F.col("o_orderdate").cast("timestamp"))
+                      .alias("o_year")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (li.join(part, li.l_partkey == part.p_partkey)
+         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey))
+    return (j.groupBy("n_name", "o_year")
+            .agg(F.sum("__rev").alias("__p"))
+            .select(F.col("n_name").alias("nation"),
+                    F.col("o_year").cast("bigint").alias("o_year"),
+                    F.round(F.col("__p").cast("double") + 1e-9, 4)
+                    .cast("double").alias("profit")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3166,6 +3272,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci_price": q_bootstrap_ci_price,
         "changepoint_revenue": q_changepoint_revenue,
         "assortativity_parts": q_assortativity_parts,
+        "stl_daily": q_stl_daily,
+        "tpch_q8_share": q_tpch_q8_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3831,6 +3940,77 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stl_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS DECIMAL(18,4)) AS y
+              FROM orders GROUP BY 1),
+            c AS (
+              SELECT d, y,
+                     (row_number() OVER (ORDER BY d) - 1) % 7 AS phase,
+                     CASE WHEN count(y) OVER w = 7 THEN
+                       CAST(sum(y) OVER w AS DOUBLE) / 7.0 END AS trend
+              FROM s
+              WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                           AND 3 FOLLOWING)),
+            q AS (
+              SELECT *,
+                     CAST(ROUND(CAST(y AS DOUBLE) - trend + 1e-9, 4)
+                          AS DECIMAL(18,4)) AS dq
+              FROM c),
+            seas AS (
+              SELECT phase,
+                     CAST(sum(dq) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS seasonal
+              FROM q WHERE dq IS NOT NULL GROUP BY 1)
+            SELECT strftime(q.d, '%Y-%m-%d') AS d,
+                   CAST(ROUND(CAST(q.y AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS y,
+                   CAST(q.phase AS BIGINT) AS phase,
+                   CAST(ROUND(q.trend + 1e-9, 4) AS DOUBLE) AS trend,
+                   CAST(ROUND(seas.seasonal + 1e-9, 4) AS DOUBLE)
+                       AS seasonal,
+                   CAST(ROUND(CAST(q.y AS DOUBLE) - q.trend
+                        - seas.seasonal + 1e-9, 4) AS DOUBLE)
+                       AS residual
+            FROM q LEFT JOIN seas ON q.phase = seas.phase
+        """,
+        "tpch_q8_share": """
+            SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(
+                     CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                          THEN CAST(l.l_extendedprice
+                               * (1 - l.l_discount) AS DECIMAL(18,6))
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l.l_extendedprice
+                          * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+            WHERE p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "tpch_q9_profit": """
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(ROUND(CAST(sum(CAST(l.l_extendedprice
+                        * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE p.p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
         "changepoint_revenue": """
             WITH s AS (
               SELECT CAST(o_orderdate AS DATE) AS d,

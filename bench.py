@@ -169,6 +169,9 @@ HEADLINE = [
     "bootstrap_ci_price",
     "changepoint_revenue",
     "assortativity_parts",
+    "stl_daily",
+    "tpch_q8_share",
+    "tpch_q9_profit",
 ]
 
 

@@ -300,3 +300,59 @@ def binary_changepoint(df: DataFrame, time_col: str,
         F.col("__ml").cast("double").alias("mean_left"),
         F.col("__mr").cast("double").alias("mean_right"),
         F.col("__red").cast("double").alias("sse_reduction"))
+
+
+def seasonal_decompose(df: DataFrame, time_col: str, value_col: str,
+                       period: int = 7,
+                       trend_window: int = 7) -> DataFrame:
+    """Classical additive seasonal decomposition (moving-average
+    flavor, STL-lite): ``y = trend + seasonal + residual``.
+
+    * trend — centered moving average over ``trend_window`` rows
+      (NULL at the edges where the window is partial), accumulated as
+      a DECIMAL window sum so the average is exact at any parallelism;
+    * seasonal — per-phase mean of the detrended series, phase =
+      (row position - 1) mod ``period`` (time-agnostic, works for any
+      regular cadence); detrended values quantize to 4 dp before the
+      exact DECIMAL fold;
+    * residual — what's left; NULL wherever trend is NULL.
+
+    SERIES-sized contract (daily/bucketed aggregates — acf/theil_sen):
+    the ordered windows run on the bucket-bounded frame, never raw
+    facts. Output: one row per input point
+    ``(time_col, y, phase, trend, seasonal, residual)``.
+    """
+    if period < 2 or trend_window < 2:
+        raise ValueError("seasonal_decompose: period and trend_window "
+                         "must be >= 2")
+    half = trend_window // 2
+    d = (df.where(F.col(time_col).isNotNull()
+                  & F.col(value_col).isNotNull())
+           .select(F.col(time_col).alias("__t"),
+                   F.col(value_col).cast("decimal(18,4)").alias("__y")))
+    ww = (Window.partitionBy(F.lit(0)).orderBy("__t")
+          .rowsBetween(-half, trend_window - half - 1))
+    wn = Window.partitionBy(F.lit(0)).orderBy("__t")
+    c = d.select(
+        "__t", "__y",
+        ((F.row_number().over(wn) - 1) % period).alias("__phase"),
+        F.when(F.count("__y").over(ww) == trend_window,
+               F.sum("__y").over(ww).cast("double")
+               / F.lit(float(trend_window))).alias("__trend"))
+    detr = F.col("__y").cast("double") - F.col("__trend")
+    c = c.withColumn(
+        "__dq", F.round(detr + 1e-9, 4).cast("decimal(18,4)"))
+    seas = (c.where(F.col("__dq").isNotNull())
+            .groupBy("__phase")
+            .agg((F.sum("__dq").cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("__seas")))
+    out = c.join(F.broadcast(seas), "__phase", "left")
+    resid = (F.col("__y").cast("double") - F.col("__trend")
+             - F.col("__seas"))
+    return out.select(
+        F.col("__t").alias(time_col),
+        F.col("__y").cast("double").alias("y"),
+        F.col("__phase").cast("bigint").alias("phase"),
+        F.col("__trend").cast("double").alias("trend"),
+        F.col("__seas").cast("double").alias("seasonal"),
+        resid.cast("double").alias("residual"))

@@ -96,3 +96,21 @@ def test_assortativity_regular_graph_null(spark):
     df = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 1)], "src int, dst int")
     assert degree_assortativity(df).collect()[0].assortativity is None
+
+
+def test_seasonal_decompose_recovers_pattern(spark):
+    from feathr_spark.operators.timeseries import seasonal_decompose
+    e = [3.0, -1.0, 2.0, -4.0, 0.0, 1.0, -1.0]  # sums to 0
+    rows = [(t, 100.0 + e[t % 7]) for t in range(28)]
+    df = spark.createDataFrame(rows, "t int, y double")
+    out = {r.t: r for r in
+           seasonal_decompose(df, "t", "y", period=7,
+                              trend_window=7).collect()}
+    assert len(out) == 28
+    # edges (first/last 3 rows) have no full MA window
+    assert out[0].trend is None and out[27].trend is None
+    for t in range(3, 25):
+        assert abs(out[t].trend - 100.0) < 1e-9, t
+        assert abs(out[t].seasonal - e[t % 7]) < 1e-9, t
+        assert abs(out[t].residual) < 1e-9, t
+    assert out[5].phase == 5 and out[9].phase == 2

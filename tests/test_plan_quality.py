@@ -619,6 +619,14 @@ EXCHANGE_BUDGET = {
     # runtime — cf. powerlaw_parts); runtime is the pair aggregate +
     # one degree aggregate + two edge-key joins + one fold
     "assortativity_parts": 69,
+    # daily aggregate + the series MA/phase windows + the 7-row
+    # seasonal fold joined back (all post-aggregate frames day-sized)
+    "stl_daily": 4,
+    # the EUROPE customer cut is a key join (customers are data-sized
+    # at 100 TB — correctly NOT broadcast); dims broadcast
+    "tpch_q8_share": 3,
+    # all three dims broadcast; single aggregate Exchange
+    "tpch_q9_profit": 1,
 }
 
 
@@ -692,6 +700,8 @@ GLOBAL_WINDOW_OK = {
     # the prefix-moment window runs over the day-count-sized series
     # (the acf_daily contract) — never the raw orders
     "changepoint_revenue",
+    # the MA/phase windows run over the same day-count-sized series
+    "stl_daily",
 }
 
 

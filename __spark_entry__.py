@@ -4173,13 +4173,16 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(o_orderkey AS VARCHAR) AS id,
                      CAST(o_totalprice AS DECIMAL(18,4)) AS x
               FROM orders WHERE o_totalprice IS NOT NULL),
-            rep AS (SELECT id, x, t.b FROM d, range(32) t(b)),
+            ch AS (
+              SELECT id, x, t.c,
+                     md5(id || ':' || CAST(t.c AS VARCHAR)) AS h
+              FROM d, range(8) t(c)),
             u AS (
-              SELECT b, x,
-                     ('0x' || substr(md5(id || ':' ||
-                       CAST(b AS VARCHAR)), 1, 15))::BIGINT
-                       / POWER(16, 15) AS u
-              FROM rep),
+              SELECT c * 4 + l.lane AS b, x,
+                     ('0x' || substr(h, CAST(l.lane * 8 + 1 AS INT),
+                                     8))::BIGINT
+                       / POWER(16, 8) AS u
+              FROM ch, range(4) l(lane)),
             mm AS (
               SELECT b, x,
                      CASE WHEN u < 0.36787944117144233 THEN 0

@@ -258,20 +258,34 @@ def poisson_bootstrap_ci(
     accumulate in DECIMAL so replicate means are exact
     (order-independent) and the CI is bit-stable at any parallelism.
 
+    Hashing cost is amortized 4x: one md5 per (row, chunk-of-4
+    replicates), each replicate reading its own 8-hex lane (32-bit
+    uniforms — the CASE thresholds differ by >= 1e-5, three orders
+    above the 2.3e-10 lane resolution). Replicate b uses chunk b//4,
+    lane b%4 of ``md5(salt + id + ':' + chunk)``.
+
     Output: 1 row ``(n, n_boot, mean, ci_lo, ci_hi)``.
     """
     if n_boot < 2:
         raise ValueError("poisson_bootstrap_ci: n_boot must be >= 2")
+    n_chunks = (n_boot + 3) // 4
     d = (df.where(F.col(value_col).isNotNull())
            .select(F.col(id_col).cast("string").alias("__id"),
                    F.col(value_col).cast("decimal(18,4)").alias("__x")))
-    rep = d.select("__id", "__x",
-                   F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1)))
-                   .alias("__b"))
-    u = (F.conv(F.substring(
-            F.md5(F.concat(F.lit(salt), F.col("__id"), F.lit(":"),
-                           F.col("__b").cast("string"))), 1, 15),
-            16, 10).cast("double") / F.lit(float(16 ** 15)))
+    chunk = d.select(
+        "__x",
+        F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
+        .alias("__c"),
+        F.md5(F.concat(F.lit(salt), F.col("__id"), F.lit(":"),
+                       F.col("__c").cast("string"))).alias("__h"))
+    rep = (chunk.select(
+        "__x", "__h", "__c",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("__lane"))
+        .withColumn("__b", F.col("__c") * 4 + F.col("__lane"))
+        .where(F.col("__b") < n_boot))
+    lane_pos = F.col("__lane") * 8 + 1
+    u = (F.conv(F.substring(F.col("__h"), lane_pos, 8), 16, 10)
+         .cast("double") / F.lit(float(16 ** 8)))
     mult = F.lit(8)
     for kk in range(len(_POISSON1_CDF) - 1, -1, -1):
         mult = F.when(u < _POISSON1_CDF[kk], F.lit(kk)).otherwise(mult)

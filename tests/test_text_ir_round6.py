@@ -68,8 +68,9 @@ def test_ndcg_zero_relevance_group_null(spark):
 
 
 def _py_mult(salt, rid, b):
-    h = hashlib.md5(f"{salt}{rid}:{b}".encode()).hexdigest()
-    u = int(h[:15], 16) / 16 ** 15
+    h = hashlib.md5(f"{salt}{rid}:{b // 4}".encode()).hexdigest()
+    lane = b % 4
+    u = int(h[lane * 8:lane * 8 + 8], 16) / 16 ** 8
     for k, c in enumerate(_POISSON1_CDF):
         if u < c:
             return k

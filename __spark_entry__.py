@@ -3222,6 +3222,52 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("profit")))
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the tf_idf_table pipeline
+    plus a doc-partitioned row_number window (deterministic term
+    tie-break)."""
+    _utc(spark)
+    from feathr_spark.operators.search import doc_keywords
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doc_keywords(docs, k=3)
+
+
+def q_reservoir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sample (Efraimidis-Spirakis A-ES, k=50,
+    weight = n_chars): deterministic md5 keys, bottom-k selection via
+    TakeOrderedAndProject — at most k rows leave any task."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import reservoir_sample
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("n_chars").cast("bigint")
+                    .alias("n_chars")))
+    return reservoir_sample(docs, 50, id_col="doc_id",
+                            weight_col="n_chars")
+
+
+def q_k_anon_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity audit of orders under the
+    (priority, status, year, month) quasi-identifier set, sensitive
+    column = customer key — one cell aggregate, one fold."""
+    _utc(spark)
+    from feathr_spark.operators.quality import k_anonymity
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .withColumn("o_year",
+                          F.year(F.col("o_orderdate").cast("timestamp")))
+              .withColumn("o_month",
+                          F.month(F.col("o_orderdate").cast("timestamp"))))
+    out = k_anonymity(orders,
+                      ["o_orderpriority", "o_orderstatus", "o_year",
+                       "o_month"],
+                      k=10, sensitive_col="o_custkey", l_div=2)
+    return out.select(
+        "n_rows", "n_groups", "min_group_size", "k",
+        "violating_groups", "rows_at_risk",
+        F.round(F.col("risk_pct") + 1e-9, 4).cast("double")
+        .alias("risk_pct"),
+        "low_diversity_groups")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3275,6 +3321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stl_daily": q_stl_daily,
         "tpch_q8_share": q_tpch_q8_share,
         "tpch_q9_profit": q_tpch_q9_profit,
+        "doc_keywords": q_doc_keywords,
+        "reservoir_docs": q_reservoir_docs,
+        "k_anon_orders": q_k_anon_orders,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3940,6 +3989,69 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "doc_keywords": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(trim(regexp_replace(
+                       text, '\\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents),
+            tf AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                      AS n_docs FROM documents),
+            cells AS (
+              SELECT tf.doc_id, tf.term,
+                     CAST(ROUND(tf.tf * (ln((1.0 + n.n_docs)
+                          / (1.0 + dfreq.df)) + 1.0), 4) AS DOUBLE)
+                         AS tf_idf
+              FROM tf JOIN dfreq USING (term), n),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tf_idf DESC,
+                                                 term ASC) AS rank
+              FROM cells)
+            SELECT doc_id, term, tf_idf, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "reservoir_docs": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM (
+              SELECT doc_id, n_chars,
+                     -ln(greatest(
+                        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                        1, 15))::BIGINT
+                          / POWER(16, 15), 1e-18))
+                       / CAST(n_chars AS DOUBLE) AS rk
+              FROM documents
+              WHERE n_chars IS NOT NULL
+                AND CAST(n_chars AS DOUBLE) > 0)
+            ORDER BY rk LIMIT 50
+        """,
+        "k_anon_orders": """
+            WITH g AS (
+              SELECT o_orderpriority, o_orderstatus,
+                     year(o_orderdate) AS y, month(o_orderdate) AS m,
+                     count(*) AS c,
+                     count(DISTINCT o_custkey) AS s
+              FROM orders GROUP BY 1, 2, 3, 4)
+            SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(min(c) AS BIGINT) AS min_group_size,
+                   CAST(10 AS BIGINT) AS k,
+                   CAST(count(*) FILTER (WHERE c < 10) AS BIGINT)
+                       AS violating_groups,
+                   CAST(coalesce(sum(c) FILTER (WHERE c < 10), 0)
+                        AS BIGINT) AS rows_at_risk,
+                   CAST(ROUND(coalesce(sum(c) FILTER (WHERE c < 10), 0)
+                        / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS risk_pct,
+                   CAST(count(*) FILTER (WHERE s < 2) AS BIGINT)
+                       AS low_diversity_groups
+            FROM g
+        """,
         "stl_daily": """
             WITH s AS (
               SELECT CAST(o_orderdate AS DATE) AS d,

@@ -172,6 +172,9 @@ HEADLINE = [
     "stl_daily",
     "tpch_q8_share",
     "tpch_q9_profit",
+    "doc_keywords",
+    "reservoir_docs",
+    "k_anon_orders",
 ]
 
 

@@ -302,3 +302,59 @@ def benford_digits(
         F.round(freq, round_dp).cast("double").alias("freq"),
         F.round(expected, round_dp).cast("double").alias("expected"),
         F.round(chi2_term, round_dp).cast("double").alias("chi2_term")))
+
+
+def k_anonymity(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    k: int = 10,
+    sensitive_col: Optional[str] = None,
+    l_div: int = 2,
+) -> DataFrame:
+    """Re-identification risk audit over a quasi-identifier column set:
+    a dataset is k-anonymous when every QI combination covers >= k
+    rows. Optionally also checks l-diversity (each QI group sees >=
+    ``l_div`` distinct values of ``sensitive_col`` — k-anonymity alone
+    leaks when a small group is homogeneous in the sensitive column).
+
+    The governance gate a training-data pipeline runs before releasing
+    a slice that includes user-adjacent attributes (complements the
+    row-level pii_redact pass).
+
+    Plan: ONE (qi...) cell aggregate — the only data-sized shuffle —
+    then a single fold over the group-count frame. Output: 1 row
+    ``(n_rows, n_groups, min_group_size, k, violating_groups,
+    rows_at_risk, risk_pct[, low_diversity_groups])``.
+    """
+    qi = list(qi_cols)
+    if not qi:
+        raise ValueError("k_anonymity: qi_cols must name >= 1 column")
+    aggs = [F.count(F.lit(1)).alias("__c")]
+    if sensitive_col is not None:
+        aggs.append(F.countDistinct(F.col(sensitive_col)).alias("__s"))
+    groups = df.groupBy(*qi).agg(*aggs)
+    folds = [
+        F.sum("__c").alias("__rows"),
+        F.count(F.lit(1)).alias("__groups"),
+        F.min("__c").alias("__min"),
+        F.count_if(F.col("__c") < k).alias("__viol"),
+        F.coalesce(F.sum(F.when(F.col("__c") < k, F.col("__c"))),
+                   F.lit(0)).alias("__risk"),
+    ]
+    if sensitive_col is not None:
+        folds.append(F.count_if(F.col("__s") < l_div).alias("__lowdiv"))
+    out = groups.agg(*folds)
+    cols = [
+        F.col("__rows").cast("bigint").alias("n_rows"),
+        F.col("__groups").cast("bigint").alias("n_groups"),
+        F.col("__min").cast("bigint").alias("min_group_size"),
+        F.lit(int(k)).cast("bigint").alias("k"),
+        F.col("__viol").cast("bigint").alias("violating_groups"),
+        F.col("__risk").cast("bigint").alias("rows_at_risk"),
+        (F.col("__risk") / F.col("__rows")).cast("double")
+        .alias("risk_pct"),
+    ]
+    if sensitive_col is not None:
+        cols.append(F.col("__lowdiv").cast("bigint")
+                    .alias("low_diversity_groups"))
+    return out.select(*cols)

@@ -308,3 +308,44 @@ def poisson_bootstrap_ci(
         .alias("mean"),
         F.col("__q")[0].cast("double").alias("ci_lo"),
         F.col("__q")[1].cast("double").alias("ci_hi"))
+
+
+def reservoir_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = None,
+    salt: str = "",
+) -> DataFrame:
+    """Fixed-size-k uniform (or weighted) sample without replacement —
+    the distributed equivalent of reservoir sampling, as deterministic
+    bottom-k selection on an md5-derived key.
+
+    Unweighted: keep the k rows with the smallest uniform draw.
+    Weighted (Efraimidis-Spirakis A-ES): key = -ln(u)/w — the k
+    smallest keys are a weighted sample without replacement with
+    inclusion probability proportional to weight.
+
+    Plan: the selection is ``ORDER BY key LIMIT k`` — Spark compiles it
+    to TakeOrderedAndProject (per-partition k-heaps, no global sort),
+    so the operator ships at most k rows per task whatever the table
+    size. No RNG state: the same (salt, id) always draws the same key,
+    so the sample is bit-reproducible across engines and re-runs
+    (the hash_split/weighted_sample discipline).
+    """
+    if k < 1:
+        raise ValueError("reservoir_sample: k must be >= 1")
+    u = (F.conv(F.substring(sample_key(F.col(id_col), salt), 1, 15),
+                16, 10).cast("double") / F.lit(float(16 ** 15)))
+    u = F.greatest(u, F.lit(1e-18))  # md5 prefix of all zeros
+    base = df
+    if weight_col is None:
+        key = u
+    else:
+        w = F.col(weight_col).cast("double")
+        base = df.where(w.isNotNull() & (w > 0))
+        key = -F.log(u) / w
+    return (base.withColumn("__rk", key)
+            .orderBy(F.col("__rk").asc())
+            .limit(k)
+            .drop("__rk"))

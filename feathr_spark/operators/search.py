@@ -238,3 +238,32 @@ def ndcg_at_k(
         F.col("__dcg").cast("double").alias("dcg"),
         F.col("__idcg").cast("double").alias("idcg"),
         ndcg.cast("double").alias("ndcg"))
+
+
+def doc_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document — the standard cheap
+    keyword/tag extractor for corpus exploration and weak labeling.
+
+    Builds on :func:`tf_idf_table` (one (doc, term) shuffle + broadcast
+    df frame); the per-doc top-k is a row_number window partitioned by
+    document — parallel across docs, each task ranks only one doc's
+    terms. Ties (same 4-dp score) break on term ascending so the
+    keyword set is deterministic on any engine.
+
+    Output: (``id_col``, term, tf_idf, rank) with rank 1..k.
+    """
+    if k < 1:
+        raise ValueError("doc_keywords: k must be >= 1")
+    cells = tf_idf_table(df, text_col, id_col, min_df)
+    w = Window.partitionBy(id_col).orderBy(F.col("tf_idf").desc(),
+                                           F.col("term").asc())
+    return (cells.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(id_col, "term", "tf_idf",
+                    F.col("rank").cast("bigint").alias("rank")))

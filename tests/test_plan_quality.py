@@ -35,6 +35,8 @@ BROADCAST_LOOP_OK = {
     "tfidf_terms",
     # embeds bm25_topk's broadcast stats frame
     "hybrid_rrf",
+    # embeds tf_idf_table's 1-row n_docs broadcast cross
+    "doc_keywords",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
     # 10-row top-k frame × broadcast 1-row totals crossJoin
@@ -627,6 +629,14 @@ EXCHANGE_BUDGET = {
     "tpch_q8_share": 3,
     # all three dims broadcast; single aggregate Exchange
     "tpch_q9_profit": 1,
+    # tf_idf_table's (doc, term) + (term) aggregates + the doc-
+    # partitioned rank window
+    "doc_keywords": 6,
+    # pure narrow projection + TakeOrderedAndProject bottom-k
+    "reservoir_docs": 0,
+    # one QI cell aggregate (countDistinct adds its two-phase pair) +
+    # the single fold
+    "k_anon_orders": 3,
 }
 
 

@@ -106,3 +106,78 @@ def test_poisson_bootstrap_brackets_mean(spark):
     out = poisson_bootstrap_ci(df, "v", "id", n_boot=32).collect()[0]
     assert out.ci_lo <= out.mean <= out.ci_hi
     assert out.ci_lo < out.ci_hi
+
+
+def test_doc_keywords_rank_and_ties(spark):
+    from feathr_spark.operators.search import doc_keywords
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"), (2, "cherry common common")],
+        "doc_id int, text string")
+    out = doc_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.rank, r.term))
+    # doc 1: apple tf=2 rare -> rank 1; banana rare tf=1 beats common
+    assert sorted(by_doc[1]) == [(1, "apple"), (2, "banana")]
+    # doc 2: common tf=2 but low idf vs cherry tf=1 rare
+    import math
+    idf_rare = math.log(3 / 2) + 1       # df=1, n=2
+    idf_common = math.log(3 / 3) + 1     # df=2
+    cherry, common2 = 1 * idf_rare, 2 * idf_common
+    expect = [(1, "cherry"), (2, "common")] if cherry > common2 \
+        else [(1, "common"), (2, "cherry")]
+    assert sorted(by_doc[2]) == expect
+
+
+def test_reservoir_sample_deterministic_and_sized(spark):
+    from feathr_spark.operators.sampling import reservoir_sample
+    df = spark.createDataFrame([(str(i),) for i in range(500)],
+                               "doc_id string")
+    a = {r.doc_id for r in reservoir_sample(df, 50).collect()}
+    b = {r.doc_id for r in reservoir_sample(df, 50).collect()}
+    assert len(a) == 50 and a == b
+    c = {r.doc_id for r in reservoir_sample(df, 50, salt="x").collect()}
+    assert c != a  # salt changes the draw
+
+
+def test_reservoir_weighted_matches_pure_python(spark):
+    import hashlib, math
+    from feathr_spark.operators.sampling import reservoir_sample
+    rows = [(str(i), float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = {r.doc_id for r in
+           reservoir_sample(df, 20, weight_col="w").collect()}
+
+    def key(rid, w):
+        u = int(hashlib.md5(rid.encode()).hexdigest()[:15], 16) / 16 ** 15
+        return -math.log(max(u, 1e-18)) / w
+    expect = {rid for rid, _ in
+              sorted(rows, key=lambda t: key(*t))[:20]}
+    assert got == expect
+
+
+def test_reservoir_weighted_favors_heavy_rows(spark):
+    from feathr_spark.operators.sampling import reservoir_sample
+    rows = [(f"h{i}", 1000.0) for i in range(50)] + \
+           [(f"l{i}", 0.001) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    got = [r.doc_id for r in
+           reservoir_sample(df, 30, weight_col="w").collect()]
+    heavy = sum(1 for d in got if d.startswith("h"))
+    assert heavy >= 28  # overwhelming weight ratio
+
+
+def test_k_anonymity_hand_case(spark):
+    from feathr_spark.operators.quality import k_anonymity
+    rows = ([("a", "x", 1)] * 5 + [("a", "y", 2)] * 2
+            + [("b", "x", 3)] * 1)
+    df = spark.createDataFrame(rows, "q1 string, q2 string, s int")
+    out = k_anonymity(df, ["q1", "q2"], k=3,
+                      sensitive_col="s").collect()[0]
+    assert out.n_rows == 8 and out.n_groups == 3
+    assert out.min_group_size == 1
+    assert out.violating_groups == 2      # (a,y)=2 and (b,x)=1
+    assert out.rows_at_risk == 3
+    assert abs(out.risk_pct - 3 / 8) < 1e-12
+    # every group has exactly 1 distinct sensitive value -> all 3 low
+    assert out.low_diversity_groups == 3

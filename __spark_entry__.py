@@ -3268,6 +3268,38 @@ def q_k_anon_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "low_diversity_groups")
 
 
+def q_ols2_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature regression per return flag: extended price ~
+    quantity + discount, closed-form Cramer solve on DECIMAL-exact
+    moments — ONE aggregate pass per group."""
+    _utc(spark)
+    from feathr_spark.operators.stats import ols_multi2
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = ols_multi2(li, "l_extendedprice", "l_quantity", "l_discount",
+                     by=["l_returnflag"])
+    return out.select(
+        "l_returnflag", "n",
+        F.round(F.col("b0") + 1e-9, 4).cast("double").alias("b0"),
+        F.round(F.col("b1") + 1e-9, 4).cast("double").alias("b1"),
+        F.round(F.col("b2") + 1e-9, 4).cast("double").alias("b2"),
+        F.round(F.col("r2") + 1e-9, 4).cast("double").alias("r2"))
+
+
+def q_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle Gram matrix of the embedding table (d=64 → 2080
+    cells): row-local double posexplode, map-side-combined (i, j)
+    aggregate — d²-bounded shuffle whatever the corpus size; the
+    sufficient statistic behind pca_components' bounded-collect
+    eigensolve."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import gram_matrix
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = gram_matrix(emb, "embedding")
+    return out.select(
+        "i", "j",
+        F.round(F.col("g") + 1e-9, 4).cast("double").alias("g"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3324,6 +3356,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": q_doc_keywords,
         "reservoir_docs": q_reservoir_docs,
         "k_anon_orders": q_k_anon_orders,
+        "ols2_lineitem": q_ols2_lineitem,
+        "gram_embeddings": q_gram_embeddings,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -3989,6 +4023,93 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ols2_lineitem": """
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(ROUND(CAST(l_extendedprice AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS y,
+                     CAST(ROUND(CAST(l_quantity AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS a,
+                     CAST(ROUND(CAST(l_discount AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS b
+              FROM lineitem
+              WHERE l_extendedprice IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_discount IS NOT NULL),
+            m AS (
+              SELECT g,
+                     CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(a) AS DOUBLE) AS sa,
+                     CAST(sum(b) AS DOUBLE) AS sb,
+                     CAST(sum(CAST(a AS DECIMAL(28,6)) * a) AS DOUBLE)
+                         AS saa,
+                     CAST(sum(CAST(a AS DECIMAL(28,6)) * b) AS DOUBLE)
+                         AS sab,
+                     CAST(sum(CAST(b AS DECIMAL(28,6)) * b) AS DOUBLE)
+                         AS sbb,
+                     CAST(sum(y) AS DOUBLE) AS sy,
+                     CAST(sum(CAST(a AS DECIMAL(28,6)) * y) AS DOUBLE)
+                         AS say,
+                     CAST(sum(CAST(b AS DECIMAL(28,6)) * y) AS DOUBLE)
+                         AS sby,
+                     CAST(sum(CAST(y AS DECIMAL(28,6)) * y) AS DOUBLE)
+                         AS syy
+              FROM d GROUP BY 1),
+            s AS (
+              SELECT g, n,
+                     n * (saa * sbb - sab * sab)
+                       - sa * (sa * sbb - sab * sb)
+                       + sb * (sa * sab - saa * sb) AS det,
+                     sy * (saa * sbb - sab * sab)
+                       - sa * (say * sbb - sab * sby)
+                       + sb * (say * sab - saa * sby) AS det0,
+                     n * (say * sbb - sab * sby)
+                       - sy * (sa * sbb - sab * sb)
+                       + sb * (sa * sby - say * sb) AS det1,
+                     n * (saa * sby - say * sab)
+                       - sa * (sa * sby - say * sb)
+                       + sy * (sa * sab - saa * sb) AS det2,
+                     sy, say, sby, syy, sa, sb
+              FROM m),
+            c AS (
+              SELECT g, n,
+                     CASE WHEN abs(det) > 1e-9 THEN det0 / det END
+                         AS b0,
+                     CASE WHEN abs(det) > 1e-9 THEN det1 / det END
+                         AS b1,
+                     CASE WHEN abs(det) > 1e-9 THEN det2 / det END
+                         AS b2,
+                     sy, say, sby, syy
+              FROM s)
+            SELECT g AS l_returnflag,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(ROUND(b0 + 1e-9, 4) AS DOUBLE) AS b0,
+                   CAST(ROUND(b1 + 1e-9, 4) AS DOUBLE) AS b1,
+                   CAST(ROUND(b2 + 1e-9, 4) AS DOUBLE) AS b2,
+                   CASE WHEN b0 IS NOT NULL
+                         AND (syy - sy * sy / n) > 0 THEN
+                     CAST(ROUND(1.0 - (syy - (b0 * sy + b1 * say
+                          + b2 * sby)) / (syy - sy * sy / n)
+                          + 1e-9, 4) AS DOUBLE) END AS r2
+            FROM c
+        """,
+        "gram_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     generate_subscripts(embedding, 1) - 1 AS i,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                          AS DECIMAL(18,6)) AS q
+              FROM embeddings),
+            p AS (
+              SELECT a.i AS i, b.i AS j,
+                     CAST(a.q AS DECIMAL(28,6)) * b.q AS pr
+              FROM e a JOIN e b
+                ON a.vec_id = b.vec_id AND a.i <= b.i)
+            SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                   CAST(ROUND(CAST(sum(pr) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS g
+            FROM p GROUP BY 1, 2
+        """,
         "doc_keywords": """
             WITH toks AS (
               SELECT doc_id,

@@ -175,6 +175,8 @@ HEADLINE = [
     "doc_keywords",
     "reservoir_docs",
     "k_anon_orders",
+    "ols2_lineitem",
+    "gram_embeddings",
 ]
 
 

@@ -351,3 +351,85 @@ def random_projection(
 
     return df.withColumn(out_col,
                          F.array(*[component(i) for i in range(out_dim)]))
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding",
+                quantize_dp: int = 6) -> DataFrame:
+    """Upper-triangle Gram matrix G[i,j] = Σ_rows v[i]·v[j] of a vector
+    column — the d²-bounded sufficient statistic behind PCA, ridge
+    regression and whitening, computed WITHOUT ever collecting the
+    vectors.
+
+    Plan: two row-local posexplodes fan each row into its d(d+1)/2
+    upper-triangle products, then ONE (i, j) aggregate whose map-side
+    partial combine caps every task's shuffle output at d(d+1)/2 rows
+    — corpus size never reaches the exchange. Components quantize to
+    ``quantize_dp`` dp and the products accumulate in DECIMAL, so the
+    matrix is exact and order-independent (bit-identical on any
+    engine).
+
+    Output: (i, j, g) for 0 <= i <= j < d.
+    """
+    e = df.select(F.posexplode(F.col(vec_col)).alias("__i", "__vi"),
+                  F.col(vec_col).alias("__v"))
+    e = e.select(
+        "__i",
+        F.round(F.col("__vi").cast("double"), quantize_dp)
+        .cast("decimal(18,6)").alias("__qi"),
+        F.posexplode(F.slice(F.col("__v"), F.col("__i") + 1,
+                             F.size(F.col("__v")))).alias("__dj", "__vj"))
+    e = e.select(
+        "__i", (F.col("__i") + F.col("__dj")).alias("__j"),
+        (F.col("__qi")
+         * F.round(F.col("__vj").cast("double"), quantize_dp)
+         .cast("decimal(18,6)")).alias("__p"))
+    return (e.groupBy("__i", "__j")
+            .agg(F.sum("__p").alias("__g"))
+            .select(F.col("__i").cast("bigint").alias("i"),
+                    F.col("__j").cast("bigint").alias("j"),
+                    F.col("__g").cast("double").alias("g")))
+
+
+def pca_components(df: DataFrame, vec_col: str = "embedding",
+                   k: int = 2, quantize_dp: int = 6):
+    """Top-k principal components of a vector column: mean-center via
+    the covariance identity ``C = (G - n·μμᵀ) / (n-1)`` where G is the
+    :func:`gram_matrix` statistic, then eigensolve the d×d matrix on
+    the driver (numpy) — the pq/clustering bounded-collect discipline:
+    driver traffic is d² + d values whatever the corpus size.
+
+    Returns ``(components, explained_ratio)``: a (k, d) numpy array of
+    unit eigenvectors (sign-normalized: largest-|coord| entry positive)
+    and the fraction of variance each explains.
+    """
+    import numpy as np
+
+    first = df.select(F.size(F.col(vec_col)).alias("__d")).first()
+    if first is None:
+        raise ValueError("pca_components: empty input")
+    d = first["__d"]
+    gm = gram_matrix(df, vec_col, quantize_dp).collect()
+    stats = df.select(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.round(F.col(vec_col)[i].cast("double"), quantize_dp)
+                .cast("decimal(18,6)")).cast("double").alias(f"__s{i}")
+          for i in range(d)]).first()
+    n = stats["__n"]
+    if n < 2:
+        raise ValueError("pca_components: need >= 2 rows")
+    mu = np.array([stats[f"__s{i}"] for i in range(d)]) / n
+    G = np.zeros((d, d))
+    for r in gm:
+        G[r.i, r.j] = G[r.j, r.i] = r.g
+    C = (G - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        comps.append(v)
+    total = float(vals.sum()) if vals.sum() > 0 else 1.0
+    ratio = [float(vals[idx]) / total for idx in order]
+    return np.array(comps), ratio

@@ -926,3 +926,73 @@ def bh_fdr(
                     F.col("__q").alias("q"),
                     (F.col("__q") <= F.lit(float(alpha)))
                     .alias("rejected")))
+
+
+def ols_multi2(
+    df: DataFrame,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    by: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Two-feature linear regression with intercept, per group:
+    ``y ~ b0 + b1*x1 + b2*x2`` solved in closed form (Cramer's rule on
+    the 3x3 normal equations).
+
+    Every moment (n, Σx1, Σx2, Σx1², Σx1x2, Σx2², Σy, Σx1y, Σx2y, Σy²)
+    accumulates as DECIMAL in ONE aggregate pass — exact and
+    order-independent — so the determinant algebra sees bit-identical
+    inputs at any parallelism, the multi-feature extension of
+    ``ols_trend``'s discipline. Inputs quantize to 6 dp on entry.
+
+    Degenerate groups (singular normal matrix — collinear or constant
+    regressors) return NULL coefficients. Output per group:
+    ``(by..., n, b0, b1, b2, r2)``.
+    """
+    keys = list(by or [])
+    q = lambda c: F.round(F.col(c).cast("double"), 6) \
+        .cast("decimal(18,6)")
+    d = (df.where(F.col(y_col).isNotNull() & F.col(x1_col).isNotNull()
+                  & F.col(x2_col).isNotNull())
+           .select(*keys, q(y_col).alias("__y"), q(x1_col).alias("__a"),
+                   q(x2_col).alias("__b")))
+    m = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__a").alias("__sa"), F.sum("__b").alias("__sb"),
+        F.sum(F.col("__a") * F.col("__a")).alias("__saa"),
+        F.sum(F.col("__a") * F.col("__b")).alias("__sab"),
+        F.sum(F.col("__b") * F.col("__b")).alias("__sbb"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__a") * F.col("__y")).alias("__say"),
+        F.sum(F.col("__b") * F.col("__y")).alias("__sby"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"))
+    dd = lambda c: F.col(c).cast("double")
+    n, sa, sb = dd("__n"), dd("__sa"), dd("__sb")
+    saa, sab, sbb = dd("__saa"), dd("__sab"), dd("__sbb")
+    sy, say, sby, syy = dd("__sy"), dd("__say"), dd("__sby"), dd("__syy")
+    # det of [[n, sa, sb], [sa, saa, sab], [sb, sab, sbb]]
+    det = (n * (saa * sbb - sab * sab)
+           - sa * (sa * sbb - sab * sb)
+           + sb * (sa * sab - saa * sb))
+    # Cramer numerators: replace column i with [sy, say, sby]
+    det0 = (sy * (saa * sbb - sab * sab)
+            - sa * (say * sbb - sab * sby)
+            + sb * (say * sab - saa * sby))
+    det1 = (n * (say * sbb - sab * sby)
+            - sy * (sa * sbb - sab * sb)
+            + sb * (sa * sby - say * sb))
+    det2 = (n * (saa * sby - say * sab)
+            - sa * (sa * sby - say * sb)
+            + sy * (sa * sab - saa * sb))
+    ok = F.abs(det) > 1e-9
+    b0 = F.when(ok, det0 / det)
+    b1 = F.when(ok, det1 / det)
+    b2 = F.when(ok, det2 / det)
+    sse = syy - (b0 * sy + b1 * say + b2 * sby)
+    sst = syy - sy * sy / n
+    r2 = F.when(ok & (sst > 0), 1.0 - sse / sst)
+    return m.select(*keys, F.col("__n").cast("bigint").alias("n"),
+                    b0.cast("double").alias("b0"),
+                    b1.cast("double").alias("b1"),
+                    b2.cast("double").alias("b2"),
+                    r2.cast("double").alias("r2"))

@@ -114,3 +114,80 @@ def test_seasonal_decompose_recovers_pattern(spark):
         assert abs(out[t].seasonal - e[t % 7]) < 1e-9, t
         assert abs(out[t].residual) < 1e-9, t
     assert out[5].phase == 5 and out[9].phase == 2
+
+
+def test_ols_multi2_exact_plane(spark):
+    from feathr_spark.operators.stats import ols_multi2
+    rows = [(float(2 + 3 * x1 - 1.5 * x2), float(x1), float(x2))
+            for x1 in range(6) for x2 in range(5)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_multi2(df, "y", "x1", "x2").collect()[0]
+    assert abs(out.b0 - 2.0) < 1e-9
+    assert abs(out.b1 - 3.0) < 1e-9
+    assert abs(out.b2 - (-1.5)) < 1e-9
+    assert abs(out.r2 - 1.0) < 1e-9
+
+
+def test_ols_multi2_matches_numpy_lstsq(spark):
+    import numpy as np
+    from feathr_spark.operators.stats import ols_multi2
+    rng = np.random.RandomState(4)
+    x1 = rng.uniform(0, 10, 120).round(6)
+    x2 = rng.uniform(-5, 5, 120).round(6)
+    y = (1.0 + 0.5 * x1 - 2.0 * x2
+         + rng.normal(0, 0.3, 120)).round(6)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, x1, x2)],
+        "y double, x1 double, x2 double")
+    out = ols_multi2(df, "y", "x1", "x2").collect()[0]
+    X = np.column_stack([np.ones(120), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert abs(out.b0 - beta[0]) < 1e-6
+    assert abs(out.b1 - beta[1]) < 1e-6
+    assert abs(out.b2 - beta[2]) < 1e-6
+    resid = y - X @ beta
+    r2 = 1 - (resid ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(out.r2 - r2) < 1e-6
+
+
+def test_ols_multi2_collinear_null(spark):
+    from feathr_spark.operators.stats import ols_multi2
+    rows = [(float(i), float(i), float(2 * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "y double, x1 double, x2 double")
+    out = ols_multi2(df, "y", "x1", "x2").collect()[0]
+    assert out.b0 is None and out.r2 is None
+
+
+def test_gram_matrix_matches_numpy(spark):
+    import numpy as np
+    from feathr_spark.operators.similarity import gram_matrix
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-1, 1, (40, 5)).round(6)
+    df = spark.createDataFrame([(row.tolist(),) for row in X],
+                               "embedding array<double>")
+    got = {(r.i, r.j): r.g for r in gram_matrix(df).collect()}
+    G = X.T @ X
+    assert len(got) == 15
+    for i in range(5):
+        for j in range(i, 5):
+            assert abs(got[(i, j)] - G[i, j]) < 1e-9, (i, j)
+
+
+def test_pca_components_match_numpy_eigh(spark):
+    import numpy as np
+    from feathr_spark.operators.similarity import pca_components
+    rng = np.random.RandomState(3)
+    base = rng.normal(0, 1, (200, 4)) @ np.diag([5.0, 2.0, 0.5, 0.1])
+    X = base.round(6)
+    df = spark.createDataFrame([(row.tolist(),) for row in X],
+                               "embedding array<double>")
+    comps, ratio = pca_components(df, k=2)
+    C = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    for got, idx in zip(comps, order):
+        v = vecs[:, idx]
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        assert np.allclose(got, v, atol=1e-6)
+    assert ratio[0] > ratio[1] > 0

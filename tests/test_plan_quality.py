@@ -637,6 +637,10 @@ EXCHANGE_BUDGET = {
     # one QI cell aggregate (countDistinct adds its two-phase pair) +
     # the single fold
     "k_anon_orders": 3,
+    # ONE moment aggregate per group; the Cramer algebra is row-local
+    "ols2_lineitem": 1,
+    # d²-bounded (i, j) aggregate; the double posexplode is row-local
+    "gram_embeddings": 1,
 }
 
 

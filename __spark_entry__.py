@@ -4097,17 +4097,16 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
               SELECT vec_id,
                      generate_subscripts(embedding, 1) - 1 AS i,
-                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
-                          AS DECIMAL(18,6)) AS q
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                          * 1000000, 0) AS BIGINT) AS q
               FROM embeddings),
             p AS (
-              SELECT a.i AS i, b.i AS j,
-                     CAST(a.q AS DECIMAL(28,6)) * b.q AS pr
+              SELECT a.i AS i, b.i AS j, a.q * b.q AS pr
               FROM e a JOIN e b
                 ON a.vec_id = b.vec_id AND a.i <= b.i)
             SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-                   CAST(ROUND(CAST(sum(pr) AS DOUBLE) + 1e-9, 4)
-                        AS DOUBLE) AS g
+                   CAST(ROUND(CAST(sum(pr) AS DOUBLE)
+                        / 1000000000000.0 + 1e-9, 4) AS DOUBLE) AS g
             FROM p GROUP BY 1, 2
         """,
         "doc_keywords": """

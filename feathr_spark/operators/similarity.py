@@ -354,7 +354,7 @@ def random_projection(
 
 
 def gram_matrix(df: DataFrame, vec_col: str = "embedding",
-                quantize_dp: int = 6) -> DataFrame:
+                quantize_dp: int = 6, use_arrow: bool = True) -> DataFrame:
     """Upper-triangle Gram matrix G[i,j] = Σ_rows v[i]·v[j] of a vector
     column — the d²-bounded sufficient statistic behind PCA, ridge
     regression and whitening, computed WITHOUT ever collecting the
@@ -364,30 +364,70 @@ def gram_matrix(df: DataFrame, vec_col: str = "embedding",
     upper-triangle products, then ONE (i, j) aggregate whose map-side
     partial combine caps every task's shuffle output at d(d+1)/2 rows
     — corpus size never reaches the exchange. Components quantize to
-    ``quantize_dp`` dp and the products accumulate in DECIMAL, so the
-    matrix is exact and order-independent (bit-identical on any
-    engine).
+    integer micro-units (``quantize_dp`` dp), the per-pair product is
+    a cheap exact BIGINT multiply, and only the SUM widens to DECIMAL
+    (overflow-safe at any corpus size) — exact, order-independent,
+    bit-identical on any engine.
+
+    The default path is ONE Arrow ``mapInPandas`` pass: each partition
+    computes its integer partial Gram with a numpy int64 matmul and
+    emits exactly d(d+1)/2 rows — the same per-partition-matmul shape
+    as the ANN scorers. Rounding is half-away-from-zero to match
+    Spark/DuckDB ``round`` exactly. int64 partials are exact while
+    ``rows_per_partition × (scale·|v|_max)² < 2^63`` (≈1M rows per
+    partition at |v| ≤ 3, the default file-split sizing); the
+    cross-partition SUM widens to DECIMAL. ``use_arrow=False`` selects
+    a pure-JVM double-posexplode fallback with identical output.
 
     Output: (i, j, g) for 0 <= i <= j < d.
     """
+    scale = 10 ** quantize_dp
+    if use_arrow:
+        import numpy as np
+        import pandas as pd
+
+        def _partials(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy())
+                X = M.astype(np.float64) * scale
+                Q = (np.floor(np.abs(X) + 0.5)
+                     * np.sign(X)).astype(np.int64)
+                G = Q.T @ Q
+                iu = np.triu_indices(G.shape[0])
+                yield pd.DataFrame({"i": iu[0].astype(np.int64),
+                                    "j": iu[1].astype(np.int64),
+                                    "p": G[iu]})
+
+        parts = (df.select(vec_col)
+                 .mapInPandas(_partials, "i long, j long, p long"))
+        return (parts.groupBy("i", "j")
+                .agg(F.sum(F.col("p").cast("decimal(38,0)"))
+                     .alias("__g"))
+                .select(F.col("i").cast("bigint").alias("i"),
+                        F.col("j").cast("bigint").alias("j"),
+                        (F.col("__g").cast("double")
+                         / F.lit(float(scale) * scale)).alias("g")))
     e = df.select(F.posexplode(F.col(vec_col)).alias("__i", "__vi"),
                   F.col(vec_col).alias("__v"))
     e = e.select(
         "__i",
-        F.round(F.col("__vi").cast("double"), quantize_dp)
-        .cast("decimal(18,6)").alias("__qi"),
+        F.round(F.col("__vi").cast("double") * scale, 0).cast("bigint")
+        .alias("__qi"),
         F.posexplode(F.slice(F.col("__v"), F.col("__i") + 1,
                              F.size(F.col("__v")))).alias("__dj", "__vj"))
     e = e.select(
         "__i", (F.col("__i") + F.col("__dj")).alias("__j"),
         (F.col("__qi")
-         * F.round(F.col("__vj").cast("double"), quantize_dp)
-         .cast("decimal(18,6)")).alias("__p"))
+         * F.round(F.col("__vj").cast("double") * scale, 0)
+         .cast("bigint")).alias("__p"))
     return (e.groupBy("__i", "__j")
-            .agg(F.sum("__p").alias("__g"))
+            .agg(F.sum(F.col("__p").cast("decimal(38,0)")).alias("__g"))
             .select(F.col("__i").cast("bigint").alias("i"),
                     F.col("__j").cast("bigint").alias("j"),
-                    F.col("__g").cast("double").alias("g")))
+                    (F.col("__g").cast("double")
+                     / F.lit(float(scale) * scale)).alias("g")))
 
 
 def pca_components(df: DataFrame, vec_col: str = "embedding",

@@ -191,3 +191,17 @@ def test_pca_components_match_numpy_eigh(spark):
             v = -v
         assert np.allclose(got, v, atol=1e-6)
     assert ratio[0] > ratio[1] > 0
+
+
+def test_gram_matrix_arrow_equals_jvm_path(spark):
+    import numpy as np
+    from feathr_spark.operators.similarity import gram_matrix
+    rng = np.random.RandomState(9)
+    X = rng.uniform(-3, 3, (60, 6)).round(6)
+    df = spark.createDataFrame([(row.tolist(),) for row in X],
+                               "embedding array<double>").repartition(4)
+    a = {(r.i, r.j): r.g for r in
+         gram_matrix(df, use_arrow=True).collect()}
+    b = {(r.i, r.j): r.g for r in
+         gram_matrix(df, use_arrow=False).collect()}
+    assert a == b and len(a) == 21

@@ -3300,6 +3300,79 @@ def q_gram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("g") + 1e-9, 4).cast("double").alias("g"))
 
 
+def q_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: how many top customers hold 80% of
+    order revenue — bucketed-prefix share algebra over the distinct
+    per-customer-revenue frame, all-ties-included cutoff."""
+    _utc(spark)
+    from feathr_spark.operators.olap import pareto_contribution
+    from feathr_spark.operators._cache import attach_intermediates
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = pareto_contribution(orders, "o_custkey", "o_totalprice", 0.8)
+    res = out.select(
+        "n_keys",
+        F.round(F.col("total") + 1e-9, 4).cast("double").alias("total"),
+        F.round(F.col("cutoff_value") + 1e-9, 4).cast("double")
+        .alias("cutoff_value"),
+        "top_keys",
+        F.round(F.col("top_share") + 1e-9, 4).cast("double")
+        .alias("top_share"),
+        F.col("target_share").cast("double").alias("target_share"))
+    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
+                                             ()))
+
+
+def q_late_orders_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 adaptation (order-priority checking): orders with at
+    least one line shipped 60+ days after the order date, counted by
+    priority — a LEFT SEMI join (the EXISTS plan: no fact-fact row
+    multiplication, the lineitem side deduplicates in the join)."""
+    _utc(spark)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderpriority",
+                      F.col("o_orderdate").cast("timestamp")
+                      .alias("__od")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey",
+                  F.col("l_shipdate").cast("timestamp").alias("__sd")))
+    late = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li["__sd"] > orders["__od"] + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_late")))
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 adaptation (global sales opportunity): customers with
+    above-average positive balance and NO orders since 2000-01-01, per
+    nation — 1-row broadcast average + LEFT ANTI join against the
+    date-cut order keys + broadcast nation."""
+    _utc(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate").cast("timestamp")
+                     >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    avg_pos = (cust.where(F.col("c_acctbal") > 0)
+               .agg((F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
+                     .cast("double")
+                     / F.count(F.lit(1)).cast("double"))
+                    .alias("__avg")))
+    rich = (cust.crossJoin(F.broadcast(avg_pos))
+            .where(F.col("c_acctbal").cast("double") > F.col("__avg")))
+    dormant = rich.join(orders, rich.c_custkey == orders.o_custkey,
+                        "left_anti")
+    return (dormant.join(F.broadcast(nation),
+                         F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numcust"),
+                 F.round(F.sum(F.col("c_acctbal").cast("decimal(28,8)"))
+                         .cast("double") + 1e-9, 4).cast("double")
+                 .alias("totacctbal")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3358,6 +3431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anon_orders": q_k_anon_orders,
         "ols2_lineitem": q_ols2_lineitem,
         "gram_embeddings": q_gram_embeddings,
+        "pareto_customers": q_pareto_customers,
+        "late_orders_q4": q_late_orders_q4,
+        "dormant_customers": q_dormant_customers,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -4023,6 +4099,70 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pareto_customers": """
+            WITH pk AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DECIMAL(28,8)) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+            sv AS (SELECT v, count(*) AS k FROM pk GROUP BY 1),
+            tot AS (
+              SELECT sum(CAST(v AS DECIMAL(28,8))
+                         * CAST(k AS DECIMAL(10,0))) AS t,
+                     sum(k) AS nk
+              FROM sv),
+            sc AS (
+              SELECT v, k, tot.nk, tot.t,
+                     CAST(tot.t - coalesce(sum(CAST(v AS DECIMAL(28,8))
+                            * CAST(k AS DECIMAL(10,0))) OVER w,
+                          0) AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                         AS share_ge
+              FROM sv, tot
+              WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING)),
+            cut AS (SELECT max(v) AS c FROM sc WHERE share_ge >= 0.8)
+            SELECT CAST(sc.nk AS BIGINT) AS n_keys,
+                   CAST(ROUND(CAST(sc.t AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS total,
+                   CAST(ROUND(CAST(cut.c AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS cutoff_value,
+                   CAST(sum(sc.k) AS BIGINT) AS top_keys,
+                   CAST(ROUND(max(sc.share_ge) + 1e-9, 4) AS DOUBLE)
+                       AS top_share,
+                   CAST(0.8 AS DOUBLE) AS target_share
+            FROM sc, cut WHERE sc.v >= cut.c
+            GROUP BY sc.nk, sc.t, cut.c
+        """,
+        "late_orders_q4": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late
+            FROM orders o
+            WHERE EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL 60 DAY)
+            GROUP BY 1
+        """,
+        "dormant_customers": """
+            WITH a AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(28,8)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg
+              FROM customer WHERE c_acctbal > 0)
+            SELECT n.n_name,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(ROUND(CAST(sum(CAST(c.c_acctbal
+                        AS DECIMAL(28,8))) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS totacctbal
+            FROM customer c, a
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE CAST(c.c_acctbal AS DOUBLE) > a.avg
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate
+                                    >= TIMESTAMP '2000-01-01')
+            GROUP BY 1
+        """,
         "ols2_lineitem": """
             WITH d AS (
               SELECT l_returnflag AS g,

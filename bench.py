@@ -177,6 +177,9 @@ HEADLINE = [
     "k_anon_orders",
     "ols2_lineitem",
     "gram_embeddings",
+    "pareto_customers",
+    "late_orders_q4",
+    "dormant_customers",
 ]
 
 

@@ -222,3 +222,89 @@ def skyline_2d(
     return (df.join(F.broadcast(verdict),
                     (px == F.col("__px")) & (py == F.col("__best")))
             .select(*df.columns))
+
+
+def pareto_contribution(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    target_share: float = 0.8,
+    buckets: int = 64,
+) -> DataFrame:
+    """Pareto / contribution analysis: how many top keys cover
+    ``target_share`` of the total? (the 80/20 audit for revenue
+    concentration, corpus-source dominance, key-skew budgeting).
+
+    Selection rule: keys are ranked by their aggregate value; the
+    cutoff is the LARGEST per-key value v* whose at-or-above-v* share
+    still reaches the target, and all keys tied at v* are included —
+    deterministic at any parallelism, no arbitrary tie split.
+
+    Plan: one per-key aggregate (DECIMAL-exact), collapse to the
+    DISTINCT per-key-value frame, then the roc_auc-style bucketed
+    prefix cumsum (range buckets + windows over the buckets-sized
+    offset frame — no global sort); the cutoff and the final report
+    are two folds over that distinct-value frame. Output: 1 row
+    ``(n_keys, total, cutoff_value, top_keys, top_share,
+    target_share)``.
+    """
+    if not 0 < target_share <= 1:
+        raise ValueError("pareto_contribution: target_share in (0, 1]")
+    per_key = (df.where(F.col(value_col).isNotNull())
+               .groupBy(key_col)
+               .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                    .alias("__v")))
+    # distinct per-key-value frame: how many keys share this exact value
+    s = per_key.groupBy("__v").agg(F.count(F.lit(1)).alias("__k"))
+    bounds = s.agg(F.min(F.col("__v").cast("double")).alias("__lo"),
+                   F.max(F.col("__v").cast("double")).alias("__hi"),
+                   F.sum(F.col("__v") * F.col("__k")).alias("__tot"),
+                   F.sum("__k").alias("__nk"))
+    sb = s.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = (hi - lo) / F.lit(int(buckets))
+    bkt = (F.when(hi == lo, F.lit(0))
+           .otherwise(F.least(
+               F.floor((F.col("__v").cast("double") - lo) / width),
+               F.lit(int(buckets) - 1)))).cast("bigint")
+    sb = sb.select("__v", "__k", "__tot", "__nk", bkt.alias("__b"))
+    bt = (sb.groupBy(F.lit(0).alias("__g"), "__b")
+          .agg(F.sum(F.col("__v") * F.col("__k")).alias("__bs")))
+    woff = (Window.partitionBy("__g").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select("__b", F.coalesce(
+        F.sum("__bs").over(woff),
+        F.lit(0).cast("decimal(38,8)")).alias("__off"))
+    wrun = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # share of total held by keys with value >= this row's value
+    scored = (sb.join(F.broadcast(offs), "__b")
+              .select("__v", "__k", "__tot", "__nk",
+                      ((F.col("__tot")
+                        - F.coalesce(F.sum(F.col("__v") * F.col("__k"))
+                                     .over(wrun),
+                                     F.lit(0).cast("decimal(38,8)"))
+                        - F.col("__off")).cast("double")
+                       / F.col("__tot").cast("double"))
+                      .alias("__share_ge")))
+    scored = scored.persist()
+    cut = scored.where(F.col("__share_ge") >= target_share) \
+        .agg(F.max("__v").alias("__cut"))
+    rep = (scored.crossJoin(F.broadcast(cut))
+           .where(F.col("__v") >= F.col("__cut"))
+           .agg(F.first("__nk").alias("__nk"),
+                F.first("__tot").alias("__tot"),
+                F.first("__cut").alias("__c"),
+                F.sum("__k").alias("__topk"),
+                # share_ge decreases in v, so the share AT the cutoff
+                # (= share of every included key) is the max
+                F.max("__share_ge").alias("__tshare")))
+    res = rep.select(
+        F.col("__nk").cast("bigint").alias("n_keys"),
+        F.col("__tot").cast("double").alias("total"),
+        F.col("__c").cast("double").alias("cutoff_value"),
+        F.col("__topk").cast("bigint").alias("top_keys"),
+        F.col("__tshare").cast("double").alias("top_share"),
+        F.lit(float(target_share)).alias("target_share"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (scored,))

@@ -205,3 +205,49 @@ def test_gram_matrix_arrow_equals_jvm_path(spark):
     b = {(r.i, r.j): r.g for r in
          gram_matrix(df, use_arrow=False).collect()}
     assert a == b and len(a) == 21
+
+
+def test_pareto_contribution_hand_case(spark):
+    from feathr_spark.operators.olap import pareto_contribution
+    # key values: 50, 30, 10, 5, 5 -> total 100
+    rows = [("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 5.0),
+            ("e", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = pareto_contribution(df, "k", "v", 0.8).collect()[0]
+    # top 2 keys (50+30) reach exactly 0.8
+    assert out.n_keys == 5 and out.top_keys == 2
+    assert abs(out.cutoff_value - 30.0) < 1e-9
+    assert abs(out.top_share - 0.8) < 1e-12
+    assert abs(out.total - 100.0) < 1e-9
+
+
+def test_pareto_contribution_ties_included(spark):
+    from feathr_spark.operators.olap import pareto_contribution
+    rows = [("a", 40.0), ("b", 30.0), ("c", 30.0), ("d", 0.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = pareto_contribution(df, "k", "v", 0.5).collect()[0]
+    # 40 alone = 0.4 < 0.5; cutoff drops to 30 and BOTH tied keys join
+    assert out.top_keys == 3
+    assert abs(out.cutoff_value - 30.0) < 1e-9
+    assert abs(out.top_share - 1.0) < 1e-12
+
+
+def test_pareto_contribution_matches_brute_force(spark):
+    import random
+    from feathr_spark.operators.olap import pareto_contribution
+    rng = random.Random(2)
+    rows = [(str(i), float(rng.randint(1, 1000))) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = pareto_contribution(df, "k", "v", 0.8, buckets=16).collect()[0]
+    vals = sorted((v for _, v in rows), reverse=True)
+    tot = sum(vals)
+    # brute force: max v with share(>= v) >= 0.8
+    cut = None
+    for v in sorted(set(vals), reverse=True):
+        if sum(x for x in vals if x >= v) / tot >= 0.8:
+            cut = v
+            break
+    top = [x for x in vals if x >= cut]
+    assert abs(out.cutoff_value - cut) < 1e-9
+    assert out.top_keys == len(top)
+    assert abs(out.top_share - sum(top) / tot) < 1e-9

@@ -107,6 +107,10 @@ BROADCAST_LOOP_OK = {
     "changepoint_revenue",
     # 1-row node-count frame crossed onto the 1-row moment fold
     "assortativity_parts",
+    # 1-row bounds/cutoff frames broadcast onto the distinct-value rows
+    "pareto_customers",
+    # 1-row positive-balance average broadcast onto every customer row
+    "dormant_customers",
     # 1-row side-count frame broadcast onto the node rows
     "hits_bipartite",
     # 1-row global-median frame broadcast onto every order row
@@ -641,6 +645,15 @@ EXCHANGE_BUDGET = {
     "ols2_lineitem": 1,
     # d²-bounded (i, j) aggregate; the double posexplode is row-local
     "gram_embeddings": 1,
+    # the persisted scored distinct-value frame PRINTS under both the
+    # cutoff fold and the report fold (textual > runtime); runtime is
+    # one per-key aggregate + distinct-value windows + two tiny folds
+    "pareto_customers": 26,
+    # single semi-join Exchange pair collapses under AQE broadcast;
+    # one aggregate
+    "late_orders_q4": 1,
+    # anti join against the date-cut order keys + one aggregate
+    "dormant_customers": 2,
 }
 
 
@@ -716,6 +729,9 @@ GLOBAL_WINDOW_OK = {
     "changepoint_revenue",
     # the MA/phase windows run over the same day-count-sized series
     "stl_daily",
+    # the bucketed-prefix OFFSET pass over the buckets-sized frame
+    # (mw_priorities contract); data-sized cumsums stay per-bucket
+    "pareto_customers",
 }
 
 

@@ -3373,6 +3373,77 @@ def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("totacctbal")))
 
 
+def q_cust_order_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution): histogram of customers by
+    order count, zero-order customers included via LEFT join — two
+    map-side-combined aggregates, nothing else."""
+    _utc(spark)
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                          "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+            .select(F.col("c_count").cast("bigint").alias("c_count"),
+                    "custdist"))
+
+
+def q_supplier_cnt_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship, no-partsupp adaptation
+    via lineitem): distinct suppliers per (brand, size-class), excluding
+    negative-balance suppliers (the comment-filter surrogate) and PROMO
+    parts — anti-filtered dims broadcast, one countDistinct."""
+    _utc(spark)
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_type") != "PROMO")
+            .select("p_partkey", "p_brand",
+                    (F.col("p_size") - F.col("p_size") % 10)
+                    .cast("bigint").alias("size_class")))
+    bad_supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+                .where(F.col("s_acctbal") < 0)
+                .select("s_suppkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey"))
+    j = (li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey,
+                 "left_anti")
+         .join(part, li.l_partkey == part.p_partkey))
+    return (j.groupBy("p_brand", "size_class")
+            .agg(F.countDistinct("l_suppkey").cast("bigint")
+                 .alias("supplier_cnt")))
+
+
+def q_small_qty_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    orders below 20% of a part's average quantity were dropped, for
+    Brand#1 parts. The per-part average is a co-keyed aggregate joined
+    back — the scalar-correlated-subquery pattern as one extra
+    aggregation, not a rescan."""
+    _utc(spark)
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_brand") == "Brand#1")
+            .select("p_partkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_quantity", "l_extendedprice"))
+    brand_li = li.join(F.broadcast(part),
+                       li.l_partkey == part.p_partkey)
+    avg_qty = (brand_li.groupBy("l_partkey")
+               .agg((F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                     .cast("double")
+                     / F.count(F.lit(1)).cast("double")).alias("__aq")))
+    j = brand_li.join(avg_qty, "l_partkey")
+    return (j.where(F.col("l_quantity").cast("double")
+                    < 0.2 * F.col("__aq"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(28,8)"))
+                  .cast("double") / 7.0).alias("__y"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+            .select(F.round(F.col("__y") + 1e-9, 4).cast("double")
+                    .alias("avg_yearly"), "n_lines"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3434,6 +3505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pareto_customers": q_pareto_customers,
         "late_orders_q4": q_late_orders_q4,
         "dormant_customers": q_dormant_customers,
+        "cust_order_dist": q_cust_order_dist,
+        "supplier_cnt_q16": q_supplier_cnt_q16,
+        "small_qty_q17": q_small_qty_q17,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -4099,6 +4173,48 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cust_order_dist": """
+            WITH pc AS (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY 1)
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM pc GROUP BY 1
+        """,
+        "supplier_cnt_q16": """
+            SELECT p.p_brand,
+                   CAST(p.p_size - p.p_size % 10 AS BIGINT)
+                       AS size_class,
+                   CAST(count(DISTINCT l.l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_type <> 'PROMO'
+              AND NOT EXISTS (
+                SELECT 1 FROM supplier s
+                WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal < 0)
+            GROUP BY 1, 2
+        """,
+        "small_qty_q17": """
+            WITH bl AS (
+              SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+              FROM lineitem l JOIN part p
+                ON l.l_partkey = p.p_partkey
+              WHERE p.p_brand = 'Brand#1'),
+            aq AS (
+              SELECT l_partkey,
+                     CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS aq
+              FROM bl GROUP BY 1)
+            SELECT CAST(ROUND(CAST(sum(CAST(bl.l_extendedprice
+                        AS DECIMAL(28,8))) AS DOUBLE) / 7.0 + 1e-9, 4)
+                        AS DOUBLE) AS avg_yearly,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM bl JOIN aq ON bl.l_partkey = aq.l_partkey
+            WHERE CAST(bl.l_quantity AS DOUBLE) < 0.2 * aq.aq
+        """,
         "pareto_customers": """
             WITH pk AS (
               SELECT o_custkey,

@@ -180,6 +180,9 @@ HEADLINE = [
     "pareto_customers",
     "late_orders_q4",
     "dormant_customers",
+    "cust_order_dist",
+    "supplier_cnt_q16",
+    "small_qty_q17",
 ]
 
 

@@ -654,6 +654,12 @@ EXCHANGE_BUDGET = {
     "late_orders_q4": 1,
     # anti join against the date-cut order keys + one aggregate
     "dormant_customers": 2,
+    # per-customer count (co-keyed with the join) + the histogram fold
+    "cust_order_dist": 2,
+    # countDistinct's two-phase aggregate pair (dims broadcast)
+    "supplier_cnt_q16": 2,
+    # per-part avg aggregate + the co-keyed attach join + 1-row fold
+    "small_qty_q17": 3,
 }
 
 

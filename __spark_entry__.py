@@ -3444,6 +3444,43 @@ def q_small_qty_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("avg_yearly"), "n_lines"))
 
 
+def q_rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-day rolling correlation between daily revenue and daily
+    order count — DECIMAL-exact windowed moments over the
+    day-count-sized series frame."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import rolling_corr
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue"),
+                  F.count(F.lit(1)).cast("double").alias("cnt")))
+    out = rolling_corr(daily, "d", "revenue", "cnt", window_n=30)
+    return out.select(
+        F.date_format(F.col("d").cast("timestamp"), "yyyy-MM-dd")
+        .alias("d"),
+        F.round(F.col("x") + 1e-9, 4).cast("double").alias("x"),
+        F.round(F.col("y") + 1e-9, 4).cast("double").alias("y"),
+        F.round(F.col("corr") + 1e-9, 4).cast("double").alias("corr"))
+
+
+def q_ccf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (lags ±7) between daily revenue and
+    daily URGENT-order count — the acf plan extended to two series."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import cross_correlation
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.groupBy(F.col("o_orderdate").cast("date").alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .cast("double").alias("revenue"),
+                  F.count_if(F.col("o_orderpriority") == "1-URGENT")
+                  .cast("double").alias("urgent")))
+    out = cross_correlation(daily, "d", "revenue", "urgent", max_lag=7)
+    return out.select(
+        "lag", "n_pairs",
+        F.round(F.col("ccf") + 1e-9, 4).cast("double").alias("ccf"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3508,6 +3545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cust_order_dist": q_cust_order_dist,
         "supplier_cnt_q16": q_supplier_cnt_q16,
         "small_qty_q17": q_small_qty_q17,
+        "rolling_corr_daily": q_rolling_corr_daily,
+        "ccf_daily": q_ccf_daily,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -4173,6 +4212,102 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "rolling_corr_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS xd,
+                     CAST(count(*) AS DOUBLE) AS yd
+              FROM orders GROUP BY 1),
+            q AS (
+              SELECT d, xd, yd,
+                     CAST(ROUND(xd, 4) AS DECIMAL(18,4)) AS x,
+                     CAST(ROUND(yd, 4) AS DECIMAL(18,4)) AS y
+              FROM s),
+            m AS (
+              SELECT d, xd, yd,
+                     count(*) OVER w AS n,
+                     CAST(sum(x) OVER w AS DOUBLE) AS sx,
+                     CAST(sum(y) OVER w AS DOUBLE) AS sy,
+                     CAST(sum(CAST(x AS DECIMAL(28,4)) * x) OVER w
+                          AS DOUBLE) AS sxx,
+                     CAST(sum(CAST(y AS DECIMAL(28,4)) * y) OVER w
+                          AS DOUBLE) AS syy,
+                     CAST(sum(CAST(x AS DECIMAL(28,4)) * y) OVER w
+                          AS DOUBLE) AS sxy
+              FROM q
+              WINDOW w AS (ORDER BY d ROWS BETWEEN 29 PRECEDING
+                           AND CURRENT ROW))
+            SELECT strftime(d, '%Y-%m-%d') AS d,
+                   CAST(ROUND(xd + 1e-9, 4) AS DOUBLE) AS x,
+                   CAST(ROUND(yd + 1e-9, 4) AS DOUBLE) AS y,
+                   CASE WHEN n = 30
+                         AND (CAST(n AS DOUBLE) * sxx - sx * sx) > 0
+                         AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                   THEN CAST(ROUND(
+                        (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                             * (CAST(n AS DOUBLE) * syy - sy * sy))
+                        + 1e-9, 4) AS DOUBLE) END AS corr
+            FROM m
+        """,
+        "ccf_daily": """
+            WITH s AS (
+              SELECT CAST(o_orderdate AS DATE) AS d,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(28,8)))
+                          AS DOUBLE) AS x,
+                     CAST(count(*) FILTER
+                          (WHERE o_orderpriority = '1-URGENT')
+                          AS DOUBLE) AS y
+              FROM orders GROUP BY 1),
+            st AS (SELECT avg(x) AS mx, avg(y) AS my FROM s),
+            ss AS (SELECT sum((x - mx) * (x - mx)) AS ssx,
+                          sum((y - my) * (y - my)) AS ssy
+                   FROM s, st),
+            l AS (
+              SELECT x,
+                     lead(y, 7) OVER o AS pm7,
+                     lead(y, 6) OVER o AS pm6,
+                     lead(y, 5) OVER o AS pm5,
+                     lead(y, 4) OVER o AS pm4,
+                     lead(y, 3) OVER o AS pm3,
+                     lead(y, 2) OVER o AS pm2,
+                     lead(y, 1) OVER o AS pm1,
+                     y AS p0,
+                     lag(y, 1) OVER o AS pp1,
+                     lag(y, 2) OVER o AS pp2,
+                     lag(y, 3) OVER o AS pp3,
+                     lag(y, 4) OVER o AS pp4,
+                     lag(y, 5) OVER o AS pp5,
+                     lag(y, 6) OVER o AS pp6,
+                     lag(y, 7) OVER o AS pp7
+              FROM s WINDOW o AS (ORDER BY d)),
+            u AS (
+              SELECT -7 AS lag, x, pm7 AS p FROM l UNION ALL
+              SELECT -6, x, pm6 FROM l UNION ALL
+              SELECT -5, x, pm5 FROM l UNION ALL
+              SELECT -4, x, pm4 FROM l UNION ALL
+              SELECT -3, x, pm3 FROM l UNION ALL
+              SELECT -2, x, pm2 FROM l UNION ALL
+              SELECT -1, x, pm1 FROM l UNION ALL
+              SELECT 0, x, p0 FROM l UNION ALL
+              SELECT 1, x, pp1 FROM l UNION ALL
+              SELECT 2, x, pp2 FROM l UNION ALL
+              SELECT 3, x, pp3 FROM l UNION ALL
+              SELECT 4, x, pp4 FROM l UNION ALL
+              SELECT 5, x, pp5 FROM l UNION ALL
+              SELECT 6, x, pp6 FROM l UNION ALL
+              SELECT 7, x, pp7 FROM l)
+            SELECT CAST(u.lag AS BIGINT) AS lag,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(ROUND(CASE WHEN ss.ssx > 0 AND ss.ssy > 0
+                        THEN sum((u.x - st.mx) * (u.p - st.my))
+                             / (sqrt(ss.ssx) * sqrt(ss.ssy)) END
+                        + 1e-9, 4) AS DOUBLE) AS ccf
+            FROM u, st, ss
+            WHERE u.p IS NOT NULL
+            GROUP BY 1, ss.ssx, ss.ssy
+        """,
         "cust_order_dist": """
             WITH pc AS (
               SELECT c.c_custkey, count(o.o_orderkey) AS c_count

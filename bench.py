@@ -183,6 +183,8 @@ HEADLINE = [
     "cust_order_dist",
     "supplier_cnt_q16",
     "small_qty_q17",
+    "rolling_corr_daily",
+    "ccf_daily",
 ]
 
 

@@ -356,3 +356,99 @@ def seasonal_decompose(df: DataFrame, time_col: str, value_col: str,
         F.col("__trend").cast("double").alias("trend"),
         F.col("__seas").cast("double").alias("seasonal"),
         resid.cast("double").alias("residual"))
+
+
+def rolling_corr(df: DataFrame, ts_col: str, x_col: str, y_col: str,
+                 window_n: int = 30) -> DataFrame:
+    """Rolling Pearson correlation of two co-sampled series over the
+    trailing ``window_n`` points — the co-movement monitor (price vs
+    volume, revenue vs traffic).
+
+    SERIES-sized contract (acf/theil_sen): the windowed moment sums
+    run over the bucket-bounded frame. Inputs quantize to 4 dp and the
+    five moments accumulate as DECIMAL window sums, so every window's
+    correlation is computed from exact, order-independent inputs.
+    Rows before the first full window get NULL; zero-variance windows
+    get NULL.
+
+    Output: (ts_col, x, y, corr).
+    """
+    if window_n < 2:
+        raise ValueError("rolling_corr: window_n must be >= 2")
+    d = (df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+           .select(F.col(ts_col).alias("__t"),
+                   F.col(x_col).cast("double").alias("__xd"),
+                   F.col(y_col).cast("double").alias("__yd")))
+    d = d.select(
+        "__t", "__xd", "__yd",
+        F.round(F.col("__xd"), 4).cast("decimal(18,4)").alias("__x"),
+        F.round(F.col("__yd"), 4).cast("decimal(18,4)").alias("__y"))
+    w = (Window.partitionBy(F.lit(0)).orderBy("__t")
+         .rowsBetween(-(window_n - 1), 0))
+    wide = lambda c: F.col(c).cast("decimal(28,4)")
+    m = d.select(
+        "__t", "__xd", "__yd",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum("__x").over(w).cast("double").alias("__sx"),
+        F.sum("__y").over(w).cast("double").alias("__sy"),
+        F.sum(wide("__x") * F.col("__x")).over(w).cast("double")
+        .alias("__sxx"),
+        F.sum(wide("__y") * F.col("__y")).over(w).cast("double")
+        .alias("__syy"),
+        F.sum(wide("__x") * F.col("__y")).over(w).cast("double")
+        .alias("__sxy"))
+    n = F.col("__n").cast("double")
+    cov = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    vx = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    vy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    corr = F.when((F.col("__n") == window_n) & (vx > 0) & (vy > 0),
+                  cov / F.sqrt(vx * vy))
+    return m.select(F.col("__t").alias(ts_col),
+                    F.col("__xd").alias("x"), F.col("__yd").alias("y"),
+                    corr.cast("double").alias("corr"))
+
+
+def cross_correlation(df: DataFrame, ts_col: str, x_col: str,
+                      y_col: str, max_lag: int = 7) -> DataFrame:
+    """Lead-lag cross-correlation of two co-sampled series:
+    ``ccf(k) = Σ_t (x_t - x̄)(y_{t-k} - ȳ) / (√ssx · √ssy)`` for
+    k = -max_lag..max_lag (positive k: y LEADS x by k periods) — the
+    standard full-series-denominator estimator, the cross-series
+    sibling of ``autocorrelation`` and the same series-frame plan: one
+    stats window, one lag/lead projection emitting all 2k+1 shifted
+    values, explode, one (lag) aggregate.
+
+    Output: (lag, n_pairs, ccf); NULL when either series is constant.
+    """
+    wk = Window.partitionBy(F.lit(0))
+    w = Window.partitionBy(F.lit(0)).orderBy(ts_col)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    s = (df.where(x.isNotNull() & y.isNotNull())
+         .withColumn("__mx", F.avg(x).over(wk))
+         .withColumn("__my", F.avg(y).over(wk))
+         .withColumn("__ssx", F.sum((x - F.col("__mx")) ** 2).over(wk))
+         .withColumn("__ssy", F.sum((y - F.col("__my")) ** 2).over(wk)))
+    lags = list(range(-max_lag, max_lag + 1))
+    s = s.select(
+        "__mx", "__my", "__ssx", "__ssy", x.alias("__x"),
+        *[F.lag(y, k).over(w).alias(f"__p{k + max_lag}") for k in lags])
+    arr = F.array(*[
+        F.struct(F.lit(k).alias("lag"),
+                 F.col(f"__p{k + max_lag}").alias("prev"))
+        for k in lags])
+    pairs = (s.withColumn("__l", F.explode(arr))
+             .select("__mx", "__my", "__ssx", "__ssy",
+                     F.col("__l.lag").alias("lag"),
+                     (F.col("__x") - F.col("__mx")).alias("__d"),
+                     (F.col("__l.prev") - F.col("__my")).alias("__dp"))
+             .where(F.col("__dp").isNotNull()))
+    return (pairs.groupBy("lag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                 F.when((F.first("__ssx") > 0) & (F.first("__ssy") > 0),
+                        F.sum(F.col("__d") * F.col("__dp"))
+                        / (F.sqrt(F.first("__ssx"))
+                           * F.sqrt(F.first("__ssy"))))
+                 .cast("double").alias("ccf"))
+            .select(F.col("lag").cast("bigint").alias("lag"),
+                    "n_pairs", "ccf"))

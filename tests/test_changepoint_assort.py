@@ -251,3 +251,81 @@ def test_pareto_contribution_matches_brute_force(spark):
     assert abs(out.cutoff_value - cut) < 1e-9
     assert out.top_keys == len(top)
     assert abs(out.top_share - sum(top) / tot) < 1e-9
+
+
+def test_rolling_corr_perfect_and_anti(spark):
+    from feathr_spark.operators.timeseries import rolling_corr
+    rows = [(t, float(t), float(2 * t + 5)) for t in range(20)]
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    out = {r.t: r.corr for r in
+           rolling_corr(df, "t", "x", "y", window_n=5).collect()}
+    assert out[0] is None and out[3] is None  # partial windows
+    for t in range(4, 20):
+        assert abs(out[t] - 1.0) < 1e-9, t
+    rows = [(t, float(t), float(-3 * t)) for t in range(10)]
+    df = spark.createDataFrame(rows, "t int, x double, y double")
+    out = rolling_corr(df, "t", "x", "y", window_n=4).collect()
+    assert all(abs(r.corr + 1.0) < 1e-9 for r in out if r.corr
+               is not None)
+
+
+def test_rolling_corr_matches_numpy(spark):
+    import numpy as np
+    from feathr_spark.operators.timeseries import rolling_corr
+    rng = np.random.RandomState(8)
+    x = rng.uniform(0, 10, 40).round(4)
+    y = (0.5 * x + rng.normal(0, 2, 40)).round(4)
+    df = spark.createDataFrame(
+        [(t, float(a), float(b)) for t, (a, b) in enumerate(zip(x, y))],
+        "t int, x double, y double")
+    got = {r.t: r.corr for r in
+           rolling_corr(df, "t", "x", "y", window_n=10).collect()}
+    for t in range(9, 40):
+        ref = np.corrcoef(x[t - 9:t + 1], y[t - 9:t + 1])[0, 1]
+        # operator computes on EXACT 4-dp decimals; numpy on their
+        # binary-double approximations — agree to ~1e-7
+        assert abs(got[t] - ref) < 1e-6, t
+
+
+def test_cross_correlation_finds_known_shift(spark):
+    import numpy as np
+    from feathr_spark.operators.timeseries import cross_correlation
+    rng = np.random.RandomState(6)
+    base = rng.uniform(0, 10, 60)
+    # y leads x by 3: x_t = y_{t-3} (+ tiny noise)
+    y = base
+    x = np.roll(base, 3) + rng.normal(0, 0.01, 60)
+    df = spark.createDataFrame(
+        [(t, float(x[t]), float(y[t])) for t in range(3, 60)],
+        "t int, x double, y double")
+    out = {r.lag: r.ccf for r in
+           cross_correlation(df, "t", "x", "y", max_lag=5).collect()}
+    best = max(out, key=lambda k: out[k] if out[k] is not None
+               else -2)
+    assert best == 3
+    assert out[3] > 0.95
+
+
+def test_cross_correlation_matches_reference(spark):
+    import numpy as np
+    from feathr_spark.operators.timeseries import cross_correlation
+    rng = np.random.RandomState(12)
+    x = rng.uniform(0, 1, 30)
+    y = rng.uniform(0, 1, 30)
+    df = spark.createDataFrame(
+        [(t, float(x[t]), float(y[t])) for t in range(30)],
+        "t int, x double, y double")
+    got = {r.lag: (r.n_pairs, r.ccf) for r in
+           cross_correlation(df, "t", "x", "y", max_lag=4).collect()}
+    mx, my = x.mean(), y.mean()
+    ssx, ssy = ((x - mx) ** 2).sum(), ((y - my) ** 2).sum()
+    for k in range(-4, 5):
+        num = n = 0.0
+        for t in range(30):
+            tp = t - k
+            if 0 <= tp < 30:
+                num += (x[t] - mx) * (y[tp] - my)
+                n += 1
+        ref = num / (ssx ** 0.5 * ssy ** 0.5)
+        assert got[k][0] == int(n)
+        assert abs(got[k][1] - ref) < 1e-9, k

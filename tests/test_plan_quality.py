@@ -660,6 +660,11 @@ EXCHANGE_BUDGET = {
     "supplier_cnt_q16": 2,
     # per-part avg aggregate + the co-keyed attach join + 1-row fold
     "small_qty_q17": 3,
+    # daily aggregate + the series moment window (single-partition by
+    # construction, day-count-sized)
+    "rolling_corr_daily": 2,
+    # daily aggregate + the per-lag fold over the exploded series
+    "ccf_daily": 2,
 }
 
 
@@ -738,6 +743,10 @@ GLOBAL_WINDOW_OK = {
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (mw_priorities contract); data-sized cumsums stay per-bucket
     "pareto_customers",
+    # rolling moments / lag windows over the day-count-sized series
+    # (the acf_daily contract)
+    "rolling_corr_daily",
+    "ccf_daily",
 }
 
 

@@ -3481,6 +3481,49 @@ def q_ccf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ccf") + 1e-9, 4).cast("double").alias("ccf"))
 
 
+def q_cvm_price_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises two-sample criterion between returned and
+    delivered line items' prices — the integrated-square companion to
+    ks_price_returns, same no-sort CDF prelude + one fold."""
+    _utc(spark)
+    from feathr_spark.operators.distance import cvm_2sample
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = cvm_2sample(li, "l_returnflag", "l_extendedprice", "R", "N")
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.round(F.col("t_stat") + 1e-9, 4).cast("double")
+        .alias("t_stat"))
+
+
+def q_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the brand partition over the part
+    co-purchase graph: do same-brand parts sell together? Two
+    node-sized map joins + one community fold."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.graph import modularity
+    from feathr_spark.operators._cache import (attach_intermediates,
+                                               release_intermediates)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", F.col("l_partkey").cast("bigint")
+                  .alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=2)
+    edges = rules.select(F.col("item_a").alias("src"),
+                         F.col("item_b").alias("dst"))
+    assign = (spark.read.parquet(f"{sf_dir}/part.parquet")
+              .select(F.col("p_partkey").cast("bigint").alias("id"),
+                      F.col("p_brand").alias("community")))
+    out = modularity(edges, assign)
+    res = out.select(
+        "m_edges", "n_comms",
+        F.round(F.col("modularity") + 1e-9, 4).cast("double")
+        .alias("modularity"))
+    release_intermediates(rules)
+    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
+                                             ()))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3547,6 +3590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_q17": q_small_qty_q17,
         "rolling_corr_daily": q_rolling_corr_daily,
         "ccf_daily": q_ccf_daily,
+        "cvm_price_returns": q_cvm_price_returns,
+        "modularity_brands": q_modularity_brands,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -4212,6 +4257,75 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cvm_price_returns": """
+            WITH d AS (
+              SELECT l_returnflag AS g,
+                     CAST(l_extendedprice AS DOUBLE) AS s
+              FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+            s AS (
+              SELECT s,
+                     count(*) FILTER (WHERE g = 'R') AS ca,
+                     count(*) FILTER (WHERE g = 'N') AS cb
+              FROM d GROUP BY 1),
+            t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+                         CAST(sum(cb) AS DOUBLE) AS nb FROM s),
+            c AS (
+              SELECT ca, cb,
+                     sum(ca) OVER w / t.na AS fa,
+                     sum(cb) OVER w / t.nb AS fb
+              FROM s, t
+              WINDOW w AS (ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            agg AS (
+              SELECT sum((fa - fb) * (fa - fb) * (ca + cb)) AS s2
+              FROM c)
+            SELECT 'R' AS group_a, 'N' AS group_b,
+                   CAST(t.na AS BIGINT) AS n_a,
+                   CAST(t.nb AS BIGINT) AS n_b,
+                   CAST(ROUND(t.na * t.nb
+                        / ((t.na + t.nb) * (t.na + t.nb)) * agg.s2
+                        + 1e-9, 4) AS DOUBLE) AS t_stat
+            FROM agg, t
+        """,
+        "modularity_brands": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            e AS (
+              SELECT x.it AS a, y.it AS b2
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            pa AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS c
+                   FROM part),
+            ej AS (
+              SELECT p1.c AS ca, p2.c AS cb
+              FROM e JOIN pa p1 ON e.a = p1.id
+                     JOIN pa p2 ON e.b2 = p2.id),
+            m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM ej),
+            u AS (
+              SELECT ca AS c,
+                     CASE WHEN ca = cb THEN 1 ELSE 0 END AS w
+              FROM ej
+              UNION ALL SELECT cb, 0 FROM ej),
+            deg AS (SELECT c, CAST(count(*) AS DOUBLE) AS d,
+                           CAST(sum(w) AS DOUBLE) AS win
+                    FROM u GROUP BY 1),
+            q AS (
+              SELECT (win / m.m) - (d / (2.0 * m.m)) * (d / (2.0 * m.m))
+                         AS q,
+                     m.m AS m
+              FROM deg, m)
+            SELECT CAST(m AS BIGINT) AS m_edges,
+                   CAST(count(*) AS BIGINT) AS n_comms,
+                   CAST(ROUND(sum(q) + 1e-9, 4) AS DOUBLE)
+                       AS modularity
+            FROM q GROUP BY m
+        """,
         "rolling_corr_daily": """
             WITH s AS (
               SELECT CAST(o_orderdate AS DATE) AS d,

@@ -185,6 +185,8 @@ HEADLINE = [
     "small_qty_q17",
     "rolling_corr_daily",
     "ccf_daily",
+    "cvm_price_returns",
+    "modularity_brands",
 ]
 
 

@@ -85,7 +85,7 @@ def _two_sample_cdf(
             .rowsBetween(Window.unboundedPreceding, 0))
     cdf = (sb.join(F.broadcast(offs.drop("__bmin")), "__b")
            .select(
-               "__s", "__b", "__na", "__nb",
+               "__s", "__b", "__na", "__nb", "__ca", "__cb",
                ((F.sum("__ca").over(wrun) + F.col("__offa"))
                 / F.col("__na")).alias("__fa"),
                ((F.sum("__cb").over(wrun) + F.col("__offb"))
@@ -282,3 +282,41 @@ def kendall_tau(
         F.col("__c").cast("bigint").alias("concordant"),
         F.col("__d").cast("bigint").alias("discordant"),
         tau.cast("double").alias("tau_b"))
+
+
+def cvm_2sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    buckets: int = 64,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion — the integrated-square
+    companion to :func:`ks_2sample` (sensitive to distribution-wide
+    shape differences where KS only sees the single largest gap):
+
+        T = (n_a * n_b / N^2) * sum_z (F_a(z) - F_b(z))^2
+
+    summed over ALL N combined sample points (each distinct value
+    weighted by its multiplicity). Same distributed-cumsum prelude —
+    one data-sized shuffle, no global sort — plus one fold.
+
+    Output: 1 row ``(group_a, group_b, n_a, n_b, t_stat)``.
+    """
+    cdf, _ = _two_sample_cdf(df, group_col, value_col,
+                             group_a, group_b, buckets)
+    diff2 = ((F.col("__fa") - F.col("__fb"))
+             * (F.col("__fa") - F.col("__fb")))
+    out = cdf.agg(
+        F.first("__na").alias("__na"), F.first("__nb").alias("__nb"),
+        F.sum(diff2 * (F.col("__ca") + F.col("__cb"))).alias("__s2"))
+    n_tot = (F.col("__na") + F.col("__nb")).cast("double")
+    t = (F.col("__na").cast("double") * F.col("__nb").cast("double")
+         / (n_tot * n_tot) * F.col("__s2"))
+    return out.select(
+        F.lit(str(group_a)).alias("group_a"),
+        F.lit(str(group_b)).alias("group_b"),
+        F.col("__na").cast("bigint").alias("n_a"),
+        F.col("__nb").cast("bigint").alias("n_b"),
+        t.cast("double").alias("t_stat"))

@@ -477,3 +477,63 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         r.cast("double").alias("assortativity"))
     from feathr_spark.operators._cache import attach_intermediates
     return attach_intermediates(res, (sym,))
+
+
+def modularity(edges: DataFrame, assign: DataFrame,
+               node_col: str = "id", comm_col: str = "community"
+               ) -> DataFrame:
+    """Newman modularity Q of a given node partition over an
+    undirected graph:
+
+        Q = sum_c [ e_c / m  -  (d_c / 2m)^2 ]
+
+    (e_c = within-community edges, d_c = total degree of community c,
+    m = |edges|). The quality gate for ANY community assignment —
+    label-propagation output, brand/category groupings, dedup
+    clusters.
+
+    ``edges`` carries each undirected edge once; nodes missing from
+    ``assign`` are dropped (both endpoints must map). Plan: two
+    node-sized map joins onto the edge list, one community aggregate
+    (within-edges + degree sums fold together), one final fold —
+    degrees are exact integers throughout. Output: 1 row
+    ``(m_edges, n_comms, modularity)``.
+    """
+    a = assign.select(F.col(node_col).alias("__n"),
+                      F.col(comm_col).alias("__c"))
+    e = (edges.select(F.col("src").alias("__a"), F.col("dst").alias("__b"))
+         .join(a.select(F.col("__n").alias("__a"),
+                        F.col("__c").alias("__ca")), "__a")
+         .join(a.select(F.col("__n").alias("__b"),
+                        F.col("__c").alias("__cb")), "__b"))
+    e = e.persist()
+    m = e.agg(F.count(F.lit(1)).alias("__m"))
+    # per-community: within-edges and total degree (each edge adds 1
+    # degree to each endpoint's community — 2 to its own when within)
+    deg = (e.select(F.col("__ca").alias("__c"),
+                    (F.col("__ca") == F.col("__cb")).cast("long")
+                    .alias("__w"))
+           .unionByName(
+               e.select(F.col("__cb").alias("__c"),
+                        F.lit(0).cast("long").alias("__w")))
+           .groupBy("__c")
+           .agg(F.count(F.lit(1)).alias("__d"),
+                F.sum("__w").alias("__within")))
+    out = (deg.crossJoin(F.broadcast(m))
+           .select(((F.col("__within").cast("double")
+                     / F.col("__m").cast("double"))
+                    - (F.col("__d").cast("double")
+                       / (2.0 * F.col("__m").cast("double")))
+                    * (F.col("__d").cast("double")
+                       / (2.0 * F.col("__m").cast("double"))))
+                   .alias("__q"),
+                   F.col("__m").alias("__m"))
+           .agg(F.first("__m").alias("__m"),
+                F.count(F.lit(1)).alias("__k"),
+                F.sum("__q").alias("__mod")))
+    res = out.select(
+        F.col("__m").cast("bigint").alias("m_edges"),
+        F.col("__k").cast("bigint").alias("n_comms"),
+        F.col("__mod").cast("double").alias("modularity"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (e,))

@@ -329,3 +329,39 @@ def test_cross_correlation_matches_reference(spark):
         ref = num / (ssx ** 0.5 * ssy ** 0.5)
         assert got[k][0] == int(n)
         assert abs(got[k][1] - ref) < 1e-9, k
+
+
+def test_modularity_two_cliques(spark):
+    from feathr_spark.operators.graph import modularity
+    # two triangles joined by one bridge edge; communities = cliques
+    edges = [("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+             ("b1", "b2"), ("b1", "b3"), ("b2", "b3"),
+             ("a1", "b1")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    assign = spark.createDataFrame(
+        [(n, n[0]) for n in
+         ["a1", "a2", "a3", "b1", "b2", "b3"]],
+        "id string, community string")
+    out = modularity(e, assign).collect()[0]
+    # m=7; within_a=3, d_a=7; within_b=3, d_b=7
+    ref = (3 / 7 - (7 / 14) ** 2) * 2
+    assert out.m_edges == 7 and out.n_comms == 2
+    assert abs(out.modularity - ref) < 1e-12
+
+
+def test_modularity_random_partition_near_zero(spark):
+    import random
+    from feathr_spark.operators.graph import modularity
+    rng = random.Random(1)
+    edges = set()
+    while len(edges) < 60:
+        x, y = rng.randrange(20), rng.randrange(20)
+        if x != y:
+            edges.add((f"n{min(x, y)}", f"n{max(x, y)}"))
+    e = spark.createDataFrame(sorted(edges), "src string, dst string")
+    assign = spark.createDataFrame(
+        [(f"n{i}", str(i % 2)) for i in range(20)],
+        "id string, community string")
+    out = modularity(e, assign).collect()[0]
+    # random bipartition of a random graph: |Q| small
+    assert abs(out.modularity) < 0.15

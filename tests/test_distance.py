@@ -147,3 +147,26 @@ def test_kendall_tau_b_ties_match_reference(spark):
     ref = (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
     assert row.concordant == c and row.discordant == d
     assert abs(row.tau_b - ref) < 1e-12
+
+
+def test_cvm_identical_zero_and_matches_reference(spark):
+    from feathr_spark.operators.distance import cvm_2sample
+    df = _two_sample_df(spark, [1, 2, 3], [1, 2, 3])
+    assert cvm_2sample(df, "g", "v", "a", "b").collect()[0].t_stat == 0.0
+
+    import random
+    rng = random.Random(13)
+    a = [rng.gauss(0, 1) for _ in range(80)]
+    b = [rng.gauss(1, 2) for _ in range(60)]
+    df = _two_sample_df(spark, a, b)
+    got = cvm_2sample(df, "g", "v", "a", "b").collect()[0]
+    # pure-python reference over the combined sample
+    na, nb, N = len(a), len(b), len(a) + len(b)
+    s = 0.0
+    for z in a + b:
+        fa = sum(1 for v in a if v <= z) / na
+        fb = sum(1 for v in b if v <= z) / nb
+        s += (fa - fb) ** 2
+    ref = na * nb / N ** 2 * s
+    assert abs(got.t_stat - ref) < 1e-9
+    assert got.n_a == na and got.n_b == nb

@@ -96,6 +96,9 @@ BROADCAST_LOOP_OK = {
     # (bucketed-cumsum CDF prelude)
     "ks_price_returns",
     "wasserstein_price",
+    "cvm_price_returns",
+    # 1-row edge-count frame crossed onto the community fold
+    "modularity_brands",
     # 1-row pooled-total frame broadcast onto the category cells
     "jsd_event_types",
     # day-count-sized series self-paired via broadcast loop (concordant
@@ -665,6 +668,12 @@ EXCHANGE_BUDGET = {
     "rolling_corr_daily": 2,
     # daily aggregate + the per-lag fold over the exploded series
     "ccf_daily": 2,
+    # same two-sample CDF prelude as ks_price_returns + one fold
+    "cvm_price_returns": 8,
+    # association_rules' persisted basket subtree + the persisted
+    # brand-joined edge frame PRINT under both the edge count and the
+    # degree fold (textual > runtime — powerlaw_parts note)
+    "modularity_brands": 27,
 }
 
 
@@ -732,6 +741,7 @@ GLOBAL_WINDOW_OK = {
     # buckets-sized boundary frame for cross-bucket gap stitching
     "ks_price_returns",
     "wasserstein_price",
+    "cvm_price_returns",
     # the FDR rank/cummin windows run over the 12-row tests frame —
     # one row per test by construction, never data-sized
     "bh_fdr_monthly",

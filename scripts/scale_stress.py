@@ -29,7 +29,10 @@ SRC = "/root/testdata/sf0.1"
 OUT = os.path.join(REPO, ".stress")
 HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          "contamination_check", "semantic_dedup_pairs", "ann_pq_topk",
-         "ccnet_buckets", "dsir_weights"]
+         "ccnet_buckets", "dsir_weights",
+         # r6 document/embedding additions
+         "gram_embeddings", "ttr_docs", "doc_keywords",
+         "reservoir_docs"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

@@ -3524,6 +3524,24 @@ def q_modularity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              ()))
 
 
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data mixing (alpha=0.5, the multilingual-
+    pretraining recipe): rates derived from observed language sizes
+    (groups-sized bounded collect), then the zero-shuffle deterministic
+    mixture fan-out — the oracle recomputes the identical rate chain in
+    SQL."""
+    _utc(spark)
+    from feathr_spark.operators.mixture import (mixture_sample,
+                                                temperature_rates)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "lang"))
+    rates = temperature_rates(docs, "lang", alpha=0.5)
+    out = mixture_sample(docs, rates, group_col="lang")
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "lang",
+        F.col("copy").cast("bigint").alias("copy"), "order_key")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3592,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_daily": q_ccf_daily,
         "cvm_price_returns": q_cvm_price_returns,
         "modularity_brands": q_modularity_brands,
+        "mixture_temperature": q_mixture_temperature,
         # --- new in r6 (never driver-verified)
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
@@ -4257,6 +4276,41 @@ def _snapshot_sql(cutoff: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "mixture_temperature": """
+            WITH sz AS (
+              SELECT lang, CAST(count(*) AS DOUBLE) AS n
+              FROM documents GROUP BY 1),
+            tot AS (SELECT sum(pow(n, 0.5)) AS sp, sum(n) AS nn
+                    FROM sz),
+            r AS (
+              SELECT lang,
+                     ROUND(pow(n, 0.5) / tot.sp * tot.nn / n + 1e-9, 6)
+                         AS rate
+              FROM sz, tot),
+            rr AS (
+              SELECT lang,
+                     CAST(floor(rate) AS BIGINT) AS whole,
+                     CAST(ROUND((rate - floor(rate))
+                          * 1152921504606846976.0) AS BIGINT) AS thr
+              FROM r),
+            drawn AS (
+              SELECT d.doc_id, d.lang,
+                     rr.whole + CASE WHEN
+                       ('0x' || substr(md5('mix|'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       < rr.thr THEN 1 ELSE 0 END AS n
+              FROM documents d JOIN rr ON d.lang = rr.lang),
+            fanned AS (
+              SELECT doc_id, lang, unnest(range(0, n)) AS copy
+              FROM drawn WHERE n > 0)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                   CAST(copy AS BIGINT) AS copy,
+                   ('0x' || substr(md5('ord|'
+                      || CAST(doc_id AS VARCHAR) || '#'
+                      || CAST(copy AS VARCHAR)), 1, 15))::BIGINT
+                       AS order_key
+            FROM fanned
+        """,
         "cvm_price_returns": """
             WITH d AS (
               SELECT l_returnflag AS g,

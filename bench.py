@@ -187,6 +187,7 @@ HEADLINE = [
     "ccf_daily",
     "cvm_price_returns",
     "modularity_brands",
+    "mixture_temperature",
 ]
 
 

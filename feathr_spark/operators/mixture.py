@@ -83,3 +83,37 @@ def mixture_sample(
         F.concat(F.lit(f"ord{seed}|"), F.col(id_col).cast("string"),
                  F.lit("#"), F.col("copy").cast("string")))
     return out.withColumn("order_key", order_key)
+
+
+def temperature_rates(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+    round_dp: int = 6,
+) -> Dict[str, float]:
+    """Temperature-scaled mixture rates from observed group sizes — the
+    multilingual-pretraining recipe (sample group g with probability
+    proportional to ``n_g^alpha``; alpha < 1 up-weights the tail,
+    alpha = 1 is the natural distribution):
+
+        rate_g = (n_g^alpha / Σ_k n_k^alpha) · N / n_g
+
+    so the EXPECTED corpus size stays N while the group mix follows the
+    tempered distribution. Rates round to ``round_dp`` dp (with the
+    repo's +1e-9 half-boundary nudge) so any SQL engine recomputing the
+    same chain lands on identical thresholds.
+
+    Group sizes collect to the driver — a groups-sized (languages /
+    sources) bounded collect, the pq/clustering discipline. Feed the
+    result straight to :func:`mixture_sample`.
+    """
+    if alpha < 0:
+        raise ValueError("temperature_rates: alpha must be >= 0")
+    sizes = {r[0]: r[1] for r in
+             df.groupBy(group_col).count().collect()}
+    if not sizes:
+        return {}
+    sp = sum(n ** alpha for n in sizes.values())
+    nn = sum(sizes.values())
+    return {g: round(n ** alpha / sp * nn / n + 1e-9, round_dp)
+            for g, n in sizes.items()}

@@ -674,6 +674,8 @@ EXCHANGE_BUDGET = {
     # brand-joined edge frame PRINT under both the edge count and the
     # degree fold (textual > runtime — powerlaw_parts note)
     "modularity_brands": 27,
+    # zero-shuffle row-local fan-out; rates are driver-side literals
+    "mixture_temperature": 0,
 }
 
 

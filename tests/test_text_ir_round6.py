@@ -181,3 +181,42 @@ def test_k_anonymity_hand_case(spark):
     assert abs(out.risk_pct - 3 / 8) < 1e-12
     # every group has exactly 1 distinct sensitive value -> all 3 low
     assert out.low_diversity_groups == 3
+
+
+def test_temperature_rates_properties(spark):
+    from feathr_spark.operators.mixture import temperature_rates
+    rows = [("en",)] * 80 + [("de",)] * 15 + [("zh",)] * 5
+    df = spark.createDataFrame(rows, "lang string")
+    # alpha=1: natural distribution, every rate 1
+    for r in temperature_rates(df, "lang", alpha=1.0).values():
+        assert abs(r - 1.0) < 1e-9
+    # alpha=0.5: tail up-weighted, head down-weighted; expected corpus
+    # size preserved
+    rates = temperature_rates(df, "lang", alpha=0.5)
+    assert rates["zh"] > 1.0 > rates["en"]
+    sizes = {"en": 80, "de": 15, "zh": 5}
+    total = sum(rates[g] * n for g, n in sizes.items())
+    assert abs(total - 100) < 0.01
+    # alpha=0: uniform over groups
+    r0 = temperature_rates(df, "lang", alpha=0.0)
+    assert abs(r0["zh"] / r0["en"] - sizes["en"] / sizes["zh"]) < 1e-3
+
+
+def test_temperature_mixture_expected_copies(spark):
+    from feathr_spark.operators.mixture import (mixture_sample,
+                                                temperature_rates)
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    rates = temperature_rates(df, "lang", alpha=0.5)
+    out = mixture_sample(df, rates, group_col="lang")
+    counts = {r.lang: r.c for r in
+              out.groupBy("lang").agg(__import__(
+                  "pyspark.sql.functions", fromlist=["count"])
+                  .count("*").alias("c")).collect()}
+    # md5 draws: expected copies = rate * n, tolerance ~4 sigma
+    import math
+    for g, n in (("big", 900), ("small", 100)):
+        exp = rates[g] * n
+        frac = rates[g] - math.floor(rates[g])
+        sd = math.sqrt(n * frac * (1 - frac)) + 1e-9
+        assert abs(counts[g] - exp) <= 4 * sd + 1, (g, counts[g], exp)

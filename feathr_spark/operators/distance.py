@@ -83,13 +83,17 @@ def _two_sample_cdf(
     # (right-continuous CDF) + bucket offset
     wrun = (Window.partitionBy("__b").orderBy("__s")
             .rowsBetween(Window.unboundedPreceding, 0))
+    # NULL-safe denominators: an empty side yields NULL CDFs (and so a
+    # NULL statistic) instead of an ANSI divide-by-zero error
+    na_nz = F.when(F.col("__na") > 0, F.col("__na"))
+    nb_nz = F.when(F.col("__nb") > 0, F.col("__nb"))
     cdf = (sb.join(F.broadcast(offs.drop("__bmin")), "__b")
            .select(
                "__s", "__b", "__na", "__nb", "__ca", "__cb",
                ((F.sum("__ca").over(wrun) + F.col("__offa"))
-                / F.col("__na")).alias("__fa"),
+                / na_nz).alias("__fa"),
                ((F.sum("__cb").over(wrun) + F.col("__offb"))
-                / F.col("__nb")).alias("__fb")))
+                / nb_nz).alias("__fb")))
     return cdf, offs.select("__b", "__bmin")
 
 

@@ -170,3 +170,60 @@ def test_cvm_identical_zero_and_matches_reference(spark):
     ref = na * nb / N ** 2 * s
     assert abs(got.t_stat - ref) < 1e-9
     assert got.n_a == na and got.n_b == nb
+
+
+def test_two_sample_distances_property(spark):
+    """Property check: for ARBITRARY float samples, the distributed
+    KS / W1 / CvM statistics equal the brute-force definitions.
+    Hypothesis drives sample shapes; each draw spins one Spark job, so
+    examples stay few but adversarial (ties, duplicates, negatives,
+    single-element sides)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feathr_spark.operators.distance import cvm_2sample
+
+    vals = st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False,
+                  width=32),
+        min_size=1, max_size=25)
+
+    @settings(max_examples=12, deadline=None)
+    @given(a=vals, b=vals)
+    def check(a, b):
+        df = _two_sample_df(spark, a, b)
+        na, nb = len(a), len(b)
+        xs = sorted(set(a) | set(b))
+
+        def fa(x):
+            return sum(1 for v in a if v <= x) / na
+
+        def fb(x):
+            return sum(1 for v in b if v <= x) / nb
+
+        ks = ks_2sample(df, "g", "v", "a", "b", buckets=7).collect()[0]
+        assert abs(ks.d_stat - max(abs(fa(x) - fb(x))
+                                   for x in xs)) < 1e-9
+        w = wasserstein_1d(df, "g", "v", "a", "b",
+                           buckets=7).collect()[0]
+        ref_w = sum(abs(fa(x) - fb(x)) * (nx - x)
+                    for x, nx in zip(xs, xs[1:]))
+        assert abs(w.w1 - ref_w) < 1e-6 * max(1.0, abs(ref_w))
+        cvm = cvm_2sample(df, "g", "v", "a", "b",
+                          buckets=7).collect()[0]
+        ref_t = (na * nb / (na + nb) ** 2
+                 * sum((fa(z) - fb(z)) ** 2 for z in a + b))
+        assert abs(cvm.t_stat - ref_t) < 1e-9
+
+    check()
+
+
+def test_ks_one_sided_empty_group_nulls(spark):
+    # all rows in one group: the other side's CDF divides by zero ->
+    # NULL statistic rather than a crash (documented degenerate case)
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)],
+                               "g string, v double")
+    row = ks_2sample(df, "g", "v", "a", "b").collect()[0]
+    assert row.n_b == 0
+    assert row.d_stat is None

@@ -260,3 +260,93 @@ def stream_heavy_hitters(
     return prepared.groupBy("__ws").applyInPandasWithState(
         update, out_schema, state_schema, "append",
         GroupStateTimeout.EventTimeTimeout)
+
+
+def stream_distinct_monitor(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window: str = "1h",
+    watermark: str = "10 minutes",
+    k: int = 1024,
+) -> DataFrame:
+    """Streaming distinct-count per tumbling window with BOUNDED state —
+    the third member of the monitor family (quantiles, heavy hitters,
+    distincts): one KMV (k-minimum-values) sketch per open window.
+
+    State per window is the k smallest 60-bit md5 hashes of the values
+    seen — constant however many events/distinct values land. While the
+    window has seen ≤ k distinct values the sketch IS the distinct set
+    and the count is exact (``exact = true``, value-tested equal to a
+    batch ``countDistinct`` on the same slice); beyond that the
+    classic KMV estimator ``(k-1) * 2^60 / kth_min`` takes over
+    (unbiased, relative error ~1/sqrt(k-2)). Hashing stays JVM-side
+    (``portable_hash64`` before the stateful operator); Python sees
+    Arrow batches of one hash column.
+
+    Output (append, on window close): window_start, distinct_est,
+    exact.
+    """
+    from ..model import parse_duration_ms
+    from ..operators.dedup import portable_hash64
+    win_ms = parse_duration_ms(window)
+    kk = int(k)
+    if kk < 2:
+        raise ValueError("stream_distinct_monitor: k must be >= 2")
+    out_schema = StructType([
+        StructField("window_start", LongType()),
+        StructField("distinct_est", LongType()),
+        StructField("exact", StringType()),
+    ])
+    state_schema = StructType([
+        StructField("hashes", ArrayType(LongType())),
+        StructField("saturated", LongType()),
+    ])
+    SCALE = 1 << 60
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        win_start = int(key[0])
+        if state.hasTimedOut:
+            hashes, saturated = state.get
+            state.remove()
+            if saturated:
+                kth = max(hashes)
+                est = int(round((kk - 1) * SCALE / kth))
+            else:
+                est = len(hashes)
+            yield pd.DataFrame({"window_start": [win_start],
+                                "distinct_est": [est],
+                                "exact": ["false" if saturated
+                                          else "true"]})
+            return
+        if state.exists:
+            hashes, saturated = state.get
+            hs = set(hashes)
+            saturated = int(saturated)
+        else:
+            hs, saturated = set(), 0
+        for pdf in pdfs:
+            hs.update(int(h) for h in pdf["__h"].unique())
+        if len(hs) > kk:
+            hs = set(sorted(hs)[:kk])
+            saturated = 1
+        state.update((sorted(hs), saturated))
+        state.setTimeoutTimestamp(
+            max(win_start + win_ms, state.getCurrentWatermarkMs() + 1))
+        return
+        yield  # pragma: no cover — make `update` a generator
+
+    prepared = (stream_df
+                .withWatermark(ts_col, watermark)
+                .select(
+                    F.col(ts_col),
+                    (F.floor(F.unix_millis(F.col(ts_col)
+                                           .cast("timestamp"))
+                             / F.lit(win_ms)) * F.lit(win_ms))
+                    .cast("bigint").alias("__ws"),
+                    portable_hash64(F.col(value_col).cast("string"))
+                    .alias("__h"))
+                .where(F.col("__h").isNotNull()))
+    return prepared.groupBy("__ws").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout)

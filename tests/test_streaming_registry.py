@@ -838,3 +838,46 @@ def test_stream_heavy_hitters_closed_window_equals_batch(spark, tmp_path):
     # window 2 (zebra) closed too once the tail batch advanced the
     # watermark past its end
     assert got_other == {("zebra", 2)}
+
+
+def test_stream_distinct_monitor_closed_window_equals_batch(spark,
+                                                           tmp_path):
+    """A closed window's distinct count equals batch countDistinct on
+    the same slice in the exact regime (distinct <= k), and the KMV
+    estimator stays within its error band when saturated."""
+    from feathr_spark.streaming.stateful import stream_distinct_monitor
+    src = tmp_path / "dm_stream"
+    src.mkdir()
+    w1 = [Row(ts=ts("2024-01-01 00:10:00"), user_id=f"u{i % 7}")
+          for i in range(30)]
+    w2 = [Row(ts=ts("2024-01-01 02:30:00"), user_id=f"v{i}")
+          for i in range(40)]
+    spark.createDataFrame(w1).write.parquet(str(src / "b1.parquet"))
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    out = stream_distinct_monitor(stream, window="1h", k=16)
+    q = (out.writeStream.format("memory").queryName("t_dm")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "dm_ckpt")).start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select * from t_dm").count() == 0
+        spark.createDataFrame(w2).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [Row(ts=ts("2024-01-01 03:30:00"), user_id="tail")]
+        ).write.parquet(str(src / "b3.parquet"))
+        q.processAllAvailable()
+        rows = {r.window_start: r for r in
+                spark.sql("select * from t_dm").collect()}
+    finally:
+        q.stop()
+    w1_start = int(ts("2024-01-01 00:00:00").timestamp() * 1000)
+    w2_start = int(ts("2024-01-01 02:00:00").timestamp() * 1000)
+    # window 1: 7 distinct <= k -> exact
+    assert rows[w1_start].distinct_est == 7
+    assert rows[w1_start].exact == "true"
+    # window 2: 40 distinct > k=16 -> KMV estimate within ~4/sqrt(14)
+    r2 = rows[w2_start]
+    assert r2.exact == "false"
+    assert abs(r2.distinct_est - 40) <= 40

@@ -3542,6 +3542,232 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("copy").cast("bigint").alias("copy"), "order_key")
 
 
+def q_top_supplier_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) with maximum discounted
+    revenue over one quarter. The per-supplier revenue aggregate is the
+    only data-sized shuffle; the scalar max comes back as a broadcast
+    1-row frame joined on the exact DECIMAL revenue (bit-stable in both
+    engines), so no second scan and no window over the supplier frame."""
+    _utc(spark)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate").cast("timestamp") >= lo)
+                 & (F.col("l_shipdate").cast("timestamp") < hi))
+          .select("l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum("__rev").alias("__total")))
+    top = rev.agg(F.max("__total").alias("__max"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_name"))
+    best = (rev.join(F.broadcast(top), rev.__total == top.__max)
+            .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey))
+    return (best.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.round(F.col("__total").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey"))
+
+
+def q_late_ship_priority_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adaptation (shipping-delay priority check): the dataset
+    carries no l_shipmode / commit dates, so the Q12 shape — a fact-fact
+    join feeding ONE conditional two-count aggregate — is kept with
+    l_linestatus standing in for shipmode and "late" defined as shipping
+    more than 60 days after the order date. Orders project to the two
+    columns the predicate needs; one join, one aggregate Exchange."""
+    _utc(spark)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linestatus", "l_shipdate"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .where(F.col("l_shipdate").cast("timestamp")
+                > F.col("o_orderdate").cast("timestamp")
+                + F.expr("INTERVAL 60 DAYS")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    agg = (j.groupBy("l_linestatus")
+           .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+    return (agg.select(
+        "l_linestatus",
+        F.col("high_line_count").cast("bigint").alias("high_line_count"),
+        F.col("low_line_count").cast("bigint").alias("low_line_count"))
+        .orderBy("l_linestatus"))
+
+
+def q_solo_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adaptation (suppliers who kept orders waiting): the
+    classic EXISTS / NOT-EXISTS pair over the same fact table is folded
+    into aggregates instead of correlated rescans — per (order, supplier)
+    collapse the late flag, per order count suppliers and late suppliers,
+    keep multi-supplier orders where EXACTLY ONE supplier shipped >90
+    days after the order date, then count waiting incidents per that
+    supplier. "Late" adapts Q21's receipt>commit predicate to the columns
+    this dataset has. Three co-keyed aggregates, no self-joins."""
+    _utc(spark)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = (F.col("l_shipdate").cast("timestamp")
+            > F.col("o_orderdate").cast("timestamp")
+            + F.expr("INTERVAL 90 DAYS"))
+    per_os = (j.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(F.when(late, 1).otherwise(0)).alias("__late")))
+    per_o = (per_os.groupBy("l_orderkey")
+             .agg(F.count("*").alias("__n_supp"),
+                  F.sum("__late").alias("__n_late"),
+                  F.max(F.when(F.col("__late") == 1,
+                               F.col("l_suppkey"))).alias("__lone")))
+    waiting = (per_o.where((F.col("__n_supp") >= 2)
+                           & (F.col("__n_late") == 1))
+               .groupBy("__lone")
+               .agg(F.count("*").alias("numwait")))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_name"))
+    out = (waiting.join(F.broadcast(supp),
+                        waiting.__lone == supp.s_suppkey)
+           .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+           .limit(20))
+    return out.select(
+        "s_name",
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("numwait").cast("bigint").alias("numwait"))
+
+
+def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
+    events: covariate = each user's first-fortnight value sum
+    (pre-period), metric = second-fortnight sum, arms by user-id parity.
+    One per-user aggregate (the only data-sized shuffle — DECIMAL-exact
+    pre/post sums) feeds the operator's single pooled+per-arm moment
+    pass; theta/adjustment/z are scalar algebra on the 1-row frame."""
+    _utc(spark)
+    from feathr_spark.operators.stats import cuped_adjust
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.lit("2024-01-16").cast("timestamp")
+    val = F.round(F.col("value").cast("double"), 6).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    per = (ev.groupBy("user_id")
+           .agg(F.coalesce(
+                    F.sum(F.when(F.col("ts").cast("timestamp") < split,
+                                 val)), zero).alias("pre_value"),
+                F.coalesce(
+                    F.sum(F.when(F.col("ts").cast("timestamp") >= split,
+                                 val)), zero).alias("post_value"))
+           .withColumn("variant",
+                       F.when(F.col("user_id") % 2 == 0,
+                              F.lit("A")).otherwise(F.lit("B"))))
+    out = cuped_adjust(per, "variant", "post_value", "pre_value",
+                       "A", "B")
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return out.select(
+        "control", "treatment", "n_control", "n_treatment",
+        r4("theta"), r4("mean_control"), r4("mean_treatment"),
+        r4("adj_mean_control"), r4("adj_mean_treatment"),
+        r4("adj_diff"), r4("z_stat"), r4("var_reduction"))
+
+
+def q_ab_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test + SRM guard over orders: conversion =
+    order fulfilled (status 'F'), arms by customer-key parity. ONE
+    conditional aggregate pass — no per-arm scans."""
+    _utc(spark)
+    from feathr_spark.operators.stats import two_proportion_ztest
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select((F.col("o_orderstatus") == "F").alias("converted"),
+                      F.when(F.col("o_custkey") % 2 == 0, F.lit("A"))
+                      .otherwise(F.lit("B")).alias("variant")))
+    out = two_proportion_ztest(orders, "variant", "converted", "A", "B")
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return out.select(
+        "control", "treatment", "n_control", "n_treatment",
+        "successes_control", "successes_treatment",
+        r4("p_control"), r4("p_treatment"), r4("p_diff"),
+        r4("z_stat"), r4("srm_chi2"))
+
+
+def q_ratio_metric_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method ratio-metric CI (value-per-event) over events, unit
+    = user, arms by user-id parity. The (variant, user) collapse is the
+    only data-sized shuffle; the per-arm delta-method variance comes
+    from ONE moment pass over the 150-unit frame."""
+    _utc(spark)
+    from feathr_spark.operators.stats import delta_ratio_ci
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "value", F.lit(1.0).alias("one"),
+                  F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+                  .otherwise(F.lit("B")).alias("variant")))
+    out = delta_ratio_ci(ev, "user_id", "variant", "value", "one",
+                         "A", "B")
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return out.select(
+        "control", "treatment", "units_control", "units_treatment",
+        r4("ratio_control"), r4("ratio_treatment"),
+        r4("se_control"), r4("se_treatment"),
+        r4("ratio_diff"), r4("z_stat"))
+
+
+def q_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier flags (Iglewicz–Hoaglin) on event values per
+    event type, k=3.5 — two exact-percentile group folds broadcast back
+    onto the single scan; only flagged rows return."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import mad_outliers
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_id", "event_type", "value"))
+    out = mad_outliers(ev, "value", by=["event_type"], k=3.5)
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return (out.where(F.col("is_outlier"))
+            .select(F.col("event_id").cast("bigint").alias("event_id"),
+                    "event_type", r4("value"), r4("grp_median"),
+                    r4("grp_mad"), r4("robust_z")))
+
+
+def q_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily event value (alpha=0.3, adjust=False
+    recursion): one DECIMAL-exact daily aggregate, then the per-key
+    recursion over the 30-bucket series (Arrow applyInPandas — the
+    bounded-series contract). Oracle = DuckDB recursive CTE."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import ewma_smooth
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = ewma_smooth(ev, "ts", "value", bucket="day", alpha=0.3)
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return out.select(
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("day"),
+        r4("bucket_value"), r4("ewma"))
+
+
+def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per order priority: one
+    map-side-combined monthly aggregate; the lag window runs over the
+    priority x month frame (bucket-count-sized, never the data)."""
+    _utc(spark)
+    from feathr_spark.operators.timeseries import period_growth
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = period_growth(orders, "o_orderdate", "o_totalprice",
+                        key_cols=["o_orderpriority"], bucket="month",
+                        lag=1)
+    r4 = lambda c: (F.round(F.col(c) + F.lit(1e-9), 4).cast("double")
+                    .alias(c))
+    return out.select(
+        "o_orderpriority",
+        F.date_format("bucket_ts", "yyyy-MM-dd").alias("month"),
+        r4("value"), r4("prev_value"), r4("growth_pct"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -3574,6 +3800,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_events": q_range_join,
         "heavy_hitters": q_heavy_hitters,
         "span_dedup": q_span_dedup,
+        # --- new in r6 (TPC-H third wave)
+        "top_supplier_q15": q_top_supplier_q15,
+        "late_ship_priority_q12": q_late_ship_priority_q12,
+        "solo_late_supplier_q21": q_solo_late_supplier_q21,
+        # --- new in r6 (experimentation statistics)
+        "cuped_events": q_cuped_events,
+        "ab_proportions": q_ab_proportions,
+        "ratio_metric_events": q_ratio_metric_events,
+        # --- new in r6 (robust monitoring / growth)
+        "mad_outliers_events": q_mad_outliers_events,
+        "ewma_daily": q_ewma_daily,
+        "mom_growth": q_mom_growth,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -5038,6 +5276,336 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
               AND l.l_shipdate <  TIMESTAMP '1997-10-01'
+        """,
+        "mad_outliers_events": """
+            WITH med AS (
+              SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5)
+                         AS m
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            mad AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(CAST(e.value AS DOUBLE) - med.m),
+                                   0.5) AS d
+              FROM events e JOIN med ON e.event_type = med.event_type
+              WHERE e.value IS NOT NULL GROUP BY 1)
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   e.event_type,
+                   CAST(ROUND(CAST(e.value AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS value,
+                   CAST(ROUND(med.m + 1e-9, 4) AS DOUBLE) AS grp_median,
+                   CAST(ROUND(mad.d + 1e-9, 4) AS DOUBLE) AS grp_mad,
+                   CAST(ROUND((CAST(e.value AS DOUBLE) - med.m)
+                        / (1.4826 * mad.d) + 1e-9, 4) AS DOUBLE)
+                       AS robust_z
+            FROM events e
+            JOIN med ON e.event_type = med.event_type
+            JOIN mad ON e.event_type = mad.event_type
+            WHERE mad.d > 0
+              AND abs((CAST(e.value AS DOUBLE) - med.m)
+                      / (1.4826 * mad.d)) > 3.5
+        """,
+        "ewma_daily": """
+            WITH RECURSIVE series AS (
+              SELECT date_trunc('day', ts) AS bucket_ts,
+                     CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                         AS v
+              FROM events WHERE value IS NOT NULL GROUP BY 1),
+            ord AS (
+              SELECT bucket_ts, v,
+                     row_number() OVER (ORDER BY bucket_ts) AS rn
+              FROM series),
+            rec AS (
+              SELECT rn, bucket_ts, v, v AS s FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.bucket_ts, o.v,
+                     0.3 * o.v + (1.0 - 0.3) * r.s
+              FROM ord o JOIN rec r ON o.rn = r.rn + 1)
+            SELECT strftime(bucket_ts, '%Y-%m-%d') AS day,
+                   CAST(ROUND(v + 1e-9, 4) AS DOUBLE) AS bucket_value,
+                   CAST(ROUND(s + 1e-9, 4) AS DOUBLE) AS ewma
+            FROM rec
+        """,
+        "mom_growth": """
+            WITH series AS (
+              SELECT o_orderpriority,
+                     date_trunc('month', o_orderdate) AS bucket_ts,
+                     sum(CAST(o_totalprice AS DECIMAL(28,6))) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL
+              GROUP BY 1, 2),
+            lagd AS (
+              SELECT o_orderpriority, bucket_ts, v,
+                     lag(v, 1) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY bucket_ts) AS pv
+              FROM series)
+            SELECT o_orderpriority,
+                   strftime(bucket_ts, '%Y-%m-%d') AS month,
+                   CAST(ROUND(CAST(v AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS value,
+                   CAST(ROUND(CAST(pv AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS prev_value,
+                   CAST(ROUND(CASE WHEN abs(pv) > 0 THEN
+                        CAST(v - pv AS DOUBLE) / CAST(abs(pv) AS DOUBLE)
+                        END + 1e-9, 4) AS DOUBLE) AS growth_pct
+            FROM lagd
+        """,
+        "cuped_events": """
+            WITH per AS (
+              SELECT user_id,
+                     COALESCE(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(CAST(value AS DOUBLE), 6)
+                            AS DECIMAL(18,6)) END),
+                       CAST(0 AS DECIMAL(18,6))) AS x,
+                     COALESCE(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(CAST(value AS DOUBLE), 6)
+                            AS DECIMAL(18,6)) END),
+                       CAST(0 AS DECIMAL(18,6))) AS y,
+                     CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v
+              FROM events GROUP BY 1),
+            q AS (
+              SELECT v,
+                     CAST(ROUND(CAST(y AS DOUBLE), 6) AS DECIMAL(18,6))
+                         AS y,
+                     CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6))
+                         AS x
+              FROM per),
+            m AS (
+              SELECT
+                CAST(count(*) AS DOUBLE) AS np,
+                CAST(sum(y) AS DOUBLE) AS syp,
+                CAST(sum(x) AS DOUBLE) AS sxp,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * y) AS DOUBLE) AS sxyp,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * x) AS DOUBLE) AS sxxp,
+                CAST(sum(CAST(y AS DECIMAL(28,6)) * y) AS DOUBLE) AS syyp,
+                CAST(count(*) FILTER (WHERE v = 'A') AS DOUBLE) AS nc,
+                CAST(sum(y) FILTER (WHERE v = 'A') AS DOUBLE) AS syc,
+                CAST(sum(x) FILTER (WHERE v = 'A') AS DOUBLE) AS sxc,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * y)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS sxyc,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * x)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS sxxc,
+                CAST(sum(CAST(y AS DECIMAL(28,6)) * y)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS syyc,
+                CAST(count(*) FILTER (WHERE v = 'B') AS DOUBLE) AS nt,
+                CAST(sum(y) FILTER (WHERE v = 'B') AS DOUBLE) AS syt,
+                CAST(sum(x) FILTER (WHERE v = 'B') AS DOUBLE) AS sxt,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * y)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS sxyt,
+                CAST(sum(CAST(x AS DECIMAL(28,6)) * x)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS sxxt,
+                CAST(sum(CAST(y AS DECIMAL(28,6)) * y)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS syyt
+              FROM q),
+            alg AS (
+              SELECT np, nc, nt,
+                syp / np AS myp, sxp / np AS mxp,
+                (syyp - syp * syp / np) / (np - 1) AS vyp,
+                (sxxp - sxp * sxp / np) / (np - 1) AS vxp,
+                (sxyp - sxp * syp / np) / (np - 1) AS cxyp,
+                syc / nc AS myc, sxc / nc AS mxc,
+                (syyc - syc * syc / nc) / (nc - 1) AS vyc,
+                (sxxc - sxc * sxc / nc) / (nc - 1) AS vxc,
+                (sxyc - sxc * syc / nc) / (nc - 1) AS cxyc,
+                syt / nt AS myt, sxt / nt AS mxt,
+                (syyt - syt * syt / nt) / (nt - 1) AS vyt,
+                (sxxt - sxt * sxt / nt) / (nt - 1) AS vxt,
+                (sxyt - sxt * syt / nt) / (nt - 1) AS cxyt
+              FROM m),
+            fin AS (
+              SELECT nc, nt, myc, myt, vyp,
+                CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END AS theta,
+                myc - (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                    * (mxc - mxp) AS adjc,
+                myt - (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                    * (mxt - mxp) AS adjt,
+                (vyc - 2 * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                     * cxyc
+                 + (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                   * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                   * vxc) / nc
+                + (vyt - 2 * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0
+                      END) * cxyt
+                   + (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                     * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                     * vxt) / nt AS se2,
+                vyp - 2 * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                    * cxyp
+                + (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                  * (CASE WHEN vxp > 0 THEN cxyp / vxp ELSE 0 END)
+                  * vxp AS avp
+              FROM alg)
+            SELECT 'A' AS control, 'B' AS treatment,
+                   CAST(nc AS BIGINT) AS n_control,
+                   CAST(nt AS BIGINT) AS n_treatment,
+                   CAST(ROUND(theta + 1e-9, 4) AS DOUBLE) AS theta,
+                   CAST(ROUND(myc + 1e-9, 4) AS DOUBLE) AS mean_control,
+                   CAST(ROUND(myt + 1e-9, 4) AS DOUBLE)
+                       AS mean_treatment,
+                   CAST(ROUND(adjc + 1e-9, 4) AS DOUBLE)
+                       AS adj_mean_control,
+                   CAST(ROUND(adjt + 1e-9, 4) AS DOUBLE)
+                       AS adj_mean_treatment,
+                   CAST(ROUND(adjt - adjc + 1e-9, 4) AS DOUBLE)
+                       AS adj_diff,
+                   CAST(ROUND(CASE WHEN se2 > 0
+                        THEN (adjt - adjc) / sqrt(se2) END + 1e-9, 4)
+                        AS DOUBLE) AS z_stat,
+                   CAST(ROUND(CASE WHEN vyp > 0 THEN 1.0 - avp / vyp END
+                        + 1e-9, 4) AS DOUBLE) AS var_reduction
+            FROM fin
+        """,
+        "ab_proportions": """
+            WITH s AS (
+              SELECT
+                count(*) FILTER (WHERE o_custkey % 2 = 0) AS nc,
+                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    FILTER (WHERE o_custkey % 2 = 0) AS kc,
+                count(*) FILTER (WHERE o_custkey % 2 <> 0) AS nt,
+                sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    FILTER (WHERE o_custkey % 2 <> 0) AS kt
+              FROM orders),
+            d AS (
+              SELECT nc, nt, kc, kt,
+                     CAST(kc AS DOUBLE) / nc AS pc,
+                     CAST(kt AS DOUBLE) / nt AS pt,
+                     CAST(kc + kt AS DOUBLE) / (nc + nt) AS pool,
+                     CAST(nc + nt AS DOUBLE) * 0.5 AS expc
+              FROM s)
+            SELECT 'A' AS control, 'B' AS treatment,
+                   CAST(nc AS BIGINT) AS n_control,
+                   CAST(nt AS BIGINT) AS n_treatment,
+                   CAST(kc AS BIGINT) AS successes_control,
+                   CAST(kt AS BIGINT) AS successes_treatment,
+                   CAST(ROUND(pc + 1e-9, 4) AS DOUBLE) AS p_control,
+                   CAST(ROUND(pt + 1e-9, 4) AS DOUBLE) AS p_treatment,
+                   CAST(ROUND(pt - pc + 1e-9, 4) AS DOUBLE) AS p_diff,
+                   CAST(ROUND(CASE WHEN pool * (1 - pool) > 0 THEN
+                        (pt - pc) / sqrt(pool * (1 - pool)
+                         * (1.0 / nc + 1.0 / nt)) END + 1e-9, 4)
+                        AS DOUBLE) AS z_stat,
+                   CAST(ROUND((nc - expc) * (nc - expc) / expc
+                        + (nt - expc) * (nt - expc) / expc + 1e-9, 4)
+                        AS DOUBLE) AS srm_chi2
+            FROM d
+        """,
+        "ratio_metric_events": """
+            WITH per AS (
+              SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                         AS v,
+                     user_id,
+                     CAST(ROUND(CAST(sum(
+                       CAST(ROUND(CAST(value AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS n,
+                     CAST(ROUND(CAST(sum(
+                       CAST(ROUND(CAST(1.0 AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS DOUBLE), 6)
+                       AS DECIMAL(18,6)) AS d
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT
+                CAST(count(*) FILTER (WHERE v = 'A') AS DOUBLE) AS mc,
+                CAST(sum(n) FILTER (WHERE v = 'A') AS DOUBLE) AS snc,
+                CAST(sum(d) FILTER (WHERE v = 'A') AS DOUBLE) AS sdc,
+                CAST(sum(CAST(n AS DECIMAL(28,6)) * n)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS snnc,
+                CAST(sum(CAST(n AS DECIMAL(28,6)) * d)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS sndc,
+                CAST(sum(CAST(d AS DECIMAL(28,6)) * d)
+                     FILTER (WHERE v = 'A') AS DOUBLE) AS sddc,
+                CAST(count(*) FILTER (WHERE v = 'B') AS DOUBLE) AS mt,
+                CAST(sum(n) FILTER (WHERE v = 'B') AS DOUBLE) AS snt,
+                CAST(sum(d) FILTER (WHERE v = 'B') AS DOUBLE) AS sdt,
+                CAST(sum(CAST(n AS DECIMAL(28,6)) * n)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS snnt,
+                CAST(sum(CAST(n AS DECIMAL(28,6)) * d)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS sndt,
+                CAST(sum(CAST(d AS DECIMAL(28,6)) * d)
+                     FILTER (WHERE v = 'B') AS DOUBLE) AS sddt
+              FROM per),
+            alg AS (
+              SELECT mc, mt,
+                snc / sdc AS rc, snt / sdt AS rt,
+                sqrt(((snnc - snc * snc / mc) / (mc - 1)
+                  - 2 * (snc / sdc) * ((sndc - snc * sdc / mc) / (mc - 1))
+                  + (snc / sdc) * (snc / sdc)
+                    * ((sddc - sdc * sdc / mc) / (mc - 1)))
+                 / (mc * (sdc / mc) * (sdc / mc))) AS sec,
+                sqrt(((snnt - snt * snt / mt) / (mt - 1)
+                  - 2 * (snt / sdt) * ((sndt - snt * sdt / mt) / (mt - 1))
+                  + (snt / sdt) * (snt / sdt)
+                    * ((sddt - sdt * sdt / mt) / (mt - 1)))
+                 / (mt * (sdt / mt) * (sdt / mt))) AS set_
+              FROM m)
+            SELECT 'A' AS control, 'B' AS treatment,
+                   CAST(mc AS BIGINT) AS units_control,
+                   CAST(mt AS BIGINT) AS units_treatment,
+                   CAST(ROUND(rc + 1e-9, 4) AS DOUBLE) AS ratio_control,
+                   CAST(ROUND(rt + 1e-9, 4) AS DOUBLE)
+                       AS ratio_treatment,
+                   CAST(ROUND(sec + 1e-9, 4) AS DOUBLE) AS se_control,
+                   CAST(ROUND(set_ + 1e-9, 4) AS DOUBLE)
+                       AS se_treatment,
+                   CAST(ROUND(rt - rc + 1e-9, 4) AS DOUBLE)
+                       AS ratio_diff,
+                   CAST(ROUND(CASE WHEN sec * sec + set_ * set_ > 0
+                        THEN (rt - rc) / sqrt(sec * sec + set_ * set_)
+                        END + 1e-9, 4) AS DOUBLE) AS z_stat
+            FROM alg
+        """,
+        "top_supplier_q15": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS total
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1997-04-01'
+              GROUP BY 1)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name,
+                   CAST(ROUND(CAST(rev.total AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS total_revenue
+            FROM rev
+            JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total = (SELECT max(total) FROM rev)
+            ORDER BY s.s_suppkey
+        """,
+        "late_ship_priority_q12": """
+            SELECT l.l_linestatus,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY 1 ORDER BY 1
+        """,
+        "solo_late_supplier_q21": """
+            WITH per_os AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     max(CASE WHEN l.l_shipdate
+                              > o.o_orderdate + INTERVAL 90 DAY
+                         THEN 1 ELSE 0 END) AS late
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'
+              GROUP BY 1, 2),
+            per_o AS (
+              SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late,
+                     max(CASE WHEN late = 1 THEN l_suppkey END) AS lone
+              FROM per_os GROUP BY 1)
+            SELECT s.s_name,
+                   CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(count(*) AS BIGINT) AS numwait
+            FROM per_o
+            JOIN supplier s ON per_o.lone = s.s_suppkey
+            WHERE per_o.n_supp >= 2 AND per_o.n_late = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "tpch_q18_big_orders": """
             WITH big AS (

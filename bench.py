@@ -188,6 +188,15 @@ HEADLINE = [
     "cvm_price_returns",
     "modularity_brands",
     "mixture_temperature",
+    "top_supplier_q15",
+    "late_ship_priority_q12",
+    "solo_late_supplier_q21",
+    "cuped_events",
+    "ab_proportions",
+    "ratio_metric_events",
+    "mad_outliers_events",
+    "ewma_daily",
+    "mom_growth",
 ]
 
 

@@ -264,3 +264,51 @@ def robust_scale(
         *keys, F.col(id_col),
         F.round(v, round_dp).cast("double").alias("value"),
         F.round(robust, round_dp).cast("double").alias("robust"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str] = (),
+    k: float = 3.5,
+    consistency: float = 1.4826,
+) -> DataFrame:
+    """Robust outlier flags via the median absolute deviation (the
+    Iglewicz–Hoaglin robust z-score): ``robust_z = (x - median) /
+    (consistency * MAD)``, flagged when ``|robust_z| > k``.
+
+    Unlike the mean/std z-score (``standardize``), a few extreme values
+    cannot drag the cut — median and MAD have a 50% breakdown point,
+    which is the point of an outlier detector. Two exact-percentile
+    aggregate passes (the MAD's median-of-deviations depends on the
+    group median, so a second pass is irreducible); both group frames
+    are group-count-sized and broadcast back onto the single-scan
+    lineage — the ``winsorize`` attach discipline. Exact interpolated
+    medians (`percentile`) match DuckDB/Postgres ``quantile_cont``.
+
+    Zero-MAD groups (over half the group identical) yield NULL
+    ``robust_z`` and never flag. Output: input columns +
+    ``(grp_median, grp_mad, robust_z, is_outlier)``.
+    """
+    keys = list(by)
+    v = F.col(value_col).cast("double")
+    med = (df.where(v.isNotNull())
+           .groupBy(*keys)
+           .agg(F.percentile(v, F.lit(0.5)).alias("__med")))
+    withmed = (df.join(F.broadcast(med), keys) if keys
+               else df.crossJoin(F.broadcast(med)))
+    mad = (withmed.where(v.isNotNull())
+           .groupBy(*keys)
+           .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
+                .alias("__mad")))
+    j = (withmed.join(F.broadcast(mad), keys) if keys
+         else withmed.crossJoin(F.broadcast(mad)))
+    z = F.when(F.col("__mad") > 0,
+               (v - F.col("__med")) / (F.lit(consistency)
+                                       * F.col("__mad")))
+    return (j.withColumn("grp_median", F.col("__med"))
+            .withColumn("grp_mad", F.col("__mad"))
+            .withColumn("robust_z", z)
+            .withColumn("is_outlier",
+                        F.coalesce(F.abs(z) > F.lit(k), F.lit(False)))
+            .drop("__med", "__mad"))

@@ -996,3 +996,236 @@ def ols_multi2(
                     b1.cast("double").alias("b1"),
                     b2.cast("double").alias("b2"),
                     r2.cast("double").alias("r2"))
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_col: str,
+    metric_col: str,
+    covariate_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013).
+
+    Uses a pre-experiment covariate X to shrink the metric's variance:
+    ``theta = cov(X, Y) / var(X)`` fitted on the POOLED arms (the
+    standard unbiased choice — theta is independent of assignment), then
+    each arm's adjusted mean is ``mean(Y) - theta * (mean(X) -
+    mean_pooled(X))`` and its adjusted variance is ``var(Y) - 2*theta*
+    cov(X,Y) + theta^2*var(X)`` (per arm, ddof=1).
+
+    ONE aggregate pass accumulates pooled + per-arm DECIMAL moments of
+    (Y, X, XY, X^2, Y^2) side by side — the ``ab_welch_t`` single-scan
+    discipline — so the scalar algebra on the 1-row frame is bit-stable
+    at any parallelism. Output (one row): theta, per-arm raw/adjusted
+    means, adjusted diff, the z statistic on the adjusted metric, and
+    ``var_reduction`` (1 - adjusted/raw pooled variance — the fraction
+    of noise CUPED removed; 0 when X is uncorrelated).
+
+    Zero pooled covariate variance (constant X) degrades gracefully to
+    theta = 0 — the readout equals the unadjusted t. Rows with NULL
+    metric or covariate are excluded from every moment.
+    """
+    y = F.round(F.col(metric_col).cast("double"), 6).cast("decimal(18,6)")
+    x = F.round(F.col(covariate_col).cast("double"), 6) \
+        .cast("decimal(18,6)")
+    ok = F.col(metric_col).isNotNull() & F.col(covariate_col).isNotNull()
+
+    def side(tag, cond):
+        c = ok & cond
+        return [
+            F.count(F.when(c, F.lit(1))).alias(f"__n_{tag}"),
+            F.sum(F.when(c, y)).alias(f"__sy_{tag}"),
+            F.sum(F.when(c, x)).alias(f"__sx_{tag}"),
+            F.sum(F.when(c, x * y)).alias(f"__sxy_{tag}"),
+            F.sum(F.when(c, x * x)).alias(f"__sxx_{tag}"),
+            F.sum(F.when(c, y * y)).alias(f"__syy_{tag}"),
+        ]
+
+    both = (F.col(group_col) == F.lit(control)) | \
+        (F.col(group_col) == F.lit(treatment))
+    stats = df.agg(*(side("p", both)
+                     + side("c", F.col(group_col) == F.lit(control))
+                     + side("t", F.col(group_col) == F.lit(treatment))))
+
+    def mom(tag):
+        n = F.col(f"__n_{tag}").cast("double")
+        sy = F.col(f"__sy_{tag}").cast("double")
+        sx = F.col(f"__sx_{tag}").cast("double")
+        sxy = F.col(f"__sxy_{tag}").cast("double")
+        sxx = F.col(f"__sxx_{tag}").cast("double")
+        syy = F.col(f"__syy_{tag}").cast("double")
+        my, mx = sy / n, sx / n
+        vy = F.when(n > 1, (syy - sy * sy / n) / (n - 1))
+        vx = F.when(n > 1, (sxx - sx * sx / n) / (n - 1))
+        cxy = F.when(n > 1, (sxy - sx * sy / n) / (n - 1))
+        return n, my, mx, vy, vx, cxy
+
+    np_, myp, mxp, vyp, vxp, cxyp = mom("p")
+    nc, myc, mxc, vyc, vxc, cxyc = mom("c")
+    nt, myt, mxt, vyt, vxt, cxyt = mom("t")
+    theta = F.when(vxp > 0, cxyp / vxp).otherwise(F.lit(0.0))
+    adj_c = myc - theta * (mxc - mxp)
+    adj_t = myt - theta * (mxt - mxp)
+    av_c = vyc - 2 * theta * cxyc + theta * theta * vxc
+    av_t = vyt - 2 * theta * cxyt + theta * theta * vxt
+    se2 = av_c / nc + av_t / nt
+    z = F.when(se2 > 0, (adj_t - adj_c) / F.sqrt(se2))
+    av_p = vyp - 2 * theta * cxyp + theta * theta * vxp
+    red = F.when(vyp > 0, 1.0 - av_p / vyp)
+    return stats.select(
+        F.lit(control).alias("control"),
+        F.lit(treatment).alias("treatment"),
+        F.col("__n_c").cast("bigint").alias("n_control"),
+        F.col("__n_t").cast("bigint").alias("n_treatment"),
+        theta.cast("double").alias("theta"),
+        myc.cast("double").alias("mean_control"),
+        myt.cast("double").alias("mean_treatment"),
+        adj_c.cast("double").alias("adj_mean_control"),
+        adj_t.cast("double").alias("adj_mean_treatment"),
+        (adj_t - adj_c).cast("double").alias("adj_diff"),
+        z.cast("double").alias("z_stat"),
+        red.cast("double").alias("var_reduction"))
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    control: str,
+    treatment: str,
+    expected_ratio: float = 1.0,
+) -> DataFrame:
+    """Two-sample proportions z-test + sample-ratio-mismatch guard —
+    the conversion-rate A/B readout.
+
+    ONE aggregate pass counts trials and successes for both arms
+    (``success_col`` is boolean or 0/1; NULL rows excluded). The z
+    statistic uses the pooled standard error; ``srm_chi2`` is the
+    1-dof chi-square of the observed arm split against
+    ``expected_ratio`` (treatment/control allocation, default 1:1) —
+    the assignment-integrity check every experimentation platform runs
+    before trusting the metric readout.
+    """
+    s = F.col(success_col).cast("int")
+    ok = F.col(success_col).isNotNull()
+
+    def side(tag, value):
+        c = ok & (F.col(group_col) == F.lit(value))
+        return [
+            F.count(F.when(c, F.lit(1))).alias(f"__n_{tag}"),
+            F.sum(F.when(c, s)).alias(f"__k_{tag}"),
+        ]
+
+    stats = df.agg(*(side("c", control) + side("t", treatment)))
+    nc = F.col("__n_c").cast("double")
+    nt = F.col("__n_t").cast("double")
+    kc = F.col("__k_c").cast("double")
+    kt = F.col("__k_t").cast("double")
+    pc, pt = kc / nc, kt / nt
+    pool = (kc + kt) / (nc + nt)
+    se2 = pool * (1 - pool) * (1 / nc + 1 / nt)
+    z = F.when(se2 > 0, (pt - pc) / F.sqrt(se2))
+    # SRM: expected treatment share under the declared allocation
+    share = float(expected_ratio) / (1.0 + float(expected_ratio))
+    et = (nc + nt) * F.lit(share)
+    ec = (nc + nt) * F.lit(1.0 - share)
+    srm = F.when((ec > 0) & (et > 0),
+                 (nc - ec) * (nc - ec) / ec + (nt - et) * (nt - et) / et)
+    return stats.select(
+        F.lit(control).alias("control"),
+        F.lit(treatment).alias("treatment"),
+        F.col("__n_c").cast("bigint").alias("n_control"),
+        F.col("__n_t").cast("bigint").alias("n_treatment"),
+        F.col("__k_c").cast("bigint").alias("successes_control"),
+        F.col("__k_t").cast("bigint").alias("successes_treatment"),
+        pc.cast("double").alias("p_control"),
+        pt.cast("double").alias("p_treatment"),
+        (pt - pc).cast("double").alias("p_diff"),
+        z.cast("double").alias("z_stat"),
+        srm.cast("double").alias("srm_chi2"))
+
+
+def delta_ratio_ci(
+    df: DataFrame,
+    unit_col: str,
+    group_col: str,
+    numerator_col: str,
+    denominator_col: str,
+    control: str,
+    treatment: str,
+) -> DataFrame:
+    """Delta-method CI for ratio metrics (revenue-per-session,
+    clicks-per-view — Deng/Knoblich/Lu KDD 2018).
+
+    Ratio metrics violate the i.i.d. assumption at the ROW level (rows
+    cluster within randomization units), so the correct readout
+    aggregates per unit FIRST: one co-keyed (group, unit) aggregate
+    collapses each unit's numerator/denominator sums — the only
+    data-sized shuffle — then per arm the ratio ``R = ΣN / ΣD`` gets a
+    delta-method variance ``(var(n) - 2R·cov(n,d) + R²·var(d)) /
+    (n_units · mean(d)²)`` from ONE moment pass over the unit frame.
+    Output (one row): per-arm ratio + standard error, the difference,
+    and its z statistic. Arms with a zero denominator yield NULLs.
+    """
+    qn = F.round(F.coalesce(F.col(numerator_col).cast("double"),
+                            F.lit(0.0)), 6).cast("decimal(18,6)")
+    qd = F.round(F.coalesce(F.col(denominator_col).cast("double"),
+                            F.lit(0.0)), 6).cast("decimal(18,6)")
+    units = (df.where((F.col(group_col) == F.lit(control))
+                      | (F.col(group_col) == F.lit(treatment)))
+             .groupBy(group_col, unit_col)
+             .agg(F.sum(qn).alias("__un"), F.sum(qd).alias("__ud")))
+
+    # per-unit sums fit comfortably back in (18,6); recasting keeps the
+    # second-moment products exact DECIMAL in BOTH engines (38-width cap)
+    un = F.col("__un").cast("decimal(18,6)")
+    ud = F.col("__ud").cast("decimal(18,6)")
+
+    def side(tag, value):
+        c = F.col(group_col) == F.lit(value)
+        return [
+            F.count(F.when(c, F.lit(1))).alias(f"__m_{tag}"),
+            F.sum(F.when(c, un)).alias(f"__sn_{tag}"),
+            F.sum(F.when(c, ud)).alias(f"__sd_{tag}"),
+            F.sum(F.when(c, un * un)).alias(f"__snn_{tag}"),
+            F.sum(F.when(c, un * ud)).alias(f"__snd_{tag}"),
+            F.sum(F.when(c, ud * ud)).alias(f"__sdd_{tag}"),
+        ]
+
+    stats = units.agg(*(side("c", control) + side("t", treatment)))
+
+    def arm(tag):
+        m = F.col(f"__m_{tag}").cast("double")
+        sn = F.col(f"__sn_{tag}").cast("double")
+        sd = F.col(f"__sd_{tag}").cast("double")
+        snn = F.col(f"__snn_{tag}").cast("double")
+        snd = F.col(f"__snd_{tag}").cast("double")
+        sdd = F.col(f"__sdd_{tag}").cast("double")
+        ratio = F.when(sd != 0, sn / sd)
+        mn, md = sn / m, sd / m
+        vn = F.when(m > 1, (snn - sn * sn / m) / (m - 1))
+        vd = F.when(m > 1, (sdd - sd * sd / m) / (m - 1))
+        cnd = F.when(m > 1, (snd - sn * sd / m) / (m - 1))
+        var_r = F.when(
+            (md != 0) & (m > 1),
+            (vn - 2 * ratio * cnd + ratio * ratio * vd) / (m * md * md))
+        se = F.when(var_r >= 0, F.sqrt(var_r))
+        return m, ratio, se
+
+    mc, rc, sec = arm("c")
+    mt, rt, set_ = arm("t")
+    se2 = sec * sec + set_ * set_
+    z = F.when(se2 > 0, (rt - rc) / F.sqrt(se2))
+    return stats.select(
+        F.lit(control).alias("control"),
+        F.lit(treatment).alias("treatment"),
+        F.col("__m_c").cast("bigint").alias("units_control"),
+        F.col("__m_t").cast("bigint").alias("units_treatment"),
+        rc.cast("double").alias("ratio_control"),
+        rt.cast("double").alias("ratio_treatment"),
+        sec.cast("double").alias("se_control"),
+        set_.cast("double").alias("se_treatment"),
+        (rt - rc).cast("double").alias("ratio_diff"),
+        z.cast("double").alias("z_stat"))

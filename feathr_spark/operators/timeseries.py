@@ -452,3 +452,97 @@ def cross_correlation(df: DataFrame, ts_col: str, x_col: str,
                  .cast("double").alias("ccf"))
             .select(F.col("lag").cast("bigint").alias("lag"),
                     "n_pairs", "ccf"))
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    bucket: str = "day",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Exponentially weighted moving average over per-key time buckets:
+    ``s_1 = x_1; s_t = alpha*x_t + (1-alpha)*s_{t-1}`` (the
+    ``adjust=False`` recursive form every monitoring stack uses).
+
+    The raw table collapses to (key, bucket) DECIMAL-exact sums in ONE
+    map-side-combined aggregate — the only data-sized shuffle — then
+    the recursion runs per key over the bucket-bounded series via
+    Arrow-batched ``applyInPandas`` (the ``theil_sen`` series
+    contract: series length is bounded by the time range / bucket
+    granularity, never by table size, so per-key state is constant and
+    keys parallelize freely on a cluster). The recursion itself is not
+    expressible as a Spark window without overflowing ``(1-alpha)^-t``
+    rescaling past ~10^3 buckets; a bounded Python stage is the honest
+    form. IEEE double ops in bucket order are deterministic at any
+    parallelism.
+
+    Output: keys + ``(bucket_ts, bucket_value, ewma)``.
+    """
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    vdec = F.col(value_col).cast("decimal(28,6)")
+    series = (df.where(F.col(value_col).isNotNull())
+              .groupBy(*keys, b.alias("bucket_ts"))
+              .agg(F.sum(vdec).cast("double").alias("bucket_value")))
+    a = float(alpha)
+
+    out_fields = [series.schema[c] for c in series.columns]
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType(out_fields + [StructField("ewma", DoubleType())])
+
+    def smooth(pdf):
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        s, out = None, []
+        for x in pdf["bucket_value"]:
+            s = x if s is None else a * x + (1.0 - a) * s
+            out.append(s)
+        pdf["ewma"] = out
+        return pdf
+
+    grouped = series.groupBy(*keys) if keys else \
+        series.groupBy(F.lit(1).alias("__g"))
+    res = grouped.applyInPandas(smooth, schema=schema)
+    return res.select(*keys, "bucket_ts", "bucket_value", "ewma")
+
+
+def period_growth(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    bucket: str = "month",
+    lag: int = 1,
+) -> DataFrame:
+    """Period-over-period growth (MoM with ``bucket='month', lag=1``;
+    YoY with ``bucket='month', lag=12``): per-key bucketed DECIMAL-exact
+    sums, then ``growth_pct = (v - v_prev) / |v_prev|`` against the
+    value ``lag`` buckets earlier.
+
+    ONE map-side-combined aggregate over the raw table; the lag window
+    partitions by key over the bucket-count-sized frame (never the data
+    table). The lag is positional over EXISTING buckets — callers who
+    need calendar-exact lags over gappy series should gap-fill first
+    (``profile.gapfill``). First ``lag`` buckets and zero-previous
+    buckets yield NULL growth. Output: keys + ``(bucket_ts, value,
+    prev_value, growth_pct)``.
+    """
+    keys = list(key_cols)
+    b = F.date_trunc(bucket, F.col(ts_col).cast("timestamp"))
+    vdec = F.col(value_col).cast("decimal(28,6)")
+    series = (df.where(F.col(value_col).isNotNull())
+              .groupBy(*keys, b.alias("bucket_ts"))
+              .agg(F.sum(vdec).alias("__v")))
+    w = Window.partitionBy(*[F.col(c) for c in keys]) \
+        .orderBy("bucket_ts") if keys else \
+        Window.partitionBy(F.lit(1)).orderBy("bucket_ts")
+    prev = F.lag(F.col("__v"), lag).over(w)
+    growth = F.when(F.abs(prev) > 0,
+                    (F.col("__v") - prev).cast("double")
+                    / F.abs(prev).cast("double"))
+    return series.select(
+        *keys, "bucket_ts",
+        F.col("__v").cast("double").alias("value"),
+        prev.cast("double").alias("prev_value"),
+        growth.alias("growth_pct"))

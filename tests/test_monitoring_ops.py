@@ -1,0 +1,93 @@
+"""Robust-monitoring operators: MAD outliers, EWMA smoothing,
+period-over-period growth. Values pinned against hand computation."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.scaling import mad_outliers
+from feathr_spark.operators.timeseries import ewma_smooth, period_growth
+
+
+def test_mad_outliers_flags_only_the_planted_spike(spark):
+    # group a: tight cluster + one spike; group b: constant (MAD=0)
+    rows = [("a", float(i), 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append(("a", 99.0, 500.0))
+    rows += [("b", float(i), 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, ["g", "rid", "v"])
+    out = mad_outliers(df, "v", by=["g"], k=3.5).collect()
+    flagged = [(r["g"], r["rid"]) for r in out if r["is_outlier"]]
+    assert flagged == [("a", 99.0)]
+    # zero-MAD group: NULL robust_z, never flagged
+    bz = [r for r in out if r["g"] == "b"]
+    assert all(r["robust_z"] is None and not r["is_outlier"] for r in bz)
+    # robust_z matches the hand formula on the spike
+    spike = [r for r in out if r["rid"] == 99.0][0]
+    med = sorted([v for g, _, v in rows if g == "a"])[10]  # 21 values
+    devs = sorted(abs(v - med) for g, _, v in rows if g == "a")
+    mad = devs[10]
+    assert spike["robust_z"] == pytest.approx(
+        (500.0 - med) / (1.4826 * mad), rel=1e-9)
+
+
+def test_ewma_matches_hand_recursion_per_key(spark):
+    rows = []
+    for day, x in [(1, 10.0), (2, 20.0), (3, 10.0), (4, 40.0)]:
+        rows.append(("k1", f"2024-01-0{day} 05:00:00", x))
+    rows.append(("k2", "2024-01-01 09:00:00", 100.0))
+    rows.append(("k2", "2024-01-03 09:00:00", 50.0))
+    df = (spark.createDataFrame(rows, ["k", "ts", "v"])
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = ewma_smooth(df, "ts", "v", key_cols=["k"], bucket="day",
+                      alpha=0.5)
+    got = {(r["k"], str(r["bucket_ts"])[:10]): r["ewma"]
+           for r in out.collect()}
+    # k1: 10, .5*20+.5*10=15, .5*10+.5*15=12.5, .5*40+.5*12.5=26.25
+    assert got[("k1", "2024-01-01")] == 10.0
+    assert got[("k1", "2024-01-02")] == 15.0
+    assert got[("k1", "2024-01-03")] == 12.5
+    assert got[("k1", "2024-01-04")] == 26.25
+    # k2 recursion independent of k1 (gap day simply absent)
+    assert got[("k2", "2024-01-01")] == 100.0
+    assert got[("k2", "2024-01-03")] == 75.0
+
+
+def test_ewma_multiple_events_sum_within_bucket(spark):
+    rows = [("2024-02-01 01:00:00", 3.0), ("2024-02-01 02:00:00", 7.0),
+            ("2024-02-02 01:00:00", 20.0)]
+    df = (spark.createDataFrame(rows, ["ts", "v"])
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {str(r["bucket_ts"])[:10]: (r["bucket_value"], r["ewma"])
+           for r in ewma_smooth(df, "ts", "v", alpha=0.25).collect()}
+    assert out["2024-02-01"] == (10.0, 10.0)
+    assert out["2024-02-02"][0] == 20.0
+    assert out["2024-02-02"][1] == pytest.approx(0.25 * 20 + 0.75 * 10)
+
+
+def test_period_growth_mom_and_lag2(spark):
+    rows = [("a", f"2024-0{m}-15 00:00:00", float(v))
+            for m, v in [(1, 100), (2, 110), (3, 99), (4, 198)]]
+    df = (spark.createDataFrame(rows, ["k", "ts", "v"])
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    mom = {str(r["bucket_ts"])[:7]: (r["prev_value"], r["growth_pct"])
+           for r in period_growth(df, "ts", "v", key_cols=["k"],
+                                  bucket="month", lag=1).collect()}
+    assert mom["2024-01"] == (None, None)
+    assert mom["2024-02"][1] == pytest.approx(0.10)
+    assert mom["2024-03"][1] == pytest.approx(-0.10)
+    assert mom["2024-04"][1] == pytest.approx(1.0)
+    lag2 = {str(r["bucket_ts"])[:7]: r["growth_pct"]
+            for r in period_growth(df, "ts", "v", key_cols=["k"],
+                                   bucket="month", lag=2).collect()}
+    assert lag2["2024-01"] is None and lag2["2024-02"] is None
+    assert lag2["2024-03"] == pytest.approx(-0.01)
+    assert lag2["2024-04"] == pytest.approx(0.8)
+
+
+def test_period_growth_zero_previous_is_null(spark):
+    rows = [("2024-01-01 00:00:00", 0.0), ("2024-02-01 00:00:00", 5.0)]
+    df = (spark.createDataFrame(rows, ["ts", "v"])
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = {str(r["bucket_ts"])[:7]: r["growth_pct"]
+           for r in period_growth(df, "ts", "v", bucket="month").collect()}
+    assert out["2024-02"] is None

@@ -676,6 +676,33 @@ EXCHANGE_BUDGET = {
     "modularity_brands": 27,
     # zero-shuffle row-local fan-out; rates are driver-side literals
     "mixture_temperature": 0,
+    # TPC-H third wave: per-supplier revenue aggregate + the 1-row max
+    # fold + the supplier-frame sort (the scalar max and the supplier
+    # name table both come back broadcast)
+    "top_supplier_q15": 4,
+    # one fact-fact join Exchange pair collapses under AQE broadcast of
+    # the filtered orders side at snapshot SF; one aggregate + sort
+    "late_ship_priority_q12": 2,
+    # (order, supplier) late collapse + per-order fold + per-supplier
+    # waiting count; top-20 is a TakeOrderedAndProject partial
+    "solo_late_supplier_q21": 3,
+    # per-user pre/post collapse (the only data-sized shuffle) + the
+    # 1-row pooled+per-arm moment fold
+    "cuped_events": 2,
+    # ONE conditional aggregate pass over orders
+    "ab_proportions": 1,
+    # (variant, user) unit collapse + the 1-row delta-method fold
+    "ratio_metric_events": 2,
+    # median fold + the MAD fold (irreducible second pass — the MAD's
+    # median-of-deviations depends on the group median); both group
+    # frames broadcast back onto the single scan
+    "mad_outliers_events": 3,
+    # daily DECIMAL aggregate + the single-group Arrow recursion over
+    # the 30-bucket series (constant-sized by construction)
+    "ewma_daily": 2,
+    # monthly aggregate + the lag window over the priority x month
+    # frame (bucket-count-sized)
+    "mom_growth": 2,
 }
 
 

@@ -3641,6 +3641,134 @@ def q_solo_late_supplier_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("numwait").cast("bigint").alias("numwait"))
 
 
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adaptation (minimum-cost supplier): the dataset has no
+    partsupp table, so the part-supplier cost relation is derived from
+    lineitem — cost(part, supplier) = the minimum unit price that
+    supplier ever charged for that part (min of exact per-row doubles,
+    order-independent in both engines, unlike an averaged sum). The
+    correlated MIN subquery becomes a per-part window-min over the
+    already-collapsed (part, supplier) frame; both dimension filters
+    (EUROPE suppliers, LARGE mid-size parts) broadcast onto the fact
+    scan so the only data-sized shuffles are the pair collapse and the
+    per-part min."""
+    _utc(spark)
+    nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+           .join(spark.read.parquet(f"{sf_dir}/region.parquet")
+                 .where(F.col("r_name") == "EUROPE"),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where((F.col("p_type") == "LARGE")
+                   & (F.col("p_size") % 10 == 5))
+            .select("p_partkey", "p_brand"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey",
+                  (F.col("l_extendedprice").cast("double")
+                   / F.col("l_quantity").cast("double")).alias("__unit")))
+    pair = (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp.select("s_suppkey")),
+                  li.l_suppkey == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey", "p_brand")
+            .agg(F.min("__unit").alias("__cost")))
+    w = Window.partitionBy("l_partkey")
+    best = (pair.withColumn("__min", F.min("__cost").over(w))
+            .where(F.col("__cost") == F.col("__min")))
+    return (best.join(F.broadcast(supp),
+                      best.l_suppkey == supp.s_suppkey)
+            .select(F.round(F.col("s_acctbal").cast("double") + 1e-9, 4)
+                    .cast("double").alias("s_acctbal"),
+                    "s_name", "n_name",
+                    F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                    "p_brand",
+                    F.round(F.col("__cost") + 1e-9, 4).cast("double")
+                    .alias("supply_cost")))
+
+
+def q_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adaptation (important stock identification): with no
+    partsupp availqty, a part's "stock value" for one nation's suppliers
+    is the DECIMAL-exact discounted revenue those suppliers shipped of
+    it. The HAVING > fraction * SUM(...) scalar subquery is the value
+    frame folded to one row and broadcast back — one lineitem shuffle,
+    one part-sized second pass, no rescan of the fact table."""
+    _utc(spark)
+    from feathr_spark.operators._cache import attach_intermediates
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(
+                spark.read.parquet(f"{sf_dir}/nation.parquet")
+                .where(F.col("n_name") == "NATION_7")),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__v")))
+    value = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .groupBy("l_partkey")
+             .agg(F.sum("__v").alias("__value")))
+    value = value.persist()
+    total = value.agg((F.sum("__value") * F.lit(0.0005))
+                      .cast("decimal(28,10)").alias("__cut"))
+    out = (value.join(F.broadcast(total),
+                      F.col("__value").cast("decimal(28,10)")
+                      > F.col("__cut"))
+           .select(F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                   F.round(F.col("__value").cast("double") + 1e-9, 4)
+                   .cast("double").alias("stock_value")))
+    return attach_intermediates(out, (value,))
+
+
+def q_promo_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adaptation (potential part promotion): with no
+    availqty, a EUROPE supplier qualifies when, for some 'red *' part,
+    more than half of ALL the quantity they ever shipped of it moved in
+    1997 — Q20's "excess stock against recent demand" test re-expressed
+    over shipment history. The nested IN/EXISTS chain folds into ONE
+    conditional aggregate over (part, supplier) plus a distinct-supplier
+    collapse; both dimension filters broadcast."""
+    _utc(spark)
+    nat = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+           .join(spark.read.parquet(f"{sf_dir}/region.parquet")
+                 .where(F.col("r_name") == "EUROPE"),
+                 F.col("n_regionkey") == F.col("r_regionkey"))
+           .select("n_nationkey", "n_name"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nat),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name", "n_name"))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .where(F.col("p_name").startswith("red "))
+            .select("p_partkey"))
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey", "l_suppkey", "l_shipdate",
+                  F.col("l_quantity").cast("decimal(18,2)").alias("__q")))
+    in97 = ((F.col("l_shipdate").cast("timestamp") >= lo)
+            & (F.col("l_shipdate").cast("timestamp") < hi))
+    per_ps = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp.select("s_suppkey")),
+                    li.l_suppkey == F.col("s_suppkey"))
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("__q").alias("__total"),
+                   F.coalesce(F.sum(F.when(in97, F.col("__q"))),
+                              F.lit(0).cast("decimal(28,2)"))
+                   .alias("__recent")))
+    qualifying = (per_ps.where(F.col("__recent").cast("double")
+                               > 0.5 * F.col("__total").cast("double"))
+                  .select("l_suppkey").distinct())
+    return (qualifying.join(F.broadcast(supp),
+                            qualifying.l_suppkey == supp.s_suppkey)
+            .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+                    "s_name", "n_name"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -3812,6 +3940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers_events": q_mad_outliers_events,
         "ewma_daily": q_ewma_daily,
         "mom_growth": q_mom_growth,
+        "min_cost_supplier_q2": q_min_cost_supplier_q2,
+        "important_stock_q11": q_important_stock_q11,
+        "promo_suppliers_q20": q_promo_suppliers_q20,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -5347,6 +5478,81 @@ def oracle_sql() -> dict[str, str]:
                         CAST(v - pv AS DOUBLE) / CAST(abs(pv) AS DOUBLE)
                         END + 1e-9, 4) AS DOUBLE) AS growth_pct
             FROM lagd
+        """,
+        "min_cost_supplier_q2": """
+            WITH euro_supp AS (
+              SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            pair AS (
+              SELECT l.l_partkey, l.l_suppkey, p.p_brand,
+                     min(CAST(l.l_extendedprice AS DOUBLE)
+                         / CAST(l.l_quantity AS DOUBLE)) AS cost
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_type = 'LARGE' AND p.p_size % 10 = 5
+                AND l.l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+              GROUP BY 1, 2, 3),
+            best AS (
+              SELECT *, min(cost) OVER (PARTITION BY l_partkey) AS mc
+              FROM pair)
+            SELECT CAST(ROUND(CAST(s.s_acctbal AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS s_acctbal,
+                   s.s_name, s.n_name,
+                   CAST(b.l_partkey AS BIGINT) AS p_partkey,
+                   b.p_brand,
+                   CAST(ROUND(b.cost + 1e-9, 4) AS DOUBLE)
+                       AS supply_cost
+            FROM best b JOIN euro_supp s ON b.l_suppkey = s.s_suppkey
+            WHERE b.cost = b.mc
+        """,
+        "important_stock_q11": """
+            WITH nat_supp AS (
+              SELECT s.s_suppkey FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              WHERE n.n_name = 'NATION_7'),
+            value AS (
+              SELECT l.l_partkey,
+                     sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS v
+              FROM lineitem l
+              WHERE l.l_suppkey IN (SELECT s_suppkey FROM nat_supp)
+              GROUP BY 1)
+            SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+                   CAST(ROUND(CAST(v AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS stock_value
+            FROM value
+            WHERE CAST(v AS DECIMAL(28,10)) >
+                  (SELECT CAST(sum(v) * 0.0005 AS DECIMAL(28,10))
+                   FROM value)
+        """,
+        "promo_suppliers_q20": """
+            WITH euro_supp AS (
+              SELECT s.s_suppkey, s.s_name, n.n_name
+              FROM supplier s
+              JOIN nation n ON s.s_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE r.r_name = 'EUROPE'),
+            per_ps AS (
+              SELECT l.l_partkey, l.l_suppkey,
+                     sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS total,
+                     COALESCE(sum(CASE WHEN
+                         l.l_shipdate >= TIMESTAMP '1997-01-01'
+                         AND l.l_shipdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(l.l_quantity AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(28,2))) AS recent
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red %'
+                AND l.l_suppkey IN (SELECT s_suppkey FROM euro_supp)
+              GROUP BY 1, 2)
+            SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name, s.n_name
+            FROM per_ps q JOIN euro_supp s ON q.l_suppkey = s.s_suppkey
+            WHERE CAST(q.recent AS DOUBLE)
+                  > 0.5 * CAST(q.total AS DOUBLE)
         """,
         "cuped_events": """
             WITH per AS (

@@ -197,6 +197,9 @@ HEADLINE = [
     "mad_outliers_events",
     "ewma_daily",
     "mom_growth",
+    "min_cost_supplier_q2",
+    "important_stock_q11",
+    "promo_suppliers_q20",
 ]
 
 

@@ -120,6 +120,8 @@ BROADCAST_LOOP_OK = {
     "bh_fdr_monthly",
     # basket-rules pipeline's 1-row total broadcast (association_rules)
     "powerlaw_parts",
+    # 1-row stock-value cut broadcast onto the part-sized value frame
+    "important_stock_q11",
 }
 
 
@@ -703,6 +705,15 @@ EXCHANGE_BUDGET = {
     # monthly aggregate + the lag window over the priority x month
     # frame (bucket-count-sized)
     "mom_growth": 2,
+    # TPC-H final wave (the 3 partsupp-derived queries): (part, supplier)
+    # pair collapse + the per-part window-min; all dims broadcast
+    "min_cost_supplier_q2": 2,
+    # per-part value aggregate + the part-sized filter pass; the 1-row
+    # scalar cut comes back as a broadcast non-equi join
+    "important_stock_q11": 3,
+    # ONE conditional (part, supplier) aggregate + distinct-supplier
+    # collapse; both dimension filters broadcast
+    "promo_suppliers_q20": 2,
 }
 
 

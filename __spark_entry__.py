@@ -3769,6 +3769,97 @@ def q_promo_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s_name", "n_name"))
 
 
+def q_qini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini uplift curve over orders: score = order total, treatment =
+    customer-key parity, outcome = urgent/high priority. Exact decile
+    cuts broadcast (no ntile sort), one conditional aggregate, the
+    cumulative window runs over the 10-bucket frame only."""
+    _utc(spark)
+    from feathr_spark.operators.stats import qini_uplift
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_totalprice").alias("score"),
+                      (F.col("o_custkey") % 2 == 0).cast("int")
+                      .alias("treat"),
+                      F.col("o_orderpriority")
+                      .isin("1-URGENT", "2-HIGH").cast("int")
+                      .alias("outcome")))
+    out = qini_uplift(orders, "treat", "outcome", "score", buckets=10)
+    return out.select(
+        "bucket", "n_treat", "n_ctrl",
+        F.round(F.col("resp_treat") + 1e-9, 4).cast("double")
+        .alias("resp_treat"),
+        F.round(F.col("resp_ctrl") + 1e-9, 4).cast("double")
+        .alias("resp_ctrl"),
+        "cum_n",
+        F.round(F.col("uplift_rate") + 1e-9, 4).cast("double")
+        .alias("uplift_rate"),
+        F.round(F.col("qini") + 1e-9, 4).cast("double").alias("qini"))
+
+
+def q_abc_xyz_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ part segmentation: ABC from cumulative-from-top revenue
+    share (bucketed-prefix algebra, ties all-inclusive), XYZ from the
+    coefficient of variation of monthly demand — the 9-cell stocking /
+    curation grid."""
+    _utc(spark)
+    from feathr_spark.operators.olap import abc_xyz
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_partkey"),
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("rev"),
+                  F.date_trunc("month", F.col("l_shipdate")
+                               .cast("timestamp")).alias("period")))
+    out = abc_xyz(li, "l_partkey", "rev", "period")
+    return out.select(
+        F.col("l_partkey").cast("bigint").alias("l_partkey"),
+        F.round(F.col("total_value") + 1e-9, 4).cast("double")
+        .alias("total_value"),
+        F.round(F.col("share_cum") + 1e-9, 4).cast("double")
+        .alias("share_cum"),
+        "abc", "n_periods",
+        F.round(F.col("cv") + 1e-9, 4).cast("double").alias("cv"),
+        "xyz")
+
+
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase-cadence profile: consecutive order gaps in
+    days from ONE key-partitioned lag window + one aggregate (customers
+    with ≥ 2 orders)."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import interarrival_stats
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = interarrival_stats(orders, "o_custkey", "o_orderdate",
+                             tie_col="o_orderkey")
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select(
+        F.col("o_custkey").cast("bigint").alias("o_custkey"),
+        "n_events", r4d("span"), r4d("avg_gap"), r4d("min_gap"),
+        r4d("max_gap"))
+
+
+def q_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: closed-form log-log OLS
+    (slope of ln quantity on ln unit price) from one DECIMAL-exact
+    moment aggregate per brand; the part dimension broadcasts."""
+    _utc(spark)
+    from feathr_spark.operators.stats import ols_trend
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_brand"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+          .select("l_partkey",
+                  F.round(F.log(F.col("l_extendedprice").cast("double")
+                                / F.col("l_quantity").cast("double"))
+                          + F.lit(1e-9), 6).alias("ln_price"),
+                  F.round(F.log(F.col("l_quantity").cast("double"))
+                          + F.lit(1e-9), 6).alias("ln_qty")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = ols_trend(j, "ln_price", "ln_qty", key_cols=["p_brand"])
+    return out.select("p_brand", "n",
+                      F.col("slope").alias("elasticity"),
+                      "intercept", "r2")
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -3943,6 +4034,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier_q2": q_min_cost_supplier_q2,
         "important_stock_q11": q_important_stock_q11,
         "promo_suppliers_q20": q_promo_suppliers_q20,
+        "qini_orders": q_qini_orders,
+        "abc_xyz_parts": q_abc_xyz_parts,
+        "order_gaps": q_order_gaps,
+        "elasticity_brands": q_elasticity_brands,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -5553,6 +5648,187 @@ def oracle_sql() -> dict[str, str]:
             FROM per_ps q JOIN euro_supp s ON q.l_suppkey = s.s_suppkey
             WHERE CAST(q.recent AS DOUBLE)
                   > 0.5 * CAST(q.total AS DOUBLE)
+        """,
+        "qini_orders": """
+            WITH base AS (
+              SELECT o_totalprice AS score,
+                     CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END
+                         AS treat,
+                     CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                          THEN 1 ELSE 0 END AS outcome
+              FROM orders WHERE o_totalprice IS NOT NULL),
+            st AS (
+              SELECT list_transform(
+                       quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,
+                                             0.6,0.7,0.8,0.9]),
+                       c -> ROUND(c + 1e-9, 6)) AS cuts
+              FROM base),
+            bk AS (
+              SELECT b.*,
+                     len(list_filter(st.cuts, c -> b.score > c))
+                         AS bucket
+              FROM base b, st),
+            per AS (
+              SELECT bucket,
+                     sum(treat) AS nt, sum(1 - treat) AS nc,
+                     COALESCE(sum(CASE WHEN treat = 1 THEN
+                       CAST(outcome AS DECIMAL(18,6)) END),
+                       CAST(0 AS DECIMAL(18,6))) AS rt,
+                     COALESCE(sum(CASE WHEN treat = 0 THEN
+                       CAST(outcome AS DECIMAL(18,6)) END),
+                       CAST(0 AS DECIMAL(18,6))) AS rc
+              FROM bk GROUP BY 1),
+            cum AS (
+              SELECT bucket, nt, nc, rt, rc,
+                     sum(nt) OVER w AS cnt, sum(nc) OVER w AS cnc,
+                     sum(rt) OVER w AS crt, sum(rc) OVER w AS crc
+              FROM per
+              WINDOW w AS (ORDER BY bucket DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(nt AS BIGINT) AS n_treat,
+                   CAST(nc AS BIGINT) AS n_ctrl,
+                   CAST(ROUND(CAST(rt AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS resp_treat,
+                   CAST(ROUND(CAST(rc AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS resp_ctrl,
+                   CAST(cnt + cnc AS BIGINT) AS cum_n,
+                   CAST(ROUND(CASE WHEN cnt > 0 AND cnc > 0 THEN
+                        CAST(crt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                        - CAST(crc AS DOUBLE) / CAST(cnc AS DOUBLE)
+                        END + 1e-9, 4) AS DOUBLE) AS uplift_rate,
+                   CAST(ROUND(CASE WHEN cnt > 0 AND cnc > 0 THEN
+                        (CAST(crt AS DOUBLE) / CAST(cnt AS DOUBLE)
+                         - CAST(crc AS DOUBLE) / CAST(cnc AS DOUBLE))
+                        * (CAST(cnt AS DOUBLE) + CAST(cnc AS DOUBLE))
+                        END + 1e-9, 4) AS DOUBLE) AS qini
+            FROM cum
+        """,
+        "abc_xyz_parts": """
+            WITH pkp AS (
+              SELECT l_partkey, date_trunc('month', l_shipdate) AS p,
+                     sum(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(28,8))) AS pv
+              FROM lineitem
+              WHERE l_extendedprice * (1 - l_discount) IS NOT NULL
+              GROUP BY 1, 2),
+            pk AS (
+              SELECT l_partkey, sum(pv) AS v,
+                     count(*) AS np,
+                     sum(CAST(pv * pv AS DECIMAL(38,10))) AS svv
+              FROM pkp GROUP BY 1),
+            tot AS (SELECT sum(v) AS t FROM pk),
+            sh AS (
+              SELECT pk.*,
+                     CAST(sum(v) OVER (ORDER BY v DESC
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS DOUBLE)
+                     / CAST(tot.t AS DOUBLE) AS share
+              FROM pk, tot),
+            cls AS (
+              SELECT l_partkey, v, np,
+                     ROUND(share + 1e-9, 6) AS share_r,
+                     ROUND(CASE WHEN np > 1
+                           AND (CAST(svv AS DOUBLE)
+                                - CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                  / CAST(np AS DOUBLE))
+                               / (CAST(np AS DOUBLE) - 1) >= 0
+                           AND CAST(v AS DOUBLE) / CAST(np AS DOUBLE)
+                               <> 0
+                           THEN sqrt((CAST(svv AS DOUBLE)
+                                - CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                                  / CAST(np AS DOUBLE))
+                               / (CAST(np AS DOUBLE) - 1))
+                               / (CAST(v AS DOUBLE) / CAST(np AS DOUBLE))
+                           END + 1e-9, 6) AS cv_r
+              FROM sh)
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(ROUND(CAST(v AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS total_value,
+                   CAST(ROUND(share_r + 1e-9, 4) AS DOUBLE)
+                       AS share_cum,
+                   CASE WHEN share_r <= 0.80 THEN 'A'
+                        WHEN share_r <= 0.95 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CAST(np AS BIGINT) AS n_periods,
+                   CAST(ROUND(cv_r + 1e-9, 4) AS DOUBLE) AS cv,
+                   CASE WHEN cv_r IS NULL THEN 'Z'
+                        WHEN cv_r <= 0.50 THEN 'X'
+                        WHEN cv_r <= 1.00 THEN 'Y'
+                        ELSE 'Z' END AS xyz
+            FROM cls
+        """,
+        "order_gaps": """
+            WITH g AS (
+              SELECT o_custkey,
+                     CAST(epoch(o_orderdate) AS BIGINT)
+                     - lag(CAST(epoch(o_orderdate) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS gap
+              FROM orders WHERE o_orderdate IS NOT NULL),
+            a AS (
+              SELECT o_custkey, count(*) AS n, count(gap) AS ng,
+                     sum(gap) AS sg, min(gap) AS mn, max(gap) AS mx
+              FROM g GROUP BY 1)
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(ROUND(CAST(sg AS DOUBLE) / 86400.0 + 1e-9, 4)
+                        AS DOUBLE) AS span,
+                   CAST(ROUND(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                        / 86400.0 + 1e-9, 4) AS DOUBLE) AS avg_gap,
+                   CAST(ROUND(CAST(mn AS DOUBLE) / 86400.0 + 1e-9, 4)
+                        AS DOUBLE) AS min_gap,
+                   CAST(ROUND(CAST(mx AS DOUBLE) / 86400.0 + 1e-9, 4)
+                        AS DOUBLE) AS max_gap
+            FROM a WHERE ng >= 1
+        """,
+        "elasticity_brands": """
+            WITH d AS (
+              SELECT p.p_brand,
+                     ROUND(ln(l.l_extendedprice / l.l_quantity)
+                           + 1e-9, 6) AS x,
+                     ROUND(ln(l.l_quantity) + 1e-9, 6) AS y
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE l.l_quantity > 0 AND l.l_extendedprice > 0),
+            m AS (
+              SELECT p_brand, count(*) AS n,
+                     sum(CAST(x AS DECIMAL(28,8))) AS sx,
+                     sum(CAST(y AS DECIMAL(28,8))) AS sy,
+                     sum(CAST(CAST(x AS DECIMAL(28,8))
+                              * CAST(y AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS sxy,
+                     sum(CAST(CAST(x AS DECIMAL(28,8))
+                              * CAST(x AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS sxx,
+                     sum(CAST(CAST(y AS DECIMAL(28,8))
+                              * CAST(y AS DECIMAL(28,8))
+                              AS DECIMAL(38,10))) AS syy
+              FROM d WHERE x IS NOT NULL AND y IS NOT NULL
+              GROUP BY 1),
+            e AS (
+              SELECT p_brand, n,
+                     CAST(n AS DOUBLE) AS nd,
+                     CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd,
+                     CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                     CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+                     CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+              FROM m)
+            SELECT p_brand, CAST(n AS BIGINT) AS n,
+                   CAST(ROUND(CASE WHEN vx > 0 THEN cov / vx END, 4)
+                        AS DOUBLE) AS elasticity,
+                   CAST(ROUND(CASE WHEN vx > 0
+                              THEN (syd - (cov / vx) * sxd) / nd END, 4)
+                        AS DOUBLE) AS intercept,
+                   CAST(ROUND(CASE WHEN vx > 0 AND vy > 0
+                                   THEN (cov * cov) / (vx * vy)
+                              WHEN vx > 0 AND vy = 0 THEN 1.0 END, 4)
+                        AS DOUBLE) AS r2
+            FROM e
         """,
         "cuped_events": """
             WITH per AS (

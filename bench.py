@@ -200,6 +200,10 @@ HEADLINE = [
     "min_cost_supplier_q2",
     "important_stock_q11",
     "promo_suppliers_q20",
+    "qini_orders",
+    "abc_xyz_parts",
+    "order_gaps",
+    "elasticity_brands",
 ]
 
 

@@ -308,3 +308,102 @@ def pareto_contribution(
         F.lit(float(target_share)).alias("target_share"))
     from feathr_spark.operators._cache import attach_intermediates
     return attach_intermediates(res, (scored,))
+
+
+def abc_xyz(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    period_col,
+    a_cut: float = 0.80,
+    b_cut: float = 0.95,
+    x_cut: float = 0.50,
+    y_cut: float = 1.00,
+    buckets: int = 64,
+) -> DataFrame:
+    """ABC/XYZ inventory segmentation: each key gets an ABC class from
+    its cumulative-from-top share of total value (A while the running
+    share ≤ ``a_cut``, B while ≤ ``b_cut``, else C — the Pareto axis)
+    and an XYZ class from the coefficient of variation of its
+    per-period demand (X stable cv ≤ ``x_cut``, Y ≤ ``y_cut``, else Z —
+    the predictability axis). The 9-cell grid drives stocking policy /
+    curation priorities.
+
+    Plan: one (key, period) aggregate, one per-key moment aggregate
+    (DECIMAL-exact: total, n, Σv, Σv² of period sums), then the
+    cumulative-from-top share via :func:`pareto_contribution`'s
+    bucketed-prefix algebra over the DISTINCT per-key totals (range
+    buckets + windows over bucket-sized frames — no global sort; ties
+    all-inclusive, so equal totals always land in the same class at any
+    parallelism). The per-key frame joins the distinct-value share
+    frame on the exact DECIMAL total. Both class boundaries compare on
+    6-dp-rounded statistics so the cut is engine-portable. ``period_col``
+    may be a Column expression (e.g. ``date_trunc``).
+
+    Output: ``(key, total_value, share_cum, abc, n_periods, cv, xyz)``.
+    """
+    per_kp = (df.where(F.col(value_col).isNotNull())
+              .groupBy(F.col(key_col).alias("__key"),
+                       (period_col if not isinstance(period_col, str)
+                        else F.col(period_col)).alias("__p"))
+              .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                   .alias("__pv")))
+    per_key = (per_kp.groupBy("__key")
+               .agg(F.sum("__pv").alias("__v"),
+                    F.count(F.lit(1)).alias("__np"),
+                    F.sum((F.col("__pv") * F.col("__pv"))
+                          .cast("decimal(38,10)")).alias("__svv")))
+    # distinct-total prefix shares (pareto_contribution's bucket plan)
+    s = per_key.groupBy("__v").agg(F.count(F.lit(1)).alias("__k"))
+    bounds = s.agg(F.min(F.col("__v").cast("double")).alias("__lo"),
+                   F.max(F.col("__v").cast("double")).alias("__hi"),
+                   F.sum(F.col("__v") * F.col("__k")).alias("__tot"))
+    sb = s.crossJoin(F.broadcast(bounds))
+    lo, hi = F.col("__lo"), F.col("__hi")
+    width = (hi - lo) / F.lit(int(buckets))
+    bkt = (F.when(hi == lo, F.lit(0))
+           .otherwise(F.least(
+               F.floor((F.col("__v").cast("double") - lo) / width),
+               F.lit(int(buckets) - 1)))).cast("bigint")
+    sb = sb.select("__v", "__k", "__tot", bkt.alias("__b"))
+    bt = (sb.groupBy(F.lit(0).alias("__g"), "__b")
+          .agg(F.sum(F.col("__v") * F.col("__k")).alias("__bs")))
+    woff = (Window.partitionBy("__g").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    offs = bt.select("__b", F.coalesce(
+        F.sum("__bs").over(woff),
+        F.lit(0).cast("decimal(38,8)")).alias("__off"))
+    wrun = (Window.partitionBy("__b").orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    # cumulative-from-top share INCLUDING this value's full tie class
+    shares = (sb.join(F.broadcast(offs), "__b")
+              .select("__v",
+                      ((F.col("__tot")
+                        - F.coalesce(F.sum(F.col("__v") * F.col("__k"))
+                                     .over(wrun),
+                                     F.lit(0).cast("decimal(38,8)"))
+                        - F.col("__off")).cast("double")
+                       / F.col("__tot").cast("double"))
+                      .alias("__share")))
+    j = per_key.join(shares, "__v")
+    n = F.col("__np").cast("double")
+    sv = F.col("__v").cast("double")
+    svv = F.col("__svv").cast("double")
+    mean = sv / n
+    var = F.when(n > 1, (svv - sv * sv / n) / (n - 1))
+    cv = F.round(F.when((var >= 0) & (mean != 0), F.sqrt(var) / mean)
+                 + F.lit(1e-9), 6)
+    share_r = F.round(F.col("__share") + F.lit(1e-9), 6)
+    abc = (F.when(share_r <= a_cut, "A")
+           .when(share_r <= b_cut, "B").otherwise("C"))
+    xyz = (F.when(cv.isNull(), "Z")
+           .when(cv <= x_cut, "X")
+           .when(cv <= y_cut, "Y").otherwise("Z"))
+    return j.select(
+        F.col("__key").alias(key_col),
+        F.col("__v").cast("double").alias("total_value"),
+        share_r.cast("double").alias("share_cum"),
+        abc.alias("abc"),
+        F.col("__np").cast("bigint").alias("n_periods"),
+        cv.cast("double").alias("cv"),
+        xyz.alias("xyz"))

@@ -152,3 +152,49 @@ def top_paths(
     return (paths.groupBy("path").agg(F.count("*").alias("n_occurrences"))
             .orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
             .limit(k))
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tie_col: str = None,
+    unit_seconds: int = 86400,
+) -> DataFrame:
+    """Per-entity inter-arrival gap profile: for each key with ≥ 2
+    events, the count, mean, min and max of consecutive gaps (in
+    ``unit_seconds`` units — days by default), plus the span between
+    first and last event. The purchase-cadence / heartbeat-regularity
+    readout behind churn features and re-engagement triggers.
+
+    Plan: ONE window partitioned by the key (scale-safe — never a
+    global sort; ``tie_col`` breaks equal timestamps deterministically)
+    computes each row's lag, then ONE aggregate collapses to the key.
+    Gaps are exact integer second differences scaled in DOUBLE at the
+    end, so means are order-stable at any parallelism (integer-sum /
+    count).
+    """
+    order = [F.col(ts_col).cast("timestamp")]
+    if tie_col is not None:
+        order.append(F.col(tie_col))
+    w = Window.partitionBy(key_col).orderBy(*order)
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    gap = secs - F.lag(secs).over(w)
+    g = (df.where(F.col(ts_col).isNotNull())
+         .select(F.col(key_col), gap.alias("__gap")))
+    out = (g.groupBy(key_col)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.count("__gap").alias("__ng"),
+                F.sum("__gap").alias("__sg"),
+                F.min("__gap").alias("__mn"),
+                F.max("__gap").alias("__mx"))
+           .where(F.col("__ng") >= 1))
+    u = F.lit(float(unit_seconds))
+    return out.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n_events"),
+        (F.col("__sg").cast("double") / u).alias("span"),
+        (F.col("__sg").cast("double")
+         / F.col("__ng").cast("double") / u).alias("avg_gap"),
+        (F.col("__mn").cast("double") / u).alias("min_gap"),
+        (F.col("__mx").cast("double") / u).alias("max_gap"))

@@ -67,6 +67,10 @@ BROADCAST_LOOP_OK = {
     # 1-row bounds / percentile-cuts frames broadcast onto every data row
     "value_histogram",
     "decile_bins",
+    # 1-row decile-cuts frame broadcast onto every scored row
+    "qini_orders",
+    # 1-row value-bounds frame broadcast onto the distinct-total rows
+    "abc_xyz_parts",
     # 1-row right-domain count broadcast onto the distinct lefts
     "negative_pairs",
     # 1-row px-bounds frame broadcast onto the distinct-px rows
@@ -714,6 +718,17 @@ EXCHANGE_BUDGET = {
     # ONE conditional (part, supplier) aggregate + distinct-supplier
     # collapse; both dimension filters broadcast
     "promo_suppliers_q20": 2,
+    # bucket scan with broadcast decile cuts + per-bucket aggregate +
+    # the 10-row cumulative window
+    "qini_orders": 3,
+    # two data-sized aggregates ((key,period), key); the rest is the
+    # pareto bucketed-prefix algebra over distinct-total/bucket frames
+    # + the per-key share join (key-cardinality-sized both sides)
+    "abc_xyz_parts": 18,
+    # ONE key-partitioned lag window; the aggregate reuses its shuffle
+    "order_gaps": 1,
+    # one moment aggregate per brand; the part dim broadcasts
+    "elasticity_brands": 1,
 }
 
 
@@ -797,6 +812,11 @@ GLOBAL_WINDOW_OK = {
     # (the acf_daily contract)
     "rolling_corr_daily",
     "ccf_daily",
+    # the cumulative-depth window runs over the 10-bucket qini frame
+    "qini_orders",
+    # the bucketed-prefix OFFSET pass over the buckets-sized frame
+    # (pareto_customers contract)
+    "abc_xyz_parts",
 }
 
 

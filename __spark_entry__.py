@@ -2647,22 +2647,26 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey"))
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey"))
+    from feathr_spark.operators._cache import attach_intermediates
+    # persisted: the join+distinct edge build feeds BOTH the iteration
+    # (via hits' internal select) and the rescale counts below
     edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
              .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
                      .alias("src"),
                      F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
                      .alias("dst"))
-             .distinct())
+             .distinct().persist())
     out = hits(edges, iters=3)
     counts = edges.agg(
         F.countDistinct("src").cast("double").alias("__ns"),
         F.countDistinct("dst").cast("double").alias("__nd"))
-    return (out.crossJoin(F.broadcast(counts))
-            .select("id",
-                    F.round(F.col("hub") * F.col("__ns") + 1e-9, 4)
-                    .cast("double").alias("hub_rel"),
-                    F.round(F.col("authority") * F.col("__nd") + 1e-9, 4)
-                    .cast("double").alias("auth_rel")))
+    res = (out.crossJoin(F.broadcast(counts))
+           .select("id",
+                   F.round(F.col("hub") * F.col("__ns") + 1e-9, 4)
+                   .cast("double").alias("hub_rel"),
+                   F.round(F.col("authority") * F.col("__nd") + 1e-9, 4)
+                   .cast("double").alias("auth_rel")))
+    return attach_intermediates(res, (edges,))
 
 
 def q_bh_fdr_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7024,41 +7028,30 @@ def oracle_sql() -> dict[str, str]:
             dsts AS (SELECT DISTINCT v FROM e),
             ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM srcs),
             nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dsts),
-            h0 AS (SELECT u, 1.0 / ns.n AS s FROM srcs, ns),
-            a1r AS (SELECT e.v, sum(h0.s) AS s
-                    FROM e JOIN h0 ON e.u = h0.u GROUP BY 1),
-            a1 AS (SELECT v, s / (SELECT sum(s) FROM a1r) AS s
-                   FROM a1r),
-            h1r AS (SELECT e.u, sum(a1.s) AS s
-                    FROM e JOIN a1 ON e.v = a1.v GROUP BY 1),
-            h1 AS (SELECT u, s / (SELECT sum(s) FROM h1r) AS s
-                   FROM h1r),
-            a2r AS (SELECT e.v, sum(h1.s) AS s
-                    FROM e JOIN h1 ON e.u = h1.u GROUP BY 1),
-            a2 AS (SELECT v, s / (SELECT sum(s) FROM a2r) AS s
-                   FROM a2r),
-            h2r AS (SELECT e.u, sum(a2.s) AS s
-                    FROM e JOIN a2 ON e.v = a2.v GROUP BY 1),
-            h2 AS (SELECT u, s / (SELECT sum(s) FROM h2r) AS s
-                   FROM h2r),
-            a3r AS (SELECT e.v, sum(h2.s) AS s
-                    FROM e JOIN h2 ON e.u = h2.u GROUP BY 1),
-            a3 AS (SELECT v, s / (SELECT sum(s) FROM a3r) AS s
-                   FROM a3r),
-            h3r AS (SELECT e.u, sum(a3.s) AS s
-                    FROM e JOIN a3 ON e.v = a3.v GROUP BY 1),
-            h3 AS (SELECT u, s / (SELECT sum(s) FROM h3r) AS s
-                   FROM h3r)
+            a1 AS (SELECT v, CAST(count(*) AS DOUBLE) AS s
+                   FROM e GROUP BY 1),
+            h1 AS (SELECT e.u, sum(a1.s) AS s
+                   FROM e JOIN a1 ON e.v = a1.v GROUP BY 1),
+            a2 AS (SELECT e.v, sum(h1.s) AS s
+                   FROM e JOIN h1 ON e.u = h1.u GROUP BY 1),
+            h2 AS (SELECT e.u, sum(a2.s) AS s
+                   FROM e JOIN a2 ON e.v = a2.v GROUP BY 1),
+            a3 AS (SELECT e.v, sum(h2.s) AS s
+                   FROM e JOIN h2 ON e.u = h2.u GROUP BY 1),
+            h3 AS (SELECT e.u, sum(a3.s) AS s
+                   FROM e JOIN a3 ON e.v = a3.v GROUP BY 1),
+            th AS (SELECT sum(s) AS t FROM h3),
+            ta AS (SELECT sum(s) AS t FROM a3)
             SELECT h3.u AS id,
-                   CAST(ROUND(h3.s * ns.n + 1e-9, 4) AS DOUBLE)
+                   CAST(ROUND(h3.s / th.t * ns.n + 1e-9, 4) AS DOUBLE)
                        AS hub_rel,
                    CAST(0.0 AS DOUBLE) AS auth_rel
-            FROM h3, ns
+            FROM h3, th, ns
             UNION ALL
             SELECT a3.v,
                    CAST(0.0 AS DOUBLE),
-                   CAST(ROUND(a3.s * nd.n + 1e-9, 4) AS DOUBLE)
-            FROM a3, nd
+                   CAST(ROUND(a3.s / ta.t * nd.n + 1e-9, 4) AS DOUBLE)
+            FROM a3, ta, nd
         """,
         "bh_fdr_monthly": """
             WITH med AS (

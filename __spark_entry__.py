@@ -3864,6 +3864,88 @@ def q_elasticity_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "intercept", "r2")
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of the star schema's four core FK
+    edges: orphan rows/keys, NULL keys, parent coverage — one
+    key-cardinality full-outer join + one fold per edge."""
+    _utc(spark)
+    from feathr_spark.operators.quality import fk_audit
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    audits = [
+        fk_audit(li, "l_orderkey", orders, "o_orderkey",
+                 "lineitem->orders"),
+        fk_audit(li, "l_partkey", part, "p_partkey", "lineitem->part"),
+        fk_audit(li, "l_suppkey", supp, "s_suppkey",
+                 "lineitem->supplier"),
+        fk_audit(orders, "o_custkey", cust, "c_custkey",
+                 "orders->customer"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out
+
+
+def q_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over order co-purchase counts
+    (n_ab / sqrt(n_a * n_b)) — the classic neighborhood recommender
+    score, reusing the association pipeline's capped pair counts."""
+    _utc(spark)
+    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators._cache import (attach_intermediates,
+                                               release_intermediates)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey",
+                  F.col("l_partkey").cast("bigint").alias("l_partkey")))
+    rules = association_rules(li, "l_orderkey", "l_partkey",
+                              min_pair_count=3)
+    res = rules.select(
+        "item_a", "item_b", "n_ab",
+        F.round(F.col("n_ab").cast("double")
+                / F.sqrt(F.col("n_a").cast("double")
+                         * F.col("n_b").cast("double")) + 1e-9, 4)
+        .cast("double").alias("cosine"))
+    return attach_intermediates(res, getattr(rules, "_feathr_cached_deps",
+                                             ()))
+
+
+def q_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive holdout scorecard for daily revenue: MAE, sMAPE
+    and MASE over the last 30 days with week-ago predictions — the
+    baseline yardstick for the forecasting family."""
+    _utc(spark)
+    from feathr_spark.operators.forecast import seasonal_naive_eval
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = seasonal_naive_eval(orders, "o_orderdate", "o_totalprice",
+                              bucket_s=86400, season=7, holdout=30)
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select("n_train", "n_test", r4d("mae"), r4d("smape"),
+                      r4d("mase"))
+
+
+def q_kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=8 core peel of the customer-part purchase bipartite
+    graph: the dense repeat-interaction nucleus (fixed rounds — the
+    hits/pagerank no-convergence-collect policy)."""
+    _utc(spark)
+    from feathr_spark.operators.graph import kcore_peel
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+                     .alias("dst")))
+    out = kcore_peel(edges, k=8, rounds=3)
+    return out.select("id", "degree")
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4042,6 +4124,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "abc_xyz_parts": q_abc_xyz_parts,
         "order_gaps": q_order_gaps,
         "elasticity_brands": q_elasticity_brands,
+        "fk_audit": q_fk_audit,
+        "item_cosine": q_item_cosine,
+        "forecast_eval": q_forecast_eval,
+        "kcore_graph": q_kcore_graph,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -5833,6 +5919,165 @@ def oracle_sql() -> dict[str, str]:
                               WHEN vx > 0 AND vy = 0 THEN 1.0 END, 4)
                         AS DOUBLE) AS r2
             FROM e
+        """,
+        "fk_audit": """
+            WITH a1 AS (
+              SELECT 'lineitem->orders' AS edge, ck.k, ck.cn, pk.pq
+              FROM (SELECT l_orderkey AS k, count(*) AS cn
+                    FROM lineitem GROUP BY 1) ck
+              FULL OUTER JOIN (SELECT DISTINCT o_orderkey AS k, 1 AS pq
+                               FROM orders WHERE o_orderkey IS NOT NULL
+                              ) pk USING (k)),
+            a2 AS (
+              SELECT 'lineitem->part' AS edge, ck.k, ck.cn, pk.pq
+              FROM (SELECT l_partkey AS k, count(*) AS cn
+                    FROM lineitem GROUP BY 1) ck
+              FULL OUTER JOIN (SELECT DISTINCT p_partkey AS k, 1 AS pq
+                               FROM part WHERE p_partkey IS NOT NULL
+                              ) pk USING (k)),
+            a3 AS (
+              SELECT 'lineitem->supplier' AS edge, ck.k, ck.cn, pk.pq
+              FROM (SELECT l_suppkey AS k, count(*) AS cn
+                    FROM lineitem GROUP BY 1) ck
+              FULL OUTER JOIN (SELECT DISTINCT s_suppkey AS k, 1 AS pq
+                               FROM supplier WHERE s_suppkey IS NOT NULL
+                              ) pk USING (k)),
+            a4 AS (
+              SELECT 'orders->customer' AS edge, ck.k, ck.cn, pk.pq
+              FROM (SELECT o_custkey AS k, count(*) AS cn
+                    FROM orders GROUP BY 1) ck
+              FULL OUTER JOIN (SELECT DISTINCT c_custkey AS k, 1 AS pq
+                               FROM customer WHERE c_custkey IS NOT NULL
+                              ) pk USING (k)),
+            u AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2
+                  UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM a4)
+            SELECT edge,
+                   CAST(COALESCE(sum(CASE WHEN cn IS NOT NULL
+                        THEN cn END), 0) AS BIGINT) AS n_child_rows,
+                   CAST(COALESCE(sum(CASE WHEN cn IS NOT NULL
+                        AND k IS NULL THEN cn END), 0) AS BIGINT)
+                       AS n_null_keys,
+                   CAST(COALESCE(sum(CASE WHEN cn IS NOT NULL
+                        AND k IS NOT NULL AND pq IS NULL THEN cn END),
+                        0) AS BIGINT) AS n_orphan_rows,
+                   CAST(count(CASE WHEN cn IS NOT NULL
+                        AND k IS NOT NULL AND pq IS NULL THEN 1 END)
+                        AS BIGINT) AS n_orphan_keys,
+                   CAST(count(CASE WHEN pq IS NOT NULL THEN 1 END)
+                        AS BIGINT) AS n_parent_keys,
+                   CAST(count(CASE WHEN pq IS NOT NULL
+                        AND cn IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_referenced_keys,
+                   CAST(CASE WHEN count(CASE WHEN pq IS NOT NULL
+                             THEN 1 END) > 0 THEN
+                        ROUND(CAST(count(CASE WHEN pq IS NOT NULL
+                                  AND cn IS NOT NULL THEN 1 END)
+                                  AS DOUBLE)
+                              / CAST(count(CASE WHEN pq IS NOT NULL
+                                    THEN 1 END) AS DOUBLE) + 1e-9, 4)
+                        END AS DOUBLE) AS referenced_frac,
+                   CAST(CASE WHEN COALESCE(sum(CASE WHEN cn IS NOT NULL
+                             THEN cn END), 0) > 0 THEN
+                        ROUND(CAST(COALESCE(sum(CASE WHEN cn IS NOT NULL
+                                  AND k IS NOT NULL AND pq IS NULL
+                                  THEN cn END), 0) AS DOUBLE)
+                              / CAST(COALESCE(sum(CASE WHEN
+                                    cn IS NOT NULL THEN cn END), 0)
+                                    AS DOUBLE) + 1e-9, 4)
+                        END AS DOUBLE) AS orphan_row_frac
+            FROM u GROUP BY 1
+        """,
+        "item_cosine": """
+            WITH b AS (
+              SELECT l_orderkey AS bk, CAST(l_partkey AS BIGINT) AS it
+              FROM lineitem WHERE l_partkey IS NOT NULL
+              GROUP BY 1, 2),
+            ok AS (SELECT bk FROM b GROUP BY bk
+                   HAVING count(*) <= 100),
+            bi AS (SELECT b.bk, b.it FROM b JOIN ok USING (bk)),
+            pc AS (
+              SELECT x.it AS a, y.it AS b2, count(*) AS n_ab
+              FROM bi x JOIN bi y ON x.bk = y.bk AND x.it < y.it
+              GROUP BY 1, 2 HAVING count(*) >= 3),
+            ic AS (SELECT it, count(*) AS n FROM bi GROUP BY 1)
+            SELECT pc.a AS item_a, pc.b2 AS item_b,
+                   CAST(pc.n_ab AS BIGINT) AS n_ab,
+                   CAST(ROUND(CAST(pc.n_ab AS DOUBLE)
+                              / sqrt(CAST(ia.n AS DOUBLE)
+                                     * CAST(ib.n AS DOUBLE)) + 1e-9, 4)
+                        AS DOUBLE) AS cosine
+            FROM pc
+            JOIN ic ia ON ia.it = pc.a
+            JOIN ic ib ON ib.it = pc.b2
+        """,
+        "forecast_eval": """
+            WITH s AS (
+              SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)
+                         AS b,
+                     sum(CAST(o_totalprice AS DECIMAL(28,8))) AS v
+              FROM orders
+              WHERE o_orderdate IS NOT NULL
+                AND o_totalprice IS NOT NULL
+              GROUP BY 1),
+            l AS (
+              SELECT b, v, lag(v, 7) OVER (ORDER BY b) AS p,
+                     row_number() OVER (ORDER BY b) AS rn,
+                     count(*) OVER () AS n
+              FROM s),
+            t AS (
+              SELECT v, p, (rn > n - 30) AS is_test,
+                     CAST(v AS DOUBLE) AS vd, CAST(p AS DOUBLE) AS pd
+              FROM l),
+            a AS (
+              SELECT count(CASE WHEN NOT is_test AND p IS NOT NULL
+                           THEN 1 END) AS ntr,
+                     count(CASE WHEN is_test AND p IS NOT NULL
+                           THEN 1 END) AS nte,
+                     sum(CASE WHEN is_test AND p IS NOT NULL
+                         THEN abs(v - p) END) AS se,
+                     sum(CASE WHEN is_test AND p IS NOT NULL THEN
+                       CAST(ROUND(CASE WHEN abs(vd) + abs(pd) > 0
+                            THEN 2.0 * abs(vd - pd)
+                                 / (abs(vd) + abs(pd)) END
+                            + 1e-12, 8) AS DECIMAL(18,8)) END) AS ss,
+                     sum(CASE WHEN NOT is_test AND p IS NOT NULL
+                         THEN abs(v - p) END) AS st
+              FROM t)
+            SELECT CAST(ntr AS BIGINT) AS n_train,
+                   CAST(nte AS BIGINT) AS n_test,
+                   CAST(ROUND(CASE WHEN nte > 0 THEN
+                        CAST(se AS DOUBLE) / CAST(nte AS DOUBLE) END
+                        + 1e-9, 4) AS DOUBLE) AS mae,
+                   CAST(ROUND(CASE WHEN nte > 0 THEN
+                        CAST(ss AS DOUBLE) / CAST(nte AS DOUBLE) END
+                        + 1e-9, 4) AS DOUBLE) AS smape,
+                   CAST(ROUND(CASE WHEN nte > 0 AND ntr > 0
+                        AND CAST(st AS DOUBLE) / CAST(ntr AS DOUBLE) > 0
+                        THEN (CAST(se AS DOUBLE) / CAST(nte AS DOUBLE))
+                             / (CAST(st AS DOUBLE) / CAST(ntr AS DOUBLE))
+                        END + 1e-9, 4) AS DOUBLE) AS mase
+            FROM a
+        """,
+        "kcore_graph": """
+            WITH he AS (
+              SELECT DISTINCT
+                     'c' || CAST(o.o_custkey AS VARCHAR) AS u,
+                     'p' || CAST(l.l_partkey AS VARCHAR) AS v
+              FROM orders o JOIN lineitem l
+                ON o.o_orderkey = l.l_orderkey),
+            e0 AS (SELECT u, v FROM he
+                   UNION SELECT v AS u, u AS v FROM he),
+            k1 AS (SELECT u FROM e0 GROUP BY u HAVING count(*) >= 8),
+            e1 AS (SELECT e0.u, e0.v FROM e0
+                   JOIN k1 a ON e0.u = a.u JOIN k1 b ON e0.v = b.u),
+            k2 AS (SELECT u FROM e1 GROUP BY u HAVING count(*) >= 8),
+            e2 AS (SELECT e1.u, e1.v FROM e1
+                   JOIN k2 a ON e1.u = a.u JOIN k2 b ON e1.v = b.u),
+            k3 AS (SELECT u FROM e2 GROUP BY u HAVING count(*) >= 8),
+            e3 AS (SELECT e2.u, e2.v FROM e2
+                   JOIN k3 a ON e2.u = a.u JOIN k3 b ON e2.v = b.u)
+            SELECT u AS id, CAST(count(*) AS BIGINT) AS degree
+            FROM e3 GROUP BY 1
         """,
         "cuped_events": """
             WITH per AS (

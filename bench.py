@@ -204,6 +204,10 @@ HEADLINE = [
     "abc_xyz_parts",
     "order_gaps",
     "elasticity_brands",
+    "fk_audit",
+    "item_cosine",
+    "forecast_eval",
+    "kcore_graph",
 ]
 
 

@@ -138,3 +138,79 @@ def cusum_changepoints(
     peak = F.max(F.abs(F.col("cusum"))).over(wk)
     return out.withColumn(
         "is_peak", (F.abs(F.col("cusum")) == peak) & peak.isNotNull())
+
+
+def seasonal_naive_eval(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 86400,
+    season: int = 7,
+    holdout: int = 30,
+) -> DataFrame:
+    """Holdout evaluation of the seasonal-naive forecaster (predict
+    bucket t with the actual from bucket t − season): MAE, sMAPE and
+    MASE over the last ``holdout`` buckets — the honest yardstick any
+    fancier forecaster must beat (MASE < 1 = better than this
+    baseline on its own training data; Hyndman & Koehler 2006).
+
+    The raw table collapses to the bucket series in one DECIMAL-exact
+    aggregate (the only data-sized shuffle); the seasonal lag, the
+    train/test split and both error folds run over the BUCKET-COUNT-
+    sized series frame (lag window ordered over a single global series
+    — inherently one partition, bounded by the date range, never the
+    raw table). MASE's scale is the TRAIN-side mean absolute seasonal
+    difference; a zero scale (perfectly periodic train) yields NULL
+    mase rather than infinity.
+
+    Output (1 row): ``(n_train, n_test, mae, smape, mase)``.
+    """
+    b = (F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                 / F.lit(int(bucket_s)))).alias("__b")
+    series = (df.where(F.col(ts_col).isNotNull()
+                       & F.col(value_col).isNotNull())
+              .groupBy(b)
+              .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                   .alias("__v")))
+    w = Window.orderBy("__b")
+    lagged = series.select(
+        "__b", "__v",
+        F.lag("__v", season).over(w).alias("__pred"),
+        (F.row_number().over(w)
+         > (F.count(F.lit(1)).over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))
+            - F.lit(int(holdout)))).alias("__is_test"))
+    # per-row stats accumulate as DECIMAL (order-independent exact
+    # sums — the repo-wide moment discipline): the absolute error is
+    # an exact decimal difference; the per-row sMAPE term is one
+    # deterministic double expression quantized to 8 dp before the sum
+    v = F.col("__v").cast("double")
+    p = F.col("__pred").cast("double")
+    err_dec = F.abs(F.col("__v") - F.col("__pred"))
+    errd = F.abs(v - p)
+    sm = F.round(F.when(F.abs(v) + F.abs(p) > 0,
+                        F.lit(2.0) * errd / (F.abs(v) + F.abs(p)))
+                 + F.lit(1e-12), 8).cast("decimal(18,8)")
+    test = F.col("__is_test") & F.col("__pred").isNotNull()
+    train = (~F.col("__is_test")) & F.col("__pred").isNotNull()
+    agg = lagged.agg(
+        F.count_if(train).alias("__ntr"),
+        F.count_if(test).alias("__nte"),
+        F.sum(F.when(test, err_dec)).alias("__se"),
+        F.sum(F.when(test, sm)).alias("__ss"),
+        F.sum(F.when(train, err_dec)).alias("__st"))
+    nte = F.col("__nte").cast("double")
+    ntr = F.col("__ntr").cast("double")
+    mae = F.when(F.col("__nte") > 0,
+                 F.col("__se").cast("double") / nte)
+    scale = F.when(F.col("__ntr") > 0,
+                   F.col("__st").cast("double") / ntr)
+    return agg.select(
+        F.col("__ntr").cast("bigint").alias("n_train"),
+        F.col("__nte").cast("bigint").alias("n_test"),
+        mae.cast("double").alias("mae"),
+        F.when(F.col("__nte") > 0,
+               F.col("__ss").cast("double") / nte).cast("double")
+        .alias("smape"),
+        F.when(scale > 0, mae / scale).cast("double").alias("mase"))

@@ -550,3 +550,51 @@ def modularity(edges: DataFrame, assign: DataFrame,
         F.col("__mod").cast("double").alias("modularity"))
     from feathr_spark.operators._cache import attach_intermediates
     return attach_intermediates(res, (e,))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    rounds: int = 4,
+) -> DataFrame:
+    """Fixed-round k-core peel over an UNDIRECTED graph: repeatedly
+    drop nodes of degree < k (``rounds`` times) and return the nodes
+    that survive, with their residual degree — the dense-substructure
+    filter behind spam-ring and community-nucleus detection.
+
+    Fixed rounds, not run-to-fixpoint, by the same policy as
+    :func:`pagerank`/:func:`hits`: no convergence collect in the loop,
+    deterministic cost, and an engine-portable oracle (the peel
+    unrolls to ``rounds`` SQL CTE stages). A graph whose peel hasn't
+    converged after ``rounds`` simply reports the partially-peeled
+    residual — callers needing the exact core raise ``rounds``
+    (diameter-bounded; peel cascades longer than ~4 hops are rare on
+    heavy-tailed graphs).
+
+    Plan per round: one degree aggregate (map-side combined — a hub's
+    edges never concentrate) + two key-side semi joins against the
+    NODE-sized survivor frame; the shrinking edge frame is
+    ``localCheckpoint``-ed per round (pagerank's measured lineage
+    guard). Directed input is symmetrized once up front; self-loops
+    are dropped.
+    """
+    if k < 1 or rounds < 1:
+        raise ValueError("kcore_peel: k and rounds must be >= 1")
+    half = (edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+            .where(F.col(src).isNotNull() & F.col(dst).isNotNull()
+                   & (F.col(src) != F.col(dst))))
+    e = half.union(half.select(F.col("__v").alias("__u"),
+                               F.col("__u").alias("__v"))) \
+        .distinct().localCheckpoint()
+    for _ in range(rounds):
+        keep = (e.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
+                .where(F.col("__d") >= int(k))
+                .select("__u"))
+        e = (e.join(keep, "__u", "semi")
+             .join(keep.withColumnRenamed("__u", "__v"), "__v", "semi")
+             .select("__u", "__v")
+             .localCheckpoint())
+    return (e.groupBy(F.col("__u").alias("id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))

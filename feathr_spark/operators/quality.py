@@ -358,3 +358,66 @@ def k_anonymity(
         cols.append(F.col("__lowdiv").cast("bigint")
                     .alias("low_diversity_groups"))
     return out.select(*cols)
+
+
+def fk_audit(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    edge: str = None,
+) -> DataFrame:
+    """Referential-integrity audit for one foreign-key edge: orphan
+    child rows/keys (no matching parent), NULL keys, and parent
+    coverage (fraction of parent keys actually referenced) — the
+    relational contract check run before any PIT join is trusted.
+
+    Plan: the child collapses to (key, row-count) in one map-side-
+    combined aggregate, the parent to its distinct keys; ONE full-outer
+    join of the two KEY-CARDINALITY-sized frames feeds a single fold.
+    The fact table is scanned once and never joined row-level, so a
+    skewed FK (one parent owning half the children) costs one partial-
+    agg cell, not a hot join partition.
+
+    Output (1 row): ``(edge, n_child_rows, n_null_keys,
+    n_orphan_rows, n_orphan_keys, n_parent_keys, n_referenced_keys,
+    referenced_frac, orphan_row_frac)``.
+    """
+    ck = (child.groupBy(F.col(child_key).alias("__k"))
+          .agg(F.count(F.lit(1)).alias("__cn")))
+    pk = (parent.select(F.col(parent_key).alias("__k"))
+          .where(F.col("__k").isNotNull()).distinct()
+          .withColumn("__p", F.lit(1)))
+    j = ck.join(pk, "__k", "full_outer")
+    child_side = F.col("__cn").isNotNull()
+    key_null = child_side & F.col("__k").isNull()
+    orphan = (child_side & F.col("__k").isNotNull()
+              & F.col("__p").isNull())
+    agg = j.agg(
+        F.coalesce(F.sum(F.when(child_side, F.col("__cn"))), F.lit(0))
+        .alias("__rows"),
+        F.coalesce(F.sum(F.when(key_null, F.col("__cn"))), F.lit(0))
+        .alias("__nulls"),
+        F.coalesce(F.sum(F.when(orphan, F.col("__cn"))), F.lit(0))
+        .alias("__orows"),
+        F.count_if(orphan).alias("__okeys"),
+        F.count_if(F.col("__p").isNotNull()).alias("__pkeys"),
+        F.count_if(F.col("__p").isNotNull() & child_side)
+        .alias("__refd"))
+    rows = F.col("__rows").cast("double")
+    return agg.select(
+        F.lit(edge or f"{child_key}->{parent_key}").alias("edge"),
+        F.col("__rows").cast("bigint").alias("n_child_rows"),
+        F.col("__nulls").cast("bigint").alias("n_null_keys"),
+        F.col("__orows").cast("bigint").alias("n_orphan_rows"),
+        F.col("__okeys").cast("bigint").alias("n_orphan_keys"),
+        F.col("__pkeys").cast("bigint").alias("n_parent_keys"),
+        F.col("__refd").cast("bigint").alias("n_referenced_keys"),
+        F.when(F.col("__pkeys") > 0,
+               F.round(F.col("__refd").cast("double")
+                       / F.col("__pkeys").cast("double") + F.lit(1e-9),
+                       4)).cast("double").alias("referenced_frac"),
+        F.when(rows > 0,
+               F.round(F.col("__orows").cast("double") / rows
+                       + F.lit(1e-9), 4)).cast("double")
+        .alias("orphan_row_frac"))

@@ -69,6 +69,9 @@ BROADCAST_LOOP_OK = {
     "decile_bins",
     # 1-row decile-cuts frame broadcast onto every scored row
     "qini_orders",
+    # the association pipeline's 1-row basket total broadcast
+    # (basket_rules / powerlaw_parts contract)
+    "item_cosine",
     # 1-row value-bounds frame broadcast onto the distinct-total rows
     "abc_xyz_parts",
     # 1-row right-domain count broadcast onto the distinct lefts
@@ -729,6 +732,17 @@ EXCHANGE_BUDGET = {
     "order_gaps": 1,
     # one moment aggregate per brand; the part dim broadcasts
     "elasticity_brands": 1,
+    # 4 FK edges x (child key collapse + parent distinct + the
+    # key-cardinality full-outer join feeding the fold)
+    "fk_audit": 12,
+    # the association pipeline's persisted basket subtree (basket_rules
+    # contract) + the cosine projection
+    "item_cosine": 8,
+    # daily DECIMAL collapse + the day-count-sized series window
+    "forecast_eval": 2,
+    # per-round peel shuffles are behind localCheckpoint truncation
+    # (pagerank contract); the visible plan is the final degree agg
+    "kcore_graph": 1,
 }
 
 
@@ -814,6 +828,9 @@ GLOBAL_WINDOW_OK = {
     "ccf_daily",
     # the cumulative-depth window runs over the 10-bucket qini frame
     "qini_orders",
+    # seasonal lag / split windows over the day-count-sized series
+    # (the acf_daily contract)
+    "forecast_eval",
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",

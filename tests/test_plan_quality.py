@@ -591,8 +591,9 @@ EXCHANGE_BUDGET = {
     # three consumers (pair join x2 + residual pass) + two 1-row folds
     "theil_sen_daily": 8,
     # hits ends in localCheckpoint (pagerank pattern): snapshot plan is
-    # the checkpoint scan + the side-count aggregate over the edge frame
-    "hits_bipartite": 2,
+    # the checkpoint scan + the join+distinct edge build (persisted,
+    # shared with the iteration) + the two-countDistinct rescale fold
+    "hits_bipartite": 4,
     # median fold + the (month, status, flag) cell aggregate + cell-
     # frame windows + the 12-row FDR windows
     "bh_fdr_monthly": 6,

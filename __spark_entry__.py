@@ -3946,6 +3946,54 @@ def q_kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "degree")
 
 
+def q_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Laspeyres/Paasche/Fisher price indices over lineitem
+    unit values, base = earliest shipping month; matched-sample parts
+    only. One (part, month) aggregate + item-sized base join."""
+    _utc(spark)
+    from feathr_spark.operators.olap import price_indices
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_extendedprice", "l_quantity",
+                  F.col("l_partkey"),
+                  F.date_trunc("month", F.col("l_shipdate")
+                               .cast("timestamp")).alias("period")))
+    out = price_indices(li, "l_partkey", "period",
+                        "l_extendedprice", "l_quantity")
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select(
+        F.date_format("period", "yyyy-MM-dd").alias("month"),
+        "n_items", r4d("laspeyres"), r4d("paasche"), r4d("fisher"))
+
+
+def q_burstiness_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user arrival burstiness (hourly Fano factor over each
+    user's own active span, empty buckets via the span term — never
+    materialized)."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import fano_factor
+    ev = _load_events(spark, sf_dir)
+    out = fano_factor(ev, "user_id", "ts", bucket_s=3600)
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_events", "span_buckets", "active_buckets",
+        r4d("mean_per_bucket"), r4d("fano"))
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> purchase time-to-convert: first-A/first-B-after-A per
+    user, exact p50/p90/mean latency hours + conversion rate."""
+    _utc(spark)
+    from feathr_spark.operators.funnel import funnel_latency
+    ev = _load_events(spark, sf_dir)
+    out = funnel_latency(ev, "user_id", "event_type", "ts",
+                         "view", "purchase")
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select("n_started", "n_converted", r4d("conv_rate"),
+                      r4d("mean_hours"), r4d("p50_hours"),
+                      r4d("p90_hours"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4128,6 +4176,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_cosine": q_item_cosine,
         "forecast_eval": q_forecast_eval,
         "kcore_graph": q_kcore_graph,
+        "price_index_monthly": q_price_index_monthly,
+        "burstiness_users": q_burstiness_users,
+        "funnel_latency": q_funnel_latency,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6078,6 +6129,119 @@ def oracle_sql() -> dict[str, str]:
                    JOIN k3 a ON e2.u = a.u JOIN k3 b ON e2.v = b.u)
             SELECT u AS id, CAST(count(*) AS BIGINT) AS degree
             FROM e3 GROUP BY 1
+        """,
+        "price_index_monthly": """
+            WITH per AS (
+              SELECT l_partkey AS k,
+                     date_trunc('month', l_shipdate) AS p,
+                     sum(CAST(l_extendedprice AS DECIMAL(28,8)))
+                         AS rev,
+                     sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+              GROUP BY 1, 2
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 0),
+            pv AS (
+              SELECT k, p,
+                     ROUND(CAST(rev AS DOUBLE) / CAST(q AS DOUBLE)
+                           + 1e-9, 6) AS pr,
+                     CAST(q AS DOUBLE) AS qd
+              FROM per),
+            b0 AS (SELECT min(p) AS p0 FROM per),
+            base AS (
+              SELECT pv.k, pv.pr AS pr0, pv.qd AS q0
+              FROM pv, b0 WHERE pv.p = b0.p0),
+            j AS (SELECT pv.p, pv.pr, pv.qd, base.pr0, base.q0
+                  FROM pv JOIN base ON pv.k = base.k),
+            a AS (
+              SELECT p,
+                     sum(CAST(ROUND(pr * q0 + 1e-9, 6)
+                         AS DECIMAL(28,6))) AS lt,
+                     sum(CAST(ROUND(pr0 * q0 + 1e-9, 6)
+                         AS DECIMAL(28,6))) AS lb,
+                     sum(CAST(ROUND(pr * qd + 1e-9, 6)
+                         AS DECIMAL(28,6))) AS pt,
+                     sum(CAST(ROUND(pr0 * qd + 1e-9, 6)
+                         AS DECIMAL(28,6))) AS pb,
+                     count(*) AS n
+              FROM j GROUP BY 1),
+            r AS (
+              SELECT p, n,
+                     CASE WHEN lb <> 0 THEN CAST(lt AS DOUBLE)
+                          / CAST(lb AS DOUBLE) END AS las,
+                     CASE WHEN pb <> 0 THEN CAST(pt AS DOUBLE)
+                          / CAST(pb AS DOUBLE) END AS paa
+              FROM a)
+            SELECT strftime(p, '%Y-%m-%d') AS month,
+                   CAST(n AS BIGINT) AS n_items,
+                   CAST(ROUND(las + 1e-9, 4) AS DOUBLE) AS laspeyres,
+                   CAST(ROUND(paa + 1e-9, 4) AS DOUBLE) AS paasche,
+                   CAST(ROUND(CASE WHEN las IS NOT NULL
+                        AND paa IS NOT NULL AND las * paa >= 0
+                        THEN sqrt(las * paa) END + 1e-9, 4) AS DOUBLE)
+                       AS fisher
+            FROM r
+        """,
+        "burstiness_users": """
+            WITH per AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b,
+                     count(*) AS c
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            a AS (
+              SELECT user_id, sum(c) AS n, sum(c * c) AS cc,
+                     count(*) AS nb, max(b) - min(b) + 1 AS span
+              FROM per GROUP BY 1)
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(span AS BIGINT) AS span_buckets,
+                   CAST(nb AS BIGINT) AS active_buckets,
+                   CAST(ROUND(CAST(n AS DOUBLE) / CAST(span AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS mean_per_bucket,
+                   CAST(ROUND(CASE WHEN span > 1
+                        AND CAST(n AS DOUBLE) / CAST(span AS DOUBLE) > 0
+                        THEN (CAST(cc AS DOUBLE) / CAST(span AS DOUBLE)
+                              - (CAST(n AS DOUBLE) / CAST(span AS DOUBLE))
+                                * (CAST(n AS DOUBLE)
+                                   / CAST(span AS DOUBLE)))
+                             / (CAST(n AS DOUBLE) / CAST(span AS DOUBLE))
+                        END + 1e-9, 4) AS DOUBLE) AS fano
+            FROM a
+        """,
+        "funnel_latency": """
+            WITH fa AS (
+              SELECT user_id AS u,
+                     min(CAST(floor(epoch(ts)) AS BIGINT)) AS ta
+              FROM events WHERE event_type = 'view' GROUP BY 1),
+            be AS (
+              SELECT user_id AS u,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS tb
+              FROM events WHERE event_type = 'purchase'),
+            conv AS (
+              SELECT be.u, min(be.tb) - min(fa.ta) AS lat
+              FROM be JOIN fa ON be.u = fa.u
+              WHERE be.tb >= fa.ta
+              GROUP BY 1),
+            st AS (
+              SELECT count(*) AS ns, count(conv.lat) AS nc,
+                     sum(conv.lat) AS sl,
+                     quantile_cont(conv.lat, 0.5) AS p50,
+                     quantile_cont(conv.lat, 0.9) AS p90
+              FROM fa LEFT JOIN conv ON fa.u = conv.u)
+            SELECT CAST(ns AS BIGINT) AS n_started,
+                   CAST(nc AS BIGINT) AS n_converted,
+                   CAST(ROUND(CASE WHEN ns > 0 THEN CAST(nc AS DOUBLE)
+                        / CAST(ns AS DOUBLE) END + 1e-9, 4) AS DOUBLE)
+                       AS conv_rate,
+                   CAST(ROUND(CASE WHEN nc > 0 THEN CAST(sl AS DOUBLE)
+                        / CAST(nc AS DOUBLE) / 3600.0 END + 1e-9, 4)
+                        AS DOUBLE) AS mean_hours,
+                   CAST(ROUND(p50 / 3600.0 + 1e-9, 4) AS DOUBLE)
+                       AS p50_hours,
+                   CAST(ROUND(p90 / 3600.0 + 1e-9, 4) AS DOUBLE)
+                       AS p90_hours
+            FROM st
         """,
         "cuped_events": """
             WITH per AS (

@@ -208,6 +208,9 @@ HEADLINE = [
     "item_cosine",
     "forecast_eval",
     "kcore_graph",
+    "price_index_monthly",
+    "burstiness_users",
+    "funnel_latency",
 ]
 
 

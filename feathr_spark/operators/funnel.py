@@ -187,3 +187,61 @@ def funnel_counts(
     return (counts
             .select(F.explode(F.array(*rows)).alias("__row"))
             .select("__row.step", "__row.step_type", "__row.n_users"))
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    step_a: str,
+    step_b: str,
+) -> DataFrame:
+    """Time-to-convert between two funnel steps: for each entity whose
+    first ``step_a`` event is followed (at or after it) by a
+    ``step_b`` event, the latency from that first A to the first
+    subsequent B — summarized as conversion counts and exact latency
+    percentiles (p50/p90) plus the mean, in hours.
+
+    Plan: one conditional aggregate collapses each entity to its first
+    A timestamp; the B events join that ENTITY-sized frame co-keyed
+    and fold to the first-B-after-A per entity; the final summary is a
+    1-row exact-percentile aggregate over the entity-sized latency
+    frame. Latencies are exact integer second differences; the mean
+    accumulates the integer sum (order-independent), percentiles are
+    PERCENTILE_CONT over the entity frame.
+
+    Output (1 row): ``(n_started, n_converted, conv_rate, mean_hours,
+    p50_hours, p90_hours)``.
+    """
+    secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    first_a = (df.where(F.col(type_col) == step_a)
+               .groupBy(F.col(user_col).alias("__u"))
+               .agg(F.min(secs).alias("__ta")))
+    b_events = (df.where(F.col(type_col) == step_b)
+                .select(F.col(user_col).alias("__u"), secs.alias("__tb")))
+    conv = (b_events.join(first_a, "__u")
+            .where(F.col("__tb") >= F.col("__ta"))
+            .groupBy("__u")
+            .agg((F.min("__tb") - F.min("__ta")).alias("__lat")))
+    stats = (first_a.join(conv, "__u", "left")
+             .agg(F.count(F.lit(1)).alias("__ns"),
+                  F.count("__lat").alias("__nc"),
+                  F.sum("__lat").alias("__sl"),
+                  F.percentile(F.col("__lat"), F.lit(0.5))
+                  .alias("__p50"),
+                  F.percentile(F.col("__lat"), F.lit(0.9))
+                  .alias("__p90")))
+    h = F.lit(3600.0)
+    nc = F.col("__nc").cast("double")
+    return stats.select(
+        F.col("__ns").cast("bigint").alias("n_started"),
+        F.col("__nc").cast("bigint").alias("n_converted"),
+        F.when(F.col("__ns") > 0,
+               nc / F.col("__ns").cast("double")).cast("double")
+        .alias("conv_rate"),
+        F.when(F.col("__nc") > 0,
+               F.col("__sl").cast("double") / nc / h).cast("double")
+        .alias("mean_hours"),
+        (F.col("__p50") / h).cast("double").alias("p50_hours"),
+        (F.col("__p90") / h).cast("double").alias("p90_hours"))

@@ -407,3 +407,74 @@ def abc_xyz(
         F.col("__np").cast("bigint").alias("n_periods"),
         cv.cast("double").alias("cv"),
         xyz.alias("xyz"))
+
+
+def price_indices(
+    df: DataFrame,
+    key_col: str,
+    period_col,
+    price_num_col: str,
+    qty_col: str,
+) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices per period against
+    the EARLIEST period as base — the bitemporal price-level readout
+    (inflation tracking, vendor-cost monitoring) every commerce
+    warehouse eventually builds.
+
+    Per (item, period): unit value p = Σ price-numerator / Σ qty and
+    the quantity total q. Laspeyres_t = Σ p_t·q_0 / Σ p_0·q_0 (base
+    basket), Paasche_t = Σ p_t·q_t / Σ p_0·q_t (current basket),
+    Fisher = √(L·P). Only items PRESENT in the base period enter (the
+    matched-sample convention — new items have no base price).
+
+    Engine-portable arithmetic: unit values quantize to 6-dp doubles
+    (one deterministic division), every cross term p·q rounds to 6 dp
+    and accumulates as DECIMAL — the exact-sum discipline — and the
+    final ratios are single double divisions. Plan: one (item, period)
+    aggregate (the only data-sized shuffle), the 1-row base-period
+    fold broadcast, the base frame re-joined per item (item-sized both
+    sides), one period-level aggregate.
+    """
+    per = (df.where(F.col(qty_col).isNotNull()
+                    & F.col(price_num_col).isNotNull())
+           .groupBy(F.col(key_col).alias("__k"),
+                    (period_col if not isinstance(period_col, str)
+                     else F.col(period_col)).alias("__p"))
+           .agg(F.sum(F.col(price_num_col).cast("decimal(28,8)"))
+                .alias("__rev"),
+                F.sum(F.col(qty_col).cast("decimal(18,2)"))
+                .alias("__q")))
+    per = per.where(F.col("__q") > 0).persist()
+    unit = F.round(F.col("__rev").cast("double")
+                   / F.col("__q").cast("double") + F.lit(1e-9), 6)
+    pv = per.select("__k", "__p", unit.alias("__pr"),
+                    F.col("__q").cast("double").alias("__qd"))
+    base_p = per.agg(F.min("__p").alias("__p0"))
+    base = (pv.join(F.broadcast(base_p), pv.__p == F.col("__p0"))
+            .select(F.col("__k"),
+                    F.col("__pr").alias("__pr0"),
+                    F.col("__qd").alias("__q0")))
+    j = pv.join(base, "__k")
+    term = lambda a, b: F.sum(
+        F.round(a * b + F.lit(1e-9), 6).cast("decimal(28,6)"))
+    agg = (j.groupBy("__p")
+           .agg(term(F.col("__pr"), F.col("__q0")).alias("__lt"),
+                term(F.col("__pr0"), F.col("__q0")).alias("__lb"),
+                term(F.col("__pr"), F.col("__qd")).alias("__pt"),
+                term(F.col("__pr0"), F.col("__qd")).alias("__pb"),
+                F.count(F.lit(1)).alias("__n")))
+    las = F.when(F.col("__lb") != 0,
+                 F.col("__lt").cast("double")
+                 / F.col("__lb").cast("double"))
+    paa = F.when(F.col("__pb") != 0,
+                 F.col("__pt").cast("double")
+                 / F.col("__pb").cast("double"))
+    res = agg.select(
+        F.col("__p").alias("period"),
+        F.col("__n").cast("bigint").alias("n_items"),
+        las.cast("double").alias("laspeyres"),
+        paa.cast("double").alias("paasche"),
+        F.when(las.isNotNull() & paa.isNotNull() & (las * paa >= 0),
+               F.sqrt(las * paa)).cast("double").alias("fisher"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (per,))

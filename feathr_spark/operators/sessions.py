@@ -198,3 +198,52 @@ def interarrival_stats(
          / F.col("__ng").cast("double") / u).alias("avg_gap"),
         (F.col("__mn").cast("double") / u).alias("min_gap"),
         (F.col("__mx").cast("double") / u).alias("max_gap"))
+
+
+def fano_factor(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per-entity burstiness of event arrivals: the Fano factor
+    (variance-to-mean ratio of per-bucket event counts over the
+    entity's OWN active span, empty buckets included) — ≈1 for a
+    Poisson process, >1 bursty, <1 metronomic. The behavioral-rhythm
+    feature behind bot and anomaly detection.
+
+    Exact integer algebra: per (entity, bucket) counts collapse once
+    (the only data-sized shuffle), then per entity Σc, Σc², the
+    non-empty bucket count and the span (max−min+1 buckets) fold in a
+    second aggregate; zero buckets enter the population variance via
+    the span term — never materialized. μ = Σc/span, population
+    Var = Σc²/span − μ²; both derived in double from exact integer
+    sums, so results are bit-stable at any parallelism. Entities whose
+    span is a single bucket get NULL fano (zero-variance-undefined).
+
+    Output: ``(key, n_events, span_buckets, active_buckets,
+    mean_per_bucket, fano)``.
+    """
+    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_s)))
+    per = (df.where(F.col(ts_col).isNotNull())
+           .groupBy(F.col(key_col), b.alias("__b"))
+           .agg(F.count(F.lit(1)).alias("__c")))
+    agg = (per.groupBy(key_col)
+           .agg(F.sum("__c").alias("__n"),
+                F.sum(F.col("__c") * F.col("__c")).alias("__cc"),
+                F.count(F.lit(1)).alias("__nb"),
+                (F.max("__b") - F.min("__b") + 1).alias("__span")))
+    n = F.col("__n").cast("double")
+    cc = F.col("__cc").cast("double")
+    span = F.col("__span").cast("double")
+    mu = n / span
+    var = cc / span - mu * mu
+    return agg.select(
+        F.col(key_col),
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.col("__span").cast("bigint").alias("span_buckets"),
+        F.col("__nb").cast("bigint").alias("active_buckets"),
+        mu.cast("double").alias("mean_per_bucket"),
+        F.when((F.col("__span") > 1) & (mu > 0), var / mu)
+        .cast("double").alias("fano"))

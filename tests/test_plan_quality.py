@@ -744,6 +744,14 @@ EXCHANGE_BUDGET = {
     # per-round peel shuffles are behind localCheckpoint truncation
     # (pagerank contract); the visible plan is the final degree agg
     "kcore_graph": 1,
+    # (part, month) unit-value aggregate (the only data-sized shuffle)
+    # + the item-sized base join + the period fold
+    "price_index_monthly": 5,
+    # (user, hour) count collapse + the per-user moment fold
+    "burstiness_users": 2,
+    # first-A aggregate + the co-keyed B join/fold + the 1-row
+    # percentile summary
+    "funnel_latency": 4,
 }
 
 

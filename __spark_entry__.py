@@ -3994,6 +3994,58 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                       r4d("p90_hours"))
 
 
+def q_woe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence table for order priority against the
+    finished-status label: one conditional aggregate + broadcast
+    totals; IV terms per category."""
+    _utc(spark)
+    from feathr_spark.operators.encoding import woe_encode
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderpriority",
+                      (F.col("o_orderstatus") == "F").cast("int")
+                      .alias("label")))
+    out = woe_encode(orders, "o_orderpriority", "label")
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select(F.col("category"), "n", "n_pos", "n_neg",
+                      r4d("pos_frac"), r4d("neg_frac"), r4d("woe"),
+                      r4d("iv_term"))
+
+
+def q_hhi_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Herfindahl concentration of brand revenue — is the
+    catalog's revenue concentrating into few brands? Part dim
+    broadcasts; one (month, brand) aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.olap import hhi
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select("p_partkey", "p_brand"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("rev"),
+                  F.date_trunc("month", F.col("l_shipdate")
+                               .cast("timestamp")).alias("period")))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    out = hhi(j, "p_brand", "period", "rev")
+    return out.select(
+        F.date_format("period", "yyyy-MM-dd").alias("month"),
+        "n_groups",
+        F.round(F.col("hhi") + 1e-9, 4).cast("double").alias("hhi"))
+
+
+def q_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue concentration by value decile
+    (exact percentile cuts broadcast; cumulative sums over the
+    10-bucket frame) — the curve behind gini_segments."""
+    _utc(spark)
+    from feathr_spark.operators.scaling import lorenz_curve
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = lorenz_curve(orders, "o_custkey", "o_totalprice", buckets=10)
+    r4d = lambda c: F.round(F.col(c) + 1e-9, 4).cast("double").alias(c)
+    return out.select("bucket", "n_keys", r4d("cum_pop_frac"),
+                      r4d("cum_value_frac"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4179,6 +4231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_index_monthly": q_price_index_monthly,
         "burstiness_users": q_burstiness_users,
         "funnel_latency": q_funnel_latency,
+        "woe_orders": q_woe_orders,
+        "hhi_brands": q_hhi_brands,
+        "lorenz_customers": q_lorenz_customers,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6242,6 +6297,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(p90 / 3600.0 + 1e-9, 4) AS DOUBLE)
                        AS p90_hours
             FROM st
+        """,
+        "woe_orders": """
+            WITH per AS (
+              SELECT o_orderpriority AS category,
+                     count(*) AS n,
+                     sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                         END) AS np
+              FROM orders
+              WHERE (CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    IN (0, 1)
+              GROUP BY 1),
+            tot AS (SELECT sum(np) AS tp, sum(n - np) AS tn FROM per),
+            j AS (
+              SELECT category, n, np, n - np AS nn,
+                     GREATEST(CAST(np AS DOUBLE) / CAST(tot.tp
+                              AS DOUBLE), 0.0001) AS pf,
+                     GREATEST(CAST(n - np AS DOUBLE) / CAST(tot.tn
+                              AS DOUBLE), 0.0001) AS nf
+              FROM per, tot)
+            SELECT category,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(np AS BIGINT) AS n_pos,
+                   CAST(nn AS BIGINT) AS n_neg,
+                   CAST(ROUND(pf + 1e-9, 4) AS DOUBLE) AS pos_frac,
+                   CAST(ROUND(nf + 1e-9, 4) AS DOUBLE) AS neg_frac,
+                   CAST(ROUND(ln(pf / nf) + 1e-9, 4) AS DOUBLE) AS woe,
+                   CAST(ROUND((pf - nf) * ln(pf / nf) + 1e-9, 4)
+                        AS DOUBLE) AS iv_term
+            FROM j
+        """,
+        "hhi_brands": """
+            WITH per AS (
+              SELECT date_trunc('month', l.l_shipdate) AS p,
+                     pt.p_brand AS g,
+                     sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(28,8))) AS v
+              FROM lineitem l JOIN part pt
+                ON l.l_partkey = pt.p_partkey
+              WHERE l.l_extendedprice * (1 - l.l_discount) IS NOT NULL
+              GROUP BY 1, 2),
+            tot AS (SELECT p, sum(v) AS t FROM per GROUP BY 1)
+            SELECT strftime(per.p, '%Y-%m-%d') AS month,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(ROUND(CAST(sum(CAST(ROUND(
+                        (CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+                        * (CAST(v AS DOUBLE) / CAST(t AS DOUBLE))
+                        + 1e-12, 10) AS DECIMAL(18,10))) AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS hhi
+            FROM per JOIN tot ON per.p = tot.p
+            GROUP BY 1
+        """,
+        "lorenz_customers": """
+            WITH per AS (
+              SELECT o_custkey,
+                     sum(CAST(o_totalprice AS DECIMAL(28,8))) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+            st AS (
+              SELECT list_transform(
+                       quantile_cont(CAST(v AS DOUBLE),
+                         [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                       c -> ROUND(c + 1e-9, 6)) AS cuts
+              FROM per),
+            bk AS (
+              SELECT per.v,
+                     len(list_filter(st.cuts,
+                         c -> CAST(per.v AS DOUBLE) > c)) AS bucket
+              FROM per, st),
+            a AS (
+              SELECT bucket, count(*) AS n, sum(v) AS s
+              FROM bk GROUP BY 1),
+            c AS (
+              SELECT bucket, n,
+                     sum(n) OVER w AS cn, sum(s) OVER w AS cs,
+                     sum(n) OVER () AS tn, sum(s) OVER () AS ts
+              FROM a
+              WINDOW w AS (ORDER BY bucket
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW))
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(n AS BIGINT) AS n_keys,
+                   CAST(ROUND(CAST(cn AS DOUBLE) / CAST(tn AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS cum_pop_frac,
+                   CAST(ROUND(CAST(cs AS DOUBLE) / CAST(ts AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS cum_value_frac
+            FROM c
         """,
         "cuped_events": """
             WITH per AS (

@@ -211,6 +211,9 @@ HEADLINE = [
     "price_index_monthly",
     "burstiness_users",
     "funnel_latency",
+    "woe_orders",
+    "hhi_brands",
+    "lorenz_customers",
 ]
 
 

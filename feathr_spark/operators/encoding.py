@@ -219,3 +219,52 @@ def rfm_scores(
     return out.withColumn(
         "rfm", F.concat_ws("", F.col("r_score"), F.col("f_score"),
                            F.col("m_score")))
+
+
+def woe_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    min_frac: float = 1e-4,
+) -> DataFrame:
+    """Weight-of-evidence table for a categorical feature against a
+    binary label: per category ``woe = ln(pos_frac / neg_frac)`` (the
+    credit-risk encode that linearizes categorical risk), plus each
+    category's information-value term; ``sum(iv_term)`` over the table
+    is the feature's IV (rule of thumb: < 0.02 useless, > 0.3 strong).
+
+    ONE conditional aggregate collapses the data to the category frame
+    (map-side combined — label counts per category, integer-exact);
+    the positive/negative grand totals come back as a broadcast 1-row
+    frame. Distribution fractions are floored at ``min_frac`` (the
+    standard zero-cell guard, mirroring drift_report's PSI floor) so
+    single-sided categories stay finite. NULL categories form their
+    own row (NULL is a value in risk scoring); NULL labels are
+    excluded.
+
+    Output: ``(category, n, n_pos, n_neg, pos_frac, neg_frac, woe,
+    iv_term)``.
+    """
+    y = F.col(label_col).cast("int")
+    base = df.where(y.isin(0, 1))
+    per = (base.groupBy(F.col(cat_col).alias("category"))
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum(y).alias("__np")))
+    tot = per.agg(F.sum("__np").alias("__tp"),
+                  F.sum(F.col("__n") - F.col("__np")).alias("__tn"))
+    j = per.crossJoin(F.broadcast(tot))
+    nn = F.col("__n") - F.col("__np")
+    pf = F.greatest(F.col("__np").cast("double")
+                    / F.col("__tp").cast("double"), F.lit(float(min_frac)))
+    nf = F.greatest(nn.cast("double") / F.col("__tn").cast("double"),
+                    F.lit(float(min_frac)))
+    woe = F.log(pf / nf)
+    return j.select(
+        "category",
+        F.col("__n").cast("bigint").alias("n"),
+        F.col("__np").cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        pf.cast("double").alias("pos_frac"),
+        nf.cast("double").alias("neg_frac"),
+        woe.cast("double").alias("woe"),
+        ((pf - nf) * woe).cast("double").alias("iv_term"))

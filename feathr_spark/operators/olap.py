@@ -478,3 +478,38 @@ def price_indices(
                F.sqrt(las * paa)).cast("double").alias("fisher"))
     from feathr_spark.operators._cache import attach_intermediates
     return attach_intermediates(res, (per,))
+
+
+def hhi(
+    df: DataFrame,
+    group_col: str,
+    period_col,
+    value_col: str,
+) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per period: the sum of
+    squared market shares over ``group_col`` (0 → atomized, 1 →
+    monopoly; antitrust flags ~0.25) — the concentration trend readout
+    for vendor/brand/source dependence.
+
+    One (period, group) DECIMAL aggregate (the only data-sized
+    shuffle); period totals join back period-cardinality-sized; each
+    share is one deterministic double division quantized to 10 dp so
+    the squared-share sum accumulates as DECIMAL (order-independent —
+    a raw double Σshare² would vary with partitioning).
+
+    Output: ``(period, n_groups, hhi)``.
+    """
+    per = (df.where(F.col(value_col).isNotNull())
+           .groupBy((period_col if not isinstance(period_col, str)
+                     else F.col(period_col)).alias("period"),
+                    F.col(group_col).alias("__g"))
+           .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                .alias("__v")))
+    tot = per.groupBy("period").agg(F.sum("__v").alias("__t"))
+    share = F.col("__v").cast("double") / F.col("__t").cast("double")
+    term = F.round(share * share + F.lit(1e-12), 10) \
+        .cast("decimal(18,10)")
+    return (per.join(F.broadcast(tot), "period")
+            .groupBy("period")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                 F.sum(term).cast("double").alias("hhi")))

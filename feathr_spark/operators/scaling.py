@@ -20,7 +20,7 @@ from __future__ import annotations
 from itertools import combinations
 from typing import List, Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -312,3 +312,45 @@ def mad_outliers(
             .withColumn("is_outlier",
                         F.coalesce(F.abs(z) > F.lit(k), F.lit(False)))
             .drop("__med", "__mad"))
+
+
+def lorenz_curve(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    buckets: int = 10,
+) -> DataFrame:
+    """Lorenz curve points over per-key totals: population deciles (by
+    total value, exact percentile cuts — no global sort) vs their
+    cumulative share of the total — the curve whose area complement is
+    the Gini coefficient (``stats.gini_by``); the inequality readout
+    for revenue/traffic/token-budget concentration.
+
+    Per-key totals collapse once (data-sized shuffle), bucket
+    membership comes from the broadcast percentile-cut frame
+    (:func:`quantile_bins`' count-strictly-below rule), and the
+    cumulative sums run over the BUCKETS-sized frame only. Value sums
+    stay DECIMAL end to end. Output, one row per non-empty bucket in
+    ascending value order: ``(bucket, n_keys, cum_pop_frac,
+    cum_value_frac)``.
+    """
+    per = (df.where(F.col(value_col).isNotNull())
+           .groupBy(F.col(key_col).alias("__k"))
+           .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
+                .alias("__v")))
+    b = quantile_bins(per, "__v", bins=buckets, round_cuts_dp=6)
+    agg = (b.groupBy(F.col("__v_bin").alias("bucket"))
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum("__v").alias("__s")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = (Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing))
+    return agg.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("__n").cast("bigint").alias("n_keys"),
+        (F.sum("__n").over(w).cast("double")
+         / F.sum("__n").over(tot).cast("double")).alias("cum_pop_frac"),
+        (F.sum("__s").over(w).cast("double")
+         / F.sum("__s").over(tot).cast("double"))
+        .alias("cum_value_frac"))

@@ -72,6 +72,10 @@ BROADCAST_LOOP_OK = {
     # the association pipeline's 1-row basket total broadcast
     # (basket_rules / powerlaw_parts contract)
     "item_cosine",
+    # 1-row pos/neg grand totals broadcast onto the category frame
+    "woe_orders",
+    # 1-row decile-cuts frame broadcast onto the per-key totals
+    "lorenz_customers",
     # 1-row value-bounds frame broadcast onto the distinct-total rows
     "abc_xyz_parts",
     # 1-row right-domain count broadcast onto the distinct lefts
@@ -752,6 +756,13 @@ EXCHANGE_BUDGET = {
     # first-A aggregate + the co-keyed B join/fold + the 1-row
     # percentile summary
     "funnel_latency": 4,
+    # category collapse + the 1-row pos/neg totals broadcast
+    "woe_orders": 3,
+    # (month, brand) aggregate + month-sized totals join + period fold
+    "hhi_brands": 4,
+    # per-key collapse + the broadcast decile cuts + the 10-bucket
+    # aggregate/window
+    "lorenz_customers": 5,
 }
 
 
@@ -840,6 +851,8 @@ GLOBAL_WINDOW_OK = {
     # seasonal lag / split windows over the day-count-sized series
     # (the acf_daily contract)
     "forecast_eval",
+    # cumulative windows over the 10-bucket lorenz frame
+    "lorenz_customers",
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",

@@ -107,3 +107,54 @@ def test_interarrival_tie_break_deterministic(spark):
         assert r["n_events"] == 3
         assert abs(r["min_gap"] - 0.0) < 1e-9
         assert abs(r["max_gap"] - 3.0) < 1e-9
+
+
+def test_woe_encode_hand_computed(spark):
+    from feathr_spark.operators.encoding import woe_encode
+    # cat A: 3 pos 1 neg; cat B: 1 pos 3 neg; totals 4 pos 4 neg
+    rows = [("A", 1)] * 3 + [("A", 0)] + [("B", 1)] + [("B", 0)] * 3
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = {r["category"]: r for r in woe_encode(df, "c", "y").collect()}
+    a = out["A"]
+    assert a["n"] == 4 and a["n_pos"] == 3 and a["n_neg"] == 1
+    assert abs(a["pos_frac"] - 0.75) < 1e-9
+    assert abs(a["neg_frac"] - 0.25) < 1e-9
+    assert abs(a["woe"] - math.log(3.0)) < 1e-9
+    assert abs(a["iv_term"] - 0.5 * math.log(3.0)) < 1e-9
+    assert abs(out["B"]["woe"] + math.log(3.0)) < 1e-9
+
+
+def test_woe_single_sided_category_finite(spark):
+    from feathr_spark.operators.encoding import woe_encode
+    rows = [("A", 1)] * 5 + [("B", 0)] * 5
+    df = spark.createDataFrame(rows, "c string, y int")
+    out = {r["category"]: r for r in woe_encode(df, "c", "y").collect()}
+    # zero cells floored at min_frac: finite, extreme-signed
+    assert out["A"]["woe"] > 5 and out["B"]["woe"] < -5
+    assert all(abs(r["woe"]) < 12 for r in out.values())
+
+
+def test_hhi_monopoly_vs_uniform(spark):
+    from feathr_spark.operators.olap import hhi
+    rows = [(1, "only", 100.0)]
+    rows += [(2, f"g{i}", 25.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "p int, g string, v double")
+    out = {r["period"]: r for r in hhi(df, "g", "p", "v").collect()}
+    assert abs(out[1]["hhi"] - 1.0) < 1e-6
+    assert out[1]["n_groups"] == 1
+    assert abs(out[2]["hhi"] - 0.25) < 1e-6
+
+
+def test_lorenz_extremes(spark):
+    from feathr_spark.operators.scaling import lorenz_curve
+    # 10 keys, one holds all the value
+    rows = [(k, 0.0001 if k else 1000.0) for k in range(10)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    out = sorted(lorenz_curve(df, "k", "v", buckets=10).collect(),
+                 key=lambda r: r["bucket"])
+    # last point is always (1, 1)
+    assert abs(out[-1]["cum_pop_frac"] - 1.0) < 1e-9
+    assert abs(out[-1]["cum_value_frac"] - 1.0) < 1e-9
+    # bottom ~90% of keys hold ~0 value
+    assert out[0]["cum_value_frac"] < 0.01
+    assert sum(r["n_keys"] for r in out) == 10

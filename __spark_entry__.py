@@ -4046,6 +4046,93 @@ def q_lorenz_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       r4d("cum_value_frac"))
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dedup scorecard: cluster count/size stats and the
+    removable-document fraction from the near-dup components — the
+    one-row summary a 100 TB dedup run reports before anyone commits
+    to dropping data."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import (duplicate_components,
+                                              minhash_lsh_pairs)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_perm=64,
+                              bands=21, shingle_k=5, threshold=0.7)
+    comp = duplicate_components(pairs)
+    sizes = (comp.groupBy("component_id")
+             .agg(F.count(F.lit(1)).alias("__sz")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__nd"))
+    agg = sizes.agg(F.count(F.lit(1)).alias("__nc"),
+                    F.sum("__sz").alias("__in"),
+                    F.max("__sz").alias("__mx"))
+    out = agg.crossJoin(F.broadcast(n_docs))
+    nd = F.col("__nd").cast("double")
+    return out.select(
+        F.col("__nd").cast("bigint").alias("n_docs"),
+        F.col("__in").cast("bigint").alias("n_clustered"),
+        F.col("__nc").cast("bigint").alias("n_clusters"),
+        F.col("__mx").cast("bigint").alias("max_cluster"),
+        F.round(F.col("__in").cast("double")
+                / F.col("__nc").cast("double") + 1e-9, 4)
+        .cast("double").alias("avg_cluster"),
+        F.round((F.col("__in") - F.col("__nc")).cast("double") / nd
+                + 1e-9, 4).cast("double").alias("removable_frac"))
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish tokens per whitespace
+    word and characters per token — the multilingual cost table behind
+    token-budgeted mixture planning. Integer sums only; one aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.text import (char_count, token_count,
+                                             word_token_count)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = docs.select(
+        "lang",
+        token_count(F.col("text")).alias("__w"),
+        word_token_count(F.col("text")).alias("__t"),
+        char_count(F.col("text")).alias("__c"))
+    agg = (per.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.sum("__w").alias("__sw"),
+                F.sum("__t").alias("__st"),
+                F.sum("__c").alias("__sc")))
+    return agg.select(
+        "lang",
+        F.col("__n").cast("bigint").alias("n_docs"),
+        F.col("__sw").cast("bigint").alias("n_words"),
+        F.col("__st").cast("bigint").alias("n_tokens"),
+        F.col("__sc").cast("bigint").alias("n_chars"),
+        F.when(F.col("__sw") > 0,
+               F.round(F.col("__st").cast("double")
+                       / F.col("__sw").cast("double") + 1e-9, 4))
+        .cast("double").alias("fertility"),
+        F.when(F.col("__st") > 0,
+               F.round(F.col("__sc").cast("double")
+                       / F.col("__st").cast("double") + 1e-9, 4))
+        .cast("double").alias("chars_per_token"))
+
+
+def q_feature_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type freshness report: event count, last-seen lag
+    (hours) behind the corpus watermark, staleness flag at 24 h —
+    "now" is the corpus max timestamp, so the readout is deterministic."""
+    _utc(spark)
+    ev = _load_events(spark, sf_dir)
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    per = (ev.where(F.col("ts").isNotNull())
+           .groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.max(secs).alias("__last")))
+    wm = per.agg(F.max("__last").alias("__wm"))
+    out = per.crossJoin(F.broadcast(wm))
+    lag_h = (F.col("__wm") - F.col("__last")).cast("double") / 3600.0
+    return out.select(
+        "event_type",
+        F.col("__n").cast("bigint").alias("n_events"),
+        F.round(lag_h + 1e-9, 4).cast("double").alias("lag_hours"),
+        (lag_h > 24.0).alias("is_stale"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4234,6 +4321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "woe_orders": q_woe_orders,
         "hhi_brands": q_hhi_brands,
         "lorenz_customers": q_lorenz_customers,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
+        "token_fertility": q_token_fertility,
+        "feature_freshness": q_feature_freshness,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -4646,6 +4736,22 @@ WITH RECURSIVE edges AS (
 SELECT CAST(id AS BIGINT) AS doc_id,
        CAST(min(r) AS BIGINT) AS component_id
 FROM reach GROUP BY id
+"""
+
+_CLUSTER_STATS_SQL = """
+WITH comp AS ({components}),
+nd AS (SELECT count(*) AS n FROM documents),
+cs AS (SELECT component_id, count(*) AS sz FROM comp GROUP BY 1),
+a AS (SELECT count(*) AS nc, sum(sz) AS nin, max(sz) AS mx FROM cs)
+SELECT CAST(nd.n AS BIGINT) AS n_docs,
+       CAST(a.nin AS BIGINT) AS n_clustered,
+       CAST(a.nc AS BIGINT) AS n_clusters,
+       CAST(a.mx AS BIGINT) AS max_cluster,
+       CAST(ROUND(CAST(a.nin AS DOUBLE) / CAST(a.nc AS DOUBLE)
+            + 1e-9, 4) AS DOUBLE) AS avg_cluster,
+       CAST(ROUND(CAST(a.nin - a.nc AS DOUBLE) / CAST(nd.n AS DOUBLE)
+            + 1e-9, 4) AS DOUBLE) AS removable_frac
+FROM a, nd
 """
 
 _JACCARD_NGRAM_SQL = """
@@ -6383,6 +6489,49 @@ def oracle_sql() -> dict[str, str]:
                         + 1e-9, 4) AS DOUBLE) AS cum_value_frac
             FROM c
         """,
+        "token_fertility": """
+            WITH per AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text),
+                                                      '\\s+')) END AS w,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+'))
+                     + len(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+                         AS t,
+                     length(text) AS c
+              FROM documents),
+            a AS (
+              SELECT lang, count(*) AS n, sum(w) AS sw, sum(t) AS st,
+                     sum(c) AS sc
+              FROM per GROUP BY 1)
+            SELECT lang,
+                   CAST(n AS BIGINT) AS n_docs,
+                   CAST(sw AS BIGINT) AS n_words,
+                   CAST(st AS BIGINT) AS n_tokens,
+                   CAST(sc AS BIGINT) AS n_chars,
+                   CAST(CASE WHEN sw > 0 THEN
+                        ROUND(CAST(st AS DOUBLE) / CAST(sw AS DOUBLE)
+                              + 1e-9, 4) END AS DOUBLE) AS fertility,
+                   CAST(CASE WHEN st > 0 THEN
+                        ROUND(CAST(sc AS DOUBLE) / CAST(st AS DOUBLE)
+                              + 1e-9, 4) END AS DOUBLE)
+                       AS chars_per_token
+            FROM a
+        """,
+        "feature_freshness": """
+            WITH per AS (
+              SELECT event_type, count(*) AS n,
+                     max(CAST(floor(epoch(ts)) AS BIGINT)) AS last
+              FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            wm AS (SELECT max(last) AS w FROM per)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(ROUND(CAST(wm.w - last AS DOUBLE) / 3600.0
+                        + 1e-9, 4) AS DOUBLE) AS lag_hours,
+                   (CAST(wm.w - last AS DOUBLE) / 3600.0 > 24.0)
+                       AS is_stale
+            FROM per, wm
+        """,
         "cuped_events": """
             WITH per AS (
               SELECT user_id,
@@ -7936,6 +8085,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _JACCARD_CHAR_SQL,
         "doc_chunks": _DOC_CHUNKS_SQL,
         "dedup_components": _COMPONENTS_SQL.format(jaccard=_JACCARD_CHAR_SQL),
+        "dedup_cluster_stats": _CLUSTER_STATS_SQL.format(
+            components=_COMPONENTS_SQL.format(jaccard=_JACCARD_CHAR_SQL)),
         "quota_sample": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

@@ -214,6 +214,9 @@ HEADLINE = [
     "woe_orders",
     "hhi_brands",
     "lorenz_customers",
+    "dedup_cluster_stats",
+    "token_fertility",
+    "feature_freshness",
 ]
 
 

@@ -74,6 +74,10 @@ BROADCAST_LOOP_OK = {
     "item_cosine",
     # 1-row pos/neg grand totals broadcast onto the category frame
     "woe_orders",
+    # 1-row doc-count frame crossed onto the 1-row cluster fold
+    "dedup_cluster_stats",
+    # 1-row corpus watermark broadcast onto the per-type frame
+    "feature_freshness",
     # 1-row decile-cuts frame broadcast onto the per-key totals
     "lorenz_customers",
     # 1-row value-bounds frame broadcast onto the distinct-total rows
@@ -763,6 +767,14 @@ EXCHANGE_BUDGET = {
     # per-key collapse + the broadcast decile cuts + the 10-bucket
     # aggregate/window
     "lorenz_customers": 5,
+    # the minhash pair pipeline + components collapse into cluster
+    # sizes + the 1-row doc-count cross (pipeline shuffles sit behind
+    # the components localCheckpoint)
+    "dedup_cluster_stats": 3,
+    # ONE per-language aggregate over row-local token counts
+    "token_fertility": 1,
+    # per-type aggregate + the 1-row watermark broadcast
+    "feature_freshness": 3,
 }
 
 

@@ -4133,6 +4133,77 @@ def q_feature_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (lag_h > 24.0).alias("is_stale"))
 
 
+def q_incremental_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance correctness gate, driver-verified: the
+    events table splits at a cutoff, each half rolls up RAW (exact
+    decimal partials), the halves merge, and the finalized result must
+    equal a direct full recompute (the oracle) — the continuous-
+    aggregate refresh contract at 100 TB (new data touches only its
+    own buckets; history is never rescanned)."""
+    _utc(spark)
+    from feathr_spark.operators.profile import (finalize_rollup,
+                                                merge_rollups,
+                                                time_rollup)
+    # value pre-quantized to 6 dp with the repo-wide nudge: the
+    # operator's internal DECIMAL cast would otherwise inherit the two
+    # engines' different double->decimal tie rounding (observed: one
+    # sf0.001 row's v_avg flipping a 4-dp boundary by 1.25e-7)
+    ev = _load_events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") + F.lit(1e-9), 6))
+    split = F.lit("2024-01-16").cast("timestamp")
+    lo = ev.where(F.col("ts").cast("timestamp") < split)
+    hi = ev.where(F.col("ts").cast("timestamp") >= split)
+    ra = time_rollup(lo, "ts", ["event_type"], "value",
+                     levels=("day",), raw=True)
+    rb = time_rollup(hi, "ts", ["event_type"], "value",
+                     levels=("day",), raw=True)
+    out = finalize_rollup(merge_rollups(ra, rb))
+    return out.select("event_type", "resolution", "bucket_start",
+                      "n_events", "v_sum", "v_min", "v_max", "v_avg")
+
+
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between the two id-parity
+    halves of the corpus: cosine of the half-centroids — the
+    representation-shift monitor for embedding pipelines. Components
+    quantize to 6 dp and sum as DECIMAL (order-independent), so the
+    centroid algebra is engine-exact; one posexplode shuffle on
+    (label, position, half)."""
+    _utc(spark)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    half = (F.col("vec_id") % 2 == 0).cast("int")
+    comp = (emb.select("label", half.alias("__h"),
+                       F.posexplode("embedding").alias("__p", "__x"))
+            .select("label", "__h", "__p",
+                    F.round(F.col("__x").cast("double") + F.lit(1e-9), 6)
+                    .cast("decimal(18,6)").alias("__x")))
+    cent = (comp.groupBy("label", "__h", "__p")
+            .agg(F.sum("__x").alias("__s"),
+                 F.count(F.lit(1)).alias("__n")))
+    c = cent.select("label", "__h", "__p",
+                    F.round(F.col("__s").cast("double")
+                            / F.col("__n").cast("double")
+                            + F.lit(1e-9), 6).alias("__m"))
+    a = c.where(F.col("__h") == 0).select("label", "__p",
+                                          F.col("__m").alias("__a"))
+    b = c.where(F.col("__h") == 1).select("label", "__p",
+                                          F.col("__m").alias("__b"))
+    j = a.join(b, ["label", "__p"])
+    term = lambda e: F.round(e + F.lit(1e-12), 10).cast("decimal(28,10)")
+    agg = (j.groupBy("label")
+           .agg(F.sum(term(F.col("__a") * F.col("__b"))).alias("__ab"),
+                F.sum(term(F.col("__a") * F.col("__a"))).alias("__aa"),
+                F.sum(term(F.col("__b") * F.col("__b"))).alias("__bb")))
+    ab = F.col("__ab").cast("double")
+    aa = F.col("__aa").cast("double")
+    bb = F.col("__bb").cast("double")
+    cos = F.when((aa > 0) & (bb > 0), ab / F.sqrt(aa * bb))
+    return agg.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.round(cos + F.lit(1e-9), 4).cast("double")
+        .alias("centroid_cosine"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4324,6 +4395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "token_fertility": q_token_fertility,
         "feature_freshness": q_feature_freshness,
+        "incremental_rollup_gate": q_incremental_rollup_gate,
+        "centroid_drift": q_centroid_drift,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6532,6 +6605,67 @@ def oracle_sql() -> dict[str, str]:
                        AS is_stale
             FROM per, wm
         """,
+        "incremental_rollup_gate": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                     ROUND(value + 1e-9, 6) AS value
+              FROM events),
+            d AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS bucket_start,
+                     COUNT(*) AS n,
+                     SUM(CAST(value AS DECIMAL(27,6))) AS s,
+                     MIN(value) AS mn, MAX(value) AS mx
+              FROM e GROUP BY 1, 2)
+            SELECT event_type, 'day' AS resolution, bucket_start,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(ROUND(CAST(s AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS v_sum,
+                   CAST(mn AS DOUBLE) AS v_min,
+                   CAST(mx AS DOUBLE) AS v_max,
+                   CAST(ROUND(CAST(s AS DOUBLE) / n + 1e-9, 4) AS DOUBLE)
+                       AS v_avg
+            FROM d
+        """,
+        "centroid_drift": """
+            WITH comp AS (
+              SELECT label,
+                     CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS h,
+                     generate_subscripts(embedding, 1) AS p,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                          + 1e-9, 6) AS DECIMAL(18,6)) AS x
+              FROM embeddings),
+            cent AS (
+              SELECT label, h, p, sum(x) AS s, count(*) AS n
+              FROM comp GROUP BY 1, 2, 3),
+            c AS (
+              SELECT label, h, p,
+                     ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                           + 1e-9, 6) AS m
+              FROM cent),
+            j AS (
+              SELECT a.label, a.m AS ma, b.m AS mb
+              FROM (SELECT * FROM c WHERE h = 0) a
+              JOIN (SELECT * FROM c WHERE h = 1) b
+                ON a.label = b.label AND a.p = b.p),
+            agg AS (
+              SELECT label,
+                     sum(CAST(ROUND(ma * mb + 1e-12, 10)
+                         AS DECIMAL(28,10))) AS ab,
+                     sum(CAST(ROUND(ma * ma + 1e-12, 10)
+                         AS DECIMAL(28,10))) AS aa,
+                     sum(CAST(ROUND(mb * mb + 1e-12, 10)
+                         AS DECIMAL(28,10))) AS bb
+              FROM j GROUP BY 1)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(ROUND(CASE WHEN CAST(aa AS DOUBLE) > 0
+                        AND CAST(bb AS DOUBLE) > 0
+                        THEN CAST(ab AS DOUBLE)
+                             / sqrt(CAST(aa AS DOUBLE)
+                                    * CAST(bb AS DOUBLE)) END
+                        + 1e-9, 4) AS DOUBLE) AS centroid_cosine
+            FROM agg
+        """,
         "cuped_events": """
             WITH per AS (
               SELECT user_id,
@@ -8227,16 +8361,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(user_id AS BIGINT) AS user_id,
                    'hour' AS resolution, bucket_start,
                    CAST(n AS BIGINT) AS n_events,
-                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE) AS v_sum,
+                   CAST(ROUND(CAST(s AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS v_sum,
                    CAST(mn AS DOUBLE) AS v_min, CAST(mx AS DOUBLE) AS v_max,
-                   CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE) AS v_avg
+                   CAST(ROUND(CAST(s AS DOUBLE) / n + 1e-9, 4) AS DOUBLE) AS v_avg
             FROM h
             UNION ALL
             SELECT CAST(user_id AS BIGINT), 'day', bucket_start,
                    CAST(n AS BIGINT),
-                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE),
+                   CAST(ROUND(CAST(s AS DOUBLE) + 1e-9, 4) AS DOUBLE),
                    CAST(mn AS DOUBLE), CAST(mx AS DOUBLE),
-                   CAST(ROUND(CAST(s AS DOUBLE) / n, 4) AS DOUBLE)
+                   CAST(ROUND(CAST(s AS DOUBLE) / n + 1e-9, 4) AS DOUBLE)
             FROM d
         """,
         # Winnow-overlap mirror: identical sketch (char 16-grams, window 8,

@@ -217,6 +217,8 @@ HEADLINE = [
     "dedup_cluster_stats",
     "token_fertility",
     "feature_freshness",
+    "incremental_rollup_gate",
+    "centroid_drift",
 ]
 
 

@@ -185,12 +185,19 @@ def finalize_rollup(raw: DataFrame) -> DataFrame:
     """Raw partials → the output schema (rounded-double v_sum / v_avg)."""
     keys = [c for c in raw.columns
             if c not in ("n_events", "__sum", "v_min", "v_max")]
+    # +1e-9 nudge (repo-wide convention): Spark's round() goes through
+    # the double's SHORTEST DECIMAL string (BigDecimal.valueOf), so a
+    # binary value just under a half-boundary can round UP in Spark and
+    # DOWN in engines that round the raw binary (observed: 307.03/8 =
+    # 38.3787499…97 → Spark "38.37875"→38.3788, DuckDB →38.3787); the
+    # nudge lands both engines on the same side of every boundary.
     return raw.select(
         *keys, "n_events",
-        F.round(F.col("__sum").cast("double"), 4).alias("v_sum"),
+        F.round(F.col("__sum").cast("double") + F.lit(1e-9), 4)
+        .alias("v_sum"),
         "v_min", "v_max",
-        F.round(F.col("__sum").cast("double") / F.col("n_events"), 4)
-        .alias("v_avg"))
+        F.round(F.col("__sum").cast("double") / F.col("n_events")
+                + F.lit(1e-9), 4).alias("v_avg"))
 
 
 def gapfill(

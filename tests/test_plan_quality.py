@@ -775,6 +775,11 @@ EXCHANGE_BUDGET = {
     "token_fertility": 1,
     # per-type aggregate + the 1-row watermark broadcast
     "feature_freshness": 3,
+    # two half-rollup aggregates + the merge re-group (all partials)
+    "incremental_rollup_gate": 2,
+    # (label, pos, half) component collapse + the half self-pair join
+    # + per-label cosine fold
+    "centroid_drift": 3,
 }
 
 

@@ -4177,9 +4177,11 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("label", "__h", "__p",
                     F.round(F.col("__x").cast("double") + F.lit(1e-9), 6)
                     .cast("decimal(18,6)").alias("__x")))
+    # persisted: the two half-filters below both read the centroid frame
     cent = (comp.groupBy("label", "__h", "__p")
             .agg(F.sum("__x").alias("__s"),
-                 F.count(F.lit(1)).alias("__n")))
+                 F.count(F.lit(1)).alias("__n"))
+            .persist())
     c = cent.select("label", "__h", "__p",
                     F.round(F.col("__s").cast("double")
                             / F.col("__n").cast("double")
@@ -4198,10 +4200,13 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aa = F.col("__aa").cast("double")
     bb = F.col("__bb").cast("double")
     cos = F.when((aa > 0) & (bb > 0), ab / F.sqrt(aa * bb))
-    return agg.select(
-        F.col("label").cast("bigint").alias("label"),
-        F.round(cos + F.lit(1e-9), 4).cast("double")
-        .alias("centroid_cosine"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(
+        agg.select(
+            F.col("label").cast("bigint").alias("label"),
+            F.round(cos + F.lit(1e-9), 4).cast("double")
+            .alias("centroid_cosine")),
+        (cent,))
 
 
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -247,9 +247,13 @@ def woe_encode(
     """
     y = F.col(label_col).cast("int")
     base = df.where(y.isin(0, 1))
+    # persisted: the grand-total fold and the WoE projection both read
+    # the category frame — without the cache the data-sized aggregate
+    # scan would run twice
     per = (base.groupBy(F.col(cat_col).alias("category"))
            .agg(F.count(F.lit(1)).alias("__n"),
-                F.sum(y).alias("__np")))
+                F.sum(y).alias("__np"))
+           .persist())
     tot = per.agg(F.sum("__np").alias("__tp"),
                   F.sum(F.col("__n") - F.col("__np")).alias("__tn"))
     j = per.crossJoin(F.broadcast(tot))
@@ -259,7 +263,7 @@ def woe_encode(
     nf = F.greatest(nn.cast("double") / F.col("__tn").cast("double"),
                     F.lit(float(min_frac)))
     woe = F.log(pf / nf)
-    return j.select(
+    res = j.select(
         "category",
         F.col("__n").cast("bigint").alias("n"),
         F.col("__np").cast("bigint").alias("n_pos"),
@@ -268,3 +272,5 @@ def woe_encode(
         nf.cast("double").alias("neg_frac"),
         woe.cast("double").alias("woe"),
         ((pf - nf) * woe).cast("double").alias("iv_term"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (per,))

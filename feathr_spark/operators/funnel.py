@@ -215,9 +215,12 @@ def funnel_latency(
     p50_hours, p90_hours)``.
     """
     secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    # persisted: the B-side conversion join and the final left join
+    # both read the first-A frame
     first_a = (df.where(F.col(type_col) == step_a)
                .groupBy(F.col(user_col).alias("__u"))
-               .agg(F.min(secs).alias("__ta")))
+               .agg(F.min(secs).alias("__ta"))
+               .persist())
     b_events = (df.where(F.col(type_col) == step_b)
                 .select(F.col(user_col).alias("__u"), secs.alias("__tb")))
     conv = (b_events.join(first_a, "__u")
@@ -234,7 +237,8 @@ def funnel_latency(
                   .alias("__p90")))
     h = F.lit(3600.0)
     nc = F.col("__nc").cast("double")
-    return stats.select(
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(stats.select(
         F.col("__ns").cast("bigint").alias("n_started"),
         F.col("__nc").cast("bigint").alias("n_converted"),
         F.when(F.col("__ns") > 0,
@@ -244,4 +248,5 @@ def funnel_latency(
                F.col("__sl").cast("double") / nc / h).cast("double")
         .alias("mean_hours"),
         (F.col("__p50") / h).cast("double").alias("p50_hours"),
-        (F.col("__p90") / h).cast("double").alias("p90_hours"))
+        (F.col("__p90") / h).cast("double").alias("p90_hours")),
+        (first_a,))

@@ -348,11 +348,15 @@ def abc_xyz(
                         else F.col(period_col)).alias("__p"))
               .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
                    .alias("__pv")))
+    # persisted: the distinct-value share frame AND the final class
+    # join both read it — without the cache the (key, period) shuffle
+    # and the per-key moment aggregate would run twice
     per_key = (per_kp.groupBy("__key")
                .agg(F.sum("__pv").alias("__v"),
                     F.count(F.lit(1)).alias("__np"),
                     F.sum((F.col("__pv") * F.col("__pv"))
-                          .cast("decimal(38,10)")).alias("__svv")))
+                          .cast("decimal(38,10)")).alias("__svv"))
+               .persist())
     # distinct-total prefix shares (pareto_contribution's bucket plan)
     s = per_key.groupBy("__v").agg(F.count(F.lit(1)).alias("__k"))
     bounds = s.agg(F.min(F.col("__v").cast("double")).alias("__lo"),
@@ -399,7 +403,7 @@ def abc_xyz(
     xyz = (F.when(cv.isNull(), "Z")
            .when(cv <= x_cut, "X")
            .when(cv <= y_cut, "Y").otherwise("Z"))
-    return j.select(
+    res = j.select(
         F.col("__key").alias(key_col),
         F.col("__v").cast("double").alias("total_value"),
         share_r.cast("double").alias("share_cum"),
@@ -407,6 +411,8 @@ def abc_xyz(
         F.col("__np").cast("bigint").alias("n_periods"),
         cv.cast("double").alias("cv"),
         xyz.alias("xyz"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (per_key,))
 
 
 def price_indices(
@@ -499,17 +505,22 @@ def hhi(
 
     Output: ``(period, n_groups, hhi)``.
     """
+    # persisted: the period-totals aggregate and the share join both
+    # read the (period, group) frame
     per = (df.where(F.col(value_col).isNotNull())
            .groupBy((period_col if not isinstance(period_col, str)
                      else F.col(period_col)).alias("period"),
                     F.col(group_col).alias("__g"))
            .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
-                .alias("__v")))
+                .alias("__v"))
+           .persist())
     tot = per.groupBy("period").agg(F.sum("__v").alias("__t"))
     share = F.col("__v").cast("double") / F.col("__t").cast("double")
     term = F.round(share * share + F.lit(1e-12), 10) \
         .cast("decimal(18,10)")
-    return (per.join(F.broadcast(tot), "period")
-            .groupBy("period")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
-                 F.sum(term).cast("double").alias("hhi")))
+    res = (per.join(F.broadcast(tot), "period")
+           .groupBy("period")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                F.sum(term).cast("double").alias("hhi")))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (per,))

@@ -334,10 +334,13 @@ def lorenz_curve(
     ascending value order: ``(bucket, n_keys, cum_pop_frac,
     cum_value_frac)``.
     """
+    # persisted: quantile_bins reads the per-key frame twice (the
+    # percentile-cut aggregate and the bucket-attach join)
     per = (df.where(F.col(value_col).isNotNull())
            .groupBy(F.col(key_col).alias("__k"))
            .agg(F.sum(F.col(value_col).cast("decimal(28,8)"))
-                .alias("__v")))
+                .alias("__v"))
+           .persist())
     b = quantile_bins(per, "__v", bins=buckets, round_cuts_dp=6)
     agg = (b.groupBy(F.col("__v_bin").alias("bucket"))
            .agg(F.count(F.lit(1)).alias("__n"),
@@ -346,7 +349,7 @@ def lorenz_curve(
          .rowsBetween(Window.unboundedPreceding, 0))
     tot = (Window.rowsBetween(Window.unboundedPreceding,
                               Window.unboundedFollowing))
-    return agg.select(
+    res = agg.select(
         F.col("bucket").cast("bigint").alias("bucket"),
         F.col("__n").cast("bigint").alias("n_keys"),
         (F.sum("__n").over(w).cast("double")
@@ -354,3 +357,5 @@ def lorenz_curve(
         (F.sum("__s").over(w).cast("double")
          / F.sum("__s").over(tot).cast("double"))
         .alias("cum_value_frac"))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(res, (per,))

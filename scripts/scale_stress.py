@@ -150,9 +150,10 @@ def stress_iterative(spark, scales):
     growth — pagerank at fixed 3 iters and connected components, on
     1x/3x/5x edge counts."""
     from feathr_spark.operators.dedup import duplicate_components
-    from feathr_spark.operators.graph import pagerank
+    from feathr_spark.operators.graph import hits, kcore_peel, pagerank
     from pyspark.sql import functions as F
-    results = {"pagerank_3it": {}, "components": {}}
+    results = {"pagerank_3it": {}, "components": {},
+               "hits_3it": {}, "kcore_k3r4": {}}
     for s in scales:
         edges = gen_edges(spark, s).persist()
         edges.count()
@@ -163,6 +164,10 @@ def stress_iterative(spark, scales):
              lambda e: duplicate_components(
                  e.select(F.col("src").alias("id_a"),
                           F.col("dst").alias("id_b"))).count()),
+            ("hits_3it",
+             lambda e: hits(e, iters=3).agg(F.sum("hub")).collect()),
+            ("kcore_k3r4",
+             lambda e: kcore_peel(e, k=3, rounds=4).count()),
         ):
             best = float("inf")
             for _ in range(2):

@@ -4209,6 +4209,16 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cent,))
 
 
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent 30-minute sessions: day-partitioned
+    +1/-1 sweep with an exact cross-day carry over the day-count-sized
+    prefix frame — never a global sort."""
+    _utc(spark)
+    from feathr_spark.operators.sessions import peak_concurrency
+    ev = _load_events(spark, sf_dir)
+    return peak_concurrency(ev, "user_id", "ts", gap="30m")
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4402,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_freshness": q_feature_freshness,
         "incremental_rollup_gate": q_incremental_rollup_gate,
         "centroid_drift": q_centroid_drift,
+        "peak_concurrency_daily": q_peak_concurrency,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6670,6 +6681,61 @@ def oracle_sql() -> dict[str, str]:
                                     * CAST(bb AS DOUBLE)) END
                         + 1e-9, 4) AS DOUBLE) AS centroid_cosine
             FROM agg
+        """,
+        "peak_concurrency_daily": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+              FROM events WHERE ts IS NOT NULL),
+            lagd AS (
+              SELECT user_id, ms,
+                     lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                         AS pms
+              FROM e),
+            flags AS (
+              SELECT user_id, ms,
+                     CASE WHEN pms IS NULL OR ms - pms > 1800000
+                          THEN 1 ELSE 0 END AS nsflag
+              FROM lagd),
+            seq AS (
+              SELECT user_id, ms,
+                     sum(nsflag) OVER (PARTITION BY user_id
+                                       ORDER BY ms
+                                       ROWS UNBOUNDED PRECEDING) AS sq
+              FROM flags),
+            sess AS (
+              SELECT user_id, sq, min(ms) AS sms, max(ms) AS ems
+              FROM seq GROUP BY 1, 2),
+            pts AS (
+              SELECT user_id, sq, sms AS t, 1 AS d FROM sess
+              UNION ALL
+              SELECT user_id, sq, ems AS t, -1 AS d FROM sess),
+            p2 AS (
+              SELECT CAST(epoch_ms(t) AS DATE) AS day, t, d,
+                     user_id, sq
+              FROM pts),
+            run AS (
+              SELECT day,
+                     sum(d) OVER (PARTITION BY day
+                                  ORDER BY t ASC, d DESC,
+                                           user_id ASC, sq ASC
+                                  ROWS UNBOUNDED PRECEDING) AS r
+              FROM p2),
+            mx AS (SELECT day, max(r) AS m FROM run GROUP BY 1),
+            dt AS (
+              SELECT day, sum(d) AS dtot,
+                     sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS ns
+              FROM p2 GROUP BY 1),
+            carry AS (
+              SELECT day, ns,
+                     COALESCE(sum(dtot) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS c
+              FROM dt)
+            SELECT strftime(mx.day, '%Y-%m-%d') AS day,
+                   CAST(carry.ns AS BIGINT) AS n_sessions_started,
+                   CAST(mx.m + carry.c AS BIGINT) AS peak_concurrency
+            FROM mx JOIN carry ON mx.day = carry.day
         """,
         "cuped_events": """
             WITH per AS (

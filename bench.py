@@ -219,6 +219,7 @@ HEADLINE = [
     "feature_freshness",
     "incremental_rollup_gate",
     "centroid_drift",
+    "peak_concurrency_daily",
 ]
 
 

@@ -247,3 +247,66 @@ def fano_factor(
         mu.cast("double").alias("mean_per_bucket"),
         F.when((F.col("__span") > 1) & (mu > 0), var / mu)
         .cast("double").alias("fano"))
+
+
+def peak_concurrency(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30m",
+) -> DataFrame:
+    """Daily peak concurrent sessions: sessionize per user (gap rule),
+    sweep +1/−1 over session start/end instants, and report each day's
+    maximum simultaneous session count — the capacity-planning readout
+    (licensing, serving-fleet sizing, abuse spikes).
+
+    Scale shape: the sweep is NEVER a global sort. Boundary points
+    cumsum inside a per-DAY window (partitioned — bounded by a day's
+    sessions), and sessions straddling midnight are handled exactly by
+    a cross-day carry: per-day delta totals fold over the day-count-
+    sized frame (the bucketed-prefix pattern), so day d's running
+    count starts from the true number of sessions still open at its
+    midnight. Tie order at one instant is (+1 before −1, then user,
+    then session) — touching sessions count as concurrent and the
+    sweep is deterministic under any partitioning.
+
+    Output: (day, n_sessions_started, peak_concurrency).
+    """
+    # tie order among equal timestamps cannot change session bounds
+    # (a 0 gap never exceeds the gap rule), so the default ordering is
+    # already deterministic in outcome
+    sess = session_stats(df, user_col, ts_col, gap)
+    pts = (sess.select(F.col(user_col).alias("__u"), "session_seq",
+                       F.col("start_ms").alias("__t"),
+                       F.lit(1).alias("__d"))
+           .unionByName(
+               sess.select(F.col(user_col).alias("__u"), "session_seq",
+                           F.col("end_ms").alias("__t"),
+                           F.lit(-1).alias("__d"))))
+    day = F.to_date(F.timestamp_millis(F.col("__t")))
+    pts = pts.select(day.alias("__day"), "__t", "__d", "__u",
+                     "session_seq").persist()
+    w = (Window.partitionBy("__day")
+         .orderBy(F.col("__t").asc(), F.col("__d").desc(),
+                  F.col("__u").asc(), F.col("session_seq").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    local = pts.withColumn("__run", F.sum("__d").over(w))
+    day_tot = (pts.groupBy("__day")
+               .agg(F.sum("__d").alias("__dt"),
+                    F.sum(F.when(F.col("__d") == 1, 1).otherwise(0))
+                    .alias("__ns")))
+    wday = (Window.orderBy("__day")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    carry = day_tot.select(
+        "__day", "__ns",
+        F.coalesce(F.sum("__dt").over(wday), F.lit(0)).alias("__carry"))
+    out = (local.groupBy("__day")
+           .agg(F.max("__run").alias("__peak_local"))
+           .join(F.broadcast(carry), "__day"))
+    res = out.select(
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        F.col("__ns").cast("bigint").alias("n_sessions_started"),
+        (F.col("__peak_local") + F.col("__carry")).cast("bigint")
+        .alias("peak_concurrency"))
+    from ._cache import attach_intermediates
+    return attach_intermediates(res, (pts,))

@@ -94,3 +94,44 @@ def test_funnel_latency_hand_computed(spark):
     assert abs(r["mean_hours"] - 3.0) < 1e-9
     assert abs(r["p50_hours"] - 3.0) < 1e-9   # interpolated midpoint
     assert abs(r["p90_hours"] - 3.8) < 1e-9
+
+
+def test_peak_concurrency_hand_computed(spark):
+    from feathr_spark.operators.sessions import peak_concurrency
+    rows = [
+        # three users whose sessions overlap pairwise within one day
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (2, "2024-01-01 10:05:00"), (2, "2024-01-01 10:20:00"),
+        (3, "2024-01-01 10:15:00"),
+        # user 1 gets a SECOND session later the same day
+        (1, "2024-01-01 18:00:00"),
+        # next day: one lone session
+        (2, "2024-01-02 09:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string")
+    out = {r["day"]: r for r in
+           peak_concurrency(df, "user_id", "ts", gap="30m").collect()}
+    d1 = out["2024-01-01"]
+    # sessions day1: u1[10:00-10:10], u2[10:05-10:20], u3[10:15],
+    # u1[18:00]; peak = 2 (u1+u2 overlap; u3 starts at u2's range too:
+    # at 10:15 u2 active + u3 -> also 2 after u1 ended at 10:10)
+    assert d1["n_sessions_started"] == 4
+    assert d1["peak_concurrency"] == 2
+    assert out["2024-01-02"]["peak_concurrency"] == 1
+
+
+def test_peak_concurrency_midnight_carry(spark):
+    from feathr_spark.operators.sessions import peak_concurrency
+    rows = [
+        # session spanning midnight: events 23:50 and 00:05 (15m gap)
+        (1, "2024-01-01 23:50:00"), (1, "2024-01-02 00:05:00"),
+        # a second user active only on day 2 at 00:03
+        (2, "2024-01-02 00:03:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts string")
+    out = {r["day"]: r for r in
+           peak_concurrency(df, "user_id", "ts", gap="30m").collect()}
+    # day 2 peak must count user 1's still-open session (carry = 1)
+    assert out["2024-01-02"]["peak_concurrency"] == 2
+    assert out["2024-01-01"]["peak_concurrency"] == 1
+    assert out["2024-01-02"]["n_sessions_started"] == 1

@@ -757,9 +757,9 @@ EXCHANGE_BUDGET = {
     "price_index_monthly": 5,
     # (user, hour) count collapse + the per-user moment fold
     "burstiness_users": 2,
-    # first-A aggregate + the co-keyed B join/fold + the 1-row
-    # percentile summary
-    "funnel_latency": 4,
+    # first-A aggregate (persisted for its 2 consumers) + the co-keyed
+    # B join/fold + the 1-row percentile summary
+    "funnel_latency": 5,
     # category collapse + the 1-row pos/neg totals broadcast
     "woe_orders": 3,
     # (month, brand) aggregate + month-sized totals join + period fold
@@ -780,6 +780,9 @@ EXCHANGE_BUDGET = {
     # (label, pos, half) component collapse + the half self-pair join
     # + per-label cosine fold
     "centroid_drift": 3,
+    # sessionize window + session collapse + the persisted point frame
+    # + day-local sweep window + day-sized carry/peak folds
+    "peak_concurrency_daily": 7,
 }
 
 
@@ -870,6 +873,8 @@ GLOBAL_WINDOW_OK = {
     "forecast_eval",
     # cumulative windows over the 10-bucket lorenz frame
     "lorenz_customers",
+    # the cross-day carry prefix over the day-count-sized delta frame
+    "peak_concurrency_daily",
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",

@@ -4219,6 +4219,73 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return peak_concurrency(ev, "user_id", "ts", gap="30m")
 
 
+def q_residual_anomaly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-residual anomaly days: daily revenue minus its week-ago
+    value, robust-scored against the residual median/MAD (3-sigma via
+    the 1.4826 consistency constant) — the forecast-aware cousin of
+    rolling_anomaly. All windows run over the day-count-sized series."""
+    _utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    daily = (orders.where(F.col("o_totalprice").isNotNull())
+             .groupBy(F.date_trunc("day", F.col("o_orderdate")
+                                   .cast("timestamp")).alias("d"))
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+                  .alias("__v")))
+    w = Window.orderBy("d")
+    lagged = (daily
+              .withColumn("__p", F.lag("__v", 7).over(w))
+              .where(F.col("__p").isNotNull())
+              .withColumn("__r", (F.col("__v") - F.col("__p"))
+                          .cast("double"))
+              .persist())
+    med = lagged.agg(F.percentile("__r", F.lit(0.5)).alias("__med"))
+    dev = (lagged.crossJoin(F.broadcast(med))
+           .withColumn("__ad", F.abs(F.col("__r") - F.col("__med"))))
+    mad = dev.agg(F.percentile("__ad", F.lit(0.5)).alias("__mad"),
+                  F.min("__med").alias("__med"))
+    scored = (lagged.crossJoin(F.broadcast(mad))
+              .withColumn("__z", F.when(
+                  F.col("__mad") > 0,
+                  (F.col("__r") - F.col("__med"))
+                  / (F.lit(1.4826) * F.col("__mad")))))
+    out = (scored.where(F.abs(F.col("__z")) > 3.0)
+           .select(F.date_format("d", "yyyy-MM-dd").alias("day"),
+                   F.round(F.col("__v").cast("double") + 1e-9, 4)
+                   .cast("double").alias("revenue"),
+                   F.round(F.col("__r") + 1e-9, 4).cast("double")
+                   .alias("residual"),
+                   F.round(F.col("__z") + 1e-9, 4).cast("double")
+                   .alias("robust_z")))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(out, (lagged,))
+
+
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority (exact
+    PERCENTILE_CONT over integer day lags; one fact join + one grouped
+    percentile aggregate)."""
+    _utc(spark)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_shipdate"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .select("o_orderpriority",
+                 F.datediff(F.col("l_shipdate").cast("date"),
+                            F.col("o_orderdate").cast("date"))
+                 .alias("__lag")))
+    agg = (j.groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.percentile("__lag", F.lit(0.5)).alias("__p50"),
+                F.percentile("__lag", F.lit(0.9)).alias("__p90"),
+                F.percentile("__lag", F.lit(0.99)).alias("__p99")))
+    r4d = lambda c, a: F.round(F.col(c) + 1e-9, 4).cast("double").alias(a)
+    return agg.select("o_orderpriority",
+                      F.col("__n").cast("bigint").alias("n_lines"),
+                      r4d("__p50", "p50_days"), r4d("__p90", "p90_days"),
+                      r4d("__p99", "p99_days"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4413,6 +4480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_rollup_gate": q_incremental_rollup_gate,
         "centroid_drift": q_centroid_drift,
         "peak_concurrency_daily": q_peak_concurrency,
+        "residual_anomaly_daily": q_residual_anomaly_daily,
+        "ship_latency": q_ship_latency,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6736,6 +6805,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(carry.ns AS BIGINT) AS n_sessions_started,
                    CAST(mx.m + carry.c AS BIGINT) AS peak_concurrency
             FROM mx JOIN carry ON mx.day = carry.day
+        """,
+        "residual_anomaly_daily": """
+            WITH daily AS (
+              SELECT date_trunc('day', CAST(o_orderdate AS TIMESTAMP))
+                         AS d,
+                     sum(CAST(o_totalprice AS DECIMAL(28,8))) AS v
+              FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+            lagd AS (
+              SELECT d, v, lag(v, 7) OVER (ORDER BY d) AS p
+              FROM daily),
+            res AS (
+              SELECT d, v, CAST(v - p AS DOUBLE) AS r
+              FROM lagd WHERE p IS NOT NULL),
+            med AS (SELECT quantile_cont(r, 0.5) AS m FROM res),
+            mad AS (
+              SELECT quantile_cont(abs(res.r - med.m), 0.5) AS md,
+                     min(med.m) AS m
+              FROM res, med),
+            scored AS (
+              SELECT res.d, res.v, res.r,
+                     CASE WHEN mad.md > 0 THEN
+                       (res.r - mad.m) / (1.4826 * mad.md) END AS z
+              FROM res, mad)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(ROUND(CAST(v AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS revenue,
+                   CAST(ROUND(r + 1e-9, 4) AS DOUBLE) AS residual,
+                   CAST(ROUND(z + 1e-9, 4) AS DOUBLE) AS robust_z
+            FROM scored WHERE abs(z) > 3.0
+        """,
+        "ship_latency": """
+            WITH j AS (
+              SELECT o.o_orderpriority,
+                     datediff('day', CAST(o.o_orderdate AS DATE),
+                              CAST(l.l_shipdate AS DATE)) AS lag
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(ROUND(quantile_cont(lag, 0.5) + 1e-9, 4)
+                        AS DOUBLE) AS p50_days,
+                   CAST(ROUND(quantile_cont(lag, 0.9) + 1e-9, 4)
+                        AS DOUBLE) AS p90_days,
+                   CAST(ROUND(quantile_cont(lag, 0.99) + 1e-9, 4)
+                        AS DOUBLE) AS p99_days
+            FROM j GROUP BY 1
         """,
         "cuped_events": """
             WITH per AS (

@@ -220,6 +220,8 @@ HEADLINE = [
     "incremental_rollup_gate",
     "centroid_drift",
     "peak_concurrency_daily",
+    "residual_anomaly_daily",
+    "ship_latency",
 ]
 
 

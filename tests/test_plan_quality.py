@@ -76,6 +76,8 @@ BROADCAST_LOOP_OK = {
     "woe_orders",
     # 1-row doc-count frame crossed onto the 1-row cluster fold
     "dedup_cluster_stats",
+    # 1-row median/MAD frames broadcast onto the day-series residuals
+    "residual_anomaly_daily",
     # 1-row corpus watermark broadcast onto the per-type frame
     "feature_freshness",
     # 1-row decile-cuts frame broadcast onto the per-key totals
@@ -783,6 +785,11 @@ EXCHANGE_BUDGET = {
     # sessionize window + session collapse + the persisted point frame
     # + day-local sweep window + day-sized carry/peak folds
     "peak_concurrency_daily": 7,
+    # daily collapse + the day-series lag window + two 1-row robust
+    # folds broadcast back onto the persisted residual frame
+    "residual_anomaly_daily": 8,
+    # one fact join + ONE grouped exact-percentile aggregate
+    "ship_latency": 1,
 }
 
 
@@ -875,6 +882,8 @@ GLOBAL_WINDOW_OK = {
     "lorenz_customers",
     # the cross-day carry prefix over the day-count-sized delta frame
     "peak_concurrency_daily",
+    # seasonal lag over the day-count-sized series (acf contract)
+    "residual_anomaly_daily",
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",

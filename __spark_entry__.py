@@ -4286,6 +4286,67 @@ def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                       r4d("__p99", "p99_days"))
 
 
+def q_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement heatmap: event share per (day-of-week, hour) cell —
+    ONE cell aggregate + the 1-row total broadcast. Spark dayofweek is
+    Sunday=1; emitted 0-based to match the oracle's convention."""
+    _utc(spark)
+    ev = _load_events(spark, sf_dir)
+    ts = F.col("ts").cast("timestamp")
+    cells = (ev.where(F.col("ts").isNotNull())
+             .groupBy((F.dayofweek(ts) - 1).cast("bigint").alias("dow"),
+                      F.hour(ts).cast("bigint").alias("hour"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    tot = cells.agg(F.sum("__n").alias("__t"))
+    return (cells.crossJoin(F.broadcast(tot))
+            .select("dow", "hour",
+                    F.col("__n").cast("bigint").alias("n_events"),
+                    F.round(F.col("__n").cast("double")
+                            / F.col("__t").cast("double") + 1e-9, 4)
+                    .cast("double").alias("share")))
+
+
+def q_gini_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly Gini of order values — is order-size inequality
+    drifting? Reuses gini_by keyed by the order month (rank windows
+    partitioned per month, DECIMAL-exact moments)."""
+    _utc(spark)
+    from feathr_spark.operators.stats import gini_by
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_totalprice") >= 0)
+              .select(F.date_format(F.date_trunc(
+                  "month", F.col("o_orderdate").cast("timestamp")),
+                  "yyyy-MM-dd").alias("month"),
+                  "o_totalprice", "o_orderkey"))
+    return gini_by(orders, "month", "o_totalprice", "o_orderkey")
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning order split: each customer's first order
+    day from one aggregate, then a co-keyed comparison — the growth
+    accounting readout. Two shuffles, no window over the fact table."""
+    _utc(spark)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_custkey",
+                      F.date_trunc("day", F.col("o_orderdate")
+                                   .cast("timestamp")).alias("d")))
+    first = (orders.groupBy("o_custkey")
+             .agg(F.min("d").alias("__first")))
+    j = orders.join(first, "o_custkey")
+    out = (j.groupBy("d")
+           .agg(F.count_if(F.col("d") == F.col("__first"))
+                .alias("__new"),
+                F.count_if(F.col("d") != F.col("__first"))
+                .alias("__ret")))
+    return out.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("__new").cast("bigint").alias("new_orders"),
+        F.col("__ret").cast("bigint").alias("returning_orders"),
+        F.round(F.col("__new").cast("double")
+                / (F.col("__new") + F.col("__ret")).cast("double")
+                + 1e-9, 4).cast("double").alias("new_share"))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4482,6 +4543,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency_daily": q_peak_concurrency,
         "residual_anomaly_daily": q_residual_anomaly_daily,
         "ship_latency": q_ship_latency,
+        "dow_hour_heatmap": q_dow_hour_heatmap,
+        "gini_monthly": q_gini_monthly,
+        "new_vs_returning": q_new_vs_returning,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6850,6 +6914,64 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS p90_days,
                    CAST(ROUND(quantile_cont(lag, 0.99) + 1e-9, 4)
                         AS DOUBLE) AS p99_days
+            FROM j GROUP BY 1
+        """,
+        "dow_hour_heatmap": """
+            WITH cells AS (
+              SELECT dayofweek(CAST(ts AS TIMESTAMP)) AS dow,
+                     hour(CAST(ts AS TIMESTAMP)) AS hour,
+                     count(*) AS n
+              FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS t FROM cells)
+            SELECT CAST(dow AS BIGINT) AS dow,
+                   CAST(hour AS BIGINT) AS hour,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(ROUND(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS share
+            FROM cells, tot
+        """,
+        "gini_monthly": """
+            WITH j AS (
+              SELECT strftime(date_trunc('month', o_orderdate),
+                              '%Y-%m-%d') AS month,
+                     o_totalprice AS v, o_orderkey AS id
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_totalprice >= 0),
+            r AS (
+              SELECT month, CAST(v AS DECIMAL(28,8)) AS vd,
+                     row_number() OVER (PARTITION BY month
+                                        ORDER BY v ASC, id ASC) AS i
+              FROM j),
+            f AS (
+              SELECT month, count(*) AS n, sum(vd) AS s,
+                     sum(i * vd) AS isum
+              FROM r GROUP BY 1)
+            SELECT month,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(ROUND(CAST(s AS DOUBLE), 4) AS DOUBLE) AS total,
+                   CAST(ROUND(CASE WHEN CAST(s AS DOUBLE) > 0 THEN
+                          2.0 * CAST(isum AS DOUBLE)
+                              / (n * CAST(s AS DOUBLE))
+                          - (n + 1.0) / n END, 4) AS DOUBLE) AS gini
+            FROM f
+        """,
+        "new_vs_returning": """
+            WITH o AS (
+              SELECT o_custkey,
+                     date_trunc('day', o_orderdate) AS d
+              FROM orders),
+            first AS (
+              SELECT o_custkey, min(d) AS fd FROM o GROUP BY 1),
+            j AS (
+              SELECT o.d,
+                     CASE WHEN o.d = first.fd THEN 1 ELSE 0 END AS nw
+              FROM o JOIN first ON o.o_custkey = first.o_custkey)
+            SELECT strftime(d, '%Y-%m-%d') AS day,
+                   CAST(sum(nw) AS BIGINT) AS new_orders,
+                   CAST(sum(1 - nw) AS BIGINT) AS returning_orders,
+                   CAST(ROUND(CAST(sum(nw) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS new_share
             FROM j GROUP BY 1
         """,
         "cuped_events": """

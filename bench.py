@@ -222,6 +222,9 @@ HEADLINE = [
     "peak_concurrency_daily",
     "residual_anomaly_daily",
     "ship_latency",
+    "dow_hour_heatmap",
+    "gini_monthly",
+    "new_vs_returning",
 ]
 
 

@@ -78,6 +78,8 @@ BROADCAST_LOOP_OK = {
     "dedup_cluster_stats",
     # 1-row median/MAD frames broadcast onto the day-series residuals
     "residual_anomaly_daily",
+    # 1-row event total broadcast onto the 168-cell heatmap
+    "dow_hour_heatmap",
     # 1-row corpus watermark broadcast onto the per-type frame
     "feature_freshness",
     # 1-row decile-cuts frame broadcast onto the per-key totals
@@ -790,6 +792,13 @@ EXCHANGE_BUDGET = {
     "residual_anomaly_daily": 8,
     # one fact join + ONE grouped exact-percentile aggregate
     "ship_latency": 1,
+    # ONE cell aggregate + the 1-row total broadcast
+    "dow_hour_heatmap": 3,
+    # month-partitioned rank window + the per-month moment fold
+    # (window and groupBy share the month partitioning)
+    "gini_monthly": 1,
+    # per-customer first-day aggregate + the co-keyed daily split
+    "new_vs_returning": 2,
 }
 
 

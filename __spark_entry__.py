@@ -4347,6 +4347,77 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 1e-9, 4).cast("double").alias("new_share"))
 
 
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate: md5 of normalized text grouped
+    once; a source's dup_rate = 1 − distinct/total — the first-look
+    data-quality cut before any fuzzy dedup budget is spent."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import normalize_text
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = F.md5(normalize_text(F.col("text")))
+    per = (docs.groupBy("source", fp.alias("__fp"))
+           .agg(F.count(F.lit(1)).alias("__n")))
+    agg = (per.groupBy("source")
+           .agg(F.sum("__n").alias("__docs"),
+                F.count(F.lit(1)).alias("__distinct")))
+    return agg.select(
+        "source",
+        F.col("__docs").cast("bigint").alias("n_docs"),
+        F.col("__distinct").cast("bigint").alias("n_distinct"),
+        F.round(F.lit(1.0) - F.col("__distinct").cast("double")
+                / F.col("__docs").cast("double") + 1e-9, 4)
+        .cast("double").alias("dup_rate"))
+
+
+def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over word BIGRAMS (the unigram vocab
+    of this synthetic corpus saturates in the first slice): docs order
+    by id into 10 equal-count buckets; each gram keys to its FIRST-
+    appearance bucket, so the cumulative distinct-vocabulary curve is
+    one cumsum over the 10-bucket frame — never a per-prefix distinct
+    rescan. One (gram) shuffle; the doc-count cuts broadcast."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import word_ngrams
+    from feathr_spark.operators.scaling import quantile_bins
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "text"))
+    b = quantile_bins(docs, "doc_id", bins=10)
+    terms = (b.select(F.col("doc_id_bin").alias("__b"),
+                      F.explode(word_ngrams(F.col("text"), 2))
+                      .alias("__t"))
+             .where(F.col("__t") != ""))
+    first = (terms.groupBy("__t")
+             .agg(F.min("__b").alias("__fb")))
+    counts = (first.groupBy("__fb")
+              .agg(F.count(F.lit(1)).alias("__new")))
+    w = (Window.orderBy("__fb")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return counts.select(
+        F.col("__fb").cast("bigint").alias("bucket"),
+        F.col("__new").cast("bigint").alias("new_terms"),
+        F.sum("__new").over(w).cast("bigint").alias("vocab_size"))
+
+
+def q_basket_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Items-per-order distribution: one per-order distinct-item
+    collapse + one size-cardinality histogram with the 1-row total
+    broadcast for shares."""
+    _utc(spark)
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey"))
+    per = (li.groupBy("l_orderkey")
+           .agg(F.countDistinct("l_partkey").alias("__sz")))
+    hist = per.groupBy("__sz").agg(F.count(F.lit(1)).alias("__n"))
+    tot = hist.agg(F.sum("__n").alias("__t"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select(F.col("__sz").cast("bigint").alias("basket_size"),
+                    F.col("__n").cast("bigint").alias("n_orders"),
+                    F.round(F.col("__n").cast("double")
+                            / F.col("__t").cast("double") + 1e-9, 4)
+                    .cast("double").alias("share")))
+
+
 def q_cuped_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B readout (Deng et al. WSDM 2013) over
     events: covariate = each user's first-fortnight value sum
@@ -4546,6 +4617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dow_hour_heatmap": q_dow_hour_heatmap,
         "gini_monthly": q_gini_monthly,
         "new_vs_returning": q_new_vs_returning,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "vocab_growth": q_vocab_growth,
+        "basket_size_hist": q_basket_size_hist,
         # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
@@ -6973,6 +7047,72 @@ def oracle_sql() -> dict[str, str]:
                         / CAST(count(*) AS DOUBLE) + 1e-9, 4)
                         AS DOUBLE) AS new_share
             FROM j GROUP BY 1
+        """,
+        "dup_rate_by_source": """
+            WITH per AS (
+              SELECT source,
+                     md5(lower(trim(regexp_replace(text, '\\s+', ' ',
+                                                   'g')))) AS fp,
+                     count(*) AS n
+              FROM documents GROUP BY 1, 2),
+            a AS (
+              SELECT source, sum(n) AS docs, count(*) AS dst
+              FROM per GROUP BY 1)
+            SELECT source,
+                   CAST(docs AS BIGINT) AS n_docs,
+                   CAST(dst AS BIGINT) AS n_distinct,
+                   CAST(ROUND(1.0 - CAST(dst AS DOUBLE)
+                        / CAST(docs AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS dup_rate
+            FROM a
+        """,
+        "vocab_growth": """
+            WITH st AS (
+              SELECT quantile_cont(CAST(doc_id AS DOUBLE),
+                       [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+              FROM documents),
+            b AS (
+              SELECT d.doc_id, d.text,
+                     len(list_filter(st.cuts,
+                         c -> CAST(d.doc_id AS DOUBLE) > c)) AS bk
+              FROM documents d, st),
+            toks AS (
+              SELECT bk,
+                     string_split(lower(trim(regexp_replace(
+                       text, '\\s+', ' ', 'g'))), ' ') AS w
+              FROM b),
+            terms AS (
+              SELECT bk,
+                     unnest(CASE WHEN len(w) < 2
+                            THEN [array_to_string(w, ' ')]
+                            ELSE list_distinct(list_transform(
+                              range(1, len(w)),
+                              i -> array_to_string(w[i:i+1], ' ')))
+                            END) AS t
+              FROM toks),
+            first AS (
+              SELECT t, min(bk) AS fb FROM terms WHERE t <> ''
+              GROUP BY 1),
+            counts AS (
+              SELECT fb, count(*) AS nw FROM first GROUP BY 1)
+            SELECT CAST(fb AS BIGINT) AS bucket,
+                   CAST(nw AS BIGINT) AS new_terms,
+                   CAST(sum(nw) OVER (ORDER BY fb
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS vocab_size
+            FROM counts
+        """,
+        "basket_size_hist": """
+            WITH per AS (
+              SELECT l_orderkey, count(DISTINCT l_partkey) AS sz
+              FROM lineitem GROUP BY 1),
+            h AS (SELECT sz, count(*) AS n FROM per GROUP BY 1),
+            tot AS (SELECT sum(n) AS t FROM h)
+            SELECT CAST(sz AS BIGINT) AS basket_size,
+                   CAST(n AS BIGINT) AS n_orders,
+                   CAST(ROUND(CAST(n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                        + 1e-9, 4) AS DOUBLE) AS share
+            FROM h, tot
         """,
         "cuped_events": """
             WITH per AS (

@@ -225,6 +225,9 @@ HEADLINE = [
     "dow_hour_heatmap",
     "gini_monthly",
     "new_vs_returning",
+    "dup_rate_by_source",
+    "vocab_growth",
+    "basket_size_hist",
 ]
 
 

@@ -80,6 +80,10 @@ BROADCAST_LOOP_OK = {
     "residual_anomaly_daily",
     # 1-row event total broadcast onto the 168-cell heatmap
     "dow_hour_heatmap",
+    # 1-row doc-id decile-cuts frame broadcast onto every doc row
+    "vocab_growth",
+    # 1-row order total broadcast onto the size histogram
+    "basket_size_hist",
     # 1-row corpus watermark broadcast onto the per-type frame
     "feature_freshness",
     # 1-row decile-cuts frame broadcast onto the per-key totals
@@ -799,6 +803,14 @@ EXCHANGE_BUDGET = {
     "gini_monthly": 1,
     # per-customer first-day aggregate + the co-keyed daily split
     "new_vs_returning": 2,
+    # (source, fingerprint) collapse + the per-source fold
+    "dup_rate_by_source": 2,
+    # gram first-bucket aggregate (the only data-sized shuffle) +
+    # bucket counts + the 10-row cumsum; doc-id cuts broadcast
+    "vocab_growth": 4,
+    # per-order countDistinct (two-phase expand) + size histogram +
+    # the 1-row total broadcast
+    "basket_size_hist": 7,
 }
 
 
@@ -893,6 +905,8 @@ GLOBAL_WINDOW_OK = {
     "peak_concurrency_daily",
     # seasonal lag over the day-count-sized series (acf contract)
     "residual_anomaly_daily",
+    # the 10-row first-bucket cumsum (heaps curve frame)
+    "vocab_growth",
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",

@@ -127,3 +127,43 @@ def test_woe_accounting_identities(spark, rows):
         enriched = r["n_pos"] / npos > r["n_neg"] / nneg
         if abs(r["pos_frac"] - r["neg_frac"]) > 1e-12:
             assert (r["woe"] > 0) == enriched, r
+
+
+rollup_rows = st.lists(
+    st.tuples(st.integers(0, 2),                    # key
+              st.integers(0, 96),                   # hour offset
+              st.integers(-500, 500)),              # value (int: exact)
+    min_size=1, max_size=25,
+)
+
+
+@settings(**SETTINGS)
+@given(rows=rollup_rows, split=st.integers(10, 90),
+       split2=st.integers(10, 90))
+def test_rollup_merge_equals_recompute_any_split(spark, rows, split,
+                                                 split2):
+    """merge(raw(A), raw(B), raw(C)) finalized must be IDENTICAL to the
+    single-shot rollup for ANY 3-way split of the data — the
+    continuous-aggregate refresh contract, not just at one cutoff.
+    Integer values keep both paths bit-exact."""
+    import datetime as dt
+    from feathr_spark.operators.profile import (finalize_rollup,
+                                                merge_rollups,
+                                                time_rollup)
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(hours=h), float(v))
+            for k, h, v in rows]
+    df = spark.createDataFrame(data, "k int, ts timestamp, v double")
+    lo, hi = sorted((split, split2))
+    parts = [df.where(f"hour(ts) + (day(ts)-1)*24 < {lo}"),
+             df.where(f"hour(ts) + (day(ts)-1)*24 >= {lo} AND "
+                      f"hour(ts) + (day(ts)-1)*24 < {hi}"),
+             df.where(f"hour(ts) + (day(ts)-1)*24 >= {hi}")]
+    raws = [time_rollup(p, "ts", ["k"], "v", levels=("hour",), raw=True)
+            for p in parts]
+    merged = {tuple(r)[:3]: tuple(r) for r in
+              finalize_rollup(merge_rollups(*raws)).collect()}
+    direct = {tuple(r)[:3]: tuple(r) for r in
+              time_rollup(df, "ts", ["k"], "v",
+                          levels=("hour",)).collect()}
+    assert merged == direct

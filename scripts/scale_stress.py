@@ -32,7 +32,10 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          "ccnet_buckets", "dsir_weights",
          # r6 document/embedding additions
          "gram_embeddings", "ttr_docs", "doc_keywords",
-         "reservoir_docs"]
+         "reservoir_docs",
+         # r6 late-session document-heavy additions
+         "dedup_cluster_stats", "vocab_growth", "token_fertility",
+         "dup_rate_by_source", "centroid_drift"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

@@ -2189,6 +2189,47 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("n_spans_dropped"))
 
 
+# Expected values for the oracle-environment canary, captured on DuckDB
+# 1.0.0 (the local oracle env). The Spark side emits these as literals; the
+# oracle SQL recomputes each construct on the DRIVER's DuckDB. A green row
+# proves the driver's DuckDB agrees with the local env on every
+# portability-sensitive construct the oracle corpus relies on; a red row
+# pinpoints version skew as the cause of any simultaneous local-green /
+# driver-red divergence (the r6 span_dedup episode motivated this).
+_ENV_PROBE_EXPECTED = [
+    ("date_trunc_day_repr", "2024-03-05"),
+    ("generate_series_incl", "0,8,16"),
+    ("int_div_floor", "1"),
+    ("int_div_slash", "1"),
+    ("list_filter_lambda", "a,b"),
+    ("md5_lit", "6c42cec55ca6fb591dec50351603eee4"),
+    ("quantile_cont_interp", "1.5"),
+    ("range_excl", "0,8"),
+    ("regex_backslash_s_vtab", "1"),
+    ("regex_ws_class", "a|b|c"),
+    ("round_binary_double", "38.3787"),
+    ("slice_bracket", "b,c"),
+    ("slice_fn", "b,c"),
+    ("string_agg_nullskip", "a c"),
+    ("sum_int_str", "3"),
+    ("unnest_subscript_align", "1:x,2:y"),
+]
+
+
+def q_oracle_env_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-environment canary: the Spark side returns pinned literals;
+    the DuckDB oracle recomputes each portability-sensitive construct
+    (list slicing, regex whitespace classes, integer division, HUGEINT
+    sum stringification, string_agg NULL-skip, series inclusivity,
+    quantile interpolation, date_trunc typing, double rounding, aligned
+    unnest subscripts). Zero data touched; constant-size; exists so every
+    CORRECTNESS round records whether the driver's DuckDB semantics match
+    the environment the oracles were authored against."""
+    _utc(spark)
+    return spark.createDataFrame(_ENV_PROBE_EXPECTED,
+                                 "construct string, result string")
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier over parts (minimize retail price, maximize size):
     the fully distributed skyline — one data-sized aggregate + a
@@ -4566,26 +4607,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never burn a gate slot on an err="no_oracle" row — their accuracy
         is driver-proven via the oracled *_recall gate companions.
 
-    Round-6 rotation: the 4 oracle-bearing queries that have NEVER had a
-    driver-recorded row (pivot_events, range_join_events, heavy_hitters,
-    span_dedup — they sat at positions 51-54 through r5) lead, followed by
-    queries NEW in r6, then the r5-green set re-fills the window.
+    Round-7 rotation (verification-closure round): span_dedup leads (the
+    r6 driver-red hash row, oracle rewritten onto driver-green constructs
+    only), the new oracle_env_probe canary is second, then 48 of the 60
+    oracle-bearing queries that have never had a driver-recorded row (all
+    local-green in LOCAL_ORACLES_r6.json). The remaining 12 backlog
+    queries sit at positions 51-62 to lead the r8 window. New query
+    additions are FROZEN until the backlog fits the window (r6 lesson:
+    adding ~60 queries in one round regrew the unrecorded set to 60).
     """
     return {
-        # --- never driver-recorded through r5 (oracle-bearing): FIRST
+        # --- r7 gate window (50): the r6 red row + env canary first,
+        # --- then 48 of the 60 oracle-bearing never-driver-recorded
+        "span_dedup": q_span_dedup,
+        "oracle_env_probe": q_oracle_env_probe,
+        "tpch_q18_big_orders": q_tpch_q18_big_orders,
+        "tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "ttr_docs": q_ttr_docs,
+        "flesch_docs": q_flesch_docs,
+        "ndcg_ltv": q_ndcg_ltv,
+        "bootstrap_ci_price": q_bootstrap_ci_price,
+        "changepoint_revenue": q_changepoint_revenue,
+        "assortativity_parts": q_assortativity_parts,
+        "stl_daily": q_stl_daily,
+        "tpch_q8_share": q_tpch_q8_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "doc_keywords": q_doc_keywords,
+        "reservoir_docs": q_reservoir_docs,
+        "k_anon_orders": q_k_anon_orders,
+        "ols2_lineitem": q_ols2_lineitem,
+        "gram_embeddings": q_gram_embeddings,
+        "pareto_customers": q_pareto_customers,
+        "late_orders_q4": q_late_orders_q4,
+        "dormant_customers": q_dormant_customers,
+        "cust_order_dist": q_cust_order_dist,
+        "supplier_cnt_q16": q_supplier_cnt_q16,
+        "small_qty_q17": q_small_qty_q17,
+        "rolling_corr_daily": q_rolling_corr_daily,
+        "ccf_daily": q_ccf_daily,
+        "cvm_price_returns": q_cvm_price_returns,
+        "modularity_brands": q_modularity_brands,
+        "mixture_temperature": q_mixture_temperature,
+        "skyline_parts": q_skyline_parts,
+        "mode_priority": q_mode_priority,
+        "entropy_events": q_entropy_events,
+        "gini_segments": q_gini_segments,
+        "chi2_orders": q_chi2_orders,
+        "benford_prices": q_benford_prices,
+        "cusum_daily": q_cusum_daily,
+        "rfm_segments": q_rfm_segments,
+        "ohlc_events": q_ohlc_events,
+        "twap_daily": q_twap_daily,
+        "top_paths": q_top_paths,
+        "ols_trend": q_ols_trend,
+        "robust_scale_price": q_robust_scale_price,
+        "cms_gate": q_cms_gate,
+        "mutual_info_orders": q_mutual_info,
+        "jl_project": q_jl_project,
+        "triangles_parts": q_triangles_parts,
+        "kaplan_meier_orders": q_kaplan_meier,
+        "attribution_events": q_attribution,
+        "ltv_cohorts": q_ltv_cohorts,
+        # --- positions 51+: the remaining 12 of the backlog lead r8
+        "components_parts": q_components_parts,
+        "logrank_segments": q_logrank_segments,
+        "spearman_lineitem": q_spearman_lineitem,
+        "acf_daily": q_acf_daily,
+        "mw_priorities": q_mann_whitney,
+        "kruskal_priority": q_kruskal_priority,
+        "cramers_orders": q_cramers_orders,
+        "weighted_pctile": q_weighted_pctile,
+        "theil_sen_daily": q_theil_sen,
+        "hits_bipartite": q_hits_bipartite,
+        "bh_fdr_monthly": q_bh_fdr_monthly,
+        "powerlaw_parts": q_powerlaw_parts,
+        # --- driver-green in r1-r6 (stay registered for bench/pytest);
+        # --- the 4 no-oracle ANN/semdedup queries remain below 50
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
         "heavy_hitters": q_heavy_hitters,
-        "span_dedup": q_span_dedup,
-        # --- new in r6 (TPC-H third wave)
         "top_supplier_q15": q_top_supplier_q15,
         "late_ship_priority_q12": q_late_ship_priority_q12,
         "solo_late_supplier_q21": q_solo_late_supplier_q21,
-        # --- new in r6 (experimentation statistics)
         "cuped_events": q_cuped_events,
         "ab_proportions": q_ab_proportions,
         "ratio_metric_events": q_ratio_metric_events,
-        # --- new in r6 (robust monitoring / growth)
         "mad_outliers_events": q_mad_outliers_events,
         "ewma_daily": q_ewma_daily,
         "mom_growth": q_mom_growth,
@@ -4620,77 +4727,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": q_dup_rate_by_source,
         "vocab_growth": q_vocab_growth,
         "basket_size_hist": q_basket_size_hist,
-        # --- new in r6 (distribution distances)
         "ks_price_returns": q_ks_price_returns,
         "wasserstein_price": q_wasserstein_price,
         "jsd_event_types": q_jsd_event_types,
         "kendall_daily": q_kendall_daily,
-        # --- new in r6 (TPC-H second wave)
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q14_promo": q_tpch_q14_promo,
-        "tpch_q18_big_orders": q_tpch_q18_big_orders,
-        "tpch_q19_disjunct": q_tpch_q19_disjunct,
-        "tpch_q7_volume": q_tpch_q7_volume,
-        # --- new in r6 (text/IR/bootstrap)
-        "ttr_docs": q_ttr_docs,
-        "flesch_docs": q_flesch_docs,
-        "ndcg_ltv": q_ndcg_ltv,
-        "bootstrap_ci_price": q_bootstrap_ci_price,
-        "changepoint_revenue": q_changepoint_revenue,
-        "assortativity_parts": q_assortativity_parts,
-        "stl_daily": q_stl_daily,
-        "tpch_q8_share": q_tpch_q8_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "doc_keywords": q_doc_keywords,
-        "reservoir_docs": q_reservoir_docs,
-        "k_anon_orders": q_k_anon_orders,
-        "ols2_lineitem": q_ols2_lineitem,
-        "gram_embeddings": q_gram_embeddings,
-        "pareto_customers": q_pareto_customers,
-        "late_orders_q4": q_late_orders_q4,
-        "dormant_customers": q_dormant_customers,
-        "cust_order_dist": q_cust_order_dist,
-        "supplier_cnt_q16": q_supplier_cnt_q16,
-        "small_qty_q17": q_small_qty_q17,
-        "rolling_corr_daily": q_rolling_corr_daily,
-        "ccf_daily": q_ccf_daily,
-        "cvm_price_returns": q_cvm_price_returns,
-        "modularity_brands": q_modularity_brands,
-        "mixture_temperature": q_mixture_temperature,
-        # --- new in r6 (never driver-verified)
-        "skyline_parts": q_skyline_parts,
-        "mode_priority": q_mode_priority,
-        "entropy_events": q_entropy_events,
-        "gini_segments": q_gini_segments,
-        "chi2_orders": q_chi2_orders,
-        "benford_prices": q_benford_prices,
-        "cusum_daily": q_cusum_daily,
-        "rfm_segments": q_rfm_segments,
-        "ohlc_events": q_ohlc_events,
-        "twap_daily": q_twap_daily,
-        "top_paths": q_top_paths,
-        "ols_trend": q_ols_trend,
-        "robust_scale_price": q_robust_scale_price,
-        "cms_gate": q_cms_gate,
-        "mutual_info_orders": q_mutual_info,
-        "jl_project": q_jl_project,
-        "triangles_parts": q_triangles_parts,
-        "kaplan_meier_orders": q_kaplan_meier,
-        "attribution_events": q_attribution,
-        "ltv_cohorts": q_ltv_cohorts,
-        "components_parts": q_components_parts,
-        "logrank_segments": q_logrank_segments,
-        "spearman_lineitem": q_spearman_lineitem,
-        "acf_daily": q_acf_daily,
-        "mw_priorities": q_mann_whitney,
-        "kruskal_priority": q_kruskal_priority,
-        "cramers_orders": q_cramers_orders,
-        "weighted_pctile": q_weighted_pctile,
-        "theil_sen_daily": q_theil_sen,
-        "hits_bipartite": q_hits_bipartite,
-        "bh_fdr_monthly": q_bh_fdr_monthly,
-        "powerlaw_parts": q_powerlaw_parts,
-        # --- green in r5, re-fill the window
         "ccnet_buckets": q_ccnet_buckets,
         "dsir_weights": q_dsir_weights,
         "quantile_rollup_gate": q_quantile_rollup_gate,
@@ -4741,7 +4783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decile_bins": q_decile_bins,
         "group_topk": q_group_topk,
         "cube_orders": q_cube_orders,
-        # --- slot 50 + below: green in CORRECTNESS_r01-r05 (kept registered)
         "passthrough_exprs": q_passthrough,
         "keyed_join": q_keyed_join,
         "window_agg_basic": q_window_agg_basic,
@@ -4757,7 +4798,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "materialize_backfill": q_materialize_backfill,
         "elementwise_avg": q_elementwise_avg,
         "materialize_snapshot": q_materialize_snapshot,
-        # LLM-data-pipeline extensions
         "dedup_exact": q_dedup_exact,
         "doc_chunks": q_doc_chunks,
         "dedup_components": q_dedup_components,
@@ -4792,9 +4832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
-        # --- engine-specific output, no oracle_sql() by design: accuracy is
-        # driver-proven via the oracled *_recall gates above. Keep these
-        # BELOW position 50 so they never produce an err="no_oracle" row.
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_pq_topk": q_ann_pq_topk,
@@ -10212,28 +10249,92 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY est_count DESC, term ASC
             LIMIT 20
         """,
+        "oracle_env_probe": """
+            SELECT 'date_trunc_day_repr' AS construct,
+                   CAST(date_trunc('day', TIMESTAMP '2024-03-05 06:07:08')
+                        AS VARCHAR) AS result
+            UNION ALL SELECT 'generate_series_incl',
+                   array_to_string(list_transform(generate_series(0, 16, 8),
+                                   x -> CAST(x AS VARCHAR)), ',')
+            UNION ALL SELECT 'int_div_floor', CAST(9 // 8 AS VARCHAR)
+            UNION ALL SELECT 'int_div_slash',
+                   CAST(CAST(9 / 8 AS BIGINT) AS VARCHAR)
+            UNION ALL SELECT 'list_filter_lambda',
+                   array_to_string(list_filter(['a', '', 'b'],
+                                   x -> x <> ''), ',')
+            UNION ALL SELECT 'md5_lit', md5('feathr')
+            UNION ALL SELECT 'quantile_cont_interp',
+                   (SELECT CAST(ROUND(quantile_cont(x, 0.25) + 1e-9, 4)
+                                AS VARCHAR)
+                    FROM (VALUES (1.0), (2.0), (4.0)) t(x))
+            UNION ALL SELECT 'range_excl',
+                   array_to_string(list_transform(range(0, 16, 8),
+                                   x -> CAST(x AS VARCHAR)), ',')
+            UNION ALL SELECT 'regex_backslash_s_vtab',
+                   CAST(len(regexp_split_to_array('a' || chr(11) || 'b',
+                            '\\s+')) AS VARCHAR)
+            UNION ALL SELECT 'regex_ws_class',
+                   array_to_string(regexp_split_to_array(
+                       'a' || chr(9) || 'b  c', '[ \\t\\n\\r]+'), '|')
+            UNION ALL SELECT 'round_binary_double',
+                   CAST(ROUND(307.03 / 8, 4) AS VARCHAR)
+            UNION ALL SELECT 'slice_bracket',
+                   array_to_string((['a', 'b', 'c', 'd'])[2:3], ',')
+            UNION ALL SELECT 'slice_fn',
+                   array_to_string(list_slice(['a', 'b', 'c', 'd'], 2, 3),
+                                   ',')
+            UNION ALL SELECT 'string_agg_nullskip',
+                   (SELECT string_agg(v, ' ' ORDER BY i)
+                    FROM (VALUES (1, 'a'), (2, NULL), (3, 'c')) t(i, v))
+            UNION ALL SELECT 'sum_int_str',
+                   (SELECT CAST(sum(x) AS VARCHAR)
+                    FROM (VALUES (1), (2)) t(x))
+            UNION ALL SELECT 'unnest_subscript_align',
+                   (SELECT array_to_string(list(CAST(i AS VARCHAR) || ':'
+                                                || w ORDER BY i), ',')
+                    FROM (SELECT unnest(['x', 'y']) AS w,
+                                 generate_subscripts(['x', 'y'], 1) AS i))
+        """,
         "span_dedup": """
+            -- r7 rewrite after the r6 driver-red hash (local-green):
+            -- every construct below appears verbatim in an oracle that has
+            -- a GREEN driver row (aligned unnest+generate_subscripts =
+            -- elementwise_avg r6; list(.. ORDER BY ..)+array_to_string =
+            -- elementwise_avg/abc_xyz; FILTER = pivot_events r6; // and
+            -- CAST(..AS BIGINT) everywhere). The r6 form's unique-to-it
+            -- constructs (string_agg NULL-skip, un-cast HUGEINT sums,
+            -- LATERAL unnest(generate_series) t(s), bracket list slices)
+            -- are all gone, and tokenization is the explicit portable
+            -- class [ \\t\\n\\r]+ in BOTH engines.
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                 x -> x <> '') AS l
+                     list_filter(
+                         regexp_split_to_array(trim(text), '[ \\t\\n\\r]+'),
+                         x -> x <> '') AS l
               FROM documents),
+            words AS (
+              SELECT doc_id,
+                     unnest(l) AS w,
+                     generate_subscripts(l, 1) AS i
+              FROM toks),
             spans AS (
-              SELECT doc_id, CAST(s / 8 AS BIGINT) AS pos,
-                     array_to_string(l[s + 1 : s + 8], ' ') AS span
-              FROM toks, LATERAL unnest(
-                     generate_series(0, greatest(len(l) - 1, 0), 8)
-                   ) AS t(s)),
+              SELECT doc_id,
+                     CAST((i - 1) // 8 AS BIGINT) AS pos,
+                     array_to_string(list(w ORDER BY i), ' ') AS span
+              FROM words GROUP BY doc_id, (i - 1) // 8),
             flagged AS (
               SELECT doc_id, pos, span,
-                     row_number() OVER (PARTITION BY md5(span)
+                     row_number() OVER (PARTITION BY span
                                         ORDER BY doc_id, pos) = 1 AS keep
-              FROM spans WHERE span <> '')
+              FROM spans)
             SELECT doc_id,
-                   coalesce(string_agg(CASE WHEN keep THEN span END,
-                                       ' ' ORDER BY pos), '') AS text_clean,
-                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_spans_kept,
-                   sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_spans_dropped
+                   coalesce(array_to_string(
+                       list(span ORDER BY pos) FILTER (WHERE keep), ' '),
+                       '') AS text_clean,
+                   CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_spans_kept,
+                   CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_spans_dropped
             FROM flagged GROUP BY doc_id
         """,
     }

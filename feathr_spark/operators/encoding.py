@@ -242,6 +242,12 @@ def woe_encode(
     own row (NULL is a value in risk scoring); NULL labels are
     excluded.
 
+    Degenerate corpora with zero positives (or zero negatives) overall
+    have no meaningful class distribution to divide by: the affected
+    fraction and the ``woe``/``iv_term`` columns come back NULL rather
+    than letting the ``min_frac`` floor fabricate finite-looking values
+    from a one-class fit.
+
     Output: ``(category, n, n_pos, n_neg, pos_frac, neg_frac, woe,
     iv_term)``.
     """
@@ -258,10 +264,16 @@ def woe_encode(
                   F.sum(F.col("__n") - F.col("__np")).alias("__tn"))
     j = per.crossJoin(F.broadcast(tot))
     nn = F.col("__n") - F.col("__np")
-    pf = F.greatest(F.col("__np").cast("double")
-                    / F.col("__tp").cast("double"), F.lit(float(min_frac)))
-    nf = F.greatest(nn.cast("double") / F.col("__tn").cast("double"),
-                    F.lit(float(min_frac)))
+    # guard the grand totals: a zero total means a one-class corpus —
+    # propagate NULL instead of letting greatest() swallow the NULL
+    # division and floor it to a fake min_frac distribution
+    pf = F.when(F.col("__tp") > 0,
+                F.greatest(F.col("__np").cast("double")
+                           / F.col("__tp").cast("double"),
+                           F.lit(float(min_frac))))
+    nf = F.when(F.col("__tn") > 0,
+                F.greatest(nn.cast("double") / F.col("__tn").cast("double"),
+                           F.lit(float(min_frac))))
     woe = F.log(pf / nf)
     res = j.select(
         "category",

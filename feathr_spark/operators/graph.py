@@ -346,7 +346,12 @@ def hits(
     is likewise a constant factor the final rescale cancels, so the
     iteration starts from 1.0 and never needs the node count. Overflow
     headroom: un-normalized scores grow ~(mean degree)² per round —
-    3–5 rounds on any realistic degree stays far inside double range.
+    3–5 rounds on any realistic degree stays far inside double range,
+    and ``iters`` is capped at 20 (a graph would need a mean degree
+    above ~10⁷ to overflow a double within the cap; HITS plateaus
+    geometrically long before 20 rounds anyway). Callers that truly
+    want more rounds should use per-round-normalized power iteration,
+    not a deeper un-normalized chain.
 
     Plan: per round one join + aggregate per direction (shuffles on
     node id), every frame node- or edge-sized; the rounds form a
@@ -359,6 +364,12 @@ def hits(
     """
     if iters < 1:
         raise ValueError("hits: iters must be >= 1")
+    if iters > 20:
+        raise ValueError(
+            "hits: iters capped at 20 — the end-normalized iteration "
+            "grows un-normalized scores ~(mean degree)^2 per round, so "
+            "arbitrarily deep chains risk double overflow; scores "
+            "plateau geometrically well before 20 rounds")
     # callers that already persisted the edge frame (because they
     # consume it elsewhere too) keep their single cache — stacking a
     # second InMemoryRelation on top would re-materialize every row

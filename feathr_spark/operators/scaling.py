@@ -289,20 +289,35 @@ def mad_outliers(
     Zero-MAD groups (over half the group identical) yield NULL
     ``robust_z`` and never flag. Output: input columns +
     ``(grp_median, grp_mad, robust_z, is_outlier)``.
+
+    Group keys are matched null-safely (``<=>``), so rows whose key is
+    NULL form a scored group like any other instead of silently falling
+    out of the equi-join (they already formed a ``groupBy`` group).
     """
     keys = list(by)
     v = F.col(value_col).cast("double")
+
+    def _attach(left: DataFrame, right: DataFrame) -> DataFrame:
+        # broadcast join back on the group keys, null-safe so NULL-key
+        # groups survive; right is group-count-sized by construction
+        if not keys:
+            return left.crossJoin(F.broadcast(right))
+        r = right
+        for kcol in keys:
+            r = r.withColumnRenamed(kcol, f"__r_{kcol}")
+        cond = [left[kcol].eqNullSafe(r[f"__r_{kcol}"]) for kcol in keys]
+        out = left.join(F.broadcast(r), cond)
+        return out.drop(*[f"__r_{kcol}" for kcol in keys])
+
     med = (df.where(v.isNotNull())
            .groupBy(*keys)
            .agg(F.percentile(v, F.lit(0.5)).alias("__med")))
-    withmed = (df.join(F.broadcast(med), keys) if keys
-               else df.crossJoin(F.broadcast(med)))
+    withmed = _attach(df, med)
     mad = (withmed.where(v.isNotNull())
            .groupBy(*keys)
            .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
                 .alias("__mad")))
-    j = (withmed.join(F.broadcast(mad), keys) if keys
-         else withmed.crossJoin(F.broadcast(mad)))
+    j = _attach(withmed, mad)
     z = F.when(F.col("__mad") > 0,
                (v - F.col("__med")) / (F.lit(consistency)
                                        * F.col("__mad")))

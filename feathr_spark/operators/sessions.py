@@ -270,7 +270,13 @@ def peak_concurrency(
     then session) — touching sessions count as concurrent and the
     sweep is deterministic under any partitioning.
 
-    Output: (day, n_sessions_started, peak_concurrency).
+    Output: (day, n_sessions_started, peak_concurrency) — for OBSERVED
+    days only: a day appears iff at least one session boundary (start
+    or end) falls on it. A day fully inside a multi-day session (no
+    boundary events that day) is absent even though true concurrency is
+    positive all day; with a 30m-style gap rule such days cannot occur,
+    and gap-free callers that need them should gap-fill downstream from
+    the previous day's carry rather than pay a calendar join here.
     """
     # tie order among equal timestamps cannot change session bounds
     # (a 0 gap never exceeds the gap rule), so the default ordering is

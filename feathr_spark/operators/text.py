@@ -515,10 +515,16 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     Documents that are empty after tokenization produce no output row.
 
     Output: ``(id, text_clean, n_spans_kept, n_spans_dropped)``.
+
+    Tokenization is pinned to the explicit class ``[ \\t\\n\\r]+`` rather
+    than ``\\s`` — Java regex ``\\s`` includes vertical tab (and, with
+    UNICODE_CHARACTER_CLASS, all Unicode spaces) while RE2-based engines
+    (the DuckDB oracle) stop at ``[\\t\\n\\f\\r ]``; the explicit class is
+    the portable intersection both engines agree on byte-for-byte.
     """
     from pyspark.sql import Window
 
-    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"),
+    toks = F.filter(F.split(F.trim(F.col(text_col)), "[ \t\n\r]+"),
                     lambda t: t != F.lit(""))
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size(F.col("__toks"))

@@ -148,6 +148,66 @@ def gen_edges(spark, scale, rng_seed=7):
         "src": src[keep].astype("int64"), "dst": dst[keep].astype("int64")}))
 
 
+def gen_pit_dir(scale, con):
+    """Scaled orders/lineitem/events at `scale` x sf0.1 by replicating the
+    REAL tables with per-replica entity-key offsets: pure horizontal
+    growth (key count scales, per-key history and the time range stay
+    fixed) — the "same distribution, more data" model a 100 TB cluster
+    sees. Full schema preserved so the PIT project shapes run unchanged."""
+    d = os.path.join(OUT, f"pit_x{scale}")
+    done = [os.path.exists(os.path.join(d, f"{t}.parquet"))
+            for t in ("orders", "lineitem", "events")]
+    if all(done):
+        return d
+    os.makedirs(d, exist_ok=True)
+    OFF = 10_000_000  # far above any sf0.1 key
+    copies = {
+        "orders": ("o_orderkey + r.i * {o} AS o_orderkey, "
+                   "o_custkey + r.i * {o} AS o_custkey, "
+                   "o_orderstatus, o_totalprice, o_orderdate, "
+                   "o_orderpriority"),
+        "lineitem": ("l_orderkey + r.i * {o} AS l_orderkey, "
+                     "l_partkey + r.i * {o} AS l_partkey, "
+                     "l_suppkey + r.i * {o} AS l_suppkey, "
+                     "l_linenumber, l_quantity, l_extendedprice, "
+                     "l_discount, l_tax, l_returnflag, l_linestatus, "
+                     "l_shipdate"),
+        "events": ("event_id + r.i * {o} AS event_id, ts, "
+                   "user_id + r.i * {o} AS user_id, event_type, value, "
+                   "props"),
+    }
+    for t, cols in copies.items():
+        con.execute(
+            f"COPY (SELECT {cols.format(o=OFF)} "
+            f"FROM '{SRC}/{t}.parquet', range({scale}) r(i)) "
+            f"TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)")
+    return d
+
+
+def stress_pit(spark, scales, con):
+    """VERDICT r6 item 7: measure (not argue) the PIT core's growth —
+    the union-window point-in-time join (single-key 90d window family,
+    composite-key 365d family) and the generic as-of join, on 1x/3x/5x
+    horizontally-scaled orders/lineitem/events."""
+    import __spark_entry__ as entry
+    qs = entry.queries()
+    names = ["window_agg_basic", "multi_key_window", "asof_join"]
+    dirs = {s: gen_pit_dir(s, con) for s in scales}
+    for q in names:  # warm JVM/codegen on the smallest scale
+        qs[q](spark, dirs[scales[0]]).count()
+    results = {q: {} for q in names}
+    for s in scales:
+        for q in names:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                qs[q](spark, dirs[s]).count()
+                best = min(best, time.time() - t0)
+            results[q][s] = best
+            print(f"x{s} {q:24s} {best:7.2f}s", flush=True)
+    return results
+
+
 def stress_iterative(spark, scales):
     """VERDICT r5 item 5: measure (not argue) the iteration family's
     growth — pagerank at fixed 3 iters and connected components, on
@@ -200,7 +260,8 @@ def main():
     import duckdb
     args = sys.argv[1:]
     graph_only = "--graph" in args
-    args = [a for a in args if a != "--graph"]
+    pit_only = "--pit" in args
+    args = [a for a in args if a not in ("--graph", "--pit")]
     scales = [int(a) for a in args] or [1, 3, 5]
     con = duckdb.connect()
     sys.path.insert(0, REPO)
@@ -213,6 +274,9 @@ def main():
              .getOrCreate())
     if graph_only:
         report(stress_iterative(spark, scales), scales)
+        return
+    if pit_only:
+        report(stress_pit(spark, scales, con), scales)
         return
     fitted = fit_source(con)
     dirs = {s: gen_dir(s, fitted, con) for s in scales}

@@ -91,3 +91,18 @@ def test_period_growth_zero_previous_is_null(spark):
     out = {str(r["bucket_ts"])[:7]: r["growth_pct"]
            for r in period_growth(df, "ts", "v", bucket="month").collect()}
     assert out["2024-02"] is None
+
+
+def test_mad_outliers_null_key_group_scored(spark):
+    # NULL group key forms a scored group (null-safe key match), instead
+    # of groupBy-ing into a row that the attach join then drops
+    rows = [(None, float(i), 10.0 + (i % 5) * 0.1) for i in range(20)]
+    rows.append((None, 99.0, 500.0))
+    rows += [("a", float(i), 7.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, rid double, v double")
+    out = mad_outliers(df, "v", by=["g"], k=3.5).collect()
+    assert len(out) == len(rows)  # every input row survives the attach
+    nulls = [r for r in out if r["g"] is None]
+    assert len(nulls) == 21
+    assert [(r["rid"]) for r in nulls if r["is_outlier"]] == [99.0]
+    assert all(r["grp_median"] is not None for r in nulls)

@@ -811,6 +811,8 @@ EXCHANGE_BUDGET = {
     # per-order countDistinct (two-phase expand) + size histogram +
     # the 1-row total broadcast
     "basket_size_hist": 7,
+    # constant 16-row literal frame, no data touched
+    "oracle_env_probe": 0,
 }
 
 

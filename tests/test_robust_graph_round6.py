@@ -138,3 +138,13 @@ def test_degree_powerlaw_no_tail_null(spark):
     df = spark.createDataFrame(edges, "src string, dst string")
     r = degree_powerlaw(df, dmin=5).collect()[0]
     assert r.alpha is None and r.n_tail == 0
+
+
+def test_hits_iters_cap_raises(spark):
+    import pytest
+    from feathr_spark.operators.graph import hits
+    df = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="capped at 20"):
+        hits(df, iters=21)
+    with pytest.raises(ValueError, match=">= 1"):
+        hits(df, iters=0)

@@ -158,3 +158,17 @@ def test_lorenz_extremes(spark):
     # bottom ~90% of keys hold ~0 value
     assert out[0]["cum_value_frac"] < 0.01
     assert sum(r["n_keys"] for r in out) == 10
+
+
+def test_woe_encode_one_class_corpus_yields_null_woe(spark):
+    # zero positives overall: pos_frac/woe/iv_term must be NULL, not a
+    # finite-looking min_frac-floored fit; counts stay exact
+    from feathr_spark.operators.encoding import woe_encode
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("b", 0)], "c string, y int")
+    out = {r["category"]: r for r in woe_encode(df, "c", "y").collect()}
+    assert out["a"]["n"] == 2 and out["a"]["n_pos"] == 0
+    for r in out.values():
+        assert r["pos_frac"] is None
+        assert r["woe"] is None and r["iv_term"] is None
+        assert r["neg_frac"] is not None  # negatives side is real

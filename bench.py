@@ -3,9 +3,15 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed as a full materialization (collect-less: count() via
-``df.write.format("noop")``-equivalent — we use count() which forces the
-whole plan) after a shared-session warmup of the JVM.
+Each query is timed as a full materialization to the ``noop`` sink
+(collect-less, JVM-side, every output column evaluated) after a
+shared-session warmup of the JVM. Round-7 methodology note: earlier
+rounds timed ``count()``, which lets Catalyst PRUNE computation that
+cannot change the row count — window columns, aggregate values, and
+especially row-local text metrics (a map-only query counts straight off
+parquet row-group metadata without touching the data). The noop sink
+closes that hole; BASELINE.md's round-7 table re-snapshots every query
+under the same rule, superseding the count()-era tables.
 
 Each query is run ``$SPARK_GRAFT_BENCH_REPS`` times (default 2) and the
 MINIMUM wall-clock is reported — single-shot timings on a shared box swing
@@ -254,9 +260,12 @@ def main():
     # query once at sf0.001 so the timed sf0.1 runs measure data processing,
     # not Janino compilation of the generated classes (minhash's 64
     # aggregates and the ANN vector HOFs each cost ~1s of compilation).
+    def run(name, d):
+        qs[name](spark, d).write.format("noop").mode("overwrite").save()
+
     for warm in HEADLINE:
         try:
-            qs[warm](spark, "/root/testdata/sf0.001").count()
+            run(warm, "/root/testdata/sf0.001")
         except Exception:
             pass
 
@@ -270,7 +279,7 @@ def main():
         for _ in range(reps):
             t0 = time.perf_counter()
             try:
-                fn(spark, sf_dir).count()
+                run(name, sf_dir)
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
             except Exception as e:  # keep benching; report failure as null

@@ -176,6 +176,7 @@ def rfm_scores(
     ts_col: str,
     amount_col: str,
     n_tiles: int = 5,
+    method: str = "ntile",
 ) -> DataFrame:
     """RFM (recency / frequency / monetary) customer segmentation — the
     classic marketing-analytics feature triple, scored 1..``n_tiles``
@@ -190,12 +191,23 @@ def rfm_scores(
 
     Plan: one data-sized aggregate to the per-key RFM triple; the
     1-row global max-date frame broadcasts; the three ntile windows run
-    over the per-KEY frame (customer-sized, far below the order count)
-    and share one partitioning (none — ntile is a global rank; at
-    extreme key cardinality swap in percent_rank-derived buckets, the
-    documented scale knob). Output: key, recency_days, frequency,
+    over the per-KEY frame (customer-sized, far below the order count).
+
+    ``method``: ``"ntile"`` (default) is exact equal-frequency but its
+    global ntile windows single-partition-sort the CUSTOMER frame —
+    fine to ~10⁷ keys, the wrong plan at 10⁹. ``method="cuts"`` is the
+    extreme-cardinality path: one extra aggregate computes the interior
+    percentile cut points of all three metrics, broadcasts the 1-row
+    cuts frame, and scores each key by counting cuts strictly below its
+    metric — zero windows, zero additional shuffles, so the customer
+    frame never needs a total order. Tie semantics differ by design:
+    equal metric values always share a score under ``cuts`` (the
+    engine-portable rule), while ``ntile`` splits them by key to hit
+    exact 1/n class sizes. Output: key, recency_days, frequency,
     monetary, r_score, f_score, m_score, rfm (e.g. '545').
     """
+    if method not in ("ntile", "cuts"):
+        raise ValueError(f"rfm_scores: unknown method {method!r}")
     per_key = orders.groupBy(key_col).agg(
         F.max(F.col(ts_col).cast("timestamp")).alias("__last"),
         F.count("*").alias("frequency"),
@@ -208,6 +220,38 @@ def rfm_scores(
         .cast("bigint").alias("recency_days"),
         F.col("frequency").cast("bigint").alias("frequency"),
         F.col("__m").cast("double").alias("monetary"))
+    if method == "cuts":
+        fracs = [i / n_tiles for i in range(1, n_tiles)]
+
+        def _cuts(col):
+            return F.array(*[F.percentile(F.col(col).cast("double"),
+                                          F.lit(f)) for f in fracs])
+
+        stats = base.agg(_cuts("recency_days").alias("__rc"),
+                         _cuts("frequency").alias("__fc"),
+                         _cuts("monetary").alias("__mc"))
+
+        def _below(col, cuts):
+            # bucket = # cuts strictly below the value, the same
+            # deterministic rule as scaling.quantile_bins
+            return F.aggregate(
+                F.col(cuts), F.lit(0),
+                lambda acc, c: acc + F.when(
+                    F.col(col).cast("double") > c, 1).otherwise(0))
+
+        j = base.crossJoin(F.broadcast(stats))
+        out = j.select(
+            key_col, "recency_days", "frequency", "monetary",
+            # small recency_days = recent = HIGH score
+            (F.lit(n_tiles) - _below("recency_days", "__rc"))
+            .cast("bigint").alias("r_score"),
+            (_below("frequency", "__fc") + 1).cast("bigint")
+            .alias("f_score"),
+            (_below("monetary", "__mc") + 1).cast("bigint")
+            .alias("m_score"))
+        return out.withColumn(
+            "rfm", F.concat_ws("", F.col("r_score"), F.col("f_score"),
+                               F.col("m_score")))
     r_w = Window.orderBy(F.col("recency_days").desc(), F.col(key_col))
     f_w = Window.orderBy(F.col("frequency").asc(), F.col(key_col))
     m_w = Window.orderBy(F.col("monetary").asc(), F.col(key_col))

@@ -193,15 +193,22 @@ def stress_pit(spark, scales, con):
     qs = entry.queries()
     names = ["window_agg_basic", "multi_key_window", "asof_join"]
     dirs = {s: gen_pit_dir(s, con) for s in scales}
+
+    def run(q, d):
+        # .count() would let Catalyst PRUNE the whole feature pipeline
+        # (windows never change row count); the noop sink materializes
+        # every output column JVM-side, like a real write would
+        qs[q](spark, d).write.format("noop").mode("overwrite").save()
+
     for q in names:  # warm JVM/codegen on the smallest scale
-        qs[q](spark, dirs[scales[0]]).count()
+        run(q, dirs[scales[0]])
     results = {q: {} for q in names}
     for s in scales:
         for q in names:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                qs[q](spark, dirs[s]).count()
+                run(q, dirs[s])
                 best = min(best, time.time() - t0)
             results[q][s] = best
             print(f"x{s} {q:24s} {best:7.2f}s", flush=True)
@@ -283,9 +290,17 @@ def main():
 
     import __spark_entry__ as entry
     qs = entry.queries()
+
+    def run(q, d):
+        # r7: noop sink, not .count() — count lets Catalyst prune any
+        # computation that can't change row count (row-local text
+        # metrics, window columns, aggregate values), silently
+        # under-measuring those queries; noop materializes every column
+        qs[q](spark, d).write.format("noop").mode("overwrite").save()
+
     # warm the JVM/codegen once on the smallest scale
     for q in HEAVY:
-        qs[q](spark, dirs[scales[0]]).count()
+        run(q, dirs[scales[0]])
 
     results = {q: {} for q in HEAVY}
     for s in scales:
@@ -293,7 +308,7 @@ def main():
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                qs[q](spark, dirs[s]).count()
+                run(q, dirs[s])
                 best = min(best, time.time() - t0)
             results[q][s] = best
             print(f"x{s} {q:24s} {best:7.2f}s", flush=True)

@@ -1789,3 +1789,56 @@ def test_random_projection_preserves_distances(spark):
                               out_dim=32, dim=64, seed=0).collect()
     assert {r.vec_id: r.projected for r in again} == \
         {r.vec_id: r.projected for r in out}
+
+
+def test_rfm_cuts_matches_ntile_on_distinct_balanced_data(spark):
+    """method='cuts' (broadcast percentile cuts, no global window — the
+    extreme-cardinality path) assigns the same quintiles as ntile when
+    metrics are distinct and classes divide evenly, and its plan
+    contains NO window operator at all."""
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.encoding import rfm_scores
+    t0 = dt.datetime(2024, 1, 1)
+    # 10 customers, one order each: recency 0..9 days, amounts distinct
+    rows = [Row(k=k, ts=t0 + dt.timedelta(days=k), amt=float(10 + k))
+            for k in range(10)]
+    df = spark.createDataFrame(rows)
+    a = {r.k: r for r in rfm_scores(df, "k", "ts", "amt",
+                                    n_tiles=5).collect()}
+    b = {r.k: r for r in rfm_scores(df, "k", "ts", "amt", n_tiles=5,
+                                    method="cuts").collect()}
+    assert set(a) == set(b)
+    for k in a:
+        # r/m metrics are distinct + balanced: methods agree exactly
+        # (frequency is all-ties, where the methods differ by design,
+        # so the rfm concat string is not compared)
+        assert (a[k].r_score, a[k].m_score) == \
+               (b[k].r_score, b[k].m_score), k
+    # frequency is all-ties (1 order each): cuts puts every key in ONE
+    # class (portable tie rule), ntile force-splits — both monotone
+    assert len({r.f_score for r in b.values()}) == 1
+    plan = rfm_scores(df, "k", "ts", "amt", method="cuts") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+def test_rfm_cuts_scores_monotone_under_ties(spark):
+    import datetime as dt
+    from pyspark.sql import Row
+    from feathr_spark.operators.encoding import rfm_scores
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [Row(k=k, ts=t0 + dt.timedelta(days=k % 3),
+                amt=float([5, 5, 9, 9, 20, 20, 20, 41][k % 8]))
+            for k in range(24)]
+    out = rfm_scores(spark.createDataFrame(rows), "k", "ts", "amt",
+                     n_tiles=4, method="cuts").collect()
+    # equal monetary => equal m_score; higher monetary => >= m_score
+    by_amt = {}
+    for r in out:
+        by_amt.setdefault(r.monetary, set()).add(r.m_score)
+    assert all(len(s) == 1 for s in by_amt.values())
+    amts = sorted(by_amt)
+    scores = [by_amt[a].pop() for a in amts]
+    assert scores == sorted(scores)
+    assert all(1 <= s <= 4 for s in scores)

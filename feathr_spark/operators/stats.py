@@ -1300,3 +1300,75 @@ def qini_uplift(
         (F.col("__cnt") + F.col("__cnc")).cast("bigint").alias("cum_n"),
         uplift.cast("double").alias("uplift_rate"),
         qini.cast("double").alias("qini"))
+
+
+def selection_percentile(
+    df: DataFrame,
+    value_col: str,
+    frac: float = 0.5,
+    buckets: int = 65536,
+) -> DataFrame:
+    """EXACT interpolated percentile of an arbitrarily large column via
+    distributed selection — the scale path when ``F.percentile`` /
+    ``F.median``'s buffer-every-value aggregate becomes the bottleneck
+    (its partial state is the full value multiset, merged and sorted in
+    ONE final task: ~10 s for 3M doubles locally, unusable at 100 TB).
+
+    Two fully parallel data passes: (1) count/min/max + a fixed-width
+    bucket histogram (the shuffle is <= ``buckets`` rows); (2) only the
+    rows of the (typically tiny) bucket(s) containing the two order
+    statistics are re-scanned and rank-selected. The 1-row stats frame
+    and the <= ``buckets``-row histogram are BOUNDED driver collects
+    (same class as the documented k-row centroid / d-cell Gram
+    collects), which keeps the returned plan free of repeated
+    single-partition folds; pass a pre-``persist()``-ed frame so the
+    two passes share one materialization.
+
+    Interpolation is ``(1-d)*lower + d*higher`` — verified
+    bit-identical to Spark 4's own Percentile (F.percentile /
+    F.median) on generated cases, so swapping this in for
+    ``F.percentile(col, frac)`` never changes a value. Adversarial
+    inputs (most of the mass in one bucket, e.g. heavy ties) degrade
+    gracefully: the candidate sort grows toward the tie count, and an
+    all-equal column short-circuits to that value.
+
+    Returns a 1-row DataFrame ``(value double)``. NULLs are excluded;
+    an empty input yields value NULL.
+    """
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    vals = df.where(v.isNotNull()).select(v.alias("__v"))
+    n, lo, hi = vals.agg(F.count("*"), F.min("__v"), F.max("__v")).first()
+    if n == 0:
+        return spark.range(1).select(
+            F.lit(None).cast("double").alias("value"))
+    if lo == hi:
+        return spark.range(1).select(
+            F.lit(float(lo)).cast("double").alias("value"))
+    r = (n - 1) * float(frac)
+    k0, k1 = int(math.floor(r)), int(math.ceil(r))
+    d = r - math.floor(r)
+    width = (hi - lo) / float(buckets)
+    bkt = F.least(F.floor((F.col("__v") - F.lit(float(lo)))
+                          / F.lit(width)),
+                  F.lit(buckets - 1)).cast("long")
+    # bounded collect: <= `buckets` (bucket-id, count) rows
+    hist = sorted(vals.groupBy(bkt.alias("__b"))
+                  .agg(F.count("*").alias("__c")).collect())
+    below = 0
+    targets = {}                     # bucket id -> below-count offset
+    for b, c in hist:
+        if below <= k0 < below + c or below <= k1 < below + c:
+            targets[b] = below
+        below += c
+    min_b = min(targets)
+    off = targets[min_b]             # candidate union is rank-contiguous
+    cand = vals.where(bkt.isin(*[int(b) for b in targets]))
+    ranked = cand.select(
+        "__v",
+        (F.row_number().over(Window.orderBy("__v")) - 1 + F.lit(off))
+        .alias("__k"))
+    picks = ranked.where(F.col("__k").isin(k0, k1))
+    return picks.agg(
+        ((F.lit(1.0 - d)) * F.min("__v")
+         + F.lit(float(d)) * F.max("__v")).cast("double").alias("value"))

@@ -218,12 +218,36 @@ def theil_sen(
     b = s.select(*keys, F.col("__x").alias("__xb"),
                  F.col("__y").alias("__yb"))
     cond = [F.col("__xa") < F.col("__xb")]
+    if not keys:
+        # the global-trend cross join streams the cached series frame,
+        # which sits in ONE post-AQE partition — without a spread the
+        # whole O(n^2) nested loop (and the partial median buffering
+        # behind it) runs in a single task; fan the streamed side out
+        # to the configured parallelism first
+        n_parts = int(series.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        a = a.repartition(n_parts)
     pairs = (a.join(b, keys) if keys else a.crossJoin(b)) \
         .where(*cond)
-    slope = (pairs.groupBy(*keys)
-             .agg(F.median((F.col("__yb") - F.col("__ya"))
-                           / (F.col("__xb") - F.col("__xa")))
-                  .alias("__m")))
+    sl_expr = ((F.col("__yb") - F.col("__ya"))
+               / (F.col("__xb") - F.col("__xa")))
+    extra = []
+    if keys:
+        # grouped trends: per-key series are small, the buffer-based
+        # exact median is fine and stays key-partitioned
+        slope = pairs.groupBy(*keys).agg(F.median(sl_expr).alias("__m"))
+    else:
+        # the GLOBAL pair median is where F.median breaks down: its
+        # partial state is the full O(n^2) slope multiset, merged and
+        # sorted in one final task (measured 10 s of an 11 s query at
+        # 2.9M pairs). selection_percentile finds the same value via a
+        # bucket histogram + a candidate-bucket-only sort, fully
+        # parallel and interpolation-identical to Spark's Percentile.
+        from .stats import selection_percentile
+        sl = pairs.select(sl_expr.alias("__sl")).persist()
+        extra.append(sl)  # histogram pass + candidate pass both read it
+        slope = selection_percentile(sl, "__sl", 0.5) \
+            .select(F.col("value").alias("__m"))
     if keys:
         j = s.join(F.broadcast(slope), keys)
     else:
@@ -239,7 +263,7 @@ def theil_sen(
                    F.round(F.col("__b") + 1e-9, round_dp).cast("double")
                    .alias("intercept")))
     from ._cache import attach_intermediates
-    return attach_intermediates(out, [s])
+    return attach_intermediates(out, [s] + extra)
 
 
 def binary_changepoint(df: DataFrame, time_col: str,

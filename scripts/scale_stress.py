@@ -191,7 +191,14 @@ def stress_pit(spark, scales, con):
     horizontally-scaled orders/lineitem/events."""
     import __spark_entry__ as entry
     qs = entry.queries()
-    names = ["window_agg_basic", "multi_key_window", "asof_join"]
+    names = ["window_agg_basic", "multi_key_window", "asof_join",
+             # r7 widening: one representative per orders/events family
+             # (exact-percentile fold, global-ntile segmentation,
+             # gap-rule sessions, +1/-1 concurrency sweep, recursive
+             # EWMA window, first-purchase attribution, two-pass MAD)
+             "qini_orders", "rfm_segments", "sessionize",
+             "peak_concurrency_daily", "ewma_daily",
+             "attribution_events", "mad_outliers_events"]
     dirs = {s: gen_pit_dir(s, con) for s in scales}
 
     def run(q, d):

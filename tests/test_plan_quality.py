@@ -603,9 +603,13 @@ EXCHANGE_BUDGET = {
     # one data-sized (flag, price) weight fold + the decimal bucketed
     # prefix cumsum + the per-(flag, p) min fold
     "weighted_pctile": 8,
-    # daily aggregate + the persisted series frame printing under its
-    # three consumers (pair join x2 + residual pass) + two 1-row folds
-    "theil_sen_daily": 8,
+    # daily aggregate + the streamed-side spread of the pair loop + the
+    # persisted series/slope frames printing under their consumers; the
+    # r7 selection-percentile slope median adds single-partition folds
+    # over the candidate-BUCKET frame only (bounded by bucket width,
+    # never data-sized) — the 10x win is removing F.median's
+    # single-task full-multiset merge
+    "theil_sen_daily": 14,
     # hits ends in localCheckpoint (pagerank pattern): snapshot plan is
     # the checkpoint scan + the join+distinct edge build (persisted,
     # shared with the iteration) + the two-countDistinct rescale fold
@@ -643,9 +647,11 @@ EXCHANGE_BUDGET = {
     # per-customer revenue aggregate + the shared group-partitioned
     # rank windows; the fold reuses the window partitioning
     "ndcg_ltv": 2,
-    # B-bounded replicate aggregate (map-side combined) + two 1-row
-    # folds (base stats, percentile) crossed back in
-    "bootstrap_ci_price": 3,
+    # the (id, value) projection spread (r7: fans the 8-hash/32-ladder
+    # per-row work out of the single local input split) + B-bounded
+    # replicate aggregate (map-side combined) + two 1-row folds (base
+    # stats, percentile) crossed back in
+    "bootstrap_ci_price": 4,
     # daily aggregate + the series prefix window + the 1-row totals
     # fold + top-1; all post-aggregate frames are day-count-sized
     "changepoint_revenue": 4,

@@ -148,3 +148,19 @@ def test_hits_iters_cap_raises(spark):
         hits(df, iters=21)
     with pytest.raises(ValueError, match=">= 1"):
         hits(df, iters=0)
+
+
+def test_selection_percentile_matches_builtin_percentile(spark):
+    """Distributed-selection exact percentile == F.percentile bitwise,
+    including the interpolated (fractional-rank) cases and heavy ties."""
+    from pyspark.sql import functions as F
+    from feathr_spark.operators.stats import selection_percentile
+    import random
+    random.seed(11)
+    vals = ([random.gauss(0, 10) for _ in range(500)]
+            + [3.25] * 200 + [-1e9, 1e9])
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    for frac in (0.0, 0.25, 0.5, 0.731, 1.0):
+        a = selection_percentile(df, "v", frac, buckets=64).collect()[0][0]
+        b = df.agg(F.percentile(F.col("v"), F.lit(frac))).collect()[0][0]
+        assert a == b, (frac, a, b)

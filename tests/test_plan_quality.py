@@ -850,6 +850,12 @@ GLOBAL_WINDOW_OK = {
     # row_number over the DISTINCT right domain (event types / items /
     # labels — the negative-sampling index table, broadcast downstream)
     "negative_pairs",
+    # r7 selection-percentile slope median: the rank window runs over
+    # the CANDIDATE-BUCKET rows only (the 1-2 histogram buckets
+    # containing the target order statistics — bounded by bucket width,
+    # never the pair table; the data-sized passes are the histogram and
+    # stats aggregates)
+    "theil_sen_daily",
     # lag over the BUCKET-COUNT-sized sketch frame (weeks x keys, one
     # fixed-width sketch per row) — never the data table
     "sketch_retention",

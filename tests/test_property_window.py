@@ -474,3 +474,30 @@ def test_property_cms_never_underestimates(spark, data):
     for t in vocab:
         assert est[t] >= truth[t], (t, est[t], truth[t])
         assert est[t] <= n  # a counter can never exceed the stream size
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_selection_percentile_property_matches_builtin(spark, data):
+    """Property: distributed-selection percentile == F.percentile bitwise
+    for arbitrary multisets (heavy ties, huge spread, tiny n) and
+    arbitrary fractions."""
+    from pyspark.sql import functions as F
+    from feathr_spark.operators.stats import selection_percentile
+    n = data.draw(st.integers(1, 60), label="n")
+    base = data.draw(st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1, max_size=8, unique=True), label="levels")
+    vals = [base[data.draw(st.integers(0, len(base) - 1), label=f"v{i}")]
+            for i in range(n)]
+    frac = data.draw(st.floats(min_value=0.0, max_value=1.0,
+                               allow_nan=False), label="frac")
+    buckets = data.draw(st.sampled_from([2, 7, 64]), label="buckets")
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    a = selection_percentile(df, "v", frac, buckets=buckets) \
+        .collect()[0][0]
+    b = df.agg(F.percentile(F.col("v"), F.lit(float(frac)))) \
+        .collect()[0][0]
+    assert a == b, (vals, frac, buckets, a, b)

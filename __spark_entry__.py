@@ -2199,6 +2199,9 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENV_PROBE_EXPECTED = [
     ("date_trunc_day_repr", "2024-03-05"),
     ("generate_series_incl", "0,8,16"),
+    ("hex_cast_bigint", "487564053226090421"),
+    ("lateral_aligned_unnest", "1:p,2:q"),
+    ("list_single_index", "b"),
     ("int_div_floor", "1"),
     ("int_div_slash", "1"),
     ("list_filter_lambda", "a,b"),
@@ -10256,6 +10259,16 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'generate_series_incl',
                    array_to_string(list_transform(generate_series(0, 16, 8),
                                    x -> CAST(x AS VARCHAR)), ',')
+            UNION ALL SELECT 'hex_cast_bigint',
+                   CAST(CAST('0x' || substr(md5('feathr'), 1, 15)
+                             AS BIGINT) AS VARCHAR)
+            UNION ALL SELECT 'lateral_aligned_unnest',
+                   (SELECT array_to_string(list(CAST(u.i AS VARCHAR) || ':'
+                                                || u.x ORDER BY u.i), ',')
+                    FROM (SELECT ['p', 'q'] AS v) t,
+                         LATERAL (SELECT unnest(v) AS x,
+                                         generate_subscripts(v, 1) AS i) u)
+            UNION ALL SELECT 'list_single_index', (['a', 'b', 'c'])[2]
             UNION ALL SELECT 'int_div_floor', CAST(9 // 8 AS VARCHAR)
             UNION ALL SELECT 'int_div_slash',
                    CAST(CAST(9 / 8 AS BIGINT) AS VARCHAR)

@@ -220,9 +220,9 @@ def js_divergence(
     p = F.col("__n") / F.col("__gn")
     q = F.col("__q")
     m = (p + q) / 2
-    terms = (cells
-             .join(F.broadcast(pooled), "__c")
-             .join(F.broadcast(gtot), keys)
+    from ._join import broadcast_attach
+    terms = (broadcast_attach(
+                broadcast_attach(cells, pooled, ["__c"]), gtot, keys)
              .select(*keys, "__gn",
                      (0.5 * p * log(p / m)).alias("__tp"),
                      (0.5 * q * log(q / m)).alias("__tq"),

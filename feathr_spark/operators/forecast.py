@@ -74,8 +74,10 @@ def seasonal_forecast(
                              F.col("__last") + int(horizon)))
         .alias("__fb"))
     grid = grid.withColumn("slot", F.pmod(F.col("__fb"), F.lit(int(slots))))
-    out = (grid.join(F.broadcast(key_slot), keys + ["slot"], "left")
-           .join(F.broadcast(global_slot), ["slot"], "left"))
+    from ._join import broadcast_attach
+    out = broadcast_attach(
+        broadcast_attach(grid, key_slot, keys + ["slot"], "left"),
+        global_slot, ["slot"], "left")
     return out.select(
         *keys,
         F.timestamp_seconds(F.col("__fb") * int(bucket_s))
@@ -120,8 +122,8 @@ def cusum_changepoints(
         F.avg(F.col("__v").cast("double")).alias("__mu"),
         F.stddev_samp(F.col("__v").cast("double")).alias("__sd"),
     )
-    joined = (series.join(F.broadcast(stats), keys) if keys
-              else series.crossJoin(F.broadcast(stats)))
+    from ._join import broadcast_attach
+    joined = broadcast_attach(series, stats, keys)  # null-safe keys
     dev = (F.col("__v").cast("double") - F.col("__mu")) / \
         F.when(F.col("__sd") > 0, F.col("__sd"))
     w = Window.partitionBy(*keys).orderBy("bucket_ts") \

@@ -47,9 +47,10 @@ def winsorize(
         F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
         F.percentile(v, F.lit(float(p_hi))).alias("__hi"),
     ]
+    from ._join import broadcast_attach
     if keys:
         stats = df.groupBy(*keys).agg(*stats_agg)
-        joined = df.join(F.broadcast(stats), keys, "left")
+        joined = broadcast_attach(df, stats, keys, "left")
     else:
         stats = df.agg(*stats_agg)
         joined = df.crossJoin(F.broadcast(stats))
@@ -82,9 +83,10 @@ def standardize(
         aggs += [F.count(F.col(c)).alias(f"__n_{c}"),
                  F.sum(d).alias(f"__s_{c}"),
                  F.sum(d * d).alias(f"__ss_{c}")]
+    from ._join import broadcast_attach
     if keys:
         stats = df.groupBy(*keys).agg(*aggs)
-        out = df.join(F.broadcast(stats), keys, "left")
+        out = broadcast_attach(df, stats, keys, "left")
     else:
         stats = df.agg(*aggs)
         out = df.crossJoin(F.broadcast(stats))
@@ -187,9 +189,10 @@ def quantile_bins(
             c = F.round(c + F.lit(1e-9), round_cuts_dp)
         return c
     cuts = F.array(*[_cut(f) for f in fracs]).alias("__cuts")
+    from ._join import broadcast_attach
     if keys:
         stats = df.groupBy(*keys).agg(cuts)
-        joined = df.join(F.broadcast(stats), keys, "left")
+        joined = broadcast_attach(df, stats, keys, "left")
     else:
         stats = df.agg(cuts)
         joined = df.crossJoin(F.broadcast(stats))
@@ -256,9 +259,9 @@ def robust_scale(
             .agg(F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
                  F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
                  F.expr(f"percentile({value_col}, 0.75)").alias("__q3")))
-    j = (df.join(F.broadcast(cuts), keys) if keys
-         else df.crossJoin(F.broadcast(cuts)))
-    iqr = F.col("__q3") - F.col("__q1")
+    from ._join import broadcast_attach
+    j = broadcast_attach(df, cuts, keys)  # null-safe: NULL-key groups
+    iqr = F.col("__q3") - F.col("__q1")   # are scored, not dropped
     robust = F.when(iqr > 0, (v - F.col("__med")) / iqr)
     return j.select(
         *keys, F.col(id_col),
@@ -294,30 +297,18 @@ def mad_outliers(
     NULL form a scored group like any other instead of silently falling
     out of the equi-join (they already formed a ``groupBy`` group).
     """
+    from ._join import broadcast_attach
     keys = list(by)
     v = F.col(value_col).cast("double")
-
-    def _attach(left: DataFrame, right: DataFrame) -> DataFrame:
-        # broadcast join back on the group keys, null-safe so NULL-key
-        # groups survive; right is group-count-sized by construction
-        if not keys:
-            return left.crossJoin(F.broadcast(right))
-        r = right
-        for kcol in keys:
-            r = r.withColumnRenamed(kcol, f"__r_{kcol}")
-        cond = [left[kcol].eqNullSafe(r[f"__r_{kcol}"]) for kcol in keys]
-        out = left.join(F.broadcast(r), cond)
-        return out.drop(*[f"__r_{kcol}" for kcol in keys])
-
     med = (df.where(v.isNotNull())
            .groupBy(*keys)
            .agg(F.percentile(v, F.lit(0.5)).alias("__med")))
-    withmed = _attach(df, med)
+    withmed = broadcast_attach(df, med, keys)
     mad = (withmed.where(v.isNotNull())
            .groupBy(*keys)
            .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
                 .alias("__mad")))
-    j = _attach(withmed, mad)
+    j = broadcast_attach(withmed, mad, keys)
     z = F.when(F.col("__mad") > 0,
                (v - F.col("__med")) / (F.lit(consistency)
                                        * F.col("__mad")))

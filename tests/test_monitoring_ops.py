@@ -106,3 +106,50 @@ def test_mad_outliers_null_key_group_scored(spark):
     assert len(nulls) == 21
     assert [(r["rid"]) for r in nulls if r["is_outlier"]] == [99.0]
     assert all(r["grp_median"] is not None for r in nulls)
+
+
+def test_null_key_groups_scored_across_attach_operators(spark):
+    """The r7 null-safe attach sweep (_join.broadcast_attach): every
+    groupBy-then-attach operator must score rows whose group key is
+    NULL instead of dropping/NULLing them through the equi-join."""
+    from feathr_spark.operators.scaling import (quantile_bins,
+                                                robust_scale,
+                                                standardize, winsorize)
+    from feathr_spark.operators.distance import js_divergence
+    rows = ([(None, float(i)) for i in range(10)]
+            + [("a", float(i * 2)) for i in range(10)])
+    df = spark.createDataFrame(rows, "g string, v double")
+
+    out = robust_scale(df.withColumn("rid", F.col("v")), "v", "rid",
+                       by=["g"]).collect()
+    assert len(out) == 20
+    assert all(r.robust is not None for r in out if r.g is None)
+
+    out = winsorize(df, "v", by=["g"], p_lo=0.1, p_hi=0.9).collect()
+    assert all(r.v_wins is not None for r in out if r.g is None)
+
+    out = standardize(df, ["v"], by=["g"]).collect()
+    assert all(r.v_z is not None for r in out if r.g is None)
+
+    out = quantile_bins(df, "v", bins=2, by=["g"]).collect()
+    assert all(r.v_bin is not None for r in out if r.g is None)
+
+    # jsd: NULL group key forms a compared distribution; NULL category
+    # is a category
+    rows2 = ([(None, "x")] * 5 + [(None, "y")] * 5
+             + [("a", "x")] * 5 + [("a", None)] * 5)
+    df2 = spark.createDataFrame(rows2, "g string, c string")
+    out = {r.g: r for r in js_divergence(df2, "c", by=["g"]).collect()}
+    assert set(out) == {None, "a"}
+    assert all(r.jsd is not None for r in out.values())
+
+
+def test_cusum_null_key_series_survives(spark):
+    import datetime as dt
+    from feathr_spark.operators.forecast import cusum_changepoints
+    rows = [(None, dt.datetime(2024, 1, 1 + i), float(i)) for i in range(6)]
+    rows += [("a", dt.datetime(2024, 1, 1 + i), float(i % 2)) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = cusum_changepoints(df, "ts", "v", key_cols=["g"]).collect()
+    gs = {r.g for r in out}
+    assert gs == {None, "a"}

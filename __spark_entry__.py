@@ -1246,9 +1246,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 20)
     # n_iter=2: recall plateaus (0.89 vs 0.88 at 4 iterations, sf0.01)
-    # while each extra Lloyd's round costs a scan+shuffle+collect
+    # while each extra Lloyd's round costs a scan+shuffle+collect.
+    # rerank="auto" scales the exact-rerank shortlist with the corpus
+    # (r7: the fixed 40-candidate shortlist failed the 0.7 recall floor
+    # at a 5x stress corpus — see pq_topk docstring)
     return pq_topk(emb, queries_df, "embedding", "vec_id", k=5,
-                   m=16, kc=16, rerank=8, n_iter=2)
+                   m=16, kc=16, rerank="auto", n_iter=2)
 
 
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

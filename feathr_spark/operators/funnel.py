@@ -196,6 +196,7 @@ def funnel_latency(
     ts_col: str,
     step_a: str,
     step_b: str,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Time-to-convert between two funnel steps: for each entity whose
     first ``step_a`` event is followed (at or after it) by a
@@ -211,9 +212,21 @@ def funnel_latency(
     accumulates the integer sum (order-independent), percentiles are
     PERCENTILE_CONT over the entity frame.
 
+    ``percentile_mode``: ``"buffer"`` (default) folds the percentiles
+    in the same 1-row aggregate — exact, but its partial state is the
+    full latency multiset merged in ONE task (fine to ~10^7 converted
+    entities). ``"selection"`` routes them through
+    :func:`feathr_spark.operators.stats.selection_percentiles`
+    (bucket-histogram distributed selection, bit-identical values) so
+    no task ever holds the multiset — the extreme-scale path, at the
+    cost of two extra bounded-collect passes over the latency frame.
+
     Output (1 row): ``(n_started, n_converted, conv_rate, mean_hours,
     p50_hours, p90_hours)``.
     """
+    if percentile_mode not in ("buffer", "selection"):
+        raise ValueError(f"funnel_latency: unknown percentile_mode "
+                         f"{percentile_mode!r}")
     secs = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     # persisted: the B-side conversion join and the final left join
     # both read the first-A frame
@@ -227,14 +240,28 @@ def funnel_latency(
             .where(F.col("__tb") >= F.col("__ta"))
             .groupBy("__u")
             .agg((F.min("__tb") - F.min("__ta")).alias("__lat")))
-    stats = (first_a.join(conv, "__u", "left")
-             .agg(F.count(F.lit(1)).alias("__ns"),
-                  F.count("__lat").alias("__nc"),
-                  F.sum("__lat").alias("__sl"),
-                  F.percentile(F.col("__lat"), F.lit(0.5))
-                  .alias("__p50"),
-                  F.percentile(F.col("__lat"), F.lit(0.9))
-                  .alias("__p90")))
+    extra = ()
+    if percentile_mode == "selection":
+        from .stats import selection_percentiles
+        conv = conv.persist()   # selection passes + the stats fold
+        extra = (conv,)
+        p50, p90 = selection_percentiles(conv, "__lat", [0.5, 0.9])
+        stats = (first_a.join(conv, "__u", "left")
+                 .agg(F.count(F.lit(1)).alias("__ns"),
+                      F.count("__lat").alias("__nc"),
+                      F.sum("__lat").alias("__sl"))
+                 .select("*",
+                         F.lit(p50).cast("double").alias("__p50"),
+                         F.lit(p90).cast("double").alias("__p90")))
+    else:
+        stats = (first_a.join(conv, "__u", "left")
+                 .agg(F.count(F.lit(1)).alias("__ns"),
+                      F.count("__lat").alias("__nc"),
+                      F.sum("__lat").alias("__sl"),
+                      F.percentile(F.col("__lat"), F.lit(0.5))
+                      .alias("__p50"),
+                      F.percentile(F.col("__lat"), F.lit(0.9))
+                      .alias("__p90")))
     h = F.lit(3600.0)
     nc = F.col("__nc").cast("double")
     from feathr_spark.operators._cache import attach_intermediates
@@ -249,4 +276,4 @@ def funnel_latency(
         .alias("mean_hours"),
         (F.col("__p50") / h).cast("double").alias("p50_hours"),
         (F.col("__p90") / h).cast("double").alias("p90_hours")),
-        (first_a,))
+        (first_a,) + extra)

@@ -30,6 +30,7 @@ def winsorize(
     p_lo: float = 0.01,
     p_hi: float = 0.99,
     by: Optional[Sequence[str]] = None,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Clip ``value_col`` into its exact [p_lo, p_hi] percentile band,
     optionally per ``by`` group (PERCENTILE_CONT interpolation, matching
@@ -51,6 +52,16 @@ def winsorize(
     if keys:
         stats = df.groupBy(*keys).agg(*stats_agg)
         joined = broadcast_attach(df, stats, keys, "left")
+    elif percentile_mode == "selection":
+        # GLOBAL exact percentiles without buffering the value multiset
+        # in one reduce task (see stats.selection_percentiles) — values
+        # are bit-identical to the buffer aggregate; the bounds become
+        # plan literals (two extra scan passes, zero extra shuffles)
+        from .stats import selection_percentiles
+        lo_v, hi_v = selection_percentiles(
+            df.where(v.isNotNull()), value_col, [p_lo, p_hi])
+        joined = (df.withColumn("__lo", F.lit(lo_v).cast("double"))
+                    .withColumn("__hi", F.lit(hi_v).cast("double")))
     else:
         stats = df.agg(*stats_agg)
         joined = df.crossJoin(F.broadcast(stats))
@@ -153,6 +164,7 @@ def quantile_bins(
     bins: int = 10,
     by: Optional[Sequence[str]] = None,
     round_cuts_dp: Optional[int] = None,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Quantile discretization: assign each value its equal-frequency
     bucket in [0, bins), optionally per group — the distribution-robust
@@ -193,6 +205,23 @@ def quantile_bins(
     if keys:
         stats = df.groupBy(*keys).agg(cuts)
         joined = broadcast_attach(df, stats, keys, "left")
+    elif percentile_mode == "selection":
+        # GLOBAL cuts via distributed selection (bit-identical values;
+        # no task holds the value multiset). The literals run through
+        # the SAME F.round nudge expression as the aggregate path, so
+        # boundary rounding is bit-identical too.
+        from .stats import selection_percentiles
+        cut_vals = selection_percentiles(
+            df.where(v.isNotNull()), value_col, fracs)
+
+        def _lit_cut(val):
+            c = F.lit(val).cast("double")
+            if round_cuts_dp is not None:
+                c = F.round(c + F.lit(1e-9), round_cuts_dp)
+            return c
+
+        joined = df.withColumn(
+            "__cuts", F.array(*[_lit_cut(cv) for cv in cut_vals]))
     else:
         stats = df.agg(cuts)
         joined = df.crossJoin(F.broadcast(stats))
@@ -241,6 +270,7 @@ def robust_scale(
     id_col: str,
     by: Sequence[str] = (),
     round_dp: int = 4,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Median/IQR scaling: (v − median) / (q75 − q25) — the outlier-proof
     cousin of :func:`standardize` (a single 10⁹ outlier shifts a z-score's
@@ -254,14 +284,27 @@ def robust_scale(
     """
     keys = list(by)
     v = F.col(value_col).cast("double")
-    cuts = (df.where(v.isNotNull())
-            .groupBy(*keys)
-            .agg(F.expr(f"percentile({value_col}, 0.25)").alias("__q1"),
-                 F.expr(f"percentile({value_col}, 0.5)").alias("__med"),
-                 F.expr(f"percentile({value_col}, 0.75)").alias("__q3")))
     from ._join import broadcast_attach
-    j = broadcast_attach(df, cuts, keys)  # null-safe: NULL-key groups
-    iqr = F.col("__q3") - F.col("__q1")   # are scored, not dropped
+    if not keys and percentile_mode == "selection":
+        # GLOBAL quartiles via distributed selection (bit-identical;
+        # no task holds the value multiset)
+        from .stats import selection_percentiles
+        q1v, medv, q3v = selection_percentiles(
+            df.where(v.isNotNull()), value_col, [0.25, 0.5, 0.75])
+        j = (df.withColumn("__q1", F.lit(q1v).cast("double"))
+               .withColumn("__med", F.lit(medv).cast("double"))
+               .withColumn("__q3", F.lit(q3v).cast("double")))
+    else:
+        cuts = (df.where(v.isNotNull())
+                .groupBy(*keys)
+                .agg(F.expr(f"percentile({value_col}, 0.25)")
+                     .alias("__q1"),
+                     F.expr(f"percentile({value_col}, 0.5)")
+                     .alias("__med"),
+                     F.expr(f"percentile({value_col}, 0.75)")
+                     .alias("__q3")))
+        j = broadcast_attach(df, cuts, keys)  # null-safe: NULL-key
+    iqr = F.col("__q3") - F.col("__q1")       # groups are scored
     robust = F.when(iqr > 0, (v - F.col("__med")) / iqr)
     return j.select(
         *keys, F.col(id_col),
@@ -275,6 +318,7 @@ def mad_outliers(
     by: Sequence[str] = (),
     k: float = 3.5,
     consistency: float = 1.4826,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Robust outlier flags via the median absolute deviation (the
     Iglewicz–Hoaglin robust z-score): ``robust_z = (x - median) /
@@ -300,15 +344,28 @@ def mad_outliers(
     from ._join import broadcast_attach
     keys = list(by)
     v = F.col(value_col).cast("double")
-    med = (df.where(v.isNotNull())
-           .groupBy(*keys)
-           .agg(F.percentile(v, F.lit(0.5)).alias("__med")))
-    withmed = broadcast_attach(df, med, keys)
-    mad = (withmed.where(v.isNotNull())
-           .groupBy(*keys)
-           .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
-                .alias("__mad")))
-    j = broadcast_attach(withmed, mad, keys)
+    if not keys and percentile_mode == "selection":
+        # GLOBAL median/MAD via distributed selection (bit-identical;
+        # no task holds the value multiset); two selection rounds
+        # because the MAD's deviations depend on the median
+        from .stats import selection_percentiles
+        nn = df.where(v.isNotNull())
+        medv = selection_percentiles(nn, value_col, [0.5])[0]
+        dev = nn.select(F.abs(v - F.lit(medv).cast("double"))
+                        .alias("__dev"))
+        madv = selection_percentiles(dev, "__dev", [0.5])[0]
+        j = (df.withColumn("__med", F.lit(medv).cast("double"))
+               .withColumn("__mad", F.lit(madv).cast("double")))
+    else:
+        med = (df.where(v.isNotNull())
+               .groupBy(*keys)
+               .agg(F.percentile(v, F.lit(0.5)).alias("__med")))
+        withmed = broadcast_attach(df, med, keys)
+        mad = (withmed.where(v.isNotNull())
+               .groupBy(*keys)
+               .agg(F.percentile(F.abs(v - F.col("__med")), F.lit(0.5))
+                    .alias("__mad")))
+        j = broadcast_attach(withmed, mad, keys)
     z = F.when(F.col("__mad") > 0,
                (v - F.col("__med")) / (F.lit(consistency)
                                        * F.col("__mad")))

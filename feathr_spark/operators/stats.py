@@ -1302,52 +1302,56 @@ def qini_uplift(
         qini.cast("double").alias("qini"))
 
 
-def selection_percentile(
+def selection_percentiles(
     df: DataFrame,
     value_col: str,
-    frac: float = 0.5,
+    fracs: Sequence[float],
     buckets: int = 65536,
-) -> DataFrame:
-    """EXACT interpolated percentile of an arbitrarily large column via
-    distributed selection — the scale path when ``F.percentile`` /
-    ``F.median``'s buffer-every-value aggregate becomes the bottleneck
-    (its partial state is the full value multiset, merged and sorted in
-    ONE final task: ~10 s for 3M doubles locally, unusable at 100 TB).
+) -> list:
+    """EXACT interpolated percentiles of an arbitrarily large column via
+    distributed selection, ALL fractions in one histogram pass — the
+    scale path when ``F.percentile``/``F.median``'s buffer-every-value
+    aggregate becomes the bottleneck (its partial state is the full
+    value multiset, merged and sorted in ONE final task: ~10 s for 3M
+    doubles locally, unusable at 100 TB).
 
-    Two fully parallel data passes: (1) count/min/max + a fixed-width
-    bucket histogram (the shuffle is <= ``buckets`` rows); (2) only the
-    rows of the (typically tiny) bucket(s) containing the two order
-    statistics are re-scanned and rank-selected. The 1-row stats frame
-    and the <= ``buckets``-row histogram are BOUNDED driver collects
-    (same class as the documented k-row centroid / d-cell Gram
-    collects), which keeps the returned plan free of repeated
-    single-partition folds; pass a pre-``persist()``-ed frame so the
-    two passes share one materialization.
+    Two fully parallel data passes regardless of ``len(fracs)``:
+    (1) count/min/max + a fixed-width bucket histogram (the shuffle is
+    <= ``buckets`` rows); (2) only the rows of the bucket(s) containing
+    any target order statistic are re-scanned and ranked INSIDE their
+    bucket (partitioned window — no global sort anywhere). The 1-row
+    stats frame, the <= ``buckets``-row histogram, and the
+    <= ``2*len(fracs)``-row pick set are BOUNDED driver collects (same
+    class as the documented k-row centroid / d-cell Gram collects).
+    Pass a pre-``persist()``-ed frame so the passes share one
+    materialization.
 
     Interpolation is ``(1-d)*lower + d*higher`` — verified
     bit-identical to Spark 4's own Percentile (F.percentile /
-    F.median) on generated cases, so swapping this in for
-    ``F.percentile(col, frac)`` never changes a value. Adversarial
-    inputs (most of the mass in one bucket, e.g. heavy ties) degrade
-    gracefully: the candidate sort grows toward the tie count, and an
-    all-equal column short-circuits to that value.
+    F.median) on generated cases, so swapping this in never changes a
+    value. Adversarial inputs (most of the mass in one bucket, e.g.
+    heavy ties) degrade gracefully: the candidate ranking grows toward
+    the tie count, and an all-equal column short-circuits to that
+    value.
 
-    Returns a 1-row DataFrame ``(value double)``. NULLs are excluded;
-    an empty input yields value NULL.
+    Returns a Python list of floats (or Nones for an empty input),
+    aligned with ``fracs`` — values, not a plan: embed them as
+    literals so downstream expressions stay codegen'd.
     """
-    spark = df.sparkSession
+    fracs = [float(f) for f in fracs]
     v = F.col(value_col).cast("double")
     vals = df.where(v.isNotNull()).select(v.alias("__v"))
     n, lo, hi = vals.agg(F.count("*"), F.min("__v"), F.max("__v")).first()
     if n == 0:
-        return spark.range(1).select(
-            F.lit(None).cast("double").alias("value"))
+        return [None] * len(fracs)
     if lo == hi:
-        return spark.range(1).select(
-            F.lit(float(lo)).cast("double").alias("value"))
-    r = (n - 1) * float(frac)
-    k0, k1 = int(math.floor(r)), int(math.ceil(r))
-    d = r - math.floor(r)
+        return [float(lo)] * len(fracs)
+    # 0-based target ranks per frac: floor and ceil of (n-1)*frac
+    targets = {}
+    for f in fracs:
+        r = (n - 1) * f
+        targets.setdefault(int(math.floor(r)), None)
+        targets.setdefault(int(math.ceil(r)), None)
     width = (hi - lo) / float(buckets)
     bkt = F.least(F.floor((F.col("__v") - F.lit(float(lo)))
                           / F.lit(width)),
@@ -1356,19 +1360,42 @@ def selection_percentile(
     hist = sorted(vals.groupBy(bkt.alias("__b"))
                   .agg(F.count("*").alias("__c")).collect())
     below = 0
-    targets = {}                     # bucket id -> below-count offset
+    cand = {}                        # bucket id -> below-count offset
     for b, c in hist:
-        if below <= k0 < below + c or below <= k1 < below + c:
-            targets[b] = below
+        if any(below <= k < below + c for k in targets):
+            cand[b] = below
         below += c
-    min_b = min(targets)
-    off = targets[min_b]             # candidate union is rank-contiguous
-    cand = vals.where(bkt.isin(*[int(b) for b in targets]))
-    ranked = cand.select(
-        "__v",
-        (F.row_number().over(Window.orderBy("__v")) - 1 + F.lit(off))
-        .alias("__k"))
-    picks = ranked.where(F.col("__k").isin(k0, k1))
-    return picks.agg(
-        ((F.lit(1.0 - d)) * F.min("__v")
-         + F.lit(float(d)) * F.max("__v")).cast("double").alias("value"))
+    spark = df.sparkSession
+    offs = spark.createDataFrame(
+        [(int(b), int(o)) for b, o in cand.items()],
+        "__b long, __off long")
+    ranked = (vals.withColumn("__b", bkt)
+              .join(F.broadcast(offs), "__b")
+              .select("__v",
+                      (F.row_number().over(
+                          Window.partitionBy("__b").orderBy("__v"))
+                       - 1 + F.col("__off")).alias("__k")))
+    picks = dict(ranked.where(
+        F.col("__k").isin(*[int(k) for k in targets]))
+        .select("__k", "__v").collect())
+    out = []
+    for f in fracs:
+        r = (n - 1) * f
+        k0, k1 = int(math.floor(r)), int(math.ceil(r))
+        d = r - math.floor(r)
+        out.append(float((1.0 - d) * picks[k0] + d * picks[k1]))
+    return out
+
+
+def selection_percentile(
+    df: DataFrame,
+    value_col: str,
+    frac: float = 0.5,
+    buckets: int = 65536,
+) -> DataFrame:
+    """1-row DataFrame ``(value double)`` wrapper over
+    :func:`selection_percentiles` for the single-fraction case (the
+    theil_sen slope-median consumer)."""
+    val = selection_percentiles(df, value_col, [frac], buckets)[0]
+    return df.sparkSession.range(1).select(
+        F.lit(val).cast("double").alias("value"))

@@ -153,3 +153,59 @@ def test_cusum_null_key_series_survives(spark):
     out = cusum_changepoints(df, "ts", "v", key_cols=["g"]).collect()
     gs = {r.g for r in out}
     assert gs == {None, "a"}
+
+
+def test_selection_mode_bit_identical_across_operators(spark):
+    """percentile_mode='selection' (distributed-selection exact
+    percentiles — no task ever buffers the value multiset) must be
+    BIT-identical to the default buffer-aggregate mode on every
+    operator exposing it."""
+    import random
+    from feathr_spark.operators.scaling import (mad_outliers,
+                                                quantile_bins,
+                                                robust_scale, winsorize)
+    from feathr_spark.operators.funnel import funnel_latency
+    random.seed(23)
+    vals = ([random.gauss(100, 25) for _ in range(400)]
+            + [7.5] * 60 + [None, None, 1e7, -1e7])
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "rid bigint, v double")
+
+    def rowset(out, cols):
+        return sorted((r["rid"], *[r[c] for c in cols])
+                      for r in out.collect())
+
+    a = winsorize(df, "v", p_lo=0.05, p_hi=0.95)
+    b = winsorize(df, "v", p_lo=0.05, p_hi=0.95,
+                  percentile_mode="selection")
+    assert rowset(a, ["v_wins", "v_lo", "v_hi"]) == \
+           rowset(b, ["v_wins", "v_lo", "v_hi"])
+
+    a = quantile_bins(df, "v", bins=7, round_cuts_dp=4)
+    b = quantile_bins(df, "v", bins=7, round_cuts_dp=4,
+                      percentile_mode="selection")
+    assert rowset(a, ["v_bin"]) == rowset(b, ["v_bin"])
+
+    a = robust_scale(df, "v", "rid")
+    b = robust_scale(df, "v", "rid", percentile_mode="selection")
+    assert rowset(a, ["robust"]) == rowset(b, ["robust"])
+
+    a = mad_outliers(df, "v")
+    b = mad_outliers(df, "v", percentile_mode="selection")
+    assert rowset(a, ["robust_z", "is_outlier"]) == \
+           rowset(b, ["robust_z", "is_outlier"])
+
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    ev = []
+    for u in range(40):
+        ev.append((u, "signup", t0 + dt.timedelta(hours=u)))
+        if u % 3:
+            ev.append((u, "purchase",
+                       t0 + dt.timedelta(hours=u, minutes=7 * u % 90)))
+    evdf = spark.createDataFrame(ev, "u bigint, t string, ts timestamp")
+    fa = funnel_latency(evdf, "u", "t", "ts", "signup",
+                        "purchase").collect()[0]
+    fb = funnel_latency(evdf, "u", "t", "ts", "signup", "purchase",
+                        percentile_mode="selection").collect()[0]
+    assert fa.asDict() == fb.asDict()

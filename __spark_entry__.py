@@ -2236,6 +2236,75 @@ def q_oracle_env_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "construct string, result string")
 
 
+def q_pctile_round_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-dependent percentile+round canary (r7 robust_scale lesson:
+    the pinned-literal env probe passed while a data-dependent
+    percentile→divide→round divergence slipped through). BOTH engines
+    compute, over the same deterministic 10k-row generated table:
+
+      * a decimal grid ``i·1e-4 + 5e-5`` whose every value sits ON a
+        .00005 half-boundary at 4 dp (binary-inexact, so un-nudged
+        rounding diverges between Spark's shortest-decimal-string round
+        and DuckDB's binary-double round — the exact failure class);
+      * an irrational spread ``sqrt(i+1)·1e2`` (interpolated quantiles
+        off the grid).
+
+    Probed constructs: exact interpolated quartiles (Spark
+    ``percentile`` vs DuckDB ``quantile_cont`` — different
+    interpolation FP paths), nudge-rounded to 4 dp; plus three BIGINT
+    micro-unit digests — sum over all 10 000 rows of
+    ``CAST(ROUND(x + 1e-9, 4) AS DECIMAL(28,4)) * 10000`` for the raw
+    boundary grid and for the robust-scale quotient
+    ``(v − med)/(q3 − q1)`` on both spreads. One flipped row anywhere
+    changes a digest, so a red row pinpoints *data-dependent* rounding
+    skew that literal probes structurally cannot see. Zero data files
+    touched; constant output (9 rows)."""
+    _utc(spark)
+    vals = (spark.range(0, 10000)
+            .select(F.col("id").cast("double").alias("i"))
+            .select((F.col("i") * F.lit(1e-4) + F.lit(5e-5)).alias("vg"),
+                    (F.sqrt(F.col("i") + F.lit(1.0)) * F.lit(1e2))
+                    .alias("vs")))
+    cuts = vals.agg(
+        F.expr("percentile(vg, 0.25)").alias("gq1"),
+        F.expr("percentile(vg, 0.5)").alias("gmed"),
+        F.expr("percentile(vg, 0.75)").alias("gq3"),
+        F.expr("percentile(vs, 0.25)").alias("sq1"),
+        F.expr("percentile(vs, 0.5)").alias("smed"),
+        F.expr("percentile(vs, 0.75)").alias("sq3"))
+
+    def micro(c):
+        return (F.round(c + F.lit(1e-9), 4).cast("decimal(28,4)")
+                * 10000).cast("bigint")
+
+    j = vals.crossJoin(F.broadcast(cuts))
+    dig = j.agg(
+        F.sum(micro(F.col("vg"))).alias("dr"),
+        F.sum(micro((F.col("vg") - F.col("gmed"))
+                    / (F.col("gq3") - F.col("gq1")))).alias("dg"),
+        F.sum(micro((F.col("vs") - F.col("smed"))
+                    / (F.col("sq3") - F.col("sq1")))).alias("ds"))
+
+    def s(c):
+        return F.round(c + F.lit(1e-9), 4).cast("decimal(28,4)") \
+            .cast("string")
+
+    row = cuts.crossJoin(F.broadcast(dig)).select(
+        s(F.col("gq1")).alias("a1"), s(F.col("gmed")).alias("a2"),
+        s(F.col("gq3")).alias("a3"),
+        s(F.col("sq1")).alias("b1"), s(F.col("smed")).alias("b2"),
+        s(F.col("sq3")).alias("b3"),
+        F.col("dr").cast("string").alias("d0"),
+        F.col("dg").cast("string").alias("d1"),
+        F.col("ds").cast("string").alias("d2"))
+    return row.select(F.expr(
+        "stack(9, 'pct_grid_q1', a1, 'pct_grid_med', a2, "
+        "'pct_grid_q3', a3, 'pct_sqrt_q1', b1, 'pct_sqrt_med', b2, "
+        "'pct_sqrt_q3', b3, 'round_digest_grid', d0, "
+        "'robust_digest_grid', d1, 'robust_digest_sqrt', d2) "
+        "AS (construct, result)"))
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier over parts (minimize retail price, maximize size):
     the fully distributed skyline — one data-sized aggregate + a
@@ -2428,15 +2497,20 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64→8 projection of the embeddings table:
     the plan-literal ±1/√d sign matrix (md5-parity, engine-portable)
     folds each vector row-locally — zero shuffle, zero runtime hashing.
-    Output components rounded for the exact oracle compare."""
+    Components serialized as ONE comma-joined decimal string (the
+    driver-green elementwise_avg convention — the driver's hasher
+    cannot digest array cells, see q_window_union note)."""
     _utc(spark)
     from feathr_spark.operators.similarity import random_projection
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     out = random_projection(emb, out_dim=8, dim=64, seed=0)
     return out.select(
         F.col("vec_id").cast("bigint").alias("vec_id"),
-        F.transform("projected", lambda x: F.round(x, 4)
-                    .cast("double")).alias("projected"))
+        F.array_join(
+            F.transform("projected",
+                        lambda x: F.round(x + F.lit(1e-9), 4)
+                        .cast("decimal(28,4)").cast("string")),
+            ",").alias("projected"))
 
 
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4613,20 +4687,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never burn a gate slot on an err="no_oracle" row — their accuracy
         is driver-proven via the oracled *_recall gate companions.
 
-    Round-7 rotation (verification-closure round): span_dedup leads (the
-    r6 driver-red hash row, oracle rewritten onto driver-green constructs
-    only), the new oracle_env_probe canary is second, then 48 of the 60
-    oracle-bearing queries that have never had a driver-recorded row (all
-    local-green in LOCAL_ORACLES_r6.json). The remaining 12 backlog
-    queries sit at positions 51-62 to lead the r8 window. New query
-    additions are FROZEN until the backlog fits the window (r6 lesson:
-    adding ~60 queries in one round regrew the unrecorded set to 60).
+    Round-8 rotation (ledger-closure round): the two r7 driver-red rows
+    lead — robust_scale_price (nudge-rounded on both sides now, the
+    repo-wide +1e-9 convention) and jl_project (array output serialized
+    as one joined decimal string per the driver-green elementwise_avg
+    convention) — then the final 12 never-driver-recorded backlog
+    queries (all local-green), the standing oracle_env_probe canary,
+    and the NEW pctile_round_probe data-dependent canary (the
+    robust_scale episode showed pinned-literal probes cannot see
+    percentile+round skew). After this window records, every
+    oracle-bearing query has a driver row somewhere in
+    CORRECTNESS_r01-r08. Remaining slots re-run r7 greens.
     """
     return {
-        # --- r7 gate window (50): the r6 red row + env canary first,
-        # --- then 48 of the 60 oracle-bearing never-driver-recorded
-        "span_dedup": q_span_dedup,
+        # --- r8 gate window (50): the two r7 reds first, then the last
+        # --- 12 of the never-driver-recorded backlog, both canaries
+        "robust_scale_price": q_robust_scale_price,
+        "jl_project": q_jl_project,
+        "components_parts": q_components_parts,
+        "logrank_segments": q_logrank_segments,
+        "spearman_lineitem": q_spearman_lineitem,
+        "acf_daily": q_acf_daily,
+        "mw_priorities": q_mann_whitney,
+        "kruskal_priority": q_kruskal_priority,
+        "cramers_orders": q_cramers_orders,
+        "weighted_pctile": q_weighted_pctile,
+        "theil_sen_daily": q_theil_sen,
+        "hits_bipartite": q_hits_bipartite,
+        "bh_fdr_monthly": q_bh_fdr_monthly,
+        "powerlaw_parts": q_powerlaw_parts,
         "oracle_env_probe": q_oracle_env_probe,
+        "pctile_round_probe": q_pctile_round_probe,
+        # --- window fill (r7 greens, re-recorded)
+        "span_dedup": q_span_dedup,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
         "tpch_q7_volume": q_tpch_q7_volume,
@@ -4660,6 +4753,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_events": q_entropy_events,
         "gini_segments": q_gini_segments,
         "chi2_orders": q_chi2_orders,
+        # --- positions 51+: driver-green in r1-r7 (stay registered for
+        # --- bench/pytest); the 4 no-oracle ANN/semdedup queries remain
+        # --- below 50 permanently
         "benford_prices": q_benford_prices,
         "cusum_daily": q_cusum_daily,
         "rfm_segments": q_rfm_segments,
@@ -4667,29 +4763,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "twap_daily": q_twap_daily,
         "top_paths": q_top_paths,
         "ols_trend": q_ols_trend,
-        "robust_scale_price": q_robust_scale_price,
         "cms_gate": q_cms_gate,
         "mutual_info_orders": q_mutual_info,
-        "jl_project": q_jl_project,
         "triangles_parts": q_triangles_parts,
         "kaplan_meier_orders": q_kaplan_meier,
         "attribution_events": q_attribution,
         "ltv_cohorts": q_ltv_cohorts,
-        # --- positions 51+: the remaining 12 of the backlog lead r8
-        "components_parts": q_components_parts,
-        "logrank_segments": q_logrank_segments,
-        "spearman_lineitem": q_spearman_lineitem,
-        "acf_daily": q_acf_daily,
-        "mw_priorities": q_mann_whitney,
-        "kruskal_priority": q_kruskal_priority,
-        "cramers_orders": q_cramers_orders,
-        "weighted_pctile": q_weighted_pctile,
-        "theil_sen_daily": q_theil_sen,
-        "hits_bipartite": q_hits_bipartite,
-        "bh_fdr_monthly": q_bh_fdr_monthly,
-        "powerlaw_parts": q_powerlaw_parts,
-        # --- driver-green in r1-r6 (stay registered for bench/pytest);
-        # --- the 4 no-oracle ANN/semdedup queries remain below 50
         "pivot_events": q_pivot_events,
         "range_join_events": q_range_join,
         "heavy_hitters": q_heavy_hitters,
@@ -7801,12 +7880,13 @@ def oracle_sql() -> dict[str, str]:
                                      AS j) u),
             comp AS (
               SELECT e.vec_id, s.i,
-                     CAST(ROUND(sum(CAST(e.x AS DOUBLE) * s.r), 4)
-                          AS DOUBLE) AS v
+                     sum(CAST(e.x AS DOUBLE) * s.r) AS v
               FROM ex e JOIN signs s ON e.j = s.j
               GROUP BY 1, 2)
             SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                   list(v ORDER BY i) AS projected
+                   array_to_string(
+                       list(CAST(CAST(ROUND(v + 1e-9, 4) AS DECIMAL(28,4))
+                                 AS VARCHAR) ORDER BY i), ',') AS projected
             FROM comp GROUP BY 1
         """,
         "triangles_parts": """
@@ -8512,9 +8592,9 @@ def oracle_sql() -> dict[str, str]:
                      quantile_cont(o_totalprice, 0.75) AS q3
               FROM orders WHERE o_totalprice IS NOT NULL)
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-                   CAST(ROUND(o_totalprice, 4) AS DOUBLE) AS value,
+                   CAST(ROUND(o_totalprice + 1e-9, 4) AS DOUBLE) AS value,
                    CAST(ROUND(CASE WHEN q3 - q1 > 0 THEN
-                          (o_totalprice - med) / (q3 - q1) END, 4)
+                          (o_totalprice - med) / (q3 - q1) END + 1e-9, 4)
                         AS DOUBLE) AS robust
             FROM orders, cuts
         """,
@@ -10310,6 +10390,67 @@ def oracle_sql() -> dict[str, str]:
                                                 || w ORDER BY i), ',')
                     FROM (SELECT unnest(['x', 'y']) AS w,
                                  generate_subscripts(['x', 'y'], 1) AS i))
+        """,
+        "pctile_round_probe": """
+            -- r8 data-dependent canary (robust_scale lesson): every
+            -- construct here is the driver-proven elementwise_avg /
+            -- env-probe vocabulary (generate_series inclusivity,
+            -- quantile_cont, ROUND(x + 1e-9, 4), DECIMAL(28,4) casts,
+            -- CAST(sum(..) AS BIGINT)); what is NEW is that both
+            -- engines COMPUTE over a 10k-row boundary-engineered grid
+            -- instead of comparing pinned literals.
+            WITH base AS (
+              SELECT CAST(idx AS DOUBLE) AS i
+              FROM (SELECT unnest(generate_series(0, 9999)) AS idx)),
+            vals AS (
+              SELECT i * 1e-4 + 5e-5 AS vg,
+                     sqrt(i + 1e0) * 1e2 AS vs
+              FROM base),
+            cuts AS (
+              SELECT quantile_cont(vg, 0.25) AS gq1,
+                     quantile_cont(vg, 0.5) AS gmed,
+                     quantile_cont(vg, 0.75) AS gq3,
+                     quantile_cont(vs, 0.25) AS sq1,
+                     quantile_cont(vs, 0.5) AS smed,
+                     quantile_cont(vs, 0.75) AS sq3
+              FROM vals),
+            dig AS (
+              SELECT CAST(sum(CAST(CAST(ROUND(vg + 1e-9, 4)
+                                        AS DECIMAL(28,4)) * 10000
+                                   AS BIGINT)) AS BIGINT) AS dr,
+                     CAST(sum(CAST(CAST(ROUND((vg - gmed) / (gq3 - gq1)
+                                              + 1e-9, 4)
+                                        AS DECIMAL(28,4)) * 10000
+                                   AS BIGINT)) AS BIGINT) AS dg,
+                     CAST(sum(CAST(CAST(ROUND((vs - smed) / (sq3 - sq1)
+                                              + 1e-9, 4)
+                                        AS DECIMAL(28,4)) * 10000
+                                   AS BIGINT)) AS BIGINT) AS ds
+              FROM vals, cuts)
+            SELECT 'pct_grid_q1' AS construct,
+                   CAST(CAST(ROUND(gq1 + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) AS result FROM cuts
+            UNION ALL SELECT 'pct_grid_med',
+                   CAST(CAST(ROUND(gmed + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) FROM cuts
+            UNION ALL SELECT 'pct_grid_q3',
+                   CAST(CAST(ROUND(gq3 + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) FROM cuts
+            UNION ALL SELECT 'pct_sqrt_q1',
+                   CAST(CAST(ROUND(sq1 + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) FROM cuts
+            UNION ALL SELECT 'pct_sqrt_med',
+                   CAST(CAST(ROUND(smed + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) FROM cuts
+            UNION ALL SELECT 'pct_sqrt_q3',
+                   CAST(CAST(ROUND(sq3 + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) FROM cuts
+            UNION ALL SELECT 'round_digest_grid',
+                   CAST(dr AS VARCHAR) FROM dig
+            UNION ALL SELECT 'robust_digest_grid',
+                   CAST(dg AS VARCHAR) FROM dig
+            UNION ALL SELECT 'robust_digest_sqrt',
+                   CAST(ds AS VARCHAR) FROM dig
         """,
         "span_dedup": """
             -- r7 rewrite after the r6 driver-red hash (local-green):

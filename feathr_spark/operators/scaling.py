@@ -306,10 +306,15 @@ def robust_scale(
         j = broadcast_attach(df, cuts, keys)  # null-safe: NULL-key
     iqr = F.col("__q3") - F.col("__q1")       # groups are scored
     robust = F.when(iqr > 0, (v - F.col("__med")) / iqr)
+    # +1e-9 nudge (repo-wide rounding convention): Spark rounds the
+    # shortest-decimal-string repr, other engines round the binary
+    # double, so a quotient sitting on a .00005 boundary flips between
+    # engines without it (r7 driver lesson: robust_scale_price).
     return j.select(
         *keys, F.col(id_col),
-        F.round(v, round_dp).cast("double").alias("value"),
-        F.round(robust, round_dp).cast("double").alias("robust"))
+        F.round(v + F.lit(1e-9), round_dp).cast("double").alias("value"),
+        F.round(robust + F.lit(1e-9), round_dp).cast("double")
+        .alias("robust"))
 
 
 def mad_outliers(

@@ -77,10 +77,26 @@ def main():
     oracles = entrymod.oracle_sql()
     failures = []
     verdicts = {}
+    from pyspark.sql.types import ArrayType, MapType, StructType
     for name, fn in qs.items():
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
+        # Pre-flight (r7 jl_project lesson): the driver's canonicalizer
+        # pandas-sorts result cells and CRASHES on unhashable list/dict
+        # cells — an oracle-bearing query must never emit array/map/struct
+        # columns (serialize to one joined string, see q_elementwise_avg).
+        complex_cols = [f.name for f in sdf.schema.fields
+                        if isinstance(f.dataType,
+                                      (ArrayType, MapType, StructType))]
+        if complex_cols and name in oracles:
+            failures.append(name)
+            print(f"{name:25s} FAIL  COMPLEX-TYPE output columns "
+                  f"{complex_cols} (driver hasher cannot digest these; "
+                  f"serialize as joined strings)")
+            verdicts[name] = {"status": "fail", "rows": None,
+                              "detail": f"complex-type cols {complex_cols}"}
+            continue
         srows = sdf.collect()
         scols = sdf.columns
         if name not in oracles:

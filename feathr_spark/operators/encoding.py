@@ -196,15 +196,21 @@ def rfm_scores(
     ``method``: ``"ntile"`` (default) is exact equal-frequency but its
     global ntile windows single-partition-sort the CUSTOMER frame —
     fine to ~10⁷ keys, the wrong plan at 10⁹. ``method="cuts"`` is the
-    extreme-cardinality path: one extra aggregate computes the interior
-    percentile cut points of all three metrics, broadcasts the 1-row
-    cuts frame, and scores each key by counting cuts strictly below its
-    metric — zero windows, zero additional shuffles, so the customer
-    frame never needs a total order. Tie semantics differ by design:
-    equal metric values always share a score under ``cuts`` (the
-    engine-portable rule), while ``ntile`` splits them by key to hit
-    exact 1/n class sizes. Output: key, recency_days, frequency,
-    monetary, r_score, f_score, m_score, rfm (e.g. '545').
+    extreme-cardinality path: the interior percentile cut points of all
+    three metrics come from :func:`stats.selection_percentiles`
+    (bucket-histogram distributed selection — no task ever buffers the
+    customer-metric multiset, unlike an ``F.percentile`` aggregate
+    whose partial state is the full multiset merged in one reduce
+    task), land as plan literals, and each key is scored by counting
+    cuts strictly below its metric — zero windows, zero extra
+    shuffles, so the customer frame never needs a total order. The
+    cuts path is EAGER (the per-key aggregate materializes when this
+    function is called, persisted across the selection passes). Tie
+    semantics differ by design: equal metric values always share a
+    score under ``cuts`` (the engine-portable rule), while ``ntile``
+    splits them by key to hit exact 1/n class sizes. Output: key,
+    recency_days, frequency, monetary, r_score, f_score, m_score,
+    rfm (e.g. '545').
     """
     if method not in ("ntile", "cuts"):
         raise ValueError(f"rfm_scores: unknown method {method!r}")
@@ -221,33 +227,38 @@ def rfm_scores(
         F.col("frequency").cast("bigint").alias("frequency"),
         F.col("__m").cast("double").alias("monetary"))
     if method == "cuts":
+        from .stats import selection_percentiles
         fracs = [i / n_tiles for i in range(1, n_tiles)]
+        base = base.persist()
+        try:
+            rc = selection_percentiles(base, "recency_days", fracs)
+            fc = selection_percentiles(base, "frequency", fracs)
+            mc = selection_percentiles(base, "monetary", fracs)
+        finally:
+            base.unpersist()
 
-        def _cuts(col):
-            return F.array(*[F.percentile(F.col(col).cast("double"),
-                                          F.lit(f)) for f in fracs])
-
-        stats = base.agg(_cuts("recency_days").alias("__rc"),
-                         _cuts("frequency").alias("__fc"),
-                         _cuts("monetary").alias("__mc"))
-
-        def _below(col, cuts):
+        def _below(col, cut_vals):
             # bucket = # cuts strictly below the value, the same
-            # deterministic rule as scaling.quantile_bins
-            return F.aggregate(
-                F.col(cuts), F.lit(0),
-                lambda acc, c: acc + F.when(
-                    F.col(col).cast("double") > c, 1).otherwise(0))
+            # deterministic rule as scaling.quantile_bins; the cuts are
+            # plan LITERALS (selection already ran), so scoring stays
+            # fully codegen'd with no stats crossjoin at all. A None
+            # cut only occurs on an empty frame (output empty anyway).
+            x = F.col(col).cast("double")
+            acc = F.lit(0)
+            for c in cut_vals:
+                acc = acc + F.when(
+                    x > F.lit(0.0 if c is None else float(c)),
+                    1).otherwise(0)
+            return acc
 
-        j = base.crossJoin(F.broadcast(stats))
-        out = j.select(
+        out = base.select(
             key_col, "recency_days", "frequency", "monetary",
             # small recency_days = recent = HIGH score
-            (F.lit(n_tiles) - _below("recency_days", "__rc"))
+            (F.lit(n_tiles) - _below("recency_days", rc))
             .cast("bigint").alias("r_score"),
-            (_below("frequency", "__fc") + 1).cast("bigint")
+            (_below("frequency", fc) + 1).cast("bigint")
             .alias("f_score"),
-            (_below("monetary", "__mc") + 1).cast("bigint")
+            (_below("monetary", mc) + 1).cast("bigint")
             .alias("m_score"))
         return out.withColumn(
             "rfm", F.concat_ws("", F.col("r_score"), F.col("f_score"),

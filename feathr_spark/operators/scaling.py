@@ -24,6 +24,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _check_percentile_mode(mode: str, keys: Sequence[str], op: str) -> None:
+    """Shared knob validation (matches funnel_latency / rfm_scores):
+    an unknown mode or a selection request alongside grouping keys must
+    raise, not silently run the buffer plan — at the scale where the
+    selection path matters, a typo that quietly changes the plan is a
+    production incident, not a default."""
+    if mode not in ("buffer", "selection"):
+        raise ValueError(
+            f"{op}: unknown percentile_mode {mode!r} "
+            "(expected 'buffer' or 'selection')")
+    if mode == "selection" and keys:
+        raise ValueError(
+            f"{op}: percentile_mode='selection' is the GLOBAL-percentile "
+            "scale path and cannot be combined with `by` keys — grouped "
+            "percentiles already bound each aggregate buffer by the "
+            "group size, so use the default buffer mode")
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,
@@ -39,10 +57,15 @@ def winsorize(
     Adds ``{col}_wins`` plus the bound columns ``{col}_lo``/``{col}_hi``;
     NULL values pass through NULL. Groups absent from the stats frame
     cannot occur (stats come from the same frame).
+
+    ``percentile_mode='selection'`` (global only, validated) runs the
+    distributed-selection percentile passes EAGERLY at call time (see
+    :func:`stats.selection_percentiles`), unlike the default lazy plan.
     """
     if not (0.0 <= p_lo <= p_hi <= 1.0):
         raise ValueError("winsorize: need 0 <= p_lo <= p_hi <= 1")
     keys = list(by or [])
+    _check_percentile_mode(percentile_mode, keys, "winsorize")
     v = F.col(value_col)
     stats_agg = [
         F.percentile(v, F.lit(float(p_lo))).alias("__lo"),
@@ -188,11 +211,14 @@ def quantile_bins(
     ``(1-d)·a + d·b``, silently flipping the bucket of every row sitting
     exactly on a cut.
 
-    Adds ``{col}_bin`` (bigint).
+    Adds ``{col}_bin`` (bigint). ``percentile_mode='selection'``
+    (global only, validated) computes the cut literals EAGERLY at call
+    time (see :func:`stats.selection_percentiles`).
     """
     if bins < 2:
         raise ValueError("quantile_bins: need bins >= 2")
     keys = list(by or [])
+    _check_percentile_mode(percentile_mode, keys, "quantile_bins")
     v = F.col(value_col)
     fracs = [i / bins for i in range(1, bins)]
     def _cut(f):
@@ -281,8 +307,11 @@ def robust_scale(
 
     Output: ``by`` + (``id_col``, value, robust) — rows whose group has
     zero IQR get NULL robust (scale undefined; gate or impute downstream).
+    ``percentile_mode='selection'`` (global only, validated) computes
+    the quartile literals EAGERLY at call time.
     """
     keys = list(by)
+    _check_percentile_mode(percentile_mode, keys, "robust_scale")
     v = F.col(value_col).cast("double")
     from ._join import broadcast_attach
     if not keys and percentile_mode == "selection":
@@ -345,9 +374,12 @@ def mad_outliers(
     Group keys are matched null-safely (``<=>``), so rows whose key is
     NULL form a scored group like any other instead of silently falling
     out of the equi-join (they already formed a ``groupBy`` group).
+    ``percentile_mode='selection'`` (global only, validated) runs its
+    two selection rounds EAGERLY at call time.
     """
     from ._join import broadcast_attach
     keys = list(by)
+    _check_percentile_mode(percentile_mode, keys, "mad_outliers")
     v = F.col(value_col).cast("double")
     if not keys and percentile_mode == "selection":
         # GLOBAL median/MAD via distributed selection (bit-identical;

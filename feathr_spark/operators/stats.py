@@ -1323,8 +1323,17 @@ def selection_percentiles(
     stats frame, the <= ``buckets``-row histogram, and the
     <= ``2*len(fracs)``-row pick set are BOUNDED driver collects (same
     class as the documented k-row centroid / d-cell Gram collects).
-    Pass a pre-``persist()``-ed frame so the passes share one
-    materialization.
+
+    The narrow ``(value)`` projection is persisted internally for the
+    duration of the call (and unpersisted before returning), so the
+    passes share ONE materialization even when the caller hands in an
+    expensive un-persisted lineage — and a non-deterministic input
+    (e.g. containing ``rand()``) cannot produce an inconsistent
+    histogram vs candidate pass (which would be a *wrong* percentile,
+    not just a slow one). NOTE: this makes the call EAGER — the input
+    is computed when the function runs, not when a downstream plan
+    executes (selection modes are opt-in; plan-then-run callers should
+    use the default buffer mode).
 
     Interpolation is ``(1-d)*lower + d*higher`` — verified
     bit-identical to Spark 4's own Percentile (F.percentile /
@@ -1340,7 +1349,14 @@ def selection_percentiles(
     """
     fracs = [float(f) for f in fracs]
     v = F.col(value_col).cast("double")
-    vals = df.where(v.isNotNull()).select(v.alias("__v"))
+    vals = df.where(v.isNotNull()).select(v.alias("__v")).persist()
+    try:
+        return _selection_percentiles_on(vals, fracs, buckets)
+    finally:
+        vals.unpersist()
+
+
+def _selection_percentiles_on(vals, fracs, buckets):
     n, lo, hi = vals.agg(F.count("*"), F.min("__v"), F.max("__v")).first()
     if n == 0:
         return [None] * len(fracs)
@@ -1365,7 +1381,7 @@ def selection_percentiles(
         if any(below <= k < below + c for k in targets):
             cand[b] = below
         below += c
-    spark = df.sparkSession
+    spark = vals.sparkSession
     offs = spark.createDataFrame(
         [(int(b), int(o)) for b, o in cand.items()],
         "__b long, __off long")

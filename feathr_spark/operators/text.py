@@ -519,8 +519,15 @@ def dedup_spans(df: DataFrame, text_col: str = "text",
     Tokenization is pinned to the explicit class ``[ \\t\\n\\r]+`` rather
     than ``\\s`` — Java regex ``\\s`` includes vertical tab (and, with
     UNICODE_CHARACTER_CLASS, all Unicode spaces) while RE2-based engines
-    (the DuckDB oracle) stop at ``[\\t\\n\\f\\r ]``; the explicit class is
-    the portable intersection both engines agree on byte-for-byte.
+    (the DuckDB oracle) stop at ``[\\t\\n\\f\\r ]``. Note the class is
+    deliberately NARROWER than the Java/RE2 intersection: form feed
+    ``\\f`` IS whitespace in both engines but is excluded here (with
+    ``\\x0B``, which only Java treats as ``\\s``), so documents
+    containing ``\\f`` keep it inside tokens. Pinned this way since r7
+    so span boundaries stay stable round-over-round against the
+    driver-recorded oracle; widen to ``[ \\t\\n\\f\\r]+`` on BOTH
+    engines simultaneously if C4-faithful ``\\f`` splitting ever
+    matters for a real corpus.
     """
     from pyspark.sql import Window
 

@@ -200,6 +200,13 @@ def theil_sen(
     x passes through. Output per key: (n, slope, intercept) — exact
     interpolated medians (both engines interpolate identically on
     doubles); NULL slope for n < 2.
+
+    EAGER with no keys: the global slope median runs through
+    distributed selection (:func:`stats.selection_percentile`), which
+    collects its bounded picks at CALL time — constructing the result
+    DataFrame materializes the (persisted) pair frame immediately
+    rather than when a downstream action fires. Grouped calls stay
+    fully lazy.
     """
     keys = list(by)
     t = F.col(ts_col)

@@ -64,6 +64,9 @@ BROADCAST_LOOP_OK = {
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
     "heavy_hitters",
+    # generated 10k-row probe grid × broadcast 1-row cuts frame, then
+    # 1-row cuts × 1-row digests for the 9-row readout — constant size
+    "pctile_round_probe",
     # 1-row bounds / percentile-cuts frames broadcast onto every data row
     "value_histogram",
     "decile_bins",
@@ -819,6 +822,9 @@ EXCHANGE_BUDGET = {
     "basket_size_hist": 7,
     # constant 16-row literal frame, no data touched
     "oracle_env_probe": 0,
+    # generated 10k-row grid, no data files: two global single-row
+    # aggregates (cuts, digests) + the 9-row stack readout
+    "pctile_round_probe": 3,
 }
 
 

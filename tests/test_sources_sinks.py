@@ -720,7 +720,18 @@ def test_zorder_sink_prunes_both_dimensions(spark, tmp_path):
     """Z-ordered output: footer min-max ranges are tight in BOTH
     clustered columns, so a point filter on either column overlaps only
     a fraction of the files (a single-column sort would prune one
-    dimension and leave the other full-range)."""
+    dimension and leave the other full-range).
+
+    Session-state hardening (r7 flake): repartitionByRange samples with
+    an RDD-id-derived seed, so file boundaries jitter slightly between
+    sessions/run orders. The old single probe at 250 sat ON the curve's
+    second-level bit boundary (0.25 of the domain), where one-bin jitter
+    flips the verdict. Now: the range-exchange sample size is pinned
+    high for the write (tight quantile estimates regardless of inherited
+    conf), probes sit mid-bin for the 16-file grid (62.5k + 31.25), and
+    the gate is the MEAN overlap across four probes per dimension plus a
+    loose per-probe cap — boundary jitter moves one probe by one file,
+    never the mean across four mid-bin probes."""
     import random
     rng = random.Random(7)
     rows = [(rng.randrange(1000), float(rng.randrange(1000)))
@@ -730,9 +741,18 @@ def test_zorder_sink_prunes_both_dimensions(spark, tmp_path):
     plain, zo = str(tmp_path / "plain"), str(tmp_path / "zo")
     # 16 output files: in 2D the curve needs >~n^2 cells for a point
     # slice to clearly prune (a 4x4 grid -> a slice hits ~1/4 of files)
-    GenericSink(format="parquet", path=plain, num_parts=16).write(df)
-    GenericSink(format="parquet", path=zo, num_parts=16,
-                zorder_by=["uid", "v"]).write(df)
+    old_sample = spark.conf.get(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "100")
+    spark.conf.set(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition", "2000")
+    try:
+        GenericSink(format="parquet", path=plain, num_parts=16).write(df)
+        GenericSink(format="parquet", path=zo, num_parts=16,
+                    zorder_by=["uid", "v"]).write(df)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+            old_sample)
 
     def overlap_frac(path, col, point):
         ranges = _parquet_file_ranges(path, col)
@@ -742,11 +762,14 @@ def test_zorder_sink_prunes_both_dimensions(spark, tmp_path):
     # round-robin layout: every file spans ~the full domain of both cols
     assert overlap_frac(plain, "uid", 250) == 1.0
     assert overlap_frac(plain, "v", 250.0) == 1.0
-    # z-order: a point filter touches a minority of files in EACH dim
-    # (probe away from the domain midpoint — 0.5 sits exactly on the
-    # curve's top-level bit boundary, its documented worst case)
-    assert overlap_frac(zo, "uid", 250) <= 0.5
-    assert overlap_frac(zo, "v", 250.0) <= 0.5
+    # z-order: a point filter touches a minority of files in EACH dim.
+    # Probes sit mid-bin for a 16-way equal-count split of [0, 1000)
+    # (k*62.5 + 31.25), away from every top-4-bit curve boundary.
+    probes = [156, 406, 656, 906]
+    for col, pts in (("uid", probes), ("v", [float(p) for p in probes])):
+        fr = [overlap_frac(zo, col, p) for p in pts]
+        assert sum(fr) / len(fr) <= 0.5, (col, fr)
+        assert max(fr) <= 0.75, (col, fr)
     # data intact
     got = spark.read.parquet(zo)
     assert got.count() == 20000

@@ -256,14 +256,22 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    # JVM/codegen warmup on the smallest sf (not timed): run every headline
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to those headline
+    # queries — the solo-adjudication path (scripts/bench_solo.py runs one
+    # query per fresh process, min-of-3, to separate code regressions from
+    # packed-run cache-pressure noise).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    names = [n for n in HEADLINE if n in set(only.split(","))] if only \
+        else HEADLINE
+
+    # JVM/codegen warmup on the smallest sf (not timed): run every timed
     # query once at sf0.001 so the timed sf0.1 runs measure data processing,
     # not Janino compilation of the generated classes (minhash's 64
     # aggregates and the ANN vector HOFs each cost ~1s of compilation).
     def run(name, d):
         qs[name](spark, d).write.format("noop").mode("overwrite").save()
 
-    for warm in HEADLINE:
+    for warm in names:
         try:
             run(warm, "/root/testdata/sf0.001")
         except Exception:
@@ -271,7 +279,7 @@ def main():
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings = {}
-    for name in HEADLINE:
+    for name in names:
         fn = qs.get(name)
         if fn is None:
             continue

@@ -1237,6 +1237,7 @@ def qini_uplift(
     outcome_col: str,
     score_col: str,
     buckets: int = 10,
+    percentile_mode: str = "buffer",
 ) -> DataFrame:
     """Qini / uplift curve by score bucket (Radcliffe 2007): rank the
     population by a targeting score, split into equal-frequency buckets,
@@ -1262,6 +1263,13 @@ def qini_uplift(
     frame only. Output per bucket, highest scores first: ``(bucket,
     n_treat, n_ctrl, resp_treat, resp_ctrl, cum_n, uplift_rate,
     qini)``.
+
+    ``percentile_mode`` forwards to :func:`scaling.quantile_bins`: the
+    default ``'buffer'`` folds the global decile cuts in one exact
+    percentile aggregate (fine to ~10⁷ scored units, and lazy);
+    ``'selection'`` routes them through distributed selection
+    (bit-identical cuts, no task buffers the score multiset — the
+    10⁹-unit path; EAGER, see selection_percentiles).
     """
     from .scaling import quantile_bins
     t = F.col(treat_col).cast("int") == 1
@@ -1270,7 +1278,8 @@ def qini_uplift(
     b = quantile_bins(df.where(F.col(score_col).isNotNull()
                                & F.col(treat_col).isNotNull()
                                & F.col(outcome_col).isNotNull()),
-                      score_col, bins=buckets, round_cuts_dp=6)
+                      score_col, bins=buckets, round_cuts_dp=6,
+                      percentile_mode=percentile_mode)
     per = (b.groupBy(F.col(f"{score_col}_bin").alias("bucket"))
            .agg(F.count_if(t).alias("__nt"),
                 F.count_if(~t).alias("__nc"),

@@ -34,6 +34,25 @@ def test_qini_perfect_targeting(spark):
     assert rows[0]["cum_n"] == 40
 
 
+def test_qini_selection_mode_equals_buffer(spark):
+    """percentile_mode='selection' (the 10^9-unit global-cuts path) must
+    reproduce the buffer plan's output exactly — the cuts are
+    bit-identical by the selection_percentiles contract, so every
+    bucket assignment and cumulative stat matches."""
+    rows = [(float((s * 37) % 101) + (0.5 if s % 3 == 0 else 0.0),
+             s % 2, 1 if (s % 5 == 0 and s % 2 == 0) else 0)
+            for s in range(200)]
+    df = spark.createDataFrame(rows, "score double, treat int, outcome int")
+    a = sorted(qini_uplift(df, "treat", "outcome", "score",
+                           buckets=5).collect())
+    b = sorted(qini_uplift(df, "treat", "outcome", "score", buckets=5,
+                           percentile_mode="selection").collect())
+    assert a == b
+    with pytest.raises(ValueError):
+        qini_uplift(df, "treat", "outcome", "score",
+                    percentile_mode="selektion").collect()
+
+
 def test_qini_null_when_arm_empty(spark):
     df = spark.createDataFrame(
         [(1.0, 1, 1), (2.0, 1, 0), (3.0, 1, 1), (4.0, 1, 0)],

@@ -3,6 +3,13 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The printed line is capped at ~1.9k chars (the driver records only the
+last 2000 stdout chars; rounds 4-7 overflowed that and recorded
+parsed=null): it carries totals, a vs-BASELINE.md ratio summary over ALL
+timed queries, and the slowest-N per-query entries. The COMPLETE
+per-query map is written to BENCH_FULL.json at the repo root (committed
+per round; also the packed input for scripts/bench_solo.py).
+
 Each query is timed as a full materialization to the ``noop`` sink
 (collect-less, JVM-side, every output column evaluated) after a
 shared-session warmup of the JVM. Round-7 methodology note: earlier
@@ -277,6 +284,28 @@ def main():
         except Exception:
             pass
 
+    # Machine-speed calibration (r8): two FIXED data-independent JVM jobs —
+    # c1 = single-partition arithmetic fold (per-core latency: what short
+    # scheduler-bound queries are bound by), c32 = the same work 32-way
+    # (parallel throughput: what heavy queries are bound by).  Recorded in
+    # both outputs so round-over-round and packed-vs-solo drift can be
+    # attributed to host speed instead of re-adjudicated by hand: the r8
+    # session observed untouched sub-second queries reading 1.5-2x their
+    # r7 baseline while the 197-query median sat at 0.97x — exactly the
+    # per-task-latency-up, throughput-flat signature c1/c32 separates.
+    calib = {}
+    for label, parts, n in (("c1_sec", 1, 20_000_000),
+                            ("c32_sec", 32, 320_000_000)):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (spark.range(0, n, 1, parts)
+             .selectExpr("sum(id * 2654435761 % 1000003) AS s")
+             .write.format("noop").mode("overwrite").save())
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        calib[label] = round(best, 3)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings = {}
     for name in names:
@@ -301,13 +330,76 @@ def main():
         spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v is not None}
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # The driver records only the LAST 2000 characters of stdout
+    # (observed: BENCH_r04..r07 all have tail_len=2000 and parsed=null —
+    # the 197-query JSON line is ~4.4k chars, so its head is cut off
+    # mid-line and no parseable JSON survives in the capture).  Fix:
+    # (a) the COMPLETE per-query map goes to BENCH_FULL.json at the repo
+    # root (committed each round; also the input for bench_solo.py), and
+    # (b) stdout gets ONE JSON line guaranteed to fit the 2000-char tail:
+    # totals, vs-BASELINE.md summary stats computed here over ALL queries,
+    # and the slowest-N per-query entries that fit the budget.
+    full = {
         "metric": "headline-queries-total-sec",
         "value": round(sum(ok.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "sf": sf_val,
+        "reps": reps,
+        "cpus": int(cpus),
+        "calib": calib,
+    }
+    if not only:  # solo adjudication runs must not clobber the artifact
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+
+    line_obj = {
+        "metric": "headline-queries-total-sec",
+        "value": full["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_failed": sum(1 for v in timings.values() if v is None),
+        "full_map": "BENCH_FULL.json",
+        "calib": calib,
+    }
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from bench_solo import load_baseline
+        base = load_baseline()
+        ratios = sorted(
+            (v / base[k], k) for k, v in ok.items()
+            if k in base and base[k] > 0)
+        if ratios:
+            rs = [r for r, _ in ratios]
+            over2 = [k for r, k in ratios if r > 2.0]
+            line_obj["vs_baseline"] = {
+                "n": len(rs),
+                "median": round(rs[len(rs) // 2], 3),
+                "p90": round(rs[int(len(rs) * 0.9)], 3),
+                "max": round(rs[-1], 3),
+                "max_q": ratios[-1][1],
+                "over2x": over2[:8] + (
+                    [f"+{len(over2) - 8} more"] if len(over2) > 8 else []),
+            }
+    except Exception as e:  # baseline table is advisory; never fail bench
+        sys.stderr.write(f"vs_baseline summary skipped: {e}\n")
+
+    # slowest-first per-query entries, as many as keep the line <=1900
+    line_obj["queries"] = {}
+    by_cost = sorted(timings.items(),
+                     key=lambda kv: (kv[1] is not None, -(kv[1] or 0)))
+    for k, v in by_cost:
+        line_obj["queries"][k] = v
+        if len(json.dumps(line_obj, separators=(",", ":"))) > 1840:
+            del line_obj["queries"][k]
+            break
+    line_obj["queries_omitted"] = len(timings) - len(line_obj["queries"])
+    print(json.dumps(line_obj, separators=(",", ":")))
     spark.stop()
 
 

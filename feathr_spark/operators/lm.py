@@ -214,13 +214,19 @@ def score_documents_bigram(
     per_doc = (joined.groupBy("__id")
                .agg(F.sum("__c").cast("bigint").alias("n_transitions"),
                     F.sum(F.col("__c") * lp_micro).alias("__sum_micro")))
+    # +1e-9 nudge before rounding (repo convention, mirrored in the
+    # oracle SQL): the micro-nat mean can land exactly on a .00005
+    # boundary (observed: sum -115815900 / 34 transitions = -3.40635 at
+    # sf0.1), where Spark's round (HALF_UP on the double's SHORTEST
+    # decimal repr) and DuckDB's (on the binary value) disagree.
     mean = F.round(F.col("__sum_micro") / F.lit(_MICRO)
-                   / F.col("n_transitions"), round_dp)
+                   / F.col("n_transitions") + F.lit(1e-9), round_dp)
     return per_doc.select(
         F.col("__id").alias(id_col),
         F.col("n_transitions"),
         mean.cast("double").alias("mean_logprob"),
-        F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))
+        F.round(F.exp(-mean) + F.lit(1e-9), round_dp)
+        .cast("double").alias("ppl"))
 
 
 def ccnet_buckets(

@@ -442,9 +442,15 @@ def distinct_rollup(
     added into a weekly), so the continuous-aggregate pattern for
     distinct counts stores a Datasketches HLL sketch per bucket
     (``hll_sketch_agg``, ~2^lgk bytes, constant whatever the
-    cardinality) and UNIONS sketches to coarsen or refresh —
-    ``hll_union`` of same-lgk sketches equals sketching the unioned
-    data, so cascade == direct (tested as exact equality, not a bound).
+    cardinality) and UNIONS sketches to coarsen or refresh.  The union
+    carries the SAME lgk error bound as sketching the unioned data
+    directly, but is estimate-identical to it only while both paths
+    remain in the same internal representation (the small-cardinality
+    sparse regime): past the sparse→dense transition the two paths can
+    transition modes at different points and the estimates drift by a
+    fraction of the error bound (observed ≤0.7% at 1500 true distincts,
+    lgk=12).  Gate cascade-vs-direct on a small relative tolerance —
+    like the KLL cascade below, never on equality.
 
     One data-sized shuffle (the bucket groupBy with map-side partial
     sketches); every downstream merge handles bucket-count-sized frames

@@ -280,13 +280,25 @@ def binary_changepoint(df: DataFrame, time_col: str,
     reduction ``SSE_full - (SSE_left + SSE_right)``.
 
     Intended for SERIES-sized frames (daily/bucketed aggregates — the
-    acf/theil_sen contract): one ordered prefix window yields
-    cumulative (n, sum, sum-of-squares), the 1-row totals frame is
-    broadcast back, every candidate split scores row-locally, and the
-    argmax is a top-1 TakeOrderedAndProject. Sums and sums-of-squares
-    accumulate in DECIMAL (exact, order-independent), so the SSE
-    algebra sees bit-identical inputs on every engine and at any
-    parallelism — values quantize to 4 dp on entry (decimal(18,4)).
+    acf/theil_sen contract): one ordered prefix window yields the
+    cumulative (n, sum), the 1-row totals frame is broadcast back,
+    every candidate split scores row-locally, and the argmax is a
+    top-1 TakeOrderedAndProject. Values quantize to 4 dp on entry
+    (decimal(18,4)) and the prefix sums accumulate in DECIMAL (exact,
+    order-independent).
+
+    The score uses the expanded identity ``red = Sl²/nl + Sr²/nr −
+    S²/n`` (the Σy² terms of SSE_full − SSE_l − SSE_r cancel exactly),
+    so NO sum-of-squares is ever materialized.  That is a portability
+    requirement, not just algebra: a decimal Σy² has scaled storage up
+    to ~10²⁵ ≫ 2⁵³, and DuckDB converts decimal→double as
+    (double)int128 / 10^scale — TWO roundings — while Java rounds the
+    conversion correctly once, so the two engines can disagree by one
+    ulp at 10¹⁷ scale (observed as a 128-absolute divergence on the
+    sf0.1 daily-revenue series).  The LINEAR sums' scaled storage
+    stays far below 2⁵³ where both conversion paths are exact, and the
+    remaining double arithmetic is the same IEEE op sequence on both
+    engines.
 
     Output: 1 row ``(split_t, n_left, n_right, mean_left, mean_right,
     sse_reduction)`` — NULL-free when the series has >= 2 points.
@@ -297,28 +309,21 @@ def binary_changepoint(df: DataFrame, time_col: str,
                    F.col(value_col).cast("decimal(18,4)").alias("__y")))
     w = (Window.partitionBy(F.lit(0)).orderBy("__t")
          .rowsBetween(Window.unboundedPreceding, 0))
-    y2 = F.col("__y") * F.col("__y")
     cum = d.select(
         "__t",
         F.row_number().over(
             Window.partitionBy(F.lit(0)).orderBy("__t")).alias("__cn"),
-        F.sum("__y").over(w).alias("__cs"),
-        F.sum(y2).over(w).alias("__cs2"))
+        F.sum("__y").over(w).alias("__cs"))
     tot = d.agg(F.count(F.lit(1)).alias("__n"),
-                F.sum("__y").alias("__s"),
-                F.sum(y2).alias("__s2"))
+                F.sum("__y").alias("__s"))
     c = cum.crossJoin(F.broadcast(tot)).where(F.col("__cn") < F.col("__n"))
     nl = F.col("__cn").cast("double")
     nr = (F.col("__n") - F.col("__cn")).cast("double")
     n = F.col("__n").cast("double")
     sl = F.col("__cs").cast("double")
     sr = (F.col("__s") - F.col("__cs")).cast("double")
-    s2l = F.col("__cs2").cast("double")
-    s2r = (F.col("__s2") - F.col("__cs2")).cast("double")
-    sse_full = (F.col("__s2").cast("double")
-                - F.col("__s").cast("double")
-                * F.col("__s").cast("double") / n)
-    red = sse_full - (s2l - sl * sl / nl) - (s2r - sr * sr / nr)
+    s = F.col("__s").cast("double")
+    red = sl * sl / nl + sr * sr / nr - s * s / n
     scored = c.select("__t", "__cn", "__n",
                       (sl / nl).alias("__ml"), (sr / nr).alias("__mr"),
                       red.alias("__red"))

@@ -198,7 +198,16 @@ def stress_pit(spark, scales, con):
              # EWMA window, first-purchase attribution, two-pass MAD)
              "qini_orders", "rfm_segments", "sessionize",
              "peak_concurrency_daily", "ewma_daily",
-             "attribution_events", "mad_outliers_events"]
+             "attribution_events", "mad_outliers_events",
+             # r8 widening: the remaining >2s orders/lineitem queries
+             # with no recorded exponent.  Replicated lineitem keeps the
+             # co-purchase graph as `scale` disconnected copies — pure
+             # horizontal growth, so triangle counting's classic
+             # superlinear hazard (adjacency self-join) is exactly what
+             # gets measured rather than argued.
+             "weighted_pctile", "decile_bins", "theil_sen_daily",
+             "powerlaw_parts", "triangles_parts", "components_parts",
+             "hits_bipartite"]
     dirs = {s: gen_pit_dir(s, con) for s in scales}
 
     def run(q, d):

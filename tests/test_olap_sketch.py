@@ -845,7 +845,7 @@ def test_kfold_and_time_split(spark):
         time_split(ev, "ts", "2024-01-02 00:00:00", embargo_s=-1)
 
 
-def test_distinct_rollup_cascade_equals_direct(spark):
+def test_distinct_rollup_cascade_tracks_direct(spark):
     import datetime as _dt
     from feathr_spark.operators.profile import (
         distinct_rollup, finalize_distinct, merge_distinct_rollup)
@@ -856,21 +856,29 @@ def test_distinct_rollup_cascade_equals_direct(spark):
     daily = distinct_rollup(df, "ts", ["g"], "u", level="day")
     # cascade: daily sketches unioned up to weekly...
     weekly = finalize_distinct(merge_distinct_rollup(daily, "week"))
-    # ...equals sketching the raw data weekly DIRECTLY — hll_union of
-    # same-lgk sketches is lossless, so this is exact equality
+    # ...agrees with sketching the raw data weekly DIRECTLY within 2%.
+    # NOT equality: HLL union is estimate-identical to direct sketching
+    # only while both paths stay in the sparse regime — at sf0.1-scale
+    # cardinality (1500 distincts) the mode transitions diverge and the
+    # estimates drift ≤0.7% while keeping the same lgk error bound.
+    # (At this test's 45-user cardinality they DO coincide exactly, but
+    # asserting that would pin an implementation accident.)
     direct = finalize_distinct(
         distinct_rollup(df, "ts", ["g"], "u", level="week"))
     wk = {(r.g, r.bucket_start): r.distinct_est for r in weekly.collect()}
     dr = {(r.g, r.bucket_start): r.distinct_est for r in direct.collect()}
-    assert wk == dr
+    assert wk.keys() == dr.keys()
+    assert all(abs(wk[k] - dr[k]) / dr[k] <= 0.02 for k in wk)
     # incremental refresh: disjoint batches union + same-bucket merge
     a = distinct_rollup(df.where(F.col("g") == "g0"), "ts", [], "u")
     b = distinct_rollup(df.where(F.col("g") == "g1"), "ts", [], "u")
     merged = finalize_distinct(
         merge_distinct_rollup(a.unionByName(b), "day"))
     whole = finalize_distinct(distinct_rollup(df, "ts", [], "u"))
-    assert {r.bucket_start: r.distinct_est for r in merged.collect()} \
-        == {r.bucket_start: r.distinct_est for r in whole.collect()}
+    mg = {r.bucket_start: r.distinct_est for r in merged.collect()}
+    wh = {r.bucket_start: r.distinct_est for r in whole.collect()}
+    assert mg.keys() == wh.keys()
+    assert all(abs(mg[k] - wh[k]) / wh[k] <= 0.02 for k in mg)
     # estimates track exact counts at this cardinality (45 users)
     exact = {(r.g, r.bucket_start): r.n for r in
              (df.groupBy("g", F.date_trunc("week", "ts")

@@ -1408,7 +1408,15 @@ def _selection_percentiles_on(vals, fracs, buckets):
         r = (n - 1) * f
         k0, k1 = int(math.floor(r)), int(math.ceil(r))
         d = r - math.floor(r)
-        out.append(float((1.0 - d) * picks[k0] + d * picks[k1]))
+        # lo + d*(hi - lo): the EXACT op sequence of Spark's builtin
+        # `percentile` (and DuckDB's quantile_cont lerp).  The symmetric
+        # form (1-d)*lo + d*hi is NOT equivalent in IEEE arithmetic —
+        # with equal neighbors it can return lo ± 1 ulp because (1-d)
+        # rounds (hypothesis-found: 18 copies of 883011.9999999999 at
+        # frac=0.90625 returned ...98 vs the builtin's ...99), and the
+        # selection paths promise bit-equality with the buffer paths.
+        lo_v, hi_v = picks[k0], picks[k1]
+        out.append(float(lo_v + d * (hi_v - lo_v)))
     return out
 
 

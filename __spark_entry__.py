@@ -1934,18 +1934,25 @@ def q_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accuracy gate for the mergeable distinct-count cascade: daily
     per-event-type HLL sketches union up to monthly, the estimate must
     land within 10% of the exact monthly distinct-user count, and the
-    cascade must agree with the direct monthly sketch within 2%.
+    cascade must agree with the direct monthly sketch within twice the
+    sketch's relative standard error, 2·1.04/√2^lgk (≈3.25% at lgk=12).
     (Datasketches HLL union is estimate-equal to direct sketching only
     while both paths stay in the same internal mode; past the sparse
     regime the representations transition differently and estimates
     drift sub-1% — observed 1488 vs 1480-1499 on 1500 true distincts at
     sf0.1, where an equality gate false-alarmed. Both estimators keep
-    the same lgk=12 error bound; the 2% gate checks mergeability
-    without asserting a bit-identity the sketch never promised.)
+    the same lgk error bound, so the worst-case divergence between the
+    two paths is bounded by the SUM of their RSEs — the analytic 2·RSE
+    gate checks mergeability at any cardinality without asserting a
+    bit-identity the sketch never promised; the earlier hardcoded 2%
+    was an empirical fit at 1500 distincts that could false-alarm at
+    higher cardinality.)
     Deterministic, so the oracle is the exact count + true flags."""
     _utc(spark)
     from feathr_spark.operators.profile import (
         distinct_rollup, finalize_distinct, merge_distinct_rollup)
+    lgk = 12  # distinct_rollup default; the gate derives from it
+    cascade_tol = 2 * 1.04 / (2 ** lgk) ** 0.5
     ev = _load_events(spark, sf_dir)
     daily = distinct_rollup(ev, "ts", ["event_type"], "user_id",
                             level="day")
@@ -1966,7 +1973,7 @@ def q_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.abs(F.col("distinct_est") - F.col("n_exact"))
           / F.col("n_exact")) <= 0.10).alias("est_ok"),
         ((F.abs(F.col("distinct_est") - F.col("__direct"))
-          / F.col("__direct")) <= 0.02).alias("cascade_ok"))
+          / F.col("__direct")) <= cascade_tol).alias("cascade_ok"))
 
 
 def q_kfold_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2166,8 +2173,13 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = (events.where(F.col("event_type") == "purchase")
               .select(F.col("event_id").alias("purchase_id"),
                       F.col("ts")))
+    # bin 3600 > the 1800 interval length (r9): at 1800 EVERY interval
+    # straddles 2 bins (2.0x interval replication); at 3600 most land in
+    # 1 (avg 1.5x) and the wider candidate window costs only a cheap
+    # codegen filter — measured 0.17-0.20s vs 0.22-0.30s solo min-of-3
+    # at sf0.1, identical 282150-row output
     out = range_join(points, intervals, "ts", "start_ts", "end_ts",
-                     bin_width_s=1800)
+                     bin_width_s=3600)
     return out.select(F.col("signup_id").cast("bigint").alias("signup_id"),
                       F.col("purchase_id").cast("bigint")
                       .alias("purchase_id"))
@@ -2313,6 +2325,75 @@ def q_pctile_round_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (construct, result)"))
 
 
+# Every (table, column) any shipped operator takes quantiles of
+# (scaling.py robust_scale/bucketize, profile.py, sampling.py
+# weighted_pctile, aggregations.py window percentiles, funnel.py
+# latencies) — the r8 lesson is that synthetic probe grids provably miss
+# data-dependent divergence classes, so the canary must run on the REAL
+# columns. Fractions are restricted to {.1,.25,.5,.75,.9}: for any row
+# count n, frac((n−1)·p) then has ≤2 decimal digits, so interpolated
+# quantiles of these 2-dp/integer columns sit exactly on the 4-dp grid
+# and the mirrored nudge-round is drift-proof by construction
+# (events.value is the one continuous column; its boundary risk is the
+# generic ~1e-9 class the nudge convention already covers).
+_PCTILE_DATA_SPECS = [
+    ("orders", "o_totalprice"), ("lineitem", "l_extendedprice"),
+    ("lineitem", "l_quantity"), ("part", "p_retailprice"),
+    ("customer", "c_acctbal"), ("events", "value"),
+]
+_PCTILE_DATA_FRACS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+def q_pctile_data_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine percentile canary over the REAL data columns (r9,
+    VERDICT r8 item 7): Spark ``percentile`` vs DuckDB ``quantile_cont``
+    on every column a shipped operator quantiles, at five fractions,
+    nudge-rounded to 4 dp on both sides. A red row here localizes any
+    future percentile-bearing driver red to engine quantile drift on a
+    specific (column, fraction) — the diagnostic robust_scale_price
+    lacked for two rounds."""
+    _utc(spark)
+    arr = ", ".join(repr(f) for f in _PCTILE_DATA_FRACS)
+    parts = []
+    for tbl, col in _PCTILE_DATA_SPECS:
+        df = spark.read.parquet(f"{sf_dir}/{tbl}.parquet")
+        qs = df.agg(F.expr(
+            f"percentile(cast({col} as double), array({arr}))")
+            .alias("qs"))
+        labels = F.array(*[
+            F.lit(f"{tbl}.{col}:p{int(f * 100)}")
+            for f in _PCTILE_DATA_FRACS])
+        parts.append(
+            qs.select(F.posexplode(F.col("qs")).alias("pos", "q"))
+              .select(
+                  F.element_at(labels, F.col("pos") + 1)
+                  .alias("construct"),
+                  F.round(F.col("q") + F.lit(1e-9), 4)
+                  .cast("decimal(28,4)").cast("string").alias("result")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _pctile_data_oracle() -> str:
+    pieces = []
+    lst = "[" + ", ".join(repr(f) for f in _PCTILE_DATA_FRACS) + "]"
+    vals = ", ".join(
+        f"({i + 1}, {int(f * 100)})"
+        for i, f in enumerate(_PCTILE_DATA_FRACS))
+    for tbl, col in _PCTILE_DATA_SPECS:
+        pieces.append(f"""
+            SELECT '{tbl}.{col}:p' || CAST(t.p AS VARCHAR) AS construct,
+                   CAST(CAST(ROUND(c.qs[t.i] + 1e-9, 4) AS DECIMAL(28,4))
+                        AS VARCHAR) AS result
+            FROM (SELECT quantile_cont(CAST({col} AS DOUBLE), {lst}) AS qs
+                  FROM {tbl}) c,
+                 (VALUES {vals}) t(i, p)""")
+        # mirrors q_pctile_data_probe: same fractions, same nudge-round
+    return "\nUNION ALL".join(pieces)
+
+
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier over parts (minimize retail price, maximize size):
     the fully distributed skyline — one data-sized aggregate + a
@@ -2450,11 +2531,19 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/IQR robust scaling of order totals (outlier-proof cousin
     of zscore_price): one exact-percentile cuts aggregate broadcast onto
-    the single data-sized scan."""
+    the single data-sized scan.
+
+    round_cuts_dp=4 (r9): quantize the quartiles BEFORE the quotient on
+    both sides. o_totalprice is a 2-dp double, so the true quartiles sit
+    on the 4-dp grid; ROUND(q, 4) in engine AND oracle absorbs any
+    cross-engine ``quantile_cont``/``percentile`` interpolation ulp —
+    the r7/r8 driver red that final-rounding nudges provably could not
+    fix (the drift was in the quotient's INPUTS)."""
     _utc(spark)
     from feathr_spark.operators.scaling import robust_scale
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    out = robust_scale(orders, "o_totalprice", "o_orderkey")
+    out = robust_scale(orders, "o_totalprice", "o_orderkey",
+                       round_cuts_dp=4)
     return out.select(F.col("o_orderkey").cast("bigint")
                       .alias("o_orderkey"), "value", "robust")
 
@@ -4695,22 +4784,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         never burn a gate slot on an err="no_oracle" row — their accuracy
         is driver-proven via the oracled *_recall gate companions.
 
-    Round-8 rotation (ledger-closure round): the two r7 driver-red rows
-    lead — robust_scale_price (nudge-rounded on both sides now, the
-    repo-wide +1e-9 convention) and jl_project (array output serialized
-    as one joined decimal string per the driver-green elementwise_avg
-    convention) — then the final 12 never-driver-recorded backlog
-    queries (all local-green), the standing oracle_env_probe canary,
-    and the NEW pctile_round_probe data-dependent canary (the
-    robust_scale episode showed pinned-literal probes cannot see
-    percentile+round skew). After this window records, every
-    oracle-bearing query has a driver row somewhere in
-    CORRECTNESS_r01-r08. Remaining slots re-run r7 greens.
+    Round-9 rotation (VERDICT r8 items 1-2, 7): robust_scale_price leads
+    with the quantized-quartiles fix (round_cuts_dp=4 on BOTH sides —
+    the r7/r8 reds were quartile-input drift, which final-rounding
+    nudges cannot absorb). Positions 2-3 are ann_pq_topk and
+    semantic_dedup_pairs, the only 2 of 215 registry queries never
+    driver-checked in any round (rows-only by design — no oracle_sql
+    entry; their accuracy is proven by the adjacent oracled *_recall
+    gates, which stay in-window). Position 4 is the NEW
+    pctile_data_probe canary: Spark percentile vs DuckDB quantile_cont
+    on the REAL columns operators quantile (the r8 synthetic grid probe
+    passed while robust_scale_price failed — data-dependent divergence
+    needs the real distributions). Both standing canaries follow.
+    Remaining slots re-run r7/r8 greens; new-query additions stay
+    frozen per VERDICT item 8.
     """
     return {
-        # --- r8 gate window (50): the two r7 reds first, then the last
-        # --- 12 of the never-driver-recorded backlog, both canaries
+        # --- r9 gate window (50): the fix first, then the 2
+        # --- never-driver-recorded rows-only queries, then 3 canaries
         "robust_scale_price": q_robust_scale_price,
+        "ann_pq_topk": q_ann_pq_topk,
+        "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "pctile_data_probe": q_pctile_data_probe,
+        "pctile_round_probe": q_pctile_round_probe,
+        "oracle_env_probe": q_oracle_env_probe,
+        # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
         "logrank_segments": q_logrank_segments,
@@ -4724,9 +4822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_bipartite": q_hits_bipartite,
         "bh_fdr_monthly": q_bh_fdr_monthly,
         "powerlaw_parts": q_powerlaw_parts,
-        "oracle_env_probe": q_oracle_env_probe,
-        "pctile_round_probe": q_pctile_round_probe,
-        # --- window fill (r7 greens, re-recorded)
         "span_dedup": q_span_dedup,
         "tpch_q18_big_orders": q_tpch_q18_big_orders,
         "tpch_q19_disjunct": q_tpch_q19_disjunct,
@@ -4927,8 +5022,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_pairs": q_embedding_cosine_pairs,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        # ann_pq_topk / semantic_dedup_pairs moved into window
+        # positions 2-3 for r9 (VERDICT item 2)
     }
 
 
@@ -8593,10 +8688,14 @@ def oracle_sql() -> dict[str, str]:
             FROM e
         """,
         "robust_scale_price": """
+            -- ROUND(q, 4) on the cuts mirrors the engine's
+            -- round_cuts_dp=4: quartiles of a 2-dp double live on the
+            -- 4-dp grid, so quantizing both sides kills interpolation
+            -- ulp drift before the quotient (r9 fix for the r7/r8 red)
             WITH cuts AS (
-              SELECT quantile_cont(o_totalprice, 0.25) AS q1,
-                     quantile_cont(o_totalprice, 0.5) AS med,
-                     quantile_cont(o_totalprice, 0.75) AS q3
+              SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+                     ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+                     ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
               FROM orders WHERE o_totalprice IS NOT NULL)
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
                    CAST(ROUND(o_totalprice + 1e-9, 4) AS DOUBLE) AS value,
@@ -9129,13 +9228,14 @@ def oracle_sql() -> dict[str, str]:
               CROSS JOIN toov o
               GROUP BY d.doc_id
             )
+            -- +1e-9 mean nudges mirror score_documents' _nudged_round (r9)
             SELECT CAST(r.doc_id AS BIGINT) AS doc_id, r.n_tokens,
-                   CAST(round(r.sm / 1000000.0 / r.n_tokens, 4) AS DOUBLE)
-                       AS logprob_raw,
-                   CAST(round(t.sm / 1000000.0 / r.n_tokens, 4) AS DOUBLE)
-                       AS logprob_target,
-                   CAST(round(round(t.sm / 1000000.0 / r.n_tokens, 4)
-                              - round(r.sm / 1000000.0 / r.n_tokens, 4)
+                   CAST(round(r.sm / 1000000.0 / r.n_tokens + 1e-9, 4)
+                        AS DOUBLE) AS logprob_raw,
+                   CAST(round(t.sm / 1000000.0 / r.n_tokens + 1e-9, 4)
+                        AS DOUBLE) AS logprob_target,
+                   CAST(round(round(t.sm / 1000000.0 / r.n_tokens + 1e-9, 4)
+                              - round(r.sm / 1000000.0 / r.n_tokens + 1e-9, 4)
                               + 1e-9, 4) AS DOUBLE) AS logratio
             FROM raw_sc r JOIN tgt_sc t USING (doc_id)
         """,
@@ -9162,8 +9262,10 @@ def oracle_sql() -> dict[str, str]:
                          AS sum_micro
               FROM doc_terms d JOIN lm l USING (term) GROUP BY d.doc_id
             ), ppl AS (
+              -- +1e-9 nudges mirror score_documents' _nudged_round (r9)
               SELECT s.doc_id, dd.lang,
-                     CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens, 4)), 4)
+                     CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens
+                                           + 1e-9, 4)) + 1e-9, 4)
                           AS DOUBLE) AS ppl
               FROM scored s JOIN documents dd USING (doc_id)
             ), cuts AS (
@@ -9204,10 +9306,13 @@ def oracle_sql() -> dict[str, str]:
                          AS sum_micro
               FROM doc_terms d JOIN lm l USING (term) GROUP BY d.doc_id
             )
+            -- +1e-9 nudges mirror score_documents' _nudged_round (r9,
+            -- ADVICE: unigram path now nudged like the bigram path)
             SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
-                   CAST(round(sum_micro / 1000000.0 / n_tokens, 4) AS DOUBLE)
-                       AS mean_logprob,
-                   CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens, 4)), 4)
+                   CAST(round(sum_micro / 1000000.0 / n_tokens + 1e-9, 4)
+                        AS DOUBLE) AS mean_logprob,
+                   CAST(round(exp(-round(sum_micro / 1000000.0 / n_tokens
+                                         + 1e-9, 4)) + 1e-9, 4)
                         AS DOUBLE) AS ppl
             FROM scored
         """,
@@ -10460,6 +10565,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'robust_digest_sqrt',
                    CAST(ds AS VARCHAR) FROM dig
         """,
+        "pctile_data_probe": _pctile_data_oracle(),
         "span_dedup": """
             -- r7 rewrite after the r6 driver-red hash (local-green):
             -- every construct below appears verbatim in an oracle that has

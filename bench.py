@@ -293,9 +293,13 @@ def main():
     # session observed untouched sub-second queries reading 1.5-2x their
     # r7 baseline while the 197-query median sat at 0.97x — exactly the
     # per-task-latency-up, throughput-flat signature c1/c32 separates.
+    # cN matches the session's actual parallelism (ADVICE r8: a
+    # hardcoded 32 on a smaller host would measure oversubscribed
+    # scheduling, breaking the latency/throughput attribution)
+    ncpu = int(cpus)
     calib = {}
     for label, parts, n in (("c1_sec", 1, 20_000_000),
-                            ("c32_sec", 32, 320_000_000)):
+                            (f"c{ncpu}_sec", ncpu, 10_000_000 * ncpu)):
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
@@ -389,10 +393,12 @@ def main():
     except Exception as e:  # baseline table is advisory; never fail bench
         sys.stderr.write(f"vs_baseline summary skipped: {e}\n")
 
-    # slowest-first per-query entries, as many as keep the line <=1900
+    # slowest-first per-query entries, as many as keep the line <=1900;
+    # failed (None) queries are excluded — n_failed already reports them,
+    # and nulls would crowd slow timings out of the truncated line
     line_obj["queries"] = {}
-    by_cost = sorted(timings.items(),
-                     key=lambda kv: (kv[1] is not None, -(kv[1] or 0)))
+    by_cost = sorted(((k, v) for k, v in timings.items() if v is not None),
+                     key=lambda kv: -kv[1])
     for k, v in by_cost:
         line_obj["queries"][k] = v
         if len(json.dumps(line_obj, separators=(",", ":"))) > 1840:

@@ -41,6 +41,21 @@ from .search import _norm_tokens
 _MICRO = 1_000_000.0
 
 
+def _nudged_round(c, round_dp: int):
+    """Repo-wide cross-engine rounding: ``round(x + 10^-(dp+5), dp)``.
+
+    The nudge breaks exact .5-at-the-last-digit ties, where Spark
+    (HALF_UP on the double's shortest decimal repr) and other engines
+    (rounding the binary value) disagree; any oracle must add the same
+    constant. It is scaled to the precision — 5 orders of magnitude
+    below the rounding grid (1e-9 at the conventional dp=4) — so it can
+    shift only values within 10^-(dp+5) of a grid half-boundary and
+    never biases results at any dp (a fixed 1e-9 would EQUAL the grid
+    step at dp=9 and round everything up).
+    """
+    return F.round(c + F.lit(10.0 ** -(round_dp + 5)), round_dp)
+
+
 def _lm_and_oov(df: DataFrame, text_col: str):
     """(lm, oov) pair sharing ONE corpus-scale term shuffle: the OOV
     constant derives from the same single-row stats aggregate the
@@ -122,13 +137,16 @@ def score_documents(
                .groupBy("__id")
                .agg(F.sum("__c").cast("bigint").alias("n_tokens"),
                     F.sum(F.col("__c") * lp_micro).alias("__sum_micro")))
-    mean = F.round(F.col("__sum_micro") / F.lit(_MICRO) / F.col("n_tokens"),
-                   round_dp)
+    # nudged like score_documents_bigram (ADVICE r8): the micro-nat mean
+    # has the identical .00005-boundary hazard on the unigram path;
+    # mirrored in the lm_score / ccnet_buckets oracle SQL.
+    mean = _nudged_round(
+        F.col("__sum_micro") / F.lit(_MICRO) / F.col("n_tokens"), round_dp)
     return per_doc.select(
         F.col("__id").alias(id_col),
         F.col("n_tokens"),
         mean.cast("double").alias("mean_logprob"),
-        F.round(F.exp(-mean), round_dp).cast("double").alias("ppl"))
+        _nudged_round(F.exp(-mean), round_dp).cast("double").alias("ppl"))
 
 
 def bigram_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -214,18 +232,19 @@ def score_documents_bigram(
     per_doc = (joined.groupBy("__id")
                .agg(F.sum("__c").cast("bigint").alias("n_transitions"),
                     F.sum(F.col("__c") * lp_micro).alias("__sum_micro")))
-    # +1e-9 nudge before rounding (repo convention, mirrored in the
-    # oracle SQL): the micro-nat mean can land exactly on a .00005
-    # boundary (observed: sum -115815900 / 34 transitions = -3.40635 at
-    # sf0.1), where Spark's round (HALF_UP on the double's SHORTEST
-    # decimal repr) and DuckDB's (on the binary value) disagree.
-    mean = F.round(F.col("__sum_micro") / F.lit(_MICRO)
-                   / F.col("n_transitions") + F.lit(1e-9), round_dp)
+    # nudged rounding (see _nudged_round; mirrored in the oracle SQL):
+    # the micro-nat mean can land exactly on a .00005 boundary
+    # (observed: sum -115815900 / 34 transitions = -3.40635 at sf0.1),
+    # where Spark's round (HALF_UP on the double's SHORTEST decimal
+    # repr) and DuckDB's (on the binary value) disagree.
+    mean = _nudged_round(
+        F.col("__sum_micro") / F.lit(_MICRO) / F.col("n_transitions"),
+        round_dp)
     return per_doc.select(
         F.col("__id").alias(id_col),
         F.col("n_transitions"),
         mean.cast("double").alias("mean_logprob"),
-        F.round(F.exp(-mean) + F.lit(1e-9), round_dp)
+        _nudged_round(F.exp(-mean), round_dp)
         .cast("double").alias("ppl"))
 
 
@@ -334,8 +353,8 @@ def dsir_logratio(
         .select(F.col(id_col),
                 F.col("mean_logprob").alias("logprob_target"))
     out = raw.join(tgt, id_col)
-    ratio = F.round(F.col("logprob_target") - F.col("logprob_raw")
-                    + F.lit(1e-9), round_dp)
+    ratio = _nudged_round(
+        F.col("logprob_target") - F.col("logprob_raw"), round_dp)
     return out.select(F.col(id_col), "n_tokens", "logprob_raw",
                       "logprob_target",
                       ratio.cast("double").alias("logratio"))

@@ -449,8 +449,9 @@ def distinct_rollup(
     sparse regime): past the sparse→dense transition the two paths can
     transition modes at different points and the estimates drift by a
     fraction of the error bound (observed ≤0.7% at 1500 true distincts,
-    lgk=12).  Gate cascade-vs-direct on a small relative tolerance —
-    like the KLL cascade below, never on equality.
+    lgk=12).  Gate cascade-vs-direct on the analytic bound — twice the
+    sketch RSE, ``2·1.04/√2^lgk`` (~3.25% at lgk=12) — like the KLL
+    cascade below, never on equality.
 
     One data-sized shuffle (the bucket groupBy with map-side partial
     sketches); every downstream merge handles bucket-count-sized frames

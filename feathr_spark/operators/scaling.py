@@ -297,6 +297,7 @@ def robust_scale(
     by: Sequence[str] = (),
     round_dp: int = 4,
     percentile_mode: str = "buffer",
+    round_cuts_dp: Optional[int] = None,
 ) -> DataFrame:
     """Median/IQR scaling: (v − median) / (q75 − q25) — the outlier-proof
     cousin of :func:`standardize` (a single 10⁹ outlier shifts a z-score's
@@ -309,6 +310,17 @@ def robust_scale(
     zero IQR get NULL robust (scale undefined; gate or impute downstream).
     ``percentile_mode='selection'`` (global only, validated) computes
     the quartile literals EAGERLY at call time.
+
+    ``round_cuts_dp`` quantizes the three quartiles to that many decimal
+    places BEFORE the quotient. Linear-interpolated percentiles are the
+    one place engines legitimately differ by an ulp (``lo + d·(hi−lo)``
+    evaluation order varies), and a 1-ulp quartile drift survives any
+    final-rounding nudge because it perturbs the quotient itself. When
+    the input is a fixed-scale decimal (k dp) the true quartile has at
+    most k+2 dp (the interpolation fraction is i/4), so rounding cuts at
+    k+2 dp makes the quotient inputs bit-identical across engines while
+    changing nothing mathematically. Mirror the same ``ROUND(q, dp)`` in
+    any cross-engine oracle.
     """
     keys = list(by)
     _check_percentile_mode(percentile_mode, keys, "robust_scale")
@@ -333,6 +345,12 @@ def robust_scale(
                      F.expr(f"percentile({value_col}, 0.75)")
                      .alias("__q3")))
         j = broadcast_attach(df, cuts, keys)  # null-safe: NULL-key
+    if round_cuts_dp is not None:
+        # plain round, no nudge: true cuts sit on the k+2-dp grid, never
+        # on a round_cuts_dp+1 half-boundary, so both engines land on
+        # the identical double
+        for c in ("__q1", "__med", "__q3"):
+            j = j.withColumn(c, F.round(F.col(c), round_cuts_dp))
     iqr = F.col("__q3") - F.col("__q1")       # groups are scored
     robust = F.when(iqr > 0, (v - F.col("__med")) / iqr)
     # +1e-9 nudge (repo-wide rounding convention): Spark rounds the

@@ -854,9 +854,14 @@ def test_distinct_rollup_cascade_tracks_direct(spark):
             for h in range(24 * 21)]                  # 3 weeks hourly
     df = spark.createDataFrame(rows, "ts timestamp, g string, u string")
     daily = distinct_rollup(df, "ts", ["g"], "u", level="day")
+    # analytic gate (ADVICE r8): both paths carry the lgk error bound,
+    # so their divergence is bounded by ~2x the RSE = 2*1.04/sqrt(2^lgk)
+    # (~3.25% at the default lgk=12) — derived, not the old empirical 2%
+    # fit at 1500 distincts that could false-alarm at higher cardinality
+    tol = 2 * 1.04 / (2 ** 12) ** 0.5
     # cascade: daily sketches unioned up to weekly...
     weekly = finalize_distinct(merge_distinct_rollup(daily, "week"))
-    # ...agrees with sketching the raw data weekly DIRECTLY within 2%.
+    # ...agrees with sketching the raw data weekly DIRECTLY within tol.
     # NOT equality: HLL union is estimate-identical to direct sketching
     # only while both paths stay in the sparse regime — at sf0.1-scale
     # cardinality (1500 distincts) the mode transitions diverge and the
@@ -868,7 +873,7 @@ def test_distinct_rollup_cascade_tracks_direct(spark):
     wk = {(r.g, r.bucket_start): r.distinct_est for r in weekly.collect()}
     dr = {(r.g, r.bucket_start): r.distinct_est for r in direct.collect()}
     assert wk.keys() == dr.keys()
-    assert all(abs(wk[k] - dr[k]) / dr[k] <= 0.02 for k in wk)
+    assert all(abs(wk[k] - dr[k]) / dr[k] <= tol for k in wk)
     # incremental refresh: disjoint batches union + same-bucket merge
     a = distinct_rollup(df.where(F.col("g") == "g0"), "ts", [], "u")
     b = distinct_rollup(df.where(F.col("g") == "g1"), "ts", [], "u")
@@ -878,7 +883,7 @@ def test_distinct_rollup_cascade_tracks_direct(spark):
     mg = {r.bucket_start: r.distinct_est for r in merged.collect()}
     wh = {r.bucket_start: r.distinct_est for r in whole.collect()}
     assert mg.keys() == wh.keys()
-    assert all(abs(mg[k] - wh[k]) / wh[k] <= 0.02 for k in mg)
+    assert all(abs(mg[k] - wh[k]) / wh[k] <= tol for k in mg)
     # estimates track exact counts at this cardinality (45 users)
     exact = {(r.g, r.bucket_start): r.n for r in
              (df.groupBy("g", F.date_trunc("week", "ts")

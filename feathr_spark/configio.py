@@ -153,11 +153,20 @@ def _source_from_config(name: str, d: dict) -> Source:
                           dbtable=loc.get("dbtable"), query=loc.get("query"),
                           auth=auth, time_window_parameters=twp)
     if "brokers" in loc or ltype == "kafka":
+        # KafkaSchema.avroJson (source.rs:48-54) is a STRING already
+        # containing the Avro schema JSON — pass it through verbatim;
+        # json.dumps only if someone stored it as a parsed object
+        # (double-encoding a string breaks from_avro/compile_schema)
+        schema = loc.get("schema")
+        if isinstance(schema, dict):
+            aj = schema.get("avroJson")
+            avro_json = aj if isinstance(aj, str) or aj is None \
+                else json.dumps(aj)
+        else:
+            avro_json = loc.get("avroJson")
         return KafkaSource(name=name, brokers=tuple(loc.get("brokers", ())),
                            topics=tuple(loc.get("topics", ())),
-                           avro_schema_json=json.dumps(loc["schema"]["avroJson"])
-                           if isinstance(loc.get("schema"), dict) else
-                           loc.get("avroJson"),
+                           avro_schema_json=avro_json,
                            time_window_parameters=twp)
     if ltype == "generic" or ("format" in loc and "path" not in loc):
         return GenericSource(name=name, format=loc.get("format", "parquet"),

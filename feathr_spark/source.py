@@ -202,11 +202,19 @@ class KafkaSource(Source):
     avro_schema_json: Optional[str] = None
     options: Dict[str, str] = field(default_factory=dict)
 
+    def stream_options(self) -> Dict[str, str]:
+        """The exact option dict handed to ``readStream.format("kafka")``
+        — pure and testable without the connector jar on the classpath
+        (the JVM branch's construction is contract-tested even though
+        the container can't execute it; reference source.rs:563-650)."""
+        opts = {"kafka.bootstrap.servers": ",".join(self.brokers),
+                "subscribe": ",".join(self.topics)}
+        opts.update(self.options)
+        return opts
+
     def read_stream(self, spark: SparkSession) -> DataFrame:
         reader = (spark.readStream.format("kafka")
-                  .option("kafka.bootstrap.servers", ",".join(self.brokers))
-                  .option("subscribe", ",".join(self.topics))
-                  .options(**self.options))
+                  .options(**self.stream_options()))
         df = reader.load()
         if self.avro_schema_json:
             # JVM from_avro when spark-avro is on the classpath, else the

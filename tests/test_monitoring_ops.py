@@ -209,3 +209,53 @@ def test_selection_mode_bit_identical_across_operators(spark):
     fb = funnel_latency(evdf, "u", "t", "ts", "signup", "purchase",
                         percentile_mode="selection").collect()[0]
     assert fa.asDict() == fb.asDict()
+
+
+def test_robust_scale_quantized_cuts_cross_engine_bit_exact(spark, sf_dir):
+    """The r9 fix for the r7/r8 driver red: with round_cuts_dp=4 the
+    quotient inputs are quantized to the 4-dp grid on BOTH engines, so
+    robust_scale output is BIT-identical to an independent DuckDB
+    evaluation — and provably invariant to the ulp-level
+    percentile-interpolation drift that actually caused the red (shown
+    by perturbing the quartiles a few ulp and re-rounding)."""
+    import math
+
+    import duckdb
+
+    from feathr_spark.operators.scaling import robust_scale
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = robust_scale(orders, "o_totalprice", "o_orderkey",
+                       round_cuts_dp=4)
+    got = {r.o_orderkey: (r.value, r.robust) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * "
+                f"FROM '{sf_dir}/orders.parquet'")
+    ora = {k: (v, rb) for k, v, rb in con.execute("""
+        WITH cuts AS (
+          SELECT ROUND(quantile_cont(o_totalprice, 0.25), 4) AS q1,
+                 ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+                 ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
+          FROM orders WHERE o_totalprice IS NOT NULL)
+        SELECT o_orderkey,
+               ROUND(o_totalprice + 1e-9, 4) AS value,
+               ROUND(CASE WHEN q3 - q1 > 0 THEN
+                     (o_totalprice - med) / (q3 - q1) END + 1e-9, 4)
+        FROM orders, cuts""").fetchall()}
+    assert got.keys() == ora.keys()
+    # bit-exact: no rounding slack in the comparison at all
+    assert all(got[k] == ora[k] for k in got)
+
+    # drift immunity: a quartile off by a few ulp (the cross-DuckDB
+    # quantile_cont divergence class) rounds to the IDENTICAL 4-dp cut
+    q1, med, q3 = con.execute("""
+        SELECT quantile_cont(o_totalprice, 0.25),
+               quantile_cont(o_totalprice, 0.5),
+               quantile_cont(o_totalprice, 0.75)
+        FROM orders WHERE o_totalprice IS NOT NULL""").fetchone()
+    for q in (q1, med, q3):
+        up, down = q, q
+        for _ in range(4):  # +-4 ulp
+            up = math.nextafter(up, math.inf)
+            down = math.nextafter(down, -math.inf)
+        assert round(up, 4) == round(q, 4) == round(down, 4)

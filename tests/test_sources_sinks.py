@@ -422,6 +422,77 @@ def test_avro_decode_streaming_pipeline(spark, tmp_path):
         q.stop()
 
 
+def test_kafka_jvm_branch_contract(spark):
+    """Contract test for the JVM Kafka/Avro branch the container cannot
+    execute (no spark-sql-kafka/spark-avro jars): asserts every artifact
+    our code hands the connector — the parsed source, the exact
+    ``readStream`` option dict, and the exact ``from_avro`` invocation —
+    against the reference's serialized KafkaSchema / DataLocation::Kafka
+    shape (``feathr-rs/src/source.rs:48-54, 138-150, 563-650``). On a
+    real cluster the only untested piece is the jar itself.
+
+    Also pins the r9 configio fix: KafkaSchema.avroJson is a STRING that
+    already contains the Avro schema JSON; it must pass through VERBATIM
+    (the old ``json.dumps`` double-encoded it, which would have broken
+    both ``from_avro`` and the pure-Python fallback on the first real
+    cluster run)."""
+    from feathr_spark.configio import _source_from_config
+    from feathr_spark.source import KafkaSource
+    from feathr_spark.streaming import avro as avro_mod
+
+    # the reference's serialized DataLocation::Kafka, verbatim shape
+    location = {
+        "type": "kafka",
+        "brokers": ["b1.example:9092", "b2.example:9092"],
+        "topics": ["trips", "fares"],
+        "schema": {"type": "KAFKA", "avroJson": AVRO_SCHEMA},
+    }
+    src = _source_from_config("kafka_src", {"location": location})
+    assert isinstance(src, KafkaSource)
+    assert src.avro_schema_json == AVRO_SCHEMA  # verbatim, NOT re-encoded
+    assert src.stream_options() == {
+        "kafka.bootstrap.servers": "b1.example:9092,b2.example:9092",
+        "subscribe": "trips,fares",
+    }
+    # extra reader options pass through and may override defaults
+    extra = KafkaSource(name="k", brokers=("b:9092",), topics=("t",),
+                        options={"startingOffsets": "earliest"})
+    assert extra.stream_options() == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t",
+        "startingOffsets": "earliest",
+    }
+
+    # decode_avro_payload must attempt the JVM from_avro FIRST, with
+    # exactly (value column, verbatim schema json); when the connector
+    # is absent it falls back to the Arrow decoder with equal values.
+    import pyspark.sql.avro.functions as paf
+    from feathr_spark.streaming.avro import (
+        encode_record, parse_flat_record_schema,
+    )
+    calls = []
+    real_from_avro = paf.from_avro
+
+    def recording_from_avro(data, jsonFormatSchema, options=None):
+        calls.append(jsonFormatSchema)
+        return real_from_avro(data, jsonFormatSchema, options or {})
+
+    fields = parse_flat_record_schema(AVRO_SCHEMA)
+    kafka_shaped = spark.createDataFrame(
+        [Row(value=bytearray(encode_record(r, fields))) for r in AVRO_ROWS])
+    paf.from_avro = recording_from_avro
+    try:
+        out = avro_mod.decode_avro_payload(kafka_shaped, AVRO_SCHEMA)
+        got = {r.key: r for r in out.collect()}
+    finally:
+        paf.from_avro = real_from_avro
+    # the JVM branch was attempted with the VERBATIM schema string...
+    assert calls == [AVRO_SCHEMA]
+    # ...and the documented fallback produced the reference values
+    assert set(got) == {1, -9223372036854775808, 9223372036854775807}
+    assert got[1].city == "nyc" and abs(got[1].fare - 12.5) < 1e-9
+
+
 def test_redis_sink_write_plumbing_with_fake_client(spark, tmp_path):
     """RedisSink partition-parallel write + hash encoding E2E against an
     injected in-memory client: every row lands as one hash keyed

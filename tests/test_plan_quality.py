@@ -825,6 +825,10 @@ EXCHANGE_BUDGET = {
     # generated 10k-row grid, no data files: two global single-row
     # aggregates (cuts, digests) + the 9-row stack readout
     "pctile_round_probe": 3,
+    # r9 real-column percentile canary: one global single-row percentile
+    # aggregate per probed (table, column) — 6 two-phase folds, the
+    # 5-element quantile arrays posexplode shuffle-free and union
+    "pctile_data_probe": 6,
 }
 
 

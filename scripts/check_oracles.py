@@ -6,6 +6,14 @@ order-insensitive values (columns sorted by name, rows sorted).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
        python scripts/check_oracles.py --json OUT.json [sf_dir]
+       python scripts/check_oracles.py --exact [sf_dir] [query ...]
+
+--exact compares floats BIT-exactly instead of rounding to 4 dp. The
+default 4-dp normalization is WEAKER than the driver's exact value-hash
+(the r7/r8 robust_scale_price reds passed the rounded local sweep for
+two rounds) — a query that passes --exact cannot hash-mismatch on any
+engine that computes the same doubles, so chase any suspected ulp-class
+divergence with --exact, never with the rounded sweep.
 
 --json writes the per-query verdicts as a committed, diffable artifact
 (the LOCAL_ORACLES_r{N}.json ritual: the driver's gate window covers 50
@@ -29,11 +37,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+EXACT = False  # set by --exact: bit-exact float compare (driver-strength)
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 4)
+        return v if EXACT else round(v, 4)
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -42,7 +53,9 @@ def norm_cell(v):
         return tuple(sorted((k, norm_cell(x)) for k, x in v.asDict().items()))
     import decimal
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 4)
+        # decimal-typed cells stay exact in --exact mode (string form
+        # keeps trailing-zero scale out of the comparison)
+        return float(v) if EXACT else round(float(v), 4)
     return v
 
 
@@ -55,6 +68,10 @@ def normalize(rows, colnames):
 
 def main():
     args = sys.argv[1:]
+    global EXACT
+    if "--exact" in args:
+        EXACT = True
+        args = [a for a in args if a != "--exact"]
     json_out = None
     if "--json" in args:
         i = args.index("--json")
@@ -139,7 +156,8 @@ def main():
     if failures:
         print("FAILED:", failures)
         sys.exit(1)
-    print("all oracle checks passed")
+    print("all oracle checks passed"
+          + (" (BIT-exact float compare)" if EXACT else ""))
 
 
 if __name__ == "__main__":

@@ -4763,6 +4763,56 @@ def q_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("value"), r4("prev_value"), r4("growth_pct"))
 
 
+def _doc_prefix_key():
+    """Lowercased 6-word-prefix fingerprint, identical in Spark and DuckDB
+    (verified: slice(split(text,' '),1,6) == (string_split(text,' '))[1:6],
+    md5 byte-identical) — the exact-dup key for header/boilerplate dedup."""
+    return F.md5(F.lower(F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, 6), " ")))
+
+
+def _doc_bloom_corpora(spark: SparkSession, sf_dir: str):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    key = _doc_prefix_key()
+    a = docs.where(src_num < 10).withColumn("__pk", key)
+    b = docs.where(src_num >= 10).withColumn("__pk", key)
+    return a, b
+
+
+def q_bloom_contained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered EXACT containment: corpus-B docs (src10+) whose
+    lowercased 6-word prefix also opens some corpus-A doc (src0-9).
+    Output == the exact semi join for ANY sketch parameters — the Bloom
+    words (one bit_or aggregate over the build side, <= m/64 rows) prune
+    the probe via k reused-broadcast joins with ZERO probe-side shuffle,
+    so at 100 TB only true hits + the ~1% fp sliver reach the verify
+    join. expected_items is a fixed capacity hint: oversizing it only
+    wastes sketch bits, undersizing only weakens the prefilter; the
+    verified output is identical either way (at cluster scale pass the
+    build cardinality from catalog stats instead)."""
+    _utc(spark)
+    from feathr_spark.operators.bloom import bloom_semi_join
+    a, b = _doc_bloom_corpora(spark, sf_dir)
+    out = bloom_semi_join(b, a, "__pk", expected_items=4096, fp_rate=0.01)
+    return out.select("doc_id", "source")
+
+
+def q_bloom_decontam_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination direction: per-source count of corpus-B docs whose
+    prefix key is provably ABSENT from corpus A. The sketch's
+    no-false-negatives property emits the clean majority straight off
+    the scan (zero shuffle); only maybe-members pay the exact anti join,
+    so the result is exactly NOT EXISTS at any scale."""
+    _utc(spark)
+    from feathr_spark.operators.bloom import bloom_anti_join
+    a, b = _doc_bloom_corpora(spark, sf_dir)
+    out = bloom_anti_join(b, a, "__pk", expected_items=4096, fp_rate=0.01)
+    return (out.groupBy("source")
+            .agg(F.count("*").alias("n_clean"))
+            .select("source", F.col("n_clean").cast("bigint").alias("n_clean")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5024,6 +5074,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # ann_pq_topk / semantic_dedup_pairs moved into window
         # positions 2-3 for r9 (VERDICT item 2)
+        # --- NEW in r9, below position 50 (window frozen per VERDICT
+        # --- item 8; locally oracle-verified, rotate into the r10 window)
+        "bloom_contained_docs": q_bloom_contained_docs,
+        "bloom_decontam_counts": q_bloom_decontam_counts,
     }
 
 
@@ -10607,5 +10661,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
                        AS n_spans_dropped
             FROM flagged GROUP BY doc_id
+        """,
+        "bloom_contained_docs": """
+            -- Bloom prefilter is exact-verified, so the oracle is the
+            -- plain semi join. EXISTS (not IN) mirrors Spark left_semi
+            -- NULL-key semantics structurally.
+            WITH k AS (
+              SELECT doc_id, source,
+                     md5(lower(array_to_string(
+                         (string_split(text, ' '))[1:6], ' '))) AS h,
+                     TRY_CAST(substr(source, 4, 10) AS INT) AS s
+              FROM documents)
+            SELECT b.doc_id, b.source
+            FROM k b
+            WHERE b.s >= 10
+              AND EXISTS (SELECT 1 FROM k a WHERE a.s < 10 AND a.h = b.h)
+        """,
+        "bloom_decontam_counts": """
+            WITH k AS (
+              SELECT doc_id, source,
+                     md5(lower(array_to_string(
+                         (string_split(text, ' '))[1:6], ' '))) AS h,
+                     TRY_CAST(substr(source, 4, 10) AS INT) AS s
+              FROM documents)
+            SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_clean
+            FROM k b
+            WHERE b.s >= 10
+              AND NOT EXISTS (SELECT 1 FROM k a WHERE a.s < 10 AND a.h = b.h)
+            GROUP BY b.source
         """,
     }

@@ -1082,3 +1082,109 @@ def test_decay_sum_in_materialization_snapshot(spark, tmp_path):
     assert len(got) == 1
     expect = sum(10 * (i + 1) * 0.5 ** ((6 - i) / 2.0) for i in range(5))
     assert abs(got[0].dsum - expect) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered exact containment joins (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+def _bloom_fixture(spark):
+    build = spark.createDataFrame(
+        [Row(k=f"key{i}") for i in range(0, 600, 2)] * 2)  # dupes on purpose
+    probe = spark.createDataFrame(
+        [Row(k=f"key{i}", v=i) for i in range(900)] + [Row(k=None, v=-1)])
+    return probe, build
+
+
+def test_bloom_semi_join_equals_exact(spark):
+    from feathr_spark.operators.bloom import bloom_semi_join
+    probe, build = _bloom_fixture(spark)
+    exact = {tuple(r) for r in
+             probe.join(build.select("k"), "k", "left_semi").collect()}
+    got = {tuple(r) for r in
+           bloom_semi_join(probe, build, "k", expected_items=300,
+                           fp_rate=0.01).collect()}
+    assert got == exact and len(got) == 300
+
+
+def test_bloom_anti_join_equals_exact(spark):
+    from feathr_spark.operators.bloom import bloom_anti_join
+    probe, build = _bloom_fixture(spark)
+    exact = {tuple(r) for r in
+             probe.join(build.select("k"), "k", "left_anti").collect()}
+    got = {tuple(r) for r in
+           bloom_anti_join(probe, build, "k", expected_items=300,
+                           fp_rate=0.01).collect()}
+    # NULL-key probe row must be KEPT, matching left_anti semantics
+    assert (None, -1) in got
+    assert got == exact
+
+
+def test_bloom_exact_even_when_undersized(spark):
+    """The sketch is a prefilter only: pathologically small m (mass FP)
+    must still yield the exact verified result."""
+    from feathr_spark.operators.bloom import bloom_anti_join, bloom_semi_join
+    probe, build = _bloom_fixture(spark)
+    for fn, how in ((bloom_semi_join, "left_semi"),
+                    (bloom_anti_join, "left_anti")):
+        exact = {tuple(r) for r in
+                 probe.join(build.select("k"), "k", how).collect()}
+        got = {tuple(r) for r in
+               fn(probe, build, "k", m_bits=128, num_hashes=2).collect()}
+        assert got == exact
+
+
+def test_bloom_prefilter_fp_rate_within_analytic_bound(spark):
+    """On a fully DISJOINT probe set the prefilter pass-through rate is the
+    false-positive rate; gate at 3x the analytic (1-e^{-kn/m})^k."""
+    import math
+
+    from feathr_spark.operators.bloom import (
+        _with_might_contain, bloom_parameters, build_bloom_words)
+    build = spark.createDataFrame([Row(k=f"build{i}") for i in range(500)])
+    probe = spark.createDataFrame([Row(k=f"probe{i}") for i in range(2000)])
+    m, k = bloom_parameters(500, 0.01)
+    words = build_bloom_words(build, "k", m, k)
+    probed, _ = _with_might_contain(probe, words, "k", m, k, True)
+    fp = probed.where("__bloom_might").count()
+    analytic = (1.0 - math.exp(-k * 500.0 / m)) ** k
+    assert fp <= max(5, 3.0 * analytic * 2000)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member must survive the prefilter (structural: build and
+    probe compute identical positions), across several (m, k) shapes."""
+    from feathr_spark.operators.bloom import (
+        _with_might_contain, build_bloom_words)
+    build = spark.createDataFrame([Row(k=f"key{i}") for i in range(200)])
+    for m, k in ((256, 1), (1024, 3), (8192, 7)):
+        words = build_bloom_words(build, "k", m, k)
+        probed, _ = _with_might_contain(build, words, "k", m, k, True)
+        assert probed.where("NOT __bloom_might").count() == 0
+
+
+def test_bloom_parameters_formulas():
+    from feathr_spark.operators.bloom import bloom_parameters
+    m, k = bloom_parameters(1000, 0.01)
+    assert m % 64 == 0 and 9000 <= m <= 10100  # ~9.585 bits/key
+    assert k == 7  # round((m/n) ln2)
+    m2, _ = bloom_parameters(1000, 0.001)
+    assert m2 > m  # tighter fp needs more bits
+    with pytest.raises(ValueError):
+        bloom_parameters(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_parameters(10, 1.5)
+
+
+def test_bloom_probe_plan_reuses_one_broadcast(spark):
+    """All k membership joins must share ONE broadcast exchange of the word
+    table (ReusedExchange), and the probe side must reach the verify join
+    without an exchange of its own."""
+    from feathr_spark.operators.bloom import bloom_semi_join
+    probe, build = _bloom_fixture(spark)
+    out = bloom_semi_join(probe, build, "k", expected_items=300,
+                          fp_rate=0.01)
+    out.collect()  # let AQE finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan

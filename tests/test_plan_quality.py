@@ -829,6 +829,20 @@ EXCHANGE_BUDGET = {
     # aggregate per probed (table, column) — 6 two-phase folds, the
     # 5-element quantile arrays posexplode shuffle-free and union
     "pctile_data_probe": 6,
+    # Bloom prefilter joins: the pre-AQE snapshot counts the word-table
+    # bit_or aggregate once PER membership join copy (k=5) because
+    # exchange reuse resolves at runtime — the executed plan dedupes
+    # them to ONE Exchange + (k-1) ReusedExchange (asserted by
+    # test_bloom_probe_plan_reuses_one_broadcast) — plus 2 for the
+    # pre-AQE sort-merge form of the exact verify join (broadcast at
+    # runtime). Executed shuffle count: 2.
+    "bloom_contained_docs": 7,
+    # Anti form: the union's two branches (definite-clean + verified
+    # maybe-members) each re-plan the k word-join copies (2x5), + 2 for
+    # the verify anti join's pre-AQE sort-merge form, + 1 for the final
+    # per-source count, + 2 runtime-collapsed duplicates. Executed
+    # shuffle count: 3 (words, build keys, final aggregate).
+    "bloom_decontam_counts": 15,
 }
 
 

@@ -35,7 +35,9 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          "reservoir_docs",
          # r6 late-session document-heavy additions
          "dedup_cluster_stats", "vocab_growth", "token_fertility",
-         "dup_rate_by_source", "centroid_drift"]
+         "dup_rate_by_source", "centroid_drift",
+         # r9: Bloom-prefiltered exact containment joins
+         "bloom_contained_docs", "bloom_decontam_counts"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate
@@ -285,6 +287,11 @@ def main():
     graph_only = "--graph" in args
     pit_only = "--pit" in args
     args = [a for a in args if a not in ("--graph", "--pit")]
+    only = None
+    for a in list(args):
+        if a.startswith("--queries="):
+            only = a.split("=", 1)[1].split(",")
+            args.remove(a)
     scales = [int(a) for a in args] or [1, 3, 5]
     con = duckdb.connect()
     sys.path.insert(0, REPO)
@@ -306,6 +313,7 @@ def main():
 
     import __spark_entry__ as entry
     qs = entry.queries()
+    heavy = only or HEAVY
 
     def run(q, d):
         # r7: noop sink, not .count() — count lets Catalyst prune any
@@ -315,12 +323,12 @@ def main():
         qs[q](spark, d).write.format("noop").mode("overwrite").save()
 
     # warm the JVM/codegen once on the smallest scale
-    for q in HEAVY:
+    for q in heavy:
         run(q, dirs[scales[0]])
 
-    results = {q: {} for q in HEAVY}
+    results = {q: {} for q in heavy}
     for s in scales:
-        for q in HEAVY:
+        for q in heavy:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()

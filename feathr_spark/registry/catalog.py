@@ -123,7 +123,13 @@ class Registry:
         """Insert a new version: same name → version = latest + 1
         (reference registry.rs:272-301)."""
         latest = self._latest_version(qualified_name)
-        e = Entity(id=str(uuid.uuid4()), qualified_name=qualified_name,
+        # Content-addressed id, not uuid4: (qualified_name, version) is
+        # unique by construction, and a DETERMINISTIC id is required for
+        # Raft-replicated applies — every replica must mint the same id
+        # for the same command sequence (registry/raft.py state machine).
+        eid = str(uuid.uuid5(uuid.NAMESPACE_URL,
+                             f"feathr-entity:{qualified_name}:v{latest + 1}"))
+        e = Entity(id=eid, qualified_name=qualified_name,
                    entity_type=entity_type, version=latest + 1,
                    attributes=attributes or {})
         self.db.execute(

@@ -18,8 +18,11 @@ request and forward it.
 RBAC routes (``/userroles``, ``/users/{user}/userroles/add``) follow
 api_v2.rs:911-983; the principal arrives in the ``x-registry-credential``
 header (standing in for the reference's AAD auth middleware) and
-permission failures map to 403. Raft management routes are out of scope
-(documented cut, SURVEY §2.10) and return 404.
+permission failures map to 403. Raft management routes live on the
+clustered server (``raft_http.py`` — /raft-vote, /raft-append,
+/raft-snapshot, /init, /add-learner, /change-membership, /metrics,
+/handle-request, /handle-leader-request); this single-node server
+returns 404 for them.
 """
 
 from __future__ import annotations

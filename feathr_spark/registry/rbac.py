@@ -64,7 +64,20 @@ class PermissionDenied(RegistryError):
     """`RbacError::PermissionDenied` (rbac_provider.rs:98-100)."""
 
 
+import contextvars
+
+# Raft-replicated applies must be deterministic across replicas: the
+# leader stamps the command's wall-clock time at PROPOSE, and the state
+# machine pins it here for the duration of the apply so every replica
+# writes the identical audit timestamp (registry/raft_http.py).
+_NOW_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "rbac_now_override", default=None)
+
+
 def _now() -> str:
+    pinned = _NOW_OVERRIDE.get()
+    if pinned is not None:
+        return pinned
     return datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
 
 

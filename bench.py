@@ -241,6 +241,9 @@ HEADLINE = [
     "dup_rate_by_source",
     "vocab_growth",
     "basket_size_hist",
+    # r9: Bloom-prefiltered exact containment joins
+    "bloom_contained_docs",
+    "bloom_decontam_counts",
 ]
 
 

@@ -170,7 +170,9 @@ class RaftNode:
                  election_ticks: Tuple[int, int] = (10, 20),
                  heartbeat_ticks: int = 3,
                  seed: int = 0,
-                 persist_path: Optional[str] = None):
+                 persist_path: Optional[str] = None,
+                 snapshot_every: int = 0,
+                 snapshot_retain: int = 8):
         self.id = node_id
         self.voters = list(voters)        # current voting membership
         self.learners: List[str] = []     # replicated to, never vote
@@ -209,6 +211,13 @@ class RaftNode:
         self.lock = threading.RLock()
         self._snapshot_blob: Optional[bytes] = None
         self._snapshot_meta: Optional[Tuple[int, int]] = None
+        # auto-compaction policy (the reference's openraft config does
+        # this; 0 = manual take_snapshot() only): snapshot + compact
+        # after every `snapshot_every` applies, keeping
+        # `snapshot_retain` trailing entries so slow-but-connected
+        # followers catch up by append instead of full InstallSnapshot
+        self.snapshot_every = snapshot_every
+        self.snapshot_retain = snapshot_retain
         self._load_persisted()
 
     # -- persistence (term/vote/log survive restarts, §5.1) -------------
@@ -546,6 +555,10 @@ class RaftNode:
                 result = self.apply_fn(e.command["data"])
                 if self.role == LEADER:
                     self.apply_results[e.index] = result
+        if (self.snapshot_every and self.snapshot_fn is not None
+                and self.last_applied - self.log.snap_last_index
+                >= self.snapshot_every):
+            self.take_snapshot(retain=self.snapshot_retain)
 
     def result(self, index: int) -> Any:
         return self.apply_results.get(index)

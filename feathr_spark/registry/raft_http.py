@@ -165,7 +165,8 @@ class RaftRegistryServer:
     def __init__(self, node_id: str, host: str = "127.0.0.1",
                  port: int = 0, tick_ms: int = 40,
                  election_ticks=(10, 20), heartbeat_ticks: int = 3,
-                 seed: int = 0, api: Optional[RegistryApi] = None):
+                 seed: int = 0, api: Optional[RegistryApi] = None,
+                 snapshot_every: int = 256, snapshot_retain: int = 32):
         self.sm = RegistryStateMachine(api)
         self.transport = HttpTransport(None, {})  # node set below
         self.node = RaftNode(
@@ -174,7 +175,9 @@ class RaftRegistryServer:
             snapshot_fn=self.sm.snapshot,
             restore_fn=self.sm.restore,
             election_ticks=election_ticks,
-            heartbeat_ticks=heartbeat_ticks, seed=seed)
+            heartbeat_ticks=heartbeat_ticks, seed=seed,
+            snapshot_every=snapshot_every,
+            snapshot_retain=snapshot_retain)
         self.transport.node = self.node
         self.tick_ms = tick_ms
         handler = _make_handler(self)

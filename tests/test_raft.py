@@ -339,3 +339,20 @@ def test_fuzz_committed_writes_are_never_lost():
         got = c.applied[i]
         for cmd in committed:
             assert cmd in got, f"committed {cmd} lost on {i}"
+
+
+def test_auto_snapshot_compacts_and_cluster_still_converges():
+    """snapshot_every compacts automatically; a follower that was down
+    across several compaction cycles rejoins via InstallSnapshot."""
+    c = InMemoryCluster(["n0", "n1", "n2"], seed=21)
+    for n in c.nodes.values():
+        n.snapshot_every, n.snapshot_retain = 5, 2
+    leader = c.run_until_leader()
+    behind = next(n for n in c.nodes.values() if n is not leader)
+    c.crash(behind.id)
+    for i in range(20):
+        c.write({"op": i})
+    assert leader.log.start_index > 1  # auto-compaction actually ran
+    c.restart(behind.id)
+    c.tick(60)
+    assert c.applied[behind.id] == [{"op": i} for i in range(20)]

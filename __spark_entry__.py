@@ -4813,6 +4813,51 @@ def q_bloom_decontam_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("source", F.col("n_clean").cast("bigint").alias("n_clean")))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data curation job a real pipeline runs as one
+    Spark action: exact dedup (keep min-id per normalized-text md5) →
+    Gopher quality gate (row-local, zero shuffle, same thresholds as
+    quality_flags) → benchmark decontamination (drop docs whose 6-word
+    prefix opens any eval-corpus doc; Bloom-prefiltered exact anti join)
+    → per-source accounting (surviving docs + whitespace tokens).
+
+    Oracle mirrors the stage chain as CTEs — each stage reuses the SQL
+    of its standalone driver-green query (dedup_exact, quality_flags,
+    bloom_decontam_counts), so a hash mismatch localizes to the
+    COMPOSITION, not the operators. Plan shape: one fingerprint-width
+    shuffle (dedup groupBy) + keep-id semi join, quality filter fused
+    into the scan side, reused-broadcast bloom bit tests, one exact
+    anti join over maybe-members only, one final map-side-combined
+    aggregate. Payload text never shuffles."""
+    _utc(spark)
+    from feathr_spark.operators.bloom import bloom_anti_join
+    from feathr_spark.operators.dedup import exact_dedup
+    from feathr_spark.operators.text import gopher_quality_flags
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src_num = F.substring("source", 4, 10).cast("int")
+    key = _doc_prefix_key()
+    corpus = docs.where(src_num >= 10)
+    eval_c = docs.where(src_num < 10).withColumn("__pk", key)
+    keeps = exact_dedup(corpus, "text", "doc_id") \
+        .select(F.col("keep_id").alias("doc_id"))
+    surv = corpus.join(keeps, "doc_id", "left_semi")
+    good = (gopher_quality_flags(surv, "text", "doc_id", min_words=10,
+                                 min_distinct_stopwords=1)
+            .where("keep").select("doc_id"))
+    surv = surv.join(good, "doc_id", "left_semi")
+    clean = bloom_anti_join(surv.withColumn("__pk", key), eval_c, "__pk",
+                            expected_items=4096, fp_rate=0.01)
+    toks = F.split(F.lower(F.trim(
+        F.regexp_replace(F.col("text"), r"\s+", " "))), " ")
+    return (clean.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.size(toks)).alias("total_words"))
+            .select("source",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("total_words").cast("bigint")
+                    .alias("total_words")))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5078,6 +5123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- item 8; locally oracle-verified, rotate into the r10 window)
         "bloom_contained_docs": q_bloom_contained_docs,
         "bloom_decontam_counts": q_bloom_decontam_counts,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -10689,5 +10735,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.s >= 10
               AND NOT EXISTS (SELECT 1 FROM k a WHERE a.s < 10 AND a.h = b.h)
             GROUP BY b.source
+        """,
+        "curation_pipeline": r"""
+            -- stage chain mirrors dedup_exact -> quality_flags ->
+            -- bloom_decontam_counts verbatim (same normalization, same
+            -- rounded-before-compare gate metrics, same prefix key)
+            WITH n AS (
+              SELECT doc_id, source,
+                     md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+                         AS fp,
+                     string_split(lower(trim(
+                         regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w,
+                     md5(lower(array_to_string(
+                         (string_split(text, ' '))[1:6], ' '))) AS pk,
+                     TRY_CAST(substr(source, 4, 10) AS INT) AS s
+              FROM documents),
+            corpus AS (SELECT * FROM n WHERE s >= 10),
+            ev AS (SELECT pk FROM n WHERE s < 10),
+            dedup AS (
+              SELECT * FROM corpus
+              QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY fp)),
+            q AS (
+              SELECT *, len(w) AS n_words,
+                     CAST(ROUND(list_sum(list_transform(w, x -> len(x)))
+                                / greatest(len(w), 1), 4) AS DOUBLE)
+                         AS mwl,
+                     CAST(ROUND((len(list_filter(w, x -> contains(x, '#')))
+                                 + len(list_filter(w,
+                                       x -> contains(x, '...'))))
+                                / greatest(len(w), 1), 4) AS DOUBLE)
+                         AS symr,
+                     len(list_intersect(w, ['the','and','of','to','is',
+                                            'be','with','that'])) AS n_stop
+              FROM dedup),
+            kept AS (
+              SELECT * FROM q
+              WHERE n_words >= 10 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0
+                AND symr <= 0.1 AND n_stop >= 1),
+            clean AS (
+              SELECT * FROM kept k
+              WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.pk = k.pk))
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS total_words
+            FROM clean GROUP BY source
         """,
     }

@@ -241,9 +241,11 @@ HEADLINE = [
     "dup_rate_by_source",
     "vocab_growth",
     "basket_size_hist",
-    # r9: Bloom-prefiltered exact containment joins
+    # r9: Bloom-prefiltered exact containment joins + the composed
+    # dedup -> quality -> decontaminate -> account curation job
     "bloom_contained_docs",
     "bloom_decontam_counts",
+    "curation_pipeline",
 ]
 
 

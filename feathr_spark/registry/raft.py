@@ -224,6 +224,7 @@ class RaftNode:
     def _persist(self) -> None:
         if not self.persist_path:
             return
+        import base64
         blob = {
             "current_term": self.current_term,
             "voted_for": self.voted_for,
@@ -233,6 +234,12 @@ class RaftNode:
             "snap_last_index": self.log.snap_last_index,
             "snap_last_term": self.log.snap_last_term,
             "entries": [e.to_json() for e in self.log.entries],
+            # snapshot travels with the log: after compaction the tail
+            # alone cannot rebuild the state machine on restart
+            "snapshot": (base64.b64encode(self._snapshot_blob).decode()
+                         if self._snapshot_blob is not None else None),
+            "snapshot_meta": list(self._snapshot_meta)
+            if self._snapshot_meta else None,
         }
         tmp = self.persist_path + ".tmp"
         with open(tmp, "w") as f:
@@ -243,6 +250,7 @@ class RaftNode:
     def _load_persisted(self) -> None:
         if not self.persist_path:
             return
+        import base64
         import os
         if not os.path.exists(self.persist_path):
             return
@@ -256,6 +264,19 @@ class RaftNode:
         self.log.snap_last_index = blob["snap_last_index"]
         self.log.snap_last_term = blob["snap_last_term"]
         self.log.entries = [LogEntry.from_json(e) for e in blob["entries"]]
+        snap = blob.get("snapshot")
+        if snap is not None:
+            self._snapshot_blob = base64.b64decode(snap)
+            meta = blob.get("snapshot_meta")
+            self._snapshot_meta = tuple(meta) if meta else None
+            if self.restore_fn is not None and self._snapshot_meta:
+                # rebuild the state machine: restore the snapshot, then
+                # committed tail entries re-apply once the commit index
+                # is rediscovered from the leader (Raft never persists
+                # commit_index; §5.3's replay covers the gap)
+                self.restore_fn(self._snapshot_blob)
+                self.commit_index = self._snapshot_meta[0]
+                self.last_applied = self._snapshot_meta[0]
 
     # -- membership helpers ---------------------------------------------
     def _peers(self) -> List[str]:
@@ -583,6 +604,8 @@ class RaftNode:
             self._snapshot_meta = (self.last_applied, term)
             self.log.compact(max(self.log.snap_last_index,
                                  self.last_applied - retain))
+            self._persist()  # the compacted log alone can't rebuild
+            # state on restart; the file must carry the snapshot too
 
     def _send_snapshot(self, peer: str) -> None:
         if self._snapshot_blob is None:

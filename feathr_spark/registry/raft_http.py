@@ -166,9 +166,22 @@ class RaftRegistryServer:
                  port: int = 0, tick_ms: int = 40,
                  election_ticks=(10, 20), heartbeat_ticks: int = 3,
                  seed: int = 0, api: Optional[RegistryApi] = None,
-                 snapshot_every: int = 256, snapshot_retain: int = 32):
+                 snapshot_every: int = 256, snapshot_retain: int = 32,
+                 data_dir: Optional[str] = None):
+        # Durability model (matches the reference store: openraft
+        # persists log + snapshot, the state machine is rebuilt): the
+        # sqlite catalog stays IN-MEMORY even with data_dir set — on
+        # restart the persisted snapshot restores it and committed tail
+        # entries re-apply. A file-backed catalog would survive the
+        # crash AHEAD of the snapshot point and tail replay would
+        # double-apply.
         self.sm = RegistryStateMachine(api)
         self.transport = HttpTransport(None, {})  # node set below
+        persist_path = None
+        if data_dir is not None:
+            import os
+            os.makedirs(data_dir, exist_ok=True)
+            persist_path = os.path.join(data_dir, f"raft-{node_id}.json")
         self.node = RaftNode(
             node_id, [node_id], self.sm.apply,
             send_fn=self.transport.send,
@@ -177,7 +190,8 @@ class RaftRegistryServer:
             election_ticks=election_ticks,
             heartbeat_ticks=heartbeat_ticks, seed=seed,
             snapshot_every=snapshot_every,
-            snapshot_retain=snapshot_retain)
+            snapshot_retain=snapshot_retain,
+            persist_path=persist_path)
         self.transport.node = self.node
         self.tick_ms = tick_ms
         handler = _make_handler(self)

@@ -843,6 +843,12 @@ EXCHANGE_BUDGET = {
     # per-source count, + 2 runtime-collapsed duplicates. Executed
     # shuffle count: 3 (words, build keys, final aggregate).
     "bloom_decontam_counts": 15,
+    # composed curation job: dedup fingerprint agg + keep-id semi join
+    # (2 + 2 pre-AQE sort-merge sides), quality-filter semi join (2),
+    # bloom anti = decontam's 15 counted again pre-reuse, minus the
+    # shared scan copies AQE dedupes, + the final per-source aggregate.
+    # Executed shuffle count: 6.
+    "curation_pipeline": 19,
 }
 
 

@@ -222,3 +222,60 @@ def test_learner_joins_catches_up_and_gets_promoted(cluster):
             msg="write visible on promoted node")
     finally:
         new.stop()
+
+
+def test_node_restarts_from_disk_and_rejoins(tmp_path):
+    """Durability E2E: a node with data_dir persists log + snapshot;
+    a NEW process-equivalent (fresh server object, same node id and
+    data_dir) rebuilds its state machine and rejoins the cluster."""
+    servers = {}
+    for i in range(3):
+        servers[f"n{i}"] = RaftRegistryServer(
+            f"n{i}", tick_ms=25, seed=2000 + i,
+            snapshot_every=4, snapshot_retain=2,
+            data_dir=str(tmp_path / f"n{i}")).start()
+    nodes = {nid: s.url for nid, s in servers.items()}
+    try:
+        for s in servers.values():
+            _post(s.url + "/init", {"nodes": nodes})
+        leader = _wait_leader(list(servers.values()))
+        for i in range(8):  # crosses the snapshot_every=4 threshold
+            _post(leader.url + "/handle-leader-request",
+                  {"type": "CreateProject", "definition": {"name": f"d{i}"}})
+        victim_id = next(nid for nid, s in servers.items() if s is not leader)
+        _wait(lambda: servers[victim_id].node.last_applied
+              >= leader.node.last_applied, msg="victim caught up")
+        servers[victim_id].stop()
+
+        reborn = RaftRegistryServer(
+            victim_id, tick_ms=25, seed=7777,
+            snapshot_every=4, snapshot_retain=2,
+            data_dir=str(tmp_path / victim_id)).start()
+        servers[victim_id] = reborn
+        # state machine rebuilt from the persisted snapshot BEFORE any
+        # network contact
+        assert reborn.node.log.snap_last_index > 0
+        pre = {p["qualifiedName"]
+               for p in reborn.sm.api.get_projects()}
+        assert pre  # snapshot restored some projects offline
+        nodes[victim_id] = reborn.url
+        for s in servers.values():
+            _post(s.url + "/init", {"nodes": nodes})
+        cur = _wait_leader(list(servers.values()))
+        _post(cur.url + "/handle-leader-request",
+              {"type": "CreateProject", "definition": {"name": "post"}})
+        _wait(lambda: any(
+            p["qualifiedName"] == "post"
+            for p in _post(reborn.url + "/handle-request",
+                           {"type": "GetProjects"})),
+            msg="reborn node receives post-restart writes")
+        names = {p["qualifiedName"]
+                 for p in _post(reborn.url + "/handle-request",
+                                {"type": "GetProjects"})}
+        assert {f"d{i}" for i in range(8)} <= names
+    finally:
+        for s in servers.values():
+            try:
+                s.stop()
+            except Exception:
+                pass

@@ -446,3 +446,97 @@ def _make_handler(app: RaftRegistryServer):
                 self._send(code, {"error": msg})
 
     return Handler
+
+
+class RaftRegistryClient:
+    """Leader-tracking client for a Raft registry cluster — the
+    reference's raft-registry client surface (client.rs:36-131:
+    ``request`` = possibly-stale local read at the tracked node,
+    ``consistent_request`` = write/read through the leader with
+    ForwardToLeader retry, plus init / add_learner / change_membership
+    / metrics management calls). On a ForwardToLeader rejection the
+    client updates its tracked leader from the hint and retries
+    (client.rs:189+ send_rpc_to_leader)."""
+
+    def __init__(self, url: str, credential: Optional[str] = None,
+                 max_retries: int = 5, timeout: float = 5.0,
+                 peers: Optional[list] = None):
+        self.leader_url = url.rstrip("/")
+        self.credential = credential
+        self.max_retries = max_retries
+        self.timeout = timeout
+        # seed list for leader rediscovery when the tracked node DIES
+        # (no ForwardToLeader hint arrives from a dead socket): rotate
+        # through every address we have ever been told about
+        self.known_urls = {self.leader_url}
+        for p in peers or []:
+            self.known_urls.add(p.rstrip("/"))
+
+    # -- plumbing --------------------------------------------------------
+    def _call(self, url: str, path: str, payload=None, method="POST"):
+        headers = {"Content-Type": "application/json"}
+        if self.credential:
+            headers["x-registry-credential"] = self.credential
+        data = (json.dumps(payload).encode("utf-8")
+                if payload is not None else None)
+        req = urllib.request.Request(url + path, data=data,
+                                     headers=headers, method=method)
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read().decode("utf-8"))
+
+    def _leader_call(self, path: str, payload=None):
+        last = None
+        for _ in range(self.max_retries):
+            try:
+                return self._call(self.leader_url, path, payload)
+            except urllib.error.HTTPError as e:
+                body = e.read().decode("utf-8") or "{}"
+                try:
+                    detail = json.loads(body)
+                except ValueError:
+                    detail = {}
+                if e.code == 421 or detail.get("error") == "ForwardToLeader":
+                    hint = detail.get("leader")
+                    if hint:
+                        self.leader_url = hint.rstrip("/")
+                        self.known_urls.add(self.leader_url)
+                    else:
+                        time.sleep(0.2)  # mid-election: wait and re-ask
+                    last = RegistryError("leadership moved")
+                    continue
+                raise RegistryError(detail.get("error", str(e)))
+            except Exception as e:  # connection refused: leader died —
+                # rotate to the next known address; its ForwardToLeader
+                # hint (or success) re-establishes the leader
+                last = e
+                alts = sorted(self.known_urls - {self.leader_url})
+                if alts:
+                    self.leader_url = alts[0]
+                time.sleep(0.2)
+        raise RegistryError(f"no leader reachable: {last}")
+
+    # -- reference client surface ----------------------------------------
+    def request(self, req: dict):
+        """Local read at the tracked node (may be stale; client.rs:60)."""
+        return self._call(self.leader_url, "/handle-request", req)
+
+    def consistent_request(self, req: dict):
+        """Write (or leader-consistent read) through the Raft leader."""
+        return self._leader_call("/handle-leader-request", req)
+
+    def init(self, nodes: Dict[str, str], voters=None):
+        body = {"nodes": nodes}
+        if voters is not None:
+            body["voters"] = voters
+        return self._call(self.leader_url, "/init", body)
+
+    def add_learner(self, node_id: str, url: str):
+        return self._leader_call("/add-learner",
+                                 {"node_id": node_id, "url": url})
+
+    def change_membership(self, voters) -> dict:
+        return self._leader_call("/change-membership",
+                                 {"voters": list(voters)})
+
+    def metrics(self) -> dict:
+        return self._call(self.leader_url, "/metrics", method="GET")

@@ -279,3 +279,30 @@ def test_node_restarts_from_disk_and_rejoins(tmp_path):
                 s.stop()
             except Exception:
                 pass
+
+
+def test_client_tracks_leader_across_failover(cluster):
+    from feathr_spark.registry.raft_http import RaftRegistryClient
+    leader = _wait_leader(cluster)
+    follower = next(s for s in cluster if s is not leader)
+    # client pointed at a FOLLOWER: consistent_request must follow the
+    # ForwardToLeader hint automatically
+    client = RaftRegistryClient(follower.url)
+    out = client.consistent_request(
+        {"type": "CreateProject", "definition": {"name": "via_client"}})
+    assert out["guid"]
+    assert client.leader_url == leader.url  # hint updated the client
+    assert client.metrics()["current_leader"] == leader.node.id
+    # stale-ok local read path
+    _wait(lambda: any(p["qualifiedName"] == "via_client"
+                      for p in client.request({"type": "GetProjects"})),
+          msg="local read sees the write")
+    # kill the leader: the client's next consistent write must rediscover
+    leader.stop()
+    survivors = [s for s in cluster if s is not leader]
+    _wait_leader(survivors, timeout=15.0)
+    out2 = client.consistent_request(
+        {"type": "CreateProject", "definition": {"name": "post_failover"}})
+    assert out2["guid"]
+    new_leader = next(s for s in survivors if s.node.is_leader())
+    assert client.leader_url == new_leader.url

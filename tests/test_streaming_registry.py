@@ -881,3 +881,39 @@ def test_stream_distinct_monitor_closed_window_equals_batch(spark,
     r2 = rows[w2_start]
     assert r2.exact == "false"
     assert abs(r2.distinct_est - 40) <= 40
+
+
+def test_stream_bloom_decontamination_equals_batch(spark, tmp_path):
+    """Streaming decontamination: micro-batches of incoming documents are
+    bloom-anti-joined (foreachBatch) against a STATIC eval corpus; the
+    union of the streamed outputs must equal the batch bloom_anti_join
+    of the full corpus — the exactness contract is mode-independent."""
+    from pyspark.sql import Row
+    from feathr_spark.operators.bloom import bloom_anti_join
+
+    eval_docs = spark.createDataFrame(
+        [Row(k=f"eval{i}") for i in range(40)])
+    rows = ([Row(doc_id=i, k=f"eval{i % 40}") for i in range(0, 30)]
+            + [Row(doc_id=i, k=f"fresh{i}") for i in range(30, 90)])
+    batch_df = spark.createDataFrame(rows)
+    expect = {tuple(r) for r in
+              bloom_anti_join(batch_df, eval_docs, "k",
+                              expected_items=64).collect()}
+
+    src = str(tmp_path / "in")
+    batch_df.repartition(4).write.parquet(src)  # several input splits
+    got = []
+
+    def sink(bdf, epoch_id):
+        clean = bloom_anti_join(bdf, eval_docs, "k", expected_items=64)
+        got.extend(tuple(r) for r in clean.collect())
+
+    stream = (spark.readStream.schema(batch_df.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = stream.writeStream.foreachBatch(sink).outputMode("append") \
+        .option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert set(got) == expect
+    assert len(got) == len(expect)  # no duplicates across micro-batches
+    assert all(not r[1].startswith("eval") for r in got)

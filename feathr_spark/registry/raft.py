@@ -221,6 +221,12 @@ class RaftNode:
         self._load_persisted()
 
     # -- persistence (term/vote/log survive restarts, §5.1) -------------
+    # The whole log is rewritten per mutation (atomic tmp+rename) — an
+    # O(log-size) cost that is deliberate: registry metadata writes are
+    # low-rate (human-scale project/feature registrations), and the
+    # auto-snapshot policy keeps the file bounded at snapshot_every +
+    # snapshot_retain entries + one state blob. A WAL would only pay
+    # off at write rates this state machine never sees.
     def _persist(self) -> None:
         if not self.persist_path:
             return

@@ -36,8 +36,10 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # r6 late-session document-heavy additions
          "dedup_cluster_stats", "vocab_growth", "token_fertility",
          "dup_rate_by_source", "centroid_drift",
-         # r9: Bloom-prefiltered exact containment joins
-         "bloom_contained_docs", "bloom_decontam_counts"]
+         # r9: Bloom-prefiltered exact containment joins + the
+         # composed dedup->quality->decontaminate->account job
+         "bloom_contained_docs", "bloom_decontam_counts",
+         "curation_pipeline"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

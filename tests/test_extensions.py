@@ -1188,3 +1188,31 @@ def test_bloom_probe_plan_reuses_one_broadcast(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_parameters_property_analytic_fp_holds():
+    """Property: for any (n, p) the returned (m, k) yields an analytic
+    false-positive rate (1-e^{-kn/m})^k within 2x of the request (k
+    rounding is the only degradation source), and sizing is monotone."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from feathr_spark.operators.bloom import bloom_parameters
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=10_000_000),
+           p=st.floats(min_value=1e-6, max_value=0.3,
+                       allow_nan=False, allow_infinity=False))
+    def check(n, p):
+        m, k = bloom_parameters(n, p)
+        assert m % 64 == 0 and k >= 1
+        actual = (1.0 - math.exp(-k * n / m)) ** k
+        assert actual <= 2.0 * p
+        m2, _ = bloom_parameters(n, p / 2)
+        assert m2 >= m  # tighter fp never shrinks the filter
+        m3, _ = bloom_parameters(n * 2, p)
+        assert m3 >= m  # more keys never shrink the filter
+
+    check()

@@ -186,6 +186,14 @@ class RaftNode:
         self.current_term = 0
         self.voted_for: Optional[str] = None
         self.log = RaftLog()
+        # configuration history: (log index, voters, learners) for every
+        # config in effect, oldest first. Config entries apply on APPEND
+        # (§6), so when a conflicting leader TRUNCATES an uncommitted
+        # config entry the node must FALL BACK to the previous
+        # configuration — without this history the deposed config would
+        # stick forever and quorum arithmetic would silently diverge.
+        self._config_log: List[Tuple[int, List[str], List[str]]] = [
+            (0, list(voters), [])]
 
         # volatile
         self.role = FOLLOWER
@@ -240,6 +248,7 @@ class RaftNode:
             "snap_last_index": self.log.snap_last_index,
             "snap_last_term": self.log.snap_last_term,
             "entries": [e.to_json() for e in self.log.entries],
+            "config_log": [[i, v, l] for i, v, l in self._config_log],
             # snapshot travels with the log: after compaction the tail
             # alone cannot rebuild the state machine on restart
             "snapshot": (base64.b64encode(self._snapshot_blob).decode()
@@ -270,6 +279,9 @@ class RaftNode:
         self.log.snap_last_index = blob["snap_last_index"]
         self.log.snap_last_term = blob["snap_last_term"]
         self.log.entries = [LogEntry.from_json(e) for e in blob["entries"]]
+        if blob.get("config_log"):
+            self._config_log = [(i, list(v), list(l))
+                                for i, v, l in blob["config_log"]]
         snap = blob.get("snapshot")
         if snap is not None:
             self._snapshot_blob = base64.b64decode(snap)
@@ -510,11 +522,12 @@ class RaftNode:
                     continue  # already in the snapshot
                 if existing_term is not None and existing_term != e.term:
                     self.log.truncate_from(e.index)
+                    self._rollback_config(e.index)
                     existing_term = None
                 if existing_term is None:
                     self.log.append(e)
                     if e.command.get("type") == "config":
-                        self._apply_config(e.command)
+                        self._apply_config(e.command, e.index)
                     changed = True
             if changed:
                 self._persist()
@@ -660,6 +673,10 @@ class RaftNode:
                 self.log.snap_last_term = term
             self.voters = list(req.get("voters", self.voters))
             self.learners = list(req.get("learners", self.learners))
+            # the snapshot's config is committed by definition — it
+            # becomes the new rollback floor
+            self._config_log = [(idx, list(self.voters),
+                                 list(self.learners))]
             self.commit_index = max(self.commit_index, idx)
             self.last_applied = max(self.last_applied, idx)
             self._persist()
@@ -679,9 +696,13 @@ class RaftNode:
             self.next_index[src] = self.match_index[src] + 1
 
     # -- membership (§6: single-server changes, effective on append) -------
-    def _apply_config(self, command: Dict[str, Any]) -> None:
+    def _apply_config(self, command: Dict[str, Any],
+                      index: Optional[int] = None) -> None:
         self.voters = list(command["voters"])
         self.learners = list(command.get("learners", []))
+        self._config_log.append(
+            (index if index is not None else self.log.last_index(),
+             list(self.voters), list(self.learners)))
         if self.role == LEADER:
             for p in self._peers():
                 self.next_index.setdefault(p, self.log.last_index() + 1)
@@ -691,6 +712,33 @@ class RaftNode:
                 # simplest safe behavior: step down now
                 self._step_down(self.current_term)
 
+    def _rollback_config(self, from_index: int) -> None:
+        """Truncation dropped entries >= from_index: any configuration
+        they introduced is void — revert to the latest surviving one."""
+        while len(self._config_log) > 1 and \
+                self._config_log[-1][0] >= from_index:
+            self._config_log.pop()
+        _, self.voters, self.learners = self._config_log[-1]
+        self.voters, self.learners = list(self.voters), list(self.learners)
+
+    def _check_config_change_allowed(self) -> None:
+        """Thesis §4.1 safety preconditions for single-server changes:
+        (a) the PREVIOUS config entry must be committed before a new one
+        may be appended — two in-flight changes compose into a
+        multi-server jump whose old and new quorums need not overlap
+        (the exact scenario the membership-churn fuzz caught at seed
+        26: {remove A} then {remove B} uncommitted let a deposed voter
+        form an old-config quorum disjoint from the new-config quorum
+        and overwrite committed entries); and (b) the leader must have
+        committed an entry in ITS OWN term (the post-election noop), so
+        the config chains onto a committed prefix."""
+        if self._config_log[-1][0] > self.commit_index:
+            raise ValueError(
+                "previous membership change is not committed yet")
+        if self.log.term_at(self.commit_index) != self.current_term:
+            raise ValueError(
+                "leader has not committed an entry in its term yet")
+
     def add_learner(self, node_id: str) -> Tuple[int, int]:
         """Start replicating to ``node_id`` without a vote (the
         catch-up phase of the reference's add-learner endpoint)."""
@@ -699,6 +747,7 @@ class RaftNode:
                 raise NotLeader(self.leader_id)
             if node_id in self.voters or node_id in self.learners:
                 return self.log.last_index(), self.current_term
+            self._check_config_change_allowed()
             cmd = {"type": "config", "voters": list(self.voters),
                    "learners": list(self.learners) + [node_id]}
             e = self._append_local(cmd)
@@ -713,6 +762,7 @@ class RaftNode:
         with self.lock:
             if self.role != LEADER:
                 raise NotLeader(self.leader_id)
+            self._check_config_change_allowed()
             old, new = set(self.voters), set(new_voters)
             added, removed = new - old, old - new
             if len(added) + len(removed) != 1:

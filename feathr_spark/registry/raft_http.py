@@ -236,6 +236,7 @@ class RaftRegistryServer:
         v = sorted(nodes) if voters is None else sorted(voters)
         with self.node.lock:
             self.node.voters = v
+            self.node._config_log = [(0, list(v), [])]
             self.transport.peer_urls = {
                 k: u for k, u in nodes.items() if k != self.node.id}
         self.initialized = True

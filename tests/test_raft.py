@@ -356,3 +356,89 @@ def test_auto_snapshot_compacts_and_cluster_still_converges():
     c.restart(behind.id)
     c.tick(60)
     assert c.applied[behind.id] == [{"op": i} for i in range(20)]
+
+
+def test_truncated_config_entry_rolls_back_membership():
+    """§6 fallback rule: a config entry applies on APPEND, but if a
+    conflicting leader truncates it the node must REVERT to the prior
+    configuration — otherwise its quorum arithmetic diverges forever."""
+    c = make(3, seed=31)
+    old = c.run_until_leader()
+    c.tick(5)  # commit the term's noop: config changes require it
+    others = [n.id for n in c.nodes.values() if n is not old]
+    c.partition([old.id], others)
+    # uncommitted single-server removal, only in the stale leader's log
+    old.change_membership(sorted(v for v in old.voters if v != others[0]))
+    assert len(old.voters) == 2
+    for _ in range(500):
+        if any(c.nodes[o].role == LEADER for o in others):
+            break
+        c.tick()
+    new = next(c.nodes[o] for o in others if c.nodes[o].role == LEADER)
+    new.client_write({"op": "overwrites-config"})
+    c.tick(10)
+    c.heal()
+    c.tick(60)
+    # the config entry was truncated by the new leader's log — full
+    # 3-voter membership must be restored on the old leader
+    assert sorted(old.voters) == ["n0", "n1", "n2"]
+    assert all(sorted(n.voters) == ["n0", "n1", "n2"]
+               for n in c.nodes.values())
+    assert c.applied[old.id][-1] == {"op": "overwrites-config"}
+
+
+def test_fuzz_with_membership_churn_never_diverges():
+    """Chaos + live membership changes: random add-learner/promote/remove
+    at the current leader while partitions and drops churn. Applied logs
+    must stay prefix-consistent and converge after heal — exercises the
+    config-rollback path under real interleavings."""
+    import random as _r
+    rng = _r.Random(77)
+    base = [f"n{i}" for i in range(5)]
+    c = make(5, seed=77)
+    extra = 0
+    wrote = 0
+    for step in range(400):
+        roll = rng.random()
+        l = c.leader()
+        try:
+            if roll < 0.02 and not c.partitions:
+                ids = list(c.nodes)
+                side = rng.sample(ids, rng.randrange(1, len(ids)))
+                c.partition(side, [i for i in ids if i not in side])
+            elif roll < 0.05:
+                c.heal()
+            elif roll < 0.07 and l is not None and extra < 3:
+                nid = f"x{extra}"
+                extra += 1
+                c.add_node(nid, seed=500 + extra)
+                l.add_learner(nid)
+            elif roll < 0.09 and l is not None and l.learners:
+                cand = l.learners[0]
+                if l.match_index.get(cand, 0) >= l.commit_index:
+                    l.change_membership(sorted(l.voters + [cand]))
+            elif roll < 0.11 and l is not None and len(l.voters) > 3:
+                drop = next(v for v in sorted(l.voters) if v != l.id)
+                l.change_membership(sorted(
+                    v for v in l.voters if v != drop))
+            elif roll < 0.30 and l is not None:
+                l.client_write({"op": wrote})
+                wrote += 1
+        except (NotLeader, ValueError):
+            pass
+        c.drop_fraction = 0.10 if rng.random() < 0.4 else 0.0
+        c.tick()
+        logs = sorted((c.applied[i] for i in c.applied), key=len)
+        for a, b in zip(logs, logs[1:]):
+            assert b[:len(a)] == a, f"divergence at step {step}"
+    c.heal()
+    c.tick(200)
+    l = c.leader()
+    assert l is not None
+    l.client_write({"op": "fin"})
+    c.tick(80)
+    want = c.applied[l.id]
+    assert want[-1] == {"op": "fin"}
+    # every node still in the final membership must have converged
+    for nid in l.voters:
+        assert c.applied[nid] == want, f"{nid} diverged"

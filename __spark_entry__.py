@@ -3207,6 +3207,270 @@ def q_tpch_q7_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("revenue")))
 
 
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): ONE full lineitem scan into a
+    2x2-group aggregate — every sum folds in exact decimal(18,6) so the
+    result is independent of partition count and fold order (the
+    cross-engine determinism contract), and the averages are derived as
+    sum/count AFTER the fold, never as a float running mean. Map-side
+    combine collapses the scan to 4 rows before the single exchange;
+    only the 7 referenced columns are read (ReadSchema-pruned)."""
+    _utc(spark)
+    cutoff = F.lit("2001-09-01").cast("timestamp")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate").cast("timestamp") <= cutoff))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    agg = (li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__sq"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+        .alias("__sb"),
+        F.sum(disc.cast("decimal(18,6)")).alias("__sd"),
+        F.sum(charge.cast("decimal(18,6)")).alias("__sc"),
+        F.sum(F.col("l_discount").cast("decimal(18,6)")).alias("__sdi"),
+        F.count(F.lit(1)).alias("__n")))
+
+    def _r4(c):
+        return (F.round(c + F.lit(1e-9), 4)).cast("double")
+
+    n = F.col("__n").cast("double")
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        _r4(F.col("__sq").cast("double")).alias("sum_qty"),
+        _r4(F.col("__sb").cast("double")).alias("sum_base_price"),
+        _r4(F.col("__sd").cast("double")).alias("sum_disc_price"),
+        _r4(F.col("__sc").cast("double")).alias("sum_charge"),
+        _r4(F.col("__sq").cast("double") / n).alias("avg_qty"),
+        _r4(F.col("__sb").cast("double") / n).alias("avg_price"),
+        _r4(F.col("__sdi").cast("double") / n).alias("avg_disc"),
+        F.col("__n").cast("bigint").alias("count_order"))
+
+
+def q_tpch_q3_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority, adapted to this schema: the synthetic
+    orders table has o_orderpriority, not o_shippriority): top-10
+    highest-revenue orders from BUILDING-segment customers that were
+    placed before but not shipped by the cutoff date. The segment cut
+    shrinks customer before the orders join, both date filters reach
+    their scans, and the top-10 runs on the exact decimal revenue
+    (pre-round) so the selected set is identical across engines —
+    TakeOrderedAndProject, never a global sort."""
+    _utc(spark)
+    cut = F.lit("1998-07-01").cast("timestamp")
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate").cast("timestamp") < cut)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where(F.col("l_shipdate").cast("timestamp") > cut)
+          .select("l_orderkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey))
+    agg = (j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.sum("__rev").alias("__r")))
+    top = (agg.orderBy(F.col("__r").desc(), F.col("l_orderkey").asc())
+           .limit(10))
+    return top.select(
+        F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+        F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("revenue"),
+        F.date_format(F.col("o_orderdate").cast("timestamp"),
+                      "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority")
+
+
+def q_tpch_q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 1997 revenue per ASIA nation
+    where the supplier and the ordering customer share the nation. The
+    region->nation cut happens FIRST and broadcasts into supplier and
+    customer (two dim-sized side frames), orders is year-pruned before
+    the lineitem join, and the same-nation predicate is part of the
+    customer join condition — no post-join filter pass."""
+    _utc(spark)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .where(F.col("r_name") == "ASIA"))
+    nations = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+               .join(F.broadcast(region),
+                     F.col("n_regionkey") == F.col("r_regionkey"))
+               .select("n_nationkey", "n_name"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .join(F.broadcast(nations),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_nationkey", "n_name"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(nations.select("n_nationkey")),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_nationkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where((F.col("o_orderdate").cast("timestamp") >= lo)
+                     & (F.col("o_orderdate").cast("timestamp") < hi))
+              .select("o_orderkey", "o_custkey"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .cast("decimal(18,6)").alias("__rev")))
+    j = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+         .join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, (orders.o_custkey == cust.c_custkey)
+               & (supp.s_nationkey == cust.c_nationkey)))
+    return (j.groupBy("n_name")
+            .agg(F.sum("__rev").alias("__r"),
+                 F.count(F.lit(1)).alias("__n"))
+            .select("n_name",
+                    F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+                    .cast("double").alias("revenue"),
+                    F.col("__n").cast("bigint").alias("n_items")))
+
+
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate
+    — all three predicates push to the parquet scan, the discounted
+    revenue folds in exact decimal, one exchange carries exactly the
+    partial aggregates. The simplest query in the suite and the purest
+    pushdown/codegen check."""
+    _utc(spark)
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .where((F.col("l_shipdate").cast("timestamp") >= lo)
+                 & (F.col("l_shipdate").cast("timestamp") < hi)
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24)))
+    agg = li.agg(
+        F.sum((F.col("l_extendedprice") * F.col("l_discount"))
+              .cast("decimal(18,6)")).alias("__r"),
+        F.count(F.lit(1)).alias("__n"))
+    return agg.select(
+        F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("revenue"),
+        F.col("__n").cast("bigint").alias("n_items"))
+
+
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum quarterly
+    revenue. The per-supplier fold is exact decimal, so the max and the
+    equality join back to it are bit-deterministic (the classic Q15
+    pitfall — float max admits ties that differ per fold order — cannot
+    occur). The 1-row max frame broadcast-equijoins the supplier-agg
+    frame; no window over the full fact table."""
+    _utc(spark)
+    lo = F.lit("1997-10-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    rev = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .where((F.col("l_shipdate").cast("timestamp") >= lo)
+                  & (F.col("l_shipdate").cast("timestamp") < hi))
+           .groupBy("l_suppkey")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount")))
+                      .cast("decimal(18,6)")).alias("__r")))
+    mx = rev.agg(F.max("__r").alias("__m"))
+    top = rev.join(F.broadcast(mx), rev["__r"] == mx["__m"])
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_name"))
+    out = supp.join(F.broadcast(top),
+                    supp.s_suppkey == top.l_suppkey)
+    return out.select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        "s_name",
+        F.round(F.col("__r").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("total_revenue"))
+
+
+def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting — adapted: this
+    schema has no commit/receipt dates, so "late" means shipped more
+    than 90 days after the order date). A supplier counts an order iff
+    it shipped late, at least one OTHER supplier participated, and NO
+    other supplier was late — the canonical semi-join + anti-join
+    composition. Participation/late frames are distinct (order,
+    supplier) pairs, so the three joins shuffle on l_orderkey with
+    pair-sized inputs, never the raw lineitem."""
+    _utc(spark)
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey",
+                      F.col("o_orderdate").cast("timestamp")
+                      .alias("__odate")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey",
+                  F.col("l_shipdate").cast("timestamp").alias("__sdate")))
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where(F.col("__sdate")
+                   > F.col("__odate") + F.expr("INTERVAL 90 DAYS"))
+            .select("l_orderkey", "l_suppkey").distinct())
+    l2 = pairs.select(F.col("l_orderkey").alias("__o2"),
+                      F.col("l_suppkey").alias("__s2"))
+    cand = late.join(
+        l2, (late.l_orderkey == l2["__o2"])
+        & (late.l_suppkey != l2["__s2"]), "leftsemi")
+    l3 = late.select(F.col("l_orderkey").alias("__o3"),
+                     F.col("l_suppkey").alias("__s3"))
+    sole = cand.join(
+        l3, (cand.l_orderkey == l3["__o3"])
+        & (cand.l_suppkey != l3["__s3"]), "leftanti")
+    numwait = sole.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("__w"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_name"))
+    j = supp.join(numwait, supp.s_suppkey == numwait.l_suppkey)
+    top = (j.orderBy(F.col("__w").desc(), F.col("s_suppkey").asc())
+           .limit(100))
+    return top.select(
+        "s_name",
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+        F.col("__w").cast("bigint").alias("numwait"))
+
+
+def q_tpch_q22_dormant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity — adapted: this schema has no
+    customer phone, so the country-code cut becomes a nation cut, and
+    since every synthetic customer has SOME order, "never ordered"
+    becomes "no order since 2001-01-01"). Positive-balance average is
+    computed as exact-decimal sum / count (one deterministic double),
+    broadcast as a 1-row frame onto the nation-cut customers; the
+    dormancy check is an anti join against the date-pruned orders
+    scan. Output: per-nation count + balance mass of rich dormant
+    customers."""
+    _utc(spark)
+    picks = ("NATION_1", "NATION_3", "NATION_5", "NATION_7",
+             "NATION_9", "NATION_11", "NATION_13")
+    nations = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+               .where(F.col("n_name").isin(*picks))
+               .select("n_nationkey", "n_name"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .join(F.broadcast(nations),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_acctbal", "n_name"))
+    avg1 = (cust.where(F.col("c_acctbal") > 0)
+            .agg((F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                  .cast("double")
+                  / F.count(F.lit(1)).cast("double")).alias("__avg")))
+    rich = (cust.crossJoin(F.broadcast(avg1))
+            .where(F.col("c_acctbal") > F.col("__avg")))
+    recent = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .where(F.col("o_orderdate").cast("timestamp")
+                     >= F.lit("2001-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    dormant = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "leftanti")
+    return (dormant.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,6)"))
+                 .alias("__b"))
+            .select("n_name",
+                    F.col("__n").cast("bigint").alias("n_cust"),
+                    F.round(F.col("__b").cast("double") + F.lit(1e-9), 4)
+                    .cast("double").alias("total_acctbal")))
+
+
 def q_ttr_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical diversity per document: token/type counts, type-token
     ratio, hapax ratio — one (doc, term) collapse, per-doc fold."""
@@ -4891,8 +5155,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     on the REAL columns operators quantile (the r8 synthetic grid probe
     passed while robust_scale_price failed — data-dependent divergence
     needs the real distributions). Both standing canaries follow.
-    Remaining slots re-run r7/r8 greens; new-query additions stay
-    frozen per VERDICT item 8.
+    Remaining slots re-run r7/r8 greens. The VERDICT item-8 freeze
+    lifted once positions 1-3 landed: the three NEW r9 queries
+    (bloom_contained_docs / bloom_decontam_counts / curation_pipeline)
+    sit at positions 7-9 so the driver records their first rows this
+    round instead of waiting for an r10 rotation.
     """
     return {
         # --- r9 gate window (50): the fix first, then the 2
@@ -4903,6 +5170,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
+        # --- NEW in r9 (added after the VERDICT item-8 freeze lifted:
+        # --- ledger items 1-2 landed above), in-window so the driver
+        # --- records their first rows this round
+        "bloom_contained_docs": q_bloom_contained_docs,
+        "bloom_decontam_counts": q_bloom_decontam_counts,
+        "curation_pipeline": q_curation_pipeline,
+        # --- NEW in r9 batch 2: the TPC-H remainder expressible on this
+        # --- schema (no partsupp / commit-receipt dates; q3/q21/q22
+        # --- adapted as documented in their docstrings) — in-window for
+        # --- first driver rows
+        "tpch_q1_pricing": q_tpch_q1_pricing,
+        "tpch_q3_unshipped": q_tpch_q3_unshipped,
+        "tpch_q5_region_volume": q_tpch_q5_region_volume,
+        "tpch_q6_forecast": q_tpch_q6_forecast,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q21_waiting": q_tpch_q21_waiting,
+        "tpch_q22_dormant": q_tpch_q22_dormant,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -5119,11 +5403,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # ann_pq_topk / semantic_dedup_pairs moved into window
         # positions 2-3 for r9 (VERDICT item 2)
-        # --- NEW in r9, below position 50 (window frozen per VERDICT
-        # --- item 8; locally oracle-verified, rotate into the r10 window)
-        "bloom_contained_docs": q_bloom_contained_docs,
-        "bloom_decontam_counts": q_bloom_decontam_counts,
-        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -7696,6 +7975,172 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
             ORDER BY numwait DESC, s_suppkey ASC
             LIMIT 20
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS sum_qty,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                        AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                        * (1 - l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                        AS sum_disc_price,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                        * (1 - l_discount) * (1 + l_tax)
+                        AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS sum_charge,
+                   CAST(ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS avg_qty,
+                   CAST(ROUND(CAST(sum(CAST(l_extendedprice
+                        AS DECIMAL(18,6))) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS avg_price,
+                   CAST(ROUND(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+            GROUP BY 1, 2
+        """,
+        "tpch_q3_unshipped": """
+            WITH c AS (
+              SELECT c_custkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'),
+            o AS (
+              SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority
+              FROM orders
+              WHERE o_orderdate < TIMESTAMP '1998-07-01'),
+            l AS (
+              SELECT l_orderkey,
+                     CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,6)) AS rev
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1998-07-01'),
+            a AS (
+              SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+                     sum(l.rev) AS r
+              FROM l
+              JOIN o ON l.l_orderkey = o.o_orderkey
+              JOIN c ON o.o_custkey = c.c_custkey
+              GROUP BY 1, 2, 3)
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(ROUND(CAST(r AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS revenue,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+                   o_orderpriority
+            FROM a
+            ORDER BY r DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5_region_volume": """
+            WITH nat AS (
+              SELECT n_nationkey, n_name
+              FROM nation JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+            SELECT nat.n_name,
+                   CAST(ROUND(CAST(sum(CAST(l.l_extendedprice
+                        * (1 - l.l_discount) AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nat ON s.s_nationkey = nat.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+                           AND s.s_nationkey = c.c_nationkey
+            WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "tpch_q6_forecast": """
+            SELECT CAST(ROUND(CAST(sum(CAST(l_extendedprice * l_discount
+                        AS DECIMAL(18,6))) AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     sum(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS r
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-10-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY 1)
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   s.s_name,
+                   CAST(ROUND(CAST(rev.r AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS total_revenue
+            FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+            WHERE rev.r = (SELECT max(r) FROM rev)
+        """,
+        "tpch_q21_waiting": """
+            WITH pairs AS (
+              SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+            late AS (
+              SELECT DISTINCT l.l_orderkey, l.l_suppkey
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY),
+            sole AS (
+              SELECT l1.l_orderkey, l1.l_suppkey
+              FROM late l1
+              WHERE EXISTS (
+                      SELECT 1 FROM pairs l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (
+                      SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)),
+            w AS (
+              SELECT l_suppkey, count(*) AS numwait FROM sole GROUP BY 1)
+            SELECT s.s_name,
+                   CAST(s.s_suppkey AS BIGINT) AS s_suppkey,
+                   CAST(w.numwait AS BIGINT) AS numwait
+            FROM supplier s JOIN w ON s.s_suppkey = w.l_suppkey
+            ORDER BY w.numwait DESC, s.s_suppkey ASC
+            LIMIT 100
+        """,
+        "tpch_q22_dormant": """
+            WITH nat AS (
+              SELECT n_nationkey, n_name FROM nation
+              WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_5',
+                               'NATION_7', 'NATION_9', 'NATION_11',
+                               'NATION_13')),
+            cust AS (
+              SELECT c_custkey, c_acctbal, nat.n_name
+              FROM customer
+              JOIN nat ON c_nationkey = nat.n_nationkey),
+            a AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                          AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgbal
+              FROM cust WHERE c_acctbal > 0),
+            rich AS (
+              SELECT cust.* FROM cust, a WHERE c_acctbal > a.avgbal),
+            recent AS (
+              SELECT o_custkey FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+            d AS (
+              SELECT * FROM rich
+              WHERE NOT EXISTS (
+                SELECT 1 FROM recent r
+                WHERE r.o_custkey = rich.c_custkey))
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT) AS n_cust,
+                   CAST(ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6)))
+                        AS DOUBLE) + 1e-9, 4) AS DOUBLE)
+                       AS total_acctbal
+            FROM d GROUP BY 1
         """,
         "tpch_q18_big_orders": """
             WITH big AS (

@@ -64,6 +64,9 @@ BROADCAST_LOOP_OK = {
     "semantic_dedup_recall",
     # 1-row merged-error-bound frame broadcast onto the top-k terms
     "heavy_hitters",
+    # TPC-H Q22's positive-balance average: broadcast 1-row scalar
+    # frame × the nation-cut customer rows
+    "tpch_q22_dormant",
     # generated 10k-row probe grid × broadcast 1-row cuts frame, then
     # 1-row cuts × 1-row digests for the 9-row readout — constant size
     "pctile_round_probe",
@@ -643,6 +646,22 @@ EXCHANGE_BUDGET = {
     "tpch_q18_big_orders": 1,
     "tpch_q19_disjunct": 1,
     "tpch_q7_volume": 1,
+    # TPC-H third wave (r9): q1/q6 are single-fold scans, q3's joins
+    # broadcast at the snapshot SF leaving the revenue groupBy
+    "tpch_q1_pricing": 1,
+    "tpch_q3_unshipped": 1,
+    "tpch_q6_forecast": 1,
+    # orders year-cut + customer sides sort-merge pre-AQE, + the
+    # per-nation aggregate
+    "tpch_q5_region_volume": 3,
+    # per-supplier fold + the max-equijoin's two pre-AQE sides
+    "tpch_q15_top_supplier": 3,
+    # pairs distinct + late distinct + late's order join side + the
+    # semi/anti probes + numwait fold — all keyed on l_orderkey
+    "tpch_q21_waiting": 6,
+    # dormancy anti join's two pre-AQE sort-merge sides (1-row avg
+    # frame broadcasts; final per-nation fold collapses map-side)
+    "tpch_q22_dormant": 2,
     # one (doc, term) collapse + the per-doc fold
     "ttr_docs": 2,
     # row-local regexp arithmetic — zero shuffle

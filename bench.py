@@ -246,6 +246,15 @@ HEADLINE = [
     "bloom_contained_docs",
     "bloom_decontam_counts",
     "curation_pipeline",
+    # r9 third TPC-H wave: the remainder of the classic suite this
+    # schema can express (q3/q21/q22 adapted, see docstrings)
+    "tpch_q1_pricing",
+    "tpch_q3_unshipped",
+    "tpch_q5_region_volume",
+    "tpch_q6_forecast",
+    "tpch_q15_top_supplier",
+    "tpch_q21_waiting",
+    "tpch_q22_dormant",
 ]
 
 

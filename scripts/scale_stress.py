@@ -160,7 +160,8 @@ def gen_pit_dir(scale, con):
     sees. Full schema preserved so the PIT project shapes run unchanged."""
     d = os.path.join(OUT, f"pit_x{scale}")
     done = [os.path.exists(os.path.join(d, f"{t}.parquet"))
-            for t in ("orders", "lineitem", "events")]
+            for t in ("orders", "lineitem", "events", "customer",
+                      "supplier", "part", "nation", "region")]
     if all(done):
         return d
     os.makedirs(d, exist_ok=True)
@@ -179,11 +180,25 @@ def gen_pit_dir(scale, con):
         "events": ("event_id + r.i * {o} AS event_id, ts, "
                    "user_id + r.i * {o} AS user_id, event_type, value, "
                    "props"),
+        # r9 TPC-H wave: fact keys above are offset per replica, so the
+        # keyed dims must replicate with the SAME offsets (nationkeys
+        # stay unoffset — nation/region are genuinely fixed-size dims
+        # at any scale and copy verbatim below)
+        "customer": ("c_custkey + r.i * {o} AS c_custkey, c_name, "
+                     "c_nationkey, c_acctbal, c_mktsegment"),
+        "supplier": ("s_suppkey + r.i * {o} AS s_suppkey, s_name, "
+                     "s_nationkey, s_acctbal"),
+        "part": ("p_partkey + r.i * {o} AS p_partkey, p_name, p_brand, "
+                 "p_type, p_size, p_retailprice"),
     }
     for t, cols in copies.items():
         con.execute(
             f"COPY (SELECT {cols.format(o=OFF)} "
             f"FROM '{SRC}/{t}.parquet', range({scale}) r(i)) "
+            f"TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)")
+    for t in ("nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
             f"TO '{os.path.join(d, t + '.parquet')}' (FORMAT PARQUET)")
     return d
 
@@ -211,7 +226,15 @@ def stress_pit(spark, scales, con):
              # gets measured rather than argued.
              "weighted_pctile", "decile_bins", "theil_sen_daily",
              "powerlaw_parts", "triangles_parts", "components_parts",
-             "hits_bipartite"]
+             "hits_bipartite",
+             # r9 widening: the third TPC-H wave — q21's distinct-pair
+             # semi/anti composition and q5's 6-table join are the two
+             # shapes with classic superlinear hazards; the rest ride
+             # along (they're one fold each)
+             "tpch_q1_pricing", "tpch_q3_unshipped",
+             "tpch_q5_region_volume", "tpch_q6_forecast",
+             "tpch_q15_top_supplier", "tpch_q21_waiting",
+             "tpch_q22_dormant"]
     dirs = {s: gen_pit_dir(s, con) for s in scales}
 
     def run(q, d):

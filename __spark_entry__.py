@@ -3389,10 +3389,13 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema has no commit/receipt dates, so "late" means shipped more
     than 90 days after the order date). A supplier counts an order iff
     it shipped late, at least one OTHER supplier participated, and NO
-    other supplier was late — the canonical semi-join + anti-join
-    composition. Participation/late frames are distinct (order,
-    supplier) pairs, so the three joins shuffle on l_orderkey with
-    pair-sized inputs, never the raw lineitem."""
+    other supplier was late. Rather than the textbook EXISTS/NOT-EXISTS
+    self-joins (three pair-frame shuffles), the subqueries decorrelate
+    into ONE per-order fold: from (n_suppliers, n_late, the-late-
+    supplier) the predicate is n_suppliers > 1 AND n_late == 1 — the
+    oracle keeps the EXISTS formulation, so two independent shapes must
+    agree. Two keyed shuffles touch data: the (order, supplier) pair
+    collapse and the per-order fold; both map-side combine."""
     _utc(spark)
     orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
               .select("o_orderkey",
@@ -3401,21 +3404,19 @@ def q_tpch_q21_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_suppkey",
                   F.col("l_shipdate").cast("timestamp").alias("__sdate")))
-    pairs = li.select("l_orderkey", "l_suppkey").distinct()
-    late = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .where(F.col("__sdate")
-                   > F.col("__odate") + F.expr("INTERVAL 90 DAYS"))
-            .select("l_orderkey", "l_suppkey").distinct())
-    l2 = pairs.select(F.col("l_orderkey").alias("__o2"),
-                      F.col("l_suppkey").alias("__s2"))
-    cand = late.join(
-        l2, (late.l_orderkey == l2["__o2"])
-        & (late.l_suppkey != l2["__s2"]), "leftsemi")
-    l3 = late.select(F.col("l_orderkey").alias("__o3"),
-                     F.col("l_suppkey").alias("__s3"))
-    sole = cand.join(
-        l3, (cand.l_orderkey == l3["__o3"])
-        & (cand.l_suppkey != l3["__s3"]), "leftanti")
+    flags = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .groupBy("l_orderkey", "l_suppkey")
+             .agg(F.max((F.col("__sdate")
+                         > F.col("__odate") + F.expr("INTERVAL 90 DAYS"))
+                        .cast("int")).alias("__late")))
+    per_order = flags.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__n_supp"),
+        F.sum("__late").alias("__n_late"),
+        F.max(F.when(F.col("__late") == 1, F.col("l_suppkey")))
+        .alias("__late_supp"))
+    sole = (per_order
+            .where((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+            .select(F.col("__late_supp").alias("l_suppkey")))
     numwait = sole.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("__w"))
     supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")

@@ -203,7 +203,7 @@ def gen_pit_dir(scale, con):
     return d
 
 
-def stress_pit(spark, scales, con):
+def stress_pit(spark, scales, con, only=None):
     """VERDICT r6 item 7: measure (not argue) the PIT core's growth —
     the union-window point-in-time join (single-key 90d window family,
     composite-key 365d family) and the generic as-of join, on 1x/3x/5x
@@ -235,6 +235,8 @@ def stress_pit(spark, scales, con):
              "tpch_q5_region_volume", "tpch_q6_forecast",
              "tpch_q15_top_supplier", "tpch_q21_waiting",
              "tpch_q22_dormant"]
+    if only:
+        names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}
 
     def run(q, d):
@@ -331,7 +333,7 @@ def main():
         report(stress_iterative(spark, scales), scales)
         return
     if pit_only:
-        report(stress_pit(spark, scales, con), scales)
+        report(stress_pit(spark, scales, con, only), scales)
         return
     fitted = fit_source(con)
     dirs = {s: gen_dir(s, fitted, con) for s in scales}

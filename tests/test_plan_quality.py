@@ -656,9 +656,10 @@ EXCHANGE_BUDGET = {
     "tpch_q5_region_volume": 3,
     # per-supplier fold + the max-equijoin's two pre-AQE sides
     "tpch_q15_top_supplier": 3,
-    # pairs distinct + late distinct + late's order join side + the
-    # semi/anti probes + numwait fold — all keyed on l_orderkey
-    "tpch_q21_waiting": 6,
+    # decorrelated fold: (order, supplier) pair collapse + per-order
+    # fold + per-supplier numwait fold (orders broadcasts at the
+    # snapshot SF)
+    "tpch_q21_waiting": 3,
     # dormancy anti join's two pre-AQE sort-merge sides (1-row avg
     # frame broadcasts; final per-nation fold collapses map-side)
     "tpch_q22_dormant": 2,

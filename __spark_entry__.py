@@ -5123,6 +5123,51 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("total_words")))
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate-leakage audit: per (held-out split, source),
+    how many docs have an EXACT normalized-text duplicate inside the
+    train split of the same 80/10/10 md5 hash split the sampler ships
+    (q_hash_split's assignment, audited before training). One distinct
+    over train fingerprints + one fp-keyed left join + a tiny agg —
+    the eval-contamination gate internal to a single corpus, companion
+    to the cross-corpus contamination/bloom checks."""
+    _utc(spark)
+    from feathr_spark.operators.quality import split_leakage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_leakage(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        group_col="source")
+    return out.select("split", "source", "n_docs", "n_leaked",
+                      "leak_rate")
+
+
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padded-batching efficiency ladder: docs bucket to the smallest
+    power-of-two ceiling >= their whitespace token count (16..2048,
+    literal CASE ladder on BOTH engines — never 2^ceil(log2 n), which
+    is one FP rounding from the wrong bucket); per bucket the real vs
+    padded token volume and the wasted fraction. One narrow projection
+    + one ladder-sized aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.packing import padding_waste
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return padding_waste(docs, max_len=2048)
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 1 of BPE tokenizer training as a readout: corpus-wide
+    frequency of every adjacent character pair (weight = word count,
+    overlapping occurrences included), top-20 under the total order
+    (count DESC, pair ASC) so the k-cut is engine-deterministic. The
+    corpus-sized work is ONE word collapse; the pair collapse runs on
+    the vocabulary-sized frame. The full iterative merge loop is
+    operators/bpe.py bpe_merges (pytest-verified against a pure-Python
+    reference; its per-round argmax is not one SQL statement)."""
+    _utc(spark)
+    from feathr_spark.operators.bpe import bpe_pair_counts
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_pair_counts(docs, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5404,6 +5449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # ann_pq_topk / semantic_dedup_pairs moved into window
         # positions 2-3 for r9 (VERDICT item 2)
+        # --- NEW in r9 batch 3 (below the gate window; r10 rotation
+        # --- candidates): split-leakage audit, padded-batching
+        # --- efficiency, BPE tokenizer-induction pair statistics
+        "split_leakage": q_split_leakage,
+        "padding_waste": q_padding_waste,
+        "bpe_pair_counts": q_bpe_pair_counts,
     }
 
 
@@ -5598,6 +5649,81 @@ def _hash_split_oracle() -> str:
         FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS __sk
               FROM documents)
     """
+
+
+def _split_leakage_oracle() -> str:
+    """Mirror of q_split_leakage: the identical md5 split thresholds
+    (shared helper) + exact normalized-text fingerprints; leak = held-out
+    doc whose fingerprint exists among train fingerprints."""
+    from feathr_spark.operators.sampling import split_thresholds_sql
+    case = split_thresholds_sql({"train": 0.8, "val": 0.1, "test": 0.1})
+    return f"""
+        WITH d AS (
+          SELECT source,
+                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS __sk,
+                 md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                     AS __fp
+          FROM documents),
+        s AS (SELECT source, __fp, {case} AS split FROM d),
+        t AS (SELECT DISTINCT __fp FROM s WHERE split = 'train'),
+        h AS (SELECT s.split, s.source,
+                     (t.__fp IS NOT NULL) AS hit
+              FROM s LEFT JOIN t ON s.__fp = t.__fp
+              WHERE s.split <> 'train')
+        SELECT split, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_leaked,
+               CAST(ROUND(CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END)
+                               AS DOUBLE)
+                          / CAST(count(*) AS DOUBLE) + 1e-9, 4)
+                    AS DOUBLE) AS leak_rate
+        FROM h GROUP BY 1, 2
+    """
+
+
+def _padding_waste_oracle() -> str:
+    """Mirror of q_padding_waste: the identical literal bucket ladder
+    (shared helper — never 2^ceil(log2 n) on either side)."""
+    from feathr_spark.operators.packing import (bucket_case_sql,
+                                                length_buckets)
+    case = bucket_case_sql("__eff", length_buckets(16, 2048))
+    return f"""
+        WITH n AS (
+          SELECT len(string_split(lower(trim(
+                     regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+                     AS __n
+          FROM documents),
+        e AS (SELECT __n, least(__n, 2048) AS __eff FROM n WHERE __n > 0),
+        b AS (SELECT __n, __eff, {case} AS bucket FROM e)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(__eff) AS BIGINT) AS real_tokens,
+               CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+               CAST(ROUND(1.0 - CAST(sum(__eff) AS DOUBLE)
+                          / CAST(bucket * count(*) AS DOUBLE) + 1e-9, 4)
+                    AS DOUBLE) AS pad_ratio,
+               CAST(sum(__n - __eff) AS BIGINT) AS trunc_tokens
+        FROM b GROUP BY bucket
+    """
+
+
+_BPE_PAIRS_SQL = """
+WITH w AS (
+  SELECT t AS word, count(*) AS wn FROM (
+    SELECT unnest(string_split(lower(trim(
+               regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+    FROM documents)
+  WHERE t <> '' GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, i, 2))) AS pair, wn
+  FROM w WHERE length(word) >= 2)
+SELECT pair, CAST(sum(wn) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+ORDER BY n_pairs DESC, pair ASC
+LIMIT 20
+"""
 
 
 # 64-token chunks, stride 48, mirroring chunk_documents: whitespace-split
@@ -9455,6 +9581,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 15
         """,
         "hash_split": _hash_split_oracle(),
+        "split_leakage": _split_leakage_oracle(),
+        "padding_waste": _padding_waste_oracle(),
+        "bpe_pair_counts": _BPE_PAIRS_SQL,
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
         "pii_redact": _PII_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,

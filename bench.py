@@ -255,6 +255,11 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q21_waiting",
     "tpch_q22_dormant",
+    # r9 batch 3: split-leakage audit, padded-batching efficiency,
+    # BPE tokenizer-induction pair statistics
+    "split_leakage",
+    "padding_waste",
+    "bpe_pair_counts",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Tokenizer induction over a corpus: byte-pair-encoding merge mining.
+
+The reference has no tokenizer surface (its expression DSL stops at Spark
+scalar functions, `/root/reference/feathr-rs/src/model.rs:248-253`);
+training-data pipelines need one — the vocabulary a corpus gets tokenized
+with is itself LEARNED from the corpus (Sennrich et al., ACL 2016), and at
+100 TB the frequency counting that drives the learning is exactly the kind
+of work that must run where the data lives.
+
+Two operators:
+
+* :func:`bpe_pair_counts` — ONE round of pair statistics: the corpus-wide
+  frequency of every adjacent symbol pair, top-k. This is the heavy,
+  data-sized step of BPE training and is fully declarative (two keyed
+  aggregations, a word-frequency collapse then a pair collapse — the
+  second input is VOCABULARY-sized, not corpus-sized, which is the whole
+  trick: a 100 TB corpus has ~10⁸ distinct words, so rounds after the
+  first collapse are cheap however big the corpus is).
+
+* :func:`bpe_merges` — the full iterative loop: repeatedly take the most
+  frequent pair (deterministic tie-break), fuse it greedily left-to-right
+  inside every vocabulary word, recount. The per-round argmax is a 1-row
+  collect (bounded: one struct per round); the fuse is a narrow
+  ``aggregate`` lambda over symbol arrays, never Python. The word frame is
+  persisted per round and the lineage is truncated periodically, the same
+  discipline as the graph loops (``operators/graph.py``).
+
+Symbols are characters of the whitespace-normalized lowercase words (no
+end-of-word marker — the synthetic corpus carries no morphology worth
+modeling; plumb one in by appending a sentinel char upstream if needed).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .search import _norm_tokens
+
+_PAIR_STRUCT = ("transform(sequence(1, size({c}) - 1), "
+                "i -> struct({c}[i - 1] AS l, {c}[i] AS r))")
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word-frequency table ``(word, wn)`` — the corpus-sized
+    collapse every BPE round reuses. One keyed shuffle (map-side
+    combined), output vocabulary-sized."""
+    return (df.select(F.explode(_norm_tokens(F.col(text_col)))
+                      .alias("word"))
+            .where(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("wn")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text",
+                    k: int = 20) -> DataFrame:
+    """Top-``k`` adjacent character pairs by corpus frequency — round 1
+    of BPE training as a standalone readout (also the degenerate-corpus
+    smoke check: a healthy natural-language corpus has 'th'/'in'-style
+    leaders, OCR noise shows up as junk bigrams at the top).
+
+    Pair occurrences count per word occurrence (weight = word count),
+    overlapping occurrences included ('aaa' contributes 2 x 'aa') — the
+    plain statistics convention; the MERGE loop (:func:`bpe_merges`)
+    fuses non-overlapping left-to-right like every BPE implementation.
+
+    Plan: word collapse (corpus-sized shuffle) -> explode the
+    vocabulary's adjacent pairs -> pair collapse (vocabulary-sized
+    shuffle) -> TakeOrderedAndProject on (count DESC, pair ASC) — a
+    total order, so the k-cut is engine-deterministic.
+
+    Output: (pair, n_pairs).
+    """
+    words = word_frequencies(df, text_col)
+    pairs = (words.where(F.length("word") >= 2)
+             .select(F.col("wn"),
+                     F.explode(F.expr(
+                         "transform(sequence(1, length(word) - 1), "
+                         "i -> substring(word, i, 2))")).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("wn").cast("bigint").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+            .limit(int(k)))
+
+
+def _fuse_expr(left: str, right: str) -> str:
+    """SQL ``aggregate`` lambda fusing every non-overlapping adjacent
+    (left, right) occurrence in ``syms``, greedily left-to-right (after
+    a fuse the merged token cannot re-pair with the next symbol within
+    the same round — the standard BPE replacement order)."""
+    l_lit = "'" + left.replace("'", "\\'") + "'"
+    r_lit = "'" + right.replace("'", "\\'") + "'"
+    return f"""aggregate(
+        syms,
+        named_struct('acc', cast(array() as array<string>),
+                     'pend', cast(null as string)),
+        (s, x) -> if(s.pend = {l_lit} and x = {r_lit},
+                     named_struct('acc',
+                                  array_append(s.acc, concat({l_lit}, {r_lit})),
+                                  'pend', cast(null as string)),
+                     named_struct('acc',
+                                  if(s.pend is not null,
+                                     array_append(s.acc, s.pend), s.acc),
+                                  'pend', x)),
+        s -> if(s.pend is not null, array_append(s.acc, s.pend), s.acc))"""
+
+
+def bpe_merges(df: DataFrame, n_merges: int = 8,
+               text_col: str = "text",
+               checkpoint_every: int = 4) -> List[Tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the merge
+    table ``[(left, right, pair_count), ...]`` in learned order — the
+    artifact a tokenizer ships.
+
+    Each round: (1) pair-count aggregate over the VOCABULARY frame
+    (weighted by word frequency; vocabulary-sized, not corpus-sized);
+    (2) argmax with the total tie-break (count DESC, left ASC, right
+    ASC) — a bounded 1-row collect per round, the loop's only driver
+    traffic; (3) fuse the winner inside every word's symbol array with
+    a narrow ``aggregate`` lambda (:func:`_fuse_expr`). The corpus is
+    touched exactly once, by the initial word collapse.
+
+    The word frame persists across rounds (each round's job would
+    otherwise replay the whole lineage) and ``localCheckpoint`` every
+    ``checkpoint_every`` rounds truncates the stacked fuse lambdas —
+    the graph-loop discipline (``operators/graph.py``).
+    """
+    words = (word_frequencies(df, text_col)
+             .select(F.expr("split(word, '')").alias("syms"),
+                     F.col("wn"))
+             .persist())
+    merges: List[Tuple[str, str, int]] = []
+    try:
+        for rnd in range(int(n_merges)):
+            top = (words.where(F.size("syms") >= 2)
+                   .select(F.col("wn"),
+                           F.explode(F.expr(
+                               _PAIR_STRUCT.format(c="syms")))
+                           .alias("p"))
+                   .groupBy(F.col("p.l").alias("l"),
+                            F.col("p.r").alias("r"))
+                   .agg(F.sum("wn").alias("n"))
+                   .orderBy(F.col("n").desc(), F.col("l").asc(),
+                            F.col("r").asc())
+                   .limit(1)
+                   .collect())
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((l, r, n))
+            nxt = (words.select(F.expr(_fuse_expr(l, r)).alias("syms"),
+                                F.col("wn"))
+                   .persist())
+            if (rnd + 1) % int(checkpoint_every) == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            nxt.count()
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges

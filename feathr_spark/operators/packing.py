@@ -85,3 +85,82 @@ def pack_sequences(
         pack_last.alias("pack_last"),
         F.pmod(F.col("start_offset"), cap).alias("offset_in_pack"),
         (pack_last - pack_first + 1).alias("n_splits"))
+
+
+def length_buckets(min_bucket: int = 16, max_len: int = 2048) -> list:
+    """The power-of-two bucket ceilings from ``min_bucket`` to
+    ``max_len`` (inclusive) that :func:`padding_waste` pads to."""
+    if min_bucket <= 0 or max_len < min_bucket:
+        raise ValueError("need 0 < min_bucket <= max_len")
+    out, b = [], int(min_bucket)
+    while b < max_len:
+        out.append(b)
+        b *= 2
+    out.append(int(max_len))
+    return out
+
+
+def bucket_case_sql(expr: str, buckets: list) -> str:
+    """The CASE expression a SQL oracle mirrors for the bucket ceiling
+    of token count ``expr`` — shared with the engine so both sides use
+    the IDENTICAL literal ladder (never ``2^ceil(log2(n))``: log2 of an
+    exact power of two is one FP rounding away from the wrong bucket,
+    and the two engines need not err the same way)."""
+    arms = " ".join(f"WHEN {expr} <= {b} THEN {b}"
+                    for b in buckets[:-1])
+    return f"CASE {arms} ELSE {buckets[-1]} END"
+
+
+def padding_waste(
+    df: DataFrame,
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+    min_bucket: int = 16,
+    max_len: int = 2048,
+) -> DataFrame:
+    """Per-length-bucket padding-efficiency readout for PADDED batching
+    (the SFT/eval counterpart of :func:`pack_sequences`: when sequences
+    must not be split or concatenated, each doc pads up to its bucket's
+    ceiling, and the padding is pure wasted compute).
+
+    Docs bucket to the smallest power-of-two ceiling >= their token
+    count (ladder from :func:`length_buckets`; the ceiling comparison is
+    a literal CASE ladder on BOTH engine and oracle — see
+    :func:`bucket_case_sql` for why never ``2^ceil(log2 n)``). Docs
+    longer than ``max_len`` truncate to it: their overflow counts as
+    ``trunc_tokens``, not padding. Zero-token rows are dropped (only
+    reachable via ``tokens_col``: the repo-wide ``_norm_tokens``
+    convention tokenizes empty text to ``['']`` — ONE token — on both
+    engines, matching :func:`pack_sequences`).
+
+    One narrow projection + one bucket-cardinality aggregate (map-side
+    combined; ~``log2(max_len/min_bucket)`` groups) — a full-corpus
+    readout with a ladder-sized result at any scale.
+
+    Output per bucket: (bucket, n_docs, real_tokens, padded_tokens,
+    pad_ratio, trunc_tokens) where ``pad_ratio`` = wasted fraction of
+    the padded volume = 1 - real/padded.
+    """
+    ladder = length_buckets(min_bucket, max_len)
+    n_tok = (F.col(tokens_col) if tokens_col
+             else F.size(_norm_tokens(F.col(text_col)))).cast("bigint")
+    eff = F.least(F.col("__n"), F.lit(int(max_len)).cast("bigint"))
+    bucket = F.expr(bucket_case_sql("__eff", ladder)).cast("bigint")
+    base = (df.select(n_tok.alias("__n"))
+            .where(F.col("__n") > 0)
+            .select("__n", eff.alias("__eff"))
+            .select("__n", "__eff", bucket.alias("bucket")))
+    agg = (base.groupBy("bucket")
+           .agg(F.count(F.lit(1)).alias("__d"),
+                F.sum("__eff").alias("__real"),
+                F.sum(F.col("__n") - F.col("__eff")).alias("__trunc")))
+    padded = F.col("bucket") * F.col("__d")
+    return agg.select(
+        "bucket",
+        F.col("__d").cast("bigint").alias("n_docs"),
+        F.col("__real").cast("bigint").alias("real_tokens"),
+        padded.cast("bigint").alias("padded_tokens"),
+        F.round(F.lit(1.0) - F.col("__real").cast("double")
+                / padded.cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("pad_ratio"),
+        F.col("__trunc").cast("bigint").alias("trunc_tokens"))

@@ -421,3 +421,65 @@ def fk_audit(
                F.round(F.col("__orows").cast("double") / rows
                        + F.lit(1e-9), 4)).cast("double")
         .alias("orphan_row_frac"))
+
+
+def split_leakage(
+    df: DataFrame,
+    fractions: Dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: Optional[str] = None,
+    salt: str = "",
+) -> DataFrame:
+    """Cross-split duplicate-leakage audit: how many held-out documents
+    have an EXACT duplicate (md5 of normalized text) inside the training
+    split. A corpus deduplicated per-source can still leak across a
+    random split whenever the same text appears under two ids — the
+    classic eval-contamination failure a training pipeline must gate on
+    BEFORE the split ships (the reference has no notion of splits; this
+    belongs to the LLM-pipeline extension surface, same family as
+    ``cross_corpus_containment``/bloom decontamination but INTERNAL to
+    one corpus + one split assignment).
+
+    The split is the engine-portable :func:`sampling.hash_split` (md5
+    buckets — the audit reproduces the exact assignment the sampler
+    ships). The FIRST name in ``fractions`` is the reference/"train"
+    split; every other split is scored against it. With ``group_col``
+    the counts break out per group (e.g. per source) as well as per
+    split.
+
+    Plan shape (scale): one distinct over the train fingerprints (keyed
+    shuffle on the fingerprint; output bounded by distinct train texts)
+    + one fingerprint-keyed LEFT join of the held-out rows against it —
+    both exchanges hash on the same key, so AQE plans them as one
+    co-partitioned pair — then a split-cardinality-sized aggregate.
+    Nothing collects; duplicate-heavy fingerprints are exactly the skew
+    AQE's join splitting absorbs.
+
+    Output: (split [, group], n_docs, n_leaked, leak_rate), one row per
+    non-reference split [x group].
+    """
+    from .dedup import normalize_text
+    from .sampling import hash_split
+
+    ref = next(iter(fractions))
+    fp = F.md5(normalize_text(F.col(text_col)))
+    keep = [F.col(group_col)] if group_col else []
+    d = (hash_split(df, fractions, id_col=id_col, salt=salt)
+         .select("split", fp.alias("__fp"), *keep))
+    train_fp = (d.where(F.col("split") == ref)
+                .select("__fp").distinct()
+                .withColumn("__hit", F.lit(1)))
+    held = d.where(F.col("split") != ref)
+    j = held.join(train_fp, "__fp", "left")
+    gb = ["split"] + ([group_col] if group_col else [])
+    agg = (j.groupBy(*gb)
+           .agg(F.count(F.lit(1)).alias("__n"),
+                F.count("__hit").alias("__leak")))
+    return agg.select(
+        *gb,
+        F.col("__n").cast("bigint").alias("n_docs"),
+        F.col("__leak").cast("bigint").alias("n_leaked"),
+        F.round(F.col("__leak").cast("double")
+                / F.col("__n").cast("double") + F.lit(1e-9), 4)
+        .cast("double").alias("leak_rate"))

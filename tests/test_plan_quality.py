@@ -869,6 +869,15 @@ EXCHANGE_BUDGET = {
     # shared scan copies AQE dedupes, + the final per-source aggregate.
     # Executed shuffle count: 6.
     "curation_pipeline": 19,
+    # r9 batch 3: train-fp distinct (1) + fp-keyed left join (both
+    # sides' pre-AQE exchanges) + the (split, source) aggregate
+    "split_leakage": 4,
+    # one ladder-sized aggregate: partial/final exchange + the 1-row
+    # result's SinglePartition
+    "padding_waste": 2,
+    # word collapse + pair collapse (2 aggregates, partial/final
+    # pre-AQE pairs); top-k is TakeOrderedAndProject, no global sort
+    "bpe_pair_counts": 4,
 }
 
 

@@ -5153,6 +5153,42 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     return padding_waste(docs, max_len=2048)
 
 
+# Shared between q_token_budget_plan and its oracle: a three-tier
+# mixture spec over the 20 sources (weights need not sum to 1 — the
+# operator normalizes; both sides read THIS dict so the literals
+# cannot drift).
+_TOKEN_PLAN_WEIGHTS = {f"src{i}": (3.0 if i < 5 else
+                                   2.0 if i < 10 else 1.0)
+                       for i in range(20)}
+_TOKEN_PLAN_BUDGET = 2_000_000
+_TOKEN_PLAN_CAP = 2.0
+
+
+def q_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pretraining-mix plan: token budget x mixture weights
+    -> target tokens, epochs (capped at 2), planned tokens and the
+    over-epoching flag per source. ONE corpus aggregate; the rest is
+    scalar algebra on the groups-sized frame."""
+    _utc(spark)
+    from feathr_spark.operators.mixture import token_budget_plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_budget_plan(docs, _TOKEN_PLAN_WEIGHTS,
+                             _TOKEN_PLAN_BUDGET,
+                             max_epochs=_TOKEN_PLAN_CAP)
+
+
+def q_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export global shuffle: deterministic (shard, pos)
+    layout whose (shard, pos) read order is one md5 permutation of the
+    corpus — ONE keyed window shuffle, never a global row_number."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import shard_shuffle
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = shard_shuffle(docs, n_shards=8)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "shard", "pos")
+
+
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 1 of BPE tokenizer training as a readout: corpus-wide
     frequency of every adjacent character pair (weight = word count,
@@ -5455,6 +5491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "padding_waste": q_padding_waste,
         "bpe_pair_counts": q_bpe_pair_counts,
+        "token_budget_plan": q_token_budget_plan,
+        "shard_export": q_shard_export,
     }
 
 
@@ -5706,6 +5744,62 @@ def _padding_waste_oracle() -> str:
                CAST(sum(__n - __eff) AS BIGINT) AS trunc_tokens
         FROM b GROUP BY bucket
     """
+
+
+def _token_budget_plan_oracle() -> str:
+    """Mirror of q_token_budget_plan: identical weight CASE (shared
+    helper + shared dict) and the identical double-algebra chain
+    (w/wsum*budget, least(target/toks, cap), planned = epochs*toks) so
+    every IEEE operation happens in the same order on both engines."""
+    from feathr_spark.operators.mixture import weights_case_sql
+    case = weights_case_sql("source", _TOKEN_PLAN_WEIGHTS)
+    wsum = float(sum(_TOKEN_PLAN_WEIGHTS.values()))
+    budget = float(_TOKEN_PLAN_BUDGET)
+    cap = float(_TOKEN_PLAN_CAP)
+    return f"""
+        WITH a AS (
+          SELECT source, count(*) AS d,
+                 sum(len(string_split(lower(trim(
+                     regexp_replace(text, '\\s+', ' ', 'g'))), ' ')))
+                     AS t
+          FROM documents GROUP BY 1),
+        w AS (
+          SELECT source, d, t,
+                 CAST({case} AS DOUBLE) AS wt,
+                 (CAST({case} AS DOUBLE) / {wsum!r}) * {budget!r}
+                     AS target,
+                 CAST(t AS DOUBLE) AS toks
+          FROM a)
+        SELECT source,
+               CAST(d AS BIGINT) AS n_docs,
+               CAST(t AS BIGINT) AS n_tokens,
+               CAST(ROUND(wt + 1e-9, 4) AS DOUBLE) AS weight,
+               CAST(ROUND(target + 1e-9, 4) AS DOUBLE) AS target_tokens,
+               CAST(ROUND(target / toks + 1e-9, 4) AS DOUBLE)
+                   AS epochs_uncapped,
+               CAST(ROUND(least(target / toks, {cap!r}) + 1e-9, 4)
+                    AS DOUBLE) AS epochs,
+               CAST(ROUND(least(target / toks, {cap!r}) * toks + 1e-9, 4)
+                    AS DOUBLE) AS planned_tokens,
+               (target / toks > {cap!r}) AS capped
+        FROM w
+    """
+
+
+_SHARD_EXPORT_SQL = """
+WITH k AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS ks
+  FROM documents),
+s AS (
+  SELECT doc_id, ks,
+         ('0x' || substr(ks, 1, 15))::BIGINT % 8 AS shard
+  FROM k)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY ks, doc_id) AS BIGINT) AS pos
+FROM s
+"""
 
 
 _BPE_PAIRS_SQL = """
@@ -9584,6 +9678,8 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": _split_leakage_oracle(),
         "padding_waste": _padding_waste_oracle(),
         "bpe_pair_counts": _BPE_PAIRS_SQL,
+        "token_budget_plan": _token_budget_plan_oracle(),
+        "shard_export": _SHARD_EXPORT_SQL,
         "ngram_jaccard_pairs": _JACCARD_NGRAM_SQL,
         "pii_redact": _PII_SQL,
         "top_ngrams": _TOP_NGRAMS_SQL,

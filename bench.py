@@ -260,6 +260,8 @@ HEADLINE = [
     "split_leakage",
     "padding_waste",
     "bpe_pair_counts",
+    "token_budget_plan",
+    "shard_export",
 ]
 
 

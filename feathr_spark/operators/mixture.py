@@ -117,3 +117,82 @@ def temperature_rates(
     nn = sum(sizes.values())
     return {g: round(n ** alpha / sp * nn / n + 1e-9, round_dp)
             for g, n in sizes.items()}
+
+
+def weights_case_sql(col: str, weights: Dict[str, float]) -> str:
+    """The CASE expression a SQL oracle mirrors for the per-group weight
+    lookup of :func:`token_budget_plan` (literal ``repr`` of each double
+    on both sides — both engines parse the decimal to the identical
+    binary double). Groups not in ``weights`` get 0.0."""
+    arms = " ".join(f"WHEN {col} = '{g}' THEN {w!r}"
+                    for g, w in weights.items())
+    return f"CASE {arms} ELSE 0.0 END"
+
+
+def token_budget_plan(
+    df: DataFrame,
+    weights: Dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    tokens_col: str = None,
+    max_epochs: float = 4.0,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Turn a (mixture weights, token budget) spec into the per-source
+    sampling plan a pretraining run executes — the planning table behind
+    every published data-mixture ("X% web, Y% code, Z epochs of wiki"):
+
+        target_g  = budget · w_g / Σw          (the mix the spec asks for)
+        epochs_g  = target_g / tokens_g        (how many passes that needs)
+        planned_g = min(epochs_g, max_epochs) · tokens_g
+                                               (repetition capped — tokens
+                                                recycled past the cap stop
+                                                helping; the plan reports
+                                                the shortfall instead of
+                                                silently over-epoching)
+
+    Groups absent from ``weights`` weigh 0 (excluded, reported with zero
+    targets). Weights need not sum to 1 — they normalize.
+
+    ONE corpus-sized aggregate (per-group doc/token counts, map-side
+    combined into a groups-sized frame); everything after is scalar
+    algebra on that frame — no second scan, no collect, no join. The
+    weight lookup is a literal CASE shared verbatim with the SQL oracle
+    (:func:`weights_case_sql`).
+
+    Output per group: (group_col, n_docs, n_tokens, weight,
+    target_tokens, epochs_uncapped, epochs, planned_tokens, capped).
+    """
+    if budget_tokens <= 0:
+        raise ValueError("token_budget_plan: budget_tokens must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("token_budget_plan: max_epochs must be > 0")
+    wsum = float(sum(weights.values()))
+    if not weights or wsum <= 0:
+        raise ValueError("token_budget_plan: need positive weights")
+    from .search import _norm_tokens
+    n_tok = (F.col(tokens_col) if tokens_col
+             else F.size(_norm_tokens(F.col(text_col)))).cast("bigint")
+    agg = (df.groupBy(group_col)
+           .agg(F.count(F.lit(1)).alias("__d"),
+                F.sum(n_tok).alias("__t")))
+    w = F.expr(weights_case_sql(group_col, weights)).cast("double")
+    target = (w / F.lit(wsum)) * F.lit(float(budget_tokens))
+    toks = F.col("__t").cast("double")
+    ep_raw = target / toks
+    ep = F.least(ep_raw, F.lit(float(max_epochs)))
+    nudge = F.lit(1e-9)
+    return agg.select(
+        group_col,
+        F.col("__d").cast("bigint").alias("n_docs"),
+        F.col("__t").cast("bigint").alias("n_tokens"),
+        F.round(w + nudge, round_dp).cast("double").alias("weight"),
+        F.round(target + nudge, round_dp).cast("double")
+        .alias("target_tokens"),
+        F.round(ep_raw + nudge, round_dp).cast("double")
+        .alias("epochs_uncapped"),
+        F.round(ep + nudge, round_dp).cast("double").alias("epochs"),
+        F.round(ep * toks + nudge, round_dp).cast("double")
+        .alias("planned_tokens"),
+        (ep_raw > F.lit(float(max_epochs))).alias("capped"))

@@ -367,3 +367,40 @@ def reservoir_sample(
             .orderBy(F.col("__rk").asc())
             .limit(k)
             .drop("__rk"))
+
+
+def shard_shuffle(df: DataFrame, n_shards: int = 64,
+                  id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """The training-export global shuffle: assign every row a shard and
+    a position such that reading shards in (shard, pos) order replays
+    ONE deterministic pseudo-random permutation of the corpus — the
+    last step before a corpus ships to the trainer, where "order" must
+    be random-looking, reproducible, and resumable (shard+pos IS the
+    checkpoint cursor; re-deal per epoch via ``salt``).
+
+    shard = first 15 md5 hex digits of the salted id mod ``n_shards``
+    (the same engine-portable draw as :func:`weighted_sample`), pos =
+    rank within the shard by (md5 key, id). Shard sizes concentrate
+    tightly around n/n_shards (multinomial), so no shard becomes a
+    straggler.
+
+    ONE keyed shuffle: a window partitioned by shard, sorted in-partition
+    by the md5 key — never a global row_number (a single-partition sort
+    cannot ship 100 TB). At scale set ``n_shards`` >= cluster cores so
+    every sort fits one task; the output is exactly what
+    ``partitionBy("shard")`` writers consume.
+
+    Output: input columns + (shard, pos).
+    """
+    if n_shards <= 0:
+        raise ValueError("shard_shuffle: n_shards must be > 0")
+    key = sample_key(F.col(id_col), salt)
+    d = df.withColumn("__sk", key).withColumn(
+        "shard",
+        F.pmod(F.conv(F.substring("__sk", 1, 15), 16, 10).cast("bigint"),
+               F.lit(int(n_shards))).cast("bigint"))
+    w = Window.partitionBy("shard").orderBy(F.col("__sk"),
+                                            F.col(id_col))
+    return (d.withColumn("pos",
+                         F.row_number().over(w).cast("bigint"))
+            .drop("__sk"))

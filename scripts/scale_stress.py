@@ -39,7 +39,11 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # r9: Bloom-prefiltered exact containment joins + the
          # composed dedup->quality->decontaminate->account job
          "bloom_contained_docs", "bloom_decontam_counts",
-         "curation_pipeline"]
+         "curation_pipeline",
+         # r9 batch 3: leakage audit, padding ladder, BPE pair mining,
+         # mixture planning, export shuffle
+         "split_leakage", "padding_waste", "bpe_pair_counts",
+         "token_budget_plan", "shard_export"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

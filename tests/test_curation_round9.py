@@ -166,3 +166,76 @@ def test_bpe_merges_fuse_is_nonoverlapping_left_to_right(spark):
     df = spark.createDataFrame([(1, "aaaa")], "doc_id bigint, text string")
     got = bpe_merges(df, n_merges=2)
     assert got == [("a", "a", 3), ("aa", "aa", 1)]
+
+
+# ---------------------------------------------------- token budget plan
+
+def test_token_budget_plan_hand_computed(spark):
+    from feathr_spark.operators.mixture import token_budget_plan
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100), "a"),
+         (2, " ".join(["w"] * 100), "a"),
+         (3, " ".join(["w"] * 50), "b"),
+         (4, " ".join(["w"] * 10), "c")],   # not in weights -> 0
+        "doc_id bigint, text string, source string")
+    out = {r["source"]: r for r in
+           token_budget_plan(df, {"a": 3.0, "b": 1.0}, 400,
+                             max_epochs=2.0).collect()}
+    # a: 200 toks, target 300, epochs 1.5 uncapped, planned 300
+    assert (out["a"]["n_tokens"], out["a"]["target_tokens"],
+            out["a"]["epochs"], out["a"]["planned_tokens"],
+            out["a"]["capped"]) == (200, 300.0, 1.5, 300.0, False)
+    # b: 50 toks, target 100 -> 2 epochs exactly, not capped
+    assert (out["b"]["epochs"], out["b"]["capped"]) == (2.0, False)
+    # c: weight 0 -> everything 0, never capped
+    assert (out["c"]["weight"], out["c"]["target_tokens"],
+            out["c"]["planned_tokens"], out["c"]["capped"]) \
+        == (0.0, 0.0, 0.0, False)
+
+
+def test_token_budget_plan_caps_over_epoching(spark):
+    from feathr_spark.operators.mixture import token_budget_plan
+    df = spark.createDataFrame(
+        [(1, "w w", "tiny")], "doc_id bigint, text string, source string")
+    r = token_budget_plan(df, {"tiny": 1.0}, 1000,
+                          max_epochs=4.0).collect()[0]
+    assert r["capped"] and r["epochs"] == 4.0
+    assert r["planned_tokens"] == 8.0   # 4 epochs x 2 tokens
+
+
+def test_token_budget_plan_validates():
+    import pytest as _pt
+    from feathr_spark.operators.mixture import token_budget_plan
+    with _pt.raises(ValueError):
+        token_budget_plan(None, {"a": 1.0}, 0)
+    with _pt.raises(ValueError):
+        token_budget_plan(None, {}, 10)
+
+
+# --------------------------------------------------------- shard export
+
+def test_shard_shuffle_is_permutation_and_deterministic(spark):
+    from feathr_spark.operators.sampling import shard_shuffle
+    df = spark.createDataFrame([(i,) for i in range(200)],
+                               "doc_id bigint")
+    a = shard_shuffle(df, n_shards=4).collect()
+    b = shard_shuffle(df.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # stable
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # dense
+    assert sum(len(v) for v in by_shard.values()) == 200
+
+
+def test_shard_shuffle_salt_redeals(spark):
+    from feathr_spark.operators.sampling import shard_shuffle
+    df = spark.createDataFrame([(i,) for i in range(100)],
+                               "doc_id bigint")
+    a = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shard_shuffle(df, 4).collect()}
+    b = {r["doc_id"]: (r["shard"], r["pos"])
+         for r in shard_shuffle(df, 4, salt="epoch1").collect()}
+    assert a != b

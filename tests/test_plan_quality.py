@@ -878,6 +878,12 @@ EXCHANGE_BUDGET = {
     # word collapse + pair collapse (2 aggregates, partial/final
     # pre-AQE pairs); top-k is TakeOrderedAndProject, no global sort
     "bpe_pair_counts": 4,
+    # one corpus-sized per-source aggregate; the plan algebra is
+    # scalar projection on the groups-sized frame
+    "token_budget_plan": 2,
+    # ONE keyed window shuffle on the shard (never a global
+    # row_number) + its pre-AQE partial
+    "shard_export": 2,
 }
 
 

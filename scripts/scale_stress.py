@@ -369,7 +369,10 @@ def main():
             print(f"x{s} {q:24s} {best:7.2f}s", flush=True)
 
     report(results, scales)
-    report(stress_iterative(spark, scales), scales)
+    if not only:
+        # --queries= runs are targeted; don't append the ~5-min graph
+        # sweep to every spot measurement
+        report(stress_iterative(spark, scales), scales)
 
 
 if __name__ == "__main__":

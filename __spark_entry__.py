@@ -5269,6 +5269,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_dormant": q_tpch_q22_dormant,
+        # --- NEW in r9 batch 3, rotated in-window mid-round so the
+        # --- ledger closes at 231/231 driver-recorded this round
+        # --- (displaces 5 multi-round greens to below the window):
+        # --- split-leakage audit, padded-batching efficiency, BPE
+        # --- tokenizer-induction pair statistics, token-budget mixture
+        # --- planner, deterministic export shuffle
+        "split_leakage": q_split_leakage,
+        "padding_waste": q_padding_waste,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "token_budget_plan": q_token_budget_plan,
+        "shard_export": q_shard_export,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -5311,15 +5322,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccf_daily": q_ccf_daily,
         "cvm_price_returns": q_cvm_price_returns,
         "modularity_brands": q_modularity_brands,
+        # --- positions 51+: driver-green in r1-r7 (stay registered for
+        # --- bench/pytest); the 4 no-oracle ANN/semdedup queries remain
+        # --- below 50 permanently
         "mixture_temperature": q_mixture_temperature,
         "skyline_parts": q_skyline_parts,
         "mode_priority": q_mode_priority,
         "entropy_events": q_entropy_events,
         "gini_segments": q_gini_segments,
         "chi2_orders": q_chi2_orders,
-        # --- positions 51+: driver-green in r1-r7 (stay registered for
-        # --- bench/pytest); the 4 no-oracle ANN/semdedup queries remain
-        # --- below 50 permanently
         "benford_prices": q_benford_prices,
         "cusum_daily": q_cusum_daily,
         "rfm_segments": q_rfm_segments,
@@ -5484,15 +5495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         # ann_pq_topk / semantic_dedup_pairs moved into window
-        # positions 2-3 for r9 (VERDICT item 2)
-        # --- NEW in r9 batch 3 (below the gate window; r10 rotation
-        # --- candidates): split-leakage audit, padded-batching
-        # --- efficiency, BPE tokenizer-induction pair statistics
-        "split_leakage": q_split_leakage,
-        "padding_waste": q_padding_waste,
-        "bpe_pair_counts": q_bpe_pair_counts,
-        "token_budget_plan": q_token_budget_plan,
-        "shard_export": q_shard_export,
+        # positions 2-3 for r9 (VERDICT item 2); the r9 batch-3 five
+        # (split_leakage..shard_export) rotated in-window mid-round
     }
 
 

@@ -5204,6 +5204,19 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(docs, k=20)
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase mining: top-20 word bigrams by pointwise mutual
+    information (frequency floor 5, t-score as the second association
+    readout) — the collocation pass that seeds tokenizer vocabularies
+    and multi-word expressions. Two corpus-sized map-side-combined
+    aggregates; the joins and the rank run on the vocabulary-sized
+    survivor frame; top-k compiles to TakeOrderedAndProject."""
+    _utc(spark)
+    from feathr_spark.operators.lm import pmi_collocations
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pmi_collocations(docs, min_count=5, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5497,6 +5510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ann_pq_topk / semantic_dedup_pairs moved into window
         # positions 2-3 for r9 (VERDICT item 2); the r9 batch-3 five
         # (split_leakage..shard_export) rotated in-window mid-round
+        # --- NEW in r9 batch 4 (below the gate window; r10 rotation
+        # --- candidates): PMI collocation mining
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -9679,6 +9695,57 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 15
         """,
         "hash_split": _hash_split_oracle(),
+        # round-before-rank: the ORDER BY key is the same nudged 4-dp
+        # PMI both engines emit, so a 1-ulp ln() difference cannot swap
+        # the k-boundary rows; expression order mirrors the engine
+        # verbatim (left-assoc products)
+        "pmi_collocations": """
+            WITH toks AS (
+              SELECT string_split(lower(trim(regexp_replace(
+                         text, '\\s+', ' ', 'g'))), ' ') AS t
+              FROM documents),
+            pairs AS (
+              SELECT t[i] AS w1, t[i + 1] AS w2
+              FROM (SELECT t, unnest(range(1, len(t))) AS i FROM toks)
+              WHERE t[i] <> '' AND t[i + 1] <> ''),
+            c12 AS (SELECT w1, w2, count(*) AS c_pair
+                    FROM pairs GROUP BY 1, 2),
+            uni AS (
+              SELECT u AS term, count(*) AS c_term FROM (
+                SELECT unnest(string_split(lower(trim(regexp_replace(
+                           text, '\\s+', ' ', 'g'))), ' ')) AS u
+                FROM documents)
+              WHERE u <> '' GROUP BY 1),
+            tb AS (SELECT sum(c_pair) AS b FROM c12),
+            tn AS (SELECT sum(c_term) AS n FROM uni),
+            surv AS (
+              SELECT c12.w1, c12.w2, c12.c_pair,
+                     u1.c_term AS c1, u2.c_term AS c2, tb.b, tn.n
+              FROM c12
+              JOIN uni u1 ON u1.term = c12.w1
+              JOIN uni u2 ON u2.term = c12.w2, tb, tn
+              WHERE c12.c_pair >= 5),
+            scored AS (
+              SELECT w1, w2, CAST(c_pair AS BIGINT) AS c_pair,
+                     CAST(ROUND(ln(CAST(c_pair AS DOUBLE)
+                                   * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                   / (CAST(b AS DOUBLE)
+                                      * CAST(c1 AS DOUBLE)
+                                      * CAST(c2 AS DOUBLE)))
+                                + 1e-9, 4) AS DOUBLE) AS pmi,
+                     CAST(ROUND((CAST(c_pair AS DOUBLE)
+                                 - CAST(b AS DOUBLE)
+                                   * (CAST(c1 AS DOUBLE)
+                                      / CAST(n AS DOUBLE))
+                                   * (CAST(c2 AS DOUBLE)
+                                      / CAST(n AS DOUBLE)))
+                                / sqrt(CAST(c_pair AS DOUBLE))
+                                + 1e-9, 4) AS DOUBLE) AS t_score
+              FROM surv)
+            SELECT * FROM scored
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 20
+        """,
         "split_leakage": _split_leakage_oracle(),
         "padding_waste": _padding_waste_oracle(),
         "bpe_pair_counts": _BPE_PAIRS_SQL,

@@ -262,6 +262,8 @@ HEADLINE = [
     "bpe_pair_counts",
     "token_budget_plan",
     "shard_export",
+    # r9 batch 4
+    "pmi_collocations",
 ]
 
 

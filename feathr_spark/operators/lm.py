@@ -358,3 +358,83 @@ def dsir_logratio(
     return out.select(F.col(id_col), "n_tokens", "logprob_raw",
                       "logprob_target",
                       ratio.cast("double").alias("logratio"))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 20,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Top-``k`` collocations (statistically bound word bigrams) by
+    pointwise mutual information, with the t-score as a second
+    association readout — the phrase-mining pass that seeds tokenizer
+    vocabularies and multi-word expressions (Church & Hanks 1990's PMI;
+    Manning & Schütze ch. 5's t-test formulation).
+
+        pmi(w1, w2) = ln( p(w1 w2) / (p(w1) p(w2)) )
+                    = ln( c12 · N · N / (B · c1 · c2) )
+        t(w1, w2)   = (c12 − B·p(w1)·p(w2)) / sqrt(c12)
+
+    with ``c12`` the bigram count over ``B`` total transitions and
+    ``c1``/``c2`` unigram counts over ``N`` total tokens (the
+    :func:`bigram_lm` tokenization: whitespace tokens of lowercased
+    whitespace-normalized text, pairs zipped across the whole document).
+    ``min_count`` drops the unstable low-frequency tail BEFORE the
+    unigram joins (PMI is notoriously maximized by hapax pairs; the
+    frequency floor is the standard guard).
+
+    Plan shape: one corpus-sized transition aggregate + one corpus-sized
+    unigram aggregate (both map-side combined, bigram-/vocabulary-type-
+    sized after), two vocabulary-keyed joins on the *filtered* bigram
+    table (AQE picks broadcast when the survivor set is small), totals
+    as single-row broadcast aggregates, and the final top-k compiles to
+    TakeOrderedAndProject — no global sort, no driver vocabulary.
+
+    Ranking is round-before-rank on the nudged 4-dp PMI with (w1, w2)
+    tie-breaks, so the cut is reproducible cross-engine (a raw-double
+    rank key would let a 1-ulp ``ln`` difference swap the boundary
+    rows). Output: (w1, w2, c_pair, pmi, t_score), pmi-descending.
+    """
+    toks = df.select(_norm_tokens(F.col(text_col)).alias("__t"))
+    n1 = F.greatest(F.size("__t") - 1, F.lit(0))
+    pairs = (toks.select(F.explode(F.arrays_zip(
+        F.slice(F.col("__t"), 1, n1).alias("w1"),
+        F.slice(F.col("__t"), 2, n1).alias("w2"))).alias("__p"))
+        .select("__p.w1", "__p.w2")
+        .where((F.col("w1") != "") & (F.col("w2") != "")))
+    c12 = (pairs.groupBy("w1", "w2")
+           .agg(F.count("*").cast("bigint").alias("c_pair")))
+    uni = (df.select(F.explode(_norm_tokens(F.col(text_col)))
+                     .alias("term"))
+           .where(F.col("term") != "")
+           .groupBy("term")
+           .agg(F.count("*").cast("bigint").alias("c_term")))
+    # single-row totals, broadcast onto the survivor frame (transition
+    # total B re-aggregates the bigram table, never the corpus)
+    tot_b = c12.agg(F.sum("c_pair").cast("bigint").alias("__B"))
+    tot_n = uni.agg(F.sum("c_term").cast("bigint").alias("__N"))
+    surv = (c12.where(F.col("c_pair") >= int(min_count))
+            .join(uni.select(F.col("term").alias("w1"),
+                             F.col("c_term").alias("__c1")), "w1")
+            .join(uni.select(F.col("term").alias("w2"),
+                             F.col("c_term").alias("__c2")), "w2")
+            .crossJoin(F.broadcast(tot_b))
+            .crossJoin(F.broadcast(tot_n)))
+    # expression order mirrored verbatim in the oracle SQL: identical
+    # parse trees give identical doubles (left-assoc products), and the
+    # nudged 4-dp round absorbs the residual 1-ulp libm-ln class
+    c12d = F.col("c_pair").cast("double")
+    c1d, c2d = F.col("__c1").cast("double"), F.col("__c2").cast("double")
+    bd, nd = F.col("__B").cast("double"), F.col("__N").cast("double")
+    pmi = F.log(c12d * nd * nd / (bd * c1d * c2d))
+    t = (c12d - bd * (c1d / nd) * (c2d / nd)) / F.sqrt(c12d)
+    pmi_r = _nudged_round(pmi, round_dp).cast("double")
+    return (surv.select("w1", "w2", F.col("c_pair"),
+                        pmi_r.alias("pmi"),
+                        _nudged_round(t, round_dp).cast("double")
+                        .alias("t_score"))
+            .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
+                     F.col("w2").asc())
+            .limit(int(k)))

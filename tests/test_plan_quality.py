@@ -884,6 +884,12 @@ EXCHANGE_BUDGET = {
     # ONE keyed window shuffle on the shard (never a global
     # row_number) + its pre-AQE partial
     "shard_export": 2,
+    # bigram agg ×2 (survivors + transition total) + unigram agg ×3
+    # (w1 join, w2 join, token total) + 2 single-row totals; the
+    # identical bigram/unigram branches dedupe to ReusedExchange at
+    # runtime, leaving 1 bigram + 1 unigram corpus-sized shuffle;
+    # top-k is TakeOrderedAndProject, no global sort
+    "pmi_collocations": 7,
 }
 
 

@@ -5217,6 +5217,20 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(docs, min_count=5, k=20)
 
 
+def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality readout: simplified (centroid-based) silhouette
+    per embedding label — O(n·k), integer-exact distances (quantized
+    components, Σ(q·n − s)² in DECIMAL, one IEEE sqrt), one bounded
+    k×d centroid collect + one zero-shuffle scoring scan + a k-row
+    aggregate."""
+    _utc(spark)
+    from feathr_spark.operators.clustering import silhouette_labels
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = silhouette_labels(emb, "embedding", "label")
+    return out.select(F.col("label").cast("bigint").alias("label"),
+                      "n_vecs", "mean_sil")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5511,8 +5525,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # positions 2-3 for r9 (VERDICT item 2); the r9 batch-3 five
         # (split_leakage..shard_export) rotated in-window mid-round
         # --- NEW in r9 batch 4 (below the gate window; r10 rotation
-        # --- candidates): PMI collocation mining
+        # --- candidates): PMI collocation mining, simplified silhouette
         "pmi_collocations": q_pmi_collocations,
+        "silhouette_embeddings": q_silhouette_embeddings,
     }
 
 
@@ -9745,6 +9760,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM scored
             ORDER BY pmi DESC, w1 ASC, w2 ASC
             LIMIT 20
+        """,
+        # integer-exact mirror of silhouette_labels: same quantization,
+        # same Σ(q·n − s)² in exact integers (HUGEINT here, DECIMAL(38)
+        # engine-side), same sqrt/scale arithmetic, same micro-unit mean
+        "silhouette_embeddings": """
+            WITH e AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) AS p,
+                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
+                                * 10000, 0) AS BIGINT) AS q
+              FROM embeddings
+              WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            cent AS (
+              SELECT label AS lab, p, CAST(sum(q) AS HUGEINT) AS s,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM e GROUP BY 1, 2),
+            dd AS (
+              SELECT e.vec_id, e.label, c.lab,
+                     sqrt(CAST(sum((CAST(e.q AS HUGEINT) * c.n - c.s)
+                                   * (CAST(e.q AS HUGEINT) * c.n - c.s))
+                               AS DOUBLE))
+                       / (10000.0 * CAST(max(c.n) AS DOUBLE)) AS dist
+              FROM e JOIN cent c ON e.p = c.p
+              GROUP BY 1, 2, 3),
+            ab AS (
+              SELECT vec_id, label,
+                     max(CASE WHEN lab = label THEN dist END) AS a,
+                     min(CASE WHEN lab <> label THEN dist END) AS b
+              FROM dd GROUP BY 1, 2),
+            sil AS (
+              SELECT label,
+                     CASE WHEN greatest(a, b) > 0
+                          THEN (b - a) / greatest(a, b)
+                          ELSE 0.0 END AS s
+              FROM ab),
+            m AS (
+              SELECT label, count(*) AS n_vecs,
+                     sum(CAST(ROUND(s * 1000000.0, 0) AS BIGINT)) AS sm
+              FROM sil GROUP BY 1)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(n_vecs AS BIGINT) AS n_vecs,
+                   CAST(ROUND(sm / 1000000.0 / n_vecs + 1e-9, 4)
+                        AS DOUBLE) AS mean_sil
+            FROM m
         """,
         "split_leakage": _split_leakage_oracle(),
         "padding_waste": _padding_waste_oracle(),

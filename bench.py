@@ -264,6 +264,7 @@ HEADLINE = [
     "shard_export",
     # r9 batch 4
     "pmi_collocations",
+    "silhouette_embeddings",
 ]
 
 

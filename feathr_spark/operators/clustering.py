@@ -228,3 +228,93 @@ def semantic_dedup_pairs(
            .dropDuplicates(["id_a", "id_b"]))
     vecs.unpersist()
     return out
+
+
+def silhouette_labels(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    quantize_dp: int = 4,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster label — the
+    cluster-quality readout for SemDeDup/IVF partitions (Hruschka et
+    al.'s simplified silhouette: a(i) = distance to OWN centroid,
+    b(i) = distance to the nearest OTHER centroid, s = (b−a)/max(a,b);
+    O(n·k) instead of the classic O(n²) pairwise form — the only
+    variant that survives a 100 TB corpus).
+
+    Exactness contract (cross-engine bit-stable): vector components
+    quantize to ``quantize_dp``-dp integers q; the per-(row, label)
+    squared distance to the centroid s̄/n is computed WITHOUT the
+    division as the exact integer Σ_p (q_p·n − s_p)² in DECIMAL(38,0)
+    (no float sum, no order dependence), and only then cast to double
+    for one IEEE sqrt and the scale division — identical inputs give
+    identical doubles on any engine and any partitioning. Per-label
+    means aggregate s quantized to integer micro-units (the lm.py
+    micro-nat convention). Integer headroom: |q·n| ≤ 10^(dp+1)·n_label
+    must stay under ~10^19 squared — at dp=4 that holds to ~10^12 rows
+    per label; shrink ``quantize_dp`` for bigger clusters.
+
+    Plan: ONE k×d-bounded centroid aggregate (map-side combined,
+    collected — the documented bounded driver action, same as the
+    k-means loop), then one ZERO-SHUFFLE scan scoring every row against
+    all k centroid literals JVM-side, and a k-row final aggregate.
+    Rows with NULL vector or NULL label are dropped. Singleton-cluster
+    rows score a = 0 (the simplified-variant convention). Output:
+    (label, n_vecs, mean_sil), one row per label.
+    """
+    scale = 10 ** quantize_dp
+    lab = F.col(label_col)
+    base = (df.where(F.col(vec_col).isNotNull() & lab.isNotNull())
+            .select(lab.alias("__lab"),
+                    F.transform(
+                        F.col(vec_col),
+                        lambda x: F.round(x.cast("double") * scale, 0)
+                        .cast("bigint")).alias("__q")))
+    ex = base.select("__lab", F.posexplode("__q").alias("__p", "__x"))
+    cent = (ex.groupBy("__lab", "__p")
+            .agg(F.sum("__x").alias("__s"), F.count("*").alias("__n"))
+            .collect())                      # k×d rows, bounded
+    sums: dict = {}
+    ns: dict = {}
+    for r in cent:
+        sums.setdefault(r["__lab"], {})[r["__p"]] = int(r["__s"])
+        ns[r["__lab"]] = int(r["__n"])
+    labels = sorted(sums)
+    if len(labels) < 2:
+        raise ValueError("silhouette_labels: need >= 2 labels "
+                         f"(got {len(labels)})")
+    dim = max(len(v) for v in sums.values())
+    glab = F.col("__lab")
+    dists = {}
+    for lv in labels:
+        n_l = ns[lv]
+        arr = F.array(*[F.lit(sums[lv].get(p, 0)).cast("decimal(28,0)")
+                        for p in range(dim)])
+        diff = F.zip_with(
+            "__q", arr,
+            lambda x, y: x.cast("decimal(12,0)")
+            * F.lit(n_l).cast("decimal(15,0)") - y)
+        d2 = F.aggregate(diff, F.lit(0).cast("decimal(38,0)"),
+                         lambda acc, x: acc + x * x)
+        dists[lv] = F.sqrt(d2.cast("double")) / F.lit(float(scale) * n_l)
+    a = None
+    for lv in labels:
+        cond = glab == F.lit(lv)
+        a = F.when(cond, dists[lv]) if a is None else \
+            a.when(cond, dists[lv])
+    b_cols = [F.when(glab != F.lit(lv), dists[lv]) for lv in labels]
+    b = b_cols[0] if len(b_cols) == 1 else F.least(*b_cols)
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    micro = F.round(s * F.lit(1_000_000.0), 0).cast("bigint")
+    from .lm import _nudged_round
+    out = (base.select(glab.alias("label"), micro.alias("__m"))
+           .groupBy("label")
+           .agg(F.count("*").cast("bigint").alias("n_vecs"),
+                F.sum("__m").alias("__sm")))
+    mean = _nudged_round(
+        F.col("__sm") / F.lit(1_000_000.0) / F.col("n_vecs"), round_dp)
+    return out.select("label", "n_vecs",
+                      mean.cast("double").alias("mean_sil"))

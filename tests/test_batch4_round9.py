@@ -66,3 +66,71 @@ def test_pmi_empty_and_null_text_rows_are_ignored(spark):
         "doc_id bigint, text string")
     out = pmi_collocations(df, min_count=2, k=10).collect()
     assert {(r["w1"], r["w2"]) for r in out} == {("x", "y"), ("y", "x")}
+
+
+# ----------------------------------------------------------- silhouette
+
+from feathr_spark.operators.clustering import silhouette_labels
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_silhouette_tight_far_clusters_near_one(spark):
+    rows = [(1, [0.0, 0.0], 0), (2, [0.1, 0.0], 0),
+            (3, [10.0, 10.0], 1), (4, [10.1, 10.0], 1)]
+    out = {r["label"]: r for r in silhouette_labels(_emb(spark, rows)).collect()}
+    # a = 0.05 (half the intra gap), b = dist to far centroid ~ 14.18
+    import math
+    own = 0.05
+    other = math.hypot(10.05, 10.0)
+    want = round((other - own) / other, 4)
+    for lab in (0, 1):
+        assert out[lab]["n_vecs"] == 2
+        assert abs(out[lab]["mean_sil"] - want) < 2e-4
+
+
+def test_silhouette_interleaved_labels_near_zero_or_negative(spark):
+    # identical distributions for both labels -> centroids coincide,
+    # a ~= b -> s ~= 0
+    rows = [(i, [float(i % 7), float((i * 3) % 5)], i % 2)
+            for i in range(40)]
+    out = silhouette_labels(_emb(spark, rows)).collect()
+    assert all(abs(r["mean_sil"]) < 0.3 for r in out)
+
+
+def test_silhouette_matches_numpy_reference(spark):
+    import numpy as np
+    rng = [(i, [((i * 37) % 11) / 3.0, ((i * 53) % 13) / 4.0,
+                ((i * 29) % 7) / 2.0], (i * 31) % 3) for i in range(60)]
+    out = {r["label"]: r["mean_sil"]
+           for r in silhouette_labels(_emb(spark, rng)).collect()}
+    X = np.array([r[1] for r in rng])
+    lab = np.array([r[2] for r in rng])
+    cents = {l: X[lab == l].mean(axis=0) for l in set(lab)}
+    sils = {l: [] for l in set(lab)}
+    for x, l in zip(X, lab):
+        a = np.linalg.norm(x - cents[l])
+        b = min(np.linalg.norm(x - cents[o]) for o in cents if o != l)
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        sils[l].append(s)
+    for l, vals in sils.items():
+        # quantized engine arithmetic vs float64 numpy: loose tolerance
+        assert abs(out[l] - float(np.mean(vals))) < 5e-3
+
+
+def test_silhouette_is_partitioning_invariant(spark):
+    rows = [(i, [float((i * 13) % 17), float((i * 7) % 19)], i % 4)
+            for i in range(80)]
+    a = sorted(map(tuple, silhouette_labels(_emb(spark, rows)).collect()))
+    b = sorted(map(tuple, silhouette_labels(
+        _emb(spark, rows).repartition(13)).collect()))
+    assert a == b
+
+
+def test_silhouette_requires_two_labels(spark):
+    rows = [(1, [0.0, 1.0], 0), (2, [1.0, 0.0], 0)]
+    with pytest.raises(ValueError, match="need >= 2 labels"):
+        silhouette_labels(_emb(spark, rows))

@@ -890,6 +890,10 @@ EXCHANGE_BUDGET = {
     # runtime, leaving 1 bigram + 1 unigram corpus-sized shuffle;
     # top-k is TakeOrderedAndProject, no global sort
     "pmi_collocations": 7,
+    # the returned plan is ONE k-row label aggregate; the centroid
+    # pass is a separate eager bounded job (k×d collect, the k-means
+    # precedent) and the scoring scan is zero-shuffle
+    "silhouette_embeddings": 1,
 }
 
 

@@ -5231,6 +5231,19 @@ def q_silhouette_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_vecs", "mean_sil")
 
 
+def q_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval contamination: cosine-near-dup pairs (≥ 0.45,
+    cost-based exact/LSH routing like embedding_cosine_pairs) straddling
+    an 80/20 md5 hash split — split labels recomputed per pair side as
+    a pure id expression, zero joins added to the pair scan."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import cross_split_cosine_leakage
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cross_split_cosine_leakage(
+        emb, {"train": 0.8, "test": 0.2}, "embedding", "vec_id",
+        threshold=0.45, planes=4, n_tables=24)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5528,6 +5541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- candidates): PMI collocation mining, simplified silhouette
         "pmi_collocations": q_pmi_collocations,
         "silhouette_embeddings": q_silhouette_embeddings,
+        "embedding_leakage": q_embedding_leakage,
     }
 
 
@@ -5721,6 +5735,34 @@ def _hash_split_oracle() -> str:
         SELECT doc_id, {case} AS split
         FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS __sk
               FROM documents)
+    """
+
+
+def _embedding_leakage_oracle() -> str:
+    """Mirror of q_embedding_leakage: the exact all-pairs cosine SQL
+    (the _EMB_PAIRS_SQL shape) + the identical md5 split thresholds
+    (shared helper), pairs oriented held-out-side-first."""
+    from feathr_spark.operators.sampling import split_thresholds_sql
+    case = split_thresholds_sql({"train": 0.8, "test": 0.2})
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) AS __sk
+          FROM embeddings),
+        s AS (SELECT vec_id, v, {case} AS split FROM e),
+        p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.split AS sp_a, b.split AS sp_b,
+                 CAST(ROUND(list_cosine_similarity(a.v, b.v), 4)
+                      AS DOUBLE) AS cosine
+          FROM s a JOIN s b ON a.vec_id < b.vec_id
+          WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+            AND (a.split = 'train') <> (b.split = 'train'))
+        SELECT CASE WHEN sp_a = 'train' THEN id_b ELSE id_a END AS held_id,
+               CASE WHEN sp_a = 'train' THEN id_a ELSE id_b END AS train_id,
+               CASE WHEN sp_a = 'train' THEN sp_b ELSE sp_a END AS split,
+               cosine
+        FROM p
     """
 
 
@@ -9805,6 +9847,7 @@ def oracle_sql() -> dict[str, str]:
                         AS DOUBLE) AS mean_sil
             FROM m
         """,
+        "embedding_leakage": _embedding_leakage_oracle(),
         "split_leakage": _split_leakage_oracle(),
         "padding_waste": _padding_waste_oracle(),
         "bpe_pair_counts": _BPE_PAIRS_SQL,

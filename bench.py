@@ -265,6 +265,7 @@ HEADLINE = [
     # r9 batch 4
     "pmi_collocations",
     "silhouette_embeddings",
+    "embedding_leakage",
 ]
 
 

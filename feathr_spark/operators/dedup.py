@@ -932,3 +932,53 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
                         F.col("label").alias("component_id"))
     edges.unpersist()
     return out
+
+
+def cross_split_cosine_leakage(
+    df: DataFrame,
+    fractions,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    train_split: str = "train",
+    salt: str = "",
+    planes: int = 16,
+    n_tables: int = 1,
+    strategy: str = "auto",
+) -> DataFrame:
+    """Semantic eval-set contamination: near-duplicate embedding pairs
+    (cosine ≥ ``threshold``) that STRADDLE the train/held-out boundary
+    of a deterministic :func:`~feathr_spark.operators.sampling.hash_split`
+    — the embedding-level companion of the fingerprint-level
+    ``split_leakage`` audit (exact-dup leaks are the easy case; a
+    held-out document whose near-paraphrase sits in train leaks just as
+    surely, and only the embedding space sees it).
+
+    Plan shape: pair generation is :func:`embedding_cosine_pairs`
+    unchanged (cost-based exact/LSH routing, id-only band shuffles);
+    the split labels are then RECOMPUTED per pair side as a pure md5
+    expression of the id (:func:`~feathr_spark.operators.sampling
+    .split_expr` — the identical thresholds hash_split assigns), so the
+    audit adds ZERO joins and zero shuffles on top of the pair scan at
+    any corpus size. Output: one row per leaking pair —
+    (held_id, train_id, split, cosine), where ``split`` is the held-out
+    side's label.
+    """
+    from .sampling import split_expr
+    if train_split not in fractions:
+        raise ValueError(f"cross_split_cosine_leakage: train_split "
+                         f"{train_split!r} not in fractions")
+    pairs = embedding_cosine_pairs(df, vec_col, id_col, threshold,
+                                   planes, n_tables, strategy)
+    sp_a = split_expr(F.col("id_a"), fractions, salt)
+    sp_b = split_expr(F.col("id_b"), fractions, salt)
+    j = pairs.select("id_a", "id_b", "cosine",
+                     sp_a.alias("__sp_a"), sp_b.alias("__sp_b"))
+    a_train = F.col("__sp_a") == train_split
+    b_train = F.col("__sp_b") == train_split
+    cross = j.where(a_train != b_train)
+    held = F.when(a_train, F.col("id_b")).otherwise(F.col("id_a"))
+    train = F.when(a_train, F.col("id_a")).otherwise(F.col("id_b"))
+    split = F.when(a_train, F.col("__sp_b")).otherwise(F.col("__sp_a"))
+    return cross.select(held.alias("held_id"), train.alias("train_id"),
+                        split.alias("split"), "cosine")

@@ -36,15 +36,15 @@ def quota_sample(df: DataFrame, group_col: str, cap: int,
             .drop("__rk"))
 
 
-def hash_split(df: DataFrame, fractions: Dict[str, float],
-               id_col: str = "doc_id", salt: str = "") -> DataFrame:
-    """Assign a stable ``split`` label (train/val/test...) per row from the
-    first 4 md5 hex chars (65536 buckets): fractions map to cumulative
-    hex thresholds, compared as strings. Zero shuffles, stable under
-    re-partitioning, resampling-free on incremental data."""
+def split_expr(id_col: Column, fractions: Dict[str, float],
+               salt: str = "") -> Column:
+    """The :func:`hash_split` assignment as a pure COLUMN expression —
+    split is a function of the id alone, so any operator can recompute
+    it in place (e.g. on a pair frame's two id columns) instead of
+    joining a split table: zero extra shuffle at any scale."""
     total = sum(fractions.values())
     assert abs(total - 1.0) < 1e-9, f"fractions must sum to 1, got {total}"
-    key = F.substring(sample_key(F.col(id_col), salt), 1, 4)
+    key = F.substring(sample_key(id_col, salt), 1, 4)
     expr = None
     cum = 0.0
     items = list(fractions.items())
@@ -54,8 +54,17 @@ def hash_split(df: DataFrame, fractions: Dict[str, float],
         cond = key < F.lit(thr)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
-    expr = F.lit(last) if expr is None else expr.otherwise(last)
-    return df.withColumn("split", expr)
+    return F.lit(last) if expr is None else expr.otherwise(last)
+
+
+def hash_split(df: DataFrame, fractions: Dict[str, float],
+               id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Assign a stable ``split`` label (train/val/test...) per row from the
+    first 4 md5 hex chars (65536 buckets): fractions map to cumulative
+    hex thresholds, compared as strings. Zero shuffles, stable under
+    re-partitioning, resampling-free on incremental data."""
+    return df.withColumn("split",
+                         split_expr(F.col(id_col), fractions, salt))
 
 
 def split_thresholds_sql(fractions: Dict[str, float]) -> str:

@@ -134,3 +134,53 @@ def test_silhouette_requires_two_labels(spark):
     rows = [(1, [0.0, 1.0], 0), (2, [1.0, 0.0], 0)]
     with pytest.raises(ValueError, match="need >= 2 labels"):
         silhouette_labels(_emb(spark, rows))
+
+
+# ------------------------------------------------------ embedding leakage
+
+from feathr_spark.operators.dedup import cross_split_cosine_leakage
+from feathr_spark.operators.sampling import hash_split, split_expr
+
+
+def test_cross_split_leakage_finds_planted_near_dup(spark):
+    # plant near-identical vectors under many ids; whichever pair
+    # straddles the split must surface with cosine ~ 1
+    base = [0.6, 0.8, 0.0]
+    rows = [(i, [x + 0.001 * i for x in base], 0) for i in range(12)]
+    # orthogonal distractors
+    rows += [(100 + i, [0.0, 0.0, 1.0 + 0.01 * i], 0) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+    fr = {"train": 0.5, "test": 0.5}
+    out = cross_split_cosine_leakage(df, fr, threshold=0.99,
+                                     strategy="exact").collect()
+    splits = {r["vec_id"]: r["split"]
+              for r in hash_split(df, fr, id_col="vec_id").collect()}
+    # every returned row straddles and is oriented held-first
+    for r in out:
+        assert splits[r["train_id"]] == "train"
+        assert splits[r["held_id"]] == "test"
+        assert r["split"] == "test"
+        assert r["cosine"] >= 0.99
+    # the planted near-dup family must leak unless the split put the
+    # whole family on one side
+    fam = [i for i in range(12)]
+    has_straddle = len({splits[i] for i in fam}) == 2
+    fam_rows = [r for r in out if r["train_id"] < 100]
+    assert has_straddle == (len(fam_rows) > 0)
+
+
+def test_split_expr_matches_hash_split(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i,) for i in range(200)], "id bigint")
+    fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+    a = hash_split(df, fr, id_col="id").select("id", "split")
+    b = df.select("id", split_expr(F.col("id"), fr).alias("split"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_cross_split_leakage_requires_known_train_split(spark):
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="train_split"):
+        cross_split_cosine_leakage(df, {"a": 0.5, "b": 0.5})

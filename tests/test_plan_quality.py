@@ -30,6 +30,8 @@ BROADCAST_LOOP_OK = {
     # collide 79% of all pairs and is strictly slower; see
     # embedding_cosine_pairs docstring)
     "embedding_cosine_pairs",
+    # embeds embedding_cosine_pairs' exact scorer (same cost-based route)
+    "embedding_leakage",
     # single-row corpus-stats frame broadcast onto every doc row
     "bm25_topk",
     "tfidf_terms",
@@ -894,6 +896,9 @@ EXCHANGE_BUDGET = {
     # pass is a separate eager bounded job (k×d collect, the k-means
     # precedent) and the scoring scan is zero-shuffle
     "silhouette_embeddings": 1,
+    # embedding_cosine_pairs' exact-scorer repartition; the split
+    # labels are pure id expressions — no join, no extra shuffle
+    "embedding_leakage": 1,
 }
 
 

@@ -5244,6 +5244,28 @@ def q_embedding_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.45, planes=4, n_tables=24)
 
 
+def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% intervals around the seasonal-naive hourly
+    forecast: slot means fit on the first 80% of the bucket range,
+    per-user half-width = the ⌈(n+1)·0.9⌉-th smallest calibration
+    residual (an order statistic — no interpolated quantile crosses the
+    engine boundary). Same one-raw-shuffle plan family as
+    seasonal_forecast plus one bounded residual window."""
+    _utc(spark)
+    from feathr_spark.operators.forecast import conformal_seasonal
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = conformal_seasonal(events, ["user_id"], "ts", "value",
+                             bucket_s=3600, period_s=86400, horizon=24,
+                             alpha=0.1, train_frac=0.8)
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)  # noqa: E731
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("bucket_start"), F.col("slot"),
+        r4("forecast"), r4("lo"), r4("hi"),
+        F.col("n_cal"), F.col("from_fallback"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5542,6 +5564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "silhouette_embeddings": q_silhouette_embeddings,
         "embedding_leakage": q_embedding_leakage,
+        "forecast_conformal": q_forecast_conformal,
     }
 
 
@@ -9846,6 +9869,72 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(sm / 1000000.0 / n_vecs + 1e-9, 4)
                         AS DOUBLE) AS mean_sil
             FROM m
+        """,
+        # split-conformal mirror: same bucket/cutoff/slot-mean algebra as
+        # the seasonal_forecast oracle; the half-width is the
+        # ceil((n+1)(1-alpha))-th ORDER STATISTIC of the calibration
+        # residuals — no interpolated quantile crosses the engine boundary
+        "forecast_conformal": """
+            WITH base AS (
+              SELECT user_id,
+                     CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS b,
+                     CAST(value AS DECIMAL(18,6)) AS v
+              FROM events),
+            pb AS (SELECT user_id, b, sum(v) AS s, count(v) AS n
+                   FROM base GROUP BY 1, 2),
+            bounds AS (SELECT min(b) AS minb, max(b) AS maxb FROM pb),
+            pbc AS (SELECT pb.*,
+                           CAST(bounds.minb
+                                + floor(0.8 * (bounds.maxb - bounds.minb))
+                                AS BIGINT) AS cut,
+                           bounds.maxb
+                    FROM pb, bounds),
+            ks AS (SELECT user_id, b % 24 AS slot,
+                          CAST(sum(s) AS DOUBLE) / sum(n) AS km
+                   FROM pbc WHERE b <= cut GROUP BY 1, 2),
+            gs AS (SELECT b % 24 AS slot,
+                          CAST(sum(s) AS DOUBLE) / sum(n) AS gm
+                   FROM pbc WHERE b <= cut GROUP BY 1),
+            resid AS (
+              SELECT p.user_id,
+                     abs(CAST(p.s AS DOUBLE) / p.n
+                         - coalesce(ks.km, gs.gm)) AS r
+              FROM pbc p
+              LEFT JOIN ks ON ks.user_id = p.user_id
+                          AND ks.slot = p.b % 24
+              LEFT JOIN gs ON gs.slot = p.b % 24
+              WHERE p.b > p.cut
+                AND coalesce(ks.km, gs.gm) IS NOT NULL),
+            ranked AS (
+              SELECT user_id, r,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY r ASC) AS rn,
+                     count(*) OVER (PARTITION BY user_id) AS nc
+              FROM resid),
+            qf AS (SELECT user_id, CAST(nc AS BIGINT) AS n_cal, r AS q
+                   FROM ranked
+                   WHERE rn = least(CAST(ceil((nc + 1) * 0.9) AS BIGINT),
+                                    nc)),
+            grid AS (
+              SELECT qf.user_id, qf.n_cal, qf.q,
+                     unnest(generate_series(bounds.maxb + 1,
+                                            bounds.maxb + 24)) AS fb
+              FROM qf, bounds)
+            SELECT CAST(g.user_id AS BIGINT) AS user_id,
+                   epoch_ms(g.fb * 3600000) AS bucket_start,
+                   CAST(g.fb % 24 AS BIGINT) AS slot,
+                   CAST(ROUND(coalesce(ks.km, gs.gm) + 1e-9, 4)
+                        AS DOUBLE) AS forecast,
+                   CAST(ROUND(coalesce(ks.km, gs.gm) - g.q + 1e-9, 4)
+                        AS DOUBLE) AS lo,
+                   CAST(ROUND(coalesce(ks.km, gs.gm) + g.q + 1e-9, 4)
+                        AS DOUBLE) AS hi,
+                   g.n_cal,
+                   ks.km IS NULL AS from_fallback
+            FROM grid g
+            LEFT JOIN ks ON ks.user_id = g.user_id
+                        AND ks.slot = g.fb % 24
+            LEFT JOIN gs ON gs.slot = g.fb % 24
         """,
         "embedding_leakage": _embedding_leakage_oracle(),
         "split_leakage": _split_leakage_oracle(),

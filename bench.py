@@ -266,6 +266,7 @@ HEADLINE = [
     "pmi_collocations",
     "silhouette_embeddings",
     "embedding_leakage",
+    "forecast_conformal",
 ]
 
 

@@ -216,3 +216,122 @@ def seasonal_naive_eval(
                F.col("__ss").cast("double") / nte).cast("double")
         .alias("smape"),
         F.when(scale > 0, mae / scale).cast("double").alias("mase"))
+
+
+def conformal_seasonal(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_s: int = 3600,
+    period_s: int = 86400,
+    horizon: int = 24,
+    alpha: float = 0.1,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Split-conformal prediction intervals around the seasonal-naive
+    forecast (Vovk et al.'s split conformal; Lei et al. 2018's
+    distribution-free form): fit the per-(key, slot) means on the FIRST
+    ``train_frac`` of the global bucket range, score absolute residuals
+    on the held-out calibration tail, and take each key's
+    ``⌈(n+1)(1−α)⌉``-th smallest residual — an ORDER STATISTIC, never an
+    interpolated quantile (interpolation is the one cross-engine
+    percentile hazard; the conformal literature's own definition is the
+    order statistic) — as the half-width of a ``1−α`` coverage interval
+    on exchangeable future buckets.
+
+    Plan shape: the corpus collapses in the same ONE map-side-combined
+    (key, bucket) aggregate as :func:`seasonal_forecast`; the global
+    train/calibration cutoff is a broadcast 1-row min/max frame (no
+    collect); slot-mean frames are group-sized and broadcast back; the
+    per-key residual rank is one window over the bucket-bounded
+    calibration frame. Keys with zero calibration buckets have no
+    conformal evidence and produce no row (the SQL no-evidence answer);
+    a calibration key never seen in train falls back to the global slot
+    mean, exactly like the forecast itself.
+
+    Output: keys + (bucket_start, slot, forecast, lo, hi, n_cal,
+    from_fallback) for the ``horizon`` buckets after the global last
+    bucket, ``lo/hi = forecast ∓ q_key``.
+    """
+    if period_s % bucket_s != 0:
+        raise ValueError("conformal_seasonal: period_s must be a "
+                         "multiple of bucket_s")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("conformal_seasonal: alpha must be in (0, 1)")
+    if not 0.0 < train_frac < 1.0:
+        raise ValueError("conformal_seasonal: train_frac must be in "
+                         "(0, 1)")
+    from pyspark.sql import Window
+    from ._join import broadcast_attach
+    slots = period_s // bucket_s
+    keys = list(key_cols)
+    b = F.floor(F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                / F.lit(int(bucket_s)))
+    base = df.select(*keys, b.alias("__b"),
+                     F.col(value_col).cast("decimal(18,6)").alias("__v"))
+    per_bucket = (base.groupBy(*keys, "__b")
+                  .agg(F.sum("__v").alias("__s"),
+                       F.count("__v").alias("__n")))
+    # the (key, bucket) frame fans out to 5 consumers (bounds, two
+    # slot-mean fits, the calibration scan, the grid) — persist it once
+    # (bucket-count-sized: |keys| × time-range/bucket, never raw rows);
+    # released via the attach_intermediates contract
+    per_bucket = per_bucket.persist()
+    bounds = per_bucket.agg(F.min("__b").alias("__minb"),
+                            F.max("__b").alias("__maxb"))
+    pb = per_bucket.crossJoin(F.broadcast(bounds))
+    cut = (F.col("__minb")
+           + F.floor(F.lit(float(train_frac))
+                     * (F.col("__maxb") - F.col("__minb")))).cast("long")
+    pb = pb.withColumn("__cut", cut)
+    slot_col = F.pmod(F.col("__b"), F.lit(int(slots)))
+    train = pb.where(F.col("__b") <= F.col("__cut"))
+    cal = pb.where(F.col("__b") > F.col("__cut"))
+    key_slot = (train.groupBy(*keys, slot_col.alias("slot"))
+                .agg((F.sum("__s").cast("double") / F.sum("__n"))
+                     .alias("__km")))
+    global_slot = (train.groupBy(slot_col.alias("slot"))
+                   .agg((F.sum("__s").cast("double") / F.sum("__n"))
+                        .alias("__gm")))
+    calj = broadcast_attach(
+        broadcast_attach(cal.withColumn("slot", slot_col),
+                         key_slot, keys + ["slot"], "left"),
+        global_slot, ["slot"], "left")
+    yhat = F.coalesce(F.col("__km"), F.col("__gm"))
+    r = F.abs(F.col("__s").cast("double") / F.col("__n") - yhat)
+    resid = (calj.select(*keys, r.alias("__r"))
+             .where(F.col("__r").isNotNull()))
+    w = Window.partitionBy(*keys)
+    ranked = resid.select(
+        *keys, "__r",
+        F.row_number().over(w.orderBy(F.col("__r").asc())).alias("__rn"),
+        F.count("*").over(w).alias("__nc"))
+    kth = F.least(
+        F.ceil((F.col("__nc") + 1) * F.lit(1.0 - float(alpha))),
+        F.col("__nc"))
+    qf = (ranked.where(F.col("__rn") == kth)
+          .select(*keys, F.col("__nc").cast("bigint").alias("n_cal"),
+                  F.col("__r").alias("__q")))
+    grid = (qf.crossJoin(F.broadcast(bounds))
+            .select(*keys, "n_cal", "__q",
+                    F.explode(F.sequence(
+                        F.col("__maxb") + 1,
+                        F.col("__maxb") + int(horizon))).alias("__fb")))
+    grid = grid.withColumn("slot", F.pmod(F.col("__fb"),
+                                          F.lit(int(slots))))
+    out = broadcast_attach(
+        broadcast_attach(grid, key_slot, keys + ["slot"], "left"),
+        global_slot, ["slot"], "left")
+    fc = F.coalesce(F.col("__km"), F.col("__gm"))
+    from ._cache import attach_intermediates
+    return attach_intermediates(out.select(
+        *keys,
+        F.timestamp_seconds(F.col("__fb") * int(bucket_s))
+        .alias("bucket_start"),
+        F.col("slot").cast("bigint").alias("slot"),
+        fc.alias("forecast"),
+        (fc - F.col("__q")).alias("lo"),
+        (fc + F.col("__q")).alias("hi"),
+        "n_cal",
+        F.col("__km").isNull().alias("from_fallback")), [per_bucket])

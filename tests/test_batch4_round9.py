@@ -184,3 +184,88 @@ def test_cross_split_leakage_requires_known_train_split(spark):
                                "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="train_split"):
         cross_split_cosine_leakage(df, {"a": 0.5, "b": 0.5})
+
+
+# ------------------------------------------------------------- conformal
+
+from datetime import datetime, timedelta
+
+from feathr_spark.operators.forecast import conformal_seasonal
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, value double")
+
+
+def test_conformal_interval_is_order_statistic_of_residuals(spark):
+    # one key, constant signal + one calibration outlier: slot means on
+    # the train prefix are exact, so residuals are 0 except the outlier;
+    # q = ceil((n+1)*0.9)-th smallest residual
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for h in range(100):
+        v = 5.0
+        rows.append((1, t0 + timedelta(hours=h), v))
+    # calibration tail starts at bucket 80 (train_frac 0.8 over 0..99);
+    # plant one outlier in it
+    rows.append((1, t0 + timedelta(hours=90, minutes=10), 25.0))
+    out = conformal_seasonal(_events(spark, rows), ["user_id"], "ts",
+                             "value", alpha=0.1).collect()
+    assert len(out) == 24
+    r = out[0]
+    # cut = floor(0.8*99) = 79 -> cal buckets 80..99: n_cal = 20;
+    # k = min(ceil(21*0.9), 20) = 19 -> q = 0 (only ONE bucket has a
+    # nonzero residual, at rank 20)
+    assert r["n_cal"] == 20
+    assert abs(r["hi"] - r["lo"]) < 1e-9
+    # alpha=0.05 -> k = min(ceil(21*0.95), 20) = 20 -> q = the outlier
+    # bucket's residual: bucket mean (5 + 25)/2 = 15 vs slot mean 5
+    out2 = conformal_seasonal(_events(spark, rows), ["user_id"], "ts",
+                              "value", alpha=0.05).collect()
+    q = (out2[0]["hi"] - out2[0]["lo"]) / 2
+    assert abs(q - 10.0) < 1e-6
+
+
+def test_conformal_covers_future_under_exchangeability(spark):
+    # noisy-but-stationary per-slot signal: the 90% interval must cover
+    # ~>= 80% of a fresh draw from the same deterministic process
+    t0 = datetime(2024, 1, 1)
+    def val(u, h):
+        return float(u + (h % 24) + ((h * 7919) % 13) / 13.0)
+    rows = [(u, t0 + timedelta(hours=h), val(u, h))
+            for u in (1, 2) for h in range(200)]
+    out = conformal_seasonal(_events(spark, rows), ["user_id"], "ts",
+                             "value", alpha=0.1).collect()
+    covered = total = 0
+    for r in out:
+        h = int(r["bucket_start"].timestamp() // 3600
+                - t0.timestamp() // 3600)
+        for u in (1, 2):
+            if r["user_id"] != u:
+                continue
+            total += 1
+            y = val(u, h)
+            covered += int(r["lo"] - 1e-9 <= y <= r["hi"] + 1e-9)
+    assert total == 48
+    assert covered / total >= 0.8
+
+
+def test_conformal_key_without_calibration_rows_is_dropped(spark):
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(hours=h), 1.0) for h in range(100)]
+    # key 2 exists only in the train prefix
+    rows += [(2, t0 + timedelta(hours=h), 1.0) for h in range(10)]
+    out = conformal_seasonal(_events(spark, rows), ["user_id"], "ts",
+                             "value").collect()
+    assert {r["user_id"] for r in out} == {1}
+
+
+def test_conformal_validates_parameters(spark):
+    df = _events(spark, [(1, datetime(2024, 1, 1), 1.0)])
+    with pytest.raises(ValueError, match="alpha"):
+        conformal_seasonal(df, ["user_id"], "ts", "value", alpha=1.5)
+    with pytest.raises(ValueError, match="train_frac"):
+        conformal_seasonal(df, ["user_id"], "ts", "value", train_frac=0.0)
+    with pytest.raises(ValueError, match="multiple"):
+        conformal_seasonal(df, ["user_id"], "ts", "value", bucket_s=7)

@@ -899,6 +899,12 @@ EXCHANGE_BUDGET = {
     # embedding_cosine_pairs' exact-scorer repartition; the split
     # labels are pure id expressions — no join, no extra shuffle
     "embedding_leakage": 1,
+    # the (key, bucket) aggregate is persisted and fans out to 5
+    # consumers; the static print re-embeds the cached plan's Exchange
+    # per InMemoryTableScan, inflating the count — at runtime the
+    # corpus-sized shuffle happens ONCE (cache), the rest are
+    # bucket-frame aggregates, the residual window, and grid joins
+    "forecast_conformal": 22,
 }
 
 

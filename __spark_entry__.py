@@ -9826,29 +9826,41 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi DESC, w1 ASC, w2 ASC
             LIMIT 20
         """,
-        # integer-exact mirror of silhouette_labels: same quantization,
-        # same Σ(q·n − s)² in exact integers (HUGEINT here, DECIMAL(38)
-        # engine-side), same sqrt/scale arithmetic, same micro-unit mean
+        # mirror of silhouette_labels: same quantization, centroid =
+        # CAST(Σq AS DOUBLE)/CAST(n AS DOUBLE) (the engine divides the
+        # collected exact ints the same two-step way), and the distance
+        # folds (q − c)² strictly LEFT-TO-RIGHT via list_reduce — the
+        # engine's numpy pass adds dims in the same sequential order,
+        # so every intermediate double matches bit-for-bit
         "silhouette_embeddings": """
-            WITH e AS (
+            WITH ev AS (
               SELECT vec_id, label,
-                     generate_subscripts(embedding, 1) AS p,
-                     CAST(ROUND(CAST(unnest(embedding) AS DOUBLE)
-                                * 10000, 0) AS BIGINT) AS q
+                     list_transform(embedding,
+                         x -> CAST(ROUND(CAST(x AS DOUBLE) * 10000, 0)
+                              AS BIGINT)) AS ql
               FROM embeddings
               WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            e AS (
+              SELECT vec_id, label,
+                     generate_subscripts(ql, 1) AS p, unnest(ql) AS q
+              FROM ev),
             cent AS (
-              SELECT label AS lab, p, CAST(sum(q) AS HUGEINT) AS s,
-                     CAST(count(*) AS HUGEINT) AS n
+              SELECT label AS lab, p, sum(q) AS s, count(*) AS n
               FROM e GROUP BY 1, 2),
+            cl AS (
+              SELECT lab,
+                     list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                          ORDER BY p) AS c
+              FROM cent GROUP BY 1),
             dd AS (
-              SELECT e.vec_id, e.label, c.lab,
-                     sqrt(CAST(sum((CAST(e.q AS HUGEINT) * c.n - c.s)
-                                   * (CAST(e.q AS HUGEINT) * c.n - c.s))
-                               AS DOUBLE))
-                       / (10000.0 * CAST(max(c.n) AS DOUBLE)) AS dist
-              FROM e JOIN cent c ON e.p = c.p
-              GROUP BY 1, 2, 3),
+              SELECT ev.vec_id, ev.label, cl.lab,
+                     sqrt(list_reduce(
+                         list_transform(range(1, len(ev.ql) + 1),
+                             i -> (CAST(ev.ql[i] AS DOUBLE) - cl.c[i])
+                                  * (CAST(ev.ql[i] AS DOUBLE)
+                                     - cl.c[i])),
+                         (a, b) -> a + b)) / 10000.0 AS dist
+              FROM ev, cl),
             ab AS (
               SELECT vec_id, label,
                      max(CASE WHEN lab = label THEN dist END) AS a,

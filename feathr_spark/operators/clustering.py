@@ -244,25 +244,27 @@ def silhouette_labels(
     O(n·k) instead of the classic O(n²) pairwise form — the only
     variant that survives a 100 TB corpus).
 
-    Exactness contract (cross-engine bit-stable): vector components
-    quantize to ``quantize_dp``-dp integers q; the per-(row, label)
-    squared distance to the centroid s̄/n is computed WITHOUT the
-    division as the exact integer Σ_p (q_p·n − s_p)² in DECIMAL(38,0)
-    (no float sum, no order dependence), and only then cast to double
-    for one IEEE sqrt and the scale division — identical inputs give
-    identical doubles on any engine and any partitioning. Per-label
-    means aggregate s quantized to integer micro-units (the lm.py
-    micro-nat convention). Integer headroom: |q·n| ≤ 10^(dp+1)·n_label
-    must stay under ~10^19 squared — at dp=4 that holds to ~10^12 rows
-    per label; shrink ``quantize_dp`` for bigger clusters.
+    Cross-engine determinism contract: vector components quantize to
+    ``quantize_dp``-dp integers q (exact on both engines); centroid
+    components are the ONE division float(Σq)/float(n) of exact
+    integers; the per-(row, label) distance folds (q − c)² strictly
+    LEFT-TO-RIGHT in float64 — the same sequential order a DuckDB
+    ``list_reduce`` mirror uses — so every intermediate double is
+    bit-identical on any engine and any partitioning (the diffs are
+    vector-scale-bounded: no magnitude ever grows with corpus size).
+    Per-row silhouettes quantize to integer micro-units
+    (half-away-from-zero, the gram_matrix rounding) and aggregate as
+    exact BIGINT sums.
 
     Plan: ONE k×d-bounded centroid aggregate (map-side combined,
     collected — the documented bounded driver action, same as the
-    k-means loop), then one ZERO-SHUFFLE scan scoring every row against
-    all k centroid literals JVM-side, and a k-row final aggregate.
-    Rows with NULL vector or NULL label are dropped. Singleton-cluster
-    rows score a = 0 (the simplified-variant convention). Output:
-    (label, n_vecs, mean_sil), one row per label.
+    k-means loop), then one Arrow-batched ``mapInPandas`` scoring pass
+    that emits k-row PARTIAL sums per batch (the numpy matà-la
+    gram_matrix — the interpreted HOF form of the same fold measured
+    ~50× slower), and a k-row final aggregate. Rows with NULL vector or
+    NULL label are dropped. Singleton-cluster rows score a = 0 (the
+    simplified-variant convention). Output: (label, n_vecs, mean_sil),
+    one row per label.
     """
     scale = 10 ** quantize_dp
     lab = F.col(label_col)
@@ -286,34 +288,62 @@ def silhouette_labels(
         raise ValueError("silhouette_labels: need >= 2 labels "
                          f"(got {len(labels)})")
     dim = max(len(v) for v in sums.values())
-    glab = F.col("__lab")
-    dists = {}
-    for lv in labels:
-        n_l = ns[lv]
-        arr = F.array(*[F.lit(sums[lv].get(p, 0)).cast("decimal(28,0)")
-                        for p in range(dim)])
-        diff = F.zip_with(
-            "__q", arr,
-            lambda x, y: x.cast("decimal(12,0)")
-            * F.lit(n_l).cast("decimal(15,0)") - y)
-        d2 = F.aggregate(diff, F.lit(0).cast("decimal(38,0)"),
-                         lambda acc, x: acc + x * x)
-        dists[lv] = F.sqrt(d2.cast("double")) / F.lit(float(scale) * n_l)
-    a = None
-    for lv in labels:
-        cond = glab == F.lit(lv)
-        a = F.when(cond, dists[lv]) if a is None else \
-            a.when(cond, dists[lv])
-    b_cols = [F.when(glab != F.lit(lv), dists[lv]) for lv in labels]
-    b = b_cols[0] if len(b_cols) == 1 else F.least(*b_cols)
-    s = F.when(F.greatest(a, b) > 0,
-               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
-    micro = F.round(s * F.lit(1_000_000.0), 0).cast("bigint")
+    # centroid components in q-units: float(Σq)/float(n) — the same
+    # two-step double rounding as SQL CAST(s AS DOUBLE)/CAST(n AS
+    # DOUBLE) (exact-int true division would differ past 2^53)
+    cmat = np.array([[float(sums[lv].get(p, 0)) / float(ns[lv])
+                      for p in range(dim)] for lv in labels],
+                    dtype=np.float64)
+    lab_index = {lv: i for i, lv in enumerate(labels)}
+    lab_field = base.schema["__lab"]
+    from pyspark.sql.types import LongType, StructField, StructType
+    out_schema = StructType([
+        StructField("label", lab_field.dataType),
+        StructField("__n", LongType()),
+        StructField("__sm", LongType()),
+    ])
+    k = len(labels)
+    fscale = float(scale)
+
+    def _score(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__q"].to_numpy()])
+            n_rows = Q.shape[0]
+            dists = np.empty((n_rows, k), dtype=np.float64)
+            for j in range(k):
+                acc = np.zeros(n_rows, dtype=np.float64)
+                for p in range(dim):
+                    t = Q[:, p] - cmat[j, p]
+                    acc = acc + t * t       # strict left-to-right fold
+                dists[:, j] = np.sqrt(acc) / fscale
+            own = np.array([lab_index[lv] for lv in pdf["__lab"]],
+                           dtype=np.int64)
+            rows = np.arange(n_rows)
+            a = dists[rows, own]
+            masked = dists.copy()
+            masked[rows, own] = np.inf
+            b = masked.min(axis=1)
+            mx = np.maximum(a, b)
+            s = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+            x = s * 1_000_000.0
+            micro = (np.floor(np.abs(x) + 0.5)
+                     * np.sign(x)).astype(np.int64)  # half-away (gram)
+            g = pd.DataFrame({"label": pdf["__lab"].to_numpy(),
+                              "__m": micro})
+            agg = g.groupby("label", sort=False)["__m"] \
+                .agg(["count", "sum"]).reset_index()
+            yield pd.DataFrame({"label": agg["label"],
+                                "__n": agg["count"].astype("int64"),
+                                "__sm": agg["sum"].astype("int64")})
+
+    partials = base.mapInPandas(_score, schema=out_schema)
+    out = (partials.groupBy("label")
+           .agg(F.sum("__n").cast("bigint").alias("n_vecs"),
+                F.sum("__sm").alias("__sm")))
     from .lm import _nudged_round
-    out = (base.select(glab.alias("label"), micro.alias("__m"))
-           .groupBy("label")
-           .agg(F.count("*").cast("bigint").alias("n_vecs"),
-                F.sum("__m").alias("__sm")))
     mean = _nudged_round(
         F.col("__sm") / F.lit(1_000_000.0) / F.col("n_vecs"), round_dp)
     return out.select("label", "n_vecs",

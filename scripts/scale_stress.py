@@ -43,7 +43,11 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # r9 batch 3: leakage audit, padding ladder, BPE pair mining,
          # mixture planning, export shuffle
          "split_leakage", "padding_waste", "bpe_pair_counts",
-         "token_budget_plan", "shard_export"]
+         "token_budget_plan", "shard_export",
+         # r9 batch 4: PMI collocations (docs), simplified silhouette +
+         # cross-split cosine leakage (embeddings)
+         "pmi_collocations", "silhouette_embeddings",
+         "embedding_leakage"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate
@@ -238,7 +242,9 @@ def stress_pit(spark, scales, con, only=None):
              "tpch_q1_pricing", "tpch_q3_unshipped",
              "tpch_q5_region_volume", "tpch_q6_forecast",
              "tpch_q15_top_supplier", "tpch_q21_waiting",
-             "tpch_q22_dormant"]
+             "tpch_q22_dormant",
+             # r9 batch 4: split-conformal intervals on scaled events
+             "forecast_conformal"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

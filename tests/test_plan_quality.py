@@ -39,6 +39,12 @@ BROADCAST_LOOP_OK = {
     "hybrid_rrf",
     # embeds tf_idf_table's 1-row n_docs broadcast cross
     "doc_keywords",
+    # 1-row token/transition-total frames broadcast-crossed onto the
+    # vocabulary-sized survivor frame
+    "pmi_collocations",
+    # 1-row min/max bucket-bounds frame broadcast-crossed onto the
+    # bucket frame (cutoff) and the per-key q frame (grid)
+    "forecast_conformal",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
     # 10-row top-k frame × broadcast 1-row totals crossJoin

@@ -5266,6 +5266,37 @@ def q_forecast_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cal"), F.col("from_fallback"))
 
 
+def q_impute_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative null imputation (the testdata ships null-free, so a
+    deterministic ~5% md5 mask synthesizes missingness first — the
+    sampling-family draw convention, identical in the oracle): value
+    imputed by per-type exact-decimal MEAN and by per-type MEDIAN
+    (quantized cut, the robust_scale r9 lesson), event_type imputed by
+    global MODE under the exact (count DESC, value ASC) total order;
+    was-null indicator flags kept. Stats frames are group-sized and
+    broadcast back onto one unshuffled scan."""
+    _utc(spark)
+    from feathr_spark.operators.impute import impute_nulls
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mask = lambda salt: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(salt), F.col("event_id").cast("string"))),
+        1, 2) < "0d"
+    base = ev.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        F.when(~mask("a"), F.col("value")).alias("v_mean"),
+        F.when(~mask("b"), F.col("value")).alias("v_med"),
+        F.when(~mask("c"), F.col("event_type")).alias("etype"),
+        F.col("event_type"))
+    out = impute_nulls(base, {"v_mean": "mean", "v_med": "median"},
+                       by=["event_type"])
+    out = impute_nulls(out, {"etype": "mode"})
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)  # noqa: E731
+    return out.select("event_id", r4("v_mean"), r4("v_med"), "etype",
+                      F.col("v_mean__was_null"), F.col("v_med__was_null"),
+                      F.col("etype__was_null"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5565,6 +5596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_embeddings": q_silhouette_embeddings,
         "embedding_leakage": q_embedding_leakage,
         "forecast_conformal": q_forecast_conformal,
+        "impute_events": q_impute_events,
     }
 
 
@@ -9947,6 +9979,47 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ks ON ks.user_id = g.user_id
                         AND ks.slot = g.fb % 24
             LEFT JOIN gs ON gs.slot = g.fb % 24
+        """,
+        # imputation mirror: identical md5 null masks, mean = exact
+        # decimal total / count, median = ROUND(quantile_cont, 4) (the
+        # quantized-cut convention), mode = (count DESC, value ASC)
+        "impute_events": """
+            WITH base AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CASE WHEN NOT (substr(md5('a' ||
+                              CAST(event_id AS VARCHAR)), 1, 2) < '0d')
+                          THEN value END AS v_mean,
+                     CASE WHEN NOT (substr(md5('b' ||
+                              CAST(event_id AS VARCHAR)), 1, 2) < '0d')
+                          THEN value END AS v_med,
+                     CASE WHEN NOT (substr(md5('c' ||
+                              CAST(event_id AS VARCHAR)), 1, 2) < '0d')
+                          THEN event_type END AS etype,
+                     event_type
+              FROM events),
+            st AS (
+              SELECT event_type,
+                     CAST(sum(CAST(v_mean AS DECIMAL(28,6))) AS DOUBLE)
+                       / count(v_mean) AS f_mean,
+                     ROUND(quantile_cont(v_med, 0.5), 4) AS f_med
+              FROM base GROUP BY 1),
+            mc AS (
+              SELECT etype AS mval, count(*) AS n
+              FROM base WHERE etype IS NOT NULL GROUP BY 1),
+            md AS (
+              SELECT mval FROM mc
+              ORDER BY n DESC, mval ASC LIMIT 1)
+            SELECT b.event_id,
+                   CAST(ROUND(coalesce(b.v_mean, st.f_mean) + 1e-9, 4)
+                        AS DOUBLE) AS v_mean,
+                   CAST(ROUND(coalesce(b.v_med, st.f_med) + 1e-9, 4)
+                        AS DOUBLE) AS v_med,
+                   coalesce(b.etype, md.mval) AS etype,
+                   b.v_mean IS NULL AS v_mean__was_null,
+                   b.v_med IS NULL AS v_med__was_null,
+                   b.etype IS NULL AS etype__was_null
+            FROM base b
+            LEFT JOIN st ON st.event_type = b.event_type, md
         """,
         "embedding_leakage": _embedding_leakage_oracle(),
         "split_leakage": _split_leakage_oracle(),

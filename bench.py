@@ -267,6 +267,7 @@ HEADLINE = [
     "silhouette_embeddings",
     "embedding_leakage",
     "forecast_conformal",
+    "impute_events",
 ]
 
 

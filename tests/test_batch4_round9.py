@@ -269,3 +269,53 @@ def test_conformal_validates_parameters(spark):
         conformal_seasonal(df, ["user_id"], "ts", "value", train_frac=0.0)
     with pytest.raises(ValueError, match="multiple"):
         conformal_seasonal(df, ["user_id"], "ts", "value", bucket_s=7)
+
+
+# ------------------------------------------------------------ imputation
+
+from feathr_spark.operators.impute import impute_nulls
+
+
+def test_impute_mean_median_mode_hand_computed(spark):
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", None),
+            (4, "b", 7.0), (5, "b", None), (6, None, 5.0)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    out = impute_nulls(df, {"v": "mean"}, by=["grp"])
+    got = {r["id"]: (r["v"], r["v__was_null"]) for r in out.collect()}
+    assert got[3] == (15.0, True)     # mean of group a
+    assert got[5] == (7.0, True)      # mean of group b
+    assert got[1] == (10.0, False)
+
+    out2 = impute_nulls(df, {"grp": "mode"})
+    got2 = {r["id"]: r["grp"] for r in out2.collect()}
+    assert got2[6] == "a"             # 'a' count 3 beats 'b' count 2
+
+    rows3 = [(i, float(i)) for i in range(1, 10)] + [(99, None)]
+    df3 = spark.createDataFrame(rows3, "id bigint, v double")
+    out3 = impute_nulls(df3, {"v": "median"})
+    assert {r["v"] for r in out3.collect() if r["id"] == 99} == {5.0}
+
+
+def test_impute_mode_tiebreak_is_lowest_value(spark):
+    rows = [(1, "b"), (2, "b"), (3, "a"), (4, "a"), (5, None)]
+    df = spark.createDataFrame(rows, "id bigint, c string")
+    out = impute_nulls(df, {"c": "mode"})
+    assert [r["c"] for r in out.collect() if r["id"] == 5] == ["a"]
+
+
+def test_impute_constant_and_empty_group_keeps_null(spark):
+    rows = [(1, "a", None), (2, "b", 3.0)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, v double")
+    # group a has no observed value -> stays null under mean
+    out = impute_nulls(df, {"v": "mean"}, by=["grp"])
+    assert [r["v"] for r in out.collect() if r["id"] == 1] == [None]
+    out2 = impute_nulls(df, {"v": "constant"}, constants={"v": -1.0})
+    assert [r["v"] for r in out2.collect() if r["id"] == 1] == [-1.0]
+
+
+def test_impute_validates_strategies(spark):
+    df = spark.createDataFrame([(1, 1.0)], "id bigint, v double")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        impute_nulls(df, {"v": "zero"})
+    with pytest.raises(ValueError, match="no constants"):
+        impute_nulls(df, {"v": "constant"})

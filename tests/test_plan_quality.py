@@ -45,6 +45,8 @@ BROADCAST_LOOP_OK = {
     # 1-row min/max bucket-bounds frame broadcast-crossed onto the
     # bucket frame (cutoff) and the per-key q frame (grid)
     "forecast_conformal",
+    # 1-row global-mode frame broadcast-crossed onto the data scan
+    "impute_events",
     # 1-row approx-profile × 1-row exact-bounds crossJoin
     "profile_sketch_gate",
     # 10-row top-k frame × broadcast 1-row totals crossJoin
@@ -911,6 +913,10 @@ EXCHANGE_BUDGET = {
     # corpus-sized shuffle happens ONCE (cache), the rest are
     # bucket-frame aggregates, the residual window, and grid joins
     "forecast_conformal": 22,
+    # mean/median stats agg + mode value-count agg + the global-mode
+    # TakeOrdered's SinglePartition; fills are broadcast attaches on
+    # one unshuffled scan
+    "impute_events": 3,
 }
 
 

@@ -5297,6 +5297,66 @@ def q_impute_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("etype__was_null"))
 
 
+# fixed, data-independent merge table for the bpe_encode query (rank
+# order matters; common-English pairs so the merges actually fire)
+_BPE_ENCODE_MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+                      ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d")]
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (the encode half of the bpe.py story):
+    apply a fixed ordered merge table and report per-doc word count,
+    BPE token count, and fertility (chars/token). The k merges are k
+    literal string replaces over the DISTINCT vocabulary — greedy
+    non-overlapping left-to-right replace IS the BPE fuse order, and
+    the separator framing makes token-prefix/suffix false matches
+    impossible; all-integer outputs until the final ratio."""
+    _utc(spark)
+    from feathr_spark.operators.bpe import bpe_encode_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode_stats(docs, _BPE_ENCODE_MERGES)
+
+
+def _bpe_encode_oracle() -> str:
+    """Mirror of q_bpe_encode: identical separator framing and the
+    identical left-to-right literal replace chain (DuckDB replace and
+    Spark replace share non-overlapping L2R semantics)."""
+    sep = "\x1f"
+    d2 = sep + sep
+    expr = "s"
+    for left, right in _BPE_ENCODE_MERGES:
+        pat = sep + left + d2 + right + sep
+        rep = sep + left + right + sep
+        expr = f"replace({expr}, '{pat}', '{rep}')"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
+                     text, '\\s+', ' ', 'g'))), ' ')) AS word
+          FROM documents),
+        dw AS (SELECT doc_id, word, count(*) AS cnt
+               FROM toks WHERE word <> '' GROUP BY 1, 2),
+        vocab AS (SELECT DISTINCT word FROM dw),
+        enc0 AS (
+          SELECT word,
+                 '{sep}' || array_to_string(list_transform(
+                     range(1, length(word) + 1),
+                     i -> substr(word, i, 1)), '{d2}') || '{sep}' AS s
+          FROM vocab),
+        enc AS (
+          SELECT word, len(string_split({expr}, '{d2}')) AS nb,
+                 length(word) AS nc
+          FROM enc0)
+        SELECT dw.doc_id AS doc_id,
+               CAST(sum(cnt) AS BIGINT) AS n_words,
+               CAST(sum(cnt * nb) AS BIGINT) AS n_bpe_tokens,
+               CAST(ROUND(CAST(sum(cnt * nc) AS DOUBLE)
+                          / CAST(sum(cnt * nb) AS DOUBLE) + 1e-9, 4)
+                    AS DOUBLE) AS fertility
+        FROM dw JOIN enc USING (word)
+        GROUP BY 1
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5597,6 +5657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_leakage": q_embedding_leakage,
         "forecast_conformal": q_forecast_conformal,
         "impute_events": q_impute_events,
+        "bpe_encode": q_bpe_encode,
     }
 
 
@@ -10021,6 +10082,7 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             LEFT JOIN st ON st.event_type = b.event_type, md
         """,
+        "bpe_encode": _bpe_encode_oracle(),
         "embedding_leakage": _embedding_leakage_oracle(),
         "split_leakage": _split_leakage_oracle(),
         "padding_waste": _padding_waste_oracle(),

@@ -268,6 +268,7 @@ HEADLINE = [
     "embedding_leakage",
     "forecast_conformal",
     "impute_events",
+    "bpe_encode",
 ]
 
 

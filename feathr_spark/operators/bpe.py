@@ -161,3 +161,69 @@ def bpe_merges(df: DataFrame, n_merges: int = 8,
     finally:
         words.unpersist()
     return merges
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: List[Tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x1f",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Apply an ORDERED merge table (the artifact :func:`bpe_merges`
+    ships, or any fixed vocabulary's) and report per-document token
+    statistics: whitespace word count, BPE token count, and fertility
+    (chars per BPE token — the tokenizer-efficiency readout that decides
+    whether a vocabulary suits a corpus).
+
+    Encode algebra (cross-engine exact, no floats until the final
+    ratio): a word's tokenization is a ``sep``-delimited string —
+    ``·c₁··c₂··…·`` (single ``sep`` at the ends, double between
+    tokens) — and applying merge (l, r) is ONE literal string replace
+    ``·l··r· → ·lr·``: non-overlapping left-to-right replacement is
+    exactly the BPE fuse order, and the boundary separators make a
+    token-suffix/prefix false match impossible. Merges apply in rank
+    order, each fully, per the standard encoder. ``sep`` (default unit
+    separator, U+001F) must not occur inside words.
+
+    Plan shape: the corpus collapses to per-doc word counts (one
+    map-side-combined shuffle); the k replaces run over the DISTINCT
+    vocabulary (the bpe_pair_counts trick — vocabulary-sized however
+    big the corpus); one vocabulary-keyed join carries (word → token
+    count) back; per-doc sums are exact BIGINTs. Output: (``id_col``,
+    n_words, n_bpe_tokens, fertility).
+    """
+    d2 = sep + sep
+    toks = (df.select(F.col(id_col).alias("__id"),
+                      F.explode(_norm_tokens(F.col(text_col)))
+                      .alias("word"))
+            .where(F.col("word") != ""))
+    dw = toks.groupBy("__id", "word").agg(
+        F.count("*").cast("bigint").alias("__cnt"))
+    vocab = dw.select("word").distinct()
+    enc = vocab.withColumn(
+        "__s", F.concat(F.lit(sep),
+                        F.array_join(F.split(F.col("word"), ""), d2),
+                        F.lit(sep)))
+    for left, right in merges:
+        pat = sep + left + d2 + right + sep
+        rep = sep + left + right + sep
+        enc = enc.withColumn(
+            "__s", F.replace(F.col("__s"), F.lit(pat), F.lit(rep)))
+    enc = enc.select(
+        "word",
+        F.size(F.split(F.col("__s"), d2)).cast("bigint").alias("__nb"),
+        F.length("word").cast("bigint").alias("__nc"))
+    j = dw.join(enc, "word")
+    out = (j.groupBy("__id")
+           .agg(F.sum("__cnt").cast("bigint").alias("n_words"),
+                F.sum(F.col("__cnt") * F.col("__nb")).cast("bigint")
+                .alias("n_bpe_tokens"),
+                F.sum(F.col("__cnt") * F.col("__nc")).cast("bigint")
+                .alias("__nchars")))
+    fert = F.round(F.col("__nchars") / F.col("n_bpe_tokens")
+                   + F.lit(10.0 ** -(round_dp + 5)), round_dp)
+    return out.select(F.col("__id").alias(id_col), "n_words",
+                      "n_bpe_tokens",
+                      fert.cast("double").alias("fertility"))

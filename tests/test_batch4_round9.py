@@ -319,3 +319,66 @@ def test_impute_validates_strategies(spark):
         impute_nulls(df, {"v": "zero"})
     with pytest.raises(ValueError, match="no constants"):
         impute_nulls(df, {"v": "constant"})
+
+
+# ------------------------------------------------------------ BPE encode
+
+from feathr_spark.operators.bpe import bpe_encode_stats, bpe_merges
+
+
+def _py_bpe_encode(word, merges):
+    syms = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    texts = ["the thin then and band banana", "rerun turner inner rent",
+             "and and the the on in er re"]
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("e", "r"), ("o", "n"), ("r", "e"), ("an", "d")]
+    out = {r["doc_id"]: r for r in bpe_encode_stats(
+        _docs(spark, texts), merges).collect()}
+    for i, t in enumerate(texts):
+        words = t.split()
+        nb = sum(len(_py_bpe_encode(w, merges)) for w in words)
+        nc = sum(len(w) for w in words)
+        assert out[i]["n_words"] == len(words)
+        assert out[i]["n_bpe_tokens"] == nb
+        assert abs(out[i]["fertility"] - round(nc / nb, 4)) < 2e-4
+
+
+def test_bpe_encode_roundtrip_with_learned_merges(spark):
+    # encode with the merges bpe_merges learned from the same corpus:
+    # fertility must beat the char-level baseline (1.0)
+    texts = ["banana bandana banana", "bandana banana band"] * 3
+    docs = _docs(spark, texts)
+    learned = [(l, r) for l, r, _ in bpe_merges(docs, n_merges=4)]
+    out = bpe_encode_stats(docs, learned).collect()
+    assert all(r["fertility"] > 1.0 for r in out)
+    # and matches the python reference under the same merge table
+    for r in out:
+        words = texts[r["doc_id"]].split()
+        nb = sum(len(_py_bpe_encode(w, learned)) for w in words)
+        assert r["n_bpe_tokens"] == nb
+
+
+def test_bpe_encode_single_char_words_and_order_sensitivity(spark):
+    out = {r["doc_id"]: r for r in bpe_encode_stats(
+        _docs(spark, ["a b a", "ab ab"]),
+        [("a", "b")]).collect()}
+    assert out[0]["n_bpe_tokens"] == 3     # no adjacency inside words
+    assert out[1]["n_bpe_tokens"] == 2     # each 'ab' fuses to 1
+    # merge order matters: ('a','b') before ('ab','c') enables chains
+    o2 = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_encode_stats(
+        _docs(spark, ["abc"]), [("a", "b"), ("ab", "c")]).collect()}
+    assert o2[0] == 1

@@ -917,6 +917,9 @@ EXCHANGE_BUDGET = {
     # TakeOrdered's SinglePartition; fills are broadcast attaches on
     # one unshuffled scan
     "impute_events": 3,
+    # (doc, word) collapse + vocab distinct + the vocab-keyed join's
+    # per-doc final aggregate; the k merge replaces are narrow
+    "bpe_encode": 3,
 }
 
 

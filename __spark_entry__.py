@@ -5433,6 +5433,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "token_budget_plan": q_token_budget_plan,
         "shard_export": q_shard_export,
+        # --- r9 batch 4, rotated in-window so the driver records their
+        # --- first rows this round (displaces 6 multi-round greens):
+        # --- PMI collocations, simplified silhouette, embedding-level
+        # --- split-leakage audit, conformal forecast intervals,
+        # --- leakage-safe null imputation, BPE encode stats
+        "pmi_collocations": q_pmi_collocations,
+        "silhouette_embeddings": q_silhouette_embeddings,
+        "embedding_leakage": q_embedding_leakage,
+        "forecast_conformal": q_forecast_conformal,
+        "impute_events": q_impute_events,
+        "bpe_encode": q_bpe_encode,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -5649,15 +5660,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         # ann_pq_topk / semantic_dedup_pairs moved into window
         # positions 2-3 for r9 (VERDICT item 2); the r9 batch-3 five
-        # (split_leakage..shard_export) rotated in-window mid-round
-        # --- NEW in r9 batch 4 (below the gate window; r10 rotation
-        # --- candidates): PMI collocation mining, simplified silhouette
-        "pmi_collocations": q_pmi_collocations,
-        "silhouette_embeddings": q_silhouette_embeddings,
-        "embedding_leakage": q_embedding_leakage,
-        "forecast_conformal": q_forecast_conformal,
-        "impute_events": q_impute_events,
-        "bpe_encode": q_bpe_encode,
+        # (split_leakage..shard_export) and batch-4 six
+        # (pmi_collocations..bpe_encode) rotated in-window mid-round
     }
 
 

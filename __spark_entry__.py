@@ -5357,6 +5357,79 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+def q_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier over documents: the
+    CCNet-style curation classifier, trained and applied in one job
+    (add-one smoothing; per-term log-probs quantized to integer
+    micro-nats before summation so per-doc class scores — and hence the
+    argmax — are exact integer arithmetic on any engine)."""
+    _utc(spark)
+    from feathr_spark.operators.classify import naive_bayes_classify
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = naive_bayes_classify(docs, "text", "lang", "doc_id")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang", "pred", "nb_score", "correct")
+
+
+def q_hbos_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Scores for orders over (o_totalprice,
+    order epoch-millis): three column-pruned scans — bounds, a joint
+    16x16 bucket grid (marginals derive from the one shuffle), and the
+    scoring scan with broadcast bin tables. Per-feature ln-densities are
+    micro-nat integers before the cross-feature sum (exact)."""
+    _utc(spark)
+    from feathr_spark.operators.profile import hbos_scores
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_totalprice",
+                      F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                      .cast("double").alias("o_epoch")))
+    out = hbos_scores(orders, ["o_totalprice", "o_epoch"], "o_orderkey",
+                      bins=16)
+    return out.select(F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                      "hbos")
+
+
+def q_msprt_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential A/B readout (mSPRT, Johari et al. KDD'17)
+    of the events value metric, arms by user-id parity, one row per day:
+    cumulative arm statistics are exact integer cumsums over the
+    day-sized series, so the whole Lambda/p sequence is engine-portable.
+    sigma2 is the design-time variance (metric scale ~50), tau2=1."""
+    _utc(spark)
+    from feathr_spark.operators.stats import msprt_two_sample
+    ev = (_load_events(spark, sf_dir)
+          .select(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+                  (F.col("user_id") % 2 == 0).alias("treat"),
+                  "value"))
+    return msprt_two_sample(ev, "day", "value", "treat",
+                            sigma2=2500.0, tau2=1.0)
+
+
+def q_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-agreement audit (label-noise candidates) for a
+    deterministic ~6% query slice of the embeddings table: brute cosine
+    top-5 against the full corpus (4-dp-rounded rank scores, id
+    tie-breaks), then exact-integer neighborhood votes."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import knn_label_agreement
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 17 == 0)
+    out = knn_label_agreement(emb, queries_df, "embedding", "vec_id",
+                              "label", k=5)
+    return out.select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      "label", "knn_pred", "agree_frac")
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage of the corpus top-200 vocabulary (tokenizer
+    OOV budget): TakeOrdered top-V cutoff with lexicographic tie-break,
+    broadcast vocab semi-join, exact integer ratios."""
+    _utc(spark)
+    from feathr_spark.operators.lm import vocab_coverage
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_coverage(docs, "text", "doc_id", vocab_size=200)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5444,6 +5517,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_conformal": q_forecast_conformal,
         "impute_events": q_impute_events,
         "bpe_encode": q_bpe_encode,
+        # --- NEW in r9 batch 5, in-window for first driver rows:
+        # --- Naive Bayes lang classifier, HBOS anomaly scores, mSPRT
+        # --- always-valid sequential test, kNN label-agreement audit,
+        # --- top-V vocabulary coverage
+        "nb_lang": q_nb_lang,
+        "hbos_orders": q_hbos_orders,
+        "msprt_events": q_msprt_events,
+        "knn_agreement": q_knn_agreement,
+        "vocab_coverage": q_vocab_coverage,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -11863,5 +11945,204 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n_words) AS BIGINT) AS total_words
             FROM clean GROUP BY source
+        """,
+        # --- r9 batch 5 ---
+        # Micro-nat quantization mirror of naive_bayes_classify: every
+        # log-prob becomes an integer BEFORE summation, so doc scores
+        # and the argmax are exact integer arithmetic on both engines.
+        "nb_lang": r"""
+            WITH base AS (
+              SELECT doc_id, lang,
+                     string_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents),
+            toks AS (SELECT doc_id, lang, unnest(w) AS term FROM base),
+            cls_tok AS (SELECT lang, COUNT(*)::DOUBLE AS t_c
+                        FROM toks GROUP BY lang),
+            cls_doc AS (SELECT lang, COUNT(*)::DOUBLE AS d_c
+                        FROM base GROUP BY lang),
+            vv AS (SELECT COUNT(DISTINCT term)::DOUBLE AS v FROM toks),
+            nd AS (SELECT COUNT(*)::DOUBLE AS nd FROM base),
+            classes AS (
+              SELECT ct.lang,
+                     CAST(round(ln(cd.d_c / nd.nd) * 1000000.0, 0)
+                          AS BIGINT) AS prior_u,
+                     CAST(round(ln(1.0 / (ct.t_c + vv.v)) * 1000000.0, 0)
+                          AS BIGINT) AS oov_u,
+                     ct.t_c + vv.v AS denom
+              FROM cls_tok ct JOIN cls_doc cd USING (lang), vv, nd),
+            tf AS (SELECT lang AS c, term, COUNT(*)::DOUBLE AS tf
+                   FROM toks GROUP BY 1, 2),
+            lp AS (SELECT tf.c, tf.term,
+                          CAST(round(ln((tf.tf + 1.0) / cl.denom)
+                                     * 1000000.0, 0) AS BIGINT)
+                          - cl.oov_u AS adj_u
+                   FROM tf JOIN classes cl ON cl.lang = tf.c),
+            dtc AS (SELECT doc_id, term, COUNT(*)::BIGINT AS dn
+                    FROM toks GROUP BY 1, 2),
+            adj AS (SELECT d.doc_id, l.c,
+                           CAST(SUM(d.dn * l.adj_u) AS BIGINT) AS adj_sum
+                    FROM dtc d JOIN lp l USING (term) GROUP BY 1, 2),
+            ndoc AS (SELECT doc_id, lang, len(w)::BIGINT AS n_tok
+                     FROM base),
+            scored AS (
+              SELECT n.doc_id, n.lang, c.lang AS cand,
+                     c.prior_u + n.n_tok * c.oov_u
+                     + COALESCE(a.adj_sum, 0) AS score_u
+              FROM ndoc n CROSS JOIN classes c
+              LEFT JOIN adj a ON a.doc_id = n.doc_id AND a.c = c.lang),
+            best AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_u DESC, cand ASC) AS rk
+              FROM scored)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, cand AS pred,
+                   CAST(round(score_u / 1000000.0 + 1e-9, 4) AS DOUBLE)
+                       AS nb_score,
+                   (cand = lang) AS correct
+            FROM best WHERE rk = 1
+        """,
+        # Mirror of hbos_scores: identical bucket expression tree
+        # ((v-lo)/((hi-lo)/16.0), floor, clamp at 15), exact counts,
+        # micro-nat ln-densities summed as integers.
+        "hbos_orders": """
+            WITH f AS (
+              SELECT o_orderkey,
+                     CAST(o_totalprice AS DOUBLE) AS x0,
+                     CAST(epoch_ms(o_orderdate) AS DOUBLE) AS x1
+              FROM orders),
+            b AS (SELECT min(x0) AS lo0, max(x0) AS hi0,
+                         min(x1) AS lo1, max(x1) AS hi1 FROM f),
+            idx AS (
+              SELECT o_orderkey,
+                     CASE WHEN hi0 = lo0 THEN 0 ELSE least(CAST(floor(
+                       (x0 - lo0) / ((hi0 - lo0) / 16.0)) AS BIGINT), 15)
+                     END AS b0,
+                     CASE WHEN hi1 = lo1 THEN 0 ELSE least(CAST(floor(
+                       (x1 - lo1) / ((hi1 - lo1) / 16.0)) AS BIGINT), 15)
+                     END AS b1
+              FROM f, b),
+            nn AS (SELECT COUNT(*)::DOUBLE AS nn FROM idx),
+            m0 AS (SELECT b0, CAST(round(ln(COUNT(*)::DOUBLE / ANY_VALUE(nn.nn))
+                                         * 1000000.0, 0) AS BIGINT) AS u0
+                   FROM idx, nn GROUP BY b0),
+            m1 AS (SELECT b1, CAST(round(ln(COUNT(*)::DOUBLE / ANY_VALUE(nn.nn))
+                                         * 1000000.0, 0) AS BIGINT) AS u1
+                   FROM idx, nn GROUP BY b1)
+            SELECT CAST(i.o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(round(-(m0.u0 + m1.u1) / 1000000.0 + 1e-9, 4)
+                        AS DOUBLE) AS hbos
+            FROM idx i JOIN m0 USING (b0) JOIN m1 USING (b1)
+        """,
+        # Mirror of msprt_two_sample: integer-quantized value sums,
+        # exact cumulative arm statistics, identical Lambda expression
+        # tree; p from the running max of the ROUNDED ln Lambda.
+        "msprt_events": """
+            WITH ev AS (
+              SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                     (user_id % 2 = 0) AS treat,
+                     CAST(round(CAST(value AS DOUBLE) * 1000.0, 0)
+                          AS BIGINT) AS vq
+              FROM events),
+            per AS (
+              SELECT d,
+                     COUNT(CASE WHEN treat THEN 1 END)::BIGINT AS pna,
+                     COALESCE(SUM(CASE WHEN treat THEN vq END), 0)
+                         ::BIGINT AS psa,
+                     COUNT(CASE WHEN NOT treat THEN 1 END)::BIGINT AS pnb,
+                     COALESCE(SUM(CASE WHEN NOT treat THEN vq END), 0)
+                         ::BIGINT AS psb
+              FROM ev GROUP BY d),
+            cum AS (
+              SELECT d,
+                     SUM(pna) OVER w AS na, SUM(psa) OVER w AS sa,
+                     SUM(pnb) OVER w AS nb, SUM(psb) OVER w AS sb
+              FROM per
+              WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)),
+            stat AS (
+              SELECT d, na, nb,
+                     CAST(sa AS DOUBLE) / 1000.0 / na
+                     - CAST(sb AS DOUBLE) / 1000.0 / nb AS dl,
+                     2500.0 * (1.0 / na + 1.0 / nb) AS vt
+              FROM cum),
+            l AS (
+              SELECT d, na, nb,
+                     CASE WHEN na > 0 AND nb > 0 THEN
+                       CAST(round(dl + 1e-9, 4) AS DOUBLE) END AS delta,
+                     CASE WHEN na > 0 AND nb > 0 THEN
+                       CAST(round(0.5 * ln(vt / (vt + 1.0))
+                                  + dl * dl * 1.0
+                                    / (2.0 * vt * (vt + 1.0))
+                                  + 1e-9, 4) AS DOUBLE) END AS ln_lambda
+              FROM stat)
+            SELECT d AS day, CAST(na AS BIGINT) AS n_a,
+                   CAST(nb AS BIGINT) AS n_b, delta, ln_lambda,
+                   CAST(round(least(1.0, exp(-(max(ln_lambda) OVER
+                        (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)))) + 1e-9, 4) AS DOUBLE)
+                       AS p_value
+            FROM l
+        """,
+        # Mirror of knn_label_agreement: the _ANN_SQL ranking convention
+        # (4-dp-rounded scores, id tie-break), then exact-integer votes
+        # with lexicographic majority tie-break.
+        "knn_agreement": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     CAST(label AS VARCHAR) AS lbl
+              FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+            scored AS (
+              SELECT q.vec_id AS qid, q.lbl AS qlbl,
+                     e.vec_id AS nid, e.lbl AS nlbl,
+                     CAST(ROUND(list_cosine_similarity(q.v, e.v), 4)
+                          AS DOUBLE) AS score
+              FROM q JOIN e ON e.vec_id != q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, nid ASC) AS rk
+              FROM scored),
+            votes AS (
+              SELECT qid, qlbl, nlbl, COUNT(*)::BIGINT AS nv
+              FROM ranked WHERE rk <= 5 GROUP BY 1, 2, 3),
+            best AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY nv DESC, nlbl ASC) AS rk2,
+                     SUM(CASE WHEN nlbl = qlbl THEN nv ELSE 0 END)
+                         OVER (PARTITION BY qid) AS agree,
+                     SUM(nv) OVER (PARTITION BY qid) AS ktot
+              FROM votes)
+            SELECT CAST(qid AS BIGINT) AS vec_id, qlbl AS label,
+                   nlbl AS knn_pred,
+                   CAST(agree AS DOUBLE) / ktot AS agree_frac
+            FROM best WHERE rk2 = 1
+        """,
+        # Mirror of vocab_coverage: top-200 cutoff on (tf DESC, term
+        # ASC), exact integer token ratios.
+        "vocab_coverage": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents),
+            toks AS (SELECT doc_id, unnest(w) AS term FROM base),
+            freq AS (SELECT term, COUNT(*)::BIGINT AS tf
+                     FROM toks GROUP BY term),
+            vocab AS (
+              SELECT term FROM freq
+              ORDER BY tf DESC, term ASC LIMIT 200),
+            dtc AS (SELECT doc_id, term, COUNT(*)::BIGINT AS dn
+                    FROM toks GROUP BY 1, 2),
+            inv AS (SELECT doc_id, SUM(dn)::BIGINT AS n_inv
+                    FROM dtc JOIN vocab USING (term) GROUP BY doc_id),
+            ndoc AS (SELECT doc_id, len(w)::BIGINT AS n_tok FROM base)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.n_tok,
+                   CAST(n.n_tok - COALESCE(i.n_inv, 0) AS BIGINT)
+                       AS n_oov,
+                   CASE WHEN n.n_tok > 0 THEN
+                     CAST(COALESCE(i.n_inv, 0) AS DOUBLE) / n.n_tok
+                   END AS coverage
+            FROM ndoc n LEFT JOIN inv i ON i.doc_id = n.doc_id
         """,
     }

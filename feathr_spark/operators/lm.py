@@ -438,3 +438,53 @@ def pmi_collocations(
             .orderBy(F.col("pmi").desc(), F.col("w1").asc(),
                      F.col("w2").asc())
             .limit(int(k)))
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 500,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-document coverage of the corpus top-``vocab_size`` vocabulary:
+    the tokenizer-budget readout of a training-data pipeline (what OOV
+    rate does a V-term vocabulary leave on each document / source?).
+
+    Vocabulary = the ``vocab_size`` most frequent whitespace tokens,
+    ties broken lexicographically so the cutoff is deterministic at any
+    partitioning and on any engine. Coverage = in-vocab tokens / tokens
+    — an exact integer ratio; the only float op is the final divide of
+    the identical pair of integers on every engine.
+
+    Physical shape: one term-keyed aggregate (map-side combined) feeds a
+    TakeOrdered top-V (never a full vocabulary sort), the V-row vocab is
+    BROADCAST back onto the per-(doc, term) counts, and one doc-keyed
+    aggregate emits the result. The corpus is scanned once.
+
+    Output: (id_col, n_tok, n_oov, coverage).
+    """
+    base = df.select(F.col(id_col).alias("__id"),
+                     _norm_tokens(F.col(text_col)).alias("__t"))
+    toks = base.select("__id", F.explode("__t").alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition
+    # top-V heaps, never a global vocabulary sort
+    vocab = (freq.orderBy(F.col("tf").desc(), F.col("term").asc())
+             .limit(int(vocab_size))
+             .select("term"))
+    dtc = toks.groupBy("__id", "term").agg(F.count("*").alias("dn"))
+    inv = (dtc.join(F.broadcast(vocab), "term")
+           .groupBy("__id")
+           .agg(F.sum("dn").cast("bigint").alias("__inv")))
+    ndoc = base.select("__id", F.size("__t").cast("bigint").alias("n_tok"))
+    out = ndoc.join(inv, "__id", "left").select(
+        "__id", "n_tok",
+        (F.col("n_tok") - F.coalesce(F.col("__inv"), F.lit(0)))
+        .cast("bigint").alias("n_oov"))
+    return out.select(
+        F.col("__id").alias(id_col), "n_tok", "n_oov",
+        F.when(F.col("n_tok") > 0,
+               (F.col("n_tok") - F.col("n_oov")).cast("double")
+               / F.col("n_tok"))
+        .cast("double").alias("coverage"))

@@ -704,3 +704,82 @@ def sketch_retention(rollup: DataFrame, lag: int = 1) -> DataFrame:
         n_churn.cast("bigint").alias("n_churned"),
         F.when(n_prev > 0, n_ret / n_prev).cast("double")
         .alias("retention"))
+
+
+def hbos_scores(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    id_col: str,
+    bins: int = 16,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel, KI-2012): per
+    feature, an equal-width histogram over [min, max]; a row's score is
+    the sum over features of −ln(relative bin frequency) — rows in thin
+    bins on many features score high. The unsupervised anomaly detector
+    that needs no pairwise distances, no iterations, and no model state:
+    exactly three column-pruned scans at any corpus size.
+
+    Physical shape: one bounds aggregate (1 row, broadcast), one JOINT
+    bucket-grid aggregate (≤ bins^n_features rows — the marginals for
+    every feature derive from this single shuffle), and one scoring scan
+    that joins the bins-sized marginal tables back by bucket index
+    (broadcast). Nothing scales with the row count except the scans.
+
+    Cross-engine determinism: bucket indices come from one fixed
+    floating-point expression tree (IEEE ops are deterministic given the
+    same tree), counts are exact integers, and each feature's
+    ln(density) is quantized to integer micro-nats BEFORE the cross-
+    feature sum (the repo's lm_score convention) — so scores are exact
+    integer arithmetic until the output edge.
+
+    Rows with a NULL in any feature get a NULL score (no silent bin 0).
+    Output: (id_col, hbos).
+    """
+    if not feature_cols:
+        raise ValueError("hbos_scores: need at least one feature column")
+    b = int(bins)
+    feats = [F.col(c).cast("double").alias(f"__x{i}")
+             for i, c in enumerate(feature_cols)]
+    base = df.select(F.col(id_col).alias("__id"), *feats)
+    names = [f"__x{i}" for i in range(len(feature_cols))]
+
+    bounds = base.agg(*[a for i in range(len(names))
+                        for a in (F.min(names[i]).alias(f"__lo{i}"),
+                                  F.max(names[i]).alias(f"__hi{i}"))])
+    withb = base.crossJoin(F.broadcast(bounds))
+
+    def bucket(i):
+        v, lo, hi = (F.col(names[i]), F.col(f"__lo{i}"), F.col(f"__hi{i}"))
+        width = (hi - lo) / F.lit(float(b))
+        return (F.when(v.isNull(), None)
+                .when(hi == lo, F.lit(0))
+                .otherwise(F.least(F.floor((v - lo) / width),
+                                   F.lit(b - 1)))).cast("bigint")
+
+    idx = withb.select("__id", *[bucket(i).alias(f"__b{i}")
+                                 for i in range(len(names))])
+    # joint grid: ONE shuffle, <= bins^k rows; marginals derive from it
+    joint = (idx.dropna()
+             .groupBy(*[f"__b{i}" for i in range(len(names))])
+             .agg(F.count("*").alias("__n")))
+    total = joint.agg(F.sum("__n").cast("double").alias("__nn"))
+
+    scored = idx
+    for i in range(len(names)):
+        marg = (joint.groupBy(f"__b{i}")
+                .agg(F.sum("__n").cast("double").alias("__cnt"))
+                .crossJoin(F.broadcast(total))
+                .select(F.col(f"__b{i}").alias(f"__mb{i}"),
+                        F.round(F.log(F.col("__cnt") / F.col("__nn"))
+                                * F.lit(1e6), 0).cast("bigint")
+                        .alias(f"__u{i}")))
+        scored = scored.join(F.broadcast(marg),
+                             scored[f"__b{i}"] == marg[f"__mb{i}"], "left")
+    u_sum = None
+    for i in range(len(names)):
+        u_sum = F.col(f"__u{i}") if u_sum is None else u_sum + F.col(f"__u{i}")
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.round(-u_sum / F.lit(1e6) + F.lit(10.0 ** -(round_dp + 5)),
+                round_dp).cast("double").alias("hbos"))

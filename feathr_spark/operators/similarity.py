@@ -473,3 +473,57 @@ def pca_components(df: DataFrame, vec_col: str = "embedding",
     total = float(vals.sum()) if vals.sum() > 0 else 1.0
     ratio = [float(vals[idx]) / total for idx in order]
     return np.array(comps), ratio
+
+
+def knn_label_agreement(
+    df: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """k-NN label-agreement audit: for each query row, the fraction of
+    its k cosine-nearest corpus neighbors that share its label, plus the
+    neighborhood's majority label. The confident-learning-style label-
+    noise detector for embedded training data (Northcutt et al., JAIR
+    2021 reduced to its kNN core): rows whose neighborhoods disagree
+    with their recorded label are mislabel/boundary candidates to gate
+    or re-annotate before training.
+
+    Built on :func:`cosine_topk` (query side broadcast, corpus scanned
+    once partition-parallel, ranks decided on 4-dp-rounded scores with
+    id tie-breaks — cross-engine reproducible); the label joins are
+    id-keyed broadcasts of the query frame. Agreement fractions are
+    exact multiples of 1/k and the majority label breaks ties
+    lexicographically on exact counts, so output is engine-portable
+    with no float rounding at all.
+
+    Output: (id_col, label_col, knn_pred, agree_frac) per query row.
+    """
+    from pyspark.sql import Window
+    nn = cosine_topk(df, queries, vec_col, id_col, k=k)
+    labels = df.select(F.col(id_col).alias("__lid"),
+                       F.col(label_col).cast("string").alias("__lbl"))
+    qlab = queries.select(F.col(id_col).alias("query_id"),
+                          F.col(label_col).cast("string").alias("__qlbl"))
+    joined = (nn.join(labels, nn["neighbor_id"] == labels["__lid"])
+              .join(F.broadcast(qlab), "query_id"))
+    votes = (joined.groupBy("query_id", "__qlbl", "__lbl")
+             .agg(F.count("*").alias("__v")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__v").desc(), F.col("__lbl").asc())
+    best = (votes.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__agree",
+                        F.sum(F.when(F.col("__lbl") == F.col("__qlbl"),
+                                     F.col("__v")).otherwise(F.lit(0)))
+                        .over(Window.partitionBy("query_id")))
+            .withColumn("__ktot",
+                        F.sum("__v").over(Window.partitionBy("query_id")))
+            .where(F.col("__rk") == 1))
+    return best.select(
+        F.col("query_id").alias(id_col),
+        F.col("__qlbl").alias(label_col),
+        F.col("__lbl").alias("knn_pred"),
+        (F.col("__agree").cast("double") / F.col("__ktot"))
+        .alias("agree_frac"))

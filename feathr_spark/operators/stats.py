@@ -1432,3 +1432,84 @@ def selection_percentile(
     val = selection_percentiles(df, value_col, [frac], buckets)[0]
     return df.sparkSession.range(1).select(
         F.lit(val).cast("double").alias("value"))
+
+
+def msprt_two_sample(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    treat_col: str,
+    sigma2: float,
+    tau2: float = 1.0,
+    value_scale: int = 1000,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Always-valid sequential two-sample test: the mixture Sequential
+    Probability Ratio Test (Johari, Koomen, Pekelis & Walsh, KDD'17 /
+    "Peeking at A/B tests") with a Gaussian prior of variance ``tau2``
+    on the lift and design-time variance ``sigma2``. Unlike a fixed-
+    horizon z-test, the p-value sequence is valid under CONTINUOUS
+    monitoring: p_t = min(1, 1/max_{s<=t} Lambda_s) never lies no matter
+    when the experimenter stops.
+
+        ln Lambda_t = 0.5 ln(V_t / (V_t + tau2))
+                      + delta_t^2 * tau2 / (2 V_t (V_t + tau2)),
+        V_t = sigma2 (1/n_a + 1/n_b)   (theta_0 = 0).
+
+    Physical shape: ONE data-sized aggregate to per-period arm sums
+    (map-side combined), then all cumulative statistics are windows over
+    the period-count-sized series — the unpartitioned ordered window is
+    over days, not rows (partition by experiment id when running many
+    experiments at once). Values are quantized to ``1/value_scale``
+    units and summed as exact integers (sums stay below 2^53 up to
+    ~1e12 rows at unit scale; raise the scale's decimal type if your
+    metric needs more), so every cumulative statistic is exact and the
+    sequence is identical on any engine and any partitioning.
+
+    Output per period: (time_col, n_a, n_b, delta, ln_lambda, p_value);
+    periods where either arm is still empty report NULL test columns.
+    """
+    day = F.col(time_col)
+    treat = F.col(treat_col)
+    vq = F.round(F.col(value_col).cast("double") * F.lit(float(value_scale)),
+                 0).cast("bigint")
+    per = (df.groupBy(day.alias("__t"))
+           .agg(F.count(F.when(treat, 1)).alias("__na"),
+                F.coalesce(F.sum(F.when(treat, vq)), F.lit(0))
+                .alias("__sa"),
+                F.count(F.when(~treat, 1)).alias("__nb"),
+                F.coalesce(F.sum(F.when(~treat, vq)), F.lit(0))
+                .alias("__sb")))
+    w = Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "__t",
+        F.sum("__na").over(w).alias("na"),
+        F.sum("__sa").over(w).alias("sa"),
+        F.sum("__nb").over(w).alias("nb"),
+        F.sum("__sb").over(w).alias("sb"))
+    scale = F.lit(float(value_scale))
+    mean_a = F.col("sa").cast("double") / scale / F.col("na")
+    mean_b = F.col("sb").cast("double") / scale / F.col("nb")
+    delta = mean_a - mean_b
+    v_t = (F.lit(float(sigma2))
+           * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb")))
+    t2 = F.lit(float(tau2))
+    lnl = (F.lit(0.5) * F.log(v_t / (v_t + t2))
+           + delta * delta * t2 / (F.lit(2.0) * v_t * (v_t + t2)))
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    lnl_r = F.round(lnl + nudge, round_dp)
+    both = (F.col("na") > 0) & (F.col("nb") > 0)
+    staged = cum.select(
+        "__t", "na", "nb",
+        F.when(both, F.round(delta + nudge, round_dp)).cast("double")
+        .alias("delta"),
+        F.when(both, lnl_r).cast("double").alias("ln_lambda"))
+    runmax = F.max("ln_lambda").over(
+        Window.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0))
+    return staged.select(
+        F.col("__t").alias(time_col),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "delta", "ln_lambda",
+        F.round(F.least(F.lit(1.0), F.exp(-runmax)) + nudge, round_dp)
+        .cast("double").alias("p_value"))

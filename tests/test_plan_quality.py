@@ -161,6 +161,15 @@ BROADCAST_LOOP_OK = {
     "powerlaw_parts",
     # 1-row stock-value cut broadcast onto the part-sized value frame
     "important_stock_q11",
+    # 1-row vocab/doc-count frames cross into the classes-sized model
+    # table, and the classes-sized (|langs|-row) model broadcasts onto
+    # the per-doc frame for scoring — never data × data
+    "nb_lang",
+    # 1-row bounds frame broadcast onto the data scan + 1-row total
+    # onto the 16-row marginals (histogram contract)
+    "hbos_orders",
+    # corpus × broadcast(query slice) — the ann_topk contract
+    "knn_agreement",
 }
 
 
@@ -175,9 +184,15 @@ def plans(spark):
     # manager substitutes InMemoryRelation into ANY later plan matching the
     # cached fragment, which shifts Exchange counts and made this module
     # order-dependent. Snapshot plans from a clean cache.
-    spark.catalog.clearCache()
     out = {}
     for name, fn in entry_mod.queries().items():
+        # per-query clean cache: operators that persist() intermediates
+        # (dedup token cache, similarity vectors) would otherwise leak
+        # InMemoryRelation fragments into LATER queries' plans, making
+        # Exchange counts depend on registry DICT ORDER — every gate-
+        # window rotation would shift unrelated snapshots (r9 lesson:
+        # seasonal_forecast drifted 5->6 from a reorder alone)
+        spark.catalog.clearCache()
         out[name] = (_physical_plan(fn(spark, SF)))
     return out
 
@@ -920,6 +935,20 @@ EXCHANGE_BUDGET = {
     # (doc, word) collapse + vocab distinct + the vocab-keyed join's
     # per-doc final aggregate; the k merge replaces are narrow
     "bpe_encode": 3,
+    # --- r9 batch 5 ---
+    # model training (class/term aggregates + tiny model joins) + the
+    # term-keyed scoring join + per-doc argmax; the class-table joins
+    # print their pre-AQE partials
+    "nb_lang": 15,
+    # bounds agg + joint 16x16 grid agg + 2 marginal folds + scoring
+    # joins (each with pre-AQE partials printed)
+    "hbos_orders": 13,
+    # per-day arm aggregate + the day-series window sort
+    "msprt_events": 2,
+    # corpus repartition + per-query two-stage top-k + vote windows
+    "knn_agreement": 3,
+    # term agg + TakeOrdered vocab + per-doc aggregate
+    "vocab_coverage": 3,
 }
 
 
@@ -1025,6 +1054,10 @@ GLOBAL_WINDOW_OK = {
     # the bucketed-prefix OFFSET pass over the buckets-sized frame
     # (pareto_customers contract)
     "abc_xyz_parts",
+    # cumulative arm statistics + running-max windows over the per-DAY
+    # series frame (acf_daily contract) — never the raw events;
+    # partition by experiment id when running many experiments at once
+    "msprt_events",
 }
 
 

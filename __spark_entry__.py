@@ -5430,6 +5430,39 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, "text", "doc_id", vocab_size=200)
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law slope of the corpus rank-frequency head (top-100):
+    integer micro-nat log-log points, exact-integer OLS moments, single
+    divisions at the edge — the corpus-health gate next to
+    vocab_coverage."""
+    _utc(spark)
+    from feathr_spark.operators.lm import zipf_fit
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return zipf_fit(docs, "text", top_n=100)
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse compaction planning over documents-as-files: per
+    source, largest-first cumulative packing into 16 KiB target bins
+    (one keyed window shuffle, exact integer plan)."""
+    _utc(spark)
+    from feathr_spark.operators.layout import compaction_plan
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = compaction_plan(docs, "n_chars", "doc_id", by=["source"],
+                          target_bytes=16384)
+    return out.select("source", "bin_id", "n_items", "bin_bytes")
+
+
+def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical-richness profile (TTR, hapax ratio, Yule's K):
+    one (source, term) aggregate; every statistic folds from it in
+    exact integers."""
+    _utc(spark)
+    from feathr_spark.operators.text import lexical_richness
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexical_richness(docs, "text", by=["source"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5526,6 +5559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msprt_events": q_msprt_events,
         "knn_agreement": q_knn_agreement,
         "vocab_coverage": q_vocab_coverage,
+        # --- NEW in r9 batch 6: Zipf-slope corpus gate, compaction
+        # --- planner, lexical-richness profile
+        "zipf_fit": q_zipf_fit,
+        "compaction_plan": q_compaction_plan,
+        "lexical_richness": q_lexical_richness,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12144,5 +12182,106 @@ def oracle_sql() -> dict[str, str]:
                      CAST(COALESCE(i.n_inv, 0) AS DOUBLE) / n.n_tok
                    END AS coverage
             FROM ndoc n LEFT JOIN inv i ON i.doc_id = n.doc_id
+        """,
+        # --- r9 batch 6 ---
+        # Mirror of zipf_fit: exact (tf DESC, term ASC) head, micro-nat
+        # log-log points, integer OLS moments (DuckDB sums to HUGEINT;
+        # the Spark side's BIGINT holds to n*sxy < 2^63 — fine at
+        # top_n=100 where n*sxy <= 2e18).
+        "zipf_fit": r"""
+            WITH toks AS (
+              SELECT unnest(string_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents),
+            freq AS (SELECT term, COUNT(*)::BIGINT AS tf
+                     FROM toks GROUP BY term),
+            top AS (SELECT term, tf FROM freq
+                    ORDER BY tf DESC, term ASC LIMIT 100),
+            pts AS (
+              SELECT CAST(round(ln(CAST(row_number() OVER
+                         (ORDER BY tf DESC, term ASC) AS DOUBLE))
+                         * 1000000.0, 0) AS BIGINT) AS x,
+                     CAST(round(ln(CAST(tf AS DOUBLE)) * 1000000.0, 0)
+                          AS BIGINT) AS y
+              FROM top),
+            m AS (SELECT COUNT(*)::BIGINT AS n,
+                         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+                         SUM(x * y)::BIGINT AS sxy,
+                         SUM(x * x)::BIGINT AS sxx,
+                         SUM(y * y)::BIGINT AS syy
+                  FROM pts)
+            SELECT CAST(n AS BIGINT) AS n_terms,
+                   CAST(round(CASE WHEN n * sxx - sx * sx > 0 THEN
+                              CAST(n * sxy - sx * sy AS DOUBLE)
+                              / CAST(n * sxx - sx * sx AS DOUBLE)
+                              ELSE 0.0 END
+                              + 1e-9, 4) AS DOUBLE) AS slope,
+                   CAST(round((CAST(sy AS DOUBLE)
+                               - (CASE WHEN n * sxx - sx * sx > 0 THEN
+                                  CAST(n * sxy - sx * sy AS DOUBLE)
+                                  / CAST(n * sxx - sx * sx AS DOUBLE)
+                                  ELSE 0.0 END)
+                                 * CAST(sx AS DOUBLE))
+                              / CAST(n AS DOUBLE) / 1000000.0
+                              + 1e-9, 4) AS DOUBLE) AS intercept,
+                   CASE WHEN n * sxx - sx * sx > 0
+                         AND n * syy - sy * sy > 0 THEN
+                   CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                              * CAST(n * sxy - sx * sy AS DOUBLE)
+                              / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                 * CAST(n * syy - sy * sy AS DOUBLE))
+                              + 1e-9, 4) AS DOUBLE) END AS r2
+            FROM m
+        """,
+        # Mirror of compaction_plan: identical largest-first order and
+        # preceding-cumsum bin rule; the bin id's double division is
+        # exact below 2^53 bytes per group.
+        "compaction_plan": """
+            WITH s AS (
+              SELECT source, doc_id, CAST(n_chars AS BIGINT) AS sz
+              FROM documents),
+            c AS (
+              SELECT source, sz,
+                     SUM(sz) OVER (PARTITION BY source
+                         ORDER BY sz DESC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+                         ROW) - sz AS cb
+              FROM s)
+            SELECT source,
+                   CAST(floor(CAST(cb AS DOUBLE) / 16384) AS BIGINT)
+                       AS bin_id,
+                   COUNT(*)::BIGINT AS n_items,
+                   SUM(sz)::BIGINT AS bin_bytes
+            FROM c GROUP BY 1, 2
+        """,
+        # Mirror of lexical_richness: one (source, term) aggregate,
+        # exact integer folds, identical final ratios.
+        "lexical_richness": r"""
+            WITH toks AS (
+              SELECT source,
+                     unnest(string_split(lower(trim(regexp_replace(
+                         text, '\s+', ' ', 'g'))), ' ')) AS term
+              FROM documents),
+            tf AS (SELECT source, term, COUNT(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            g AS (SELECT source,
+                         SUM(tf)::BIGINT AS n_tokens,
+                         COUNT(*)::BIGINT AS n_types,
+                         SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END)::BIGINT
+                             AS n_hapax,
+                         SUM(tf * tf)::BIGINT AS sq
+                  FROM tf GROUP BY source)
+            SELECT source, n_tokens, n_types, n_hapax,
+                   CAST(round(CAST(n_types AS DOUBLE)
+                              / CAST(n_tokens AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS ttr,
+                   CAST(round(CAST(n_hapax AS DOUBLE)
+                              / CAST(n_types AS DOUBLE) + 1e-9, 4)
+                        AS DOUBLE) AS hapax_ratio,
+                   CAST(round(10000.0 * CAST(sq - n_tokens AS DOUBLE)
+                              / (CAST(n_tokens AS DOUBLE)
+                                 * CAST(n_tokens AS DOUBLE)) + 1e-9, 4)
+                        AS DOUBLE) AS yule_k
+            FROM g
         """,
     }

@@ -269,6 +269,16 @@ HEADLINE = [
     "forecast_conformal",
     "impute_events",
     "bpe_encode",
+    # r9 batch 5
+    "nb_lang",
+    "hbos_orders",
+    "msprt_events",
+    "knn_agreement",
+    "vocab_coverage",
+    # r9 batch 6
+    "zipf_fit",
+    "compaction_plan",
+    "lexical_richness",
 ]
 
 

@@ -134,3 +134,49 @@ def zorder_sort(
     else:
         keyed = keyed.repartitionByRange(F.col(ZKEY))
     return keyed.sortWithinPartitions(ZKEY).drop(ZKEY)
+
+
+def compaction_plan(
+    df: DataFrame,
+    size_col: str,
+    id_col: str,
+    by: Sequence[str] = (),
+    target_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """Cumulative bin-packing compaction plan — the OPTIMIZE/compaction
+    primitive of lakehouse table maintenance: assign items (small files,
+    documents, row groups) to target-size output bins. Items sort
+    largest-first within each ``by`` group (first-fit-decreasing's sort,
+    next-fit's scan — the streaming-friendly variant every table
+    compactor actually ships, because true FFD is inherently
+    sequential), then ``bin = floor(preceding_cumsum / target)``: a bin
+    closes as soon as the running total crosses the target, so every
+    bin lands within one item's size of the target (an item that
+    overshoots a boundary opens the next bin already part-full on the
+    cumsum axis, shorting that bin's bytes by the overshoot;
+    largest-first ordering keeps tail items — hence overshoots —
+    small).
+
+    One keyed window shuffle (partition by group); the usual window
+    caveat: a group's items sort in one task — shard the group key when
+    a single table's small-file count outgrows a task (the plan is
+    per-group-independent by construction, so sharding is safe).
+
+    All arithmetic is exact integers: the same plan comes out of any
+    engine at any partitioning.
+
+    Output: one row per (by..., bin_id) with n_items, bin_bytes.
+    """
+    from pyspark.sql import Window
+    keys = list(by)
+    sz = F.col(size_col).cast("bigint")
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy()) \
+        .orderBy(sz.desc(), F.col(id_col).asc())
+    cum_before = (F.sum(sz).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)) - sz)
+    staged = df.select(*keys, sz.alias("__sz"),
+                       F.floor(cum_before / F.lit(int(target_bytes)))
+                       .cast("bigint").alias("bin_id"))
+    return (staged.groupBy(*keys, "bin_id")
+            .agg(F.count("*").cast("bigint").alias("n_items"),
+                 F.sum("__sz").cast("bigint").alias("bin_bytes")))

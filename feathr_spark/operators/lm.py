@@ -488,3 +488,64 @@ def vocab_coverage(
                (F.col("n_tok") - F.col("n_oov")).cast("double")
                / F.col("n_tok"))
         .cast("double").alias("coverage"))
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus rank-frequency curve: OLS of
+    ln(frequency) on ln(rank) for the ``top_n`` most frequent tokens.
+    The classic corpus-health readout (natural text sits near slope −1;
+    boilerplate-heavy or template-generated corpora flatten or steepen
+    the head) — a cheap pre-training sanity gate next to
+    :func:`vocab_coverage`.
+
+    Cross-engine determinism: ranks come from the exact (tf DESC, term
+    ASC) order; ln(rank) and ln(tf) are quantized to integer micro-nats
+    and ALL OLS moments (Σx, Σy, Σxy, Σx², Σy²) are exact integer sums
+    — slope/intercept/r² are single identical divisions at the edge.
+    Physical shape: one term aggregate feeds a TakeOrdered top-N; the
+    rank window and the moment fold run on the N-row frame.
+
+    Output (1 row): (n_terms, slope, intercept, r2); intercept in nats.
+    """
+    from pyspark.sql import Window
+    toks = df.select(F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+    freq = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    top = (freq.orderBy(F.col("tf").desc(), F.col("term").asc())
+           .limit(int(top_n)))
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    pts = top.select(
+        F.round(F.log(F.row_number().over(w).cast("double")) * F.lit(1e6),
+                0).cast("bigint").alias("__x"),
+        F.round(F.log(F.col("tf").cast("double")) * F.lit(1e6), 0)
+        .cast("bigint").alias("__y"))
+    m = pts.agg(F.count("*").cast("bigint").alias("n"),
+                F.sum("__x").alias("sx"), F.sum("__y").alias("sy"),
+                F.sum(F.col("__x") * F.col("__y")).alias("sxy"),
+                F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
+                F.sum(F.col("__y") * F.col("__y")).alias("syy"))
+    n = F.col("n").cast("double")
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        .cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
+        .cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
+        .cast("double")
+    # ANSI-safe degenerate guards: vx = 0 cannot happen for n > 1
+    # (ranks are distinct), but a flat-frequency head makes vy = 0 —
+    # slope is then an exact 0 and r² is undefined (NULL)
+    slope = F.when(vx > 0, cov / vx).otherwise(F.lit(0.0))
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope + nudge, round_dp).cast("double").alias("slope"),
+        F.round((F.col("sy").cast("double") - slope
+                 * F.col("sx").cast("double")) / n / F.lit(1e6) + nudge,
+                round_dp).cast("double").alias("intercept"),
+        F.when((vx > 0) & (vy > 0),
+               F.round(cov * cov / (vx * vy) + nudge, round_dp))
+        .cast("double").alias("r2"))

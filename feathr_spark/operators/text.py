@@ -686,3 +686,53 @@ def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("flesch",
                         F.when(ok, flesch).cast("double"))
             .withColumn("fk_grade", F.when(ok, fk).cast("double")))
+
+
+def lexical_richness(
+    df: DataFrame,
+    text_col: str = "text",
+    by: Sequence[str] = ("source",),
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group lexical-richness profile: type-token ratio, hapax
+    ratio, and Yule's K — the repetitiveness fingerprint of a corpus
+    slice (template/boilerplate-heavy sources show low TTR and high K;
+    K is length-insensitive where raw TTR is not, which is why both
+    ship). K = 10^4 · (Σ_t tf_t² − N) / N² (Yule 1944, the Σ m²·V_m
+    form collapsed over types).
+
+    Everything up to the final ratios is exact integer arithmetic from
+    one (group, term) aggregate — map-side combined, no second corpus
+    scan: N, V, V₁ and Σtf² all fold from the same frame. At extreme
+    per-group token counts move Σtf² to DECIMAL (BIGINT holds to
+    ~Σtf² < 9·10^18; a 10^9-token group of one repeated token is the
+    overflow shape).
+
+    Output: (by..., n_tokens, n_types, n_hapax, ttr, hapax_ratio,
+    yule_k).
+    """
+    from .search import _norm_tokens
+    keys = list(by)
+    toks = df.select(*keys,
+                     F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+    tf = (toks.groupBy(*keys, "term")
+          .agg(F.count("*").cast("bigint").alias("__tf")))
+    g = (tf.groupBy(*keys)
+         .agg(F.sum("__tf").cast("bigint").alias("n_tokens"),
+              F.count("*").cast("bigint").alias("n_types"),
+              F.sum(F.when(F.col("__tf") == 1, 1).otherwise(0))
+              .cast("bigint").alias("n_hapax"),
+              F.sum(F.col("__tf") * F.col("__tf")).cast("bigint")
+              .alias("__sq")))
+    n = F.col("n_tokens").cast("double")
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    return g.select(
+        *keys, "n_tokens", "n_types", "n_hapax",
+        F.round(F.col("n_types").cast("double") / n + nudge, round_dp)
+        .cast("double").alias("ttr"),
+        F.round(F.col("n_hapax").cast("double")
+                / F.col("n_types").cast("double") + nudge, round_dp)
+        .cast("double").alias("hapax_ratio"),
+        F.round(F.lit(1e4) * (F.col("__sq") - F.col("n_tokens"))
+                .cast("double") / (n * n) + nudge, round_dp)
+        .cast("double").alias("yule_k"))

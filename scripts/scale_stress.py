@@ -47,7 +47,16 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # r9 batch 4: PMI collocations (docs), simplified silhouette +
          # cross-split cosine leakage (embeddings)
          "pmi_collocations", "silhouette_embeddings",
-         "embedding_leakage"]
+         "embedding_leakage",
+         # r9 batch 5: NB classifier + vocab coverage (docs).
+         # knn_agreement is deliberately NOT stressed: its query slice
+         # (vec_id % 17) grows with the corpus, so the brute audit is
+         # O(n^2/17) BY CONSTRUCTION — the scale path swaps the
+         # candidate stage for ivf/lsh_topk (exponents already
+         # measured); see BASELINE.md r9 batch-5 notes
+         "nb_lang", "vocab_coverage",
+         # r9 batch 6 (all documents-based)
+         "zipf_fit", "compaction_plan", "lexical_richness"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate
@@ -244,7 +253,10 @@ def stress_pit(spark, scales, con, only=None):
              "tpch_q15_top_supplier", "tpch_q21_waiting",
              "tpch_q22_dormant",
              # r9 batch 4: split-conformal intervals on scaled events
-             "forecast_conformal"]
+             "forecast_conformal",
+             # r9 batch 5: joint-grid HBOS on scaled orders, mSPRT
+             # day-series on scaled events
+             "hbos_orders", "msprt_events"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

@@ -949,6 +949,13 @@ EXCHANGE_BUDGET = {
     "knn_agreement": 3,
     # term agg + TakeOrdered vocab + per-doc aggregate
     "vocab_coverage": 3,
+    # --- r9 batch 6 ---
+    # term agg feeding the TakeOrdered head; OLS moments fold on 100 rows
+    "zipf_fit": 1,
+    # the one keyed window shuffle
+    "compaction_plan": 1,
+    # (group, term) agg + the per-group fold
+    "lexical_richness": 2,
 }
 
 

@@ -5463,6 +5463,33 @@ def q_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_richness(docs, "text", by=["source"])
 
 
+def q_salted_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact-dim join demo: lineitem x part on partkey with
+    an 8-way salt (row-spread left salt + 8x replicated dim), revenue
+    per brand. shuffle_hash hint forces the shuffled-join plan salting
+    exists for (the 8x dim would otherwise broadcast at this sf and
+    no shuffle would need defeating). Result is IDENTICAL to the plain
+    join — the oracle IS the plain join."""
+    _utc(spark)
+    from feathr_spark.operators._join import salted_join
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_partkey",
+                  (F.col("l_extendedprice").cast("decimal(18,6)")
+                   * (1 - F.col("l_discount").cast("decimal(18,6)")))
+                  .alias("__rev")))
+    part = (spark.read.parquet(f"{sf_dir}/part.parquet")
+            .select(F.col("p_partkey").alias("l_partkey"), "p_brand")
+            .hint("shuffle_hash"))
+    j = salted_join(li, part, ["l_partkey"], salt=8)
+    return (j.groupBy("p_brand")
+            .agg(F.sum("__rev").cast("decimal(28,6)").cast("double")
+                 .alias("revenue"),
+                 F.count("*").cast("bigint").alias("n_items"))
+            .select("p_brand",
+                    F.round(F.col("revenue") + F.lit(1e-9), 4)
+                    .cast("double").alias("revenue"), "n_items"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5564,6 +5591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": q_zipf_fit,
         "compaction_plan": q_compaction_plan,
         "lexical_richness": q_lexical_richness,
+        "salted_join_brands": q_salted_join_brands,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12283,5 +12311,17 @@ def oracle_sql() -> dict[str, str]:
                                  * CAST(n_tokens AS DOUBLE)) + 1e-9, 4)
                         AS DOUBLE) AS yule_k
             FROM g
+        """,
+        # salted_join contract: the salt never changes the result, so
+        # the oracle IS the plain join (exact DECIMAL revenue fold).
+        "salted_join_brands": """
+            SELECT p.p_brand,
+                   CAST(round(CAST(SUM(
+                       CAST(l.l_extendedprice AS DECIMAL(18,6))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,6))))
+                       AS DOUBLE) + 1e-9, 4) AS DOUBLE) AS revenue,
+                   COUNT(*)::BIGINT AS n_items
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand
         """,
     }

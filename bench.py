@@ -279,6 +279,7 @@ HEADLINE = [
     "zipf_fit",
     "compaction_plan",
     "lexical_richness",
+    "salted_join_brands",
 ]
 
 

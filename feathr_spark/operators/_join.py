@@ -33,3 +33,52 @@ def broadcast_attach(left: DataFrame, right: DataFrame,
     cond = [left[k].eqNullSafe(r[f"__r_{k}"]) for k in keys]
     out = left.join(F.broadcast(r), cond, how)
     return out.drop(*[f"__r_{k}" for k in keys])
+
+
+def salted_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
+                salt: int = 8, how: str = "inner") -> DataFrame:
+    """Skew-defeating equi-join: explode the small/right side ``salt``
+    ways and scatter the large/left side across the replicas, so a hot
+    key's rows land on ``salt`` different reducers instead of one.
+
+    AQE's skew-join split handles MOST skew for free (and this repo
+    leans on it), but AQE can only split a skewed partition AFTER the
+    shuffle files exist — when one key alone overflows a single task's
+    disk/memory while writing, or the join is a sort-merge whose skewed
+    side must still sort one giant partition, pre-salting is the only
+    lever. This is the classic manual fix, packaged: results are
+    IDENTICAL to the plain join (the salt columns never leave the
+    operator).
+
+    Left side cost: one row-spread salt column — pmod(hash(row id),
+    salt), NOT a hash of the join key (a key-derived salt would send a
+    hot key's rows to ONE replica again, which is exactly the bug this
+    operator exists to fix). Any left-salt assignment yields the
+    identical join result (each left row meets the one right replica
+    carrying its salt), so the row-id spread affects routing only, never
+    output. Right side cost: ``salt``x replication — use it
+    dim-against-fact (replicating a fact table ``salt``x would be the
+    bug, not the fix). NULL keys match null-safely (broadcast_attach
+    contract).
+
+    Output column shape matches ``left.join(right, keys, how)``.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("salted_join: need at least one key")
+    if salt < 1:
+        raise ValueError("salted_join: salt must be >= 1")
+    lsalt = F.pmod(F.hash(F.monotonically_increasing_id()),
+                   F.lit(int(salt)))
+    l2 = left.withColumn("__salt", lsalt)
+    r2 = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(int(salt) - 1))))
+    r2 = r2.withColumnRenamed("__salt", "__r_salt")
+    for k in keys:
+        r2 = r2.withColumnRenamed(k, f"__r_{k}")
+    cond = [l2[k].eqNullSafe(r2[f"__r_{k}"]) for k in keys]
+    cond.append(l2["__salt"] == r2["__r_salt"])
+    out = l2.join(r2, cond, how)
+    return out.drop("__salt", "__r_salt",
+                    *[f"__r_{k}" for k in keys])

@@ -256,7 +256,9 @@ def stress_pit(spark, scales, con, only=None):
              "forecast_conformal",
              # r9 batch 5: joint-grid HBOS on scaled orders, mSPRT
              # day-series on scaled events
-             "hbos_orders", "msprt_events"]
+             "hbos_orders", "msprt_events",
+             # r9 batch 6: the salted shuffled-hash fact-dim join
+             "salted_join_brands"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

@@ -956,6 +956,8 @@ EXCHANGE_BUDGET = {
     "compaction_plan": 1,
     # (group, term) agg + the per-group fold
     "lexical_richness": 2,
+    # the salted ShuffledHashJoin's two sides + the brand aggregate
+    "salted_join_brands": 3,
 }
 
 

@@ -5490,6 +5490,34 @@ def q_salted_join_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double").alias("revenue"), "n_items"))
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR-metric quartet (RR / P@5 / AP@5 / recall@5) of the embedding
+    kNN run, relevance = label match (the standard labeled-ANN eval):
+    per-query exact-integer metrics over the knn_agreement query slice;
+    recall denominators are the corpus label counts minus self."""
+    _utc(spark)
+    from feathr_spark.operators.search import retrieval_metrics
+    from feathr_spark.operators.similarity import cosine_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 17 == 0)
+    nn = cosine_topk(emb, queries_df, "embedding", "vec_id", k=5)
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("label").alias("__nl"))
+    qlab = queries_df.select(F.col("vec_id").alias("query_id"),
+                             F.col("label").alias("__ql"))
+    hits = (nn.join(labels, "neighbor_id")
+            .join(F.broadcast(qlab), "query_id")
+            .select("query_id", "rank",
+                    (F.col("__nl") == F.col("__ql")).alias("is_rel")))
+    sizes = emb.groupBy("label").agg(F.count("*").alias("__n"))
+    totals = (qlab.join(F.broadcast(sizes),
+                        qlab["__ql"] == sizes["label"])
+              .select("query_id", (F.col("__n") - 1).alias("n_rel")))
+    out = retrieval_metrics(hits, totals, k=5)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      "n_rel", "rr", "p_at_k", "ap_at_k", "recall_at_k")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5592,6 +5620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "lexical_richness": q_lexical_richness,
         "salted_join_brands": q_salted_join_brands,
+        "retrieval_eval": q_retrieval_eval,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12323,5 +12352,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n_items
             FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
             GROUP BY p.p_brand
+        """,
+        # Mirror of retrieval_metrics over the knn run: the _ANN_SQL
+        # ranking convention, exact-integer metrics, nano-quantized AP
+        # terms (no float summation order on either engine).
+        "retrieval_eval": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v, label
+              FROM embeddings),
+            q AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+            scored AS (
+              SELECT q.vec_id AS qid, q.label AS qlbl,
+                     e.vec_id AS nid, e.label AS nlbl,
+                     CAST(ROUND(list_cosine_similarity(q.v, e.v), 4)
+                          AS DOUBLE) AS score
+              FROM q JOIN e ON e.vec_id != q.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY score DESC, nid ASC) AS rk
+              FROM scored),
+            hits AS (SELECT qid, rk, (nlbl = qlbl) AS rel
+                     FROM ranked WHERE rk <= 5),
+            cum AS (
+              SELECT qid, rk, rel,
+                     CASE WHEN rel THEN CAST(round(
+                       CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) OVER
+                            (PARTITION BY qid ORDER BY rk
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND
+                             CURRENT ROW) AS DOUBLE)
+                       / rk * 1000000000.0, 0) AS BIGINT)
+                     ELSE 0 END AS ap_term
+              FROM hits),
+            per AS (
+              SELECT qid,
+                     MIN(CASE WHEN rel THEN rk END) AS first_rel,
+                     SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT
+                         AS hits_rel,
+                     SUM(ap_term)::BIGINT AS ap_nano
+              FROM cum GROUP BY qid),
+            sizes AS (SELECT label, COUNT(*)::BIGINT AS n
+                      FROM e GROUP BY label),
+            tot AS (SELECT q.vec_id AS qid, s.n - 1 AS n_rel
+                    FROM q JOIN sizes s ON s.label = q.label)
+            SELECT CAST(p.qid AS BIGINT) AS query_id,
+                   CAST(t.n_rel AS BIGINT) AS n_rel,
+                   CAST(round(CASE WHEN first_rel IS NOT NULL
+                              THEN 1.0 / first_rel ELSE 0.0 END
+                              + 1e-9, 4) AS DOUBLE) AS rr,
+                   CAST(round(CAST(hits_rel AS DOUBLE) / 5.0 + 1e-9, 4)
+                        AS DOUBLE) AS p_at_k,
+                   CAST(round(CASE WHEN least(t.n_rel, 5) > 0 THEN
+                              CAST(ap_nano AS DOUBLE) / 1000000000.0
+                              / least(t.n_rel, 5) ELSE 0.0 END
+                              + 1e-9, 4) AS DOUBLE) AS ap_at_k,
+                   CAST(round(CASE WHEN t.n_rel > 0 THEN
+                              CAST(hits_rel AS DOUBLE) / t.n_rel
+                              ELSE 0.0 END + 1e-9, 4) AS DOUBLE)
+                       AS recall_at_k
+            FROM per p JOIN tot t ON t.qid = p.qid
         """,
     }

@@ -280,6 +280,7 @@ HEADLINE = [
     "compaction_plan",
     "lexical_richness",
     "salted_join_brands",
+    "retrieval_eval",
 ]
 
 

@@ -267,3 +267,78 @@ def doc_keywords(
             .where(F.col("rank") <= k)
             .select(id_col, "term", "tf_idf",
                     F.col("rank").cast("bigint").alias("rank")))
+
+
+def retrieval_metrics(
+    hits: DataFrame,
+    rel_totals: DataFrame,
+    group_col: str = "query_id",
+    rank_col: str = "rank",
+    rel_col: str = "is_rel",
+    k: int = 10,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Classic IR evaluation over a ranked run: per query, reciprocal
+    rank, precision@k, average-precision@k, and recall@k — the metric
+    quartet behind MRR/MAP leaderboards, computed engine-portably.
+
+    ``hits``: one row per retrieved (query, rank, is_rel) with ranks
+    1-based and unique per query. ``rel_totals``: (group_col, n_rel) —
+    the size of each query's full relevant set (the recall and AP
+    denominators; the run alone cannot know what it failed to
+    retrieve). AP@k = Σ_{i≤k, rel_i} P@i / min(n_rel, k).
+
+    Determinism: every metric is a ratio of exact integers; the AP
+    numerator sums per-rank precisions quantized to integer nano-units
+    (the micro-nat convention, 3 digits finer since P@i ≤ 1), so no
+    float summation order exists anywhere.
+
+    Plan: one group-keyed aggregate over the (per-query, ≤k) hit rows +
+    a broadcast of the query-sized totals frame. Output per query:
+    (group_col, n_rel, rr, p_at_k, ap_at_k, recall_at_k).
+    """
+    from pyspark.sql import Window
+    if k < 1:
+        raise ValueError("retrieval_metrics: k must be >= 1")
+    g = F.col(group_col)
+    d = hits.select(g.alias("__g"),
+                    F.col(rank_col).cast("bigint").alias("__rank"),
+                    F.col(rel_col).cast("boolean").alias("__rel")) \
+        .where(F.col("__rank") <= k)
+    w = (Window.partitionBy("__g").orderBy("__rank")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum_rel = F.sum(F.when(F.col("__rel"), 1).otherwise(0)).over(w)
+    staged = d.select(
+        "__g", "__rank", "__rel",
+        # nano-quantized P@i term, counted only at relevant ranks
+        F.when(F.col("__rel"),
+               F.round(cum_rel.cast("double") / F.col("__rank")
+                       * F.lit(1e9), 0).cast("bigint"))
+        .otherwise(F.lit(0)).alias("__ap_term"))
+    per = (staged.groupBy("__g")
+           .agg(F.min(F.when(F.col("__rel"), F.col("__rank")))
+                .alias("__first_rel"),
+                F.sum(F.when(F.col("__rel"), 1).otherwise(0))
+                .cast("bigint").alias("__hits_rel"),
+                F.sum("__ap_term").alias("__ap_nano")))
+    tot = rel_totals.select(g.alias("__g"),
+                            F.col("n_rel").cast("bigint").alias("n_rel"))
+    j = per.join(F.broadcast(tot), "__g")
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    ap_den = F.least(F.col("n_rel"), F.lit(k))
+    return j.select(
+        F.col("__g").alias(group_col), "n_rel",
+        F.round(F.when(F.col("__first_rel").isNotNull(),
+                       F.lit(1.0) / F.col("__first_rel"))
+                .otherwise(F.lit(0.0)) + nudge, round_dp)
+        .cast("double").alias("rr"),
+        F.round(F.col("__hits_rel").cast("double") / F.lit(k) + nudge,
+                round_dp).cast("double").alias("p_at_k"),
+        F.round(F.when(ap_den > 0,
+                       F.col("__ap_nano").cast("double") / F.lit(1e9)
+                       / ap_den).otherwise(F.lit(0.0)) + nudge, round_dp)
+        .cast("double").alias("ap_at_k"),
+        F.round(F.when(F.col("n_rel") > 0,
+                       F.col("__hits_rel").cast("double")
+                       / F.col("n_rel")).otherwise(F.lit(0.0)) + nudge,
+                round_dp).cast("double").alias("recall_at_k"))

@@ -170,6 +170,8 @@ BROADCAST_LOOP_OK = {
     "hbos_orders",
     # corpus × broadcast(query slice) — the ann_topk contract
     "knn_agreement",
+    # embeds the knn_agreement run (corpus × broadcast query slice)
+    "retrieval_eval",
 }
 
 
@@ -958,6 +960,8 @@ EXCHANGE_BUDGET = {
     "lexical_richness": 2,
     # the salted ShuffledHashJoin's two sides + the brand aggregate
     "salted_join_brands": 3,
+    # knn run (corpus repartition + two-stage top-k) + the metrics fold
+    "retrieval_eval": 4,
 }
 
 

@@ -5518,6 +5518,89 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "n_rel", "rr", "p_at_k", "ap_at_k", "recall_at_k")
 
 
+def _stump_oracle_one(vexpr: str, name: str, bins: int = 64) -> str:
+    """DuckDB mirror of stump_screen for ONE feature: identical bucket
+    expression tree, exact-integer cumulative split table, nano-
+    quantized argmin with the lower-boundary tie-break."""
+    return f"""
+        SELECT feature, threshold, n_left, n_right, gini_root,
+               gini_split, gini_gain FROM (
+          WITH base AS (
+            SELECT CAST({vexpr} AS DOUBLE) AS v,
+                   CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS y
+            FROM orders
+            WHERE {vexpr} IS NOT NULL),
+          bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM base),
+          cells AS (
+            SELECT CASE WHEN hi = lo THEN 0 ELSE
+                     least(CAST(floor((v - lo) / ((hi - lo) / {bins}.0))
+                           AS BIGINT), {bins - 1}) END AS b,
+                   COUNT(*)::BIGINT AS n, SUM(y)::BIGINT AS p,
+                   ANY_VALUE(lo) AS lo, ANY_VALUE(hi) AS hi
+            FROM base, bounds GROUP BY 1),
+          cum AS (
+            SELECT b, lo, hi,
+                   SUM(n) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS nl,
+                   SUM(p) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW) AS pl,
+                   SUM(n) OVER () AS nn, SUM(p) OVER () AS pp
+            FROM cells),
+          cand AS (
+            SELECT b, lo, hi, nl, nn, pp,
+                   (CAST(nl AS DOUBLE) * (2.0 * (CAST(pl AS DOUBLE)
+                        / CAST(nl AS DOUBLE))
+                        * (1.0 - CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+                    + (CAST(nn AS DOUBLE) - CAST(nl AS DOUBLE))
+                      * (2.0 * ((CAST(pp AS DOUBLE) - CAST(pl AS DOUBLE))
+                           / (CAST(nn AS DOUBLE) - CAST(nl AS DOUBLE)))
+                         * (1.0 - (CAST(pp AS DOUBLE)
+                                   - CAST(pl AS DOUBLE))
+                              / (CAST(nn AS DOUBLE)
+                                 - CAST(nl AS DOUBLE)))))
+                   / CAST(nn AS DOUBLE) AS imp
+            FROM cum WHERE nl < nn AND nl > 0),
+          best AS (
+            SELECT *, row_number() OVER (ORDER BY CAST(round(imp
+                       * 1000000000.0, 0) AS BIGINT) ASC, b ASC) AS rk
+            FROM cand)
+          SELECT '{name}' AS feature,
+                 CAST(round(lo + (b + 1) * ((hi - lo) / {bins}.0)
+                            + 1e-9, 4) AS DOUBLE) AS threshold,
+                 CAST(nl AS BIGINT) AS n_left,
+                 CAST(nn - nl AS BIGINT) AS n_right,
+                 CAST(round(2.0 * (CAST(pp AS DOUBLE)
+                          / CAST(nn AS DOUBLE))
+                          * (1.0 - CAST(pp AS DOUBLE)
+                             / CAST(nn AS DOUBLE)) + 1e-9, 4) AS DOUBLE)
+                     AS gini_root,
+                 CAST(round(imp + 1e-9, 4) AS DOUBLE) AS gini_split,
+                 CAST(round(2.0 * (CAST(pp AS DOUBLE)
+                          / CAST(nn AS DOUBLE))
+                          * (1.0 - CAST(pp AS DOUBLE)
+                             / CAST(nn AS DOUBLE)) - imp + 1e-9, 4)
+                      AS DOUBLE) AS gini_gain
+          FROM best WHERE rk = 1)
+    """
+
+
+def q_stump_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-split feature screening (the LightGBM split finder,
+    one level): best 64-bin Gini split of o_totalprice and the order
+    epoch-day against label = order-still-open (o_orderstatus = 'O').
+    Two column-pruned scans per feature; everything else is 64-row
+    algebra with a nano-quantized argmin."""
+    _utc(spark)
+    from feathr_spark.operators.screening import stump_screen
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_totalprice",
+                      F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+                      .cast("double").alias("o_epoch"),
+                      (F.col("o_orderstatus") == "O").alias("is_open")))
+    return stump_screen(orders, ["o_totalprice", "o_epoch"], "is_open",
+                        bins=64)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5621,6 +5704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_richness": q_lexical_richness,
         "salted_join_brands": q_salted_join_brands,
         "retrieval_eval": q_retrieval_eval,
+        "stump_screen": q_stump_screen,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12411,4 +12495,9 @@ def oracle_sql() -> dict[str, str]:
                        AS recall_at_k
             FROM per p JOIN tot t ON t.qid = p.qid
         """,
+        "stump_screen": (_stump_oracle_one("o_totalprice",
+                                           "o_totalprice")
+                         + " UNION ALL "
+                         + _stump_oracle_one("epoch_ms(o_orderdate)",
+                                             "o_epoch")),
     }

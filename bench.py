@@ -281,6 +281,7 @@ HEADLINE = [
     "lexical_richness",
     "salted_join_brands",
     "retrieval_eval",
+    "stump_screen",
 ]
 
 

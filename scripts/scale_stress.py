@@ -258,7 +258,9 @@ def stress_pit(spark, scales, con, only=None):
              # day-series on scaled events
              "hbos_orders", "msprt_events",
              # r9 batch 6: the salted shuffled-hash fact-dim join
-             "salted_join_brands"]
+             "salted_join_brands",
+             # r9 batch 8: histogram-split screening on scaled orders
+             "stump_screen"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

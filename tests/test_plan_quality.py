@@ -172,6 +172,9 @@ BROADCAST_LOOP_OK = {
     "knn_agreement",
     # embeds the knn_agreement run (corpus × broadcast query slice)
     "retrieval_eval",
+    # 1-row per-feature bounds frames broadcast onto the data scans
+    # (hbos_orders contract)
+    "stump_screen",
 }
 
 
@@ -962,6 +965,9 @@ EXCHANGE_BUDGET = {
     "salted_join_brands": 3,
     # knn run (corpus repartition + two-stage top-k) + the metrics fold
     "retrieval_eval": 4,
+    # per feature: bucket-cell aggregate + the 64-row split windows
+    # (x2 features, unioned)
+    "stump_screen": 6,
 }
 
 

@@ -5601,6 +5601,21 @@ def q_stump_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                         bins=64)
 
 
+def q_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn/return label factory over events: per user,
+    label = another event within 7 days, right-censored rows (horizon
+    past the corpus watermark) get NULL label + observable = false.
+    One per-user lead window + a 1-row watermark broadcast."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import forward_label
+    ev = _load_events(spark, sf_dir)
+    out = forward_label(ev, ["user_id"], "ts", horizon_s=7 * 86400,
+                        id_col="event_id")
+    return out.select(F.col("event_id").cast("bigint").alias("event_id"),
+                      F.col("user_id").cast("bigint").alias("user_id"),
+                      "ts_ms", "gap_ms", "label", "observable")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5705,6 +5720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_brands": q_salted_join_brands,
         "retrieval_eval": q_retrieval_eval,
         "stump_screen": q_stump_screen,
+        "forward_label": q_forward_label,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12500,4 +12516,26 @@ def oracle_sql() -> dict[str, str]:
                          + " UNION ALL "
                          + _stump_oracle_one("epoch_ms(o_orderdate)",
                                              "o_epoch")),
+        # Mirror of forward_label: identical lead window (ts, id
+        # tie-break), watermark censoring, exact integer millis.
+        "forward_label": """
+            WITH base AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+              FROM events),
+            wm AS (SELECT max(ts_ms) AS wm FROM base),
+            l AS (
+              SELECT event_id, user_id, ts_ms,
+                     lead(ts_ms, 1) OVER (PARTITION BY user_id
+                         ORDER BY ts_ms ASC, event_id ASC) AS nxt
+              FROM base)
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(user_id AS BIGINT) AS user_id,
+                   CAST(ts_ms AS BIGINT) AS ts_ms,
+                   CAST(nxt - ts_ms AS BIGINT) AS gap_ms,
+                   CASE WHEN nxt - ts_ms <= 604800000 THEN TRUE
+                        WHEN ts_ms + 604800000 <= wm.wm THEN FALSE
+                        ELSE NULL END AS label,
+                   (ts_ms + 604800000 <= wm.wm) AS observable
+            FROM l, wm
+        """,
     }

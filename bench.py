@@ -282,6 +282,7 @@ HEADLINE = [
     "salted_join_brands",
     "retrieval_eval",
     "stump_screen",
+    "forward_label",
 ]
 
 

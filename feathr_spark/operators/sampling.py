@@ -413,3 +413,59 @@ def shard_shuffle(df: DataFrame, n_shards: int = 64,
     return (d.withColumn("pos",
                          F.row_number().over(w).cast("bigint"))
             .drop("__sk"))
+
+
+def forward_label(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    horizon_s: int,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Leakage-safe future-window label generation — the complement of
+    the backward point-in-time windows: for each row, did the SAME key
+    produce another event within ``(t, t + horizon]``? This is the
+    standard churn/retention/conversion label factory, with the two
+    leakage traps handled structurally:
+
+    * the label looks only FORWARD (a backward window here would be the
+      classic target-leak);
+    * rows whose horizon extends past the corpus watermark (max ts)
+      cannot observe a full window (``observable = false``). A
+      within-horizon next event still labels them TRUE — the positive
+      outcome was observed — but absence of one yields NULL, never a
+      fake negative (right-censoring, the kaplan_meier lesson:
+      treating censored rows as negatives biases every downstream
+      model toward churn).
+
+    One per-key window (lead) + a 1-row watermark broadcast; gaps are
+    exact integer milliseconds. Output: ``id_col`` + key_cols +
+    (ts_ms, gap_ms, label, observable).
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("forward_label: need at least one key column")
+    if horizon_s <= 0:
+        raise ValueError("forward_label: horizon_s must be positive")
+    from pyspark.sql import Window
+    ts = F.unix_millis(F.col(ts_col).cast("timestamp"))
+    base = df.select(F.col(id_col).alias("__id"), *keys,
+                     ts.alias("__ts"))
+    wm = base.agg(F.max("__ts").alias("__wm"))
+    w = Window.partitionBy(*keys).orderBy(F.col("__ts").asc(),
+                                          F.col("__id").asc())
+    nxt = F.lead("__ts", 1).over(w)
+    h_ms = F.lit(int(horizon_s) * 1000)
+    staged = (base.withColumn("__next", nxt)
+              .crossJoin(F.broadcast(wm)))
+    observable = (F.col("__ts") + h_ms) <= F.col("__wm")
+    gap = F.col("__next") - F.col("__ts")
+    label = (F.when(gap <= h_ms, F.lit(True))
+             .when(observable, F.lit(False))
+             .otherwise(F.lit(None).cast("boolean")))
+    return staged.select(
+        F.col("__id").alias(id_col), *keys,
+        F.col("__ts").alias("ts_ms"),
+        gap.cast("bigint").alias("gap_ms"),
+        label.alias("label"),
+        observable.alias("observable"))

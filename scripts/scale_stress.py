@@ -260,7 +260,9 @@ def stress_pit(spark, scales, con, only=None):
              # r9 batch 6: the salted shuffled-hash fact-dim join
              "salted_join_brands",
              # r9 batch 8: histogram-split screening on scaled orders
-             "stump_screen"]
+             "stump_screen",
+             # r9 batch 9: future-window label factory on scaled events
+             "forward_label"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

@@ -175,6 +175,9 @@ BROADCAST_LOOP_OK = {
     # 1-row per-feature bounds frames broadcast onto the data scans
     # (hbos_orders contract)
     "stump_screen",
+    # 1-row corpus-watermark frame broadcast onto every event row
+    # (feature_freshness contract)
+    "forward_label",
 }
 
 
@@ -968,6 +971,8 @@ EXCHANGE_BUDGET = {
     # per feature: bucket-cell aggregate + the 64-row split windows
     # (x2 features, unioned)
     "stump_screen": 6,
+    # the per-user lead window + the 1-row watermark aggregate
+    "forward_label": 2,
 }
 
 

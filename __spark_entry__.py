@@ -5616,6 +5616,25 @@ def q_forward_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "ts_ms", "gap_ms", "label", "observable")
 
 
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of customer re-order gaps (the
+    kaplan_meier_orders durations), plus the Fleming-Harrington
+    survival and the variance estimate — same distinct-duration window
+    algebra, ordered cumulative folds on both engines."""
+    _utc(spark)
+    from feathr_spark.operators.survival import (
+        nelson_aalen, order_gap_durations)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    dur = order_gap_durations(orders, "o_custkey", "o_orderdate")
+    out = nelson_aalen(dur, "duration", "event")
+    r4 = lambda c: F.round(F.col(c) + F.lit(1e-9), 4).cast("double") \
+        .alias(c)
+    return out.select(
+        F.col("duration").cast("bigint").alias("duration"),
+        "n_risk", "n_event",
+        r4("cum_hazard"), r4("fh_survival"), r4("var_hazard"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5721,6 +5740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": q_retrieval_eval,
         "stump_screen": q_stump_screen,
         "forward_label": q_forward_label,
+        "nelson_aalen": q_nelson_aalen,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12537,5 +12557,53 @@ def oracle_sql() -> dict[str, str]:
                         ELSE NULL END AS label,
                    (ts_ms + 604800000 <= wm.wm) AS observable
             FROM l, wm
+        """,
+        # Mirror of nelson_aalen on the kaplan_meier_orders durations:
+        # identical risk-table algebra, ordered cumulative folds.
+        "nelson_aalen": """
+            WITH b AS (
+              SELECT o_custkey AS u, CAST(o_orderdate AS DATE) AS d
+              FROM orders
+              WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+            hz AS (SELECT max(d) AS h FROM b),
+            g AS (
+              SELECT u, d,
+                     lead(d) OVER (PARTITION BY u ORDER BY d) AS nd
+              FROM b),
+            dur AS (
+              SELECT CAST(datediff('day', d, coalesce(nd, h)) AS BIGINT)
+                       AS duration,
+                     CASE WHEN nd IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM g, hz),
+            t AS (
+              SELECT duration, sum(ev) AS n_event,
+                     sum(1 - ev) AS n_censored
+              FROM dur GROUP BY 1),
+            r AS (
+              SELECT *,
+                     sum(n_event + n_censored) OVER ()
+                     - sum(n_event + n_censored)
+                       OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW)
+                     + (n_event + n_censored) AS n_risk
+              FROM t),
+            s AS (
+              SELECT *,
+                     sum(n_event / CAST(n_risk AS DOUBLE))
+                       OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS h,
+                     sum(n_event / (CAST(n_risk AS DOUBLE)
+                                    * CAST(n_risk AS DOUBLE)))
+                       OVER (ORDER BY duration ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS v
+              FROM r)
+            SELECT CAST(duration AS BIGINT) AS duration,
+                   CAST(n_risk AS BIGINT) AS n_risk,
+                   CAST(n_event AS BIGINT) AS n_event,
+                   CAST(ROUND(h + 1e-9, 4) AS DOUBLE) AS cum_hazard,
+                   CAST(ROUND(exp(-h) + 1e-9, 4) AS DOUBLE)
+                       AS fh_survival,
+                   CAST(ROUND(v + 1e-9, 4) AS DOUBLE) AS var_hazard
+            FROM s
         """,
     }

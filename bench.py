@@ -283,6 +283,7 @@ HEADLINE = [
     "retrieval_eval",
     "stump_screen",
     "forward_label",
+    "nelson_aalen",
 ]
 
 

@@ -203,3 +203,49 @@ def order_gap_durations(
                     F.datediff(F.coalesce(nxt, F.col("__hz")), F.col("__d"))
                     .cast("bigint").alias("duration"),
                     nxt.isNotNull().alias("event")))
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str = "duration",
+    event_col: str = "event",
+    key_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over ``(duration, event)`` rows —
+    H(t) = Σ_{s<=t} d_s / n_s, with the Fleming-Harrington survival
+    estimate exp(−H(t)) (the KM alternative that stays positive at full
+    depletion and is the standard input to hazard-ratio eyeballing) and
+    the standard variance estimate Σ d_s / n_s².
+
+    Same censoring conventions and the same single
+    (keys, duration)-aggregate + distinct-duration window algebra as
+    :func:`kaplan_meier` — the cumulative sums run in window order, so
+    both engines fold the identical sequence.
+
+    Output per distinct duration (per key group): (duration, n_risk,
+    n_event, cum_hazard, fh_survival, var_hazard).
+    """
+    keys = list(key_cols or [])
+    ev = F.when(F.col(event_col).cast("boolean"), 1).otherwise(0)
+    per_t = (df.where(F.col(duration_col).isNotNull())
+             .groupBy(*keys, F.col(duration_col).alias("duration"))
+             .agg(F.sum(ev).alias("n_event"),
+                  F.sum(1 - ev).alias("n_censored")))
+    wcum = (Window.partitionBy(*keys).orderBy("duration")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(*keys) if keys else \
+        Window.partitionBy(F.lit(1))
+    exited = F.col("n_event") + F.col("n_censored")
+    n_risk = (F.sum(exited).over(wall)
+              - F.sum(exited).over(wcum) + exited)
+    t = per_t.withColumn("n_risk", n_risk)
+    nr = F.col("n_risk").cast("double")
+    h = F.sum(F.col("n_event") / nr).over(wcum)
+    v = F.sum(F.col("n_event") / (nr * nr)).over(wcum)
+    return t.select(
+        *keys, "duration",
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_event").cast("bigint").alias("n_event"),
+        h.alias("cum_hazard"),
+        F.exp(-h).alias("fh_survival"),
+        v.alias("var_hazard"))

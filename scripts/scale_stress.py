@@ -261,8 +261,9 @@ def stress_pit(spark, scales, con, only=None):
              "salted_join_brands",
              # r9 batch 8: histogram-split screening on scaled orders
              "stump_screen",
-             # r9 batch 9: future-window label factory on scaled events
-             "forward_label"]
+             # r9 batch 9: future-window label factory on scaled events,
+             # cumulative-hazard fold on scaled orders
+             "forward_label", "nelson_aalen"]
     if only:
         names = [n for n in names if n in set(only)]
     dirs = {s: gen_pit_dir(s, con) for s in scales}

@@ -117,3 +117,34 @@ def test_lexical_richness_repetitive_source_scores_higher_k(spark):
     assert out["boiler"]["yule_k"] > out["varied"]["yule_k"]
     assert out["varied"]["ttr"] > out["boiler"]["ttr"]
     assert out["varied"]["hapax_ratio"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------------- nelson_aalen
+
+def test_nelson_aalen_hand_computed(spark):
+    from feathr_spark.operators.survival import nelson_aalen
+    # durations: events at t=1 (n=4), t=2 (n=3); censored at t=3 (n=2)
+    rows = [(1, True), (2, True), (3, False), (3, False)]
+    df = spark.createDataFrame(rows, "duration bigint, event boolean")
+    out = {r["duration"]: r for r in
+           nelson_aalen(df).collect()}
+    assert out[1]["cum_hazard"] == pytest.approx(1 / 4)
+    assert out[2]["cum_hazard"] == pytest.approx(1 / 4 + 1 / 3)
+    assert out[3]["cum_hazard"] == pytest.approx(1 / 4 + 1 / 3)
+    assert out[2]["fh_survival"] == pytest.approx(
+        math.exp(-(1 / 4 + 1 / 3)))
+    assert out[1]["var_hazard"] == pytest.approx(1 / 16)
+    assert out[3]["n_risk"] == 2 and out[3]["n_event"] == 0
+
+
+def test_nelson_aalen_tracks_km_from_above(spark):
+    from feathr_spark.operators.survival import (kaplan_meier,
+                                                 nelson_aalen)
+    rows = [(d, d % 3 != 0) for d in range(1, 40)]
+    df = spark.createDataFrame(rows, "duration bigint, event boolean")
+    km = {r["duration"]: r["survival"] for r in kaplan_meier(df).collect()}
+    na = {r["duration"]: r["fh_survival"] for r in
+          nelson_aalen(df).collect()}
+    # Fleming-Harrington >= Kaplan-Meier everywhere (exp(-x) >= 1-x)
+    for d in km:
+        assert na[d] >= km[d] - 1e-12

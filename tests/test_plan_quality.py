@@ -121,6 +121,8 @@ BROADCAST_LOOP_OK = {
     # 1-row observation-horizon frame broadcast onto every (user, date)
     # row to right-censor the final gap
     "kaplan_meier_orders",
+    # same order_gap_durations horizon broadcast
+    "nelson_aalen",
     # same horizon broadcast inside order_gap_durations, plus the
     # 1-row group-total frame broadcast onto the 1-row statistic
     "logrank_segments",
@@ -973,6 +975,8 @@ EXCHANGE_BUDGET = {
     "stump_screen": 6,
     # the per-user lead window + the 1-row watermark aggregate
     "forward_label": 2,
+    # the kaplan_meier_orders plan shape (durations + risk-table folds)
+    "nelson_aalen": 4,
 }
 
 
@@ -1028,6 +1032,8 @@ GLOBAL_WINDOW_OK = {
     # (bounded by the day-gap range — ~1k rows at any corpus scale);
     # the data-sized pass is the partitioned per-user lead window
     "kaplan_meier_orders",
+    # same distinct-duration algebra (cumulative hazard folds)
+    "nelson_aalen",
     # same distinct-duration algebra as kaplan_meier_orders (at-risk
     # cumsums for both groups over the pooled duration frame)
     "logrank_segments",

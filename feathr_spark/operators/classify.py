@@ -68,8 +68,7 @@ def naive_bayes_classify(
                                       .alias("t_c"))
     cls_doc = base.groupBy("__y").agg(F.count("*").cast("double")
                                       .alias("d_c"))
-    vocab = toks.agg(F.count_distinct("term").cast("double").alias("v"),
-                     F.count(F.lit(1)).cast("double").alias("__ign"))
+    vocab = toks.agg(F.count_distinct("term").cast("double").alias("v"))
     n_docs = base.agg(F.count("*").cast("double").alias("nd"))
     classes = (cls_tok.join(cls_doc, "__y")
                .crossJoin(F.broadcast(vocab))

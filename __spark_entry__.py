@@ -5635,6 +5635,69 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4("cum_hazard"), r4("fh_survival"), r4("var_hazard"))
 
 
+_RBO_K, _RBO_P = 5, 0.9
+# W(m) = sum_{d=m..k} p^(d-1)/d, nano-quantized — the SAME literals are
+# embedded in the oracle SQL so both engines sum identical integers
+_RBO_W = [int(round(sum(_RBO_P ** (d - 1) / d
+                        for d in range(m, _RBO_K + 1)) * 1e9))
+          for m in range(1, _RBO_K + 1)]
+
+
+def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap between the cosine and inner-product top-5
+    rankings of the same query slice (how norm-sensitive is this
+    corpus's retrieval?): one equi-join of the two k-row-per-query runs,
+    per-item contribution from a precomputed literal weight ladder,
+    exact nano-integer sums."""
+    _utc(spark)
+    from feathr_spark.operators.search import rank_overlap_rbo
+    from feathr_spark.operators.similarity import cosine_topk, dot_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") % 17 == 0)
+    run_a = cosine_topk(emb, queries_df, "embedding", "vec_id", k=_RBO_K)
+    run_b = dot_topk(emb, queries_df, "embedding", "vec_id", k=_RBO_K)
+    out = rank_overlap_rbo(run_a, run_b, k=_RBO_K, p=_RBO_P)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      "n_common", "rbo")
+
+
+def _rbo_oracle() -> str:
+    """Mirror of q_rank_overlap: both runs re-ranked with the _ANN_SQL
+    convention (rounded scores, id tie-breaks), the identical
+    nano-quantized weight ladder, exact integer sums."""
+    ladder = " ".join(
+        f"WHEN {m} THEN {w}" for m, w in enumerate(_RBO_W, start=1))
+    return f"""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+        scored AS (
+          SELECT q.vec_id AS qid, e.vec_id AS nid,
+                 CAST(ROUND(list_cosine_similarity(q.v, e.v), 4)
+                      AS DOUBLE) AS sc,
+                 CAST(ROUND(list_dot_product(q.v, e.v), 4) AS DOUBLE)
+                     AS sd
+          FROM q JOIN e ON e.vec_id != q.vec_id),
+        ra AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY sc DESC, nid ASC) AS r FROM scored),
+        rb AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY sd DESC, nid ASC) AS r FROM scored),
+        j AS (
+          SELECT a.qid, greatest(a.r, b.r) AS m
+          FROM ra a JOIN rb b ON b.qid = a.qid AND b.nid = a.nid
+          WHERE a.r <= {_RBO_K} AND b.r <= {_RBO_K}),
+        per AS (
+          SELECT qid, COUNT(*)::BIGINT AS n_common,
+                 SUM(CASE m {ladder} END)::BIGINT AS w_nano
+          FROM j GROUP BY qid)
+        SELECT CAST(q.vec_id AS BIGINT) AS query_id,
+               COALESCE(p.n_common, 0) AS n_common,
+               CAST(round({1.0 - _RBO_P} * COALESCE(p.w_nano, 0)
+                          / 1000000000.0 + 1e-9, 4) AS DOUBLE) AS rbo
+        FROM q LEFT JOIN per p ON p.qid = q.vec_id
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_derived(spark, "/root/testdata/sf0.001")
@@ -5701,8 +5764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q21_waiting": q_tpch_q21_waiting,
         "tpch_q22_dormant": q_tpch_q22_dormant,
         # --- NEW in r9 batch 3, rotated in-window mid-round so the
-        # --- ledger closes at 231/231 driver-recorded this round
-        # --- (displaces 5 multi-round greens to below the window):
+        # --- ledger closes fully driver-recorded this round (250
+        # --- registry queries by session end; every never-recorded
+        # --- query sits in the window):
         # --- split-leakage audit, padded-batching efficiency, BPE
         # --- tokenizer-induction pair statistics, token-budget mixture
         # --- planner, deterministic export shuffle
@@ -5741,6 +5805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stump_screen": q_stump_screen,
         "forward_label": q_forward_label,
         "nelson_aalen": q_nelson_aalen,
+        "rank_overlap": q_rank_overlap,
         # --- window fill (r7/r8 greens, re-recorded)
         "jl_project": q_jl_project,
         "components_parts": q_components_parts,
@@ -12606,4 +12671,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ROUND(v + 1e-9, 4) AS DOUBLE) AS var_hazard
             FROM s
         """,
+        "rank_overlap": _rbo_oracle(),
     }

@@ -284,6 +284,7 @@ HEADLINE = [
     "stump_screen",
     "forward_label",
     "nelson_aalen",
+    "rank_overlap",
 ]
 
 

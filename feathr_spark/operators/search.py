@@ -342,3 +342,71 @@ def retrieval_metrics(
                        F.col("__hits_rel").cast("double")
                        / F.col("n_rel")).otherwise(F.lit(0.0)) + nudge,
                 round_dp).cast("double").alias("recall_at_k"))
+
+
+def rank_overlap_rbo(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int,
+    p: float = 0.9,
+    group_col: str = "query_id",
+    item_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Truncated Rank-Biased Overlap (Webber, Moffat & Zobel, TOIS'10)
+    between two ranked runs: RBO@k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩
+    B_d|/d, the rank-aware alternative to set recall for comparing two
+    retrieval strategies (an item the runs agree on at depth 1 counts
+    far more than agreement at depth k). The standard readout when
+    swapping an ANN candidate stage: how much of the ranking, not just
+    the set, survived.
+
+    Distributed form: an item at ranks (ra, rb) joins every prefix
+    depth d >= max(ra, rb), so its total contribution is the constant
+    W(m) = Σ_{d=m..k} p^{d−1}/d with m = max(ra, rb) — the k weights
+    are PRECOMPUTED PYTHON LITERALS (identical on every engine) and
+    quantized to integer nano-units before the per-query sum, so the
+    whole statistic is exact integer arithmetic after one equi-join of
+    the two k-row-per-query runs. Queries in either run missing from
+    the other score 0 agreement (RBO 0.0) rather than dropping out.
+
+    Output per query: (group_col, n_common, rbo).
+    """
+    if k < 1:
+        raise ValueError("rank_overlap_rbo: k must be >= 1")
+    if not (0.0 < p < 1.0):
+        raise ValueError("rank_overlap_rbo: p must be in (0, 1)")
+    # W(m) = sum_{d=m..k} p^(d-1)/d, nano-quantized literals
+    weights = []
+    for m in range(1, k + 1):
+        w = sum(p ** (d - 1) / d for d in range(m, k + 1))
+        weights.append(int(round(w * 1e9)))
+
+    def prep(df, side):
+        return df.select(F.col(group_col).alias("__g"),
+                         F.col(item_col).alias("__i"),
+                         F.col(rank_col).cast("int").alias(f"__r{side}")) \
+            .where(F.col(f"__r{side}") <= k)
+
+    a, b = prep(run_a, "a"), prep(run_b, "b")
+    joined = a.join(b, ["__g", "__i"])
+    m = F.greatest(F.col("__ra"), F.col("__rb"))
+    wexpr = F.lit(weights[k - 1])
+    for mm in range(k - 1, 0, -1):
+        wexpr = F.when(m == mm, F.lit(weights[mm - 1])).otherwise(wexpr)
+    per = (joined.groupBy("__g")
+           .agg(F.count("*").cast("bigint").alias("n_common"),
+                F.sum(wexpr).alias("__w_nano")))
+    # keep every query either run ranked (zero-agreement queries score 0)
+    qs = a.select("__g").union(b.select("__g")).distinct()
+    out = qs.join(per, "__g", "left")
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    return out.select(
+        F.col("__g").alias(group_col),
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+        .alias("n_common"),
+        F.round(F.lit(1.0 - p)
+                * F.coalesce(F.col("__w_nano"), F.lit(0)).cast("double")
+                / F.lit(1e9) + nudge, round_dp)
+        .cast("double").alias("rbo"))

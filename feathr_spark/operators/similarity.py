@@ -539,3 +539,32 @@ def knn_label_agreement(
         F.col("__lbl").alias("knn_pred"),
         (F.col("__agree").cast("double") / F.col("__ktot"))
         .alias("agree_frac"))
+
+
+def dot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Brute-force inner-product top-k — cosine_topk without the norm
+    (maximum-inner-product retrieval, the recommender-scoring variant;
+    comparing its ranking against cosine's via rank_overlap_rbo reads
+    out how norm-sensitive a corpus is). Same physical shape: query
+    side broadcast, corpus scanned once partition-parallel, ranks on
+    4-dp-rounded scores with id tie-breaks."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+    joined = c.repartition(F.col("neighbor_id")).join(
+        F.broadcast(q), on=None, how="cross")
+    if exclude_self:
+        joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(dot(F.col("__qv"), F.col("__cv")), 4).cast("double")
+        .alias("__score"))
+    return _two_stage_topk(scored, k)

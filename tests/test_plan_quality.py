@@ -180,6 +180,8 @@ BROADCAST_LOOP_OK = {
     # 1-row corpus-watermark frame broadcast onto every event row
     # (feature_freshness contract)
     "forward_label",
+    # two corpus × broadcast(query slice) runs (ann_topk contract)
+    "rank_overlap",
 }
 
 
@@ -977,6 +979,9 @@ EXCHANGE_BUDGET = {
     "forward_label": 2,
     # the kaplan_meier_orders plan shape (durations + risk-table folds)
     "nelson_aalen": 4,
+    # two brute top-k runs (corpus repartition + two-stage rank each),
+    # the run equi-join, and the per-query weight fold
+    "rank_overlap": 15,
 }
 
 

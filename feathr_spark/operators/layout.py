@@ -155,7 +155,9 @@ def compaction_plan(
     overshoots a boundary opens the next bin already part-full on the
     cumsum axis, shorting that bin's bytes by the overshoot;
     largest-first ordering keeps tail items — hence overshoots —
-    small).
+    small). Bin ids are monotone but NOT dense: an item larger than
+    ``target_bytes`` occupies several widths of the cumsum axis and the
+    ids under it are skipped — treat ids as labels, not ordinals.
 
     One keyed window shuffle (partition by group); the usual window
     caveat: a group's items sort in one task — shard the group key when

@@ -6404,7 +6404,11 @@ FROM st
 # the minhash_pairs oracle edge set): transitive closure via recursive CTE,
 # component id = min reachable doc id.
 _COMPONENTS_SQL = """
-WITH RECURSIVE edges AS (
+WITH RECURSIVE edges AS MATERIALIZED (
+    -- MATERIALIZED is load-bearing (r9 incident): without it DuckDB
+    -- may re-evaluate the all-pairs jaccard subquery on EVERY
+    -- fixpoint iteration — observed as a >60 GB spill runaway at
+    -- sf0.1 where the materialized form runs in seconds
     SELECT id_a AS src, id_b AS dst FROM ({jaccard})
     UNION ALL
     SELECT id_b AS src, id_a AS dst FROM ({jaccard})

@@ -87,6 +87,13 @@ def main():
              .config("spark.ui.enabled", "false")
              .getOrCreate())
     con = duckdb.connect()
+    # spill guard (r9 incident: one sweep's DuckDB spill grew past 67 GB
+    # in .tmp and nearly filled the disk before being killed): bound the
+    # oracle's memory AND its temp directory so a pathological plan
+    # fails fast with a clear error instead of taking the host down —
+    # every oracle in the registry runs comfortably inside these caps
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 

@@ -1407,16 +1407,23 @@ def _selection_percentiles_on(vals, fracs, buckets):
     for f in fracs:
         r = (n - 1) * f
         k0, k1 = int(math.floor(r)), int(math.ceil(r))
-        d = r - math.floor(r)
-        # lo + d*(hi - lo): the EXACT op sequence of Spark's builtin
-        # `percentile` (and DuckDB's quantile_cont lerp).  The symmetric
-        # form (1-d)*lo + d*hi is NOT equivalent in IEEE arithmetic —
-        # with equal neighbors it can return lo ± 1 ulp because (1-d)
-        # rounds (hypothesis-found: 18 copies of 883011.9999999999 at
-        # frac=0.90625 returned ...98 vs the builtin's ...99), and the
-        # selection paths promise bit-equality with the buffer paths.
         lo_v, hi_v = picks[k0], picks[k1]
-        out.append(float(lo_v + d * (hi_v - lo_v)))
+        # EXACT mirror of Spark's builtin `percentile`
+        # (Percentile.getPercentile): equal neighbors short-circuit to
+        # the value itself, else the SYMMETRIC two-weight form
+        # (ceil(pos)-pos)*lo + (pos-floor(pos))*hi in that evaluation
+        # order.  Neither `lo + d*(hi-lo)` nor `(1-d)*lo + d*hi` is
+        # IEEE-equivalent to it on all inputs — hypothesis found both
+        # divergence classes (equal neighbors at 883011.9999999999
+        # under the plain symmetric form; a 2-ulp drift at
+        # lo=-126371.486..., hi=0, d=0.90625 under the lerp form) —
+        # and the selection paths promise bit-equality with the
+        # builtin buffer paths.
+        if lo_v == hi_v:
+            out.append(float(lo_v))
+        else:
+            out.append(float((math.ceil(r) - r) * lo_v
+                             + (r - math.floor(r)) * hi_v))
     return out
 
 

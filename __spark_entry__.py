@@ -2325,6 +2325,62 @@ def q_pctile_round_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AS (construct, result)"))
 
 
+# Signed-zero canary inputs: tiny ± magnitudes spanning the classes the
+# r9 judge bit-diff proved divergent — values whose ROUND(v + 1e-9, 4)
+# lands on zero from below (DuckDB emits -0.0, Spark +0.0), from above,
+# exactly at ±0.0, and values rounding to a small nonzero negative.
+# Parsed from decimal strings so both engines start from the identical
+# IEEE double. Labels are shared verbatim with the oracle.
+_NEG_ZERO_VALS = [
+    ("neg_7e-5", "-7e-5"),        # rounds to -0.0001 (nonzero negative)
+    ("neg_4.9e-5", "-4.9e-5"),    # rounds to zero from below
+    ("neg_1.4e-5", "-1.4e-5"),    # the exact r9 robust_scale magnitude
+    ("neg_1e-9", "-1e-9"),        # nudge cancels to exactly 0
+    ("neg_zero", "-0.0"),         # signed-zero input itself
+    ("pos_zero", "0.0"),
+    ("pos_1e-9", "1e-9"),
+    ("pos_1.4e-5", "1.4e-5"),
+    ("pos_4.9e-5", "4.9e-5"),
+    ("pos_7e-5", "7e-5"),         # rounds to +0.0001
+]
+
+
+def q_neg_zero_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-zero canary (r10, VERDICT r9 items 1-2): both engines run
+    tiny ± doubles through the repo-wide rounding convention
+    ``ROUND(v + 1e-9, 4) + 0.0`` and the driver value-hashes the raw
+    DOUBLE bits. The ``+ 0.0`` IEEE-normalizes -0.0 to +0.0 (-0.0 + 0.0
+    = +0.0 under round-to-nearest), which is the one-line fix for the
+    class that kept robust_scale_price red r7-r9: DuckDB's ROUND emits
+    -0.0 where Spark's emits +0.0 for negatives rounding to zero, and
+    Python ``==`` (hence any non-bit-level local sweep) cannot see it.
+    A red row here means the driver's DuckDB round/normalization
+    semantics moved out from under every oracle that rounds a
+    possibly-tiny-negative expression. Zero data touched; constant
+    10-row output; pinned in-window permanently with the other
+    canaries."""
+    _utc(spark)
+    rows = [(label, float(lit)) for label, lit in _NEG_ZERO_VALS]
+    df = spark.createDataFrame(rows, "construct string, v double")
+    return df.select(
+        F.col("construct"),
+        (F.round(F.col("v") + F.lit(1e-9), 4) + F.lit(0.0))
+        .cast("double").alias("result"))
+
+
+def _neg_zero_oracle() -> str:
+    vals = ",\n              ".join(
+        f"('{label}', CAST('{lit}' AS DOUBLE))"
+        for label, lit in _NEG_ZERO_VALS)
+    return f"""
+            -- mirrors q_neg_zero_probe: ROUND(v + 1e-9, 4) + 0.0; the
+            -- + 0.0 normalizes DuckDB's -0.0 to the +0.0 Spark emits
+            SELECT construct,
+                   CAST(ROUND(v + 1e-9, 4) + 0.0 AS DOUBLE) AS result
+            FROM (VALUES {vals}) t(construct, v)
+        """
+
+
 # Every (table, column) any shipped operator takes quantiles of
 # (scaling.py robust_scale/bucketize, profile.py, sampling.py
 # weighted_pctile, aggregations.py window percentiles, funnel.py
@@ -5743,6 +5799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_scale_price": q_robust_scale_price,
         "ann_pq_topk": q_ann_pq_topk,
         "semantic_dedup_pairs": q_semantic_dedup_pairs,
+        "neg_zero_probe": q_neg_zero_probe,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -10026,11 +10083,17 @@ def oracle_sql() -> dict[str, str]:
                      ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
                      ROUND(quantile_cont(o_totalprice, 0.75), 4) AS q3
               FROM orders WHERE o_totalprice IS NOT NULL)
+            -- + 0.0 after ROUND: DuckDB ROUND(-1.4e-5 + 1e-9, 4)
+            -- emits -0.0 where Spark emits +0.0 (r9 judge bit-diff:
+            -- the ONLY divergence, 2 rows of 15000 at sf0.01); IEEE
+            -- -0.0 + 0.0 = +0.0 normalizes the bit pattern without
+            -- touching any other value
             SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-                   CAST(ROUND(o_totalprice + 1e-9, 4) AS DOUBLE) AS value,
+                   CAST(ROUND(o_totalprice + 1e-9, 4) + 0.0
+                        AS DOUBLE) AS value,
                    CAST(ROUND(CASE WHEN q3 - q1 > 0 THEN
                           (o_totalprice - med) / (q3 - q1) END + 1e-9, 4)
-                        AS DOUBLE) AS robust
+                        + 0.0 AS DOUBLE) AS robust
             FROM orders, cuts
         """,
         "cms_gate": """
@@ -12116,6 +12179,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ds AS VARCHAR) FROM dig
         """,
         "pctile_data_probe": _pctile_data_oracle(),
+        "neg_zero_probe": _neg_zero_oracle(),
         "span_dedup": """
             -- r7 rewrite after the r6 driver-red hash (local-green):
             -- every construct below appears verbatim in an oracle that has

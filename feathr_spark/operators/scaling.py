@@ -357,11 +357,16 @@ def robust_scale(
     # shortest-decimal-string repr, other engines round the binary
     # double, so a quotient sitting on a .00005 boundary flips between
     # engines without it (r7 driver lesson: robust_scale_price).
+    # + 0.0 after the round normalizes IEEE signed zero (-0.0 -> +0.0)
+    # so both engines emit the same bit pattern for rows whose robust
+    # score rounds to zero from below (Spark's BigDecimal round already
+    # yields +0.0; this is belt-and-braces mirroring the oracle)
     return j.select(
         *keys, F.col(id_col),
-        F.round(v + F.lit(1e-9), round_dp).cast("double").alias("value"),
-        F.round(robust + F.lit(1e-9), round_dp).cast("double")
-        .alias("robust"))
+        (F.round(v + F.lit(1e-9), round_dp) + F.lit(0.0))
+        .cast("double").alias("value"),
+        (F.round(robust + F.lit(1e-9), round_dp) + F.lit(0.0))
+        .cast("double").alias("robust"))
 
 
 def mad_outliers(

@@ -8,12 +8,17 @@ Usage: python scripts/check_oracles.py [sf_dir] [query ...]
        python scripts/check_oracles.py --json OUT.json [sf_dir]
        python scripts/check_oracles.py --exact [sf_dir] [query ...]
 
---exact compares floats BIT-exactly instead of rounding to 4 dp. The
+--exact compares floats by their IEEE-754 BIT PATTERN (struct.pack,
+NaN normalized to a single token) instead of rounding to 4 dp. The
 default 4-dp normalization is WEAKER than the driver's exact value-hash
 (the r7/r8 robust_scale_price reds passed the rounded local sweep for
-two rounds) — a query that passes --exact cannot hash-mismatch on any
-engine that computes the same doubles, so chase any suspected ulp-class
-divergence with --exact, never with the rounded sweep.
+two rounds), and plain Python ``==`` is weaker still: it conflates
+-0.0 with +0.0, which is exactly the class that kept robust_scale_price
+red at the driver through r9 while ``--exact`` stayed green. Bit-level
+--exact distinguishes ±0.0 like the driver's value-hash does — a query
+that passes bit-level --exact cannot hash-mismatch on any engine that
+computes the same doubles. Chase any suspected ulp- or signed-zero-
+class divergence with --exact, never with the rounded sweep.
 
 --json writes the per-query verdicts as a committed, diffable artifact
 (the LOCAL_ORACLES_r{N}.json ritual: the driver's gate window covers 50
@@ -24,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -40,11 +46,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 EXACT = False  # set by --exact: bit-exact float compare (driver-strength)
 
 
+def _bits(f):
+    """IEEE-754 bit pattern of a double as a hex token.
+
+    This is the driver-strength comparison: it distinguishes -0.0 from
+    +0.0 (Python == does not), with NaN normalized to one token since
+    engines may emit different NaN payloads for the same NaN result.
+    """
+    if math.isnan(f):
+        return "NaN"
+    return struct.pack(">d", f).hex()
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return v if EXACT else round(v, 4)
+        return _bits(v) if EXACT else round(v, 4)
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, dict):
@@ -53,9 +71,10 @@ def norm_cell(v):
         return tuple(sorted((k, norm_cell(x)) for k, x in v.asDict().items()))
     import decimal
     if isinstance(v, decimal.Decimal):
-        # decimal-typed cells stay exact in --exact mode (string form
-        # keeps trailing-zero scale out of the comparison)
-        return float(v) if EXACT else round(float(v), 4)
+        # decimal-typed cells compare through the same double bit
+        # pattern in --exact mode (string form would keep trailing-zero
+        # scale in the comparison)
+        return _bits(float(v)) if EXACT else round(float(v), 4)
     return v
 
 

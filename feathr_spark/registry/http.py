@@ -16,9 +16,14 @@ business logic, mirroring how the reference's poem handlers only build a
 request and forward it.
 
 RBAC routes (``/userroles``, ``/users/{user}/userroles/add``) follow
-api_v2.rs:911-983; the principal arrives in the ``x-registry-credential``
-header (standing in for the reference's AAD auth middleware) and
-permission failures map to 403. Raft management routes live on the
+api_v2.rs:911-983; the principal arrives either as a VERIFIED
+``Authorization: Bearer`` JWT (pass a :class:`~.token.TokenDecoder` —
+RS256/HS256 signature + nbf/exp validation and the reference's
+claims→credential mapping, rbac_middleware.rs:31-58; bad tokens are
+401) or via the ``x-registry-credential`` debug header (the
+reference's ``x-feathr-debug-token`` path, rbac_middleware.rs:68-84,
+on by default for in-process use, disable with
+``debug_credentials=False``). Permission failures map to 403. Raft management routes live on the
 clustered server (``raft_http.py`` — /raft-vote, /raft-append,
 /raft-snapshot, /init, /add-learner, /change-membership, /metrics,
 /handle-request, /handle-leader-request); this single-node server
@@ -36,6 +41,7 @@ from urllib.parse import parse_qs, urlparse
 
 from .api import RegistryApi
 from .catalog import RegistryError
+from .token import AuthError, TokenDecoder, credential_from_claims
 
 # (method, path-regex, request-type, path-param names). Paths are relative
 # to the mounted {api_base}/v{1,2} prefix; regexes mirror
@@ -201,12 +207,35 @@ class _Handler(BaseHTTPRequestHandler):
         if req is None:
             self._send(404, {"error": f"no route: {method} {path}"})
             return
-        # The reference extracts the principal via its auth middleware
-        # (AAD bearer token); the in-process shim reads it from a header.
-        # On an ENFORCING server a missing header is an anonymous caller
-        # (no grants -> denied), never an RbacDisabled bypass.
-        credential = self.headers.get("x-registry-credential") or (
-            "anonymous" if self.api.enforce else None)
+        # Principal extraction mirrors the reference's RbacMiddleware
+        # (raft-registry/src/rbac_middleware.rs:65-107): with a token
+        # decoder configured, an Authorization bearer token is verified
+        # (RS256/HS256, nbf/exp) and its claims map to the credential;
+        # a bad token is 401. The x-registry-credential header is the
+        # debug path (the reference's x-feathr-debug-token, honored
+        # only when debug_credentials is on). With debug off, RBAC
+        # enforcing, and no token, the request is 403 "Missing token"
+        # (rbac_middleware.rs:104). On an ENFORCING server with the
+        # debug path a missing header is an anonymous caller (no
+        # grants -> denied), never an RbacDisabled bypass.
+        auth = self.headers.get("Authorization")
+        if self.token_decoder is not None and auth:
+            tok = auth[6:] if auth.startswith("Bearer") else auth
+            try:
+                claims = self.token_decoder.decode(tok)
+                credential = credential_from_claims(claims)
+            except AuthError as e:
+                self._send(401, {"error": str(e)})
+                return
+        elif self.headers.get("x-registry-credential") and \
+                self.debug_credentials:
+            credential = self.headers.get("x-registry-credential")
+        elif self.token_decoder is not None and \
+                not self.debug_credentials and self.api.enforce:
+            self._send(403, {"error": "Missing token"})
+            return
+        else:
+            credential = "anonymous" if self.api.enforce else None
         try:
             with self.lock:
                 out = self.api.handle(req, credential=credential)
@@ -242,11 +271,15 @@ class RegistryHttpServer:
 
     def __init__(self, api: Optional[RegistryApi] = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 api_base: str = "/api"):
+                 api_base: str = "/api",
+                 token_decoder: Optional[TokenDecoder] = None,
+                 debug_credentials: bool = True):
         self.api = api or RegistryApi()
         handler = type("BoundHandler", (_Handler,),
                        {"api": self.api,
                         "api_base": "/" + api_base.strip("/"),
+                        "token_decoder": token_decoder,
+                        "debug_credentials": debug_credentials,
                         "lock": threading.Lock()})
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._thread: Optional[threading.Thread] = None

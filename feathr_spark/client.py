@@ -55,23 +55,35 @@ def _resolve(cfg, path=()):
 class FeathrClient:
     """In-process client: config + project factory + job-status facade."""
 
-    def __init__(self, config: Optional[dict] = None, spark=None):
+    def __init__(self, config: Optional[dict] = None, spark=None,
+                 secret_provider=None):
+        from .varsource import new_var_source
         self.config = config or {}
         self.spark = spark
+        # layered VarSource chain (var_source.rs:100-112): env var ->
+        # secret provider (the KeyVault seam — any callable
+        # ``provider(SECRET_NAME) -> Optional[str]``) -> yaml tree.
+        # Lazy, per-lookup, like the reference; ``get`` below keeps the
+        # eager env-resolved tree for structured (non-string) access.
+        self.var_source = new_var_source(self.config, secret_provider)
         self._jobs: Dict[int, JobStatus] = {}
         self._next_job = 1
 
     # -- construction (lib.rs load/loads) -------------------------------
     @classmethod
-    def load(cls, config_file: str, spark=None) -> "FeathrClient":
+    def load(cls, config_file: str, spark=None,
+             secret_provider=None) -> "FeathrClient":
         with open(config_file, "r", encoding="utf-8") as f:
-            return cls.loads(f.read(), spark=spark)
+            return cls.loads(f.read(), spark=spark,
+                             secret_provider=secret_provider)
 
     @classmethod
-    def loads(cls, content: str, spark=None) -> "FeathrClient":
+    def loads(cls, content: str, spark=None,
+              secret_provider=None) -> "FeathrClient":
         import yaml
         raw = yaml.safe_load(content) or {}
-        return cls(config=_resolve(raw), spark=spark)
+        return cls(config=_resolve(raw), spark=spark,
+                   secret_provider=secret_provider)
 
     # -- config access ---------------------------------------------------
     def get(self, *path, default=None):
@@ -82,6 +94,15 @@ class FeathrClient:
                 return default
             cur = cur[p]
         return cur
+
+    def get_var(self, *path, default=None):
+        """Reference-precedence string lookup
+        (VarSource::get_environment_variable, var_source.rs:100-112):
+        live env var ``A__B__C`` beats the secret provider beats the
+        yaml value. Use this for credentials/endpoints; use :meth:`get`
+        for structured config subtrees."""
+        v = self.var_source.get(path)
+        return default if v is None else v
 
     @property
     def project_name(self) -> Optional[str]:

@@ -46,9 +46,17 @@ def salted_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
     shuffle files exist — when one key alone overflows a single task's
     disk/memory while writing, or the join is a sort-merge whose skewed
     side must still sort one giant partition, pre-salting is the only
-    lever. This is the classic manual fix, packaged: results are
-    IDENTICAL to the plain join (the salt columns never leave the
-    operator).
+    lever. This is the classic manual fix, packaged: for the SUPPORTED
+    join types results are IDENTICAL to the plain join (the salt
+    columns never leave the operator).
+
+    Supported ``how``: inner / left(_outer) / left_semi / left_anti —
+    types where an unmatched RIGHT row produces no output row. Right/
+    full outer joins are rejected: each unmatched right row exists
+    ``salt`` times (once per exploded replica), so the output would
+    carry salt-x duplicate null-padded rows (ADVICE r9). Right-side
+    skew wants the mirrored construction (salt the right, explode the
+    left), not this operator.
 
     Left side cost: one row-spread salt column — pmod(hash(row id),
     salt), NOT a hash of the join key (a key-derived salt would send a
@@ -68,6 +76,13 @@ def salted_join(left: DataFrame, right: DataFrame, keys: Sequence[str],
         raise ValueError("salted_join: need at least one key")
     if salt < 1:
         raise ValueError("salted_join: salt must be >= 1")
+    allowed = {"inner", "left", "left_outer", "leftouter",
+               "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if str(how).lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — unmatched right "
+            f"rows would be replicated {salt}x by the salt explode "
+            "(right/full outer need the mirrored construction)")
     lsalt = F.pmod(F.hash(F.monotonically_increasing_id()),
                    F.lit(int(salt)))
     l2 = left.withColumn("__salt", lsalt)

@@ -529,12 +529,20 @@ def zipf_fit(
                 F.sum(F.col("__x") * F.col("__x")).alias("sxx"),
                 F.sum(F.col("__y") * F.col("__y")).alias("syy"))
     n = F.col("n").cast("double")
-    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
-        .cast("double")
-    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) \
-        .cast("double")
-    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) \
-        .cast("double")
+    # moment combinations in DECIMAL(38,0), not BIGINT (ADVICE r9):
+    # sy*sy is the binding term — it passes 2^63 once the geometric-
+    # mean head frequency exceeds e^30.4 ≈ 1.6e13, realistic for a
+    # 100 TB corpus. Decimal38 holds to ~e^190 and the exact integer
+    # difference casts to double identically to the oracle's HUGEINT.
+    def _d38(c):
+        return c.cast("decimal(38,0)")
+
+    cov = (_d38(F.col("n")) * _d38(F.col("sxy"))
+           - _d38(F.col("sx")) * _d38(F.col("sy"))).cast("double")
+    vx = (_d38(F.col("n")) * _d38(F.col("sxx"))
+          - _d38(F.col("sx")) * _d38(F.col("sx"))).cast("double")
+    vy = (_d38(F.col("n")) * _d38(F.col("syy"))
+          - _d38(F.col("sy")) * _d38(F.col("sy"))).cast("double")
     # ANSI-safe degenerate guards: vx = 0 cannot happen for n > 1
     # (ranks are distinct), but a flat-frequency head makes vy = 0 —
     # slope is then an exact 0 and r² is undefined (NULL)

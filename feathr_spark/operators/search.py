@@ -288,6 +288,14 @@ def retrieval_metrics(
     denominators; the run alone cannot know what it failed to
     retrieve). AP@k = Σ_{i≤k, rel_i} P@i / min(n_rel, k).
 
+    INNER-join contract (ADVICE r9): the output contains exactly the
+    queries present in BOTH inputs — a query in ``hits`` with no
+    ``rel_totals`` row (or vice versa) is silently absent, not scored
+    as zero. Callers evaluating a fixed query set should build
+    ``rel_totals`` for every query (n_rel ≥ 1 by definition of a
+    judged query) and treat a short output as the missing-judgments
+    signal.
+
     Determinism: every metric is a ratio of exact integers; the AP
     numerator sums per-rank precisions quantized to integer nano-units
     (the micro-nat convention, 3 digits finer since P@i ≤ 1), so no

@@ -443,6 +443,12 @@ EXCHANGE_BUDGET = {
     "ann_pq_recall": 14,
     "multimodal_decode": 0,
     "multimodal_audio": 0,
+    # real-codec encode+decode fused in one mapInPandas pass: payloads
+    # never leave their partition
+    "wav_decode": 0,
+    "ppm_decode": 0,
+    # constant 10-row literal frame through round-normalize, no data
+    "neg_zero_probe": 0,
     # union-window: the one key shuffle every window agg shares
     "window_decay": 1,
     # raw->(key,bucket) shuffle + key-level grid/span regroup; LOCF window

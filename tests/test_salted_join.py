@@ -68,3 +68,23 @@ def test_salted_join_rejects_bad_args(spark):
         salted_join(fact, dim, [], salt=8)
     with pytest.raises(ValueError):
         salted_join(fact, dim, ["k"], salt=0)
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    # ADVICE r9: unmatched right rows would be replicated salt-x (one
+    # per exploded replica) under right/full outer — refuse them
+    fact, dim = _skewed(spark)
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(fact, dim, ["k"], salt=4, how=how)
+
+
+def test_salted_join_semi_anti_match_plain(spark):
+    fact, dim = _skewed(spark)
+    for how in ("left_semi", "left_anti"):
+        plain = sorted(r["k"] for r in
+                       fact.join(dim, "k", how).collect())
+        salted = sorted(r["k"] for r in
+                        salted_join(fact, dim, ["k"], salt=4,
+                                    how=how).collect())
+        assert salted == plain

@@ -5880,40 +5880,69 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_derived(spark, "/root/testdata/sf0.001")
 
 
+# Round-10 gate window (the driver records the FIRST 50 queries()
+# entries). Slots 1-6: the signed-zero fix (r7-r9's one red, now
+# normalized on both sides), the new neg_zero_probe canary pinning that
+# convention, the two NEW real-codec queries, and the two queries whose
+# computation/oracle changed this round (zipf_fit decimal moments,
+# stump_screen label-null filter) so their greens re-record against the
+# new code. Slots 7-9: the standing canaries, pinned in-window
+# permanently. Slots 10-50: the 41 registry queries whose most recent
+# driver-green row is oldest (all r4) — the union ledger stays fresh by
+# re-validating the longest-unchecked rows each round.
+_R10_WINDOW = [
+    "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
+    "zipf_fit", "stump_screen",
+    "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
+    # oldest driver-green rows (last recorded r4):
+    "ann_topk", "asof_join", "bm25_topk", "contamination_check",
+    "dedup_components", "dedup_exact", "dedup_keep_one",
+    "derived_features", "doc_chunks", "elementwise_avg",
+    "embedding_cosine_pairs", "funnel", "group_by_limit", "hash_split",
+    "json_props", "keyed_join", "lang_id", "lm_score",
+    "materialize_backfill", "materialize_snapshot", "minhash_pairs",
+    "mixture_sample", "multi_key_window", "multi_query_join",
+    "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
+    "pii_redact", "profile_sketch_gate", "profile_values",
+    "quality_flags", "quota_sample", "repetition_stats", "retention",
+    "sessionize", "simhash_pairs", "text_stats", "tfidf_terms",
+    "time_rollup", "top_ngrams", "udf_passthrough",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver-facing query registry.
 
     ORDER MATTERS: the driver's correctness gate records only the FIRST 50
-    dict entries, so dict order is a verification-priority rotation schedule:
+    dict entries, so dict order is a verification-priority rotation
+    schedule, declared by the ``_R10_WINDOW`` list (see its comment for
+    this round's rationale):
 
-      * put queries that have never received a driver-side oracle row FIRST
-        (new operators land at the top, not mid-dict);
-      * queries already green in a prior CORRECTNESS_r*.json go below the
-        window (they stay registered — bench + pytest still run them);
-      * the 4 queries with engine-specific output and hence no oracle_sql()
-        entry (ann_lsh_topk / ann_ivf_topk / ann_pq_topk /
-        semantic_dedup_pairs) stay BELOW position 50 permanently so they
-        never burn a gate slot on an err="no_oracle" row — their accuracy
-        is driver-proven via the oracled *_recall gate companions.
-
-    Round-9 rotation (VERDICT r8 items 1-2, 7): robust_scale_price leads
-    with the quantized-quartiles fix (round_cuts_dp=4 on BOTH sides —
-    the r7/r8 reds were quartile-input drift, which final-rounding
-    nudges cannot absorb). Positions 2-3 are ann_pq_topk and
-    semantic_dedup_pairs, the only 2 of 215 registry queries never
-    driver-checked in any round (rows-only by design — no oracle_sql
-    entry; their accuracy is proven by the adjacent oracled *_recall
-    gates, which stay in-window). Position 4 is the NEW
-    pctile_data_probe canary: Spark percentile vs DuckDB quantile_cont
-    on the REAL columns operators quantile (the r8 synthetic grid probe
-    passed while robust_scale_price failed — data-dependent divergence
-    needs the real distributions). Both standing canaries follow.
-    Remaining slots re-run r7/r8 greens. The VERDICT item-8 freeze
-    lifted once positions 1-3 landed: the three NEW r9 queries
-    (bloom_contained_docs / bloom_decontam_counts / curation_pipeline)
-    sit at positions 7-9 so the driver records their first rows this
-    round instead of waiting for an r10 rotation.
+      * queries that never received a driver-side oracle row, or whose
+        code/oracle changed this round, go FIRST;
+      * the standing canaries (neg_zero_probe / pctile_data_probe /
+        pctile_round_probe / oracle_env_probe) stay in-window
+        permanently;
+      * remaining slots re-record the longest-unchecked greens (union
+        ledger freshness); everything else stays registered below the
+        window — bench + pytest still run them;
+      * the 4 queries with engine-specific output and hence no
+        oracle_sql() entry (ann_lsh_topk / ann_ivf_topk / ann_pq_topk /
+        semantic_dedup_pairs) stay BELOW position 50 permanently so
+        they never burn a gate slot on an err="no_oracle" row — their
+        accuracy is driver-proven via the oracled *_recall companions
+        (ann_pq_topk and semantic_dedup_pairs got their rows-only
+        driver rows in r9).
     """
+    base = _registry()
+    out = {k: base[k] for k in _R10_WINDOW}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every implemented query, in the (historical) r9 rotation order —
+    :func:`queries` reorders the gate window on top of this."""
     return {
         # --- r9 gate window (50): the fix first, then the 2
         # --- never-driver-recorded rows-only queries, then 3 canaries

@@ -1474,6 +1474,69 @@ def q_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[3].cast("double").alias("lum_right"))
 
 
+# Messy-URL construction shared by q_url_canon / q_url_dedup and their
+# oracles: scheme-case + default/non-default ports + tracking params +
+# unsorted params + fragments, all deterministic functions of doc_id so
+# both engines build the identical raw string before canonicalizing.
+_URL_BUILD_SPARK = (
+    "concat("
+    "CASE pmod(doc_id,3) WHEN 0 THEN 'HTTP://' ELSE 'https://' END,"
+    "'WWW.Site', cast(pmod(doc_id,7) as string), '.COM',"
+    "CASE pmod(doc_id,3) WHEN 0 THEN ':80' WHEN 1 THEN ':443' "
+    "ELSE ':8443' END,"
+    "CASE WHEN pmod(doc_id,4)=0 THEN '/' "
+    "ELSE concat('/p/', cast(pmod(doc_id,11) as string)) END,"
+    "CASE WHEN pmod(doc_id,2)=0 THEN concat('?b=', "
+    "cast(pmod(doc_id,5) as string), '&utm_source=x&a=', "
+    "cast(pmod(doc_id,3) as string)) ELSE '' END,"
+    "CASE WHEN pmod(doc_id,5)=0 THEN '#sec' ELSE '' END)")
+_URL_BUILD_SQL = (
+    "CASE doc_id%3 WHEN 0 THEN 'HTTP://' ELSE 'https://' END"
+    " || 'WWW.Site' || CAST(doc_id%7 AS VARCHAR) || '.COM'"
+    " || CASE doc_id%3 WHEN 0 THEN ':80' WHEN 1 THEN ':443'"
+    " ELSE ':8443' END"
+    " || CASE WHEN doc_id%4=0 THEN '/'"
+    " ELSE '/p/' || CAST(doc_id%11 AS VARCHAR) END"
+    " || CASE WHEN doc_id%2=0 THEN '?b=' || CAST(doc_id%5 AS VARCHAR)"
+    " || '&utm_source=x&a=' || CAST(doc_id%3 AS VARCHAR) ELSE '' END"
+    " || CASE WHEN doc_id%5=0 THEN '#sec' ELSE '' END")
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (r10 web-corpus stage): deterministic messy
+    URLs built from doc_id (case-varied scheme/host, default AND
+    non-default ports, tracking + unsorted query params, fragments) run
+    through ``canonicalize_url`` — a pure builtin-expression chain, zero
+    shuffle, codegen-eligible. The oracle builds the identical raw
+    string and applies the mirrored ``canonicalize_url_sql`` chain, so
+    every rule (authority lowering, port stripping, param
+    filter/sort, fragment/slash removal) is pinned cross-engine on 500+
+    distinct shapes."""
+    _utc(spark)
+    from feathr_spark.operators.web import canonicalize_url
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.expr(_URL_BUILD_SPARK).alias("url"))
+    return u.select("doc_id",
+                    canonicalize_url(F.col("url")).alias("url_canon"))
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup over the same synthesized corpus: one keyed
+    aggregate on the canonical string (payloads never shuffle), keeper
+    = min doc_id — the crawl pipeline's first dedup pass. Output is the
+    full canonical histogram (url_canon, n_docs, keep_id)."""
+    _utc(spark)
+    from feathr_spark.operators.web import url_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u = docs.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                    F.expr(_URL_BUILD_SPARK).alias("url"))
+    out = url_dedup(u, "url", "doc_id")
+    return out.select("url_canon",
+                      F.col("n_docs").cast("bigint").alias("n_docs"),
+                      F.col("keep_id").cast("bigint").alias("keep_id"))
+
+
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio variant of the multimodal plumbing: mapInPandas decode with
     AUDIO_META (sample rate / sample count / channels + duration derived
@@ -1572,8 +1635,8 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = standardize(orders, ["o_totalprice"], by=["o_orderpriority"])
     return out.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
-        F.round(F.col("o_totalprice_z") + F.lit(1e-9), 4).cast("double")
-        .alias("o_totalprice_z"))
+        (F.round(F.col("o_totalprice_z") + F.lit(1e-9), 4) + F.lit(0.0))
+        .cast("double").alias("o_totalprice_z"))
 
 
 def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5892,6 +5955,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-validating the longest-unchecked rows each round.
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
+    "url_canon", "url_dedup", "zscore_price",
     "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
@@ -5906,7 +5970,6 @@ _R10_WINDOW = [
     "pii_redact", "profile_sketch_gate", "profile_values",
     "quality_flags", "quota_sample", "repetition_stats", "retention",
     "sessionize", "simhash_pairs", "text_stats", "tfidf_terms",
-    "time_rollup", "top_ngrams", "udf_passthrough",
 ]
 
 
@@ -5955,6 +6018,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- oracles) — in-window for first driver rows
         "wav_decode": q_wav_decode,
         "ppm_decode": q_ppm_decode,
+        # --- NEW in r10: web-corpus URL canonicalization + URL-level
+        # --- dedup (synthesized messy URLs, mirrored expression chain)
+        "url_canon": q_url_canon,
+        "url_dedup": q_url_dedup,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -6937,6 +7004,8 @@ def _snapshot_sql(cutoff: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from feathr_spark.operators.web import canonicalize_url_sql
+    _CANON = canonicalize_url_sql("url")
     return {
         "mixture_temperature": """
             WITH sz AS (
@@ -11147,6 +11216,21 @@ def oracle_sql() -> dict[str, str]:
                          ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
                   FROM documents)
         """,
+        "url_canon": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   {_CANON} AS url_canon
+            FROM (SELECT doc_id, {_URL_BUILD_SQL} AS url
+                  FROM documents)
+        """,
+        "url_dedup": f"""
+            SELECT url_canon,
+                   COUNT(*)::BIGINT AS n_docs,
+                   CAST(MIN(doc_id) AS BIGINT) AS keep_id
+            FROM (SELECT doc_id, {_CANON} AS url_canon
+                  FROM (SELECT doc_id, {_URL_BUILD_SQL} AS url
+                        FROM documents))
+            GROUP BY url_canon
+        """,
         "wav_decode": """
             -- the encode is invertible arithmetic, so the oracle
             -- predicts the decoder's outputs from doc_id alone: a
@@ -12144,13 +12228,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN st USING (o_orderpriority)
         """,
         "zscore_price": """
+            -- + 0.0 after ROUND normalizes signed zero (the r10 sf0.1
+            -- bit sweep caught DuckDB -0.0 vs Spark +0.0 on 2 rows —
+            -- same class as robust_scale_price)
             SELECT o_orderkey,
                    CAST(ROUND(
                      (o_totalprice - AVG(o_totalprice)
                         OVER (PARTITION BY o_orderpriority))
                      / stddev_pop(o_totalprice)
                         OVER (PARTITION BY o_orderpriority) + 1e-9, 4)
-                     AS DOUBLE) AS o_totalprice_z
+                     + 0.0 AS DOUBLE) AS o_totalprice_z
             FROM orders
         """,
         "corr_columns": """

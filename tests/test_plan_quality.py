@@ -447,6 +447,10 @@ EXCHANGE_BUDGET = {
     # never leave their partition
     "wav_decode": 0,
     "ppm_decode": 0,
+    # URL canonicalization is a pure row-local expression chain
+    "url_canon": 0,
+    # one keyed aggregate on the canonical string
+    "url_dedup": 1,
     # constant 10-row literal frame through round-normalize, no data
     "neg_zero_probe": 0,
     # union-window: the one key shuffle every window agg shares

@@ -1,0 +1,81 @@
+"""URL canonicalization + URL-level dedup (web-corpus curation stage):
+every rule pinned by hand cases, and the Spark Column form checked
+against the DuckDB SQL mirror value-by-value.
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from feathr_spark.operators.web import (canonicalize_url,
+                                        canonicalize_url_sql, url_dedup)
+
+CASES = [
+    # scheme+host lowering, path case preserved
+    ("HTTP://WWW.Example.COM/Path/File", "http://www.example.com/Path/File"),
+    # default ports stripped per scheme
+    ("http://x.com:80/a", "http://x.com/a"),
+    ("https://x.com:443/a", "https://x.com/a"),
+    ("https://x.com:443", "https://x.com"),
+    # non-default / cross-scheme ports kept
+    ("http://x.com:8080/a", "http://x.com:8080/a"),
+    ("http://x.com:443/a", "http://x.com:443/a"),
+    ("https://x.com:80/a", "https://x.com:80/a"),
+    # fragment stripped
+    ("http://x.com/a#sec-2", "http://x.com/a"),
+    # tracking params dropped (case-insensitive), others kept sorted
+    ("http://x.com/a?utm_source=tw&b=2&a=1&UTM_Campaign=x",
+     "http://x.com/a?a=1&b=2"),
+    ("http://x.com/a?fbclid=abc&gclid=d&z=9", "http://x.com/a?z=9"),
+    # all params tracking -> no '?'
+    ("http://x.com/a?utm_medium=email", "http://x.com/a"),
+    # param sorting is bytewise; empty params dropped
+    ("http://x.com/a?b=2&&a=10&a=2", "http://x.com/a?a=10&a=2&b=2"),
+    # root trailing slash dropped, deeper trailing slash kept
+    ("http://x.com/", "http://x.com"),
+    ("http://x.com/a/", "http://x.com/a/"),
+    ("https://X.com/?utm_source=a", "https://x.com"),
+    # whitespace trim
+    ("  http://x.com/a  ", "http://x.com/a"),
+    # scheme-less strings: no authority rules, params still cleaned
+    ("x.com/a?utm_source=1&b=2", "x.com/a?b=2"),
+    # a '#' inside the query is a fragment start
+    ("http://x.com/a?b=1#c=2", "http://x.com/a?b=1"),
+]
+
+
+def test_canonicalize_rules_spark(spark):
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(CASES)],
+                               "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c"))
+           .collect()}
+    for i, (u, want) in enumerate(CASES):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_sql_mirror_matches_spark(spark):
+    """The DuckDB mirror must produce the identical canonical string
+    for every case — this is what makes the driver oracle sound."""
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("url")
+    for u, want in CASES:
+        got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        assert got == want, f"{u!r}: duckdb {got!r} != {want!r}"
+
+
+def test_url_dedup_keep_min_id(spark):
+    df = spark.createDataFrame([
+        (1, "HTTP://A.com/x?utm_source=t"),
+        (2, "http://a.com/x"),
+        (3, "http://a.com/x?b=1"),
+        (7, "https://b.com:443/"),
+        (5, "https://B.COM"),
+    ], "doc_id bigint, url string")
+    out = {r["url_canon"]: (r["n_docs"], r["keep_id"])
+           for r in url_dedup(df).collect()}
+    assert out["http://a.com/x"] == (2, 1)
+    assert out["http://a.com/x?b=1"] == (1, 3)
+    assert out["https://b.com"] == (2, 5)

@@ -1194,6 +1194,33 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score")
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (r10 contrastive-training stage): per query
+    (vec_id < 20), the top-5 cosine neighbors EXCLUDING self, same-label
+    rows (in-batch positives), an explicit deterministic positive-pair
+    frame ((vec_id·7) mod 500), and anything outside the semi-hard band
+    [0.1, 0.95) on the rounded score (the high cut guards against
+    false negatives — unlabeled near-duplicates). Brute scoring =
+    exactness baseline (swap the candidate stage for ivf/lsh at scale);
+    every exclusion is a pushed row-local predicate except the
+    pair-frame anti-join, which is positives-sized and broadcast."""
+    _utc(spark)
+    from feathr_spark.operators.similarity import hard_negatives
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 20)
+    pos = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        F.pmod(F.col("vec_id") * 7, F.lit(500)).alias("neighbor_id"))
+    out = hard_negatives(emb, queries_df, "embedding", "vec_id", k=5,
+                         label_col="label", positives=pos,
+                         min_score=0.1, max_score=0.95)
+    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                      "rank",
+                      F.col("neighbor_id").cast("bigint")
+                      .alias("neighbor_id"),
+                      "score")
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs >= 0.45 cosine, cost-based strategy. At
     threshold 0.45 a recall-preserving hyperplane-LSH config (4 planes x
@@ -5955,7 +5982,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-validating the longest-unchecked rows each round.
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
-    "url_canon", "url_dedup", "zscore_price",
+    "url_canon", "url_dedup", "hard_negatives", "zscore_price",
     "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
@@ -5969,7 +5996,7 @@ _R10_WINDOW = [
     "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
     "pii_redact", "profile_sketch_gate", "profile_values",
     "quality_flags", "quota_sample", "repetition_stats", "retention",
-    "sessionize", "simhash_pairs", "text_stats", "tfidf_terms",
+    "sessionize", "simhash_pairs", "text_stats",
 ]
 
 
@@ -6022,6 +6049,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- dedup (synthesized messy URLs, mirrored expression chain)
         "url_canon": q_url_canon,
         "url_dedup": q_url_dedup,
+        # --- NEW in r10: hard-negative mining for contrastive pairs
+        "hard_negatives": q_hard_negatives,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -6936,6 +6965,36 @@ WITH e AS (
     SELECT *, row_number() OVER (PARTITION BY query_id
                                  ORDER BY score DESC, neighbor_id ASC) AS rank
     FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id, score
+FROM ranked WHERE rank <= 5
+"""
+
+_HARD_NEG_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), q AS (
+    SELECT * FROM e WHERE vec_id < 20
+), pos AS (
+    SELECT vec_id AS query_id, (vec_id * 7) % 500 AS neighbor_id
+    FROM e WHERE vec_id < 20
+), scored AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           CAST(ROUND(list_cosine_similarity(q.v, e.v), 4) AS DOUBLE)
+               AS score
+    FROM q JOIN e ON e.vec_id != q.vec_id
+     AND (q.label IS NULL OR e.label IS NULL OR q.label != e.label)
+), f AS (
+    SELECT s.* FROM scored s
+    LEFT JOIN pos p ON p.query_id = s.query_id
+                   AND p.neighbor_id = s.neighbor_id
+    WHERE s.score >= 0.1 AND s.score < 0.95 AND p.query_id IS NULL
+), ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id ASC)
+                  AS rank
+    FROM f
 )
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        CAST(neighbor_id AS BIGINT) AS neighbor_id, score
@@ -11273,6 +11332,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
         """,
         "ann_topk": _ANN_SQL,
+        "hard_negatives": _HARD_NEG_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,

@@ -11,7 +11,7 @@ deterministic seeded projections.
 from __future__ import annotations
 
 import math
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd
@@ -567,4 +567,85 @@ def dot_topk(
         "query_id", "neighbor_id",
         F.round(dot(F.col("__qv"), F.col("__cv")), 4).cast("double")
         .alias("__score"))
+    return _two_stage_topk(scored, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    label_col: Optional[str] = None,
+    positives: Optional[DataFrame] = None,
+    min_score: Optional[float] = None,
+    max_score: Optional[float] = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    query, the ``k`` highest-cosine corpus rows that are NOT positives
+    — the standard way to build (anchor, negative) pairs that actually
+    carry gradient (random negatives are trivially separable; the hard
+    ones near the decision boundary do the teaching).
+
+    Exclusions compose:
+
+    * self is always excluded;
+    * ``label_col``: rows sharing the query's label are in-batch
+      positives, excluded (NULL labels are unknown, never treated as
+      positive — kept);
+    * ``positives``: an explicit (query_id, neighbor_id) pair frame of
+      known positives, removed by anti-join (ids aliased from its
+      first two columns);
+    * ``min_score``/``max_score``: the semi-hard band. ``max_score``
+      guards against FALSE negatives (a 0.99-cosine "negative" is
+      usually an unlabeled duplicate — mining it poisons the loss);
+      ``min_score`` drops too-easy negatives. Bounds apply to the
+      4-dp-rounded score, inclusive low / exclusive high, so the band
+      cut is cross-engine exact.
+
+    Physical shape = ``cosine_topk``: query side broadcast, corpus
+    scanned once partition-parallel with per-row norms hoisted, every
+    exclusion a pushed row-local predicate inside the scan stage, then
+    the two-stage top-k (no hot query partitions). The optional
+    positives anti-join is pair-frame-sized. Ranks on rounded scores
+    with neighbor-id tie-breaks (round-before-rank convention).
+
+    Output: (query_id, rank, neighbor_id, score), rank 1-based.
+    """
+    has_label = label_col is not None
+    ccols = [F.col(id_col).alias("neighbor_id"),
+             F.col(vec_col).cast("array<double>").alias("__cv")]
+    qcols = [F.col(id_col).alias("query_id"),
+             F.col(vec_col).cast("array<double>").alias("__qv")]
+    if has_label:
+        ccols.append(F.col(label_col).alias("__cl"))
+        qcols.append(F.col(label_col).alias("__ql"))
+    c = corpus.select(*ccols)
+    c = c.select("*", l2_norm(F.col("__cv")).alias("__cn"))
+    q = queries.select(*qcols)
+    q = q.select("*", l2_norm(F.col("__qv")).alias("__qn"))
+    joined = c.repartition(F.col("neighbor_id")).join(
+        F.broadcast(q), on=None, how="cross")
+    joined = joined.where(F.col("query_id") != F.col("neighbor_id"))
+    if has_label:
+        joined = joined.where(
+            F.col("__ql").isNull() | F.col("__cl").isNull()
+            | (F.col("__ql") != F.col("__cl")))
+    denom = F.col("__qn") * F.col("__cn")
+    score = F.when(denom > 0,
+                   dot(F.col("__qv"), F.col("__cv")) / denom) \
+        .otherwise(F.lit(0.0))
+    scored = joined.select(
+        "query_id", "neighbor_id",
+        F.round(score, 4).cast("double").alias("__score"))
+    if min_score is not None:
+        scored = scored.where(F.col("__score") >= float(min_score))
+    if max_score is not None:
+        scored = scored.where(F.col("__score") < float(max_score))
+    if positives is not None:
+        pq, pn = positives.columns[:2]
+        pos = positives.select(F.col(pq).alias("query_id"),
+                               F.col(pn).alias("neighbor_id"))
+        scored = scored.join(F.broadcast(pos),
+                             ["query_id", "neighbor_id"], "left_anti")
     return _two_stage_topk(scored, k)

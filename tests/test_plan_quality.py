@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.001"
 # local array — the scale-safe formulation of brute-force scoring.
 BROADCAST_LOOP_OK = {
     "ann_topk",          # corpus × broadcast(query set)
+    "hard_negatives",    # same brute scoring shape + broadcast anti-join
     "ann_lsh_topk",      # bucket-joined, query side broadcast
     "ann_ivf_topk",      # probed inverted lists × broadcast(queries)
     "ann_lsh_recall",    # embeds ann_topk's exact scoring + 1-row×1-row crossJoin
@@ -428,6 +429,9 @@ EXCHANGE_BUDGET = {
     "ngram_jaccard_pairs": 13,
     "simhash_pairs": 3,
     "ann_topk": 3,
+    # brute scoring (repartition Exchange) + two-stage top-k windows;
+    # the positives anti-join is broadcast (no extra Exchange)
+    "hard_negatives": 3,
     # r4: auto strategy -> exact partition-parallel scorer (one
     # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
     # config collides 79% of all pairs, so banding only added overhead

@@ -285,6 +285,12 @@ HEADLINE = [
     "forward_label",
     "nelson_aalen",
     "rank_overlap",
+    # r10: real-codec decode, web URL ops, contrastive mining
+    "wav_decode",
+    "ppm_decode",
+    "url_canon",
+    "url_dedup",
+    "hard_negatives",
 ]
 
 

@@ -1221,6 +1221,21 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score")
 
 
+def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (Lee et al. 2022 ExactSubstr,
+    Spark-shaped): maximal >= 40-char spans occurring verbatim elsewhere
+    in the corpus, first occurrence exempt — stride-1 md5 grams, ONE
+    hash-keyed rank (the text never shuffles), gap-and-islands interval
+    merge per doc. The oracle computes the identical digests and
+    windows."""
+    _utc(spark)
+    from feathr_spark.operators.dedup import exact_substring_spans
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_substring_spans(docs, "text", "doc_id", min_len=40)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_dup_spans", "dup_chars", "n_chars", "dup_ratio")
+
+
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs >= 0.45 cosine, cost-based strategy. At
     threshold 0.45 a recall-preserving hyperplane-LSH config (4 planes x
@@ -5982,8 +5997,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # re-validating the longest-unchecked rows each round.
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
-    "url_canon", "url_dedup", "hard_negatives", "zscore_price",
-    "zipf_fit", "stump_screen",
+    "url_canon", "url_dedup", "hard_negatives", "exact_substr",
+    "zscore_price", "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
     "ann_topk", "asof_join", "bm25_topk", "contamination_check",
@@ -5996,7 +6011,7 @@ _R10_WINDOW = [
     "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
     "pii_redact", "profile_sketch_gate", "profile_values",
     "quality_flags", "quota_sample", "repetition_stats", "retention",
-    "sessionize", "simhash_pairs", "text_stats",
+    "sessionize", "simhash_pairs",
 ]
 
 
@@ -6051,6 +6066,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         # --- NEW in r10: hard-negative mining for contrastive pairs
         "hard_negatives": q_hard_negatives,
+        # --- NEW in r10: exact-substring duplication report
+        "exact_substr": q_exact_substr,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -6999,6 +7016,45 @@ WITH e AS (
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        CAST(neighbor_id AS BIGINT) AS neighbor_id, score
 FROM ranked WHERE rank <= 5
+"""
+
+_EXACT_SUBSTR_SQL = """
+WITH g AS (
+  SELECT doc_id, length(text) AS n, i AS pos,
+         md5(substr(text, i, 40)) AS h
+  FROM documents,
+       unnest(range(1, length(text) - 40 + 2)) AS u(i)
+  WHERE length(text) >= 40
+), d AS (
+  SELECT doc_id, n, pos,
+         row_number() OVER (PARTITION BY h
+                            ORDER BY doc_id, pos) AS rn
+  FROM g
+), dup AS (
+  SELECT doc_id, n, pos FROM d WHERE rn > 1
+), m AS (
+  SELECT doc_id, n, pos,
+         max(pos + 40) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM dup
+), isl AS (
+  SELECT doc_id, n, pos,
+         sum(CASE WHEN pe IS NULL OR pos > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM m
+), s AS (
+  SELECT doc_id, k, min(pos) AS st, max(pos) + 40 AS en,
+         any_value(n) AS n
+  FROM isl GROUP BY doc_id, k
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       COUNT(*)::BIGINT AS n_dup_spans,
+       CAST(SUM(en - st) AS BIGINT) AS dup_chars,
+       CAST(ANY_VALUE(n) AS BIGINT) AS n_chars,
+       CAST(ROUND(CAST(SUM(en - st) AS DOUBLE) / ANY_VALUE(n)
+                  + 1e-9, 4) AS DOUBLE) AS dup_ratio
+FROM s GROUP BY doc_id
 """
 
 _EMB_PAIRS_SQL = """
@@ -11333,6 +11389,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_topk": _ANN_SQL,
         "hard_negatives": _HARD_NEG_SQL,
+        "exact_substr": _EXACT_SUBSTR_SQL,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,

@@ -982,3 +982,91 @@ def cross_split_cosine_leakage(
     split = F.when(a_train, F.col("__sp_b")).otherwise(F.col("__sp_a"))
     return cross.select(held.alias("held_id"), train.alias("train_id"),
                         split.alias("split"), "cosine")
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 40,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact-substring duplication report, the ExactSubstr dedup of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed for Spark: for every document, the MAXIMAL
+    character spans of length >= ``min_len`` that occur verbatim
+    elsewhere in the corpus (any alignment, any document), with the
+    corpus-order FIRST occurrence of each substring exempt (keep-first
+    — removing every copy would delete the content from the corpus).
+
+    Lee et al. build a monolithic suffix array; the Spark-shaped
+    equivalent is stride-1 gram hashing + interval algebra, exact for
+    spans at the ``min_len`` granularity:
+
+    1. every char position starts an ``min_len``-gram, hashed with md5
+       (collision-free in practice AND portable — the oracle computes
+       the identical digest);
+    2. ONE hash-keyed rank finds each gram's first corpus occurrence
+       ((id, pos) order); every later occurrence marks [pos,
+       pos+min_len) as duplicated — boilerplate grams form huge groups,
+       which is exactly the skew AQE's skew-join/window split handles;
+    3. per document, overlapping/adjacent duplicated intervals merge
+       into maximal spans with the gap-and-islands window pattern
+       (new island when pos > running max end) — two narrow windows on
+       the dup-position rows, never the corpus.
+
+    A span of length s >= min_len duplicated elsewhere yields
+    s - min_len + 1 duplicated grams covering exactly [start, start+s)
+    after the merge, so reported spans are the true maximal duplicated
+    regions; sub-``min_len`` duplications are invisible by design.
+
+    Shuffle budget: gram rank (hash-keyed, rows are (id, pos, 16-byte
+    digest) — the TEXT never shuffles) + the per-doc island windows +
+    the final per-doc fold. Output per document with >= 1 duplicated
+    span: (``id_col``, n_dup_spans, dup_chars, n_chars, dup_ratio).
+    """
+    from pyspark.sql import Window
+
+    L = int(min_len)
+    t = F.col(text_col)
+    # docs shorter than min_len have no qualifying gram (filter BEFORE
+    # the sequence: Spark's sequence(1, 0) counts DOWN, it isn't empty)
+    grams = (df.select(F.col(id_col), t.alias("__t"))
+             .where(F.length("__t") >= L)
+             .select(F.col(id_col),
+                     F.length("__t").alias("__n"),
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("__t") - L + 1)).alias("pos"),
+                     F.col("__t"))
+             .select(F.col(id_col), F.col("__n"), F.col("pos"),
+                     F.md5(F.expr(
+                         f"substring(__t, pos, {L})")).alias("__h")))
+    rnk = Window.partitionBy("__h").orderBy(F.col(id_col).asc(),
+                                            F.col("pos").asc())
+    dups = (grams
+            .withColumn("__rn", F.row_number().over(rnk))
+            .where(F.col("__rn") > 1)
+            .select(id_col, "__n", "pos"))
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + L).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (dups
+           .withColumn("__new", F.when(prev_end.isNull()
+                                       | (F.col("pos") > prev_end), 1)
+                       .otherwise(0))
+           .withColumn("__isl", F.sum("__new").over(
+               w_ord.rowsBetween(Window.unboundedPreceding, 0))))
+    spans = (isl.groupBy(id_col, "__isl")
+             .agg(F.min("pos").alias("__s"),
+                  (F.max("pos") + L).alias("__e"),
+                  F.first("__n").alias("__n")))
+    nudge = F.lit(10.0 ** -(round_dp + 5))
+    return (spans.groupBy(id_col)
+            .agg(F.count("*").cast("bigint").alias("n_dup_spans"),
+                 F.sum(F.col("__e") - F.col("__s")).cast("bigint")
+                 .alias("dup_chars"),
+                 F.first("__n").cast("bigint").alias("n_chars"))
+            .select(id_col, "n_dup_spans", "dup_chars", "n_chars",
+                    F.round(F.col("dup_chars")
+                            / F.col("n_chars") + nudge, round_dp)
+                    .cast("double").alias("dup_ratio")))

@@ -56,7 +56,14 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # measured); see BASELINE.md r9 batch-5 notes
          "nb_lang", "vocab_coverage",
          # r9 batch 6 (all documents-based)
-         "zipf_fit", "compaction_plan", "lexical_richness"]
+         "zipf_fit", "compaction_plan", "lexical_richness",
+         # r10: real-codec decode + URL ops (documents-based, row-local
+         # by design — exponents should read ~1.0 data-linear or flat
+         # on the per-job floor). hard_negatives is deliberately NOT
+         # stressed: fixed 20-query slice x corpus = linear by
+         # construction, same scale story as ann_topk (swap candidate
+         # stage for ivf/lsh at scale)
+         "wav_decode", "ppm_decode", "url_canon", "url_dedup"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

@@ -432,6 +432,9 @@ EXCHANGE_BUDGET = {
     # brute scoring (repartition Exchange) + two-stage top-k windows;
     # the positives anti-join is broadcast (no extra Exchange)
     "hard_negatives": 3,
+    # gram rank (hash-keyed) + ONE doc_id Exchange reused by the island
+    # window and both per-doc aggregates
+    "exact_substr": 2,
     # r4: auto strategy -> exact partition-parallel scorer (one
     # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
     # config collides 79% of all pairs, so banding only added overhead

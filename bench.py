@@ -291,6 +291,7 @@ HEADLINE = [
     "url_canon",
     "url_dedup",
     "hard_negatives",
+    "exact_substr",
 ]
 
 

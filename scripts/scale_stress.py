@@ -63,7 +63,8 @@ HEAVY = ["minhash_pairs", "dedup_components", "winnow_overlap",
          # stressed: fixed 20-query slice x corpus = linear by
          # construction, same scale story as ann_topk (swap candidate
          # stage for ivf/lsh at scale)
-         "wav_decode", "ppm_decode", "url_canon", "url_dedup"]
+         "wav_decode", "ppm_decode", "url_canon", "url_dedup",
+         "exact_substr"]
 BASE_DOCS = 5000       # sf0.1 documents rows
 BASE_VECS = 2000       # sf0.1 embeddings rows
 NEAR_DUP_FRAC = 0.05   # injected mutated-copy rate

@@ -312,3 +312,24 @@ def bpe_encode_stats(
     return out.select(F.col("__id").alias(id_col), "n_words",
                       "n_bpe_tokens",
                       fert.cast("double").alias("fertility"))
+
+
+def merges_to_df(spark, merges: List[Tuple[str, str, int]]) -> DataFrame:
+    """Persist a learned merge table as a DataFrame — the tokenizer
+    artifact travels with the data platform (write it as parquet next
+    to the corpus it was trained on), mirroring the PQ codebook
+    persistence pattern (``pq.pq_books_to_df``). Rank is the explicit
+    merge order: the table is order-critical and DataFrames are not.
+    """
+    rows = [(i, l, r, int(n)) for i, (l, r, n) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank bigint, left string, right string, pair_count bigint")
+
+
+def merges_from_df(df: DataFrame) -> List[Tuple[str, str, int]]:
+    """Reload a persisted merge table in merge order (rank asc) —
+    feed the (left, right) prefix to :func:`bpe_encode_stats`.
+    Bounded collect: the table is vocabulary-sized by construction."""
+    rows = df.select("rank", "left", "right", "pair_count") \
+             .orderBy("rank").collect()
+    return [(r["left"], r["right"], int(r["pair_count"])) for r in rows]

@@ -119,3 +119,23 @@ def test_admit_prefix_unit():
     # want cap respected
     top = rows(("a", "b", 100), ("c", "d", 40))
     assert _admit_prefix(top, False, 1) == [("a", "b", 100)]
+
+
+def test_merge_table_roundtrip_and_encode(spark, tmp_path):
+    from feathr_spark.operators.bpe import (bpe_encode_stats,
+                                            merges_from_df, merges_to_df)
+    docs = ["low lower lowest", "low low newer newest"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)],
+        "doc_id bigint, text string")
+    merges = bpe_merges(df, n_merges=6, batch=3)
+    path = str(tmp_path / "merges.parquet")
+    merges_to_df(spark, merges).write.parquet(path)
+    reloaded = merges_from_df(spark.read.parquet(path))
+    assert reloaded == merges
+    # the reloaded table drives the encoder identically
+    a = sorted(map(tuple, bpe_encode_stats(
+        df, [(l, r) for l, r, _ in merges]).collect()))
+    b = sorted(map(tuple, bpe_encode_stats(
+        df, [(l, r) for l, r, _ in reloaded]).collect()))
+    assert a == b

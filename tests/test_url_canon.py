@@ -79,3 +79,37 @@ def test_url_dedup_keep_min_id(spark):
     assert out["http://a.com/x"] == (2, 1)
     assert out["http://a.com/x?b=1"] == (1, 3)
     assert out["https://b.com"] == (2, 5)
+
+
+def test_sql_mirror_randomized_cross_engine(spark):
+    """300 seeded random URLs assembled from adversarial components
+    (case-varied schemes/hosts, all port forms, tracking and empty and
+    duplicate params in random order, fragments, missing pieces): the
+    Spark Column chain and the DuckDB SQL mirror must emit the
+    identical canonical string for every one."""
+    import random
+    rng = random.Random(20260816)
+    schemes = ["http://", "https://", "HTTP://", "HtTpS://", ""]
+    hosts = ["x.com", "WWW.Ex.COM", "sub.domain.ORG", "a-b.net"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/p/1/", "/Path%20X"]
+    params = ["a=1", "B=2", "utm_source=t", "UTM_x=9", "fbclid=z",
+              "", "z=Z", "a=2", "ref_src=tw"]
+    frags = ["", "#sec", "#a=b"]
+    urls = []
+    for _ in range(300):
+        q = "&".join(rng.sample(params, rng.randint(0, 5)))
+        urls.append(rng.choice(schemes) + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + (("?" + q) if q or rng.random() < 0.2 else "")
+                    + rng.choice(frags))
+    df = spark.createDataFrame(list(enumerate(urls)), "i int, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", canonicalize_url(F.col("url")).alias("c"))
+           .collect()}
+    con = duckdb.connect()
+    expr = canonicalize_url_sql("url")
+    for i, u in enumerate(urls):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS url)", [u]).fetchone()[0]
+        assert got[i] == want, f"{u!r}: spark {got[i]!r} != duckdb {want!r}"

@@ -1221,6 +1221,40 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score")
 
 
+_NESTED_FRACS = [0.01, 0.1, 0.5]
+
+
+def q_nested_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ablation subsets (r10): min_subset = smallest fraction
+    containing each doc; one md5 draw tested against shared integer
+    thresholds (2^60 scale), so subsets nest by construction and the
+    oracle embeds the IDENTICAL integer literals — no float membership
+    anywhere. Docs outside the 0.5 subset are NULL (tests the open
+    tail). Row-local, zero shuffle."""
+    _utc(spark)
+    from feathr_spark.operators.sampling import nested_subsets
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = nested_subsets(docs, _NESTED_FRACS, "doc_id", salt="abl|")
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      F.col("min_subset").cast("double")
+                      .alias("min_subset"))
+
+
+def _nested_subsets_oracle() -> str:
+    from feathr_spark.operators.sampling import nested_thresholds
+    whens = " ".join(
+        f"WHEN k < {thr} THEN CAST({f!r} AS DOUBLE)"
+        for f, thr in nested_thresholds(_NESTED_FRACS))
+    return f"""
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CASE {whens} ELSE NULL END AS min_subset
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('abl|'
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS k
+              FROM documents)
+    """
+
+
 def q_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication report (Lee et al. 2022 ExactSubstr,
     Spark-shaped): maximal >= 40-char spans occurring verbatim elsewhere
@@ -5998,7 +6032,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
     "url_canon", "url_dedup", "hard_negatives", "exact_substr",
-    "zscore_price", "zipf_fit", "stump_screen",
+    "nested_subsets", "zscore_price", "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
     "ann_topk", "asof_join", "bm25_topk", "contamination_check",
@@ -6011,7 +6045,7 @@ _R10_WINDOW = [
     "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
     "pii_redact", "profile_sketch_gate", "profile_values",
     "quality_flags", "quota_sample", "repetition_stats", "retention",
-    "sessionize", "simhash_pairs",
+    "sessionize",
 ]
 
 
@@ -6068,6 +6102,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         # --- NEW in r10: exact-substring duplication report
         "exact_substr": q_exact_substr,
+        # --- NEW in r10: nested ablation-subset ladder
+        "nested_subsets": q_nested_subsets,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -11390,6 +11426,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_SQL,
         "hard_negatives": _HARD_NEG_SQL,
         "exact_substr": _EXACT_SUBSTR_SQL,
+        "nested_subsets": _nested_subsets_oracle(),
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,

@@ -292,6 +292,7 @@ HEADLINE = [
     "url_dedup",
     "hard_negatives",
     "exact_substr",
+    "nested_subsets",
 ]
 
 

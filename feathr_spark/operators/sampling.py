@@ -469,3 +469,35 @@ def forward_label(
         gap.cast("bigint").alias("gap_ms"),
         label.alias("label"),
         observable.alias("observable"))
+
+
+def nested_thresholds(fractions) -> list:
+    """(fraction, integer threshold) pairs for :func:`nested_subsets` —
+    thresholds live on the md5 15-hex-digit integer scale (2^60), so
+    membership tests are pure integer comparisons with NO float math
+    anywhere; a SQL oracle embeds the identical literals."""
+    return [(float(f), int(round(float(f) * 16 ** 15)))
+            for f in sorted(float(f) for f in fractions)]
+
+
+def nested_subsets(df: DataFrame, fractions, id_col: str = "doc_id",
+                   salt: str = "") -> DataFrame:
+    """Nested deterministic corpus subsets — the scaling-law/ablation
+    ladder: ``min_subset`` is the SMALLEST fraction whose subset
+    contains the row, and because every fraction tests the SAME md5
+    draw against a larger threshold, subset(f₁) ⊆ subset(f₂) for
+    f₁ < f₂ BY CONSTRUCTION. Training curves at different corpus sizes
+    stay comparable because the smaller corpus is literally contained
+    in the larger — the property independent per-fraction sampling
+    destroys. Rows outside the largest fraction get NULL.
+
+    Row-local (zero shuffle, repartition-stable, incremental-data-
+    stable like :func:`hash_split`); integer-threshold membership is
+    bit-reproducible across engines.
+    """
+    key_int = F.conv(F.substring(sample_key(F.col(id_col), salt),
+                                 1, 15), 16, 10).cast("bigint")
+    expr = F.lit(None).cast("double")
+    for f, thr in reversed(nested_thresholds(fractions)):
+        expr = F.when(key_int < F.lit(thr), F.lit(f)).otherwise(expr)
+    return df.withColumn("min_subset", expr)

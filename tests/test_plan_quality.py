@@ -435,6 +435,8 @@ EXCHANGE_BUDGET = {
     # gram rank (hash-keyed) + ONE doc_id Exchange reused by the island
     # window and both per-doc aggregates
     "exact_substr": 2,
+    # row-local md5-threshold ladder, zero shuffle
+    "nested_subsets": 0,
     # r4: auto strategy -> exact partition-parallel scorer (one
     # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
     # config collides 79% of all pairs, so banding only added overhead

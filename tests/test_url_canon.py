@@ -113,3 +113,27 @@ def test_sql_mirror_randomized_cross_engine(spark):
         want = con.execute(
             f"SELECT {expr} FROM (SELECT ? AS url)", [u]).fetchone()[0]
         assert got[i] == want, f"{u!r}: spark {got[i]!r} != duckdb {want!r}"
+
+
+def test_nested_subsets_are_nested(spark):
+    """Structural property: subset(f1) ⊆ subset(f2) for f1 < f2, sizes
+    roughly proportional, NULL tail outside the largest fraction."""
+    from feathr_spark.operators.sampling import nested_subsets
+    df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+    out = nested_subsets(df, [0.05, 0.2, 0.5], salt="t|").collect()
+    by_frac = {}
+    for r in out:
+        by_frac.setdefault(r["min_subset"], set()).add(r["doc_id"])
+    s05 = by_frac.get(0.05, set())
+    s20 = s05 | by_frac.get(0.2, set())
+    s50 = s20 | by_frac.get(0.5, set())
+    assert s05 < s20 < s50
+    assert len(s05) == pytest.approx(200, abs=60)
+    assert len(s20) == pytest.approx(800, abs=120)
+    assert len(s50) == pytest.approx(2000, abs=180)
+    assert by_frac.get(None) and len(by_frac[None]) == 4000 - len(s50)
+    # determinism + nestedness against a direct recompute with MORE
+    # fractions: adding a rung never changes membership of existing ones
+    out2 = nested_subsets(df, [0.05, 0.1, 0.2, 0.5], salt="t|").collect()
+    s05b = {r["doc_id"] for r in out2 if r["min_subset"] == 0.05}
+    assert s05b == s05

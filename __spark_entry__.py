@@ -1221,6 +1221,78 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "score")
 
 
+# Deterministic multi-turn conversation synthesis shared by the dialog
+# queries and their oracles: 4 alternating turns sliced from the doc's
+# words, a system prefix every 5th doc, an alternation break every 7th
+# (turn-2 role flipped to user) and an empty-content turn every 11th —
+# so the validity gate exercises every rule on real data.
+_DIALOG_BUILD_SPARK = """
+    CASE WHEN doc_id % 5 = 0 THEN
+      array(named_struct('role', 'system', 'content', 'be helpful'))
+    ELSE array() END ||
+    array(
+      named_struct('role', 'user', 'content',
+                   concat_ws(' ', slice(__ws, 1, 8))),
+      named_struct('role',
+                   CASE WHEN doc_id % 7 = 0 THEN 'user'
+                        ELSE 'assistant' END,
+                   'content', concat_ws(' ', slice(__ws, 9, 8))),
+      named_struct('role', 'user', 'content',
+                   CASE WHEN doc_id % 11 = 0 THEN ''
+                        ELSE concat_ws(' ', slice(__ws, 17, 8)) END),
+      named_struct('role', 'assistant', 'content',
+                   concat_ws(' ', slice(__ws, 25, 8))))
+"""
+
+_DIALOG_BUILD_SQL = """
+    CASE WHEN doc_id % 5 = 0 THEN
+      [struct_pack(role := 'system', content := 'be helpful')]
+    ELSE [] END ||
+    [struct_pack(role := 'user',
+                 content := coalesce(array_to_string(ws[1:8], ' '), '')),
+     struct_pack(role := CASE WHEN doc_id % 7 = 0 THEN 'user'
+                              ELSE 'assistant' END,
+                 content := coalesce(array_to_string(ws[9:16], ' '), '')),
+     struct_pack(role := 'user',
+                 content := CASE WHEN doc_id % 11 = 0 THEN ''
+                            ELSE coalesce(array_to_string(ws[17:24], ' '), '') END),
+     struct_pack(role := 'assistant',
+                 content := coalesce(array_to_string(ws[25:32], ' '), ''))]
+"""
+
+
+def _dialog_frame(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (docs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.filter(F.split(F.trim(F.col("text")), " "),
+                 lambda w: w != "").alias("__ws"))
+        .select("doc_id", F.expr(_DIALOG_BUILD_SPARK).alias("turns")))
+
+
+def q_dialog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dialog structural + loss-budget stats (r10 SFT-data stage):
+    per-conversation turn counts, the full validity gate (role
+    vocabulary, optional leading system, strict user/assistant
+    alternation ending on assistant, non-empty content) and the
+    assistant character share — the loss-bearing fraction under
+    standard SFT masking. Pure nested-type HOF folds, zero shuffle; the
+    oracle rebuilds the identical list<struct> values and recomputes
+    every rule from the flattened form."""
+    _utc(spark)
+    from feathr_spark.operators.dialog import dialog_stats
+    return dialog_stats(_dialog_frame(spark, sf_dir))
+
+
+def q_dialog_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn flattening of the synthesized conversations (one
+    posexplode, zero shuffle) — the shape per-turn quality scoring
+    consumes."""
+    _utc(spark)
+    from feathr_spark.operators.dialog import flatten_turns
+    return flatten_turns(_dialog_frame(spark, sf_dir))
+
+
 _NESTED_FRACS = [0.01, 0.1, 0.5]
 
 
@@ -6032,7 +6104,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
     "url_canon", "url_dedup", "hard_negatives", "exact_substr",
-    "nested_subsets", "zscore_price", "zipf_fit", "stump_screen",
+    "nested_subsets", "dialog_stats", "dialog_turns",
+    "zscore_price", "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
     "ann_topk", "asof_join", "bm25_topk", "contamination_check",
@@ -6044,8 +6117,7 @@ _R10_WINDOW = [
     "mixture_sample", "multi_key_window", "multi_query_join",
     "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
     "pii_redact", "profile_sketch_gate", "profile_values",
-    "quality_flags", "quota_sample", "repetition_stats", "retention",
-    "sessionize",
+    "quality_flags", "quota_sample", "repetition_stats",
 ]
 
 
@@ -6104,6 +6176,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substr": q_exact_substr,
         # --- NEW in r10: nested ablation-subset ladder
         "nested_subsets": q_nested_subsets,
+        # --- NEW in r10: dialog/SFT-data turn operators
+        "dialog_stats": q_dialog_stats,
+        "dialog_turns": q_dialog_turns,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -11427,6 +11502,74 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _HARD_NEG_SQL,
         "exact_substr": _EXACT_SUBSTR_SQL,
         "nested_subsets": _nested_subsets_oracle(),
+        "dialog_turns": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(text), ' '),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            turns AS (
+              SELECT doc_id, {_DIALOG_BUILD_SQL} AS tl FROM base)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(i - 1 AS BIGINT) AS turn_idx,
+                   tl[i].role AS role,
+                   tl[i].content AS content,
+                   CAST(coalesce(length(tl[i].content), 0) AS BIGINT)
+                       AS n_chars
+            FROM turns, unnest(range(1, len(tl) + 1)) AS u(i)
+        """,
+        "dialog_stats": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(text), ' '),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            turns AS (
+              SELECT doc_id, {_DIALOG_BUILD_SQL} AS tl FROM base),
+            flat AS (
+              SELECT doc_id, i - 1 AS idx, tl[i].role AS role,
+                     tl[i].content AS content
+              FROM turns, unnest(range(1, len(tl) + 1)) AS u(i)),
+            g AS (
+              SELECT doc_id,
+                     count(*) AS n_turns,
+                     count(*) FILTER (role = 'user') AS n_user,
+                     count(*) FILTER (role = 'assistant') AS n_asst,
+                     bool_and(role IN ('system', 'user', 'assistant'))
+                         AS roles_ok,
+                     bool_and(content IS NOT NULL
+                              AND length(content) > 0) AS content_ok,
+                     coalesce(sum(length(content)), 0) AS total_chars,
+                     coalesce(sum(length(content))
+                              FILTER (role = 'assistant'), 0)
+                         AS asst_chars,
+                     max(CASE WHEN idx = 0 AND role = 'system'
+                         THEN 1 ELSE 0 END) AS has_sys,
+                     arg_max(role, idx) AS last_role
+              FROM flat GROUP BY doc_id),
+            a AS (
+              SELECT f.doc_id,
+                     bool_and(CASE WHEN f.idx >= g.has_sys THEN
+                       f.role = CASE WHEN (f.idx - g.has_sys) % 2 = 0
+                                THEN 'user' ELSE 'assistant' END
+                       ELSE TRUE END) AS alt_ok
+              FROM flat f JOIN g USING (doc_id) GROUP BY f.doc_id)
+            SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+                   CAST(n_turns AS BIGINT) AS n_turns,
+                   CAST(n_user AS BIGINT) AS n_user,
+                   CAST(n_asst AS BIGINT) AS n_assistant,
+                   (n_user >= 1 AND n_asst >= 1 AND roles_ok
+                    AND content_ok AND a.alt_ok
+                    AND n_turns - has_sys > 0
+                    AND last_role = 'assistant') AS valid,
+                   CAST(total_chars AS BIGINT) AS total_chars,
+                   CAST(asst_chars AS BIGINT) AS assistant_chars,
+                   CASE WHEN total_chars > 0 THEN
+                     CAST(ROUND(CAST(asst_chars AS DOUBLE)
+                                / total_chars + 1e-9, 4) AS DOUBLE)
+                   END AS assistant_share
+            FROM g JOIN a ON g.doc_id = a.doc_id
+        """,
         "embedding_cosine_pairs": _EMB_PAIRS_SQL,
         "ann_lsh_recall": f"""
             SELECT 'lsh_recall_at_5' AS metric,

@@ -293,6 +293,8 @@ HEADLINE = [
     "hard_negatives",
     "exact_substr",
     "nested_subsets",
+    "dialog_stats",
+    "dialog_turns",
 ]
 
 

@@ -437,6 +437,9 @@ EXCHANGE_BUDGET = {
     "exact_substr": 2,
     # row-local md5-threshold ladder, zero shuffle
     "nested_subsets": 0,
+    # nested-type HOF folds / one posexplode, both row-local
+    "dialog_stats": 0,
+    "dialog_turns": 0,
     # r4: auto strategy -> exact partition-parallel scorer (one
     # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
     # config collides 79% of all pairs, so banding only added overhead

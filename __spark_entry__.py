@@ -1293,6 +1293,61 @@ def q_dialog_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flatten_turns(_dialog_frame(spark, sf_dir))
 
 
+def q_sft_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed SFT-data accounting (r10): synthesize conversations →
+    dialog validity gate → per-source training-budget report in ONE
+    Spark action — conversations per source, gate pass count, and over
+    the VALID conversations only: total/assistant characters,
+    whitespace assistant tokens (the tokens you actually pay loss on),
+    and the mean assistant share. Plan: the row-local dialog_stats
+    folds + one whitespace token fold feed a single source-keyed
+    aggregate (1 Exchange); conversation payloads never shuffle — only
+    per-doc scalars do. The oracle chains the dialog_stats SQL as a CTE
+    and aggregates the same scalars."""
+    _utc(spark)
+    from feathr_spark.operators.dialog import dialog_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "source")
+    d = _dialog_frame(spark, sf_dir)
+    stats = dialog_stats(d)
+    # loss-bearing whitespace tokens: one HOF fold over assistant turns
+    asst_toks = d.select(
+        "doc_id",
+        F.aggregate(
+            F.filter(F.col("turns"),
+                     lambda s: s["role"] == F.lit("assistant")),
+            F.lit(0).cast("bigint"),
+            lambda acc, s: acc + F.coalesce(
+                F.size(F.filter(
+                    F.split(F.trim(s["content"]), " "),
+                    lambda w: w != "")).cast("bigint"), F.lit(0)))
+        .alias("asst_tokens"))
+    j = (stats.join(asst_toks, "doc_id").join(docs, "doc_id"))
+    nudge = F.lit(1e-9)
+    return (j.groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_convs"),
+                 F.sum(F.col("valid").cast("long")).cast("bigint")
+                 .alias("n_valid"),
+                 F.sum(F.when(F.col("valid"), F.col("total_chars"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("valid_total_chars"),
+                 F.sum(F.when(F.col("valid"),
+                              F.col("assistant_chars"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("valid_assistant_chars"),
+                 F.sum(F.when(F.col("valid"), F.col("asst_tokens"))
+                       .otherwise(F.lit(0))).cast("bigint")
+                 .alias("valid_assistant_tokens"))
+            .select("source", "n_convs", "n_valid",
+                    "valid_total_chars", "valid_assistant_chars",
+                    "valid_assistant_tokens",
+                    F.when(F.col("valid_total_chars") > 0,
+                           F.round(F.col("valid_assistant_chars")
+                                   / F.col("valid_total_chars")
+                                   + nudge, 4))
+                    .cast("double").alias("assistant_share")))
+
+
 _NESTED_FRACS = [0.01, 0.1, 0.5]
 
 
@@ -6104,7 +6159,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R10_WINDOW = [
     "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
     "url_canon", "url_dedup", "hard_negatives", "exact_substr",
-    "nested_subsets", "dialog_stats", "dialog_turns",
+    "nested_subsets", "dialog_stats", "dialog_turns", "sft_accounting",
     "zscore_price", "zipf_fit", "stump_screen",
     "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
     # oldest driver-green rows (last recorded r4):
@@ -6117,7 +6172,7 @@ _R10_WINDOW = [
     "mixture_sample", "multi_key_window", "multi_query_join",
     "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
     "pii_redact", "profile_sketch_gate", "profile_values",
-    "quality_flags", "quota_sample", "repetition_stats",
+    "quality_flags", "quota_sample",
 ]
 
 
@@ -6179,6 +6234,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW in r10: dialog/SFT-data turn operators
         "dialog_stats": q_dialog_stats,
         "dialog_turns": q_dialog_turns,
+        "sft_accounting": q_sft_accounting,
         "pctile_data_probe": q_pctile_data_probe,
         "pctile_round_probe": q_pctile_round_probe,
         "oracle_env_probe": q_oracle_env_probe,
@@ -11502,6 +11558,84 @@ def oracle_sql() -> dict[str, str]:
         "hard_negatives": _HARD_NEG_SQL,
         "exact_substr": _EXACT_SUBSTR_SQL,
         "nested_subsets": _nested_subsets_oracle(),
+        "sft_accounting": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split(trim(text), ' '),
+                                 w -> w <> '') AS ws
+              FROM documents),
+            turns AS (
+              SELECT doc_id, {_DIALOG_BUILD_SQL} AS tl FROM base),
+            flat AS (
+              SELECT doc_id, i - 1 AS idx, tl[i].role AS role,
+                     tl[i].content AS content
+              FROM turns, unnest(range(1, len(tl) + 1)) AS u(i)),
+            g AS (
+              SELECT doc_id,
+                     count(*) AS n_turns,
+                     count(*) FILTER (role = 'user') AS n_user,
+                     count(*) FILTER (role = 'assistant') AS n_asst,
+                     bool_and(role IN ('system', 'user', 'assistant'))
+                         AS roles_ok,
+                     bool_and(content IS NOT NULL
+                              AND length(content) > 0) AS content_ok,
+                     coalesce(sum(length(content)), 0) AS total_chars,
+                     coalesce(sum(length(content))
+                              FILTER (role = 'assistant'), 0)
+                         AS asst_chars,
+                     max(CASE WHEN idx = 0 AND role = 'system'
+                         THEN 1 ELSE 0 END) AS has_sys,
+                     arg_max(role, idx) AS last_role
+              FROM flat GROUP BY doc_id),
+            a AS (
+              SELECT f.doc_id,
+                     bool_and(CASE WHEN f.idx >= g.has_sys THEN
+                       f.role = CASE WHEN (f.idx - g.has_sys) % 2 = 0
+                                THEN 'user' ELSE 'assistant' END
+                       ELSE TRUE END) AS alt_ok
+              FROM flat f JOIN g USING (doc_id) GROUP BY f.doc_id),
+            v AS (
+              SELECT g.doc_id,
+                     (n_user >= 1 AND n_asst >= 1 AND roles_ok
+                      AND content_ok AND a.alt_ok
+                      AND n_turns - has_sys > 0
+                      AND last_role = 'assistant') AS valid,
+                     total_chars, asst_chars
+              FROM g JOIN a ON g.doc_id = a.doc_id),
+            tok AS (
+              SELECT doc_id,
+                     coalesce(sum(CASE WHEN role = 'assistant' THEN
+                       coalesce(len(list_filter(
+                         string_split(trim(content), ' '),
+                         w -> w <> '')), 0) ELSE 0 END), 0)
+                         AS asst_tokens
+              FROM flat GROUP BY doc_id)
+            SELECT d.source,
+                   COUNT(*)::BIGINT AS n_convs,
+                   CAST(SUM(CASE WHEN valid THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_valid,
+                   CAST(SUM(CASE WHEN valid THEN total_chars
+                            ELSE 0 END) AS BIGINT)
+                       AS valid_total_chars,
+                   CAST(SUM(CASE WHEN valid THEN asst_chars
+                            ELSE 0 END) AS BIGINT)
+                       AS valid_assistant_chars,
+                   CAST(SUM(CASE WHEN valid THEN asst_tokens
+                            ELSE 0 END) AS BIGINT)
+                       AS valid_assistant_tokens,
+                   CASE WHEN SUM(CASE WHEN valid THEN total_chars
+                                 ELSE 0 END) > 0 THEN
+                     CAST(ROUND(CAST(SUM(CASE WHEN valid
+                                    THEN asst_chars ELSE 0 END)
+                                    AS DOUBLE)
+                                / SUM(CASE WHEN valid THEN total_chars
+                                      ELSE 0 END) + 1e-9, 4)
+                          AS DOUBLE)
+                   END AS assistant_share
+            FROM v JOIN tok USING (doc_id)
+                 JOIN documents d USING (doc_id)
+            GROUP BY d.source
+        """,
         "dialog_turns": f"""
             WITH base AS (
               SELECT doc_id,

@@ -295,6 +295,7 @@ HEADLINE = [
     "nested_subsets",
     "dialog_stats",
     "dialog_turns",
+    "sft_accounting",
 ]
 
 

@@ -440,6 +440,9 @@ EXCHANGE_BUDGET = {
     # nested-type HOF folds / one posexplode, both row-local
     "dialog_stats": 0,
     "dialog_turns": 0,
+    # composed accounting: row-local gate/token folds + two doc-keyed
+    # joins feeding ONE source aggregate
+    "sft_accounting": 4,
     # r4: auto strategy -> exact partition-parallel scorer (one
     # repartition Exchange + broadcast loop). The 4-plane/24-table LSH
     # config collides 79% of all pairs, so banding only added overhead

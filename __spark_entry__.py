@@ -2283,27 +2283,28 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint lineage truncation. Output is rank relative to
     uniform (x N) so the 4-dp hash compare keeps resolution."""
     _utc(spark)
-    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.assoc import basket_pair_counts
     from feathr_spark.operators.graph import pagerank
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
+    # pair-counts-only graph build (r11): the full rule table's
+    # item-count joins + basket-total broadcast fed columns this query
+    # drops; n_ab is bit-identical (shared pair expressions).
     # persist: the pair pipeline feeds BOTH union branches (forward and
     # reversed edges) — unpersisted it runs twice
-    from feathr_spark.operators._cache import release_intermediates
-    full_rules = association_rules(li, "l_orderkey", "l_partkey",
-                                   min_pair_count=2)
-    rules = full_rules.select("item_a", "item_b", "n_ab").persist()
+    rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
+                               min_pair_count=2).persist()
     edges = (rules.select(F.col("item_a").alias("src"),
                           F.col("item_b").alias("dst"),
                           F.col("n_ab").cast("double").alias("w"))
              .union(rules.select(F.col("item_b").alias("src"),
                                  F.col("item_a").alias("dst"),
                                  F.col("n_ab").cast("double").alias("w"))))
-    ranks = pagerank(edges, weight="w", damping=0.85, iters=3)
-    # pagerank's result is checkpointed — the rule pipeline's caches are
-    # releasable now instead of lingering in the session cache manager
-    release_intermediates(full_rules)
+    # symmetrized positive-weight edges: every node has out-edges, so
+    # the dangling-mass machinery is skippable (bit-identical output)
+    ranks = pagerank(edges, weight="w", damping=0.85, iters=3,
+                     assume_no_dangling=True)
     rules.unpersist()
     nn = ranks.agg(F.count(F.lit(1)).alias("__n"))
     return (ranks.crossJoin(F.broadcast(nn))
@@ -3070,21 +3071,18 @@ def q_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's plain 3-way self-join finds the identical triangle
     set."""
     _utc(spark)
-    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.assoc import basket_pair_counts
     from feathr_spark.operators.graph import triangle_stats
-    from feathr_spark.operators._cache import release_intermediates
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
-    rules = association_rules(li, "l_orderkey", "l_partkey",
-                              min_pair_count=2)
+    # pair-counts-only graph build (r11): identical edge set, no rule
+    # joins, no basket cache to release
+    rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
+                               min_pair_count=2)
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = triangle_stats(edges)
-    # triangle_stats is eager (checkpointed result), so the rule
-    # pipeline's basket cache is releasable immediately — leaving it
-    # cached would substitute into later queries' plan snapshots
-    release_intermediates(rules)
     return out.select(
         F.col("id").cast("bigint").alias("part"),
         "degree", "triangles",
@@ -3150,20 +3148,18 @@ def q_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each node with its minimum reachable id — the identical
     partition."""
     _utc(spark)
-    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.assoc import basket_pair_counts
     from feathr_spark.operators.graph import connected_components
-    from feathr_spark.operators._cache import release_intermediates
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
-    rules = association_rules(li, "l_orderkey", "l_partkey",
-                              min_pair_count=2)
+    # pair-counts-only graph build (r11): identical edge set, no rule
+    # joins, no basket cache to release
+    rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
+                               min_pair_count=2)
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = connected_components(edges)
-    # connected_components returns an eager checkpoint — the rule
-    # pipeline's basket cache is releasable immediately
-    release_intermediates(rules)
     return out.select(F.col("id").cast("bigint").alias("part"),
                       F.col("component").cast("bigint").alias("component"),
                       "component_size")
@@ -3374,20 +3370,25 @@ def q_powerlaw_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     justifies the skew-aware graph plans. One degree aggregate + one
     fold."""
     _utc(spark)
-    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.assoc import basket_pair_counts
     from feathr_spark.operators.graph import degree_powerlaw
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
-    rules = association_rules(li, "l_orderkey", "l_partkey",
-                              min_pair_count=2)
+    # pair-counts-only graph build (r11): identical edge set.
+    # Persisted: degree_powerlaw's endpoint union reads the edge frame
+    # twice, and union branches do not share subplans.
+    from feathr_spark.operators._cache import attach_intermediates
+    rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
+                               min_pair_count=2).persist()
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = degree_powerlaw(edges, dmin=2)
-    return out.select(
+    res = out.select(
         "n_nodes", "n_tail", "dmin",
         F.round(F.col("alpha") + 1e-9, 4).cast("double").alias("alpha"),
         "max_degree")
+    return attach_intermediates(res, (rules,))
 
 
 def q_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4020,15 +4021,17 @@ def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition as triangles_parts: pairs co-ordered >= 2 times, basket
     cap 100) — integer-exact moment sums, one fold."""
     _utc(spark)
-    from feathr_spark.operators.assoc import association_rules
+    from feathr_spark.operators.assoc import basket_pair_counts
     from feathr_spark.operators.graph import degree_assortativity
-    from feathr_spark.operators._cache import (attach_intermediates,
-                                               release_intermediates)
+    from feathr_spark.operators._cache import attach_intermediates
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", F.col("l_partkey").cast("bigint")
                   .alias("l_partkey")))
-    rules = association_rules(li, "l_orderkey", "l_partkey",
-                              min_pair_count=2)
+    # pair-counts-only graph build (r11): identical edge set, no rule
+    # joins. Persisted: degree_assortativity symmetrizes via a 2-branch
+    # union, and union branches do not share subplans.
+    rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
+                               min_pair_count=2).persist()
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = degree_assortativity(edges)
@@ -4036,9 +4039,8 @@ def q_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_edges", "n_nodes",
         F.round(F.col("assortativity") + 1e-9, 4).cast("double")
         .alias("assortativity"))
-    release_intermediates(rules)
-    return attach_intermediates(res, getattr(out, "_feathr_cached_deps",
-                                             ()))
+    return attach_intermediates(
+        res, (rules,) + tuple(getattr(out, "_feathr_cached_deps", ())))
 
 
 def q_stl_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

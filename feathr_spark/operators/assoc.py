@@ -23,6 +23,68 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _basket_frame(df: DataFrame, basket_col: str, item_col: str,
+                  max_basket: int) -> DataFrame:
+    """Shared basket collapse: one groupBy(basket) collecting the sorted
+    distinct item array, mega-baskets dropped BEFORE any explosion."""
+    items = (df.select(F.col(basket_col).alias("__bk"),
+                       F.col(item_col).alias("__it"))
+             .where(F.col("__it").isNotNull() & F.col("__bk").isNotNull()))
+    return (items.groupBy("__bk")
+            .agg(F.sort_array(F.collect_set("__it")).alias("__arr"))
+            .where(F.size("__arr") <= int(max_basket))
+            .where(F.size("__arr") >= 1))
+
+
+def _pair_counts_of(baskets: DataFrame, min_pair_count: int) -> DataFrame:
+    """Row-local pair explosion + one (a, b) count — the shared pair
+    stage of :func:`association_rules` and :func:`basket_pair_counts`
+    (identical expressions, so n_ab is bit-identical between them)."""
+    arr = F.col("__arr")
+    pairs_expr = F.flatten(F.transform(
+        arr,
+        lambda x, i: F.transform(
+            F.slice(arr, i + 2, F.size(arr)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    return (baskets
+            .select(F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("item_a"),
+                     F.col("p.b").alias("item_b"))
+            .agg(F.count("*").alias("n_ab"))
+            .where(F.col("n_ab") >= int(min_pair_count)))
+
+
+def basket_pair_counts(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Co-occurrence pair counts ONLY: (item_a, item_b, n_ab) with
+    ``item_a < item_b`` — the graph-edge fast path of
+    :func:`association_rules`.
+
+    The full rule table inner-joins per-item counts and broadcasts the
+    basket total onto every pair; callers that feed a GRAPH operator
+    (pagerank / components / triangles / degree stats) use only the
+    pair list, but Catalyst cannot prune an inner join away (it changes
+    cardinality as far as the optimizer knows), so they paid a second
+    full basket explosion (the per-item count pass) plus two joins for
+    columns they drop. This entry point shares the basket/pair
+    expressions with the rule table — n_ab is bit-identical — and
+    skips everything else. One basket groupBy + one pair count; no
+    persist needed (the basket frame has exactly one consumer).
+    """
+    if min_pair_count < 1:
+        raise ValueError("basket_pair_counts: min_pair_count must be >= 1")
+    if max_basket < 2:
+        raise ValueError("basket_pair_counts: max_basket must be >= 2")
+    baskets = _basket_frame(df, basket_col, item_col, max_basket)
+    return _pair_counts_of(baskets, min_pair_count).select(
+        "item_a", "item_b", F.col("n_ab").cast("bigint").alias("n_ab"))
+
+
 def association_rules(
     df: DataFrame,
     basket_col: str,
@@ -58,30 +120,12 @@ def association_rules(
         raise ValueError("association_rules: min_pair_count must be >= 1")
     if max_basket < 2:
         raise ValueError("association_rules: max_basket must be >= 2")
-    items = (df.select(F.col(basket_col).alias("__bk"),
-                       F.col(item_col).alias("__it"))
-             .where(F.col("__it").isNotNull() & F.col("__bk").isNotNull()))
-    baskets = (items.groupBy("__bk")
-               .agg(F.sort_array(F.collect_set("__it")).alias("__arr"))
-               .where(F.size("__arr") <= int(max_basket))
-               .where(F.size("__arr") >= 1))
     # this frame fans out into pairs / item counts / basket total —
     # persist so the basket aggregation runs once, not three times
-    baskets = baskets.persist()
+    baskets = _basket_frame(df, basket_col, item_col, max_basket).persist()
 
     # row-local pair explosion: for each i, pair arr[i] with arr[i+1:]
-    arr = F.col("__arr")
-    pairs_expr = F.flatten(F.transform(
-        arr,
-        lambda x, i: F.transform(
-            F.slice(arr, i + 2, F.size(arr)),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    pair_counts = (baskets
-                   .select(F.explode(pairs_expr).alias("p"))
-                   .groupBy(F.col("p.a").alias("item_a"),
-                            F.col("p.b").alias("item_b"))
-                   .agg(F.count("*").alias("n_ab"))
-                   .where(F.col("n_ab") >= int(min_pair_count)))
+    pair_counts = _pair_counts_of(baskets, min_pair_count)
 
     item_counts = (baskets.select(F.explode("__arr").alias("__it"))
                    .groupBy("__it").agg(F.count("*").alias("__in")))

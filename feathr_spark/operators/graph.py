@@ -216,6 +216,7 @@ def pagerank(
     weight: Optional[str] = None,
     damping: float = 0.85,
     iters: int = 10,
+    assume_no_dangling: bool = False,
 ) -> DataFrame:
     """Weighted PageRank with uniform teleport and dangling-mass
     redistribution: iterate
@@ -240,6 +241,18 @@ def pagerank(
     convergence test is another full pass per round — callers pick
     ``iters`` (10–20 is the usual plateau; rank deltas fall
     geometrically with ``d``).
+
+    ``assume_no_dangling=True`` is the caller's assertion that EVERY
+    node has at least one positive-weight out-edge (true by
+    construction for symmetrized edge sets such as co-occurrence
+    graphs): the dangling-mass term is then identically 0.0 and the
+    per-round dangling join + aggregate + broadcast are skipped — one
+    fewer scheduler job and one fewer broadcast barrier per round.
+    Bit-safety of dropping the term: ranks and contributions are
+    strictly positive (rank ≥ (1−d)/N from round 1, fracs > 0), so
+    ``c + 0.0/N == c`` exactly in IEEE arithmetic — the output is
+    bit-identical to the general path on any graph that satisfies the
+    assertion (asserted in tests).
 
     Per-round eager ``localCheckpoint`` is LOAD-BEARING, not just
     lineage hygiene: each round consumes the previous ranks TWICE
@@ -288,32 +301,39 @@ def pagerank(
           .select("__src", "__dst", (F.col("__w") / F.col("__ow"))
                   .alias("__frac"))
           .persist())
-    dangling_ids = nodes.join(outw, nodes.id == outw.__src, "left_anti") \
-        .persist()
+    dangling_ids = None
+    if not assume_no_dangling:
+        dangling_ids = nodes.join(outw, nodes.id == outw.__src,
+                                  "left_anti").persist()
     for i in range(int(iters)):
         contrib = (en.join(ranks, en.__src == ranks.id)
                    .groupBy("__dst")
                    .agg(F.sum(F.col("rank") * F.col("__frac"))
                         .alias("__c")))
-        dmass = (dangling_ids.join(ranks, "id")
-                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                      .alias("__dm")))  # 1-row, broadcast
-        ranks = (nodes
-                 .join(contrib, nodes.id == contrib.__dst, "left")
-                 .crossJoin(F.broadcast(nn))
-                 .crossJoin(F.broadcast(dmass))
-                 .select(
-                     "id",
-                     ((1.0 - d) / F.col("__n")
-                      + d * (F.coalesce(F.col("__c"), F.lit(0.0))
-                             + F.col("__dm") / F.col("__n")))
-                     .alias("rank"))
+        new_ranks = (nodes
+                     .join(contrib, nodes.id == contrib.__dst, "left")
+                     .crossJoin(F.broadcast(nn)))
+        if assume_no_dangling:
+            # dm ≡ 0.0 and c > 0 (or the exact literal 0.0), so
+            # d·(c + 0.0/N) == d·c bit-for-bit — see docstring
+            rank_expr = ((1.0 - d) / F.col("__n")
+                         + d * F.coalesce(F.col("__c"), F.lit(0.0)))
+        else:
+            dmass = (dangling_ids.join(ranks, "id")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                          .alias("__dm")))  # 1-row, broadcast
+            new_ranks = new_ranks.crossJoin(F.broadcast(dmass))
+            rank_expr = ((1.0 - d) / F.col("__n")
+                         + d * (F.coalesce(F.col("__c"), F.lit(0.0))
+                                + F.col("__dm") / F.col("__n")))
+        ranks = (new_ranks.select("id", rank_expr.alias("rank"))
                  .localCheckpoint())
     e.unpersist()
     nodes.unpersist()
     outw.unpersist()
     en.unpersist()
-    dangling_ids.unpersist()
+    if dangling_ids is not None:
+        dangling_ids.unpersist()
     return ranks
 
 

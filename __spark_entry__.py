@@ -3300,20 +3300,29 @@ def q_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey"))
     from feathr_spark.operators._cache import attach_intermediates
+    # r11: iterate on BIGINT node ids (cust → 2k, part → 2k+1) instead
+    # of 'c{k}'/'p{k}' strings — every per-round join/aggregate hashes
+    # and shuffles 8-byte longs instead of variable-width strings; the
+    # string ids are reconstructed on the final node-sized frame only.
+    # Scores are unchanged: the encoding is a bijection, per-round sums
+    # are exact integer-valued doubles (degree products), so grouping
+    # order cannot move a bit.
     # persisted: the join+distinct edge build feeds BOTH the iteration
     # (via hits' internal select) and the rescale counts below
     edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                     .alias("src"),
-                     F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+             .select((F.col("o_custkey").cast("bigint") * 2).alias("src"),
+                     (F.col("l_partkey").cast("bigint") * 2 + 1)
                      .alias("dst"))
              .distinct().persist())
     out = hits(edges, iters=3)
     counts = edges.agg(
         F.countDistinct("src").cast("double").alias("__ns"),
         F.countDistinct("dst").cast("double").alias("__nd"))
+    decode = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("c")).otherwise(F.lit("p")),
+        F.shiftright(F.col("id"), 1).cast("string"))
     res = (out.crossJoin(F.broadcast(counts))
-           .select("id",
+           .select(decode.alias("id"),
                    F.round(F.col("hub") * F.col("__ns") + 1e-9, 4)
                    .cast("double").alias("hub_rel"),
                    F.round(F.col("authority") * F.col("__nd") + 1e-9, 4)
@@ -4860,13 +4869,18 @@ def q_kcore_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey"))
     li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
           .select("l_orderkey", "l_partkey"))
+    # r11: peel on BIGINT node ids (cust → 2k, part → 2k+1); the
+    # 'c{k}'/'p{k}' strings are reconstructed on the surviving-node
+    # output only — every per-round aggregate/semi-join shuffles longs
     edges = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                     .alias("src"),
-                     F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+             .select((F.col("o_custkey").cast("bigint") * 2).alias("src"),
+                     (F.col("l_partkey").cast("bigint") * 2 + 1)
                      .alias("dst")))
     out = kcore_peel(edges, k=8, rounds=3)
-    return out.select("id", "degree")
+    decode = F.concat(
+        F.when(F.col("id") % 2 == 0, F.lit("c")).otherwise(F.lit("p")),
+        F.shiftright(F.col("id"), 1).cast("string"))
+    return out.select(decode.alias("id"), "degree")
 
 
 def q_price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:

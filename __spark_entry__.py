@@ -1896,7 +1896,12 @@ def q_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from feathr_spark.operators.scaling import quantile_bins
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    out = quantile_bins(orders, "o_totalprice", bins=10)
+    # r11: selection mode — the buffer-mode F.percentile aggregate
+    # merges the full 150k-value multiset in ONE reduce task (guide §5);
+    # distributed selection is bit-identical (see selection_percentiles)
+    # and measured 2.3x faster here, and is the 10⁹-row shape anyway
+    out = quantile_bins(orders, "o_totalprice", bins=10,
+                        percentile_mode="selection")
     return out.select(
         F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
         F.col("o_totalprice_bin"))
@@ -2981,8 +2986,11 @@ def q_robust_scale_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from feathr_spark.operators.scaling import robust_scale
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # r11: selection-mode quartiles (bit-identical to the buffer
+    # aggregate — see decile_bins; the round_cuts_dp=4 nudge applies to
+    # the literals through the same F.round expression)
     out = robust_scale(orders, "o_totalprice", "o_orderkey",
-                       round_cuts_dp=4)
+                       round_cuts_dp=4, percentile_mode="selection")
     return out.select(F.col("o_orderkey").cast("bigint")
                       .alias("o_orderkey"), "value", "robust")
 
@@ -4719,7 +4727,10 @@ def q_qini_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("o_orderpriority")
                       .isin("1-URGENT", "2-HIGH").cast("int")
                       .alias("outcome")))
-    out = qini_uplift(orders, "treat", "outcome", "score", buckets=10)
+    # r11: selection-mode decile cuts (bit-identical, no single-task
+    # multiset merge — see decile_bins)
+    out = qini_uplift(orders, "treat", "outcome", "score", buckets=10,
+                      percentile_mode="selection")
     return out.select(
         "bucket", "n_treat", "n_ctrl",
         F.round(F.col("resp_treat") + 1e-9, 4).cast("double")

@@ -35,6 +35,28 @@ def _perm_params(num_perm: int) -> List[tuple]:
     return params
 
 
+def _sig_est_expr(num_perm: int) -> Column:
+    """Signature-agreement Jaccard estimate between aliases a/b as ONE
+    parsed SQL expression (r11: the Column-API form cost ~5 py4j
+    round-trips per term — ~0.4 s of driver build time at num_perm=64;
+    the parsed tree is expression-identical)."""
+    return F.expr(
+        "(" + " + ".join(
+            f"(CASE WHEN a.__s{j} = b.__s{j} THEN 1 ELSE 0 END)"
+            for j in range(num_perm)) + f") / {num_perm}")
+
+
+def _band_array_expr(bands: int, rows_per_band: int) -> Column:
+    """array(xxhash64(concat_ws(',', CAST(__s.. AS STRING)...))) band
+    bucket hashes as ONE parsed SQL expression (same r11 rationale)."""
+    band_cols = ", ".join(
+        "xxhash64(concat_ws(',', " + ", ".join(
+            f"CAST(__s{b * rows_per_band + i} AS STRING)"
+            for i in range(rows_per_band)) + "))"
+        for b in range(bands))
+    return F.expr(f"array({band_cols})")
+
+
 def normalize_text(col: Column) -> Column:
     return F.lower(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
@@ -294,21 +316,23 @@ def _jaccard_lsh_pairs(
     # common Exchange from reuse and re-run shingling — the pipeline's
     # single most expensive narrow stage — twice. Cache payload is two
     # longs per shingle, orders of magnitude smaller than the text.
-    base = F.pmod(F.col("__h"), F.lit(_MERSENNE))
+    # r11: the permutation aggregates / band hashes / prefilter sum are
+    # built as SQL strings (ONE py4j round-trip per expression) instead
+    # of stacked Column calls (~8 round-trips each): constructing this
+    # pipeline through the Column API measured 2.1 s of pure driver
+    # build time PER BENCH REP at num_perm=64. F.expr parses to the
+    # identical analyzed expressions (a/b/M31 < 2^31 stay INT literals,
+    # CAST/CASE/pmod unchanged), so plans and values are bit-identical.
+    M = _MERSENNE
     sig = tok.groupBy("__id").agg(*[
-        F.min(F.pmod(base * a + b, F.lit(_MERSENNE))).alias(f"__s{j}")
+        F.expr(f"min(pmod(pmod(__h, {M}) * {a} + {b}, {M})) AS __s{j}")
         for j, (a, b) in enumerate(params)
     ]).persist()
 
-    band_hashes = [
-        F.xxhash64(F.concat_ws(",", *[
-            F.col(f"__s{b * rows_per_band + i}").cast("string")
-            for i in range(rows_per_band)
-        ]))
-        for b in range(bands)
-    ]
     banded = sig.select(
-        "__id", F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
+        "__id",
+        F.posexplode(_band_array_expr(bands, rows_per_band))
+        .alias("__band", "__bucket"))
     anchor_pairs = None
     banded_cached = None
     if max_bucket_size is not None:
@@ -392,10 +416,7 @@ def _jaccard_lsh_pairs(
     if not verify:
         return attach_intermediates(cand, cached)
 
-    est = sum(
-        F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
-        for j in range(num_perm)
-    ) / F.lit(num_perm)
+    est = _sig_est_expr(num_perm)
     prefiltered = (cand
                    .join(sig.alias("a"), F.col("id_a") == F.col("a.__id"))
                    .join(sig.alias("b"), F.col("id_b") == F.col("b.__id"))
@@ -486,16 +507,10 @@ def minhash_pairs_incremental(
                 .unionByName(new_index.withColumn("__new", F.lit(True)))
                 .persist())
 
-    band_hashes = [
-        F.xxhash64(F.concat_ws(",", *[
-            F.col(f"__s{b * rows_per_band + i}").cast("string")
-            for i in range(rows_per_band)
-        ]))
-        for b in range(bands)
-    ]
     banded = combined.select(
         "__id", "__new",
-        F.posexplode(F.array(*band_hashes)).alias("__band", "__bucket"))
+        F.posexplode(_band_array_expr(bands, rows_per_band))
+        .alias("__band", "__bucket"))
     left, right = banded.alias("l"), banded.alias("r").where(F.col("__new"))
     # (old,new): old is always l (any id order). (new,new): l < r. Either
     # way each colliding band contributes exactly one candidate row.
@@ -513,10 +528,7 @@ def minhash_pairs_incremental(
             .where(F.col("__nb") >= min_band_collisions)
             .select("id_a", "id_b"))
 
-    est = sum(
-        F.when(F.col(f"a.__s{j}") == F.col(f"b.__s{j}"), 1).otherwise(0)
-        for j in range(num_perm)
-    ) / F.lit(num_perm)
+    est = _sig_est_expr(num_perm)
     sig = combined
     prefiltered = (cand
                    .join(sig.alias("a"), F.col("id_a") == F.col("a.__id"))
@@ -644,17 +656,20 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
         .where(F.col("__s").isNotNull()) \
         .select("__id", portable_hash64(F.col("__s")).alias("__h"))
 
+    # r11: the 60 vote aggregates + the 60-term signature composition
+    # are built as SQL strings (one py4j round-trip per expression
+    # instead of ~7 each — the Column-API form cost ~1.5 s of driver
+    # build time per bench rep); parsed trees and values are identical.
     votes = tok.groupBy("__id").agg(*[
-        F.sum(F.when(F.col("__h").bitwiseAND(F.lit(1 << i)) != 0, 1)
-              .otherwise(-1)).alias(f"__v{i}")
+        F.expr(f"sum(CASE WHEN (__h & {1 << i}) != 0 THEN 1 ELSE -1 END)"
+               f" AS __v{i}")
         for i in range(SIMHASH_BITS)
     ])
-    sim = F.lit(0).cast("bigint")
+    sim_sql = "CAST(0 AS BIGINT)"
     for i in range(SIMHASH_BITS):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"__v{i}") > 0, F.lit(1 << i).cast("bigint"))
-            .otherwise(F.lit(0).cast("bigint")))
-    return votes.select("__id", sim.alias("__sim"))
+        sim_sql = (f"({sim_sql} | (CASE WHEN __v{i} > 0 THEN "
+                   f"CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END))")
+    return votes.select("__id", F.expr(sim_sql).alias("__sim"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -5331,9 +5331,18 @@ def q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("doc_id").cast("bigint").alias("doc_id"),
                     "text"))
     b = quantile_bins(docs, "doc_id", bins=10)
-    terms = (b.select(F.col("doc_id_bin").alias("__b"),
-                      F.explode(word_ngrams(F.col("text"), 2))
-                      .alias("__t"))
+    # r11: repartition before the bigram explosion — the single-file
+    # local read is ONE partition, so the explode + map-side min-agg
+    # (the query's heaviest stage) ran in a single 4.3 s task; the
+    # exchange moves only the 5k raw doc rows (at cluster scale the
+    # input is already multi-file parallel and this stays a cheap
+    # balanced exchange, the dedup._spread rationale — explicit count
+    # so AQE cannot coalesce the tiny-bytes shuffle back to one task)
+    from feathr_spark.operators.dedup import _spread
+    terms = (_spread(b, "doc_id")
+             .select(F.col("doc_id_bin").alias("__b"),
+                     F.explode(word_ngrams(F.col("text"), 2))
+                     .alias("__t"))
              .where(F.col("__t") != ""))
     first = (terms.groupBy("__t")
              .agg(F.min("__b").alias("__fb")))

@@ -78,8 +78,22 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     serializing shingling/hashing onto one task; the exchange moves only the
     raw rows and makes everything downstream partition-parallel. At cluster
     scale the input is already multi-file parallel and this stays a cheap
-    balanced exchange (skew-free: ids are unique)."""
-    return df.repartition(F.col(id_col))
+    balanced exchange (skew-free: ids are unique).
+
+    The partition count is passed EXPLICITLY (r11): a keys-only
+    ``repartition(col)`` is REPARTITION_BY_COL, which AQE's partition
+    coalescer may collapse back to ONE partition when the shuffle BYTES
+    are small (minPartitionSize 1 MB) — but the whole point of this
+    exchange is the work AFTER it (shingle/gram explosion fans out
+    100-1000x), which AQE cannot see. An explicit count makes the
+    shuffle REPARTITION_BY_NUM, which AQE must preserve. The count
+    comes from ``spark.sql.shuffle.partitions`` (session/driver-
+    configured — scale-adaptive, not a local constant)."""
+    try:
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):   # e.g. "auto" on some platforms
+        n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -1046,7 +1060,11 @@ def exact_substring_spans(
     t = F.col(text_col)
     # docs shorter than min_len have no qualifying gram (filter BEFORE
     # the sequence: Spark's sequence(1, 0) counts DOWN, it isn't empty)
-    grams = (df.select(F.col(id_col), t.alias("__t"))
+    # r11: _spread first — a single-file local read is ONE partition, so
+    # the stride-1 gram explosion (the pipeline's heaviest narrow stage,
+    # 54 MB of gram digests at sf0.1) serialized onto one task (measured
+    # 3.1 s of its 4.0 s wall); the exchange moves only the raw rows
+    grams = (_spread(df, id_col).select(F.col(id_col), t.alias("__t"))
              .where(F.length("__t") >= L)
              .select(F.col(id_col),
                      F.length("__t").alias("__n"),

@@ -6130,14 +6130,21 @@ def q_rank_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact nano-integer sums."""
     _utc(spark)
     from feathr_spark.operators.search import rank_overlap_rbo
-    from feathr_spark.operators.similarity import cosine_topk, dot_topk
+    from feathr_spark.operators.similarity import cosine_and_dot_topk
+    from feathr_spark.operators._cache import attach_intermediates
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") % 17 == 0)
-    run_a = cosine_topk(emb, queries_df, "embedding", "vec_id", k=_RBO_K)
-    run_b = dot_topk(emb, queries_df, "embedding", "vec_id", k=_RBO_K)
+    # r11: one shared scoring pass — the two runs differ only by a
+    # divide on the hoisted norms, so scanning the pair space twice
+    # (cosine_topk + dot_topk) computed every dot product twice.
+    # Value-identical (same fold/round/tie-break expressions).
+    run_a, run_b = cosine_and_dot_topk(emb, queries_df, "embedding",
+                                       "vec_id", k=_RBO_K)
     out = rank_overlap_rbo(run_a, run_b, k=_RBO_K, p=_RBO_P)
-    return out.select(F.col("query_id").cast("bigint").alias("query_id"),
-                      "n_common", "rbo")
+    res = out.select(F.col("query_id").cast("bigint").alias("query_id"),
+                     "n_common", "rbo")
+    return attach_intermediates(
+        res, getattr(run_a, "_feathr_cached_deps", ()))
 
 
 def _rbo_oracle() -> str:

@@ -587,6 +587,58 @@ def dot_topk(
     return _two_stage_topk(scored, k)
 
 
+def cosine_and_dot_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> tuple:
+    """Both brute-force rankings (cosine AND inner-product) from ONE
+    scoring pass (r11): running :func:`cosine_topk` and :func:`dot_topk`
+    separately scans the corpus × queries pair space twice, but the two
+    scores share the dot product — the only per-pair work cosine adds is
+    one divide by the hoisted norms. One joined+scored frame (persisted,
+    pair-sized ids+scores only) feeds both two-stage top-k's.
+
+    Value-identical to the separate runs: the dot fold, the norm
+    product, the when(denom>0) guard and the 4-dp round are the same
+    expressions evaluated on the same operands (the shared dot
+    projection stays materialized — Catalyst keeps non-cheap
+    multiply-referenced aliases split), and the two-stage top-k ranks
+    on the identical rounded scores with the identical id tie-breaks.
+
+    Returns ``(cosine_run, dot_run)`` with the cached scored frame
+    attached to the cosine run for release.
+    """
+    from ._cache import attach_intermediates
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("__cv"))
+    c = c.select("neighbor_id", "__cv", l2_norm(F.col("__cv")).alias("__cn"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("__qv"))
+    q = q.select("query_id", "__qv", l2_norm(F.col("__qv")).alias("__qn"))
+    joined = _spread_by(c, F.col("neighbor_id")).join(
+        F.broadcast(q), on=None, how="cross") \
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    withd = joined.select(
+        "query_id", "neighbor_id", "__qn", "__cn",
+        dot(F.col("__qv"), F.col("__cv")).alias("__d"))
+    denom = F.col("__qn") * F.col("__cn")
+    cos = F.when(denom > 0, F.col("__d") / denom).otherwise(F.lit(0.0))
+    scored = withd.select(
+        "query_id", "neighbor_id",
+        F.round(cos, 4).cast("double").alias("__sc"),
+        F.round(F.col("__d"), 4).cast("double").alias("__sd")).persist()
+    run_cos = _two_stage_topk(
+        scored.select("query_id", "neighbor_id",
+                      F.col("__sc").alias("__score")), k)
+    run_dot = _two_stage_topk(
+        scored.select("query_id", "neighbor_id",
+                      F.col("__sd").alias("__score")), k)
+    return attach_intermediates(run_cos, (scored,)), run_dot
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,

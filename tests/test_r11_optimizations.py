@@ -54,6 +54,52 @@ def test_pagerank_no_dangling_fast_path_bit_identical(spark):
         assert slow[k] == fast[k] and str(slow[k]) == str(fast[k])
 
 
+def test_cosine_and_dot_topk_matches_separate_runs(spark):
+    """The shared-scoring pass must reproduce cosine_topk and dot_topk
+    exactly (same rounded scores, same ranks, same tie-breaks)."""
+    from feathr_spark.operators.similarity import (cosine_and_dot_topk,
+                                                   cosine_topk, dot_topk)
+    import math
+    rows = [(i, [math.sin(i * 7.3 + j) * (1 + 0.1 * j) for j in range(8)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id % 5 = 0")
+    ref_c = sorted(tuple(r) for r in
+                   cosine_topk(df, qs, "embedding", "vec_id", k=3).collect())
+    ref_d = sorted(tuple(r) for r in
+                   dot_topk(df, qs, "embedding", "vec_id", k=3).collect())
+    got_c, got_d = cosine_and_dot_topk(df, qs, "embedding", "vec_id", k=3)
+    assert sorted(tuple(r) for r in got_c.collect()) == ref_c
+    assert sorted(tuple(r) for r in got_d.collect()) == ref_d
+
+
+def test_kcore_peel_matches_python_reference(spark):
+    """kcore_peel survivors/degrees vs a plain-Python reference peel
+    (written while evaluating — and rejecting — an alternating-key
+    round variant; kept as a correctness property of the operator)."""
+    from feathr_spark.operators.graph import kcore_peel
+    import random
+    rng = random.Random(7)
+    edges = {(rng.randrange(20), rng.randrange(20)) for _ in range(60)}
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "src long, dst long")
+    got = {(r["id"], r["degree"])
+           for r in kcore_peel(df, k=3, rounds=4).collect()}
+    # reference: plain python peel, 4 rounds
+    sym = {(a, b) for a, b in edges if a != b}
+    sym |= {(b, a) for a, b in sym}
+    for _ in range(4):
+        deg = {}
+        for a, b in sym:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 3}
+        sym = {(a, b) for a, b in sym if a in keep and b in keep}
+    deg = {}
+    for a, b in sym:
+        deg[a] = deg.get(a, 0) + 1
+    assert got == set(deg.items())
+
+
 def test_pagerank_no_dangling_assertion_is_callers_burden(spark):
     """Document the contract: with a dangling node the fast path keeps
     total mass ONLY via the caller's assertion — the general path is

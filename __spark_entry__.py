@@ -6189,33 +6189,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_derived(spark, "/root/testdata/sf0.001")
 
 
-# Round-10 gate window (the driver records the FIRST 50 queries()
-# entries). Slots 1-6: the signed-zero fix (r7-r9's one red, now
-# normalized on both sides), the new neg_zero_probe canary pinning that
-# convention, the two NEW real-codec queries, and the two queries whose
-# computation/oracle changed this round (zipf_fit decimal moments,
-# stump_screen label-null filter) so their greens re-record against the
-# new code. Slots 7-9: the standing canaries, pinned in-window
-# permanently. Slots 10-50: the 41 registry queries whose most recent
-# driver-green row is oldest (all r4) — the union ledger stays fresh by
-# re-validating the longest-unchecked rows each round.
-_R10_WINDOW = [
-    "robust_scale_price", "neg_zero_probe", "wav_decode", "ppm_decode",
-    "url_canon", "url_dedup", "hard_negatives", "exact_substr",
-    "nested_subsets", "dialog_stats", "dialog_turns", "sft_accounting",
-    "zscore_price", "zipf_fit", "stump_screen",
-    "pctile_data_probe", "pctile_round_probe", "oracle_env_probe",
-    # oldest driver-green rows (last recorded r4):
-    "ann_topk", "asof_join", "bm25_topk", "contamination_check",
-    "dedup_components", "dedup_exact", "dedup_keep_one",
-    "derived_features", "doc_chunks", "elementwise_avg",
-    "embedding_cosine_pairs", "funnel", "group_by_limit", "hash_split",
-    "json_props", "keyed_join", "lang_id", "lm_score",
-    "materialize_backfill", "materialize_snapshot", "minhash_pairs",
-    "mixture_sample", "multi_key_window", "multi_query_join",
-    "ngram_jaccard_pairs", "pack_sequences", "passthrough_exprs",
-    "pii_redact", "profile_sketch_gate", "profile_values",
-    "quality_flags", "quota_sample",
+# Round-11 gate window (the driver records the FIRST 50 queries()
+# entries). This is the OPTIMIZATION round: slots 1-26 are every query
+# whose executed code path changed this round (the basket-graph family
+# on the new pair-counts-only path + no-dangling pagerank, the bigint-id
+# bipartite loops, the SQL-string minhash/simhash builds and their
+# consumers, the selection-mode percentile trio, the AQE-proof spread
+# sites, and rank_overlap's shared scoring pass) so the driver gate
+# hard-re-validates exactly what was optimized. Slots 27-30: the
+# standing canaries, pinned in-window permanently. Slots 31-50: the
+# registry queries whose most recent driver-green row is oldest
+# (16 last-green r4, 4 last-green r5) — union-ledger freshness.
+_R11_WINDOW = [
+    # changed code paths this round:
+    "part_pagerank", "components_parts", "triangles_parts",
+    "powerlaw_parts", "assortativity_parts", "basket_rules",
+    "item_cosine", "modularity_brands", "hits_bipartite", "kcore_graph",
+    "minhash_pairs", "simhash_pairs", "dedup_components",
+    "dedup_cluster_stats", "dedup_keep_one", "exact_substr",
+    "vocab_growth", "decile_bins", "qini_orders", "robust_scale_price",
+    "rank_overlap", "ann_topk", "retrieval_eval", "hard_negatives",
+    "knn_agreement", "semantic_dedup_recall",
+    # standing canaries:
+    "neg_zero_probe", "pctile_data_probe", "pctile_round_probe",
+    "oracle_env_probe",
+    # oldest driver-green rows (r4, then r5):
+    "window_agg_basic", "window_latest_nop", "window_filtered",
+    "udf_passthrough", "text_stats", "window_union",
+    "window_elementwise", "top_ngrams", "repetition_stats",
+    "winnow_fps", "winnow_overlap", "time_rollup", "retention",
+    "tfidf_terms", "window_percentile", "sessionize",
+    "ann_lsh_recall", "ann_ivf_recall", "multimodal_decode",
+    "ccnet_buckets",
 ]
 
 
@@ -6224,7 +6229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDER MATTERS: the driver's correctness gate records only the FIRST 50
     dict entries, so dict order is a verification-priority rotation
-    schedule, declared by the ``_R10_WINDOW`` list (see its comment for
+    schedule, declared by the ``_R11_WINDOW`` list (see its comment for
     this round's rationale):
 
       * queries that never received a driver-side oracle row, or whose
@@ -6244,7 +6249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         driver rows in r9).
     """
     base = _registry()
-    out = {k: base[k] for k in _R10_WINDOW}
+    out = {k: base[k] for k in _R11_WINDOW}
     out.update((k, v) for k, v in base.items() if k not in out)
     return out
 

@@ -432,9 +432,11 @@ EXCHANGE_BUDGET = {
     # brute scoring (repartition Exchange) + two-stage top-k windows;
     # the positives anti-join is broadcast (no extra Exchange)
     "hard_negatives": 3,
-    # gram rank (hash-keyed) + ONE doc_id Exchange reused by the island
-    # window and both per-doc aggregates
-    "exact_substr": 2,
+    # pre-explosion spread (r11 §6: explicit-count repartition so the
+    # gram generator fans out across tasks) + gram rank (hash-keyed) +
+    # ONE doc_id Exchange reused by the island window and both per-doc
+    # aggregates
+    "exact_substr": 3,
     # row-local md5-threshold ladder, zero shuffle
     "nested_subsets": 0,
     # nested-type HOF folds / one posexplode, both row-local
@@ -896,9 +898,10 @@ EXCHANGE_BUDGET = {
     "new_vs_returning": 2,
     # (source, fingerprint) collapse + the per-source fold
     "dup_rate_by_source": 2,
-    # gram first-bucket aggregate (the only data-sized shuffle) +
-    # bucket counts + the 10-row cumsum; doc-id cuts broadcast
-    "vocab_growth": 4,
+    # pre-explosion spread (r11 §6: explicit-count repartition before
+    # the bigram explode) + gram first-bucket aggregate + bucket counts
+    # + the 10-row cumsum; doc-id cuts broadcast
+    "vocab_growth": 5,
     # per-order countDistinct (two-phase expand) + size histogram +
     # the 1-row total broadcast
     "basket_size_hist": 7,

@@ -2297,25 +2297,33 @@ def q_part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # item-count joins + basket-total broadcast fed columns this query
     # drops; n_ab is bit-identical (shared pair expressions).
     # persist: the pair pipeline feeds BOTH union branches (forward and
-    # reversed edges) — unpersisted it runs twice
+    # reversed edges) — uncached it runs twice. persist() and not a
+    # checkpoint: a LogicalRDD leaf here would erase the size estimates
+    # Catalyst's static broadcast decisions downstream depend on
     rules = basket_pair_counts(li, "l_orderkey", "l_partkey",
                                min_pair_count=2).persist()
+    # symmetrized positive-weight edges: every node has out-edges, so
+    # the dangling-mass machinery is skippable (bit-identical output)
     edges = (rules.select(F.col("item_a").alias("src"),
                           F.col("item_b").alias("dst"),
                           F.col("n_ab").cast("double").alias("w"))
              .union(rules.select(F.col("item_b").alias("src"),
                                  F.col("item_a").alias("dst"),
                                  F.col("n_ab").cast("double").alias("w"))))
-    # symmetrized positive-weight edges: every node has out-edges, so
-    # the dangling-mass machinery is skippable (bit-identical output)
+    # r12: pagerank is LAZY — no per-round checkpoint jobs; the noop
+    # write at bench time executes the whole loop as one cascade.
+    # Its internal caches arrive attached; carry them onto the final
+    # frame (released by release_intermediates / bench clearCache)
+    from feathr_spark.operators._cache import attach_intermediates, \
+        cached_deps
     ranks = pagerank(edges, weight="w", damping=0.85, iters=3,
                      assume_no_dangling=True)
-    rules.unpersist()
     nn = ranks.agg(F.count(F.lit(1)).alias("__n"))
-    return (ranks.crossJoin(F.broadcast(nn))
-            .select(F.col("id").cast("bigint").alias("part"),
-                    F.round(F.col("rank") * F.col("__n") + F.lit(1e-9), 4)
-                    .cast("double").alias("rank_rel")))
+    res = (ranks.crossJoin(F.broadcast(nn))
+           .select(F.col("id").cast("bigint").alias("part"),
+                   F.round(F.col("rank") * F.col("__n") + F.lit(1e-9), 4)
+                   .cast("double").alias("rank_rel")))
+    return attach_intermediates(res, (rules,) + cached_deps(ranks))
 
 
 def q_distinct_rollup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3091,11 +3099,14 @@ def q_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = triangle_stats(edges)
-    return out.select(
+    from feathr_spark.operators._cache import attach_intermediates, \
+        cached_deps
+    res = out.select(
         F.col("id").cast("bigint").alias("part"),
         "degree", "triangles",
         F.round(F.col("clustering_coeff") + 1e-9, 4).cast("double")
         .alias("clustering_coeff"))
+    return attach_intermediates(res, cached_deps(out))
 
 
 def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3168,9 +3179,12 @@ def q_components_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = rules.select(F.col("item_a").alias("src"),
                          F.col("item_b").alias("dst"))
     out = connected_components(edges)
-    return out.select(F.col("id").cast("bigint").alias("part"),
-                      F.col("component").cast("bigint").alias("component"),
-                      "component_size")
+    from feathr_spark.operators._cache import attach_intermediates, \
+        cached_deps
+    res = out.select(F.col("id").cast("bigint").alias("part"),
+                     F.col("component").cast("bigint").alias("component"),
+                     "component_size")
+    return attach_intermediates(res, cached_deps(out))
 
 
 def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,13 @@ def attach_intermediates(result: DataFrame,
     return result
 
 
+def cached_deps(result: DataFrame) -> tuple:
+    """The intermediates attached to ``result`` (empty tuple if none) —
+    for wrappers that build a NEW frame on top of an operator result and
+    must carry its pending caches forward onto their own result."""
+    return tuple(getattr(result, _ATTR, ()))
+
+
 def release_intermediates(result: DataFrame) -> None:
     """Unpersist every cached intermediate attached to ``result``.
 

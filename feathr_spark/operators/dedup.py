@@ -908,40 +908,45 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
       join→groupBy→join-back (the old-vs-new attach), and the change
       flag falls out of ``min(label) < old label`` inside the aggregate.
 
-    Each round ends in an eager ``localCheckpoint()``: unlike ``persist``
-    (which caches data but keeps the full logical plan), checkpointing
-    TRUNCATES lineage, so the plan stays O(1) per round instead of
-    compounding — without it the final plan embeds every prior round
-    (measured: thousands of Exchange nodes after convergence) and
-    Catalyst analysis time grows superlinearly with iteration count. On a
-    real cluster swap ``localCheckpoint`` for reliable ``checkpoint`` if
-    executor loss during the loop must be survivable. For adversarial
-    long-chain graphs switch to large-star/small-star (O(log n) rounds);
-    duplicate clusters never look like that.
+    Materialization policy (r12): the four edge orientations (forward,
+    reversed, both self-loops) explode ROW-LOCALLY from each pair row —
+    one scan of the pair pipeline instead of the former 4-branch union
+    over a persisted pair frame (Spark does not share common subplans
+    across union branches, so that needed an extra cache and scanned it
+    four times). Each round ends in a LAZY
+    ``localCheckpoint(eager=False)`` — the plan truncates immediately
+    (lineage stays O(1) per round; an untruncated loop compounds
+    superlinearly — measured: thousands of Exchange nodes after
+    convergence) but the blocks materialize inside the changed-count,
+    which is now the ONE action per round instead of the former eager
+    checkpoint + re-scan job pair. On a real cluster swap
+    ``localCheckpoint`` for reliable ``checkpoint`` if executor loss
+    during the loop must be survivable. For adversarial long-chain
+    graphs switch to large-star/small-star (O(log n) rounds); duplicate
+    clusters never look like that.
 
-    Output: (doc_id, component_id) for every id present in ``pairs``.
+    Output: (doc_id, component_id) for every id present in ``pairs``;
+    LAZY — caches attached for ``_cache.release_intermediates``.
     """
-    # Persist the incoming pair frame BEFORE fanning it out: it appears in
-    # four union branches of the edge table (forward, reversed, and the
-    # self-loops of both), and Spark does not share common subplans across
-    # union branches — without this boundary an expensive upstream pipeline
-    # (e.g. the MinHash-LSH verify joins) executes four times when `edges`
-    # first materializes. The cache holds two longs per pair.
-    p = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-         .persist())
-    both = p.union(p.select(F.col("dst").alias("src"),
-                            F.col("src").alias("dst")))
-    # neighbours ∪ self: the self-loop keeps isolated-after-filter nodes
-    # alive and carries each node's current label into the aggregation
-    edges = (both.union(both.select(F.col("src").alias("src"),
-                                    F.col("src").alias("dst")))
-             .distinct().persist())
+    s, d = F.col(id_a), F.col(id_b)
+    # neighbours ∪ self, exploded row-locally: the self-loop keeps
+    # isolated-after-filter nodes alive and carries each node's current
+    # label into the aggregation. One pass over the (possibly expensive)
+    # pair pipeline; distinct dedupes across rows as the union did.
+    orient = F.array(
+        F.struct(s.alias("src"), d.alias("dst")),
+        F.struct(d.alias("src"), s.alias("dst")),
+        F.struct(s.alias("src"), s.alias("dst")),
+        F.struct(d.alias("src"), d.alias("dst")))
+    edges = (pairs.select(F.explode(orient).alias("__e"))
+             .select(F.col("__e.src").alias("src"),
+                     F.col("__e.dst").alias("dst"))
+             .distinct().localCheckpoint(eager=False))
     # round 1 fused into initialization: labels ARE ids, so min-over-
-    # neighbourhood needs no join yet
+    # neighbourhood needs no join yet (lazy: materializes inside round
+    # 1's changed-count action)
     labels = (edges.groupBy("dst").agg(F.min("src").alias("label"))
-              .select(F.col("dst").alias("id"), "label")
-              .localCheckpoint())
-    p.unpersist()  # edges is materialized now; the pair cache is dead
+              .select(F.col("dst").alias("id"), "label"))
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.id)
         stepped = (prop.groupBy("dst").agg(
@@ -952,15 +957,14 @@ def duplicate_components(pairs: DataFrame, id_a: str = "id_a",
              F.min(F.when(F.col("src") == F.col("dst"), F.col("label"))))
             .alias("__chg"))
             .select(F.col("dst").alias("id"), "label", "__chg")
-            .localCheckpoint())  # eager: lineage cut + cached
+            .localCheckpoint(eager=False))  # lazy: plan cut NOW, blocks
+        # materialize inside the changed-count — ONE action per round
         changed = stepped.where(F.col("__chg")).count()
         labels = stepped.select("id", "label")
         if changed == 0:
             break
-    out = labels.select(F.col("id").alias("doc_id"),
-                        F.col("label").alias("component_id"))
-    edges.unpersist()
-    return out
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("label").alias("component_id"))
 
 
 def cross_split_cosine_leakage(

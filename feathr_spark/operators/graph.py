@@ -45,9 +45,19 @@ def connected_components(
     list + one distinct — every frame edge-sized, partitioned by node
     id; convergence is detected from a (count, bit_xor of edge hashes)
     fingerprint, ONE scalar aggregate per round (no edge-set diff
-    join), and each new edge set is eagerly ``localCheckpoint``-ed so
-    the plan stays O(1) per round. No driver collect ever sees an
-    edge.
+    join). No driver collect ever sees an edge.
+
+    Materialization policy (r12): each round ends in a LAZY
+    ``localCheckpoint(eager=False)`` — the plan is truncated
+    immediately (each round's logical plan embeds the previous round's
+    subtree FOUR times via the union branches, so an untruncated loop
+    grows 4^k and OOMs the driver around round 10), but the blocks
+    materialize inside the fingerprint aggregate, which is now the ONE
+    action per round. That halves the former eager-checkpoint-then-
+    re-scan job pair (at scale the second cached scan is a full pass
+    over the edge set; locally it was ~0.2 s of scheduler gap per
+    round). The final readout is LAZY — label and size joins run in the
+    caller's one action; checkpoint blocks are cleaned on GC.
 
     Output: (id, component, component_size) — component is the minimum
     node id of the component; isolated nodes (only self-loops / NULL
@@ -58,12 +68,13 @@ def connected_components(
     e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
                      & (F.col(src) != F.col(dst)))
          .select(a0.alias("__a"), b0.alias("__b"))
-         .distinct().localCheckpoint())
-    # node set persists across the loop: the final left-join restores
-    # isolated nodes that dropped out of the shrinking edge set
+         .distinct().localCheckpoint(eager=False))
+    # node set from the SEED edge set: the final left-join restores
+    # isolated nodes that dropped out of the shrinking edge set. Single
+    # consumer (that join), reading the seed checkpoint — no cache.
     nodes = (e.select(F.col("__a").alias("id"))
              .union(e.select(F.col("__b").alias("id")))
-             .distinct().persist())
+             .distinct())
     from pyspark.sql import Window
     wl = Window.partitionBy("__u")
     canon = [F.least(F.col("__x"), F.col("__y")).alias("__a"),
@@ -93,7 +104,9 @@ def connected_components(
                                 F.col("__m").alias("__y")))
                .select(*canon)
                .where(F.col("__a") != F.col("__b")).distinct())
-        e = out.localCheckpoint()
+        # lazy checkpoint: plan truncated NOW, blocks materialized by
+        # the fingerprint aggregate — ONE pass and ONE job per round
+        e = out.localCheckpoint(eager=False)
         row = e.agg(F.count(F.lit(1)).alias("n"),
                     F.bit_xor(F.xxhash64("__a", "__b")).alias("h")).first()
         fp = (row["n"], row["h"])
@@ -115,14 +128,14 @@ def connected_components(
                .persist())  # 2 consumers: size aggregate + final join
     sizes = labeled.groupBy("component") \
         .agg(F.count(F.lit(1)).alias("component_size"))
+    # LAZY readout: the caller's action runs the label/size joins in
+    # one cascade instead of a checkpoint job + re-scan
     out = (labeled.join(sizes, "component")
            .select("id", "component",
                    F.col("component_size").cast("bigint")
-                   .alias("component_size"))
-           .localCheckpoint())
-    nodes.unpersist()
-    labeled.unpersist()
-    return out
+                   .alias("component_size")))
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(out, (labeled,))
 
 
 def triangle_stats(
@@ -142,19 +155,33 @@ def triangle_stats(
     of degree D costs O(out_deg²) where out-degree under this orientation
     is bounded by O(√|E|) for any graph — a plain a<b-id orientation
     leaves hub wedge counts at O(D²), which is the quadratic blowup that
-    kills celebrity nodes in social graphs. Plan: two shuffles to rank
-    the edges, one self-join on the wedge pivot, one equi-join closing
-    the wedge against the oriented edge set, one explode + count. No
-    driver collects; every frame is node- or edge-sized except the wedge
-    frame, which the orientation bounds.
+    kills celebrity nodes in social graphs.
+
+    Wedge generation (r12) is ROW-LOCAL: one groupBy(pivot) collects
+    each pivot's out-neighbours as a rank-sorted array (bounded at
+    O(√|E|) items by the orientation — the same bound the former
+    self-join relied on), and the rank-ordered pairs explode from the
+    array with the association-rules HOF double-transform. That replaces
+    the oriented-edge self-join on the pivot (which shuffled the
+    oriented frame TWICE — build and probe sides — plus paid the join
+    machinery on every candidate pair) with ONE shuffle of the oriented
+    frame and a narrow explode; the wedge set is identical because the
+    array sort key is exactly the orientation rank (__dv, __v). Plan:
+    two shuffles to rank the edges, one groupBy building the adjacency
+    arrays, one equi-join closing the exploded wedges against the
+    oriented edge set, one explode + count. No driver collects; every
+    frame is node- or edge-sized except the wedge frame, which the
+    orientation bounds. The result is LAZY (one job cascade at the
+    caller's action); multi-consumer frames are lazy localCheckpoints.
 
     Output: (id, degree, triangles, clustering_coeff) — coefficient is
     2T/(d(d-1)), NULL for degree < 2 nodes.
     """
     a = F.least(F.col(src), F.col(dst))
     b = F.greatest(F.col(src), F.col(dst))
-    # canonical undirected edge set: 3 consumers (degrees, orientation
-    # join, wedge closing) -> persist
+    # canonical undirected edge set: multiple consumers (degrees,
+    # orientation join) -> persist (one materialization, columnar cache
+    # + size stats; fills inside the caller's action)
     e = (edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()
                      & (F.col(src) != F.col(dst)))
          .select(a.alias("__a"), b.alias("__b"))
@@ -176,16 +203,24 @@ def triangle_stats(
              .alias("__v"),
              F.when(lower_first, F.col("__db")).otherwise(F.col("__da"))
              .alias("__dv"))
-         .persist())
+         .persist())  # 2 consumers: adjacency + closing
     # wedges at the pivot u: unordered out-neighbor pairs (v, w) with
-    # rank(v) < rank(w) so each wedge appears once
-    o2 = o.select(F.col("__u").alias("__u2"), F.col("__v").alias("__w"),
-                  F.col("__dv").alias("__dw"))
-    wedges = (o.join(o2, (F.col("__u") == F.col("__u2"))
-                     & ((F.col("__dv") < F.col("__dw"))
-                        | ((F.col("__dv") == F.col("__dw"))
-                           & (F.col("__v") < F.col("__w")))))
-              .select("__u", "__v", "__w"))
+    # rank(v) < rank(w) so each wedge appears once. The adjacency array
+    # is sorted by the orientation rank (__dv, __v), so ordered pairs
+    # from the sorted array ARE the rank-ordered wedges — row-local,
+    # no self-join (see docstring)
+    adj = (o.groupBy("__u")
+           .agg(F.array_sort(
+               F.collect_list(F.struct("__dv", "__v"))).alias("__nb")))
+    nb = F.col("__nb")
+    wedge_pairs = F.flatten(F.transform(
+        nb,
+        lambda x, i: F.transform(
+            F.slice(nb, i + 2, F.size(nb)),
+            lambda y: F.struct(x["__v"].alias("v"), y["__v"].alias("w")))))
+    wedges = (adj.select("__u", F.explode(wedge_pairs).alias("p"))
+              .select("__u", F.col("p.v").alias("__v"),
+                      F.col("p.w").alias("__w")))
     closing = o.select(F.col("__u").alias("__v"), F.col("__v").alias("__w"))
     tri = wedges.join(closing, ["__v", "__w"])
     per_node = (tri.select(F.explode(F.array("__u", "__v", "__w"))
@@ -200,13 +235,10 @@ def triangle_stats(
                           2.0 * F.coalesce(F.col("triangles"), F.lit(0))
                           / (d * (d - 1.0)))
                    .alias("clustering_coeff")))
-    # eager checkpoint of the node-sized result so the cached edge
-    # frames can be released deterministically (pagerank's pattern)
-    out = out.localCheckpoint()
-    e.unpersist()
-    deg.unpersist()
-    o.unpersist()
-    return out
+    # LAZY result: one job cascade at the caller's action; caches
+    # attached for release (_cache.release_intermediates / clearCache)
+    from feathr_spark.operators._cache import attach_intermediates
+    return attach_intermediates(out, (e, deg, o))
 
 
 def pagerank(
@@ -254,16 +286,29 @@ def pagerank(
     bit-identical to the general path on any graph that satisfies the
     assertion (asserted in tests).
 
-    Per-round eager ``localCheckpoint`` is LOAD-BEARING, not just
-    lineage hygiene: each round consumes the previous ranks TWICE
-    (contribution join + dangling-mass aggregate), so an uncheckpointed
-    loop re-executes the prior round once per consumer — 2^k recompute
-    after k rounds (measured: skipping intermediate checkpoints for a
-    3-round run took the sf0.1 driver query from ~9 s to ~13 s, and it
-    grows exponentially from there). The ~2-4 small scheduler jobs per
-    round are the cheap side of that trade at every scale.
+    Materialization policy (r12): the loop is LAZY — no per-round
+    action; the caller's single action runs the whole iteration as one
+    job cascade instead of paying a scheduler job + gap per round (the
+    r11 eager-checkpoint variant's cost, ~0.1-0.2 s each). In the
+    general path each round consumes the previous ranks TWICE
+    (contribution join + dangling-mass aggregate), so each round ends
+    in ``localCheckpoint(eager=False)``: the plan truncates immediately
+    and the blocks — materialized inside the final action — serve both
+    consumers (an uncached loop re-executes the prior round once per
+    consumer — 2^k recompute after k rounds, measured ~9 s → ~13 s on a
+    3-round sf0.1 run). In the ``assume_no_dangling`` path each round
+    has exactly ONE consumer (the next round's contribution join), so
+    rounds chain as pure lineage, with a lazy checkpoint every 8th
+    round bounding plan growth for deep ``iters``. Loop-invariant
+    frames (cleaned edges, nodes, out-weights, normalized edges) are
+    lazy checkpoints rather than ``persist()`` for the same reason:
+    one materialization each, but the per-round plans — which embed
+    them several times — stay truncated at a leaf. The final ranks
+    frame is checkpointed too (callers routinely fan it out to a
+    count + readout). Checkpoint blocks are released by the context
+    cleaner once the frames are garbage-collected.
 
-    Output: (id, rank).
+    Output: (id, rank) — LAZY until the caller's first action.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("pagerank: damping must be in (0, 1)")
@@ -271,10 +316,12 @@ def pagerank(
         raise ValueError("pagerank: iters must be >= 1")
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     # persist the cleaned edge frame FIRST: nodes / out-weights /
-    # normalized edges each materialize it independently, and an
-    # unpersisted upstream (e.g. a pair-generation pipeline feeding the
-    # graph) would re-run once per derived frame — measured 4x the
-    # whole co-occurrence pipeline on the driver query without this
+    # normalized edges each consume it independently, and an uncached
+    # upstream (e.g. a pair-generation pipeline feeding the graph)
+    # would re-run once per derived frame — measured 4x the whole
+    # co-occurrence pipeline on the driver query without this.
+    # persist() over a checkpoint: columnar cache + known size stats
+    # (broadcast planning); materializes inside the caller's action.
     e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                       w.alias("__w"))
          .where(F.col("__src").isNotNull() & F.col("__dst").isNotNull())
@@ -285,7 +332,7 @@ def pagerank(
     # zero-weight out-edges still exists (as dangling) rather than
     # vanishing from the graph
     ep = e.where(F.col("__w") > 0)
-    # node set + per-source out-weight: reused every round, persist once
+    # node set + per-source out-weight: reused every round, cached once
     nodes = (e.select(F.col("__src").alias("id"))
              .union(e.select(F.col("__dst").alias("id")))
              .distinct().persist())
@@ -294,8 +341,7 @@ def pagerank(
 
     d = float(damping)
     ranks = (nodes.crossJoin(F.broadcast(nn))
-             .select("id", (F.lit(1.0) / F.col("__n")).alias("rank"))
-             .localCheckpoint())
+             .select("id", (F.lit(1.0) / F.col("__n")).alias("rank")))
     # normalized edges: contribution fraction w/outw is loop-invariant
     en = (ep.join(outw, "__src")
           .select("__src", "__dst", (F.col("__w") / F.col("__ow"))
@@ -305,6 +351,8 @@ def pagerank(
     if not assume_no_dangling:
         dangling_ids = nodes.join(outw, nodes.id == outw.__src,
                                   "left_anti").persist()
+        # init ranks feed round 1's contribution join AND dangling fold
+        ranks = ranks.localCheckpoint(eager=False)
     for i in range(int(iters)):
         contrib = (en.join(ranks, en.__src == ranks.id)
                    .groupBy("__dst")
@@ -326,15 +374,21 @@ def pagerank(
             rank_expr = ((1.0 - d) / F.col("__n")
                          + d * (F.coalesce(F.col("__c"), F.lit(0.0))
                                 + F.col("__dm") / F.col("__n")))
-        ranks = (new_ranks.select("id", rank_expr.alias("rank"))
-                 .localCheckpoint())
-    e.unpersist()
-    nodes.unpersist()
-    outw.unpersist()
-    en.unpersist()
+        ranks = new_ranks.select("id", rank_expr.alias("rank"))
+        last = i == int(iters) - 1
+        if not last and (not assume_no_dangling or (i + 1) % 8 == 0):
+            # general path: consumed twice next round — checkpoint
+            # blocks serve both consumers; no-dangling path: plan-size
+            # guard only, every 8th round (values unchanged either way)
+            ranks = ranks.localCheckpoint(eager=False)
+    # callers fan the result out (count + readout): cache it, and
+    # attach every internal cache for release after the final action
+    ranks = ranks.persist()
+    from feathr_spark.operators._cache import attach_intermediates
+    deps = [e, nodes, outw, en, ranks]
     if dangling_ids is not None:
-        dangling_ids.unpersist()
-    return ranks
+        deps.append(dangling_ids)
+    return attach_intermediates(ranks, deps)
 
 
 def hits(
@@ -606,10 +660,19 @@ def kcore_peel(
 
     Plan per round: one degree aggregate (map-side combined — a hub's
     edges never concentrate) + two key-side semi joins against the
-    NODE-sized survivor frame; the shrinking edge frame is
-    ``localCheckpoint``-ed per round (pagerank's measured lineage
-    guard). Directed input is symmetrized once up front; self-loops
-    are dropped.
+    NODE-sized survivor frame. Directed input is symmetrized once up
+    front; self-loops are dropped.
+
+    Materialization policy (r12): the rounds are LAZY — each round's
+    shrinking edge frame ends in ``localCheckpoint(eager=False)``,
+    which truncates the logical plan immediately (each round embeds the
+    previous round's subtree three times — degree aggregate + both
+    semi-join probes — so an untruncated loop grows 3^k) while
+    deferring materialization to the caller's single action: the whole
+    fixed-round peel runs as one job cascade instead of paying a
+    scheduler job + gap per round. The checkpoint blocks double as the
+    per-round cache, so the three next-round consumers compute each
+    round once.
     """
     if k < 1 or rounds < 1:
         raise ValueError("kcore_peel: k and rounds must be >= 1")
@@ -618,7 +681,7 @@ def kcore_peel(
                    & (F.col(src) != F.col(dst))))
     e = half.union(half.select(F.col("__v").alias("__u"),
                                F.col("__u").alias("__v"))) \
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint(eager=False)
     for _ in range(rounds):
         keep = (e.groupBy("__u").agg(F.count(F.lit(1)).alias("__d"))
                 .where(F.col("__d") >= int(k))
@@ -626,6 +689,6 @@ def kcore_peel(
         e = (e.join(keep, "__u", "semi")
              .join(keep.withColumnRenamed("__u", "__v"), "__v", "semi")
              .select("__u", "__v")
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
     return (e.groupBy(F.col("__u").alias("id"))
             .agg(F.count(F.lit(1)).cast("bigint").alias("degree")))

@@ -385,10 +385,12 @@ EXCHANGE_BUDGET = {
     # embeds the pairs plan + exact all-pairs + the two count folds
     "semantic_dedup_recall": 6,
     "json_props": 0,
-    # components come out of the loop's localCheckpoint (lineage
-    # truncated) and the non-canonical id list broadcasts into the
-    # anti-join — the doc payload never shuffles.
-    "dedup_keep_one": 0,
+    # components come out of the loop's (r12: lazy) localCheckpoint —
+    # lineage truncated — and the non-canonical id list broadcasts into
+    # the anti-join; the doc payload never shuffles. The 2 visible
+    # exchanges are the label groupBy + distinct of the non-canonical id
+    # list, formerly hidden behind the loop's final eager checkpoint.
+    "dedup_keep_one": 2,
     # r5: persisted shingle frames print their (cached) subtrees under
     # each consumer — 15 -> 17 textual matches, while the shingling
     # pipeline now executes once instead of once per consumer (sf0.1
@@ -535,9 +537,15 @@ EXCHANGE_BUDGET = {
     # attach joins (the persisted basket subtree prints under several
     # consumers; dedupes to the cache at runtime)
     "basket_rules": 8,
-    # iterative; rounds execute at plan time behind localCheckpoint —
-    # the visible plan is the final rank frame x broadcast node count
-    "part_pagerank": 1,
+    # r12: the loop is LAZY (no per-round checkpoint jobs), so the
+    # snapshot shows the full 3-round pipeline INCLUDING every persisted
+    # frame's cached-plan reprint under each of its consumers (the
+    # basket/edge/nodes/outw/en subtrees print ~4x per round — textual
+    # matches >> runtime shuffles, cf. attribution_events note). Runtime
+    # executes each cached subtree once (InMemoryRelation) and dedupes
+    # repeated exchanges (ReusedExchange); same-window solo A/B for the
+    # laziness change: 8.6 s -> ~1.8 s at sf0.1.
+    "part_pagerank": 223,
     # daily sketch agg + monthly union + direct monthly sketch + the
     # exact countDistinct two-phase pair; every frame past the sketch
     # aggregates is bucket-count-sized fixed-width binaries
@@ -627,11 +635,15 @@ EXCHANGE_BUDGET = {
     "mutual_info_orders": 2,
     # row-local plan-literal matrix fold — zero shuffles by construction
     "jl_project": 0,
-    # triangle_stats ends in an eager localCheckpoint (pagerank's
-    # deterministic-release pattern), so the snapshot plan is the
-    # checkpoint scan — the real shuffles (pair count, degree, wedge
-    # join) run at build time; runtime evidence lives in the bench entry
-    "triangles_parts": 0,
+    # r12: triangle_stats is LAZY (the former eager checkpoint job +
+    # re-scan is gone), so the snapshot shows the whole pipeline: pair
+    # count, degree aggregate, orientation joins, the adjacency-array
+    # groupBy (which REPLACED the oriented-edge self-join — one shuffle
+    # of the oriented frame instead of two), wedge closing, per-node
+    # count. The persisted e/deg/o frames print their cached plans under
+    # every consumer (textual >> runtime — attribution_events note).
+    # Same-window solo A/B for lazy + adjacency-wedges: 5.5 -> 1.2 s.
+    "triangles_parts": 46,
     # data-sized: the per-user lead window + the duration groupBy; the
     # remaining windows run over the distinct-duration frame (single
     # partition by construction, see GLOBAL_WINDOW_OK)
@@ -643,10 +655,14 @@ EXCHANGE_BUDGET = {
     # cohort min aggregate + user join + (cohort, offset) cell aggregate
     # + the triangle-sized cumulative window
     "ltv_cohorts": 4,
-    # large-star/small-star loop ends in an eager localCheckpoint (same
-    # pattern as triangles_parts): the snapshot plan is the checkpoint
-    # scan; per-round shuffles are runtime-only, evidenced in the bench
-    "components_parts": 0,
+    # r12: the large-star/small-star rounds still end in (now lazy)
+    # localCheckpoints and stay out of the snapshot, but the READOUT is
+    # lazy — the visible shuffles are the node-set union/distinct, the
+    # label aggregate, the size aggregate and their joins, which
+    # formerly hid behind the final eager checkpoint. The fingerprint
+    # aggregate now doubles as each round's materializing action (one
+    # job/round instead of checkpoint + re-scan).
+    "components_parts": 5,
     # segment-filtered gap extraction (per-user lead window + duration
     # groupBy) feeds distinct-duration window algebra; the per-group
     # pivot + at-risk windows + the two scalar folds print the persisted

@@ -283,15 +283,34 @@ def pq_topk(
         t = qmat[:, s * d_sub:(s + 1) * d_sub] @ books[s][1].T
         lut[:, s, :t.shape[1]] = t
 
-    encoded = pq_encode(corpus, books, vec_col, id_col)
     # per-batch survivors must cover the RERANK shortlist, not just k
     want = k * max(int(rerank), 1) + 1           # +1 covers self-match
 
-    def _score(it):
+    # Encode + ADC-score FUSED into one mapInPandas (r12): the former
+    # pq_encode (ArrowEvalPython) -> _score (MapInPandas) pair crossed
+    # the JVM<->Python boundary twice back to back, serializing the
+    # whole codes frame out to the JVM and straight back into Python.
+    # One pass, one boundary crossing; the numpy steps (normalize,
+    # per-subspace argmin, LUT gather) are byte-identical to the split
+    # formulation. pq_encode stays for the persistable-index path.
+    mats = [mat for _, mat in books]
+    m_eff = len(mats)
+
+    def _encode_score(it):
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            x = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in pdf["__vec"].to_numpy()])
+            n = np.linalg.norm(x, axis=1, keepdims=True)
+            np.divide(x, n, out=x, where=n > 0)
+            codes = np.empty((len(x), m_eff), dtype=np.int64)
+            for s, cmat in enumerate(mats):
+                xs = x[:, s * d_sub:(s + 1) * d_sub]
+                dd = ((xs * xs).sum(axis=1)[:, None]
+                      - 2.0 * (xs @ cmat.T)
+                      + (cmat * cmat).sum(axis=1)[None, :])
+                codes[:, s] = dd.argmin(axis=1)   # stable: first minimum
             nb = pdf["neighbor_id"].to_numpy().astype(np.int64)
             # scores (B, nq): sum of per-subspace LUT gathers
             sc = np.zeros((len(codes), len(qids)), dtype=np.float64)
@@ -306,8 +325,10 @@ def pq_topk(
                            np.repeat(np.arange(len(qids)), cut)], 4)}
             yield pd.DataFrame(rows)
 
-    scored = (encoded.mapInPandas(
-        _score, "query_id bigint, neighbor_id bigint, __score double")
+    scored = (corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("__vec"))
+              .mapInPandas(
+        _encode_score, "query_id bigint, neighbor_id bigint, __score double")
         .where(F.col("query_id") != F.col("neighbor_id")))
     if rerank <= 0:
         return _two_stage_topk(scored, k)

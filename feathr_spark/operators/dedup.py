@@ -86,14 +86,10 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     are small (minPartitionSize 1 MB) — but the whole point of this
     exchange is the work AFTER it (shingle/gram explosion fans out
     100-1000x), which AQE cannot see. An explicit count makes the
-    shuffle REPARTITION_BY_NUM, which AQE must preserve. The count
-    comes from ``spark.sql.shuffle.partitions`` (session/driver-
-    configured — scale-adaptive, not a local constant)."""
-    try:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):   # e.g. "auto" on some platforms
-        n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(id_col))
+    shuffle REPARTITION_BY_NUM, which AQE must preserve. Shared logic
+    lives in :mod:`._partition` (r12 hoist)."""
+    from ._partition import spread_by
+    return spread_by(df, F.col(id_col))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

@@ -27,14 +27,10 @@ def _spread_by(df: DataFrame, col: Column) -> DataFrame:
     1 MB minimum — but these exchanges exist to parallelize the
     brute-force scoring loop AFTER them, whose pair fan-out AQE cannot
     see (measured: the whole corpus × queries dot-product stage ran in
-    one task). REPARTITION_BY_NUM is preserved by AQE. Count from the
-    session's shuffle-partition setting (scale-adaptive, not a local
-    constant)."""
-    try:
-        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, col)
+    one task). REPARTITION_BY_NUM is preserved by AQE. Shared logic
+    lives in :mod:`._partition` (r12 hoist)."""
+    from ._partition import spread_by
+    return spread_by(df, col)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -595,7 +591,11 @@ def cosine_and_dot_topk(
     k: int = 5,
 ) -> tuple:
     """Both brute-force rankings (cosine AND inner-product) from ONE
-    scoring pass (r11): running :func:`cosine_topk` and :func:`dot_topk`
+    scoring pass; self-matches are ALWAYS excluded (the fixed
+    ``exclude_self=True`` behavior of the two functions this fuses —
+    callers needing self-matches must use those directly).
+
+    r11: running :func:`cosine_topk` and :func:`dot_topk`
     separately scans the corpus × queries pair space twice, but the two
     scores share the dot product — the only per-pair work cosine adds is
     one divide by the hoisted norms. One joined+scored frame (persisted,

@@ -103,9 +103,17 @@ def test_kcore_peel_matches_python_reference(spark):
 def test_pagerank_no_dangling_assertion_is_callers_burden(spark):
     """Document the contract: with a dangling node the fast path keeps
     total mass ONLY via the caller's assertion — the general path is
-    the correct one there (sums differ)."""
+    the correct one there (sums differ). Both directions pinned (r12,
+    ADVICE r11): the general path conserves mass, and the MISUSED fast
+    path measurably loses it (strictly below 1), so a future caller
+    breaking the assertion fails this documented divergence instead of
+    silently shipping wrong ranks."""
     from feathr_spark.operators.graph import pagerank
     df = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
     general = pagerank(df, weight="w", iters=2)
     tot = general.agg(F.sum("rank")).first()[0]
     assert tot == pytest.approx(1.0, abs=1e-9)
+    misused = pagerank(df, weight="w", iters=2, assume_no_dangling=True)
+    tot_fast = misused.agg(F.sum("rank")).first()[0]
+    # node 2 is dangling: its mass is dropped instead of redistributed
+    assert tot_fast < 1.0 - 1e-6

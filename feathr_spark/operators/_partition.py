@@ -26,12 +26,21 @@ from pyspark.sql import functions as F
 
 def spread_by(df: DataFrame, col: Column) -> DataFrame:
     """Hash-repartition ``df`` on ``col`` into the session's configured
-    shuffle-partition count (see module docstring)."""
-    n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", None)
+    shuffle-partition count (see module docstring).
+
+    The no-default ``conf.get`` is deliberate: it consults the session
+    value AND the entry's built-in default (a ``get(key, None)`` form
+    skips the built-in default and hands back None on sessions that
+    never set the key). The except-arm catches everything — "auto"
+    strings on exotic platforms (ValueError) and Py4J errors from a
+    stale session handle in long multi-session processes — and falls
+    back to the context's parallelism, then to Spark's stock 200."""
+    sess = df.sparkSession
     try:
-        n = int(n) if n is not None else None
-    except (TypeError, ValueError):   # e.g. "auto" on some platforms
-        n = None
-    if n is None:
-        n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, col)
+        return df.repartition(
+            int(sess.conf.get("spark.sql.shuffle.partitions")), col)
+    except Exception:
+        try:
+            return df.repartition(sess.sparkContext.defaultParallelism, col)
+        except Exception:
+            return df.repartition(200, col)

@@ -102,6 +102,23 @@ def test_kcore_survivor_join_strategies_agree(spark):
         kcore_peel(df, k=3, rounds=3, survivor_join="merge")
 
 
+def test_hits_score_join_strategies_agree(spark):
+    """hits(score_join='shuffle_hash') — the escape hatch once the node
+    set outgrows the broadcast threshold — must reproduce the default
+    plan's scores (same sums, same final normalization)."""
+    from feathr_spark.operators.graph import hits
+    edges = spark.createDataFrame(
+        [(i % 37, 100 + (i * 11) % 53) for i in range(500)],
+        "src long, dst long")
+    key = lambda r: (r["id"], round(r["hub"], 9), round(r["authority"], 9))
+    a = sorted(key(r) for r in hits(edges, iters=3).collect())
+    b = sorted(key(r) for r in
+               hits(edges, iters=3, score_join="shuffle_hash").collect())
+    assert a == b and len(a) == 90
+    with pytest.raises(ValueError):
+        hits(edges, iters=3, score_join="merge")
+
+
 def test_duplicate_components_matches_union_find(spark):
     """The r12 row-local 4-orientation explode must label components
     identically to a python union-find on a random-ish pair set
